@@ -1,0 +1,72 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect count via a
+cheap aggregate action) after a one-query JVM warmup. ``value`` is the
+total wall time of the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_pricing_summary",
+    "q_join_revenue_by_nation",
+    "q_agg_count_distinct",
+    "q_join_range",
+    "q_join_asof",
+    "q_win_ranking",
+    "q_win_topk_per_group",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_sim_topk_cosine",
+    "q_text_stats",
+    "q_stream_session_window",
+    "q_udf_pandas_scalar",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import xetl_spark.queries as Q
+    from xetl_spark.session import get_session
+
+    spark = get_session("bench")
+
+    # warmup: JVM/codegen/Arrow init on a trivial action
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = Q.REGISTRY[name]
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        # force full materialization of every row without driver transfer
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Operator library: composed, scale-aware DataFrame transforms.
+
+Everything here is built from JVM-side Catalyst expressions (no
+row-at-a-time Python UDFs); Pandas UDFs appear only in the multimodal
+decode path where real codec work would happen.
+"""
+
+from xetl_spark.operators.relational import (  # noqa: F401
+    dedup_keep_first,
+    deterministic_sample,
+    sessionize,
+    topk_per_group,
+)
+from xetl_spark.operators.asof import asof_join, range_join  # noqa: F401
+from xetl_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    simhash,
+    simhash_near_duplicates,
+    shingles,
+)
+from xetl_spark.operators.similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+)
+from xetl_spark.operators import text  # noqa: F401
+from xetl_spark.operators import multimodal  # noqa: F401

@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All stages are pure Catalyst expressions (xxhash64, explode, groupBy) —
+no Python in the hot path — so the same code scales from the 500-row
+fixture to a 100 TB corpus: candidate generation is bucket-local
+(band-hash equi-joins), never an O(n²) cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xetl_spark.operators.relational import dedup_keep_first
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact content dedup: one representative (lowest/highest id) per
+    distinct sha2-256 of ``text_col``.
+
+    Deterministic by construction; one shuffle on the 256-bit digest —
+    a uniform key, so no skew even when the corpus is pathological.
+    """
+    order = [F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()]
+    return dedup_keep_first(
+        df.withColumn("__h", F.sha2(F.col(text_col), 256)), ["__h"], order
+    ).drop("__h")
+
+
+def _tokens(text_col: str):
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
+        r"\s+",
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Explode each document into its distinct word n-gram shingles.
+
+    Tokenize → slide an n-window with ``transform`` over index range →
+    distinct. All higher-order array functions, evaluated inside
+    whole-stage codegen.
+    """
+    toks = _tokens(text_col)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(ngrams)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i).
+
+    A single groupBy(doc) computes all ``num_hashes`` mins map-side
+    (partial aggregation), so the shuffle carries one row per doc.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band hash.
+
+    rows-per-band bucketing: hash each band of r=num_hashes/bands values
+    to a single key, self-join per (band, key). Join is equi on the band
+    hash → shuffle-partitioned; hot buckets (boilerplate-heavy corpora)
+    are bounded by banding granularity and AQE skew handling.
+    """
+    r = num_hashes // bands
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * r + j}") for j in range(r)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc", "bh.band", "bh.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bkey") == F.col("b.bkey"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from their shingle sets.
+
+    intersection via double equi-join on shingle restricted to candidate
+    docs; union = |A| + |B| - |A∩B|. Everything keyed, everything
+    shuffle-local.
+    """
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sh_b = sh.select(
+        F.col("doc").alias("__doc_b"), F.col("shingle").alias("__shingle_b")
+    )
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .join(
+            sh_b,
+            on=[
+                F.col("doc_b") == F.col("__doc_b"),
+                F.col("shingle") == F.col("__shingle_b"),
+            ],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle → signature →
+    band → candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) for confirmed near-duplicate pairs.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, num_hashes)
+    pairs = lsh_candidate_pairs(sig, num_hashes, bands)
+    return pair_jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    Per-token hash once, then 64 conditional-sum aggregates (one per
+    bit) — all map-side partials, one shuffled row per doc. The final
+    fingerprint is assembled with shifts; sign(sum) > 0 sets the bit.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        weight = 2**i if i < 63 else -(2**63)  # two's-complement top bit
+        term = F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into ``chunks``
+    16-bit blocks; any pair within radius ``chunks-1`` shares ≥1 exact
+    block, so candidates come from equi-joins on block values — never a
+    cross product. Hamming distance verified with bit_count(xor).
+    """
+    fps = simhash(df, text_col, id_col)
+    width = 64 // chunks
+    blocked = fps.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc", "simhash", "bc.blk", "bc.bval")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.bval") == F.col("b.bval"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,95 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Reference parity: the xETL reference demonstrates image transforms as
+subprocess tasks (reference README.md:66-77 grayscale example). Here
+the engine treats media as first-class ``binary`` columns with a typed
+metadata struct; decode / feature-extraction runs as Arrow-batched
+Pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio codecs, so the actual decode is
+STUBBED: ``decode_stub=True`` (default) produces deterministic fake
+features so the Spark-side plumbing — schema, batching, partitioning —
+is real and testable; ``decode_stub=False`` raises NotImplementedError
+where a codec (Pillow/ffmpeg) would be called.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+
+def attach_binary(
+    df: DataFrame, payload_col: str, out_col: str = "media", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Promote a column to an opaque media payload: binary bytes + typed
+    metadata struct (length, digest, mime). JVM-side only."""
+    raw = F.encode(F.col(payload_col).cast("string"), "UTF-8")
+    return df.withColumn(out_col, raw).withColumn(
+        f"{out_col}_meta",
+        F.struct(
+            F.length(raw).cast("long").alias("byte_len"),
+            F.sha2(raw, 256).alias("sha256"),
+            F.lit(mime).alias("mime"),
+        ),
+    )
+
+
+FEATURE_SCHEMA = "id long, byte_len long, width int, height int, features array<float>"
+
+
+def extract_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    n_features: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Decode + featurize media payloads via Arrow-batched mapInPandas.
+
+    The batch shape is the real contract: each partition streams Arrow
+    record batches through the UDF; at cluster scale, partition sizing
+    (maxPartitionBytes) bounds executor memory, and no data crosses the
+    driver. The decode itself is stubbed (see module docstring).
+    """
+
+    def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+        # Deterministic stand-in for a codec: derive "dimensions" and a
+        # feature vector from the byte content itself (sha-based, stable
+        # across processes — unlike Python's salted hash()).
+        import hashlib
+
+        h = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+        w, ht = 16 + h % 64, 16 + (h >> 8) % 64
+        feats = [((h >> (i * 3)) % 1000) / 1000.0 for i in range(n_features)]
+        return w, ht, feats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires a codec library (Pillow/ffmpeg) "
+                    "not present in this environment"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[media_col])
+                w, ht, feats = fake_decode(payload)
+                rows.append((row[id_col], len(payload), w, ht, feats))
+            yield pd.DataFrame(
+                rows, columns=["id", "byte_len", "width", "height", "features"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=FEATURE_SCHEMA)

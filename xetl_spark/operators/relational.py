@@ -1,0 +1,100 @@
+"""Core relational composites that Spark lacks as single primitives.
+
+Reference parity: the xETL reference delegates record-level work to
+arbitrary subprocesses (SURVEY.md §2-B); these are the canonical
+re-expressions as DataFrame transforms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Deterministic `dropDuplicates(subset)`: keep the first row per key
+    under an explicit total order.
+
+    Spark's built-in ``dropDuplicates([cols])`` keeps an *arbitrary* row —
+    unacceptable for reproducible pipelines. One shuffle on ``keys``; at
+    scale this is a single hash partitioning, same cost class as the
+    built-in but deterministic. ``order_by`` must be a total order within
+    each key group (include a unique tiebreaker).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number window.
+
+    Catalyst/Tungsten evaluates this as a single shuffle + per-partition
+    sort; AQE handles group skew. ``order_by`` should include a unique
+    tiebreaker for determinism.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: Sequence[str], rate_pct: int, salt: str = ""
+) -> DataFrame:
+    """Content-addressed sample: keep rows whose md5(key) falls in the
+    lowest ``rate_pct`` percent of hash space.
+
+    Unlike ``df.sample`` (seeded per-partition RNG, not stable across
+    partitionings/engines) this is reproducible anywhere — including in a
+    SQL oracle — and it pushes down as a plain filter expression.
+
+    Rate granularity is 1/256 (first md5 byte compared lexicographically
+    against ``rate_pct``/100 of hash space): a hex-prefix comparison is
+    expressible identically in any SQL dialect.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    threshold = format(round(256 * rate_pct / 100), "02x")
+    return df.filter(
+        F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 2) < F.lit(threshold)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: new session when the gap to the previous
+    event (per user) exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum window pair — two window functions over
+    the *same* (partition, order), so Catalyst plans exactly one shuffle
+    and one sort. The streaming twin is ``session_window`` (see
+    xetl_spark.streaming).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

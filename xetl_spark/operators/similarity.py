@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract:
+- brute-force cosine top-k: exact; broadcast the (small) query side so
+  the big corpus never shuffles — per-partition scan + local top-k.
+- LSH-bucketed ANN (random hyperplanes): approximate; candidates come
+  from signature-bucket equi-joins, the 100 TB path.
+
+Vector math is pure Catalyst higher-order functions (zip_with +
+aggregate) — JVM-side, codegen'd, no Python serde per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str, out_col: str = "__unit") -> DataFrame:
+    """Pre-normalize embeddings to unit length (double precision) so
+    cosine reduces to a dot product downstream."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row against the corpus.
+
+    The query side is broadcast (it is the small side by contract), so
+    the corpus is scanned exactly once with no shuffle; the only shuffle
+    is the final per-query top-k window over |queries| * |corpus_matches|
+    candidate rows. Returns (query_id, neighbor_id, cos_sim, nn_rank).
+    """
+    c = with_unit_vectors(corpus, vec_col, "__uc").select(
+        F.col(id_col).alias("neighbor_id"), "__uc"
+    )
+    q = with_unit_vectors(queries, vec_col, "__uq").select(
+        F.col(id_col).alias("query_id"), "__uq"
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _dot(F.col("__uq"), F.col("__uc")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("nn_rank", F.row_number().over(w)).filter(
+        F.col("nn_rank") <= k
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side constants —
+    tiny, shipped in the plan; no RNG on executors)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_signature(df: DataFrame, vec_col: str, planes: list[list[float]]):
+    """Sign-of-projection bit signature packed into a long column."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = _dot(v, F.array(*[F.lit(float(x)) for x in p]))
+        sig = sig + F.when(proj > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    ``num_tables`` independent signature tables; candidates are pairs
+    sharing a full signature in any table (equi-join on (table, sig) —
+    shuffle-partitioned, skew-bounded). Exact cosine is computed only on
+    candidates, then per-query top-k. Recall is property-tested against
+    the brute-force oracle in tests/.
+    """
+    c = with_unit_vectors(corpus, vec_col, "__uc")
+    q = with_unit_vectors(queries, vec_col, "__uq")
+
+    def signatures(df: DataFrame, unit_col: str, idname: str) -> DataFrame:
+        sigs = []
+        for t in range(num_tables):
+            planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
+            sigs.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_signature(df, unit_col, planes).alias("sig"),
+                )
+            )
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(unit_col),
+            F.explode(F.array(*sigs)).alias("s"),
+        ).select(idname, unit_col, "s.tbl", "s.sig")
+
+    cs = signatures(c, "__uc", "neighbor_id")
+    qs = signatures(q, "__uq", "query_id")
+    cand = (
+        cs.join(qs, on=["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__uq", "__uc")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _dot(F.col("__uq"), F.col("__uc")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("nn_rank", F.row_number().over(w)).filter(
+        F.col("nn_rank") <= k
+    )

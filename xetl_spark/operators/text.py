@@ -1,0 +1,109 @@
+"""Text-analysis column builders: tokenization, quality, language-ID,
+fingerprints. All pure Catalyst expressions (usable in any select /
+SQL), so they run inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny public stopword seed lists (heuristic language ID, not a model)
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased word tokens (punctuation stripped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def unique_token_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in _LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic doc-quality in [0,1]: rewards moderate length, low
+    punctuation noise, lexical diversity, and some stopword presence
+    (fluency proxy). Deterministic, expression-only."""
+    length_score = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.3 * length_score
+        + 0.3 * (1 - punct_ratio(text))
+        + 0.2 * unique_token_ratio(text)
+        + 0.2 * F.least(stopword_ratio(text) * 5, F.lit(1.0)),
+        4,
+    )
+
+
+def language_id(text: Column | str) -> Column:
+    """N-gram/stopword-vote language guess over the seed lists.
+
+    Picks the language with the most stopword hits; ties and zero hits
+    fall back to 'und'. A real deployment swaps in a fastText-style
+    model via pandas_udf; the engine contract (deterministic column in,
+    label out) is identical.
+    """
+    t = tokens(text)
+    scores = []
+    for lang, words in _LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(sw, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on (hits, lang) struct: max hits, then max lang — make the
+    # tiebreak deterministic and documented (reverse-alpha on equal hits).
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical content fingerprint: md5 of the sorted distinct token
+    multiset — robust to word order and repeated whitespace (the
+    classic 'fingerprint' clustering key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def rolling_hash_fingerprint(text: Column | str, window: int = 4) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over each sliding
+    window of tokens, then md5 of the ordered min-hash sequence."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - window, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, window))),
+    )
+    return F.md5(F.concat_ws(",", F.transform(grams, lambda h: h.cast("string"))))

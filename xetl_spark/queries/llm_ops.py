@@ -1,0 +1,318 @@
+"""LLM-data-pipeline operators over documents/embeddings: text analysis,
+dedup (exact / MinHash / SimHash), similarity search, multimodal
+plumbing, and the UDF surface.
+
+Approximate/LSH ops carry no SQL oracle (driver runs rows-only checks);
+their quality properties (recall vs brute force, jaccard correctness)
+are asserted in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xetl_spark.operators import (
+    cosine_topk_bruteforce,
+    exact_dedup,
+    lsh_ann_topk,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    multimodal,
+    text,
+)
+from xetl_spark.queries import load, query
+
+# DuckDB token expression mirroring operators.text.tokens()
+_DD_TOKENS = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')"
+)
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DD_TOKENS})                       AS n_tokens,
+           length(text)                            AS n_chars_obs,
+           n_chars                                 AS n_chars_decl,
+           round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1), 6)   AS punct_ratio,
+           len(list_distinct({_DD_TOKENS}))        AS n_unique_tokens
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting and punctuation stats per document."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.char_count("text").alias("n_chars_obs"),
+        F.col("n_chars").alias("n_chars_decl"),
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.size(F.array_distinct(text.tokens("text"))).alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS} AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS npunct
+      FROM documents)
+    SELECT doc_id,
+           round(0.3 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (1 - npunct / greatest(nc, 1))
+               + 0.2 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+               + 0.2 * least(5.0 * len(list_filter(toks,
+                       x -> list_contains(['the','and','of','to','a'], x)))
+                       / greatest(len(toks), 1), 1.0), 4) AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length, punctuation, diversity, fluency)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x)))      AS h_en,
+        len(list_filter(toks, x -> list_contains(['der','die','und','das','ein'], x)))  AS h_de,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x)))     AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x)))     AS h_fr
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_guess
+    FROM h
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (ties break reverse-alphabetically,
+    matching array_max struct ordering)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id("text").alias("lang_guess"))
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_DD_TOKENS})), ' ')) AS fingerprint
+      FROM documents)
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint → cluster sizes."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative per distinct sha2-256(text)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@query("q_dedup_minhash_lsh", oracle=None)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (shingle→sign→band→verify);
+    jaccard-correctness property-tested in tests/test_llm_ops.py."""
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 8 of the 64-bit
+    fingerprint (pigeonhole-blocked candidate generation)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=8, chunks=4)
+
+
+@query(
+    "q_sim_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 30),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(
+                      list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, nn_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS nn_rank
+      FROM scored)
+    WHERE nn_rank <= 5
+    """,
+)
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 30 query vectors (broadcast
+    query side; corpus scanned once, no shuffle before the top-k)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 30), "embedding", "vec_id", k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "nn_rank"
+    )
+
+
+@query("q_sim_lsh_ann", oracle=None)
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH (the scale
+    path; recall vs brute force asserted in tests)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 30), "embedding", "vec_id", k=5
+    )
+
+
+@query(
+    "q_embed_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm,
+           round(min(CAST(list_min(embedding) AS DOUBLE)), 6) AS global_min,
+           round(max(CAST(list_max(embedding) AS DOUBLE)), 6) AS global_max
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector statistics per label (norms via higher-order aggregate)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        emb.select("label", norm.alias("__n"), v.alias("__v"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("__n"), 6).alias("avg_norm"),
+            F.round(F.min(F.array_min("__v")), 6).alias("global_min"),
+            F.round(F.max(F.array_max("__v")), 6).alias("global_max"),
+        )
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS byte_len,
+           sha256(text) AS sha_hex,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pattern: opaque binary payload + typed metadata
+    struct (byte length, digest, mime)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    with_media = multimodal.attach_binary(docs, "text", mime="text/plain")
+    return with_media.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("sha_hex"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+@query("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode + featurize via Arrow-batched mapInPandas (decode is
+    a deterministic stub — no codecs in this environment; the Spark-side
+    schema/batching/partitioning is the real, tested contract)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    with_media = multimodal.attach_binary(docs, "text", mime="text/plain")
+    return multimodal.extract_features(with_media, "media", "doc_id")
+
+
+@query(
+    "q_udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 1.1 * 10000 + 0.5) / 10000 AS adj_price
+    FROM lineitem
+    """,
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF — the sanctioned Python escape
+    hatch; correctness vs a pure-SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adj(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc) * 1.1
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    # floor(x*1e4+0.5)/1e4 instead of round(): bitwise-identical in any
+    # IEEE-double engine, immune to exact-midpoint rounding divergence.
+    a = adj(F.col("l_extendedprice"), F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(a * 10000 + 0.5) / 10000).alias("adj_price"),
+    )
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS qty_demeaned
+    FROM lineitem
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-group pandas transform), verified
+    against the equivalent window expression."""
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["qty_demeaned"] = (pdf["l_quantity"] - pdf["l_quantity"].mean()).round(6)
+        return pdf[["l_orderkey", "l_linenumber", "qty_demeaned"]]
+
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_orderkey")
+        .applyInPandas(demean, schema="l_orderkey long, l_linenumber int, qty_demeaned double")
+    )

@@ -1,0 +1,159 @@
+"""Source/sink inventory: parquet scan, CSV/JSON/text roundtrips,
+partitioned sinks, binary payloads.
+
+Roundtrip queries materialize a temp copy in the requested format and
+read it back — exercising the writer AND reader — then the oracle
+checks against the original parquet (lossless roundtrip contract).
+Temp dirs live under /tmp and are per-(format, sf) to be rerun-safe.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xetl_spark.queries import load, query
+
+
+def _tmp(tag: str, sf_dir: str) -> str:
+    safe = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"xetl_scan_{tag}_{safe}")
+
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, round(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_partkey % 10 = 0
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with filter + projection pushdown (plan
+    shows PushedFilters and a 3-column ReadSchema — asserted in tests)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_partkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey", F.round("l_extendedprice", 2).alias("price")
+    )
+
+
+@query(
+    "q_scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders
+    """,
+)
+def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan (header, explicit schema, delimiter) — lossless
+    for the projected columns, verified against the parquet original."""
+    (orders,) = load(spark, sf_dir, "orders")
+    out = _tmp("csv", sf_dir)
+    proj = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    proj.write.mode("overwrite").option("header", True).option("sep", "|").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).option("sep", "|").csv(out)
+
+
+@query(
+    "q_scan_json_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS bal
+    FROM customer
+    """,
+)
+def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + scan with explicit schema (no inference job)."""
+    (cust,) = load(spark, sf_dir, "customer")
+    out = _tmp("json", sf_dir)
+    proj = cust.select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("bal")
+    )
+    proj.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    SELECT text AS line, length(text) AS line_len FROM documents
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + scan (documents are single-line)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    out = _tmp("text", sf_dir)
+    docs.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.select(
+        F.col("value").alias("line"), F.length("value").alias("line_len")
+    )
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink (splitter parity: one input →
+    many partitioned outputs), then a partition-pruned read-back."""
+    (orders,) = load(spark, sf_dir, "orders")
+    out = _tmp("part", sf_dir)
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "q_scan_binary",
+    oracle="""
+    SELECT doc_id, strlen(text) AS byte_len, sha256(text) AS digest
+    FROM documents
+    """,
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column: bytes + digest (multimodal base pattern;
+    binaryFile-source reads are unit-tested separately)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("byte_len"),
+        F.sha2(raw, 256).alias("digest"),
+    )
+
+
+@query("q_ingest_url", oracle=None)
+def q_ingest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL ingest parity (reference `download` task): driver-side fetch →
+    distributed parse. Offline here: file:// URI of the local parquet
+    acts as the URL; HTTP handlers are unit-tested with a local server.
+    """
+    from xetl_spark.sources.url import ingest_url
+
+    return ingest_url(spark, f"file://{sf_dir}/region.parquet", fmt="parquet")

@@ -1,0 +1,132 @@
+"""Streaming + event-time windowing inventory.
+
+True-streaming entries execute a real Structured Streaming query over
+the finite events fixture (memory sink, processAllAvailable) so the
+driver exercises the streaming engine itself; their results equal the
+batch plans by construction (asserted in tests/test_streaming.py), and
+where the semantics are SQL-expressible they also carry DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xetl_spark.operators import sessionize
+from xetl_spark.queries import load, query
+from xetl_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+    watermarked_dedup,
+)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))                        AS win_start_us,
+           epoch_us(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR)     AS win_end_us,
+           event_type,
+           count(*)            AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type — executed as a REAL streaming
+    query (readStream → watermark → window agg → memory sink)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(tumbling_window_agg(stream), mode="complete")
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1, 2, 3]) AS k),
+         wins AS (
+           SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS win_start,
+                  value
+           FROM events CROSS JOIN offs)
+    SELECT epoch_us(win_start)                        AS win_start_us,
+           epoch_us(win_start + INTERVAL 2 HOUR)      AS win_end_us,
+           count(*)                                   AS n,
+           round(sum(value), 2)                       AS total
+    FROM wins GROUP BY win_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/30m windows (each event in 4 windows) — batch plan of
+    the streaming operator (stream twin asserted equal in tests)."""
+    (events,) = load(spark, sf_dir, "events")
+    return sliding_window_agg(events)
+
+
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tagged AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered)
+    SELECT user_id,
+           epoch_us(min(ts))                          AS sess_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE)     AS sess_end_us,
+           count(*)                                   AS n_events,
+           round(sum(value), 2)                       AS total
+    FROM tagged GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) per user — batch execution of the
+    streaming operator; oracle reconstructs sessions via lag/cumsum."""
+    (events,) = load(spark, sf_dir, "events")
+    return session_window_agg(events)
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM ordered
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level batch sessionization (lag + cumulative sum; one shuffle)."""
+    (events,) = load(spark, sf_dir, "events")
+    return sessionize(events, "user_id", "ts", 1800).select(
+        "user_id", "event_id", "session_id"
+    )
+
+
+@query(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM (
+      SELECT event_type, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM events) WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark, run as
+    a real streaming query; aggregated so the result is deterministic
+    even if duplicates existed (event_ids are unique in the fixture)."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = watermarked_dedup(stream)
+    counted = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_stream_to_memory(counted, mode="complete")

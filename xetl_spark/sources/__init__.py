@@ -1,0 +1,9 @@
+"""Batch + streaming sources and sinks.
+
+Reference parity (SURVEY.md §2-B sources table): parquet/CSV/JSON/text/
+binary scans and sinks, URL ingest (reference `download` task), and
+streaming readers (xetl_spark.streaming).
+"""
+
+from xetl_spark.sources.io import read_any, write_any  # noqa: F401
+from xetl_spark.sources.url import ingest_url  # noqa: F401

@@ -1,0 +1,134 @@
+"""Streaming windowed aggregation + watermark/dedup operators.
+
+Each operator is written against a generic DataFrame so the SAME
+function serves batch and streaming inputs — the batch-vs-stream
+equivalence tests (tests/test_streaming.py) rely on that: run the
+transform once over ``spark.read`` and once over ``spark.readStream``
+on identical data and compare results.
+
+Local testing drives finite parquet data through a real streaming
+query with a memory sink + ``processAllAvailable()``; on a cluster the
+same plans run against Kafka/file sources with checkpointing.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.ts is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
+# raw int64 (nanosAsLong) which we floor to microseconds — the same
+# truncation DuckDB applies on read.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (explicit schema — streaming
+    sources never infer; maxFilesPerTrigger bounds micro-batch size)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_window_agg(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with a watermark bound
+    on state retention."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            F.unix_micros(F.col("window.end")).alias("win_end_us"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window aggregation (each event lands in width/slide
+    overlapping windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    # sum (not avg) in the hashed output: sums of 2-decimal inputs round
+    # safely at 2 decimals, while avg over power-of-two counts lands on
+    # exact decimal midpoints where engines' rounding diverges.
+    return (
+        src.groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            F.unix_micros(F.col("window.end")).alias("win_end_us"),
+            "n",
+            "total",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (end = last event + gap)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("sess_end_us"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def watermarked_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup on event_id bounded by the watermark (streaming)
+    or plain dropDuplicates (batch equivalence)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a (finite-source) streaming DataFrame to completion through
+    a memory sink; returns the materialized result as a batch DataFrame.
+
+    This is the local test harness path — real deployments use
+    writeStream with checkpointLocation to durable sinks.
+    """
+    name = f"xetl_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
