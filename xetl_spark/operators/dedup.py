@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xetl_spark.operators.relational import dedup_keep_first
+from xetl_spark.operators.util import ensure_parallelism
 
 
 def exact_dedup(
@@ -36,21 +37,42 @@ def _tokens(text_col: str):
     )
 
 
+def _ngram_array(toks, n: int):
+    """Word n-grams via a zip_with chain over shifted views.
+
+    Deliberately NOT transform(sequence(...), i -> slice(toks, i+1, n)):
+    expressions inside a Catalyst lambda are re-evaluated per
+    invocation, so after projection collapse that form re-runs the
+    whole regexp tokenizer once per index — O(L²) regex work per
+    document (observed 20×+ slowdown). The zip_with chain references
+    the token array only n times total.
+    """
+    g = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, 2_000_000)
+        g = F.zip_with(
+            g,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    grams = F.filter(g, lambda x: x.isNotNull())
+    # short docs (< n tokens) still contribute their full text as one shingle
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Explode each document into its distinct word n-gram shingles.
 
-    Tokenize → slide an n-window with ``transform`` over index range →
-    distinct. All higher-order array functions, evaluated inside
-    whole-stage codegen.
+    Tokenize → n-gram (zip_with chain, see _ngram_array) → distinct →
+    explode. All higher-order array functions inside whole-stage codegen.
     """
-    toks = _tokens(text_col)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(ngrams)).alias("shingle"),
+        F.explode(F.array_distinct(_ngram_array(_tokens(text_col), n))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -162,9 +184,16 @@ def minhash_near_duplicates(
     band → candidate pairs → exact-Jaccard verify ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) for confirmed near-duplicate pairs.
+
+    The shingle table feeds three consumers (signatures, both sides of
+    the intersection join, set sizes); it is persisted so the tokenize/
+    shingle stage runs once instead of being recomputed per branch —
+    the same choice a production dedup job makes by materializing the
+    shingle table before the LSH rounds.
     """
-    sh = shingles(df, text_col, id_col, n)
-    sig = minhash_signatures(sh, num_hashes)
+    sh = shingles(df, text_col, id_col, n).persist()
+    # sig feeds both sides of the banded self-join — persist or pay 2×
+    sig = minhash_signatures(sh, num_hashes).persist()
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
     return pair_jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
 
@@ -176,7 +205,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     bit) — all map-side partials, one shuffled row per doc. The final
     fingerprint is assembled with shifts; sign(sum) > 0 sets the bit.
     """
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(_tokens(text_col)).alias("t")
     ).withColumn("h", F.xxhash64("t"))
     bit_sums = tok.groupBy("doc").agg(

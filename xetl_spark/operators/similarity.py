@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xetl_spark.operators.util import ensure_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -53,7 +55,7 @@ def cosine_topk_bruteforce(
     is the final per-query top-k window over |queries| * |corpus_matches|
     candidate rows. Returns (query_id, neighbor_id, cos_sim, nn_rank).
     """
-    c = with_unit_vectors(corpus, vec_col, "__uc").select(
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc").select(
         F.col(id_col).alias("neighbor_id"), "__uc"
     )
     q = with_unit_vectors(queries, vec_col, "__uq").select(
@@ -113,7 +115,7 @@ def lsh_ann_topk(
     candidates, then per-query top-k. Recall is property-tested against
     the brute-force oracle in tests/.
     """
-    c = with_unit_vectors(corpus, vec_col, "__uc")
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
     q = with_unit_vectors(queries, vec_col, "__uq")
 
     def signatures(df: DataFrame, unit_col: str, idname: str) -> DataFrame:

@@ -99,11 +99,13 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def rolling_hash_fingerprint(text: Column | str, window: int = 4) -> Column:
-    """Winnowing-style fingerprint: min xxhash64 over each sliding
-    window of tokens, then md5 of the ordered min-hash sequence."""
-    t = tokens(text)
+    """Winnowing-style fingerprint: xxhash64 of each sliding token
+    window, then md5 of the ordered hash sequence. Uses the zip_with
+    n-gram chain (see dedup._ngram_array) to avoid per-index
+    re-tokenization."""
+    from xetl_spark.operators.dedup import _ngram_array
+
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - window, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, window))),
+        _ngram_array(tokens(text), window), lambda g: F.xxhash64(g)
     )
     return F.md5(F.concat_ws(",", F.transform(grams, lambda h: h.cast("string"))))
