@@ -1,0 +1,144 @@
+"""Property tests for the approximate LLM-data operators: MinHash
+jaccard correctness + LSH recall, SimHash hamming properties, ANN
+recall vs the brute-force oracle, text heuristics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xetl_spark.operators import (
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+    minhash_near_duplicates,
+    shingles,
+    simhash,
+)
+from xetl_spark.operators.dedup import pair_jaccard
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base.replace("quick", "slow")),  # near-dup of 0
+        (3, "completely different text about spark engines and data pipelines"),
+        (4, "another unrelated document mentioning benchmarks and parquet files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _exact_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_pair_jaccard_matches_python(spark, docs):
+    sh = shingles(docs, "text", "doc_id", 3)
+    pairs = spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
+    got = pair_jaccard(sh, pairs).collect()[0]
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    assert got.jaccard == pytest.approx(_exact_jaccard(rows[0], rows[2]))
+
+
+def test_minhash_finds_exact_and_near_dups(spark, docs):
+    pairs = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near-dup found
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert jac[(0, 1)] == pytest.approx(1.0)
+    # unrelated docs never confirmed (exact jaccard verification)
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_lsh_recall_on_fixture(spark, sf_dir):
+    """LSH candidates must recover ≥90% of truly-similar pairs found by
+    exhaustive jaccard on the fixture subset."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sh = shingles(docs, "text", "doc_id", 3).persist()
+    a = sh.withColumnRenamed("doc", "doc_a")
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("s2"))
+    all_pairs = (
+        a.join(b, (F.col("shingle") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in pair_jaccard(sh, all_pairs).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    if truth:
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.9, (recall, len(truth))
+    assert found <= truth or not truth  # verification step kills false positives
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r.doc: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    assert fps[0] == fps[1]  # identical text → identical fingerprint
+    ham_near = bin(fps[0] ^ fps[2] & (2**64 - 1)).count("1")
+    ham_far = bin(fps[0] ^ fps[3] & (2**64 - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Recall scales with (planes, tables): the fixture's true top-5
+    neighbors sit at cosine ≈0.32 (near-random vectors), so the test
+    pins recall-leaning params — p_agree≈0.6 per plane → per-table
+    p^4≈0.13 → 1-(1-0.13)^16 ≈ 0.89 expected recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+    approx = lsh_ann_topk(
+        emb, queries, "embedding", "vec_id", k=5, num_planes=4, num_tables=16
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, recall
+
+
+def test_bruteforce_topk_is_correct(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    out = cosine_topk_bruteforce(df, df.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3)
+    got = [r.neighbor_id for r in out.orderBy("nn_rank").collect()]
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    sims[0] = -2  # exclude self
+    expect = list(np.argsort(-sims)[:3])
+    assert got == expect
+
+
+def test_language_id_and_quality(spark):
+    from xetl_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und das haus"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in df.select(
+        "id", T.language_id("text").alias("lang"), T.quality_score("text").alias("q")
+    ).collect()}
+    assert out[1].lang == "en"
+    assert out[2].lang == "de"
+    assert out[3].lang == "und"
+    assert 0.0 <= out[3].q <= out[1].q <= 1.0

@@ -1,0 +1,135 @@
+"""Operator-level unit tests: as-of join, dedup determinism, sampling,
+sessionization, plan-shape assertions (broadcast, pushdown)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from xetl_spark.operators import (
+    asof_join,
+    dedup_keep_first,
+    deterministic_sample,
+    sessionize,
+    topk_per_group,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_matches_merge_asof(spark):
+    """Window-composition as-of join == pandas merge_asof on the same
+    data (per-key nearest prior row)."""
+    left = _df(
+        spark,
+        [(1, 10.0), (1, 25.0), (1, 4.0), (2, 7.0), (3, 5.0)],
+        "k int, ts double",
+    )
+    right = _df(
+        spark,
+        [(1, 5.0, "a"), (1, 20.0, "b"), (2, 7.0, "c"), (2, 9.0, "d")],
+        "k int, rts double, v string",
+    )
+    got = (
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", right_payload=["v"])
+        .orderBy("k", "ts")
+        .collect()
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("rts")
+    exp = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k")
+    exp = exp.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert [(r.k, r.ts, r.v_asof) for r in got] == [
+        (int(t.k), float(t.ts), None if pd.isna(t.v) else t.v) for t in exp.itertuples()
+    ]
+
+
+def test_asof_exact_match_and_forward(spark):
+    left = _df(spark, [(1, 10.0)], "k int, ts double")
+    right = _df(spark, [(1, 10.0, "exact"), (1, 12.0, "later")], "k int, rts double, v string")
+    back = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", right_payload=["v"])
+    assert back.collect()[0].v_asof == "exact"
+    noexact = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["v"], allow_exact=False,
+    )
+    assert noexact.collect()[0].v_asof is None
+    fwd = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["v"], direction="forward", allow_exact=False,
+    )
+    assert fwd.collect()[0].v_asof == "later"
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = _df(
+        spark,
+        [(1, "b", 2), (1, "a", 1), (2, "z", 9)],
+        "k int, v string, ord int",
+    )
+    out = dedup_keep_first(df, ["k"], [F.col("ord")]).orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [(1, "a"), (2, "z")]
+
+
+def test_topk_per_group(spark):
+    df = _df(spark, [(1, i) for i in range(10)] + [(2, 5)], "g int, v int")
+    out = topk_per_group(df, ["g"], [F.col("v").desc()], 3)
+    got = {(r.g, r.v) for r in out.collect()}
+    assert got == {(1, 9), (1, 8), (1, 7), (2, 5)}
+
+
+def test_deterministic_sample_stable_and_partition_invariant(spark):
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, ["k"], 10).collect()}
+    b = {r.k for r in deterministic_sample(df.repartition(13), ["k"], 10).collect()}
+    assert a == b  # content-addressed: partitioning can't change the sample
+    assert 0.05 < len(a) / 10000 < 0.15
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = _df(
+        spark,
+        [(1, 0.0), (1, 100.0), (1, 100.0 + 1801.0), (2, 0.0)],
+        "u int, ts double",
+    )
+    out = sessionize(df, "u", "ts", 1800).orderBy("u", "ts").collect()
+    assert [r.session_id for r in out] == [1, 1, 2, 1]
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    """The flagship's dimension join must be a broadcast hash join and
+    the parquet scan must show pushed filters (scale contract)."""
+    from xetl_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["q_join_revenue_by_nation"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_pushdown_plan(spark, sf_dir):
+    from xetl_spark.queries import REGISTRY
+
+    df = REGISTRY["q_scan_parquet"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(l_partkey)" in plan
+    # column pruning: only the three referenced columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_extendedprice:double>" in plan
+
+
+def test_multimodal_feature_schema(spark, sf_dir):
+    from xetl_spark.queries import REGISTRY
+
+    df = REGISTRY["q_multimodal_features"].fn(spark, sf_dir)
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,byte_len:bigint,width:int,height:int,features:array<float>>"
+    )
+    rows = df.limit(5).collect()
+    assert all(len(r.features) == 8 for r in rows)
+    # determinism: same payload → same features on a second run
+    again = REGISTRY["q_multimodal_features"].fn(spark, sf_dir).limit(5).collect()
+    assert [r.features for r in rows] == [r.features for r in again]

@@ -1,0 +1,264 @@
+"""Runner semantics (fail-fast, skip, filtering, dry-run, nested jobs)
+plus an end-to-end YAML pipeline over sf0.001 — mirrors the reference's
+e2e strategy (tests/test_end_to_end.py) with DataFrame assertions
+instead of stdout transcripts.
+"""
+
+import textwrap
+
+import pytest
+
+from xetl_spark.plans.models import Job, UnknownTaskError, ValidationError
+from xetl_spark.plans.registry import BUILTINS, TaskRegistry, task
+from xetl_spark.plans.runner import TaskFailure, explain_job, run_job
+
+SF = "/root/testdata/sf0.001"
+
+
+def _job(yaml_text: str) -> Job:
+    return Job.from_yaml(textwrap.dedent(yaml_text))
+
+
+def test_end_to_end_pipeline(spark, tmp_path):
+    """read → sql-join/agg → write parquet, wired by placeholders."""
+    out = tmp_path / "out"
+    job = _job(
+        f"""
+        name: revenue
+        data: {tmp_path}
+        env:
+          SF_DIR: {SF}
+        commands:
+          - name: orders
+            task: read_parquet
+            env: {{PATH: "${{SF_DIR}}/orders.parquet"}}
+          - name: customer
+            task: read_parquet
+            env: {{PATH: "${{SF_DIR}}/customer.parquet"}}
+          - name: joined
+            task: sql
+            env:
+              QUERY: >
+                SELECT c_mktsegment, count(*) AS n,
+                       round(sum(o_totalprice), 2) AS total
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment
+          - name: sink
+            task: write_parquet
+            env: {{INPUT: joined, PATH: {out}}}
+        """
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success"] * 4
+    back = spark.read.parquet(str(out))
+    assert back.count() == 5  # five market segments
+    total = sum(r.n for r in back.collect())
+    assert total == spark.read.parquet(f"{SF}/orders.parquet").count()
+
+
+def test_unknown_task_lists_valid_names(spark):
+    job = _job(
+        """
+        name: bad
+        commands: [{task: no_such_task}]
+        """
+    )
+    with pytest.raises(UnknownTaskError, match="valid tasks"):
+        run_job(spark, job)
+
+
+def test_failfast_validates_all_before_running(spark):
+    """Second command is invalid → first must NOT run (reference
+    job.py:198-200)."""
+    ran = []
+
+    reg = BUILTINS.copy()
+
+    @task("probe", registry=reg)
+    def probe(ctx):
+        ran.append(1)
+        return None
+
+    job = _job(
+        """
+        name: ff
+        commands:
+          - {task: probe}
+          - {task: read_parquet}   # missing required PATH
+        """
+    )
+    with pytest.raises(ValidationError, match="PATH"):
+        run_job(spark, job, registry=reg)
+    assert ran == []
+
+
+def test_type_mismatch_rejected(spark):
+    job = _job(
+        f"""
+        name: tm
+        commands:
+          - task: limit
+            env: {{N: "ten", INPUT: x}}
+        """
+    )
+    with pytest.raises(ValidationError, match="N"):
+        run_job(spark, job)
+
+
+def test_skip_executes_nothing_but_resolves(spark):
+    """skip:true commands don't run, yet their env is referenceable
+    (reference command.py:45-51, test_job.py:1216-1242)."""
+    reg = BUILTINS.copy()
+    seen = []
+
+    @task("recorder", env={"V": {"type": "string", "required": False}}, registry=reg)
+    def recorder(ctx):
+        seen.append(ctx.env.get("V"))
+        return None
+
+    job = _job(
+        """
+        name: sk
+        commands:
+          - {name: a, task: recorder, skip: true, env: {V: hidden}}
+          - {name: b, task: recorder, env: {V: "${a.env.V}"}}
+        """
+    )
+    results = run_job(spark, job, registry=reg)
+    assert [r.status for r in results] == ["skipped", "success"]
+    assert seen == ["hidden"]
+
+
+def test_command_filtering_preserves_job_order(spark):
+    reg = BUILTINS.copy()
+    order = []
+
+    @task("tracer", env={"V": {"type": "string"}}, registry=reg)
+    def tracer(ctx):
+        order.append(ctx.env["V"])
+        return None
+
+    job = _job(
+        """
+        name: filt
+        commands:
+          - {name: one, task: tracer, env: {V: "1"}}
+          - {name: two, task: tracer, env: {V: "2"}}
+          - {name: three, task: tracer, env: {V: "3"}}
+        """
+    )
+    run_job(spark, job, commands="THREE, one", registry=reg)  # fuzzy + reordered
+    assert order == ["1", "3"]  # job order wins (reference job.py:146-157)
+
+
+def test_task_failure_aborts(spark):
+    reg = BUILTINS.copy()
+    ran = []
+
+    @task("boom", registry=reg)
+    def boom(ctx):
+        raise RuntimeError("kaboom")
+
+    @task("after", registry=reg)
+    def after(ctx):
+        ran.append(1)
+        return None
+
+    job = _job(
+        """
+        name: fail
+        commands:
+          - {task: boom}
+          - {task: after}
+        """
+    )
+    with pytest.raises(TaskFailure, match="kaboom"):
+        run_job(spark, job, registry=reg)
+    assert ran == []
+
+
+def test_data_dir_guard(spark):
+    job = _job(
+        """
+        name: guard
+        data: /definitely/not/a/dir
+        commands: []
+        """
+    )
+    from xetl_spark.plans.models import JobDataDirectoryNotFound
+
+    with pytest.raises(JobDataDirectoryNotFound):
+        run_job(spark, job)
+    # dry-run skips the guard (reference job.py:195-196)
+    explain_job(spark, job)
+
+
+def test_dryrun_executes_nothing(spark, tmp_path):
+    out = tmp_path / "never"
+    job = _job(
+        f"""
+        name: dr
+        commands:
+          - {{name: src, task: read_parquet, env: {{PATH: {SF}/region.parquet}}}}
+          - {{name: sink, task: write_parquet, env: {{INPUT: src, PATH: {out}}}}}
+        """
+    )
+    results = run_job(spark, job, dryrun=True)
+    assert all(r.status == "dryrun" for r in results)
+    assert not out.exists()
+
+
+def test_explain_contains_plan_and_env(spark):
+    job = _job(
+        f"""
+        name: ex
+        commands:
+          - {{name: src, task: read_parquet, env: {{PATH: {SF}/region.parquet}}}}
+        """
+    )
+    text = explain_job(spark, job)
+    assert "src" in text and "PATH" in text and "Parquet" in text
+
+
+def test_nested_job(spark, tmp_path):
+    """A task invoking an inner manifest (reference
+    test_end_to_end.py:434-519)."""
+    inner = tmp_path / "inner.yml"
+    inner.write_text(
+        textwrap.dedent(
+            f"""
+            name: inner
+            commands:
+              - {{name: nations, task: read_parquet, env: {{PATH: {SF}/nation.parquet}}}}
+            """
+        )
+    )
+    job = _job(
+        f"""
+        name: outer
+        commands:
+          - {{name: sub, task: subjob, env: {{MANIFEST: {inner}}}}}
+          - name: count
+            task: sql
+            env: {{QUERY: "SELECT count(*) AS n FROM sub"}}
+        """
+    )
+    results = run_job(spark, job)
+    assert results[-1].output.collect()[0].n == 25
+
+
+def test_default_values_injected(spark, tmp_path):
+    """HEADER/SEP defaults applied when absent (reference task.py:298-303)."""
+    csv_dir = tmp_path / "c"
+    spark.read.parquet(f"{SF}/region.parquet").write.option("header", True).csv(
+        str(csv_dir)
+    )
+    job = _job(
+        f"""
+        name: defaults
+        commands:
+          - {{name: src, task: read_csv, env: {{PATH: {csv_dir}}}}}
+        """
+    )
+    (res,) = run_job(spark, job)
+    assert res.output.count() == 5

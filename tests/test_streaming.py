@@ -1,0 +1,141 @@
+"""Streaming semantics: batch-vs-stream equivalence (the operators are
+written once against generic DataFrames), watermark late-data handling,
+stateful dedup."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from xetl_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+    watermarked_dedup,
+)
+
+
+def _batch_events(spark, sf_dir):
+    from xetl_spark.queries import load
+
+    (events,) = load(spark, sf_dir, "events")
+    return events
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_tumbling_batch_equals_stream(spark, sf_dir):
+    batch = tumbling_window_agg(_batch_events(spark, sf_dir))
+    stream = run_stream_to_memory(
+        tumbling_window_agg(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    cols = ["win_start_us", "win_end_us", "event_type", "n", "total"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_session_batch_equals_stream(spark, sf_dir):
+    batch = session_window_agg(_batch_events(spark, sf_dir))
+    stream = run_stream_to_memory(
+        session_window_agg(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    cols = ["user_id", "sess_start_us", "sess_end_us", "n_events", "total"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_sliding_batch_equals_stream(spark, sf_dir):
+    batch = sliding_window_agg(_batch_events(spark, sf_dir))
+    stream = run_stream_to_memory(
+        sliding_window_agg(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    cols = ["win_start_us", "win_end_us", "n", "total"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    """Duplicate event_ids across micro-batches are dropped within the
+    watermark (dropDuplicatesWithinWatermark)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+    ]
+    dup_rows = rows + [rows[0]]  # replay event_id=1
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(
+        [(i, ts, u, t, v, p) for (i, ts, u, t, v, p) in dup_rows],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double, props string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = watermarked_dedup(stream)
+    out = run_stream_to_memory(
+        deduped.groupBy("event_id").agg(F.count("*").alias("n")), mode="complete"
+    )
+    got = {r.event_id: r.n for r in out.collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_watermark_late_data_dropped(spark, tmp_path):
+    """Events older than watermark delay behind the max seen ts must be
+    excluded from closed windows (append mode)."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    write_batch("b1", [(1, ts(0), 1, "click", 1.0, "{}"), (2, ts(200), 1, "click", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = "late_test_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late replay: event at t0+1min, far behind watermark (t0+190)
+        write_batch("b2", [(3, ts(1), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).collect()
+    first_window_counts = [
+        r.n for r in out if r.window.start.minute == 0 and r.window.start.hour == 0
+    ]
+    # the late event must NOT be double-counted into the closed window
+    assert first_window_counts == [1]

@@ -102,8 +102,8 @@ def lsh_ann_topk(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    num_planes: int = 12,
-    num_tables: int = 4,
+    num_planes: int = 6,
+    num_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -114,6 +114,11 @@ def lsh_ann_topk(
     shuffle-partitioned, skew-bounded). Exact cosine is computed only on
     candidates, then per-query top-k. Recall is property-tested against
     the brute-force oracle in tests/.
+
+    Tuning: collision probability per table is (1-θ/π)^num_planes, so
+    fewer planes → higher recall AND more candidates. The 6×8 default
+    favors recall (~0.8+ for neighbors at cos≥0.7); scale deployments
+    raise num_planes to cut candidate volume per byte scanned.
     """
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
     q = with_unit_vectors(queries, vec_col, "__uq")

@@ -1,0 +1,262 @@
+"""Built-in task library.
+
+Each task is the Spark-native re-expression of a reference fixture
+task class (SURVEY.md §2-B provenance table): download → read/ingest,
+parser → typed scans + expressions, splitter → partitioned sink,
+grep/filter → predicate filter, awk/echo → projection, plus the
+relational verbs a pipeline spec needs (sql, join, aggregate, dedup).
+
+Env interfaces are declared with the same typed-input machinery the
+reference validates (task.py:139-158) — fail-fast, defaults, strict
+types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xetl_spark.plans.registry import task
+from xetl_spark.plans.runner import StageContext
+from xetl_spark.sources.io import read_any, write_any
+
+_PATH = {"PATH": {"description": "file/directory URI", "type": "string"}}
+
+
+@task(
+    "read_parquet",
+    "Scan a parquet table",
+    env=_PATH,
+)
+def read_parquet(ctx: StageContext):
+    return ctx.spark.read.parquet(str(ctx.env["PATH"]))
+
+
+@task(
+    "read_csv",
+    "Scan CSV with header/delimiter options",
+    env={
+        **_PATH,
+        "HEADER": {"description": "first line is a header", "type": "bool", "default": True},
+        "SEP": {"description": "field delimiter", "type": "string", "default": ","},
+        "SCHEMA": {"description": "DDL schema (inference off when set)", "type": "string", "required": False},
+    },
+)
+def read_csv(ctx: StageContext):
+    reader = ctx.spark.read.option("header", bool(ctx.env["HEADER"])).option(
+        "sep", str(ctx.env["SEP"])
+    )
+    schema = ctx.env.get("SCHEMA")
+    if schema:
+        reader = reader.schema(str(schema))
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(str(ctx.env["PATH"]))
+
+
+@task(
+    "read_json",
+    "Scan JSON-lines",
+    env={**_PATH, "SCHEMA": {"description": "DDL schema", "type": "string", "required": False}},
+)
+def read_json(ctx: StageContext):
+    reader = ctx.spark.read
+    schema = ctx.env.get("SCHEMA")
+    if schema:
+        reader = reader.schema(str(schema))
+    return reader.json(str(ctx.env["PATH"]))
+
+
+@task("read_text", "Scan line-oriented text", env=_PATH)
+def read_text(ctx: StageContext):
+    return ctx.spark.read.text(str(ctx.env["PATH"]))
+
+
+@task(
+    "download",
+    "Ingest a URL into the pipeline (reference `download` task parity)",
+    env={
+        "URL": {"description": "source URL", "type": "string"},
+        "FORMAT": {"description": "payload format", "type": "string", "default": "parquet"},
+    },
+)
+def download(ctx: StageContext):
+    from xetl_spark.sources.url import ingest_url
+
+    return ingest_url(ctx.spark, str(ctx.env["URL"]), fmt=str(ctx.env["FORMAT"]))
+
+
+@task(
+    "sql",
+    "Free-form SQL over prior stage outputs (temp views by command name)",
+    env={"QUERY": {"description": "SQL text; {ENV} placeholders substituted", "type": "string"}},
+)
+def sql(ctx: StageContext):
+    return ctx.sql(str(ctx.env["QUERY"]))
+
+
+@task(
+    "filter",
+    "Keep rows matching a SQL predicate (grep parity)",
+    env={
+        "PREDICATE": {"description": "boolean SQL expression", "type": "string"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def filter_rows(ctx: StageContext):
+    return ctx.input_df().filter(F.expr(str(ctx.env["PREDICATE"])))
+
+
+@task(
+    "select",
+    "Project columns/expressions (awk '{print $2}' parity)",
+    env={
+        "COLUMNS": {"description": "comma-separated SQL expressions", "type": "string"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def select_columns(ctx: StageContext):
+    cols = [c.strip() for c in str(ctx.env["COLUMNS"]).split(",") if c.strip()]
+    return ctx.input_df().selectExpr(*cols)
+
+
+@task(
+    "limit",
+    "Keep the first N rows (requires ORDER_BY for determinism)",
+    env={
+        "N": {"description": "row count", "type": "int"},
+        "ORDER_BY": {"description": "comma-separated sort expressions", "type": "string", "required": False},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def limit_rows(ctx: StageContext):
+    df = ctx.input_df()
+    order = ctx.env.get("ORDER_BY")
+    if order:
+        df = df.orderBy(*[F.expr(e.strip()) for e in str(order).split(",")])
+    return df.limit(int(ctx.env["N"]))  # type: ignore[arg-type]
+
+
+@task(
+    "join",
+    "Join two prior stages",
+    env={
+        "LEFT": {"description": "left stage name", "type": "string"},
+        "RIGHT": {"description": "right stage name", "type": "string"},
+        "ON": {"description": "comma-separated join columns", "type": "string"},
+        "HOW": {"description": "join type", "type": "string", "default": "inner"},
+        "BROADCAST_RIGHT": {"description": "broadcast the right side", "type": "bool", "default": False},
+    },
+)
+def join_stages(ctx: StageContext):
+    left = ctx.input_df("LEFT")
+    right = ctx.input_df("RIGHT")
+    if ctx.env["BROADCAST_RIGHT"]:
+        right = F.broadcast(right)
+    on = [c.strip() for c in str(ctx.env["ON"]).split(",")]
+    return left.join(right, on=on, how=str(ctx.env["HOW"]))
+
+
+@task(
+    "aggregate",
+    "Group-by aggregation with SQL aggregate expressions",
+    env={
+        "GROUP_BY": {"description": "comma-separated grouping columns ('' = global)", "type": "string", "default": ""},
+        "AGGS": {"description": "comma-separated aggregate expressions with aliases", "type": "string"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def aggregate_stage(ctx: StageContext):
+    df = ctx.input_df()
+    aggs = [F.expr(a.strip()) for a in str(ctx.env["AGGS"]).split(",") if a.strip()]
+    keys = [k.strip() for k in str(ctx.env["GROUP_BY"]).split(",") if k.strip()]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+@task(
+    "dedup",
+    "Deterministic dedup: first row per key under ORDER_BY",
+    env={
+        "KEYS": {"description": "comma-separated key columns", "type": "string"},
+        "ORDER_BY": {"description": "comma-separated sort expressions", "type": "string"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def dedup_stage(ctx: StageContext):
+    from xetl_spark.operators import dedup_keep_first
+
+    keys = [k.strip() for k in str(ctx.env["KEYS"]).split(",")]
+    order = [F.expr(e.strip()) for e in str(ctx.env["ORDER_BY"]).split(",")]
+    return dedup_keep_first(ctx.input_df(), keys, order)
+
+
+@task(
+    "repartition",
+    "Repartition / coalesce (splitter parity without writing)",
+    env={
+        "N": {"description": "target partition count", "type": "int"},
+        "BY": {"description": "comma-separated hash keys", "type": "string", "required": False},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def repartition_stage(ctx: StageContext):
+    df = ctx.input_df()
+    n = int(ctx.env["N"])  # type: ignore[arg-type]
+    by = ctx.env.get("BY")
+    if by:
+        return df.repartition(n, *[c.strip() for c in str(by).split(",")])
+    return df.repartition(n)
+
+
+def _write(ctx: StageContext, fmt: str):
+    df = ctx.input_df()
+    part = ctx.env.get("PARTITION_BY")
+    write_any(
+        df,
+        str(ctx.env["PATH"]),
+        fmt=fmt,
+        mode=str(ctx.env["MODE"]),
+        partition_by=[p.strip() for p in str(part).split(",")] if part else None,
+        **({"header": True} if fmt == "csv" else {}),
+    )
+    return df
+
+
+_WRITE_ENV = {
+    **_PATH,
+    "MODE": {"description": "save mode", "type": "string", "default": "overwrite"},
+    "PARTITION_BY": {"description": "partition columns (splitter parity)", "type": "string", "required": False},
+    "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+}
+
+
+@task("write_parquet", "Materialize to parquet (partitioned sink)", env=_WRITE_ENV)
+def write_parquet(ctx: StageContext):
+    return _write(ctx, "parquet")
+
+
+@task("write_csv", "Materialize to CSV", env=_WRITE_ENV)
+def write_csv(ctx: StageContext):
+    return _write(ctx, "csv")
+
+
+@task("write_json", "Materialize to JSON-lines", env=_WRITE_ENV)
+def write_json(ctx: StageContext):
+    return _write(ctx, "json")
+
+
+@task(
+    "subjob",
+    "Run a nested job manifest on the same SparkSession (reference "
+    "nested-job parity, test_end_to_end.py:434-519)",
+    env={"MANIFEST": {"description": "path to the inner job YAML", "type": "string"}},
+)
+def subjob(ctx: StageContext):
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    inner = Job.from_file(str(ctx.env["MANIFEST"]))
+    results = run_job(ctx.spark, inner)
+    for r in reversed(results):
+        if r.output is not None:
+            return r.output
+    return None

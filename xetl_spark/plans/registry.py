@@ -1,0 +1,124 @@
+"""Task registry: named DataFrame transforms with typed env interfaces.
+
+Reference parity: task discovery/binding (xetl/models/task.py:350-384,
+command.py:88-103). Discovery walks directories for ``manifest.yml``
+spec files (alphabetical, duplicates last-wins, bad manifests skipped
+with a warning, ``tests/`` dirs ignored) — but a manifest here binds a
+declared env interface to a registered Python callable or an inline
+SQL template, not a subprocess.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections.abc import Callable
+from typing import TYPE_CHECKING, Any
+
+import yaml
+
+from xetl_spark.plans.models import TaskSpec, UnknownTaskError, fuzzy_eq
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+    from xetl_spark.plans.runner import StageContext
+
+log = logging.getLogger(__name__)
+
+TaskFn = Callable[["StageContext"], "DataFrame | None"]
+
+
+class TaskRegistry:
+    def __init__(self) -> None:
+        self._specs: dict[str, TaskSpec] = {}
+        self._fns: dict[str, TaskFn] = {}
+
+    def register(self, spec: TaskSpec, fn: TaskFn) -> None:
+        self._specs[spec.name] = spec
+        self._fns[spec.name] = fn
+
+    def get(self, name: str) -> tuple[TaskSpec, TaskFn]:
+        """Case-insensitive lookup; unknown names raise with the list of
+        valid tasks (reference command.py:88-103)."""
+        for key in self._specs:
+            if fuzzy_eq(key, name):
+                return self._specs[key], self._fns[key]
+        raise UnknownTaskError(
+            f"unknown task {name!r}; valid tasks: {sorted(self._specs)}"
+        )
+
+    def names(self) -> list[str]:
+        return sorted(self._specs)
+
+    def copy(self) -> "TaskRegistry":
+        r = TaskRegistry()
+        r._specs = dict(self._specs)
+        r._fns = dict(self._fns)
+        return r
+
+    def discover(self, paths: str | list[str]) -> None:
+        """Merge YAML task specs found under ``paths`` (reference
+        task.py:350-384): recursive walk, a dir containing
+        manifest.yml|yaml is a task, tests/ dirs skipped, alphabetical
+        order, duplicates last-wins, invalid manifests logged+skipped.
+
+        A discovered manifest must name a registered implementation via
+        ``run: <fn-name>`` or provide ``sql: <template>``.
+        """
+        if isinstance(paths, str):
+            paths = [paths]
+        for root in paths:
+            for dirpath, dirnames, filenames in sorted(os.walk(root)):
+                dirnames[:] = sorted(d for d in dirnames if d != "tests")
+                manifest = next(
+                    (f for f in ("manifest.yml", "manifest.yaml") if f in filenames),
+                    None,
+                )
+                if not manifest:
+                    continue
+                path = os.path.join(dirpath, manifest)
+                try:
+                    raw = yaml.safe_load(open(path, encoding="utf-8"))
+                    sql = raw.pop("sql", None)
+                    run = raw.pop("run", None)
+                    spec = TaskSpec(**raw)
+                    if sql is not None:
+                        fn = _sql_task_fn(sql)
+                    elif run is not None:
+                        _, fn = self.get(str(run))
+                    else:
+                        raise ValueError("task manifest needs `sql` or `run`")
+                    self.register(spec, fn)
+                except Exception as exc:  # reference skips bad manifests
+                    log.warning("skipping invalid task manifest %s: %s", path, exc)
+
+
+def _sql_task_fn(template: str) -> TaskFn:
+    def fn(ctx: "StageContext"):
+        return ctx.sql(template)
+
+    return fn
+
+
+BUILTINS = TaskRegistry()
+
+
+def task(
+    name: str,
+    description: str | None = None,
+    env: dict[str, Any] | None = None,
+    registry: TaskRegistry = BUILTINS,
+) -> Callable[[TaskFn], TaskFn]:
+    """Decorator: register a Python transform as a named task."""
+
+    def deco(fn: TaskFn) -> TaskFn:
+        spec = TaskSpec(name=name, description=description or fn.__doc__, env=env or {})
+        registry.register(spec, fn)
+        return fn
+
+    return deco
+
+
+# import side effect: built-in task library
+from xetl_spark.plans import builtin_tasks  # noqa: E402,F401
