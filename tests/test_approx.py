@@ -1,0 +1,60 @@
+"""Property bounds for approximate operators (the SURVEY §2-B 'P'
+verification class): HLL distinct, approx percentile, seeded sampling,
+IVF-ANN recall."""
+
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_rsd(spark, sf_dir):
+    from xetl_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
+        assert rel_err < 0.1, (r.l_returnflag, r.approx_orders, r.exact_orders)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_seeded_sample_fraction(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    s = orders.sample(fraction=0.1, seed=42).count()
+    assert 0.05 * n < s < 0.15 * n
+    # same seed+data → same sample (stable within an engine/partitioning)
+    s2 = orders.sample(fraction=0.1, seed=42).count()
+    assert s == s2
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from xetl_spark.operators import cosine_topk_bruteforce, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+    approx = ivf_ann_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_clusters=8, n_probe=4
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # probing half the cells of a data-adaptive index: strong recall
+    assert recall >= 0.6, recall
+
+
+def test_xxhash_stable_and_unique(spark, sf_dir):
+    from xetl_spark.queries import REGISTRY
+
+    a = REGISTRY["q_fn_nondeterministic_ids"].fn(spark, sf_dir).collect()
+    b = REGISTRY["q_fn_nondeterministic_ids"].fn(spark, sf_dir).collect()
+    assert {r.c_custkey: r.name_xxh for r in a} == {r.c_custkey: r.name_xxh for r in b}
+    mono = [r.mono_id for r in a]
+    assert len(set(mono)) == len(mono)  # unique ids

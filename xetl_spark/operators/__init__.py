@@ -23,6 +23,7 @@ from xetl_spark.operators.dedup import (  # noqa: F401
 )
 from xetl_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from xetl_spark.operators import text  # noqa: F401

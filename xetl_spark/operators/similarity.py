@@ -96,6 +96,74 @@ def lsh_signature(df: DataFrame, vec_col: str, planes: list[list[float]]):
     return sig
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted-file) search:
+    KMeans-partition the corpus, probe only the ``n_probe`` nearest
+    cells per query.
+
+    The scale shape: centroids are tiny (broadcast); the corpus is
+    scanned once to assign cells (or pre-assigned and written
+    partitioned-by-cell, making later queries partition-pruned scans);
+    each query touches n_probe/n_clusters of the data. Beats
+    hyperplane LSH when neighbor cosines are weak, because cells adapt
+    to the data distribution.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
+    q = with_unit_vectors(queries, vec_col, "__uq")
+    train = c.select(array_to_vector(F.col("__uc")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
+
+    centroids = [list(ctr) for ctr in model.clusterCenters()]
+
+    def nearest_cells(unit_col: str, n: int):
+        dists = F.array(
+            *[
+                F.struct(
+                    _dot(F.col(unit_col), F.array(*[F.lit(float(x)) for x in ctr])).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, ctr in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.array_sort(dists, lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1).otherwise(0)), 1, n)
+        return F.transform(top, lambda s: s["cell"])
+
+    c_assigned = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        "__uc",
+        F.element_at(nearest_cells("__uc", 1), 1).alias("cell"),
+    )
+    q_assigned = q.select(
+        F.col(id_col).alias("query_id"),
+        "__uq",
+        F.explode(nearest_cells("__uq", n_probe)).alias("cell"),
+    )
+    cand = c_assigned.join(q_assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", _dot(F.col("__uq"), F.col("__uc")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("nn_rank", F.row_number().over(w)).filter(
+        F.col("nn_rank") <= k
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

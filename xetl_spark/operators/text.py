@@ -98,6 +98,43 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
+    """Smoothed TF-IDF per (doc, term): tf * (ln((N+1)/(df+1)) + 1).
+
+    Pure DataFrame composition (explode → two aggregations → broadcast
+    join of the tiny df-count side): unlike HashingTF there are no
+    hash collisions, and every step is a keyed shuffle that scales
+    linearly with the corpus. Returns (doc, term, tf, df, tfidf).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+    from xetl_spark.operators.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    total = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1)
+            ).alias("tfidf"),
+        )
+    )
+
+
 def rolling_hash_fingerprint(text: Column | str, window: int = 4) -> Column:
     """Winnowing-style fingerprint: xxhash64 of each sliding token
     window, then md5 of the ordered hash sequence. Uses the zip_with

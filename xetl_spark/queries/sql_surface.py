@@ -1,0 +1,425 @@
+"""SQL-surface inventory: subqueries (scalar / IN / correlated EXISTS),
+CTEs, HAVING, arg-max aggregates, conditional aggregates, string_agg,
+deterministic mode, unpivot, struct & map explosion, TPC-H-shaped
+reporting queries, and TF-IDF.
+
+These run through ``spark.sql`` over the registered table views —
+exercising the SQL front-end explicitly (the DataFrame API rows of the
+inventory live in the other modules; Catalyst plans both identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xetl_spark.queries import load, query
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
+    load(spark, sf_dir, *tables)
+    return spark.sql(sql)
+
+
+@query(
+    "q_sub_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a broadcast of one row)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders",),
+        """
+        SELECT o_orderkey,
+               round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+        FROM orders WHERE o_orderstatus = 'P'
+        """,
+    )
+
+
+@query(
+    "q_sub_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def q_sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (rewritten to a left-semi join by Catalyst)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders", "customer"),
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        """,
+    )
+
+
+@query(
+    "q_sub_exists_correlated",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_discount > 0.09)
+    """,
+)
+def q_sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (semi + anti join under the hood)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders", "lineitem"),
+        """
+        SELECT o_orderkey, o_orderstatus FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey AND l_discount > 0.09)
+        """,
+    )
+
+
+@query(
+    "q_cte",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment, round(avg(c_acctbal), 2) AS seg_avg
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_custkey, c.c_mktsegment, s.seg_avg,
+           CAST(c.c_acctbal > s.seg_avg AS INT) AS above_avg
+    FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+    """,
+)
+def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common table expression reused in a self-referential join."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("customer",),
+        """
+        WITH seg AS (
+          SELECT c_mktsegment, round(avg(c_acctbal), 2) AS seg_avg
+          FROM customer GROUP BY c_mktsegment)
+        SELECT c.c_custkey, c.c_mktsegment, s.seg_avg,
+               CAST(c.c_acctbal > s.seg_avg AS INT) AS above_avg
+        FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+        """,
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY l_partkey
+    HAVING count(*) > 20 AND sum(l_quantity) > 500
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over aggregates."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("lineitem",),
+        """
+        SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY l_partkey
+        HAVING count(*) > 20 AND sum(l_quantity) > 500
+        """,
+    )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS smallest_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max aggregates); the 1e-9*key term makes the
+    ordering total so ties can't differ across engines (prices have
+    2 decimals, so the perturbation can never flip a real comparison)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    val = F.col("o_totalprice") + F.col("o_orderkey") * 1e-9
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", val).alias("biggest_order"),
+        F.min_by("o_orderkey", val).alias("smallest_order"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT)       AS n_discounted,
+           CAST(bool_and(l_quantity > 0) AS BOOLEAN)         AS all_positive,
+           CAST(bool_or(l_tax > 0.07) AS BOOLEAN)            AS any_high_tax,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS f_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_and, bool_or,
+    filtered sum."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("f_revenue"),
+    )
+
+
+@query(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg parity via sorted collect)."""
+    (nation,) = load(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@query(
+    "q_agg_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty FROM (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY count(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity)
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent value, smallest value wins ties
+    (native mode() is tie-nondeterministic in both engines)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("lineitem",),
+        """
+        SELECT l_returnflag, l_quantity AS mode_qty FROM (
+          SELECT l_returnflag, l_quantity,
+                 row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY count(*) DESC, l_quantity) AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity)
+        WHERE rn = 1
+        """,
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long via stack() (melt)."""
+    (cust,) = load(spark, sf_dir, "customer")
+    return cust.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', round(c_acctbal, 2), "
+        "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)",
+    )
+
+
+@query(
+    "q_struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus                 AS s_status,
+           round(o_totalprice, 2)        AS s_price,
+           round(o_totalprice, 2) * 2    AS s_doubled
+    FROM orders
+    """,
+)
+def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field access (nested data surface; output is the
+    flattened fields so hashes stay engine-portable)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    return orders.select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        s.getField("price").alias("s_price"),
+        (s.getField("price") * 2).alias("s_doubled"),
+    )
+
+
+@query(
+    "q_explode_map",
+    oracle="""
+    SELECT event_id, 'k' AS key, CAST(json_extract(props, '$.k') AS INT) AS val
+    FROM events
+    """,
+)
+def q_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode() of a map column into key/value rows."""
+    (events,) = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return events.select("event_id", F.explode(m).alias("key", "val"))
+
+
+@query(
+    "q_tpch_q3_like",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           epoch_us(o_orderdate) AS orderdate_us,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate_us LIMIT 10
+    """,
+)
+def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): selective 3-way join, agg,
+    top-10 by revenue."""
+    li, orders, cust = load(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderdate_us"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q10_like",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting shape (TPC-H Q10): fact join + dim
+    broadcast + top-20."""
+    li, orders, cust, nation = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    total AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT tf.doc, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * (ln((total.n + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN total
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed) per doc/term — explode + two keyed aggregations
+    + broadcast of the tiny document-frequency side."""
+    from xetl_spark.operators import text
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = text.tf_idf(docs, "text", "doc_id")
+    return out.select("doc", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+
+
+@query("q_sim_ivf_ann", oracle=None)
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans inverted-file) ANN top-5 — the data-adaptive scale
+    path; recall vs brute force asserted in tests."""
+    from xetl_spark.operators import ivf_ann_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 30), "embedding", "vec_id", k=5
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (rsd bound asserted in tests —
+    no exact oracle by construction)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query("q_sample_seeded", oracle=None)
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (df.sample): fraction property asserted
+    in tests; engine-specific RNG so no SQL oracle."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
