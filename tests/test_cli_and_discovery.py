@@ -1,0 +1,165 @@
+"""CLI end-to-end (subprocess, reference test_end_to_end.py parity),
+task discovery from manifest directories, argparse bridge precedence,
+task-level golden tests."""
+
+import subprocess
+import sys
+import textwrap
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_runs_manifest(tmp_path):
+    manifest = tmp_path / "job.yml"
+    out = tmp_path / "out"
+    manifest.write_text(
+        textwrap.dedent(
+            f"""
+            name: cli-e2e
+            data: {tmp_path}
+            commands:
+              - name: src
+                task: read_parquet
+                env: {{PATH: {SF}/region.parquet}}
+              - name: sink
+                task: write_parquet
+                env: {{INPUT: src, PATH: {out}}}
+            """
+        )
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "xetl_spark", str(manifest)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "src: success" in proc.stdout and "sink: success" in proc.stdout
+    assert out.exists()
+
+
+def test_cli_missing_manifest_exit_1():
+    proc = subprocess.run(
+        [sys.executable, "-m", "xetl_spark", "/no/such.yml"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert proc.returncode == 1
+    assert "not found" in proc.stderr
+
+
+def test_cli_failing_stage_exit_code(tmp_path):
+    manifest = tmp_path / "bad.yml"
+    manifest.write_text(
+        textwrap.dedent(
+            """
+            name: failing
+            commands:
+              - {name: src, task: read_parquet, env: {PATH: /nope.parquet}}
+            """
+        )
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "xetl_spark", str(manifest)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 2
+    assert "failed" in proc.stderr
+
+
+def test_task_discovery_from_directory(spark, tmp_path):
+    """Reference task.py:350-384: manifest.yml dirs become tasks;
+    tests/ dirs skipped; bad manifests skipped with warning."""
+    taskdir = tmp_path / "tasks" / "top_regions"
+    taskdir.mkdir(parents=True)
+    (taskdir / "manifest.yml").write_text(
+        textwrap.dedent(
+            """
+            name: top-regions
+            description: regions sorted by key
+            env:
+              LIMIT: {type: int, default: 3}
+            sql: "SELECT r_regionkey FROM src ORDER BY r_regionkey LIMIT {LIMIT}"
+            """
+        )
+    )
+    bad = tmp_path / "tasks" / "broken"
+    bad.mkdir()
+    (bad / "manifest.yml").write_text(":::not yaml {{{")
+    skipped = tmp_path / "tasks" / "tests" / "hidden"
+    skipped.mkdir(parents=True)
+    (skipped / "manifest.yml").write_text("name: hidden\nsql: SELECT 1")
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    job = Job.from_yaml(
+        textwrap.dedent(
+            f"""
+            name: disco
+            tasks: [{tmp_path}/tasks]
+            commands:
+              - {{name: src, task: read_parquet, env: {{PATH: {SF}/region.parquet}}}}
+              - {{name: top, task: top-regions, env: {{LIMIT: 2}}}}
+            """
+        ),
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    rows = results[-1].output.collect()
+    assert [r.r_regionkey for r in rows] == [0, 1]
+
+
+def test_argparse_bridge_env_fallback(monkeypatch):
+    """CLI wins over env; env fills omitted flags; required enforced
+    (reference tests/test_argparser.py:244-277)."""
+    from xetl_spark.plans.argparse_bridge import ArgumentParser
+    from xetl_spark.plans.models import TaskSpec
+
+    spec = TaskSpec(
+        name="t",
+        env={
+            "PATH": {"type": "string"},
+            "LIMIT": {"type": "int", "default": 10},
+        },
+    )
+    monkeypatch.setenv("PATH_SENTINEL", "x")  # unrelated
+    monkeypatch.setenv("LIMIT", "99")
+    ns = ArgumentParser(spec).parse_args(["--path", "/data"])
+    assert ns.PATH == "/data"
+    assert ns.LIMIT == 99  # env fallback with type coercion
+    ns2 = ArgumentParser(spec).parse_args(["--path", "/d", "--limit", "5"])
+    assert ns2.LIMIT == 5  # CLI wins
+
+
+def test_task_level_golden_tests(spark):
+    """A task's tests: block runs with fixed env + verify SQL
+    (reference task.py:161-193 parity)."""
+    from xetl_spark.plans.models import TaskTestCase
+    from xetl_spark.plans.registry import TaskRegistry, task
+    from xetl_spark.plans.runner import run_task_tests
+
+    reg = TaskRegistry()
+
+    @task(
+        "range_gen",
+        env={"N": {"type": "int"}},
+        registry=reg,
+    )
+    def range_gen(ctx):
+        return ctx.spark.range(int(ctx.env["N"]))
+
+    spec, fn = reg.get("range_gen")
+    spec.tests = [
+        TaskTestCase(env={"N": 5}, verify_sql="SELECT count(*) = 5 FROM result"),
+        TaskTestCase(env={"N": 3}, verify_sql="SELECT max(id) = 2 FROM result"),
+        TaskTestCase(env={"N": 3}, verify_sql="SELECT max(id) = 99 FROM result"),
+    ]
+    out = run_task_tests(spark, registry=reg)
+    assert out["range_gen"] == [True, True, False]

@@ -105,12 +105,12 @@ class TaskInput(BaseModel):
     def _default_implies_optional(cls, data: Any) -> Any:
         if isinstance(data, dict):
             data = snake_keys(data)
-            if "default" in data and data.get("required") is True:
+            if data.get("default") is not None and data.get("required") is True:
                 raise ManifestError(
                     "an input cannot be both required and have a default "
                     "(reference task.py:241-248)"
                 )
-            if "default" in data:
+            if data.get("default") is not None:
                 data["required"] = False
         return data
 

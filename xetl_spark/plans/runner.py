@@ -182,6 +182,44 @@ def run_job(
     return results
 
 
+def run_task_tests(
+    spark: SparkSession,
+    registry: TaskRegistry | None = None,
+    names: list[str] | None = None,
+) -> dict[str, list[bool]]:
+    """Execute every task's declared ``tests:`` block (reference
+    task.py:161-193, task_test_case.py:8-26): run the task with the
+    case's env, then evaluate ``verify_sql`` over the result (registered
+    as view ``result``) — it must return a single row whose first column
+    is true. Returns {task: [case passed...]}."""
+    reg = registry or BUILTINS
+    results: dict[str, list[bool]] = {}
+    for name in names or reg.names():
+        spec, fn = reg.get(name)
+        if not spec.tests:
+            continue
+        outcomes = []
+        for case in spec.tests:
+            env = spec.apply_defaults(dict(case.env))
+            dummy = Command(task=name, env=env)
+            ctx = StageContext(
+                spark=spark, job=Job(name="__tests__"), command=dummy, env=env
+            )
+            try:
+                out = fn(ctx)
+                if out is None:
+                    outcomes.append(False)
+                    continue
+                out.createOrReplaceTempView("result")
+                row = spark.sql(case.verify_sql).collect()
+                outcomes.append(bool(row and row[0][0]))
+            except Exception as exc:
+                log.warning("task test for %s failed: %s", name, exc)
+                outcomes.append(False)
+        results[name] = outcomes
+    return results
+
+
 def explain_job(
     spark: SparkSession,
     job: Job,

@@ -100,3 +100,4 @@ from xetl_spark.queries import scans  # noqa: E402,F401
 from xetl_spark.queries import llm_ops  # noqa: E402,F401
 from xetl_spark.queries import streaming_ops  # noqa: E402,F401
 from xetl_spark.queries import sql_surface  # noqa: E402,F401
+from xetl_spark.queries import udf_surface  # noqa: E402,F401
