@@ -41,8 +41,13 @@ def main() -> None:
 
     spark = get_session("bench")
 
-    # warmup: JVM/codegen/Arrow init on a trivial action
+    # warmup: JVM, parquet reader, codegen, shuffle, and Arrow paths —
+    # so per-query timings measure the queries, not engine cold-start
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").count().collect()
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Python-worker + Arrow channel init (workers are reused afterwards)
+    spark.range(100).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,72 @@
+"""Connected components / dedup clustering / salted join."""
+
+from pyspark.sql import functions as F
+
+from xetl_spark.operators import connected_components, dedup_clusters, salted_join
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    edges = [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 1)]
+    nodes = sorted({x for e in edges for x in e})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == _union_find(edges, nodes)
+    # {1,2,3,7,8,9} all collapse to 1; {4,5} to 4
+    assert got[9] == 1 and got[5] == 4
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-node path needs many propagation rounds — exercises the
+    iteration/convergence logic, not just one hop."""
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_dedup_clusters_end_to_end(spark, sf_dir):
+    """MinHash pairs → cluster decision: every doc labeled, exactly one
+    representative per cluster, representatives are cluster minima."""
+    from xetl_spark.operators import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.4)
+    decision = dedup_clusters(pairs, docs, "doc_id").collect()
+    assert len(decision) == docs.count()
+    by_cluster = {}
+    for r in decision:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cluster, members in by_cluster.items():
+        reps = [m for m in members if m.is_representative]
+        assert len(reps) == 1
+        assert reps[0].id == cluster == min(m.id for m in members)
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")] * 50, "k long, v string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    plain = left.join(right, "k", "inner").groupBy("k", "v", "w").count()
+    salted = salted_join(left, right, ["k"], "inner").groupBy("k", "v", "w").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched left rows exactly once each
+    lp = left.join(right, "k", "left").count()
+    ls = salted_join(left, right, ["k"], "left").count()
+    assert lp == ls

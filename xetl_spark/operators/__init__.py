@@ -8,8 +8,13 @@ decode path where real codec work would happen.
 from xetl_spark.operators.relational import (  # noqa: F401
     dedup_keep_first,
     deterministic_sample,
+    salted_join,
     sessionize,
     topk_per_group,
+)
+from xetl_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
 )
 from xetl_spark.operators.asof import asof_join, range_join  # noqa: F401
 from xetl_spark.operators.dedup import (  # noqa: F401

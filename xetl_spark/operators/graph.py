@@ -1,0 +1,103 @@
+"""Distributed connected components + dedup clustering.
+
+The SURVEY hard-part: turning near-duplicate PAIRS into duplicate
+GROUPS requires connected components "without driver materialization".
+This is min-label propagation with pointer jumping over the edge
+list: every node adopts the smallest label in its neighborhood, then
+compresses label chains via comp ← comp[comp]. Each iteration is one
+keyed aggregation + two joins (no collect); lineage is cut with
+localCheckpoint every iteration so plans don't grow unboundedly —
+the standard iterative-algorithm discipline on Spark. Pointer jumping
+makes convergence O(log diameter); near-dup clusters are dense, so
+2-4 rounds in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) undirected edges → (node, component) where component
+    is the minimum node id reachable from node."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        # each node's candidate label: min over its own and neighbors'
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        propagated = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping (path compression): comp ← comp[comp], which
+        # collapses label chains exponentially — O(log diameter) rounds
+        # instead of O(diameter) for long paths
+        jump = propagated.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            propagated.join(jump, propagated.comp == jump.jnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Near-duplicate pairs → full dedup decision per document:
+    (id, cluster, is_representative). The representative is the minimum
+    id of each connected component; singletons represent themselves.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(comp, F.col("id") == F.col("node"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("comp"), F.col("id")).alias("cluster"),
+        )
+        .withColumn("is_representative", F.col("id") == F.col("cluster"))
+    )

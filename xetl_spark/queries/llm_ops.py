@@ -156,6 +156,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query("q_dedup_clusters", oracle=None)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision: MinHash-LSH pairs → distributed connected
+    components (label propagation + pointer jumping, no driver
+    materialization) → (id, cluster, is_representative)."""
+    from xetl_spark.operators import dedup_clusters as dc
+
+    (docs,) = load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5)
+    return dc(pairs, docs, "doc_id")
+
+
 @query("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming radius 8 of the 64-bit

@@ -148,6 +148,24 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_scan_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+    FROM supplier
+    """,
+)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (columnar alternative to parquet)."""
+    (supplier,) = load(spark, sf_dir, "supplier")
+    out = _tmp("orc", sf_dir)
+    proj = supplier.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
+    )
+    proj.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 @query("q_ingest_url", oracle=None)
 def q_ingest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL ingest parity (reference `download` task): driver-side fetch →
