@@ -1,0 +1,65 @@
+"""applyInPandasWithState + foreachBatch sink."""
+
+from pyspark.sql import functions as F
+
+from xetl_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    run_with_foreach_batch,
+    running_totals_stateful,
+)
+
+
+def test_stateful_totals_converge_to_batch_agg(spark, sf_dir):
+    from xetl_spark.queries import load
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(running_totals_stateful(stream), mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total")).alias("s"))
+        .select("user_id", "s.n_events", "s.total")
+    )
+    (events,) = load(spark, sf_dir, "events")
+    expected = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total")
+    )
+    got = {(r.user_id, r.n_events, r.total) for r in final.collect()}
+    want = {(r.user_id, r.n_events, r.total) for r in expected.collect()}
+    assert got == want
+
+
+def test_state_survives_across_microbatches(spark, tmp_path):
+    """Two files → two micro-batches (maxFilesPerTrigger=1); the second
+    batch's output must include the first batch's counts."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = tmp_path / "src"
+    for i, rows in enumerate(
+        [
+            [(1, t0, 7, "click", 1.0, "{}")],
+            [(2, t0 + dt.timedelta(minutes=1), 7, "click", 2.0, "{}")],
+        ]
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = run_stream_to_memory(running_totals_stateful(stream), mode="update")
+    rows = out.filter(F.col("user_id") == 7).collect()
+    assert max(r.n_events for r in rows) == 2
+    assert max(r.total for r in rows) == 3.0
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    sink = tmp_path / "fb_sink"
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    n_batches = run_with_foreach_batch(stream, str(sink))
+    assert n_batches >= 1
+    written = spark.read.parquet(str(sink))
+    assert written.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert "__batch_id" in written.columns

@@ -96,6 +96,7 @@ def oracles() -> dict[str, str]:
 from xetl_spark.queries import relational  # noqa: E402,F401
 from xetl_spark.queries import window  # noqa: E402,F401
 from xetl_spark.queries import scalar_fns  # noqa: E402,F401
+from xetl_spark.queries import scalar_fns2  # noqa: E402,F401
 from xetl_spark.queries import scans  # noqa: E402,F401
 from xetl_spark.queries import llm_ops  # noqa: E402,F401
 from xetl_spark.queries import streaming_ops  # noqa: E402,F401

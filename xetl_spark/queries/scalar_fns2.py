@@ -1,0 +1,165 @@
+"""Scalar-function surface, second batch: string similarity/parts, bit
+ops, trig/log math, calendar functions, sequence generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xetl_spark.queries import load, query
+
+
+@query(
+    "q_fn_string2",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001')   AS lev_dist,
+           reverse(c_mktsegment)                       AS seg_rev,
+           repeat('ab', 3)                             AS rep,
+           left(c_name, 4)                             AS l4,
+           right(c_name, 4)                            AS r4,
+           CAST(contains(c_name, '9') AS BOOLEAN)      AS has9,
+           CAST(starts_with(c_mktsegment, 'BU') AS BOOLEAN) AS is_bu,
+           CAST(ends_with(c_mktsegment, 'RY') AS BOOLEAN)   AS ends_ry,
+           split_part(c_name, '#', 2)                  AS name_num,
+           ascii(c_mktsegment)                         AS first_code,
+           chr(65 + c_nationkey % 26)                  AS letter
+    FROM customer
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family 2: levenshtein, reverse, repeat, left/right,
+    contains/startswith/endswith, split_part, ascii/chr."""
+    (cust,) = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("lev_dist"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.substring("c_name", 1, 4).alias("l4"),
+        F.substring(F.col("c_name"), -4, 4).alias("r4"),
+        F.contains(F.col("c_name"), F.lit("9")).alias("has9"),
+        F.startswith(F.col("c_mktsegment"), F.lit("BU")).alias("is_bu"),
+        F.endswith(F.col("c_mktsegment"), F.lit("RY")).alias("ends_ry"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.ascii("c_mktsegment").alias("first_code"),
+        F.chr(F.lit(65) + F.col("c_nationkey") % 26).alias("letter"),
+    )
+
+
+@query(
+    "q_fn_math2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 8)                    AS s,
+           round(cos(l_discount), 8)                    AS c,
+           round(atan2(l_discount, l_tax + 0.001), 8)   AS at2,
+           round(log10(l_extendedprice), 8)             AS lg10,
+           round(log2(l_extendedprice), 8)              AS lg2,
+           round(degrees(l_discount), 8)                AS deg,
+           round(radians(l_quantity), 8)                AS rad,
+           xor(CAST(l_orderkey AS BIGINT), CAST(l_partkey AS BIGINT)) AS bxor,
+           CAST(l_orderkey AS BIGINT) & 255             AS band,
+           CAST(l_orderkey AS BIGINT) | 1               AS bor,
+           CAST(l_orderkey * 4 AS BIGINT)               AS shl2,
+           round(cbrt(l_extendedprice), 8)              AS cbrt_p
+    FROM lineitem
+    """,
+)
+def q_fn_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family 2: trig, log bases, degrees/radians, bitwise ops,
+    shifts (pinned as *4 in the oracle), cbrt."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 8).alias("s"),
+        F.round(F.cos("l_discount"), 8).alias("c"),
+        F.round(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.001), 8).alias("at2"),
+        F.round(F.log10("l_extendedprice"), 8).alias("lg10"),
+        F.round(F.log2("l_extendedprice"), 8).alias("lg2"),
+        F.round(F.degrees("l_discount"), 8).alias("deg"),
+        F.round(F.radians("l_quantity"), 8).alias("rad"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("bxor"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("band"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("bor"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("shl2"),
+        F.round(F.cbrt("l_extendedprice"), 8).alias("cbrt_p"),
+    )
+
+
+@query(
+    "q_fn_datetime2",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')  AS month_end,
+           date_part('week', o_orderdate)::INT                        AS wk,
+           date_part('quarter', o_orderdate)::INT                     AS qtr,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo,
+           strftime(CAST(o_orderdate AS DATE) - 15, '%Y-%m-%d')       AS minus15d,
+           strftime(make_date(2024, 1 + date_part('month', o_orderdate)::INT % 12, 1), '%Y-%m-%d') AS synth_date,
+           date_part('doy', o_orderdate)::INT                         AS doy
+    FROM orders
+    """,
+)
+def q_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family 2: last_day, weekofyear, quarter, add_months,
+    date_sub, make_date, dayofyear.
+
+    weekofyear: both engines implement ISO-8601 week numbering.
+    """
+    (orders,) = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.weekofyear(d).alias("wk"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus2mo"),
+        F.date_format(F.date_sub(d, 15), "yyyy-MM-dd").alias("minus15d"),
+        F.date_format(
+            F.make_date(F.lit(2024), F.lit(1) + F.month(d) % 12, F.lit(1)),
+            "yyyy-MM-dd",
+        ).alias("synth_date"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
+@query(
+    "q_fn_generate",
+    oracle="""
+    SELECT r_regionkey, unnest(range(0, r_regionkey + 1)) AS i
+    FROM region
+    """,
+)
+def q_fn_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation: sequence() + explode (generate_series parity)."""
+    (region,) = load(spark, sf_dir, "region")
+    return region.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(0), F.col("r_regionkey"))).alias("i"),
+    )
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%s|%d', o_orderstatus, o_orderkey)        AS tagged,
+           format('{:.2f}', o_totalprice)                    AS price_fmt,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0')        AS key_pad
+    FROM orders
+    """,
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting: printf-style and fixed-decimal rendering."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.format_string("%s|%d", F.col("o_orderstatus"), F.col("o_orderkey")).alias(
+            "tagged"
+        ),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_fmt"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_pad"),
+    )

@@ -17,6 +17,7 @@ from xetl_spark.queries import load, query
 from xetl_spark.streaming import (
     read_events_stream,
     run_stream_to_memory,
+    running_totals_stateful,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -110,6 +111,31 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load(spark, sf_dir, "events")
     return sessionize(events, "user_id", "ts", 1800).select(
         "user_id", "event_id", "session_id"
+    )
+
+
+@query(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (applyInPandasWithState): per-user
+    running totals across micro-batches; the FINAL state per key must
+    equal the batch aggregate (update-mode memory sink keeps the last
+    row per key — we re-aggregate with max(n) to select it)."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(running_totals_stateful(stream), mode="update")
+    # update mode appends one row per key per touched batch; the final
+    # row (max n_events) is the converged state
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max(F.struct("n_events", "total")).alias("s"),
+        )
+        .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total").alias("total"))
     )
 
 

@@ -9,3 +9,7 @@ from xetl_spark.streaming.windows import (  # noqa: F401
     tumbling_window_agg,
     watermarked_dedup,
 )
+from xetl_spark.streaming.stateful import (  # noqa: F401
+    run_with_foreach_batch,
+    running_totals_stateful,
+)
