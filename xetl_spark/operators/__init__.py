@@ -27,6 +27,7 @@ from xetl_spark.operators.dedup import (  # noqa: F401
     shingles,
 )
 from xetl_spark.operators.similarity import (  # noqa: F401
+    cosine_near_duplicates,
     cosine_topk_bruteforce,
     ivf_ann_topk,
     lsh_ann_topk,

@@ -129,6 +129,61 @@ def lsh_signature(df: DataFrame, vec_col: str, planes: list[list[float]]):
     return sig
 
 
+def cosine_near_duplicates(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    generation (self-join on (table, signature) buckets) + exact cosine
+    verification ≥ threshold.
+
+    The dedup twin of LSH ANN: at cos ≥ 0.9 (θ ≤ 26°) a plane agrees
+    with p ≈ 0.86, so an 8-plane bucket collides with p ≈ 0.29 and six
+    tables give ~87% pair recall — while random pairs (θ≈90°) collide
+    at 0.5^8 ≈ 0.4% per table, keeping candidates near-linear.
+    Returns (id_a, id_b, cos_sim).
+    """
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u")
+    sigs = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
+        sigs.append(
+            F.struct(
+                F.lit(t).alias("tbl"), lsh_signature(c, "__u", planes).alias("sig")
+            )
+        )
+    banded = c.select(
+        F.col(id_col).alias("id"), "__u", F.explode(F.array(*sigs)).alias("s")
+    ).select("id", "__u", "s.tbl", "s.sig")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.tbl") == F.col("b.tbl"),
+                F.col("a.sig") == F.col("b.sig"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__u").alias("__ua"),
+            F.col("b.__u").alias("__ub"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", _dot(F.col("__ua"), F.col("__ub")).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

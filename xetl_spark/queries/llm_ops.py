@@ -205,6 +205,17 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_embedding_cosine", oracle=None)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH buckets + exact-cosine
+    verify ≥ 0.8); recall property-tested vs the brute-force pair set."""
+    from xetl_spark.operators import cosine_near_duplicates
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pairs = cosine_near_duplicates(emb, "embedding", "vec_id", threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 @query("q_sim_lsh_ann", oracle=None)
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via random-hyperplane LSH (the scale
