@@ -262,3 +262,24 @@ def test_default_values_injected(spark, tmp_path):
     )
     (res,) = run_job(spark, job)
     assert res.output.count() == 5
+
+
+def test_example_llm_prep_manifest(spark, tmp_path, monkeypatch):
+    """The shipped example manifest runs end-to-end and its partitioned
+    output matches the oracle-computable dedup semantics."""
+    monkeypatch.setenv("OUT_DIR", str(tmp_path / "prep_out"))
+    job = Job.from_file("/root/repo/examples/llm_prep.yml")
+    results = run_job(spark, job)
+    assert all(r.status == "success" for r in results)
+    out = spark.read.parquet(str(tmp_path / "prep_out"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    expected = (
+        docs.filter(F.col("n_chars") >= 50)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .count()
+    )
+    assert out.count() == expected
+    assert "lang" in out.columns  # partition column round-trips

@@ -394,6 +394,40 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
 
 
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             round(o_totalprice * 2, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0),
+    tgt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      FROM orders)
+    SELECT * FROM updates
+    UNION ALL
+    SELECT t.* FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (anti-join + union emulation of MERGE INTO;
+    with Delta/Iceberg present the same call maps to a native MERGE)."""
+    from xetl_spark.operators import merge_upsert
+
+    (orders,) = load(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = target.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+    )
+    return merge_upsert(target, updates, ["o_orderkey"])
+
+
 @query("q_sim_ivf_ann", oracle=None)
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans inverted-file) ANN top-5 — the data-adaptive scale
