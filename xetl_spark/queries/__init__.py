@@ -94,6 +94,7 @@ def oracles() -> dict[str, str]:
 
 # Import side-effect registration; order defines display order.
 from xetl_spark.queries import relational  # noqa: E402,F401
+from xetl_spark.queries import relational2  # noqa: E402,F401
 from xetl_spark.queries import window  # noqa: E402,F401
 from xetl_spark.queries import scalar_fns  # noqa: E402,F401
 from xetl_spark.queries import scalar_fns2  # noqa: E402,F401

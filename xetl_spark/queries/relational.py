@@ -31,8 +31,8 @@ DAY = "yyyy-MM-dd"
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(sum(l_extendedprice * (1 - l_discount)) + 5e-5, 2)         AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 5e-7, 2) AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -56,8 +56,8 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc) + 5e-5, 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))) + 5e-7, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -70,7 +70,7 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_revenue_by_nation",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)) + 5e-5, 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -104,7 +104,11 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                # +5e-5: revenue terms lie on an exact 1e-4 decimal grid;
+                # half-grid epsilon pushes exact .xx5 midpoints off the
+                # rounding boundary identically in Spark and the oracle
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 5e-5,
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )

@@ -1,0 +1,231 @@
+"""Breadth batch 2: array set operations, encodings, extra window
+functions, grouping_id, and more TPC-H-shaped reporting queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xetl_spark.queries import load, query
+
+
+@query(
+    "q_fn_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT n_regionkey,
+             list_sort(list(n_name) FILTER (WHERE n_nationkey % 2 = 0)) AS evens,
+             list_sort(list(n_name) FILTER (WHERE n_nationkey % 3 = 0)) AS threes
+      FROM nation GROUP BY n_regionkey)
+    SELECT n_regionkey,
+           array_to_string(list_sort(list_distinct(list_concat(evens, threes))), ',') AS union_names,
+           array_to_string(list_sort(list_intersect(evens, threes)), ',')             AS both_names,
+           array_to_string(list_sort(list_filter(evens, x -> NOT list_contains(threes, x))), ',') AS only_even
+    FROM t
+    """,
+)
+def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_union / array_intersect / array_except (canonicalized to
+    sorted comma-joined strings for hashing)."""
+    (nation,) = load(spark, sf_dir, "nation")
+    g = nation.groupBy("n_regionkey").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("n_nationkey") % 2 == 0, F.col("n_name")))
+        ).alias("evens"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("n_nationkey") % 3 == 0, F.col("n_name")))
+        ).alias("threes"),
+    )
+    return g.select(
+        "n_regionkey",
+        F.concat_ws(",", F.array_sort(F.array_union("evens", "threes"))).alias(
+            "union_names"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_intersect("evens", "threes"))).alias(
+            "both_names"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except("evens", "threes"))).alias(
+            "only_even"
+        ),
+    )
+
+
+@query(
+    "q_fn_encoding",
+    oracle="""
+    SELECT c_custkey,
+           upper(hex(encode(c_name)))         AS name_hex,
+           to_base64(encode(c_name))          AS name_b64,
+           decode(from_base64(to_base64(encode(c_name)))) AS roundtrip,
+           bin(c_nationkey)                   AS nk_bin
+    FROM customer
+    """,
+)
+def q_fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hex / base64 / binary-string encodings with a b64 roundtrip."""
+    (cust,) = load(spark, sf_dir, "customer")
+    raw = F.encode(F.col("c_name"), "UTF-8")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.hex(raw)).alias("name_hex"),
+        F.base64(raw).alias("name_b64"),
+        F.decode(F.unbase64(F.base64(raw)), "UTF-8").alias("roundtrip"),
+        F.bin(F.col("c_nationkey")).alias("nk_bin"),
+    )
+
+
+@query(
+    "q_win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(nth_value(o_totalprice, 2) OVER w, 2)  AS second_price,
+           round(first_value(o_totalprice) OVER w, 2)   AS first_price,
+           count(*) OVER (PARTITION BY o_custkey)       AS n_in_group
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value over full-partition frames + windowed
+    count without ORDER BY."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.count("*").over(wc).alias("n_in_group"),
+    )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag)::INT * 2 + GROUPING(l_linestatus)::INT AS gid,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() distinguishing super-aggregate rows from real
+    null-keyed groups."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n")
+    ).select("l_returnflag", "l_linestatus", F.col("gid").cast("int").alias("gid"), "n")
+
+
+@query(
+    "q_tpch_q7_like",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           date_part('year', l_shipdate)::INT AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)) + 5e-5, 2) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+    GROUP BY cn.n_name, sn.n_name, date_part('year', l_shipdate)
+    """,
+)
+def q_tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping shape (TPC-H Q7): double nation dimension join
+    with an inequality between the two dimension branches."""
+    li, orders, cust, supplier, nation = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
+        .join(F.broadcast(sn), supplier.s_nationkey == sn.s_nk)
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 5e-5, 2
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "q_tpch_q14_like",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def q_tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-revenue-share shape (TPC-H Q14): conditional aggregate
+    ratio over a broadcast part join."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q12_like",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(l_quantity >= 25) AS BIGINT) AS high_line_count,
+           CAST(count_if(l_quantity < 25) AS BIGINT)  AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority-count shape (TPC-H Q12): range-bounded join +
+    split conditional counts."""
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate").between(
+                F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("l_quantity") >= 25).alias("high_line_count"),
+            F.count_if(F.col("l_quantity") < 25).alias("low_line_count"),
+        )
+    )

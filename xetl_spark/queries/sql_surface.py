@@ -293,7 +293,7 @@ def q_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_like",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)) + 5e-5, 2) AS revenue,
            epoch_us(o_orderdate) AS orderdate_us,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -317,9 +317,9 @@ def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 5e-5, 2
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -336,7 +336,7 @@ def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_like",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)) + 5e-5, 2) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -359,9 +359,9 @@ def q_tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 5e-5, 2
+            ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
