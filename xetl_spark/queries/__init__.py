@@ -69,6 +69,10 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # queries are run sequentially by the driver; drop any persisted
+    # intermediates a previous query left behind (dedup pipelines cache
+    # shared subtrees) so a long battery can't accumulate executor memory
+    spark.catalog.clearCache()
     # timestamp→string rendering is session-TZ dependent; pin UTC so
     # results match the (UTC-naive) DuckDB oracle on any host
     spark.conf.set("spark.sql.session.timeZone", "UTC")
