@@ -133,3 +133,23 @@ def test_multimodal_feature_schema(spark, sf_dir):
     # determinism: same payload → same features on a second run
     again = REGISTRY["q_multimodal_features"].fn(spark, sf_dir).limit(5).collect()
     assert [r.features for r in rows] == [r.features for r in again]
+
+
+def test_functions_library_columns(spark):
+    """The functions/ column library composes in plain selects."""
+    from xetl_spark import functions as XF
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox", [1.0, 0.0], [0.6, 0.8])],
+        "id long, text string, a array<double>, b array<double>",
+    )
+    row = df.select(
+        XF.token_count("text").alias("n"),
+        XF.dot("a", "b").alias("d"),
+        XF.norm("b").alias("nb"),
+        XF.cosine_sim("a", "b").alias("cs"),
+    ).collect()[0]
+    assert row.n == 4
+    assert row.d == 0.6
+    assert abs(row.nb - 1.0) < 1e-12
+    assert abs(row.cs - 0.6) < 1e-12

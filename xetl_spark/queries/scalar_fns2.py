@@ -143,6 +143,88 @@ def q_fn_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_map2",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT)       AS k_val,
+           CAST(json_extract(props, '$.k') AS INT) * 2   AS k_doubled,
+           2                                             AS n_after_concat,
+           'bonus'                                       AS second_key,
+           CAST(json_extract(props, '$.k') AS INT) + 100 AS zipped_sum
+    FROM events
+    """,
+)
+def q_fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family 2: map_from_arrays, map_concat, transform_values,
+    map_zip_with, map_values/size (scalar projections for hashing;
+    the oracle mirrors through the JSON source of truth)."""
+    (events,) = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    bonus = F.map_from_arrays(F.array(F.lit("bonus")), F.array(F.lit(100)))
+    merged = F.map_concat(m, bonus)
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    zipped = F.map_zip_with(
+        m,
+        F.map_from_arrays(F.map_keys(m), F.transform(F.map_values(m), lambda v: F.lit(100))),
+        lambda k, v1, v2: v1 + v2,
+    )
+    return events.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+        F.size(merged).alias("n_after_concat"),
+        F.element_at(F.array_sort(F.map_keys(merged)), 1).alias("second_key"),
+        F.element_at(zipped, "k").alias("zipped_sum"),
+    )
+
+
+@query(
+    "q_join_multikey_nullsafe",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             nullif(l_returnflag, 'N') AS rf, l_quantity
+      FROM lineitem WHERE l_partkey % 37 = 0)
+    SELECT coalesce(a.rf, '<null>') AS rf,
+           count(*) AS n_pairs,
+           round(sum(a.l_quantity + b.l_quantity), 2) AS qty_sum
+    FROM t a JOIN t b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.rf IS NOT DISTINCT FROM b.rf
+     AND a.l_linenumber <= b.l_linenumber
+    GROUP BY coalesce(a.rf, '<null>')
+    """,
+)
+def q_join_multikey_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key join mixing plain equality, null-safe equality (<=>),
+    and an inequality — the §2-B 'multi-key + null-safe' row."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    t = li.filter(F.col("l_partkey") % 37 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("rf"),
+        "l_quantity",
+    )
+    a, b = t.alias("a"), t.alias("b")
+    joined = a.join(
+        b,
+        on=[
+            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+            F.col("a.rf").eqNullSafe(F.col("b.rf")),
+            F.col("a.l_linenumber") <= F.col("b.l_linenumber"),
+        ],
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("a.rf"), F.lit("<null>")).alias("rf")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum(F.col("a.l_quantity") + F.col("b.l_quantity")), 2).alias(
+            "qty_sum"
+        ),
+    )
+
+
+@query(
     "q_fn_format",
     oracle="""
     SELECT o_orderkey,
