@@ -153,3 +153,18 @@ def test_functions_library_columns(spark):
     assert row.d == 0.6
     assert abs(row.nb - 1.0) < 1e-12
     assert abs(row.cs - 0.6) < 1e-12
+
+
+def test_asof_tolerance(spark):
+    """pandas merge_asof tolerance parity: matches further than the
+    tolerance are nulled."""
+    left = _df(spark, [(1, 100.0), (1, 300.0)], "k int, ts double")
+    right = _df(spark, [(1, 95.0, "near")], "k int, rts double, v string")
+    out = {
+        r.ts: r.v_asof
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_payload=["v"], tolerance=10.0,
+        ).collect()
+    }
+    assert out == {100.0: "near", 300.0: None}  # 205s away > tolerance

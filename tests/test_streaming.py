@@ -139,3 +139,43 @@ def test_watermark_late_data_dropped(spark, tmp_path):
     ]
     # the late event must NOT be double-counted into the closed window
     assert first_window_counts == [1]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-band condition
+    equals the equivalent batch join."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 7, "purchase", 9.0, "{}"),
+        (3, t0 + dt.timedelta(hours=5), 7, "purchase", 5.0, "{}"),  # too late for click 1
+        (4, t0 + dt.timedelta(minutes=1), 8, "purchase", 2.0, "{}"),  # no click for user 8
+    ]
+    src = tmp_path / "ss_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    def streams():
+        s = spark.readStream.schema(schema).parquet(str(src))
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "10 minutes")
+        )
+        purchases = (
+            s.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "10 minutes")
+        )
+        return purchases.join(
+            clicks,
+            (purchases.user_id == clicks.user_id)
+            & (purchases.p_ts >= clicks.c_ts)
+            & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("event_id", purchases.user_id.alias("user_id"))
+
+    got = run_stream_to_memory(streams(), mode="append")
+    assert sorted((r.event_id, r.user_id) for r in got.collect()) == [(2, 7)]

@@ -25,6 +25,7 @@ def asof_join(
     right_payload: Sequence[str],
     direction: str = "backward",
     allow_exact: bool = True,
+    tolerance: float | None = None,
     suffix: str = "_asof",
 ) -> DataFrame:
     """For each left row, attach the payload of the nearest right row at
@@ -35,6 +36,9 @@ def asof_join(
     (keys, ts, side-tag) with ``last(payload, ignorenulls=True)`` across
     the unbounded preceding frame, then keep left rows. ``forward``
     reuses the same machinery on negated timestamps.
+
+    ``tolerance`` (seconds, pandas merge_asof parity): matches further
+    than the tolerance from the left timestamp are nulled out.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -52,6 +56,7 @@ def asof_join(
         ts_expr_l.alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in right_payload],
+        F.lit(None).cast("double").alias("__p_mts"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
@@ -59,7 +64,8 @@ def asof_join(
         ts_expr_r.alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(p).alias(f"__p_{p}") for p in right_payload],
-    ).select(*lcols, "__ts", "__side", *[f"__p_{p}" for p in right_payload])
+        ts_expr_r.cast("double").alias("__p_mts"),
+    ).select(*lcols, "__ts", "__side", *[f"__p_{p}" for p in right_payload], "__p_mts")
 
     # Right rows sort before left rows at equal ts iff exact matches count.
     side_order = F.col("__side").asc() if allow_exact else F.col("__side").desc()
@@ -71,13 +77,27 @@ def asof_join(
     unioned = l.unionByName(r)
     filled = unioned.select(
         *lcols,
+        "__ts",
         "__side",
         *[
             F.last(F.col(f"__p_{p}"), ignorenulls=True).over(w).alias(f"{p}{suffix}")
             for p in right_payload
         ],
+        F.last(F.col("__p_mts"), ignorenulls=True).over(w).alias("__mts"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = (
+            F.abs(F.col("__ts").cast("double") - F.col("__mts")) <= F.lit(tolerance)
+        )
+        for p in right_payload:
+            out = out.withColumn(
+                f"{p}{suffix}",
+                F.when(within, F.col(f"{p}{suffix}")).otherwise(
+                    F.lit(None).cast(right.schema[p].dataType)
+                ),
+            )
+    return out.drop("__side", "__ts", "__mts")
 
 
 def range_join(

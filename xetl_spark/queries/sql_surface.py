@@ -118,6 +118,38 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cte_recursive",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-08-01')
+    SELECT substring(CAST(m AS VARCHAR), 1, 7) AS month,
+           (SELECT count(*) FROM orders
+            WHERE date_trunc('month', o_orderdate) = m) AS n_orders
+    FROM months
+    """,
+)
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark ≥4.0): a month spine over the order-date
+    domain with per-month order counts — the warehouse date-dimension
+    pattern, including zero-order months."""
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-08-01')
+        SELECT substring(CAST(m AS STRING), 1, 7) AS month,
+               (SELECT count(*) FROM orders
+                WHERE CAST(date_trunc('month', o_orderdate) AS DATE) = m) AS n_orders
+        FROM months
+        """
+    )
+
+
+@query(
     "q_having",
     oracle="""
     SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
