@@ -120,3 +120,23 @@ def test_rate_source_smoke(spark):
     finally:
         q.stop()
     assert n > 0
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    """Small-file compaction: 64 tiny files -> few right-sized files,
+    identical content."""
+    from xetl_spark.sources.maintenance import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    import glob
+
+    before_files = len(glob.glob(f"{src}/*.parquet"))
+    assert before_files >= 32
+    before_hash = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
+    n = compact_parquet(spark, src, target_file_bytes=8 * 1024 * 1024)
+    after_files = len(glob.glob(f"{src}/*.parquet"))
+    assert after_files == n < before_files
+    after_hash = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
+    assert after_hash == before_hash

@@ -283,3 +283,24 @@ def test_example_llm_prep_manifest(spark, tmp_path, monkeypatch):
     )
     assert out.count() == expected
     assert "lang" in out.columns  # partition column round-trips
+
+
+def test_materialize_stage_knob(spark, tmp_path):
+    """MATERIALIZE=true checkpoints a stage to <data>/_stages and later
+    stages read the parquet copy."""
+    job = _job(
+        f"""
+        name: mat
+        data: {tmp_path}
+        commands:
+          - name: src
+            task: read_parquet
+            env: {{PATH: {SF}/region.parquet, MATERIALIZE: "true"}}
+          - name: count
+            task: sql
+            env: {{QUERY: "SELECT count(*) AS n FROM src"}}
+        """
+    )
+    results = run_job(spark, job)
+    assert results[-1].output.collect()[0].n == 5
+    assert (tmp_path / "_stages" / "src").exists()
