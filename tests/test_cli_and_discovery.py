@@ -163,3 +163,37 @@ def test_task_level_golden_tests(spark):
     ]
     out = run_task_tests(spark, registry=reg)
     assert out["range_gen"] == [True, True, False]
+
+
+def test_task_discovery_duplicates_last_wins(spark, tmp_path):
+    """Reference task.py:350-384: alphabetical walk, duplicate task
+    names resolve to the later (lexicographically greater) manifest."""
+    import textwrap as tw
+
+    for d, limit in [("a_first", 1), ("z_last", 3)]:
+        p = tmp_path / "tasks" / d
+        p.mkdir(parents=True)
+        (p / "manifest.yml").write_text(
+            tw.dedent(
+                f"""
+                name: pick
+                env: {{}}
+                sql: "SELECT r_regionkey FROM src ORDER BY r_regionkey LIMIT {limit}"
+                """
+            )
+        )
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    job = Job.from_yaml(
+        f"""
+name: dd
+tasks: [{tmp_path}/tasks]
+commands:
+  - {{name: src, task: read_parquet, env: {{PATH: /root/testdata/sf0.001/region.parquet}}}}
+  - {{name: out, task: pick}}
+""",
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    assert len(results[-1].output.collect()) == 3  # z_last wins

@@ -195,3 +195,25 @@ def test_relative_data_requires_basedir():
 def test_relative_data_resolved_against_basedir(tmp_path):
     job = Job(name="t", basedir=str(tmp_path), data="d", commands=[])
     assert job.data == os.path.join(str(tmp_path), "d")
+
+
+def test_host_env_star_inherits_everything(monkeypatch):
+    # reference job.py:121-130: '*' allowlists the entire host env
+    monkeypatch.setenv("XETL_STAR_VAR", "starred")
+    job = Job(
+        name="t",
+        host_env="*",
+        commands=[{"task": "noop", "env": {"V": "${XETL_STAR_VAR}"}}],
+    )
+    assert job.commands[0].env["V"] == "starred"
+
+
+def test_host_env_not_allowlisted_ignored(monkeypatch):
+    monkeypatch.setenv("XETL_SECRET", "leak")
+    job = Job(
+        name="t",
+        host_env=["OTHER"],
+        env={"XETL_SECRET": "manifest-wins"},
+        commands=[{"task": "noop", "env": {"V": "${XETL_SECRET}"}}],
+    )
+    assert job.commands[0].env["V"] == "manifest-wins"

@@ -145,6 +145,58 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
 
 
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH docs60 AS (SELECT * FROM documents WHERE doc_id < 60),
+    toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS t
+      FROM docs60),
+    tri AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(t) - 1, 2)),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.05
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (trigram) Jaccard similarity for every sharing pair
+    in a bounded subset — the exhaustive ground truth the LSH pipelines
+    approximate, hash-verified end to end."""
+    from pyspark.sql import functions as F2
+
+    from xetl_spark.operators import shingles
+    from xetl_spark.operators.dedup import pair_jaccard
+
+    (docs,) = load(spark, sf_dir, "documents")
+    sub = docs.filter(F2.col("doc_id") < 60)
+    sh = shingles(sub, "text", "doc_id", 3).persist()
+    a = sh.withColumnRenamed("doc", "doc_a")
+    b = sh.select(F2.col("doc").alias("doc_b"), F2.col("shingle").alias("s2"))
+    pairs = (
+        a.join(b, (F2.col("shingle") == F2.col("s2")) & (F2.col("doc_a") < F2.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        pair_jaccard(sh, pairs)
+        .filter(F2.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", F2.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 @query("q_dedup_minhash_lsh", oracle=None)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (shingle→sign→band→verify);

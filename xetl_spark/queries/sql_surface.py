@@ -118,6 +118,60 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sub_scalar_correlated",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+    FROM supplier s
+    WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q_sub_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape: per-group max
+    matched back to rows; Catalyst decorrelates to an aggregate+join)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("supplier",),
+        """
+        SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        """,
+    )
+
+
+@query(
+    "q_tpch_q18_like",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price, sum_qty
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY c_custkey, o_orderkey, o_totalprice)
+    WHERE sum_qty > 250
+    """,
+)
+def q_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer shape (TPC-H Q18): join + group + HAVING
+    over the grouped quantity."""
+    li, orders, cust = load(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select(
+            "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "sum_qty"
+        )
+    )
+
+
+@query(
     "q_cte_recursive",
     oracle="""
     WITH RECURSIVE months(m) AS (
