@@ -21,14 +21,17 @@ HEADLINE = [
     "q_agg_pricing_summary",
     "q_join_revenue_by_nation",
     "q_agg_count_distinct",
+    "q_agg_decimal_exact",
     "q_join_range",
     "q_join_asof",
     "q_win_ranking",
     "q_win_topk_per_group",
+    "q_tpch_q7_like",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_sim_topk_cosine",
     "q_text_stats",
+    "q_text_tfidf",
     "q_stream_session_window",
     "q_udf_pandas_scalar",
 ]

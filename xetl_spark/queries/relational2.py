@@ -124,6 +124,34 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)  AS sum_price_dec,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST((1 - l_discount) AS DECIMAL(8,2))) AS VARCHAR) AS revenue_dec,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)  AS min_price_dec
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic: cast to fixed-point, aggregate, render.
+
+    Decimal sums are exact in both engines — no accumulation-order or
+    rounding-midpoint ambiguity — which is why money pipelines at scale
+    should prefer DecimalType despite the ~2× compute cost vs double.
+    """
+    (li,) = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = (1 - F.col("l_discount")).cast("decimal(8,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(p).cast("string").alias("sum_price_dec"),
+        F.sum(p * d).cast("string").alias("revenue_dec"),
+        F.min(p).cast("string").alias("min_price_dec"),
+    )
+
+
+@query(
     "q_tpch_q7_like",
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
