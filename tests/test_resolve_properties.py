@@ -99,3 +99,45 @@ def test_previous_and_named_agree(n1, n2, val):
     )
     env = job.commands[1].env
     assert env["A"] == env["B"] == val
+
+
+# ---------------------------------------------------------------- operators
+
+
+def test_asof_join_random_matches_merge_asof(spark):
+    """Randomized as-of vs pandas merge_asof over many key/time shapes
+    (single Spark job; data generated with a fixed-seed numpy RNG)."""
+    import numpy as np
+    import pandas as pd
+
+    from xetl_spark.operators import asof_join
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n_l, n_r = rng.integers(1, 40), rng.integers(0, 40)
+        lp = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, n_l),
+                "ts": np.round(rng.uniform(0, 100, n_l), 3),
+            }
+        ).drop_duplicates(["k", "ts"])
+        rp = pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, max(n_r, 1)),
+                "rts": np.round(rng.uniform(0, 100, max(n_r, 1)), 3),
+                "v": [f"v{i}" for i in range(max(n_r, 1))],
+            }
+        ).drop_duplicates(["k", "rts"])
+        left = spark.createDataFrame(lp.astype({"k": "int64"}))
+        right = spark.createDataFrame(rp.astype({"k": "int64"}))
+        got = (
+            asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                      right_payload=["v"])
+            .orderBy("k", "ts")
+            .toPandas()
+        )
+        exp = pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("rts"),
+            left_on="ts", right_on="rts", by="k",
+        ).sort_values(["k", "ts"]).reset_index(drop=True)
+        assert list(got["v_asof"].fillna("-")) == list(exp["v"].fillna("-")), trial

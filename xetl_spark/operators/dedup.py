@@ -93,14 +93,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 32, bands: int = 8
+    sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band hash.
 
     rows-per-band bucketing: hash each band of r=num_hashes/bands values
     to a single key, self-join per (band, key). Join is equi on the band
-    hash → shuffle-partitioned; hot buckets (boilerplate-heavy corpora)
-    are bounded by banding granularity and AQE skew handling.
+    hash → shuffle-partitioned.
+
+    ``max_bucket_size`` is the quadratic-blowup guard: a boilerplate
+    mega-cluster (one band value shared by 10^6 docs) would otherwise
+    emit 10^12 pairs from a single bucket. Buckets above the cap are
+    dropped — their members are near-identical and are caught by exact
+    dedup / remain candidates through their other (rarer) bands. The
+    count is one extra keyed aggregation, trivially amortized.
     """
     r = num_hashes // bands
     banded = sig.select(
@@ -119,6 +128,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select("doc", "bh.band", "bh.bkey")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("__bn"))
+        banded = (
+            banded.join(F.broadcast(sizes.filter(F.col("__bn") > max_bucket_size)),
+                        on=["band", "bkey"], how="left_anti")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
