@@ -168,3 +168,31 @@ def test_asof_tolerance(spark):
         ).collect()
     }
     assert out == {100.0: "near", 300.0: None}  # 205s away > tolerance
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    """Resize (1→1) and frame-sample (1→N) multimodal plumbing:
+    schemas, deterministic stub payloads, bounded frame counts."""
+    from xetl_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = multimodal.attach_binary(docs, "text")
+    resized = multimodal.resize_images(media, "media", "doc_id", 64, 48)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r.width == 64 and r.height == 48 and len(r.resized) == 32 for r in rows)
+    again = multimodal.resize_images(media, "media", "doc_id", 64, 48).collect()
+    assert {r.id: bytes(r.resized) for r in rows} == {
+        r.id: bytes(r.resized) for r in again
+    }
+
+    frames = multimodal.sample_frames(media, "media", "doc_id", every_ms=500, max_frames=3)
+    fr = frames.collect()
+    assert len(fr) >= 20  # at least one frame per doc
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r.id, []).append(r)
+    for rid, rs in by_id.items():
+        assert 1 <= len(rs) <= 3
+        assert sorted(r.frame_idx for r in rs) == list(range(len(rs)))
+        assert all(r.frame_ts_ms == r.frame_idx * 500 for r in rs)

@@ -80,16 +80,18 @@ def minhash_signatures(
     sh: DataFrame, num_hashes: int = 32
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, i).
+    xxhash64(shingle, i), plus the shingle-set size.
 
-    A single groupBy(doc) computes all ``num_hashes`` mins map-side
-    (partial aggregation), so the shuffle carries one row per doc.
+    A single groupBy(doc) computes all ``num_hashes`` mins AND the set
+    size map-side (partial aggregation), so the shuffle carries one row
+    per doc and downstream jaccard verification needs no second pass
+    over the exploded shingle table.
     """
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc").agg(*aggs)
+    return sh.groupBy("doc").agg(*aggs, F.count("*").alias("sz"))
 
 
 def lsh_candidate_pairs(
@@ -150,14 +152,20 @@ def lsh_candidate_pairs(
     )
 
 
-def pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def pair_jaccard(
+    sh: DataFrame, pairs: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate pairs from their shingle sets.
 
     intersection via double equi-join on shingle restricted to candidate
     docs; union = |A| + |B| - |A∩B|. Everything keyed, everything
-    shuffle-local.
+    shuffle-local. Pass ``sizes`` (doc, sz) — e.g. from
+    minhash_signatures — to skip recomputing set sizes.
     """
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    else:
+        sizes = sizes.select("doc", "sz")
     sh_b = sh.select(
         F.col("doc").alias("__doc_b"), F.col("shingle").alias("__shingle_b")
     )
@@ -210,7 +218,9 @@ def minhash_near_duplicates(
     # sig feeds both sides of the banded self-join — persist or pay 2×
     sig = minhash_signatures(sh, num_hashes).persist()
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
-    return pair_jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
+    return pair_jaccard(sh, pairs, sizes=sig).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:

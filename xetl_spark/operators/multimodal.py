@@ -47,6 +47,78 @@ def attach_binary(
     )
 
 
+RESIZE_SCHEMA = "id long, width int, height int, resized binary"
+FRAME_SCHEMA = "id long, frame_idx int, frame_ts_ms long, frame binary"
+
+
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize image payloads to (width, height) via Arrow-batched
+    mapInPandas. Codec stubbed (no Pillow here): the stand-in emits a
+    deterministic byte payload of the right conceptual shape so the
+    schema/batching contract is real and tested; with Pillow present
+    only the inner function changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires Pillow, not present here"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[media_col])
+                fake = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+                rows.append((row[id_col], width, height, fake))
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "resized"])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    max_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Sample frames from video payloads (1 row in → up to max_frames
+    rows out). The ffmpeg decode is stubbed; the 1→N row expansion,
+    frame timestamps, and binary frame payloads are the real Spark-side
+    contract a video pipeline builds on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg, not present here"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[media_col])
+                # deterministic fake duration from content
+                n = 1 + int.from_bytes(hashlib.sha256(payload).digest()[:2], "big") % max_frames
+                for i in range(n):
+                    frame = hashlib.sha256(payload + bytes([i])).digest()
+                    rows.append((row[id_col], i, i * every_ms, frame))
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "frame_ts_ms", "frame"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 FEATURE_SCHEMA = "id long, byte_len long, width int, height int, features array<float>"
 
 
