@@ -62,3 +62,27 @@ def test_uuid_and_rand_shapes(spark):
     assert len({r.u for r in rows}) == 5  # unique
     assert all(len(r.u) == 36 for r in rows)
     assert all(0.0 <= r.r < 1.0 for r in rows)
+
+
+def test_json_tuple_and_schema_of_json(spark):
+    df = spark.createDataFrame([('{"k": 7, "s": "x"}',)], "props string")
+    row = df.select(
+        F.json_tuple(F.col("props"), "k", "s").alias("k", "s"),
+    ).collect()[0]
+    assert (row.k, row.s) == ("7", "x")
+    schema = spark.range(1).select(
+        F.schema_of_json(F.lit('{"k": 1, "arr": [1.5]}')).alias("s")
+    ).collect()[0].s
+    assert "k" in schema and "arr" in schema and "ARRAY" in schema.upper()
+
+
+def test_arrays_zip_slice_flatten(spark):
+    df = spark.createDataFrame([([1, 2, 3], ["a", "b", "c"])], "xs array<int>, ys array<string>")
+    row = df.select(
+        F.arrays_zip("xs", "ys").alias("z"),
+        F.slice("xs", 2, 2).alias("sl"),
+        F.flatten(F.array(F.col("xs"), F.array(F.lit(9)))).alias("fl"),
+    ).collect()[0]
+    assert [(e.xs, e.ys) for e in row.z] == [(1, "a"), (2, "b"), (3, "c")]
+    assert row.sl == [2, 3]
+    assert row.fl == [1, 2, 3, 9]
