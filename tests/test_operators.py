@@ -196,3 +196,28 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
         assert 1 <= len(rs) <= 3
         assert sorted(r.frame_idx for r in rs) == list(range(len(rs)))
         assert all(r.frame_ts_ms == r.frame_idx * 500 for r in rs)
+
+
+def test_train_test_split_stable_and_disjoint(spark):
+    from xetl_spark.operators.relational import train_test_split
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    a = train_test_split(df, ["k"], 20)
+    parts = {r.k: r.split for r in a.collect()}
+    b = {r.k: r.split for r in train_test_split(df.repartition(7), ["k"], 20).collect()}
+    assert parts == b  # partitioning-invariant assignment
+    frac = sum(1 for v in parts.values() if v == "test") / len(parts)
+    assert 0.15 < frac < 0.25
+
+
+def test_bpe_ish_token_count_examples(spark):
+    from xetl_spark.operators.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "it's 42 degrees!"), (3, "")],
+        "id long, text string",
+    )
+    got = {r.id: r.n for r in df.select("id", bpe_ish_token_count("text").alias("n")).collect()}
+    assert got[1] == 2          # two letter runs
+    assert got[2] == 5          # "it" "'s" " 42" " degrees" "!"
+    assert got[3] == 0

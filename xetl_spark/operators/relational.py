@@ -75,6 +75,31 @@ def deterministic_sample(
     )
 
 
+def train_test_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    test_pct: int = 10,
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic, content-addressed train/test assignment.
+
+    Same md5-prefix scheme as deterministic_sample: the assignment is a
+    pure function of the row key, so it is stable across engines, runs,
+    partitionings, and incremental appends — the property a training
+    pipeline needs to guarantee no test-set leakage over time.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    threshold = format(round(256 * test_pct / 100), "02x")
+    return df.withColumn(
+        split_col,
+        F.when(
+            F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 2) < F.lit(threshold),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -29,6 +29,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs (a BPE pre-tokenization approximation — real
+# BPE merges happen inside a tokenizer library; counting these pieces
+# tracks LLM token counts far better than whitespace splitting)
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Approximate LLM token count via a GPT-2-like pre-tokenizer regex
+    (supported by both Java regex and RE2, so oracle-verifiable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(_BPE_ISH))
+
+
 def char_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c)

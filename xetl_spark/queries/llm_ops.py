@@ -57,6 +57,46 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+               AS n_bpe_tokens,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token counting: GPT-2-style pre-tokenizer regex vs whitespace
+    (the BPE-ish approximation a data pipeline budgets tokens with)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "q_split_train_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/test split (stable across
+    engines, runs, partitionings, and incremental appends)."""
+    from xetl_spark.operators.relational import train_test_split
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return train_test_split(docs, ["doc_id"], test_pct=10).select("doc_id", "split")
+
+
+@query(
     "q_text_quality",
     oracle=f"""
     WITH t AS (
