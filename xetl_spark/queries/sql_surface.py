@@ -543,3 +543,43 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests; engine-specific RNG so no SQL oracle."""
     (orders,) = load(spark, sf_dir, "orders")
     return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_quality_report",
+    oracle="""
+    SELECT 'not_null_o_custkey' AS check,
+           CAST(count_if(o_custkey IS NULL) AS BIGINT) AS n_violations,
+           count_if(o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'in_range_o_totalprice',
+           CAST(count_if(o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 400000) AS BIGINT),
+           count_if(o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 400000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'matches_o_orderpriority',
+           CAST(count_if(NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+           count_if(NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           (SELECT CAST(sum(c - 1) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+           (SELECT sum(c - 1) FROM
+              (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)) = 0
+    """,
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report (deequ-style): all
+    row-level rules in one aggregation pass + keyed uniqueness rule."""
+    from xetl_spark.operators import quality as Q
+
+    (orders,) = load(spark, sf_dir, "orders")
+    checks = [
+        *Q.not_null("o_custkey"),
+        Q.in_range("o_totalprice", 0, 400000),
+        Q.matches("o_orderpriority", "^[1-5]-"),
+        Q.unique("o_orderkey"),
+    ]
+    return Q.quality_report(orders, checks)
