@@ -58,3 +58,15 @@ def test_xxhash_stable_and_unique(spark, sf_dir):
     assert {r.c_custkey: r.name_xxh for r in a} == {r.c_custkey: r.name_xxh for r in b}
     mono = [r.mono_id for r in a]
     assert len(set(mono)) == len(mono)  # unique ids
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from xetl_spark.queries import REGISTRY, load
+
+    out = REGISTRY["q_sample_stratified"].fn(spark, sf_dir).groupBy("l_returnflag").count()
+    got = {r.l_returnflag: r["count"] for r in out.collect()}
+    (li,) = load(spark, sf_dir, "lineitem")
+    totals = {r.l_returnflag: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
+    for flag, frac in [("A", 0.05), ("N", 0.2), ("R", 0.1)]:
+        ratio = got.get(flag, 0) / totals[flag]
+        assert 0.5 * frac < ratio < 1.5 * frac, (flag, ratio)

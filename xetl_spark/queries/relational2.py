@@ -257,3 +257,104 @@ def q_tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("l_quantity") < 25).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "q_tpch_q4_like",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority-checking shape (TPC-H Q4): date slice + correlated
+    EXISTS (semi join) + count."""
+    load(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_tpch_q6_like",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount) + 5e-5, 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change shape (TPC-H Q6): pure scan + filter +
+    global agg — the predicate-pushdown showcase."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 5e-5, 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q19_like",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)) + 5e-5, 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 20 AND l_quantity >= 5)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+       OR (p_type LIKE 'PROMO%' AND l_quantity < 15)
+    """,
+)
+def q_tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue shape (TPC-H Q19): disjunctive multi-attribute
+    predicate spanning both join sides (tests predicate placement —
+    single-side conjuncts still push below the join)."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 20) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
+        | (F.col("p_type").like("PROMO%") & (F.col("l_quantity") < 15))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 5e-5, 2
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("q_sample_stratified", oracle=None)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum fractions; fraction
+    bounds property-tested (seeded RNG → no SQL oracle)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", fractions={"A": 0.05, "N": 0.2, "R": 0.1}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
