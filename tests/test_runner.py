@@ -304,3 +304,30 @@ def test_materialize_stage_knob(spark, tmp_path):
     results = run_job(spark, job)
     assert results[-1].output.collect()[0].n == 5
     assert (tmp_path / "_stages" / "src").exists()
+
+
+def test_resume_from_materialized_stage(spark, tmp_path):
+    """resume=True restores an existing MATERIALIZE checkpoint instead
+    of recomputing the stage."""
+    reg = BUILTINS.copy()
+    calls = []
+
+    @task("counted_src", env={"MATERIALIZE": {"type": "string", "required": False}}, registry=reg)
+    def counted_src(ctx):
+        calls.append(1)
+        return ctx.spark.read.parquet(f"{SF}/region.parquet")
+
+    yaml_text = f"""
+        name: resume
+        data: {tmp_path}
+        commands:
+          - {{name: src, task: counted_src, env: {{MATERIALIZE: "true"}}}}
+          - {{name: n, task: sql, env: {{QUERY: "SELECT count(*) AS n FROM src"}}}}
+        """
+    r1 = run_job(spark, _job(yaml_text), registry=reg)
+    assert [x.status for x in r1] == ["success", "success"]
+    assert calls == [1]
+    r2 = run_job(spark, _job(yaml_text), registry=reg, resume=True)
+    assert [x.status for x in r2] == ["resumed", "success"]
+    assert calls == [1]  # stage function not re-invoked
+    assert r2[-1].output.collect()[0].n == 5

@@ -179,3 +179,26 @@ def test_stream_stream_join(spark, tmp_path):
 
     got = run_stream_to_memory(streams(), mode="append")
     assert sorted((r.event_id, r.user_id) for r in got.collect()) == [(2, 7)]
+
+
+def test_stream_static_join(spark, sf_dir):
+    """Streaming fact joined to a static (broadcast) dimension — the
+    enrichment pattern; result equals the batch join."""
+    from xetl_spark.queries import load
+
+    dim = spark.createDataFrame(
+        [(i, f"cohort_{i % 3}") for i in range(200)], "user_id long, cohort string"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r.cohort: r.n for r in run_stream_to_memory(enriched, mode="complete").collect()}
+    (events,) = load(spark, sf_dir, "events")
+    want = {
+        r.cohort: r.n
+        for r in events.join(dim, "user_id").groupBy("cohort").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

@@ -121,6 +121,7 @@ def run_job(
     commands: str | list[str] | None = None,
     dryrun: bool = False,
     registry: TaskRegistry | None = None,
+    resume: bool = False,
 ) -> list[StageResult]:
     """Execute the job sequentially with fail-fast validation.
 
@@ -129,6 +130,11 @@ def run_job(
     selected command against its task's env interface BEFORE running
     anything → sequential loop; skip:true stages are not executed but
     their (already-resolved) env stays referenceable.
+
+    ``resume=True``: a MATERIALIZE=true stage whose checkpoint already
+    exists under ``<data>/_stages/<name>`` is restored from parquet
+    instead of recomputed — restartable pipelines without an external
+    workflow engine.
     """
     reg = (registry or BUILTINS).copy()
     if job.tasks:
@@ -168,6 +174,20 @@ def run_job(
             log.info("DRYRUN %s task=%s env=%s", label, spec.name, env)
             results.append(StageResult(cmd, "dryrun"))
             continue
+        wants_mat = str(env.get("MATERIALIZE", "")).lower() in ("true", "1")
+        if resume and wants_mat and job.data:
+            import os
+
+            dest = os.path.join(job.data, "_stages", label)
+            if os.path.isdir(dest):
+                log.info("Resuming command %s from %s", label, dest)
+                out = spark.read.parquet(dest)
+                if cmd.name:
+                    outputs[cmd.name] = out
+                    out.createOrReplaceTempView(cmd.name)
+                previous = out
+                results.append(StageResult(cmd, "resumed", out))
+                continue
         log.info("Running command %s (task=%s)", label, spec.name)
         try:
             out = fn(ctx)
