@@ -197,3 +197,15 @@ commands:
     )
     results = run_job(spark, job)
     assert len(results[-1].output.collect()) == 3  # z_last wins
+
+
+def test_cli_list_tasks(tmp_path):
+    manifest = tmp_path / "j.yml"
+    manifest.write_text("name: lt\ncommands: []\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "xetl_spark", str(manifest), "--list-tasks"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert proc.returncode == 0
+    for expected in ("read_parquet", "sql", "write_parquet", "dedup", "subjob"):
+        assert expected in proc.stdout

@@ -36,6 +36,22 @@ def argument_parser() -> argparse.ArgumentParser:
         default="moderate",
         help="log verbosity style",
     )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="restore MATERIALIZE=true stages from existing checkpoints",
+    )
+    p.add_argument(
+        "-t",
+        "--list-tasks",
+        action="store_true",
+        help="list available tasks (built-in + discovered) and exit",
+    )
+    p.add_argument(
+        "--run-task-tests",
+        action="store_true",
+        help="run every task's declared tests: block and exit non-zero on failure",
+    )
     return p
 
 
@@ -59,12 +75,40 @@ def main(argv: list[str] | None = None) -> int:
     from xetl_spark.session import get_session
 
     job = Job.from_file(args.manifest)
+
+    if args.list_tasks:
+        from xetl_spark.plans.registry import BUILTINS
+
+        reg = BUILTINS.copy()
+        if job.tasks:
+            reg.discover(job.tasks)
+        for name in reg.names():
+            spec, _ = reg.get(name)
+            print(f"{name}: {spec.description or ''}")
+        return 0
+
     spark = get_session(f"xetl:{job.name}")
+
+    if args.run_task_tests:
+        from xetl_spark.plans.registry import BUILTINS
+        from xetl_spark.plans.runner import run_task_tests
+
+        reg = BUILTINS.copy()
+        if job.tasks:
+            reg.discover(job.tasks)
+        outcomes = run_task_tests(spark, registry=reg)
+        failed = False
+        for name, cases in outcomes.items():
+            for i, ok in enumerate(cases):
+                print(f"{name}[{i}]: {'PASS' if ok else 'FAIL'}")
+                failed = failed or not ok
+        return 1 if failed else 0
+
     if args.dryrun:
         print(explain_job(spark, job))
         return 0
     try:
-        results = run_job(spark, job, commands=args.commands)
+        results = run_job(spark, job, commands=args.commands, resume=args.resume)
     except TaskFailure as tf:
         print(f"error: {tf}", file=sys.stderr)
         return 2
