@@ -165,3 +165,23 @@ def test_cosine_near_dup_recall_and_precision(spark):
     found = planted & set(pairs)
     assert len(found) >= 8, sorted(pairs)  # ≥80% recall on cos≈0.99 dups
     assert all(s >= 0.9 for s in pairs.values())  # exact verification
+
+
+def test_incremental_exact_dedup(spark):
+    """Batch 2 drops docs already seen in batch 1; store accumulates."""
+    from xetl_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    fresh1, seen1 = incremental_exact_dedup(b1, None, "text", "doc_id")
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]  # in-batch dedup
+    seen1 = seen1.persist()
+
+    b2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    )
+    fresh2, seen2 = incremental_exact_dedup(b2, seen1, "text", "doc_id")
+    assert [r.doc_id for r in fresh2.collect()] == [5]  # 'beta' known from batch 1
+    store = seen1.unionByName(seen2)
+    assert store.distinct().count() == 3  # alpha, beta, gamma

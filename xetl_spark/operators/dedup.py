@@ -30,6 +30,32 @@ def exact_dedup(
     ).drop("__h")
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run dedup: drop rows of ``new_df`` whose content digest
+    already exists in the historical ``seen`` store, and return the
+    updated store.
+
+    This is the shape of continuous corpus ingestion at scale: ``seen``
+    is a persisted table of sha2-256 digests (tiny relative to the
+    corpus), the anti-join shuffles on a uniform 256-bit key, and the
+    returned store is the old one plus this batch's new digests —
+    append it back to the store table. Returns (fresh_rows, new_seen).
+    """
+    digested = new_df.withColumn("__h", F.sha2(F.col(text_col), 256))
+    batch_unique = dedup_keep_first(digested, ["__h"], [F.col(id_col)])
+    if seen is not None:
+        fresh = batch_unique.join(seen.select(F.col("digest").alias("__h")), "__h", "left_anti")
+    else:
+        fresh = batch_unique
+    new_seen = fresh.select(F.col("__h").alias("digest"))
+    return fresh.drop("__h"), new_seen
+
+
 def _tokens(text_col: str):
     return F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),

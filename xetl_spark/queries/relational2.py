@@ -358,3 +358,79 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sampleBy(
         "l_returnflag", fractions={"A": 0.05, "N": 0.2, "R": 0.1}, seed=42
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT least(greatest(CAST(floor((o_totalprice - 0) / 50000) AS INT), 0), 9) AS bucket
+      FROM orders)
+    SELECT bucket,
+           CAST(bucket * 50000 AS DOUBLE)       AS lo,
+           CAST((bucket + 1) * 50000 AS DOUBLE) AS hi,
+           count(*) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via portable floor bucketing (clamped
+    edges) — one aggregation, the building block for numeric profiling
+    at scale."""
+    (orders,) = load(spark, sf_dir, "orders")
+    width, nbins = 50000, 10
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / width).cast("int"), F.lit(0)),
+        F.lit(nbins - 1),
+    )
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * width).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * width).cast("double").alias("hi"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_na_handling",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             nullif(c_mktsegment, 'BUILDING')          AS seg,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal
+      FROM customer)
+    SELECT c_custkey,
+           coalesce(seg, 'UNKNOWN')   AS seg_filled,
+           coalesce(bal, -1.0)        AS bal_filled,
+           CASE WHEN coalesce(seg, 'UNKNOWN') = 'MACHINERY' THEN 'MACHINES'
+                ELSE coalesce(seg, 'UNKNOWN') END AS seg_replaced
+    FROM t
+    WHERE seg IS NOT NULL OR bal IS NOT NULL
+    """,
+)
+def q_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: na.fill, na.replace, na.drop(how='all' on
+    a column subset) — the DataFrameNaFunctions API."""
+    (cust,) = load(spark, sf_dir, "customer")
+    t = cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.round(F.col("c_acctbal"), 2))
+        .alias("bal"),
+    )
+    dropped = t.na.drop(how="all", subset=["seg", "bal"])
+    filled = dropped.na.fill({"seg": "UNKNOWN", "bal": -1.0})
+    replaced = filled.na.replace({"MACHINERY": "MACHINES"}, subset=["seg"])
+    return filled.select(
+        "c_custkey",
+        F.col("seg").alias("seg_filled"),
+        F.col("bal").alias("bal_filled"),
+    ).join(
+        replaced.select("c_custkey", F.col("seg").alias("seg_replaced")), "c_custkey"
+    )
