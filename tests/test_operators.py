@@ -221,3 +221,17 @@ def test_bpe_ish_token_count_examples(spark):
     assert got[1] == 2          # two letter runs
     assert got[2] == 5          # "it" "'s" " 42" " degrees" "!"
     assert got[3] == 0
+
+
+def test_profile_one_pass(spark, sf_dir):
+    from xetl_spark.operators.quality import profile
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    prof = {r.column: r for r in profile(cust, ["c_custkey", "c_mktsegment"]).collect()}
+    assert prof["c_custkey"].n_rows == cust.count()
+    assert prof["c_custkey"].n_nulls == 0
+    assert prof["c_mktsegment"].min_str == "AUTOMOBILE"
+    assert prof["c_mktsegment"].max_str == "MACHINERY"
+    # one aggregation regardless of column count
+    plan = profile(cust)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2

@@ -87,3 +87,27 @@ def quality_report(df: DataFrame, checks: list[Check]) -> DataFrame:
         F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
         (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
     )
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: rows, nulls, approx distinct, min/max
+    (stringified for type uniformity). The profiling primitive behind
+    data catalogs — a single aggregation regardless of column count.
+    """
+    cols = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__nulls_{c}"),
+            F.approx_count_distinct(c).alias(f"__dist_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__rows AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, approx_distinct, min_str, max_str)",
+    ).select("column", "n_rows", "n_nulls", "approx_distinct", "min_str", "max_str")
