@@ -35,3 +35,4 @@ from xetl_spark.operators.similarity import (  # noqa: F401
 )
 from xetl_spark.operators import text  # noqa: F401
 from xetl_spark.operators import multimodal  # noqa: F401
+from xetl_spark.operators import quality  # noqa: F401
