@@ -331,3 +331,23 @@ def test_resume_from_materialized_stage(spark, tmp_path):
     assert [x.status for x in r2] == ["resumed", "success"]
     assert calls == [1]  # stage function not re-invoked
     assert r2[-1].output.collect()[0].n == 5
+
+
+def test_save_and_read_table_tasks(spark, tmp_path):
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS xetl_t1")
+    shutil.rmtree(f"{wh}/xetl_t1", ignore_errors=True)
+    job = _job(
+        f"""
+        name: tbl
+        commands:
+          - {{name: src, task: read_parquet, env: {{PATH: {SF}/nation.parquet}}}}
+          - {{name: saved, task: save_table, env: {{INPUT: src, TABLE: xetl_t1,
+                BUCKETS: 4, BUCKET_BY: n_nationkey}}}}
+          - {{name: back, task: read_table, env: {{TABLE: xetl_t1}}}}
+        """
+    )
+    results = run_job(spark, job)
+    assert results[-1].output.count() == 25

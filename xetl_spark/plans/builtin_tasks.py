@@ -260,3 +260,34 @@ def subjob(ctx: StageContext):
         if r.output is not None:
             return r.output
     return None
+
+
+@task(
+    "save_table",
+    "Save a stage as a catalog table (optionally bucketed for shuffle-free joins)",
+    env={
+        "TABLE": {"description": "table name", "type": "string"},
+        "BUCKETS": {"description": "bucket count", "type": "int", "required": False},
+        "BUCKET_BY": {"description": "comma-separated bucket columns", "type": "string", "required": False},
+        "MODE": {"description": "save mode", "type": "string", "default": "overwrite"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def save_table(ctx: StageContext):
+    df = ctx.input_df()
+    writer = df.write.mode(str(ctx.env["MODE"]))
+    buckets, by = ctx.env.get("BUCKETS"), ctx.env.get("BUCKET_BY")
+    if buckets and by:
+        cols = [c.strip() for c in str(by).split(",")]
+        writer = writer.bucketBy(int(buckets), *cols).sortBy(*cols)
+    writer.saveAsTable(str(ctx.env["TABLE"]))
+    return ctx.spark.table(str(ctx.env["TABLE"]))
+
+
+@task(
+    "read_table",
+    "Read a catalog table",
+    env={"TABLE": {"description": "table name", "type": "string"}},
+)
+def read_table(ctx: StageContext):
+    return ctx.spark.table(str(ctx.env["TABLE"]))
