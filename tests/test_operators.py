@@ -235,3 +235,11 @@ def test_profile_one_pass(spark, sf_dir):
     # one aggregation regardless of column count
     plan = profile(cust)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2
+
+
+def test_union_by_name_allow_missing(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, b double")
+    out = a.unionByName(b, allowMissingColumns=True).orderBy("id").collect()
+    assert out[0].a == "x" and out[0].b is None
+    assert out[1].a is None and out[1].b == 3.5
