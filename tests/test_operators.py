@@ -243,3 +243,14 @@ def test_union_by_name_allow_missing(spark):
     out = a.unionByName(b, allowMissingColumns=True).orderBy("id").collect()
     assert out[0].a == "x" and out[0].b is None
     assert out[1].a is None and out[1].b == 3.5
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Join strategy hints are honored: shuffle_hash and merge override
+    the optimizer's default pick."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sh = orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+    assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+    sm = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in sm._jdf.queryExecution().executedPlan().toString()
