@@ -1,0 +1,44 @@
+"""Regenerate INVENTORY.md from the query registry.
+
+Usage: python tools/gen_inventory.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    import xetl_spark.queries as Q
+
+    lines = [
+        "# INVENTORY — registered query operators",
+        "",
+        "Auto-generated (`python tools/gen_inventory.py`) from",
+        "`xetl_spark.queries.REGISTRY` — the exact set exposed through",
+        "`__spark_entry__.queries()`. Verify: **H** = DuckDB hash oracle,",
+        "**P** = property-tested (rows-only in the driver check).",
+        "",
+        "| # | query | verify | what it covers |",
+        "|---|---|---|---|",
+    ]
+    for i, (name, q) in enumerate(Q.REGISTRY.items(), 1):
+        doc = " ".join((q.doc or "").split())
+        if len(doc) > 110:
+            doc = doc[:107] + "..."
+        lines.append(f"| {i} | `{name}` | {'H' if q.oracle else 'P'} | {doc} |")
+    n_h = sum(1 for q in Q.REGISTRY.values() if q.oracle)
+    lines += [
+        "",
+        f"Total: {len(Q.REGISTRY)} queries — {n_h} hash-verified, "
+        f"{len(Q.REGISTRY) - n_h} property-tested.",
+    ]
+    with open("/root/repo/INVENTORY.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote INVENTORY.md ({len(Q.REGISTRY)} queries)")
+
+
+if __name__ == "__main__":
+    main()
