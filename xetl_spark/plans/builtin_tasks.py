@@ -291,3 +291,30 @@ def save_table(ctx: StageContext):
 )
 def read_table(ctx: StageContext):
     return ctx.spark.table(str(ctx.env["TABLE"]))
+
+
+@task(
+    "near_dedup",
+    "Drop near-duplicate documents (MinHash-LSH + connected components; "
+    "keeps each cluster's lowest-id representative)",
+    env={
+        "TEXT_COL": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "THRESHOLD": {"description": "jaccard threshold", "type": "float", "default": 0.8},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def near_dedup(ctx: StageContext):
+    from xetl_spark.operators import dedup_clusters, minhash_near_duplicates
+
+    df = ctx.input_df()
+    text_col = str(ctx.env["TEXT_COL"])
+    id_col = str(ctx.env["ID_COL"])
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, threshold=float(ctx.env["THRESHOLD"])  # type: ignore[arg-type]
+    )
+    decision = dedup_clusters(pairs, df, id_col)
+    keep = decision.filter(F.col("is_representative")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
