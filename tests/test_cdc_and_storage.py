@@ -140,3 +140,22 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert after_files == n < before_files
     after_hash = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
     assert after_hash == before_hash
+
+
+def test_scd2_two_consecutive_batches(spark):
+    """Folding two change batches keeps a coherent history chain."""
+    t0, t1, t2 = (dt.datetime(2024, m, 1) for m in (1, 3, 6))
+    current = spark.createDataFrame(
+        [(1, "a", t0, None, True)],
+        "k long, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    c1 = spark.createDataFrame([(1, "b", t1)], "k long, addr string, ts timestamp")
+    step1 = scd2(current, c1, ["k"], "ts", ["addr"])
+    c2 = spark.createDataFrame([(1, "c", t2)], "k long, addr string, ts timestamp")
+    step2 = scd2(step1, c2, ["k"], "ts", ["addr"]).collect()
+    rows = sorted((r.addr, r.valid_from, r.valid_to, r.is_current) for r in step2)
+    assert rows == [
+        ("a", t0, t1, False),
+        ("b", t1, t2, False),
+        ("c", t2, None, True),
+    ]

@@ -70,3 +70,21 @@ def test_salted_join_equals_plain_join(spark):
     lp = left.join(right, "k", "left").count()
     ls = salted_join(left, right, ["k"], "left").count()
     assert lp == ls
+
+
+def test_salted_join_skewed_random(spark):
+    """Randomized skew: 90% of rows share one key; salted join must
+    agree with the plain join exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    keys = np.where(rng.random(2000) < 0.9, 7, rng.integers(0, 50, 2000))
+    left = spark.createDataFrame(
+        [(int(k), int(i)) for i, k in enumerate(keys)], "k long, rowid long"
+    )
+    right = spark.createDataFrame(
+        [(int(k), f"r{k}") for k in range(0, 50, 3)], "k long, tag string"
+    )
+    plain = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, ["k"], "left").collect()))
+    assert plain == salted

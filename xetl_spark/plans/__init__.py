@@ -21,4 +21,10 @@ from xetl_spark.plans.models import (  # noqa: F401
 )
 from xetl_spark.plans.resolve import resolve_placeholders  # noqa: F401
 from xetl_spark.plans.registry import TaskRegistry, task  # noqa: F401
-from xetl_spark.plans.runner import StageContext, TaskFailure, run_job  # noqa: F401
+from xetl_spark.plans.runner import (  # noqa: F401
+    StageContext,
+    TaskFailure,
+    explain_job,
+    run_job,
+    run_task_tests,
+)
