@@ -23,6 +23,8 @@ from xetl_spark.operators.dedup import (  # noqa: F401
     minhash_signatures,
     lsh_candidate_pairs,
     minhash_near_duplicates,
+    pair_jaccard,
+    pair_jaccard_hashed,
     simhash,
     simhash_near_duplicates,
     shingles,

@@ -103,7 +103,7 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 32
+    sh: DataFrame, num_hashes: int = 32, with_hash_set: bool = False
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed i, min over shingles of
     xxhash64(shingle, i), plus the shingle-set size.
@@ -112,11 +112,20 @@ def minhash_signatures(
     size map-side (partial aggregation), so the shuffle carries one row
     per doc and downstream jaccard verification needs no second pass
     over the exploded shingle table.
+
+    ``with_hash_set=True`` additionally carries the full set of 64-bit
+    shingle hashes (``hset``) in the same aggregation, enabling exact
+    Jaccard verification of candidate pairs from the signature table
+    alone (see pair_jaccard_hashed) — trading ~8 bytes/shingle of
+    shuffle payload for eliminating two joins against the exploded
+    shingle table.
     """
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    if with_hash_set:
+        aggs.append(F.collect_set(F.xxhash64(F.col("shingle"))).alias("hset"))
     return sh.groupBy("doc").agg(*aggs, F.count("*").alias("sz"))
 
 
@@ -220,6 +229,39 @@ def pair_jaccard(
     )
 
 
+def pair_jaccard_hashed(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from per-doc shingle-hash sets.
+
+    ``sets`` is (doc, hset: array<long>, sz) — one row per doc (from
+    minhash_signatures(with_hash_set=True)). Two equi-joins on doc id
+    (uniform key, no skew) bring both arrays onto the pair row;
+    intersection is ``array_intersect`` in whole-stage codegen. "Exact"
+    up to 64-bit hash collisions (~n²/2⁶⁵ — negligible, and the MinHash
+    stage already rides the same hashes).
+
+    Preferred over pair_jaccard when per-doc shingle counts are bounded
+    (web/LLM corpora: ~10²-10⁴ shingles → ≤ ~100 KB rows). For
+    pathological multi-million-shingle docs, use the explode-join
+    pair_jaccard path instead of shipping giant arrays.
+    """
+    sa = sets.select(
+        F.col("doc").alias("doc_a"), F.col("hset").alias("__ha"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col("doc").alias("doc_b"), F.col("hset").alias("__hb"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("sz_a") + F.col("sz_b") - inter)).alias("jaccard"),
+        )
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -234,17 +276,19 @@ def minhash_near_duplicates(
 
     Returns (doc_a, doc_b, jaccard) for confirmed near-duplicate pairs.
 
-    The shingle table feeds three consumers (signatures, both sides of
-    the intersection join, set sizes); it is persisted so the tokenize/
-    shingle stage runs once instead of being recomputed per branch —
-    the same choice a production dedup job makes by materializing the
-    shingle table before the LSH rounds.
+    One pass over the corpus: the per-doc aggregation computes MinHash
+    mins, set size, AND the shingle-hash set together, so candidate
+    verification (pair_jaccard_hashed) never revisits the exploded
+    shingle table — the whole pipeline is one doc-keyed aggregation,
+    one banded self-join, and two doc-keyed verify joins. ``sig`` feeds
+    both sides of the banded self-join and the verify joins, so it is
+    persisted (one row per doc — small relative to the corpus, the same
+    materialization a production dedup job makes).
     """
-    sh = shingles(df, text_col, id_col, n).persist()
-    # sig feeds both sides of the banded self-join — persist or pay 2×
-    sig = minhash_signatures(sh, num_hashes).persist()
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, num_hashes, with_hash_set=True).persist()
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
-    return pair_jaccard(sh, pairs, sizes=sig).filter(
+    return pair_jaccard_hashed(pairs, sig).filter(
         F.col("jaccard") >= threshold
     )
 
