@@ -379,3 +379,143 @@ def test_near_dedup_task(spark, tmp_path):
     results = run_job(spark, job)
     kept = sorted(r.doc_id for r in results[-1].output.collect())
     assert kept == [0, 20]  # 0,1,2,10 collapse to representative 0
+
+
+def test_stage_dependencies_default_is_sequential(spark):
+    """Without DEPENDS_ON, the edge set reproduces the reference's
+    strictly-sequential chain (job.py:203-207)."""
+    from xetl_spark.plans.runner import _prepare, stage_dependencies
+
+    job = _job(
+        f"""
+        name: seq
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: a, task: read_parquet, env: {{PATH: "${{SF_DIR}}/region.parquet"}}}}
+          - {{name: b, task: read_parquet, env: {{PATH: "${{SF_DIR}}/nation.parquet"}}}}
+          - {{name: c, task: sql, env: {{QUERY: "SELECT * FROM a"}}}}
+        """
+    )
+    plan = _prepare(job, None, False, None)
+    assert stage_dependencies(job, plan) == {0: set(), 1: {0}, 2: {1}}
+
+
+def test_stage_dependencies_sources(spark):
+    """Edges come from placeholder refs, INPUT-naming, and DEPENDS_ON;
+    DEPENDS_ON='' makes a stage a root."""
+    from xetl_spark.plans.runner import _prepare, stage_dependencies
+
+    job = _job(
+        f"""
+        name: dag
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: a, task: read_parquet, env: {{PATH: "${{SF_DIR}}/region.parquet"}}}}
+          - {{name: b, task: read_parquet,
+              env: {{PATH: "${{SF_DIR}}/nation.parquet", DEPENDS_ON: ""}}}}
+          - {{name: c, task: sql,
+              env: {{QUERY: "SELECT * FROM a", DEPENDS_ON: "a"}}}}
+          - {{name: d, task: limit, env: {{INPUT: b, N: 5, DEPENDS_ON: ""}}}}
+        """
+    )
+    plan = _prepare(job, None, False, None)
+    deps = stage_dependencies(job, plan)
+    assert deps[0] == set()
+    assert deps[1] == set()  # explicit root
+    assert deps[2] == {0}  # DEPENDS_ON: a
+    assert deps[3] == {1}  # INPUT: b names stage b even with empty DEPENDS_ON
+
+
+def test_parallel_run_matches_sequential(spark, tmp_path):
+    """A diamond DAG (two independent reads feeding a join) produces the
+    same result under the parallel scheduler as sequentially."""
+    out = tmp_path / "p_out"
+    manifest = f"""
+        name: diamond
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: orders, task: read_parquet,
+              env: {{PATH: "${{SF_DIR}}/orders.parquet", DEPENDS_ON: ""}}}}
+          - {{name: customer, task: read_parquet,
+              env: {{PATH: "${{SF_DIR}}/customer.parquet", DEPENDS_ON: ""}}}}
+          - name: joined
+            task: sql
+            env:
+              DEPENDS_ON: "orders,customer"
+              QUERY: >
+                SELECT c_mktsegment, count(*) AS n
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment
+          - {{name: sink, task: write_parquet, env: {{INPUT: joined, PATH: {out}}}}}
+        """
+    seq = run_job(spark, _job(manifest))
+    n_seq = sorted((r.c_mktsegment, r.n) for r in seq[2].output.collect())
+    par = run_job(spark, _job(manifest), parallel=True, max_workers=4)
+    assert [r.status for r in par] == ["success"] * 4
+    n_par = sorted((r.c_mktsegment, r.n) for r in par[2].output.collect())
+    assert n_par == n_seq
+
+
+def test_parallel_failure_fails_fast(spark):
+    from xetl_spark.plans.registry import task
+
+    reg = BUILTINS.copy()
+
+    @task(registry=reg, name="boom")
+    def boom(ctx):
+        raise RuntimeError("kapow")
+
+    job = _job(
+        """
+        name: pfail
+        commands:
+          - {name: x, task: boom, env: {DEPENDS_ON: ""}}
+          - {name: y, task: boom, env: {DEPENDS_ON: "x"}}
+        """
+    )
+    with pytest.raises(TaskFailure):
+        run_job(spark, job, parallel=True, registry=reg)
+
+
+def test_parallel_bad_depends_on_rejected(spark):
+    from xetl_spark.plans.runner import _prepare, stage_dependencies
+
+    job = _job(
+        """
+        name: bad
+        commands:
+          - {name: a, task: sql, env: {QUERY: "SELECT 1 AS x", DEPENDS_ON: "zzz"}}
+        """
+    )
+    plan = _prepare(job, None, False, None)
+    with pytest.raises(ValidationError):
+        stage_dependencies(job, plan)
+
+
+def test_run_report(spark, tmp_path):
+    """Report carries per-stage status/wall and rows/bytes for
+    materialized stages."""
+    from xetl_spark.plans.runner import run_report
+
+    job = _job(
+        f"""
+        name: rpt
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: r, task: read_parquet,
+              env: {{PATH: "${{SF_DIR}}/region.parquet", MATERIALIZE: "true"}}}}
+          - {{name: top, task: sql, env: {{QUERY: "SELECT r_name FROM r"}}}}
+        """
+    )
+    results = run_job(spark, job)
+    rep = run_report(results, job)
+    assert rep["job"] == "rpt"
+    assert [s["name"] for s in rep["stages"]] == ["r", "top"]
+    mat = rep["stages"][0]
+    assert mat["rows"] == 5 and mat["bytes"] > 0 and mat["output_path"]
+    assert rep["stages"][1]["schema"] == "struct<r_name:string>"
+    import json
+
+    json.dumps(rep)  # JSON-serializable end to end

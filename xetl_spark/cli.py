@@ -52,6 +52,21 @@ def argument_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="run every task's declared tests: block and exit non-zero on failure",
     )
+    p.add_argument(
+        "--parallel",
+        nargs="?",
+        const=8,
+        type=int,
+        metavar="N",
+        help="schedule independent stages concurrently on up to N threads "
+        "(default 8); stages opt in with DEPENDS_ON, default order is "
+        "sequential",
+    )
+    p.add_argument(
+        "--report",
+        metavar="PATH",
+        help="write a JSON run report (per-stage status/wall/rows/bytes)",
+    )
     return p
 
 
@@ -108,10 +123,25 @@ def main(argv: list[str] | None = None) -> int:
         print(explain_job(spark, job))
         return 0
     try:
-        results = run_job(spark, job, commands=args.commands, resume=args.resume)
+        results = run_job(
+            spark,
+            job,
+            commands=args.commands,
+            resume=args.resume,
+            parallel=args.parallel is not None,
+            max_workers=args.parallel or 8,
+        )
     except TaskFailure as tf:
         print(f"error: {tf}", file=sys.stderr)
         return 2
+    if args.report:
+        import json
+
+        from xetl_spark.plans.runner import run_report
+
+        with open(args.report, "w") as fh:
+            json.dump(run_report(results, job), fh, indent=2)
+        print(f"report: {args.report}")
     for r in results:
         label = r.command.name or r.command.task
         print(f"{label}: {r.status}")

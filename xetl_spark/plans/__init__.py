@@ -23,8 +23,11 @@ from xetl_spark.plans.resolve import resolve_placeholders  # noqa: F401
 from xetl_spark.plans.registry import TaskRegistry, task  # noqa: F401
 from xetl_spark.plans.runner import (  # noqa: F401
     StageContext,
+    StageResult,
     TaskFailure,
     explain_job,
     run_job,
+    run_report,
     run_task_tests,
+    stage_dependencies,
 )

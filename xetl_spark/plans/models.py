@@ -25,7 +25,7 @@ import re
 from typing import Any, Literal
 
 import yaml
-from pydantic import BaseModel, Field, field_validator, model_validator
+from pydantic import BaseModel, Field, PrivateAttr, field_validator, model_validator
 
 EnvValue = str | int | float | bool | None
 
@@ -265,6 +265,18 @@ class Job(BaseModel):
     host_env: list[str] | Literal["*"] | None = None
     env: dict[str, EnvValue] = Field(default_factory=dict)
     commands: list[Command] = Field(default_factory=list)
+
+    # placeholder-reference edges recorded at resolution time
+    # (command index -> earlier command indices it referenced);
+    # the parallel scheduler reads these as data dependencies.
+    _dep_edges: dict[int, set[int]] = PrivateAttr(default_factory=dict)
+
+    def set_dep_edges(self, edges: dict[int, set[int]]) -> None:
+        self._dep_edges = {k: set(v) for k, v in edges.items()}
+
+    @property
+    def dep_edges(self) -> dict[int, set[int]]:
+        return {k: set(v) for k, v in self._dep_edges.items()}
 
     @model_validator(mode="before")
     @classmethod

@@ -70,6 +70,13 @@ class Resolver:
     def __init__(self, job: "Job"):
         self.job = job
         self.names = [c.name for c in job.commands]
+        # placeholder-reference edges discovered during resolution:
+        # command index -> indices of earlier commands it references
+        # (${previous.*} and ${name.*}). Consumed by the parallel
+        # scheduler (runner.run_job(parallel=True)) as data-dependency
+        # edges — recorded here because after eager resolution the
+        # substituted scalars no longer reveal their provenance.
+        self.deps: dict[int, set[int]] = {}
 
     def resolve(self) -> None:
         for i, cmd in enumerate(self.job.commands):
@@ -136,6 +143,7 @@ class Resolver:
                     "job.py:326-328)"
                 )
             prev = self.job.commands[idx - 1]
+            self.deps.setdefault(idx, set()).add(idx - 1)
             return self._drill(self._command_view(prev), parts[1:], path)
 
         # named command reference?
@@ -147,6 +155,7 @@ class Resolver:
                         f"{head!r} which is not an earlier command "
                         "(acyclicity, reference job.py:337-339)"
                     )
+                self.deps.setdefault(idx, set()).add(j)
                 return self._drill(
                     self._command_view(self.job.commands[j]), parts[1:], path
                 )
@@ -219,5 +228,9 @@ class Resolver:
 def resolve_placeholders(job: "Job") -> None:
     """Eager, load-time resolution over the whole model tree — after
     this every command env value is a concrete scalar (reference
-    IR #3, job.py:132-137)."""
-    Resolver(job).resolve()
+    IR #3, job.py:132-137). Placeholder-reference edges discovered
+    along the way are kept on the job (``job.dep_edges``) for the
+    parallel scheduler."""
+    r = Resolver(job)
+    r.resolve()
+    job.set_dep_edges(r.deps)

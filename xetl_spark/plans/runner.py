@@ -27,6 +27,7 @@ from xetl_spark.plans.models import (
     EnvValue,
     Job,
     JobDataDirectoryNotFound,
+    ValidationError,
     fuzzy_eq,
 )
 from xetl_spark.plans.registry import BUILTINS, TaskRegistry
@@ -91,8 +92,13 @@ class StageContext:
 @dataclass
 class StageResult:
     command: Command
-    status: str  # "success" | "skipped" | "filtered" | "dryrun"
+    status: str  # "success" | "skipped" | "filtered" | "dryrun" | "resumed"
     output: DataFrame | None = None
+    wall_s: float = 0.0
+    rows: int | None = None  # materialized stages only (parquet metadata)
+    bytes: int | None = None  # materialized stages only (on-disk size)
+    output_path: str | None = None
+    schema: str | None = None
 
 
 def _filter_commands(job: Job, commands: str | list[str] | None) -> list[Command]:
@@ -115,27 +121,98 @@ def _filter_commands(job: Job, commands: str | list[str] | None) -> list[Command
     return out
 
 
-def run_job(
+def _dir_size(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _execute_stage(
     spark: SparkSession,
     job: Job,
-    commands: str | list[str] | None = None,
-    dryrun: bool = False,
-    registry: TaskRegistry | None = None,
-    resume: bool = False,
-) -> list[StageResult]:
-    """Execute the job sequentially with fail-fast validation.
+    cmd: Command,
+    spec: Any,
+    fn: Any,
+    env: dict[str, EnvValue],
+    outputs: dict[str, DataFrame],
+    previous: DataFrame | None,
+    resume: bool,
+) -> StageResult:
+    """Run one stage: resume-from-checkpoint shortcut, the task fn,
+    optional materialization, timing + (for materialized stages)
+    rows/bytes capture. Raises TaskFailure on any stage error."""
+    import os
+    import time
 
-    Execution order mirrors the reference (job.py:175-207): discover
-    tasks → data-dir guard (skipped on dry-run) → validate every
-    selected command against its task's env interface BEFORE running
-    anything → sequential loop; skip:true stages are not executed but
-    their (already-resolved) env stays referenceable.
+    label = cmd.name or cmd.task
+    wants_mat = str(env.get("MATERIALIZE", "")).lower() in ("true", "1")
+    dest = os.path.join(job.data, "_stages", label) if job.data else None
 
-    ``resume=True``: a MATERIALIZE=true stage whose checkpoint already
-    exists under ``<data>/_stages/<name>`` is restored from parquet
-    instead of recomputed — restartable pipelines without an external
-    workflow engine.
-    """
+    if resume and wants_mat and dest and os.path.isdir(dest):
+        log.info("Resuming command %s from %s", label, dest)
+        out = spark.read.parquet(dest)
+        return StageResult(
+            cmd,
+            "resumed",
+            out,
+            rows=out.count(),  # parquet footer metadata — no scan
+            bytes=_dir_size(dest),
+            output_path=dest,
+            schema=out.schema.simpleString(),
+        )
+
+    log.info("Running command %s (task=%s)", label, spec.name)
+    t0 = time.time()
+    ctx = StageContext(
+        spark=spark, job=job, command=cmd, env=env, outputs=outputs, previous=previous
+    )
+    rows = nbytes = None
+    path = None
+    try:
+        out = fn(ctx)
+        # per-stage materialization knob (reference parity: every
+        # command materialized files; here it's opt-in — default
+        # lazy so Catalyst fuses across stages, SURVEY.md §4.2)
+        if out is not None and wants_mat:
+            if not dest:
+                raise ValueError("MATERIALIZE=true requires a job data dir")
+            out.write.mode("overwrite").parquet(dest)
+            out = spark.read.parquet(dest)
+            rows = out.count()  # metadata-only over fresh parquet
+            nbytes = _dir_size(dest)
+            path = dest
+    except TaskFailure:
+        raise
+    except Exception as exc:
+        raise TaskFailure(cmd, exc) from exc
+    return StageResult(
+        cmd,
+        "success",
+        out,
+        wall_s=round(time.time() - t0, 3),
+        rows=rows,
+        bytes=nbytes,
+        output_path=path,
+        schema=out.schema.simpleString() if out is not None else None,
+    )
+
+
+def _prepare(
+    job: Job,
+    commands: str | list[str] | None,
+    dryrun: bool,
+    registry: TaskRegistry | None,
+) -> list[tuple[Command, Any, Any, dict[str, EnvValue]]]:
+    """Shared preamble: discover tasks, filter commands, data-dir
+    guard, fail-fast pre-validation of EVERY selected command
+    (reference job.py:175-200)."""
     reg = (registry or BUILTINS).copy()
     if job.tasks:
         reg.discover(job.tasks)
@@ -148,7 +225,6 @@ def run_job(
         if not os.path.isdir(job.data):
             raise JobDataDirectoryNotFound(job.data)
 
-    # fail-fast pre-validation (reference job.py:198-200)
     plan: list[tuple[Command, Any, Any, dict[str, EnvValue]]] = []
     for cmd in selected:
         spec, fn = reg.get(cmd.task)
@@ -156,66 +232,211 @@ def run_job(
         for warning in spec.validate_inputs(env):
             log.warning(warning)
         plan.append((cmd, spec, fn, env))
+    return plan
 
-    results: list[StageResult] = []
+
+def stage_dependencies(
+    job: Job, plan: list[tuple[Command, Any, Any, dict[str, EnvValue]]]
+) -> dict[int, set[int]]:
+    """Dependency edges between selected stages (positions in `plan`).
+
+    Sources, in order of authority:
+    - placeholder references recorded at resolution time
+      (``${name.env.X}`` / ``${previous.*}`` — job.dep_edges)
+    - env VALUES that name an earlier stage (the INPUT= convention
+      consumed by StageContext.input_df)
+    - an explicit ``DEPENDS_ON="a,b"`` env (empty string = no deps)
+
+    Default: a stage with no explicit DEPENDS_ON also depends on its
+    immediate predecessor — the implicit ``previous`` chain — so the
+    default schedule is exactly the reference's sequential order and
+    parallelism is strictly opt-in per stage.
+    """
+    selected = [cmd for cmd, _s, _f, _e in plan]
+    pos_of_cmd = {id(c): i for i, c in enumerate(selected)}
+    name_pos = [(c.name, i) for i, c in enumerate(selected) if c.name]
+    recorded = job.dep_edges
+    job_pos = {id(c): i for i, c in enumerate(job.commands)}
+
+    deps: dict[int, set[int]] = {}
+    for i, (cmd, _spec, _fn, env) in enumerate(plan):
+        d: set[int] = set()
+        for dep_ji in recorded.get(job_pos.get(id(cmd), -1), ()):
+            p = pos_of_cmd.get(id(job.commands[dep_ji]))
+            if p is not None and p < i:
+                d.add(p)
+        for v in env.values():
+            if isinstance(v, str):
+                for nm, p in name_pos:
+                    if p < i and fuzzy_eq(nm, v):
+                        d.add(p)
+        explicit = env.get("DEPENDS_ON")
+        if explicit is None:
+            if i > 0:
+                d.add(i - 1)
+        else:
+            for token in str(explicit).split(","):
+                token = token.strip()
+                if not token:
+                    continue
+                p = next((p for nm, p in name_pos if fuzzy_eq(nm, token)), None)
+                if p is None or p >= i:
+                    raise ValidationError(
+                        f"stage {cmd.name or cmd.task!r}: DEPENDS_ON "
+                        f"{token!r} does not name an earlier selected stage"
+                    )
+                d.add(p)
+        deps[i] = d
+    return deps
+
+
+def run_job(
+    spark: SparkSession,
+    job: Job,
+    commands: str | list[str] | None = None,
+    dryrun: bool = False,
+    registry: TaskRegistry | None = None,
+    resume: bool = False,
+    parallel: bool = False,
+    max_workers: int = 8,
+) -> list[StageResult]:
+    """Execute the job with fail-fast validation.
+
+    Execution order mirrors the reference (job.py:175-207): discover
+    tasks → data-dir guard (skipped on dry-run) → validate every
+    selected command against its task's env interface BEFORE running
+    anything → execution; skip:true stages are not executed but their
+    (already-resolved) env stays referenceable.
+
+    ``resume=True``: a MATERIALIZE=true stage whose checkpoint already
+    exists under ``<data>/_stages/<name>`` is restored from parquet
+    instead of recomputed — restartable pipelines without an external
+    workflow engine.
+
+    ``parallel=True``: independent stages run concurrently on a thread
+    pool (Spark sessions are thread-safe; each stage's action becomes a
+    concurrently-scheduled Spark job). Dependencies come from
+    stage_dependencies(); the DEFAULT edge set equals sequential order,
+    so parallelism only happens where a stage opts in with DEPENDS_ON.
+    The reference is strictly sequential (job.py:203-207) — this is the
+    scale-out extension a Spark driver makes natural.
+    """
+    plan = _prepare(job, commands, dryrun, registry)
+
+    results_by_pos: dict[int, StageResult] = {}
     outputs: dict[str, DataFrame] = {}
-    previous: DataFrame | None = None
 
-    for cmd, spec, fn, env in plan:
-        label = cmd.name or cmd.task
-        if cmd.skip:
-            log.info("Skipping command %s (skip=true)", label)
-            results.append(StageResult(cmd, "skipped"))
-            continue
-        ctx = StageContext(
-            spark=spark, job=job, command=cmd, env=env, outputs=outputs, previous=previous
-        )
-        if dryrun:
-            log.info("DRYRUN %s task=%s env=%s", label, spec.name, env)
-            results.append(StageResult(cmd, "dryrun"))
-            continue
-        wants_mat = str(env.get("MATERIALIZE", "")).lower() in ("true", "1")
-        if resume and wants_mat and job.data:
-            import os
-
-            dest = os.path.join(job.data, "_stages", label)
-            if os.path.isdir(dest):
-                log.info("Resuming command %s from %s", label, dest)
-                out = spark.read.parquet(dest)
-                if cmd.name:
-                    outputs[cmd.name] = out
-                    out.createOrReplaceTempView(cmd.name)
-                previous = out
-                results.append(StageResult(cmd, "resumed", out))
+    if dryrun or not parallel:
+        results: list[StageResult] = []
+        previous: DataFrame | None = None
+        for cmd, spec, fn, env in plan:
+            label = cmd.name or cmd.task
+            if cmd.skip:
+                log.info("Skipping command %s (skip=true)", label)
+                results.append(StageResult(cmd, "skipped"))
                 continue
-        log.info("Running command %s (task=%s)", label, spec.name)
-        try:
-            out = fn(ctx)
-            # per-stage materialization knob (reference parity: every
-            # command materialized files; here it's opt-in — default
-            # lazy so Catalyst fuses across stages, SURVEY.md §4.2)
-            if out is not None and str(env.get("MATERIALIZE", "")).lower() in (
-                "true",
-                "1",
-            ):
-                import os
+            if dryrun:
+                log.info("DRYRUN %s task=%s env=%s", label, spec.name, env)
+                results.append(StageResult(cmd, "dryrun"))
+                continue
+            res = _execute_stage(
+                spark, job, cmd, spec, fn, env, outputs, previous, resume
+            )
+            if res.output is not None:
+                if cmd.name:
+                    outputs[cmd.name] = res.output
+                    res.output.createOrReplaceTempView(cmd.name)
+                previous = res.output
+            results.append(res)
+        return results
 
-                if not job.data:
-                    raise ValueError("MATERIALIZE=true requires a job data dir")
-                dest = os.path.join(job.data, "_stages", label)
-                out.write.mode("overwrite").parquet(dest)
-                out = spark.read.parquet(dest)
-        except TaskFailure:
-            raise
-        except Exception as exc:
-            raise TaskFailure(cmd, exc) from exc
-        if out is not None:
-            if cmd.name:
-                outputs[cmd.name] = out
-                out.createOrReplaceTempView(cmd.name)
-            previous = out
-        results.append(StageResult(cmd, "success", out))
-    return results
+    # ---- parallel DAG schedule ----
+    import threading
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    deps = stage_dependencies(job, plan)
+    lock = threading.Lock()
+    done: set[int] = set()
+    failure: list[TaskFailure] = []
+
+    def ready(pending: set[int]) -> list[int]:
+        return [i for i in pending if deps[i] <= done]
+
+    def run_one(i: int) -> int:
+        cmd, spec, fn, env = plan[i]
+        # ctx.previous under explicit deps = the latest dependency's
+        # output; under the implicit chain that IS the predecessor.
+        with lock:
+            prev = None
+            for j in sorted(deps[i], reverse=True):
+                r = results_by_pos.get(j)
+                if r is not None and r.output is not None:
+                    prev = r.output
+                    break
+            outs = dict(outputs)
+        res = _execute_stage(spark, job, cmd, spec, fn, env, outs, prev, resume)
+        with lock:
+            results_by_pos[i] = res
+            if res.output is not None and cmd.name:
+                outputs[cmd.name] = res.output
+                res.output.createOrReplaceTempView(cmd.name)
+        return i
+
+    pending = set(range(len(plan)))
+    # skipped stages complete immediately (their env stays referenceable)
+    for i, (cmd, _s, _f, _e) in enumerate(plan):
+        if cmd.skip:
+            log.info("Skipping command %s (skip=true)", cmd.name or cmd.task)
+            results_by_pos[i] = StageResult(cmd, "skipped")
+            done.add(i)
+            pending.discard(i)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {}
+        while (pending or futures) and not failure:
+            for i in ready(pending):
+                pending.discard(i)
+                futures[pool.submit(run_one, i)] = i
+            if not futures:
+                if pending:  # cycle cannot happen (acyclic by construction)
+                    raise RuntimeError(f"deadlocked stages: {sorted(pending)}")
+                break
+            finished, _ = wait(futures, return_when=FIRST_COMPLETED)
+            for fut in finished:
+                i = futures.pop(fut)
+                try:
+                    done.add(fut.result())
+                except TaskFailure as tf:
+                    failure.append(tf)  # fail fast: stop scheduling
+    if failure:
+        raise failure[0]
+    return [results_by_pos[i] for i in range(len(plan))]
+
+
+def run_report(results: list[StageResult], job: Job | None = None) -> dict[str, Any]:
+    """Structured run-report artifact: per-stage status, task, wall
+    seconds, schema, and (for materialized stages) rows/bytes/path.
+    JSON-serializable — the runner-side observability the reference
+    delegates to its log decorations (xetl/logging.py:9-222)."""
+    stages = []
+    for r in results:
+        stages.append(
+            {
+                "name": r.command.name or r.command.task,
+                "task": r.command.task,
+                "status": r.status,
+                "wall_s": r.wall_s,
+                "rows": r.rows,
+                "bytes": r.bytes,
+                "output_path": r.output_path,
+                "schema": r.schema,
+            }
+        )
+    return {
+        "job": job.name if job else None,
+        "total_wall_s": round(sum(r.wall_s for r in results), 3),
+        "stages": stages,
+    }
 
 
 def run_task_tests(
