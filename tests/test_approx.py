@@ -70,3 +70,26 @@ def test_stratified_sample_fractions(spark, sf_dir):
     for flag, frac in [("A", 0.05), ("N", 0.2), ("R", 0.1)]:
         ratio = got.get(flag, 0) / totals[flag]
         assert 0.5 * frac < ratio < 1.5 * frac, (flag, ratio)
+
+
+def test_ivf_persisted_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """ivf_build_index + ivf_query_index: same results as the in-memory
+    IVF (same seed → same centroids), and the index scan is
+    partition-pruned to the probed cells."""
+    from xetl_spark.operators import ivf_ann_topk, ivf_build_index, ivf_query_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf_idx")
+    ivf_build_index(emb, "embedding", "vec_id", idx, n_clusters=8, seed=42)
+
+    got_df = ivf_query_index(spark, idx, queries, "embedding", "vec_id", k=5, n_probe=4)
+    got = {(r.query_id, r.neighbor_id, r.nn_rank) for r in got_df.collect()}
+    want_df = ivf_ann_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_clusters=8, n_probe=4, seed=42
+    )
+    want = {(r.query_id, r.neighbor_id, r.nn_rank) for r in want_df.collect()}
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

@@ -209,3 +209,18 @@ def test_cli_list_tasks(tmp_path):
     assert proc.returncode == 0
     for expected in ("read_parquet", "sql", "write_parquet", "dedup", "subjob"):
         assert expected in proc.stdout
+
+
+def test_default_shuffle_partitions_sizing(tmp_path, monkeypatch):
+    """Shuffle partitions derive from input bytes: floor at cores for
+    small inputs, scale at ~1 per 64MB of input, cap at 10x cores."""
+    from xetl_spark.session import _default_shuffle_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    assert _default_shuffle_partitions(16) == 16
+    # small dir -> floor
+    (tmp_path / "x.parquet").write_bytes(b"0" * 1024)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert _default_shuffle_partitions(16) == 16
+    # 8 GiB of input at 128MB target with 2x expansion -> 128 partitions
+    assert _default_shuffle_partitions(4, target_partition_bytes=16) == 40  # cap 10x

@@ -63,3 +63,42 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     written = spark.read.parquet(str(sink))
     assert written.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert "__batch_id" in written.columns
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas drives its stateful worker over a "
+    "protobuf channel; python protobuf is not installed in this image",
+)
+def test_tws_totals_converge_to_batch_agg(spark, sf_dir):
+    """transformWithStateInPandas (Spark-4 API, RocksDB state store)
+    produces the same converged totals as applyInPandasWithState."""
+    from xetl_spark.queries import load
+    from xetl_spark.streaming import running_totals_tws
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(running_totals_tws(stream), mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total")).alias("s"))
+        .select("user_id", "s.n_events", "s.total")
+    )
+    (events,) = load(spark, sf_dir, "events")
+    expected = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total")
+    )
+    got = {(r.user_id, r.n_events, r.total) for r in final.collect()}
+    want = {(r.user_id, r.n_events, r.total) for r in expected.collect()}
+    assert got == want

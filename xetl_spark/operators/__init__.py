@@ -33,6 +33,8 @@ from xetl_spark.operators.similarity import (  # noqa: F401
     cosine_near_duplicates,
     cosine_topk_bruteforce,
     ivf_ann_topk,
+    ivf_build_index,
+    ivf_query_index,
     lsh_ann_topk,
 )
 from xetl_spark.operators import text  # noqa: F401

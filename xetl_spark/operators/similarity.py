@@ -184,6 +184,46 @@ def cosine_near_duplicates(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def _nearest_cells(unit_col: str, centroids: list[list[float]], n: int):
+    """Column expr: the ``n`` nearest centroid indices (by cosine on
+    unit vectors) as an array<int>. Centroids are plan-shipped literals
+    — the broadcast-tiny side of IVF."""
+    dists = F.array(
+        *[
+            F.struct(
+                _dot(F.col(unit_col), F.array(*[F.lit(float(x)) for x in ctr])).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    top = F.slice(
+        F.array_sort(
+            dists,
+            lambda a, b: F.when(a["sim"] > b["sim"], -1)
+            .when(a["sim"] < b["sim"], 1)
+            .otherwise(0),
+        ),
+        1,
+        n,
+    )
+    return F.transform(top, lambda s: s["cell"])
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame, vec_col: str, n_clusters: int = 16, seed: int = 42
+) -> list[list[float]]:
+    """KMeans-fit IVF cell centroids over unit vectors; returns them as
+    plain lists (tiny — driver-held, plan-shipped)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
+    train = c.select(array_to_vector(F.col("__uc")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
+    return [list(ctr) for ctr in model.clusterCenters()]
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,44 +240,28 @@ def ivf_ann_topk(
 
     The scale shape: centroids are tiny (broadcast); the corpus is
     scanned once to assign cells (or pre-assigned and written
-    partitioned-by-cell, making later queries partition-pruned scans);
-    each query touches n_probe/n_clusters of the data. Beats
-    hyperplane LSH when neighbor cosines are weak, because cells adapt
-    to the data distribution.
+    partitioned-by-cell via ivf_build_index, making later queries
+    partition-pruned scans); each query touches n_probe/n_clusters of
+    the data. Beats hyperplane LSH when neighbor cosines are weak,
+    because cells adapt to the data distribution.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    centroids = ivf_fit_centroids(corpus, vec_col, n_clusters, seed)
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
     q = with_unit_vectors(queries, vec_col, "__uq")
-    train = c.select(array_to_vector(F.col("__uc")).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
-
-    centroids = [list(ctr) for ctr in model.clusterCenters()]
-
-    def nearest_cells(unit_col: str, n: int):
-        dists = F.array(
-            *[
-                F.struct(
-                    _dot(F.col(unit_col), F.array(*[F.lit(float(x)) for x in ctr])).alias("sim"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, ctr in enumerate(centroids)
-            ]
-        )
-        top = F.slice(F.array_sort(dists, lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1).otherwise(0)), 1, n)
-        return F.transform(top, lambda s: s["cell"])
-
     c_assigned = c.select(
         F.col(id_col).alias("neighbor_id"),
         "__uc",
-        F.element_at(nearest_cells("__uc", 1), 1).alias("cell"),
+        F.element_at(_nearest_cells("__uc", centroids, 1), 1).alias("cell"),
     )
     q_assigned = q.select(
         F.col(id_col).alias("query_id"),
         "__uq",
-        F.explode(nearest_cells("__uq", n_probe)).alias("cell"),
+        F.explode(_nearest_cells("__uq", centroids, n_probe)).alias("cell"),
     )
+    return _ivf_score(c_assigned, q_assigned, k)
+
+
+def _ivf_score(c_assigned: DataFrame, q_assigned: DataFrame, k: int) -> DataFrame:
     cand = c_assigned.join(q_assigned, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -250,6 +274,74 @@ def ivf_ann_topk(
     return scored.withColumn("nn_rank", F.row_number().over(w)).filter(
         F.col("nn_rank") <= k
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> None:
+    """Materialize an IVF index: the corpus (id, unit vector) written
+    ``partitionBy(cell)`` under ``path``, centroids in a ``_centroids``
+    parquet alongside.
+
+    This turns every later ANN query into a PARTITION-PRUNED scan —
+    only the probed cells' directories are read (PartitionFilters in
+    the scan node), so a 100 TB corpus answers a query batch by
+    touching n_probe/n_clusters of its files. Rebuild cadence at scale:
+    centroids drift slowly; reassign/rewrite is a full-scan batch job,
+    amortized over every query in between.
+    """
+    centroids = ivf_fit_centroids(corpus, vec_col, n_clusters, seed)
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u")
+    assigned = c.select(
+        F.col(id_col).alias("id"),
+        F.col("__u").alias("unit"),
+        F.element_at(_nearest_cells("__u", centroids, 1), 1).alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine ANN against a persisted IVF index (ivf_build_index).
+
+    Probed cells become a partition filter (``cell IN (...)``) on the
+    index scan, so only those directories are read. The probed-cell set
+    is bounded by n_clusters (collected driver-side — tiny), never by
+    corpus or query count.
+    """
+    centroids = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{path}/_centroids").orderBy("cell").collect()
+    ]
+    q = with_unit_vectors(queries, vec_col, "__uq").select(
+        F.col(id_col).alias("query_id"),
+        F.col("__uq"),
+        F.explode(_nearest_cells("__uq", centroids, n_probe)).alias("cell"),
+    )
+    probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))  # partition-pruned scan
+        .select(F.col("id").alias("neighbor_id"), F.col("unit").alias("__uc"), "cell")
+    )
+    return _ivf_score(index, q, k)
 
 
 def lsh_ann_topk(

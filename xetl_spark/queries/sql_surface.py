@@ -526,6 +526,25 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_ivf_index", oracle=None)
+def q_sim_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN: build the partitionBy(cell) index, then
+    answer top-5 via a partition-pruned scan of only the probed cells
+    — the repeated-query scale path (index amortized across query
+    batches). Result-parity with in-memory IVF and pruning are
+    asserted in tests/test_approx.py."""
+    import tempfile
+
+    from xetl_spark.operators import ivf_build_index, ivf_query_index
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="xetl_ivf_") + "/index"
+    ivf_build_index(emb, "embedding", "vec_id", idx, n_clusters=16, seed=42)
+    return ivf_query_index(
+        spark, idx, emb.filter(F.col("vec_id") < 30), "embedding", "vec_id", k=5
+    )
+
+
 @query("q_agg_approx_distinct", oracle=None)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rsd bound asserted in tests —

@@ -12,6 +12,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions(cpus: int, target_partition_bytes: int = 128 << 20) -> int:
+    """Size shuffle partitions from INPUT BYTES, not just core count.
+
+    Rule: one shuffle partition per ~128 MB of input (×2 expansion for
+    decompressed/joined intermediates), floored at the core count so
+    small inputs still use every core, capped at 10× cores so the
+    scheduler isn't flooded locally. Input size comes from
+    $SPARK_GRAFT_SF_DIR when set (the bench/test data root); without it
+    we fall back to core count — on a real cluster the equivalent knob
+    is sized from table statistics, and AQE coalescing trims any
+    overshoot at runtime.
+    """
+    floor = max(cpus, 8)
+    root = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not root or not os.path.isdir(root):
+        return floor
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    derived = (total * 2 + target_partition_bytes - 1) // target_partition_bytes
+    return int(min(max(floor, derived), cpus * 10))
+
+
 def get_session(
     app_name: str = "xetl_spark",
     master: str | None = None,
@@ -27,8 +54,8 @@ def get_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     nshuffle = shuffle_partitions or int(
-        os.environ.get("XETL_SHUFFLE_PARTITIONS", max(cpus, 8))
-    )
+        os.environ.get("XETL_SHUFFLE_PARTITIONS", 0)
+    ) or _default_shuffle_partitions(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

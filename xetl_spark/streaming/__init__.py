@@ -12,4 +12,5 @@ from xetl_spark.streaming.windows import (  # noqa: F401
 from xetl_spark.streaming.stateful import (  # noqa: F401
     run_with_foreach_batch,
     running_totals_stateful,
+    running_totals_tws,
 )

@@ -57,6 +57,58 @@ def running_totals_stateful(events: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+def running_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running (count, sum(value)) on the Spark-4
+    transformWithStateInPandas API — same operator contract as
+    running_totals_stateful, newer engine: typed ValueState handles,
+    RocksDB-backed state (the production state store for large,
+    spillable streaming state), timer support for TTL-style eviction.
+
+    Output parity with running_totals_stateful is asserted in tests —
+    both converge to the batch groupBy aggregate. Runtime requirement:
+    the stateful worker channel needs the python ``protobuf`` package
+    (absent in this image — the parity test skips itself there).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            got = self._totals.get() if self._totals.exists() else None
+            n, total = got if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    # transformWithState requires the RocksDB state store provider
+    # (cluster-correct anyway: RocksDB state spills to local disk and
+    # supports changelog checkpointing, unlike the in-memory HDFS one).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_with_foreach_batch(stream_df: DataFrame, sink_path: str) -> int:
     """Drive a stream through a foreachBatch parquet sink (the
     exactly-once custom-sink pattern: batch_id gives idempotence keys).
