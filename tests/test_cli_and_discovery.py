@@ -224,3 +224,24 @@ def test_default_shuffle_partitions_sizing(tmp_path, monkeypatch):
     assert _default_shuffle_partitions(16) == 16
     # 8 GiB of input at 128MB target with 2x expansion -> 128 partitions
     assert _default_shuffle_partitions(4, target_partition_bytes=16) == 40  # cap 10x
+
+
+def test_url_datasource_executor_side_fetch(spark, tmp_path):
+    """xetl_url Python data source: one partition per URL, fetched in
+    executors; dead links yield status=-1 rows instead of task aborts."""
+    from xetl_spark.sources import register_url_datasource
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text(f"payload-{i}")
+        files.append(f"file://{p}")
+    files.append(f"file://{tmp_path}/missing.txt")  # dead link
+
+    register_url_datasource(spark)
+    df = spark.read.format("xetl_url").option("urls", ",".join(files)).load()
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.url: (r.status, bytes(r.body)) for r in df.collect()}
+    for i in range(3):
+        assert rows[files[i]] == (200, f"payload-{i}".encode())
+    assert rows[files[3]][0] == -1

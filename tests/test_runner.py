@@ -519,3 +519,24 @@ def test_run_report(spark, tmp_path):
     import json
 
     json.dumps(rep)  # JSON-serializable end to end
+
+
+def test_write_task_reports_rows_via_observation(spark, tmp_path):
+    """write_parquet rides its write action with an Observation: the
+    run report gets the row count with no extra scan."""
+    from xetl_spark.plans.runner import run_report
+
+    job = _job(
+        f"""
+        name: obs
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: r, task: read_parquet, env: {{PATH: "${{SF_DIR}}/nation.parquet"}}}}
+          - {{name: w, task: write_parquet, env: {{PATH: {tmp_path}/obs_out}}}}
+        """
+    )
+    results = run_job(spark, job)
+    assert results[1].rows == 25  # nation has 25 rows; no MATERIALIZE needed
+    rep = run_report(results, job)
+    assert rep["stages"][1]["rows"] == 25

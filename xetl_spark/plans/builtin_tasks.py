@@ -210,14 +210,20 @@ def repartition_stage(ctx: StageContext):
 def _write(ctx: StageContext, fmt: str):
     df = ctx.input_df()
     part = ctx.env.get("PARTITION_BY")
+    # ride the write action with an Observation: row count lands in the
+    # run report for free (no second scan / no count() action)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     write_any(
-        df,
+        df.observe(obs, F.count(F.lit(1)).alias("rows")),
         str(ctx.env["PATH"]),
         fmt=fmt,
         mode=str(ctx.env["MODE"]),
         partition_by=[p.strip() for p in str(part).split(",")] if part else None,
         **({"header": True} if fmt == "csv" else {}),
     )
+    ctx.metrics["rows"] = int(obs.get["rows"])
     return df
 
 

@@ -56,6 +56,9 @@ class StageContext:
     env: dict[str, EnvValue]
     outputs: dict[str, DataFrame] = field(default_factory=dict)
     previous: DataFrame | None = None
+    # task-reported observability (e.g. Observation row counts from
+    # write tasks) — folded into StageResult / run_report
+    metrics: dict[str, Any] = field(default_factory=dict)
 
     def input_df(self, key: str = "INPUT") -> DataFrame:
         """Resolve a stage input: env[key] naming a prior stage, else
@@ -192,6 +195,8 @@ def _execute_stage(
         raise
     except Exception as exc:
         raise TaskFailure(cmd, exc) from exc
+    if rows is None and "rows" in ctx.metrics:
+        rows = int(ctx.metrics["rows"])  # Observation-reported, action-free
     return StageResult(
         cmd,
         "success",

@@ -245,3 +245,31 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.2f", F.col("o_totalprice")).alias("price_fmt"),
         F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_pad"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT)        AS k_int,
+           CAST(json_extract(props, '$.k') AS DOUBLE)     AS k_dbl,
+           json_extract_string(props, '$.k')              AS k_str,
+           CAST(json_type(json(props)) = 'OBJECT' AS BOOLEAN) AS is_obj
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json into a
+    variant column, typed extraction with variant_get, schema probing
+    with schema_of_variant — the open-schema path for semi-structured
+    ingestion (binary-encoded, predicate-pushdown-friendly, vs the
+    per-query string re-parse of get_json_object)."""
+    (events,) = load(spark, sf_dir, "events")
+    v = events.select("event_id", F.parse_json(F.col("props")).alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(v, '$.k', 'double')").alias("k_dbl"),
+        F.expr("CAST(variant_get(v, '$.k', 'long') AS STRING)").alias("k_str"),
+        F.expr("schema_of_variant(v)").startswith("OBJECT").alias("is_obj"),
+    )

@@ -175,3 +175,55 @@ def q_ingest_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.sources.url import ingest_url
 
     return ingest_url(spark, f"file://{sf_dir}/region.parquet", fmt="parquet")
+
+
+@query(
+    "q_ingest_url_datasource",
+    oracle="""
+    SELECT CAST('file' AS VARCHAR) AS scheme, 200 AS status,
+           count(*) AS n_urls
+    FROM region
+    """,
+)
+def q_ingest_url_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed URL ingest via the Spark-4 Python DataSource API
+    (format 'xetl_url'): one scan partition per URL, fetched executor-
+    side — the scale path for the reference `download` task. Offline
+    here: each region row's parquet file uses a file:// URL (5 URLs,
+    one per region-keyed copy)."""
+    from xetl_spark.sources.url import register_url_datasource
+
+    register_url_datasource(spark)
+    urls = ",".join(f"file://{sf_dir}/region.parquet" for _ in range(5))
+    df = spark.read.format("xetl_url").option("urls", urls).load()
+    return df.select(
+        F.split(F.col("url"), ":").getItem(0).alias("scheme"), "status"
+    ).groupBy("scheme", "status").agg(F.count("*").alias("n_urls"))
+
+
+@query(
+    "q_scan_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan (Spark 4 built-in xml source, rowTag framing) —
+    lossless roundtrip of the nation table verified against the parquet
+    original."""
+    (nation,) = load(spark, sf_dir, "nation")
+    out = _tmp("xml", sf_dir)
+    proj = nation.select("n_nationkey", "n_name", "n_regionkey")
+    proj.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).format("xml").option("rowTag", "nation").load(out)
+    )

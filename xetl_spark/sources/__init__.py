@@ -6,4 +6,8 @@ streaming readers (xetl_spark.streaming).
 """
 
 from xetl_spark.sources.io import read_any, write_any  # noqa: F401
-from xetl_spark.sources.url import ingest_url  # noqa: F401
+from xetl_spark.sources.url import (  # noqa: F401
+    fetch_urls_distributed,
+    ingest_url,
+    register_url_datasource,
+)

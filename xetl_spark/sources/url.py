@@ -61,3 +61,58 @@ def fetch_urls_distributed(urls_df: DataFrame, url_col: str = "url") -> DataFram
             yield pd.DataFrame(rows, columns=["url", "status", "byte_len", "body"])
 
     return urls_df.mapInPandas(fetch, schema=FETCH_SCHEMA)
+
+
+def register_url_datasource(spark: SparkSession) -> None:
+    """Register the ``xetl_url`` Python data source (Spark 4 DataSource
+    API) so URL ingest is a first-class ``spark.read.format("xetl_url")``
+    — one InputPartition per URL, fetched executor-side, composing with
+    the whole reader stack (schema, options, downstream pushdown).
+
+    Usage:
+        register_url_datasource(spark)
+        df = (spark.read.format("xetl_url")
+              .option("urls", "https://a/x.txt,https://b/y.txt").load())
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _UrlPartition(InputPartition):
+        def __init__(self, url: str):
+            self.url = url
+
+    class _UrlReader(DataSourceReader):
+        def __init__(self, options):
+            raw = options.get("urls", "")
+            self.urls = [u.strip() for u in raw.replace("\n", ",").split(",") if u.strip()]
+            self.timeout = int(options.get("timeout", 30))
+
+        def partitions(self):
+            # one partition per URL: fetch parallelism == URL count,
+            # scheduled across executors like any other scan split
+            return [_UrlPartition(u) for u in self.urls]
+
+        def read(self, partition):
+            u = partition.url
+            try:
+                with urllib.request.urlopen(u, timeout=self.timeout) as resp:  # noqa: S310
+                    body = resp.read()
+                    status = int(getattr(resp, "status", 200) or 200)
+            except Exception:
+                body, status = b"", -1
+            yield (u, status, len(body), body)
+
+    class UrlDataSource(DataSource):
+        """url string, status int, byte_len long, body binary — same
+        row contract as fetch_urls_distributed."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "xetl_url"
+
+        def schema(self) -> str:
+            return FETCH_SCHEMA
+
+        def reader(self, schema):  # noqa: ANN001
+            return _UrlReader(self.options)
+
+    spark.dataSource.register(UrlDataSource)
