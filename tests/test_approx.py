@@ -93,3 +93,19 @@ def test_ivf_persisted_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path
 
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_hll_sketch_estimates_and_merge(spark, sf_dir):
+    """DataSketches HLL: per-group estimates within the lgK=14 error
+    bound of exact, and the merged (union) sketch approximates the
+    global distinct count without rescanning the data."""
+    from xetl_spark.queries import REGISTRY, load
+
+    rows = {r.o_orderstatus: r for r in REGISTRY["q_agg_hll_sketch"].fn(spark, sf_dir).collect()}
+    all_row = rows.pop("ALL")
+    for status, r in rows.items():
+        assert abs(r.approx_custs - r.exact_custs) / r.exact_custs < 0.05, (
+            status, r.approx_custs, r.exact_custs)
+    (orders,) = load(spark, sf_dir, "orders")
+    exact_all = orders.select("o_custkey").distinct().count()
+    assert abs(all_row.approx_custs - exact_all) / exact_all < 0.05

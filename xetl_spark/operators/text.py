@@ -120,21 +120,27 @@ def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
     hash collisions, and every step is a keyed shuffle that scales
     linearly with the corpus. Returns (doc, term, tf, df, tfidf).
     """
-    from pyspark.sql import DataFrame  # noqa: F401
+    from pyspark.sql import DataFrame, Window  # noqa: F401
     from xetl_spark.operators.util import ensure_parallelism
 
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= min_df)
-    )
+    # document frequency as a term-partitioned window over the tf table:
+    # one reshuffle by term, tf computed ONCE (a groupBy(term) +
+    # join-back would recompute the whole tokenize/explode/agg chain for
+    # the build side — Spark does not reuse that exchange across the two
+    # consumers), and — decisive at scale — no broadcast of the
+    # document-frequency table, whose size is the VOCABULARY (unbounded
+    # on a 100 TB corpus). Skewed stopword terms are bounded by the
+    # per-term partial aggregation having already collapsed each doc to
+    # one row.
+    dfreq = F.count("*").over(Window.partitionBy("term"))
     total = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", dfreq)
+        .filter(F.col("df") >= min_df)
         .crossJoin(F.broadcast(total))
         .select(
             "doc",

@@ -273,3 +273,34 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(variant_get(v, '$.k', 'long') AS STRING)").alias("k_str"),
         F.expr("schema_of_variant(v)").startswith("OBJECT").alias("is_obj"),
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE round(l_extendedprice / (l_linenumber - 1), 4) END AS safe_div,
+           CASE WHEN l_orderkey > 7 THEN NULL
+                ELSE l_orderkey + 9223372036854775800 END            AS safe_add,
+           TRY_CAST(l_returnflag AS INT)                             AS flag_int,
+           TRY_CAST(l_linestatus AS BOOLEAN)                         AS status_bool
+    FROM lineitem
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-tolerant expressions (try_divide / try_add /
+    try_cast): invalid arithmetic and casts yield NULL rows instead of
+    task failures — the semantics a 100 TB pipeline needs so one bad
+    record can't abort a stage."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 4
+        ).alias("safe_div"),
+        F.try_add(F.col("l_orderkey"), F.lit(9223372036854775800)).alias("safe_add"),
+        F.col("l_returnflag").try_cast("int").alias("flag_int"),
+        F.col("l_linestatus").try_cast("boolean").alias("status_bool"),
+    )

@@ -602,3 +602,83 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.unique("o_orderkey"),
     ]
     return Q.quality_report(orders, checks)
+
+
+@query(
+    "q_lateral",
+    oracle="""
+    SELECT o_orderkey, l.net, l.tax_amt
+    FROM orders,
+         LATERAL (SELECT round(o_totalprice * 0.93, 4) AS net,
+                         round(o_totalprice * 0.07, 4) AS tax_amt) l
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (Spark 4 SQL): per-row computed
+    relation joined back — the SQL-standard spelling of reusable
+    row-scoped expressions."""
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, l.net, l.tax_amt
+        FROM orders,
+             LATERAL (SELECT round(o_totalprice * 0.93, 4) AS net,
+                             round(o_totalprice * 0.07, 4) AS tax_amt) l
+        WHERE o_orderkey % 100 = 0
+        """
+    )
+
+
+@query(
+    "q_agg_hll_sketch",
+    oracle=None,
+)
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches,
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-group
+    sketches merged to a grand total WITHOUT rescanning — the 100 TB
+    distinct-counting pattern (daily sketches unioned into monthly,
+    error bound fixed by lgK). Estimate-vs-exact bound asserted in
+    tests/test_approx.py."""
+    (orders,) = load(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    return per_status.select(
+        "o_orderstatus",
+        F.expr("hll_sketch_estimate(sk)").alias("approx_custs"),
+        "exact_custs",
+    ).unionByName(
+        per_status.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_custs")
+        ).select(
+            F.lit("ALL").alias("o_orderstatus"),
+            "approx_custs",
+            F.lit(None).cast("long").alias("exact_custs"),
+        )
+    )
+
+
+@query(
+    "q_agg_approx_top_k",
+    oracle="""
+    SELECT item, cnt FROM (
+      SELECT l_returnflag AS item, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY cnt DESC LIMIT 2)
+    """,
+)
+def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy-hitters sketch: top-2 most frequent return
+    flags. With maxItemsTracked >= cardinality the sketch is exact, so
+    it hash-matches the exact GROUP BY/ORDER BY oracle; at 100 TB the
+    same expression keeps bounded memory where the exact query's
+    full aggregation state might not."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.agg(F.expr("approx_top_k(l_returnflag, 2, 100)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )

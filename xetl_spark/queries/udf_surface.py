@@ -132,3 +132,41 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.p_partkey, s.word FROM part, "
         "LATERAL xetl_split_words(p_partkey, p_type) s"
     )
+
+
+@query(
+    "q_udf_grouped_arrow",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS bal_sum
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow: per-group transform on raw pyarrow
+    Tables — the zero-copy sibling of applyInPandas (no pandas
+    conversion cost, exact Arrow types), verified against the SQL
+    aggregate."""
+    import pyarrow as pa
+
+    def agg_group(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = table.column("c_nationkey")[0].as_py()
+        bal = pc.sum(table.column("c_acctbal")).as_py() or 0.0
+        return pa.table(
+            {
+                "c_nationkey": pa.array([key], pa.int64()),
+                "n_cust": pa.array([table.num_rows], pa.int64()),
+                "bal_sum": pa.array([round(bal, 2)], pa.float64()),
+            }
+        )
+
+    (cust,) = load(spark, sf_dir, "customer")
+    return (
+        cust.select("c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInArrow(
+            agg_group, schema="c_nationkey long, n_cust long, bal_sum double"
+        )
+    )
