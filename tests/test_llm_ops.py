@@ -185,3 +185,40 @@ def test_incremental_exact_dedup(spark):
     assert [r.doc_id for r in fresh2.collect()] == [5]  # 'beta' known from batch 1
     store = seen1.unionByName(seen2)
     assert store.distinct().count() == 3  # alpha, beta, gamma
+
+
+def test_chunk_text_windows(spark):
+    """Chunks advance by chunk-overlap tokens; all tokens covered; last
+    chunk may be short; single short doc yields one chunk."""
+    from xetl_spark.operators.text import chunk_text
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "just three words")], "doc_id long, text string")
+    out = {(r.doc, r.chunk_id): (r.n_tokens, r.chunk)
+           for r in chunk_text(df, "text", "doc_id", chunk_tokens=4, overlap=2).collect()}
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 1)] == (4, "w2 w3 w4 w5")  # step = 2
+    assert out[(1, 4)] == (2, "w8 w9")  # trailing partial chunk
+    assert out[(2, 0)] == (3, "just three words")
+    assert max(cid for d, cid in out if d == 1) == 4
+
+
+def test_repetition_and_redaction(spark):
+    from xetl_spark.operators.text import redact_pii, repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one distinct trigram
+            (2, "all words here are fully distinct tokens"),
+            (3, "mail me at a.b@c.io or 555-123-4567 from 192.168.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.rep, r.red) for r in df.select(
+        "doc_id",
+        repetition_score("text", 3).alias("rep"),
+        redact_pii("text").alias("red"),
+    ).collect()}
+    assert rows[1][0] == 0.75  # 4 trigrams, 1 distinct
+    assert rows[2][0] == 0.0
+    assert rows[3][1] == "mail me at <EMAIL> or <PHONE> from <IP>"

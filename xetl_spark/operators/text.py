@@ -155,6 +155,63 @@ def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
     )
 
 
+def chunk_text(df, text_col: str, id_col: str, chunk_tokens: int = 64, overlap: int = 16):
+    """Sliding-window token chunking for LLM context packing: each doc
+    becomes ceil(n/step) chunks of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens - overlap``. Pure Catalyst (sequence → transform →
+    posexplode), one narrow pass — no shuffle at all, so it streams at
+    scan speed over 100 TB. Returns (doc, chunk_id, n_tokens, chunk).
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(chunks).alias("chunk_id", "__c"),
+    ).select(
+        "doc",
+        "chunk_id",
+        F.size("__c").alias("n_tokens"),
+        F.concat_ws(" ", "__c").alias("chunk"),
+    )
+
+
+def repetition_score(text: Column | str, n: int = 3) -> Column:
+    """Intra-document repetition: 1 − distinct/total word n-grams —
+    the duplicate-paragraph/boilerplate signal quality filters cut on
+    (high = templated or looping text). Expression-only; composes into
+    any select."""
+    from xetl_spark.operators.dedup import _ngram_array
+
+    grams = _ngram_array(tokens(text), n)
+    return F.round(
+        1 - F.size(F.array_distinct(grams)) / F.greatest(F.size(grams), F.lit(1)), 6
+    )
+
+
+# deliberately simple, cross-engine-portable patterns (no lookbehind):
+# the point is the redaction *pipeline shape*; production swaps in its
+# own pattern pack / NER model via the same expression slot
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Chained regexp_replace redaction of emails / phone numbers /
+    IPv4 literals — the minimum scrub a training corpus runs before
+    anything else. Stays in whole-stage codegen (JVM regex), no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, tag in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
 def rolling_hash_fingerprint(text: Column | str, window: int = 4) -> Column:
     """Winnowing-style fingerprint: xxhash64 of each sliding token
     window, then md5 of the ordered hash sequence. Uses the zip_with

@@ -431,3 +431,81 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .applyInPandas(demean, schema="l_orderkey long, l_linenumber int, qty_demeaned double")
     )
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents WHERE doc_id < 200),
+    starts AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS s FROM toks)
+    SELECT doc_id AS doc, CAST(s // 48 AS INT) AS chunk_id,
+           len(t[s+1 : s+64]) AS n_tokens,
+           array_to_string(t[s+1 : s+64], ' ') AS chunk
+    FROM starts
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token chunks, 16 overlap) for
+    LLM context packing — shuffle-free narrow pass (sequence →
+    transform → posexplode), hash-verified against list-slicing SQL."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return text.chunk_text(
+        docs.filter(F.col("doc_id") < 200), "text", "doc_id", chunk_tokens=64, overlap=16
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS grams
+          FROM toks)
+    SELECT doc_id, round(1 - len(list_distinct(grams)) / greatest(len(grams), 1), 6) AS rep3
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (1 − distinct/total trigrams) —
+    the boilerplate/looping-text signal quality filters threshold on."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.repetition_score("text", 3).alias("rep3")
+    )
+
+
+@query(
+    "q_text_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || doc_id ||
+                 '@example.com at 555-123-4567 or 10.0.0.' || (doc_id % 256),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pipeline (emails / phones / IPv4 → tags) over a
+    corpus with synthetic PII appended so every row exercises all three
+    patterns; chained JVM regexp_replace, no UDF."""
+    (docs,) = load(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 555-123-4567 or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return with_pii.select(
+        "doc_id", text.redact_pii("text").alias("redacted")
+    )
