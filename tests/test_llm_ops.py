@@ -222,3 +222,41 @@ def test_repetition_and_redaction(spark):
     assert rows[1][0] == 0.75  # 4 trigrams, 1 distinct
     assert rows[2][0] == 0.0
     assert rows[3][1] == "mail me at <EMAIL> or <PHONE> from <IP>"
+
+
+def test_chunk_text_properties(spark):
+    """Property: for random token counts, chunk windows (a) cover every
+    token, (b) reconstruct the document exactly from stride-sized chunk
+    prefixes, (c) chunk count is ceil(n/step) (one chunk per start)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xetl_spark.operators.text import chunk_text
+
+    @settings(deadline=None, max_examples=8)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        chunk=st.integers(min_value=2, max_value=32),
+        ov=st.integers(min_value=0, max_value=8),
+    )
+    def check(n: int, chunk: int, ov: int) -> None:
+        ov = min(ov, chunk - 1)
+        step = chunk - ov
+        words = [f"w{i}" for i in range(n)]
+        df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        rows = sorted(
+            chunk_text(df, "text", "doc_id", chunk_tokens=chunk, overlap=ov).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert len(rows) == math.ceil(n / step)
+        rebuilt: list[str] = []
+        for r in rows:
+            toks = r.chunk.split(" ")
+            assert len(toks) == r.n_tokens <= chunk
+            assert toks == words[r.chunk_id * step : r.chunk_id * step + len(toks)]
+            rebuilt.extend(toks[: step] if r is not rows[-1] else toks)
+        assert rebuilt == words  # stride prefixes + final chunk = the doc
+
+    check()

@@ -540,3 +540,15 @@ def test_write_task_reports_rows_via_observation(spark, tmp_path):
     assert results[1].rows == 25  # nation has 25 rows; no MATERIALIZE needed
     rep = run_report(results, job)
     assert rep["stages"][1]["rows"] == 25
+
+
+def test_example_parallel_report_manifest(spark, tmp_path, monkeypatch):
+    """The shipped parallel-DAG example runs under the concurrent
+    scheduler and produces the expected star-join revenue rows."""
+    monkeypatch.setenv("OUT_DIR", str(tmp_path / "par_out"))
+    job = Job.from_file("/root/repo/examples/parallel_report.yml")
+    results = run_job(spark, job, parallel=True, max_workers=4)
+    assert [r.status for r in results] == ["success"] * 5
+    out = spark.read.parquet(str(tmp_path / "par_out"))
+    assert out.count() == 25  # one row per nation
+    assert results[-1].rows == 25  # Observation-reported sink rows

@@ -156,3 +156,50 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = watermarked_dedup(stream)
     counted = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
     return run_stream_to_memory(counted, mode="complete")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+           round(p.value, 2) AS amount
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click→purchase attribution
+    within a 30-minute band) — executed as a REAL streaming query; the
+    watermark + time-band bound join state on both sides, which is what
+    makes an unbounded 100 TB/day join feasible. Batch equivalence
+    asserted by the DuckDB oracle (inner join emits exactly the band
+    matches on a finite replay)."""
+    s = read_events_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks.withColumnRenamed("user_id", "c_user"),
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = run_stream_to_memory(joined, mode="append")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_micros(F.col("c_ts"))).alias("click_us"),
+        (F.unix_micros(F.col("p_ts"))).alias("purchase_us"),
+        F.round("value", 2).alias("amount"),
+    )
