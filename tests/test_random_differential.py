@@ -1,0 +1,126 @@
+"""Randomized differential testing: Spark vs DuckDB on seeded random
+tables (not just the driver fixtures). Each template runs the same
+relational semantics through both engines and compares canonical value
+hashes — the fuzz layer over the fixed-corpus oracle harness
+(tools/oracle_harness.py), sharing its canonicalization.
+"""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from oracle_harness import canonical_hash  # noqa: E402
+
+import duckdb  # noqa: E402
+
+
+def _tables(seed: int):
+    rng = np.random.default_rng(seed)
+    n = 1500
+    grp = rng.choice(["a", "b", "c", "d", None], size=n, p=[0.3, 0.3, 0.2, 0.15, 0.05])
+    fact = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.zipf(1.8, size=n).clip(max=60).astype(np.int32),  # skewed key
+            "grp": grp,
+            "v": np.round(rng.normal(100, 30, size=n), 2),
+            "s": ["s" + str(x) for x in rng.integers(0, 500, size=n)],
+        }
+    )
+    fact.loc[rng.choice(n, size=n // 20, replace=False), "v"] = np.nan
+    dim = pd.DataFrame(
+        {
+            "k": np.arange(1, 41, dtype=np.int32),
+            "label": ["L" + str(i % 7) for i in range(1, 41)],
+        }
+    )
+    return fact, dim
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_tables_differential(spark, con, seed):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fact_pd, dim_pd = _tables(seed)
+    fact = spark.createDataFrame(fact_pd)
+    dim = spark.createDataFrame(dim_pd)
+    con.register("fact", fact_pd)
+    con.register("dim", dim_pd)
+
+    cases = {
+        "group_agg": (
+            fact.groupBy("grp").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("v"), 2).alias("sv"),
+                F.min("s").alias("mn"),
+                F.max("k").alias("mx"),
+                F.count("v").alias("nv"),
+            ),
+            """SELECT grp, count(*) AS n, round(sum(v), 2) AS sv,
+                      min(s) AS mn, max(k) AS mx, count(v) AS nv
+               FROM fact GROUP BY grp""",
+        ),
+        "join_left": (
+            fact.join(dim, "k", "left").select("id", "k", "grp", "label"),
+            """SELECT id, f.k AS k, grp, label
+               FROM fact f LEFT JOIN dim d ON f.k = d.k""",
+        ),
+        "join_full_agg": (
+            fact.join(dim, "k", "full")
+            .groupBy("label")
+            .agg(F.count("*").alias("n"), F.round(F.avg("v"), 4).alias("av")),
+            """SELECT label, count(*) AS n, round(avg(v), 4) AS av
+               FROM fact f FULL JOIN dim d ON f.k = d.k GROUP BY label""",
+        ),
+        "window_topk": (
+            fact.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("grp").orderBy(
+                        F.col("v").desc_nulls_last(), F.col("id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= 3)
+            .select("grp", "id", "rn"),
+            """SELECT grp, id, rn FROM (
+                 SELECT grp, id, row_number() OVER (
+                   PARTITION BY grp ORDER BY v DESC NULLS LAST, id) AS rn
+                 FROM fact) WHERE rn <= 3""",
+        ),
+        "distinct_except": (
+            fact.filter(F.col("k") <= 10)
+            .select("grp", "k")
+            .distinct()
+            .exceptAll(fact.filter(F.col("k") <= 3).select("grp", "k").distinct()),
+            """SELECT DISTINCT grp, k FROM fact WHERE k <= 10
+               EXCEPT ALL
+               SELECT DISTINCT grp, k FROM fact WHERE k <= 3""",
+        ),
+        "conditional": (
+            fact.select(
+                "id",
+                F.coalesce(F.col("grp"), F.lit("?")).alias("g2"),
+                F.when(F.col("v") > 100, "hi").otherwise("lo").alias("band"),
+                F.nullif(F.col("k").cast("int"), F.lit(1)).alias("k_nz"),
+            ),
+            """SELECT id, coalesce(grp, '?') AS g2,
+                      CASE WHEN v > 100 THEN 'hi' ELSE 'lo' END AS band,
+                      nullif(k, 1) AS k_nz
+               FROM fact""",
+        ),
+    }
+    for name, (sdf, sql) in cases.items():
+        got = sdf.toPandas()
+        want = con.execute(sql).fetchdf()
+        assert len(got) == len(want), (name, len(got), len(want))
+        assert canonical_hash(got) == canonical_hash(want), name
