@@ -227,3 +227,30 @@ def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(schema).format("xml").option("rowTag", "nation").load(out)
     )
+
+
+@query(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS extra
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS extra
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different
+    schemas (the second adds a column) unioned by a mergeSchema=true
+    scan — rows from the old batch surface NULL for the new column.
+    The append-only evolution path a long-lived 100 TB table needs
+    (no rewrite of historical files)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    out = _tmp("mergeschema", sf_dir)
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").parquet(f"{out}/b1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("extra")
+    ).write.mode("overwrite").parquet(f"{out}/b2")
+    return spark.read.option("mergeSchema", True).parquet(f"{out}/b1", f"{out}/b2")
