@@ -254,3 +254,30 @@ def test_join_strategy_hints(spark, sf_dir):
     assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
     sm = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
     assert "SortMergeJoin" in sm._jdf.queryExecution().executedPlan().toString()
+
+
+def test_multimodal_audio_windows(spark, sf_dir):
+    """Audio windowing (1→N overlapping PCM windows): contiguous hop
+    starts, window/hop timing, deterministic stub payloads."""
+    from xetl_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = multimodal.attach_binary(docs, "text", mime="audio/wav")
+    wins = multimodal.window_audio(
+        media, "media", "doc_id", window_ms=1000, hop_ms=500
+    ).collect()
+    by_id = {}
+    for r in wins:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id) == 20
+    for rid, rs in by_id.items():
+        rs.sort(key=lambda r: r.window_idx)
+        assert 1 <= len(rs) <= 8
+        assert [r.start_ms for r in rs] == [i * 500 for i in range(len(rs))]
+        assert all(r.end_ms <= r.start_ms + 1000 for r in rs)
+        assert all(len(bytes(r.pcm)) == 32 for r in rs)
+    # determinism across runs
+    again = multimodal.window_audio(media, "media", "doc_id").collect()
+    assert {(r.id, r.window_idx): bytes(r.pcm) for r in again} == {
+        (r.id, r.window_idx): bytes(r.pcm) for r in wins
+    }

@@ -119,6 +119,54 @@ def sample_frames(
     return df.select(id_col, media_col).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = "id long, window_idx int, start_ms long, end_ms long, pcm binary"
+
+
+def window_audio(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Split audio payloads into fixed-length overlapping PCM windows
+    (1 row in → ceil(duration/hop) rows out) — the audio analog of
+    video frame sampling; windows feed ASR/embedding models downstream.
+    The PCM decode is stubbed (no audio codec in this container); the
+    1→N expansion, window timing, and binary window payloads are the
+    real Spark-side contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real audio decode requires an audio codec (soundfile/"
+                    "ffmpeg), not present here"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[media_col])
+                # deterministic fake duration from content: 1-8 hops
+                dur_ms = hop_ms * (
+                    1 + int.from_bytes(hashlib.sha256(payload).digest()[2:4], "big") % 8
+                )
+                idx = 0
+                for start in range(0, dur_ms, hop_ms):
+                    pcm = hashlib.sha256(payload + start.to_bytes(4, "big")).digest()
+                    rows.append(
+                        (row[id_col], idx, start, min(start + window_ms, dur_ms), pcm)
+                    )
+                    idx += 1
+            yield pd.DataFrame(
+                rows, columns=["id", "window_idx", "start_ms", "end_ms", "pcm"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+
+
 FEATURE_SCHEMA = "id long, byte_len long, width int, height int, features array<float>"
 
 

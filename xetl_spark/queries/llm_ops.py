@@ -509,3 +509,13 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pii.select(
         "doc_id", text.redact_pii("text").alias("redacted")
     )
+
+
+@query("q_multimodal_audio", oracle=None)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio payload windowing (1→N overlapping PCM windows via
+    Arrow-batched mapInPandas; codec stubbed — the schema/expansion/
+    timing contract is the real, tested part)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    with_media = multimodal.attach_binary(docs, "text", mime="audio/wav")
+    return multimodal.window_audio(with_media, "media", "doc_id")
