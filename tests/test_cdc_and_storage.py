@@ -159,3 +159,38 @@ def test_scd2_two_consecutive_batches(spark):
         ("b", t1, t2, False),
         ("c", t2, None, True),
     ]
+
+
+def test_stream_cdc_fold_versioned_snapshots(spark, tmp_path):
+    """CDC fold over two micro-batches: the final snapshot keeps the
+    max-(ver, k) row per key regardless of batch split; every version
+    stays queryable (time travel)."""
+    from xetl_spark.operators import latest_snapshot, stream_cdc_fold
+
+    schema = "k long, ver long, amt double"
+    src = tmp_path / "cdc_src"
+    # batch 1: k=1 v1, k=2 v2 ; batch 2: k=1 v3 (newer), k=3 v1 (new key)
+    spark.createDataFrame([(1, 1, 10.0), (2, 2, 20.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame([(1, 3, 99.0), (3, 1, 30.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    table = str(tmp_path / "cdc_table")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    n = stream_cdc_fold(stream, table, keys=["k"], order_by=["ver", "k"])
+    assert n == 2
+
+    final, v = latest_snapshot(spark, table)
+    assert v == 1  # two batches -> v=0 then v=1
+    assert {(r.k, r.ver, r.amt) for r in final.collect()} == {
+        (1, 3, 99.0),
+        (2, 2, 20.0),
+        (3, 1, 30.0),
+    }
+    # old snapshot still queryable (poor man's time travel)
+    v0 = spark.read.parquet(f"{table}/v=0")
+    assert v0.count() in (1, 2)  # whichever file came first

@@ -16,7 +16,12 @@ from xetl_spark.operators.graph import (  # noqa: F401
     connected_components,
     dedup_clusters,
 )
-from xetl_spark.operators.cdc import merge_upsert, scd2  # noqa: F401
+from xetl_spark.operators.cdc import (  # noqa: F401
+    latest_snapshot,
+    merge_upsert,
+    scd2,
+    stream_cdc_fold,
+)
 from xetl_spark.operators.asof import asof_join, range_join  # noqa: F401
 from xetl_spark.operators.dedup import (  # noqa: F401
     exact_dedup,

@@ -93,3 +93,70 @@ def scd2(
     )
     untouched = joined.filter(~F.coalesce(affected, F.lit(False))).select(*current.columns)
     return untouched.unionByName(closed).unionByName(opened)
+
+
+def latest_snapshot(spark, path: str) -> tuple[DataFrame | None, int]:
+    """Newest versioned snapshot under ``path`` (dirs named v=N).
+    Returns (DataFrame | None, version); version is -1 when empty."""
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return None, -1
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    if not versions:
+        return None, -1
+    v = versions[-1]
+    return spark.read.parquet(os.path.join(path, f"v={v}")), v
+
+
+def stream_cdc_fold(
+    stream_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> int:
+    """Fold a CDC stream into versioned snapshots: each micro-batch
+    writes snapshot v=N+1 = keep-latest-per-key over (previous snapshot
+    ∪ batch), latest decided by ``order_by`` DESC (include a unique
+    tiebreaker).
+
+    The fold step is associative and commutative over row sets, so the
+    result is independent of how the stream is split into batches — the
+    property that makes CDC folding correct under retries and file-
+    source reordering. Versioned directories are the dependency-free
+    stand-in for a table format: immutable snapshots, readers pick the
+    max version, old versions remain queryable (poor man's time
+    travel); with Delta/Iceberg present this call site becomes MERGE
+    INTO on a real table. Returns the number of micro-batches folded.
+    """
+    import os
+
+    from xetl_spark.operators.relational import dedup_keep_first
+
+    batches: list[int] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batches.append(batch_id)
+        prev, v = latest_snapshot(spark, path)
+        allrows = (
+            prev.unionByName(batch_df.select(*prev.columns))
+            if prev is not None
+            else batch_df
+        )
+        folded = dedup_keep_first(
+            allrows, list(keys), [F.col(c).desc() for c in order_by]
+        )
+        folded.write.mode("overwrite").parquet(os.path.join(path, f"v={v + 1}"))
+
+    q = stream_df.writeStream.outputMode("append").foreachBatch(fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return len(batches)

@@ -203,3 +203,37 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("p_ts"))).alias("purchase_us"),
         F.round("value", 2).alias("amount"),
     )
+
+
+@query(
+    "q_stream_cdc_fold",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_stream_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream folded into versioned parquet snapshots via
+    foreachBatch: latest event per user survives. The fold
+    (union ∪ keep-max-per-key) is associative, so the final snapshot is
+    batch-split-independent — hash-matched against the batch ARGMAX
+    oracle."""
+    import tempfile
+
+    from xetl_spark.operators import latest_snapshot, stream_cdc_fold
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    table = tempfile.mkdtemp(prefix="xetl_cdcfold_") + "/t"
+    stream_cdc_fold(stream, table, keys=["user_id"], order_by=["ts", "event_id"])
+    final, _v = latest_snapshot(spark, table)
+    return final.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 2).alias("value"),
+    )
