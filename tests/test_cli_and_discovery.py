@@ -6,6 +6,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -245,3 +247,81 @@ def test_url_datasource_executor_side_fetch(spark, tmp_path):
     for i in range(3):
         assert rows[files[i]] == (200, f"payload-{i}".encode())
     assert rows[files[3]][0] == -1
+
+
+def test_subprocess_parity_task(spark, tmp_path):
+    """Reference task.py:291-347 escape hatch: a discovered task whose
+    `run:` is a real program executes as a subprocess with the
+    command's env (string + dict forms), filesystem dataflow, and
+    non-zero exit -> TaskFailure."""
+    import textwrap as tw
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import TaskFailure, run_job
+
+    writer = tmp_path / "tasks" / "writer"
+    writer.mkdir(parents=True)
+    (writer / "emit.py").write_text(
+        "import os\nopen(os.environ['OUTPUT'], 'w').write('v=' + os.environ['VALUE'])\n"
+    )
+    (writer / "manifest.yml").write_text(
+        tw.dedent(
+            """
+            name: emit-file
+            description: write VALUE to OUTPUT (subprocess form)
+            env:
+              OUTPUT: {type: string}
+              VALUE: {type: string}
+            run: python emit.py
+            """
+        )
+    )
+    scripted = tmp_path / "tasks" / "scripted"
+    scripted.mkdir(parents=True)
+    (scripted / "manifest.yml").write_text(
+        tw.dedent(
+            """
+            name: append-line
+            description: append to OUTPUT ({interpreter, script} form)
+            env:
+              OUTPUT: {type: string}
+            run:
+              script: "import os; open(os.environ['OUTPUT'], 'a').write('|more')"
+            """
+        )
+    )
+    failing = tmp_path / "tasks" / "failing"
+    failing.mkdir(parents=True)
+    (failing / "manifest.yml").write_text(
+        "name: kaboom\ndescription: exits 3\nrun: python -c 'raise SystemExit(3)'\n"
+    )
+
+    out_file = tmp_path / "out.txt"
+    job = Job.from_yaml(
+        tw.dedent(
+            f"""
+            name: subproc
+            tasks: [{tmp_path}/tasks]
+            commands:
+              - {{name: w, task: emit-file, env: {{OUTPUT: {out_file}, VALUE: hello}}}}
+              - {{name: a, task: append-line, env: {{OUTPUT: "${{w.env.OUTPUT}}"}}}}
+            """
+        )
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success", "success"]
+    assert out_file.read_text() == "v=hello|more"
+
+    bad = Job.from_yaml(
+        tw.dedent(
+            f"""
+            name: subproc-fail
+            tasks: [{tmp_path}/tasks]
+            commands:
+              - {{name: boom, task: kaboom, env: {{}}}}
+            """
+        )
+    )
+    with pytest.raises(TaskFailure) as exc:
+        run_job(spark, bad)
+    assert "3" in str(exc.value)

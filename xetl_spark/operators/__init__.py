@@ -24,6 +24,7 @@ from xetl_spark.operators.cdc import (  # noqa: F401
 )
 from xetl_spark.operators.asof import asof_join, range_join  # noqa: F401
 from xetl_spark.operators.dedup import (  # noqa: F401
+    contamination_check,
     exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,

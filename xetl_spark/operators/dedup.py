@@ -298,6 +298,39 @@ def minhash_near_duplicates(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, count
+    distinct word n-grams it shares with ANY benchmark document, and
+    keep docs with ≥ min_overlap shared n-grams (candidates for
+    removal before training).
+
+    Execution shape: benchmark shingles are aggregated to a DISTINCT
+    n-gram set (size = benchmark vocabulary — small by definition of an
+    eval set, so Catalyst broadcasts the join); the corpus side streams
+    through one explode + semi-style equi-join + per-doc count. No
+    pairwise doc×doc work: overlap is counted against the benchmark's
+    n-gram SET, which is what decontamination needs (any-source
+    overlap, not attribution). Returns (doc, n_shared).
+    """
+    bench_grams = (
+        shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    )
+    corp = shingles(corpus, text_col, id_col, n)
+    return (
+        corp.join(bench_grams, "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 

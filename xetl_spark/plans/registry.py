@@ -85,18 +85,87 @@ class TaskRegistry:
                     spec = TaskSpec(**raw)
                     if sql is not None:
                         fn = _sql_task_fn(sql)
+                    elif isinstance(run, str) and self._has(run):
+                        _, fn = self.get(run)
                     elif run is not None:
-                        _, fn = self.get(str(run))
+                        # subprocess-parity escape hatch (reference
+                        # task.py:291-347): `run` is a real program in
+                        # any of the reference's three forms
+                        fn = _subprocess_task_fn(
+                            parse_run_command(run), basedir=dirpath
+                        )
                     else:
                         raise ValueError("task manifest needs `sql` or `run`")
                     self.register(spec, fn)
                 except Exception as exc:  # reference skips bad manifests
                     log.warning("skipping invalid task manifest %s: %s", path, exc)
 
+    def _has(self, name: str) -> bool:
+        return any(fuzzy_eq(k, name) for k in self._specs)
+
 
 def _sql_task_fn(template: str) -> TaskFn:
     def fn(ctx: "StageContext"):
         return ctx.sql(template)
+
+    return fn
+
+
+def parse_run_command(run: Any) -> list[str]:
+    """The reference's three `run:` forms → argv list
+    (reference utils/run.py:6-23, task.py:250-255):
+    - shell-ish string → shlex.split
+    - list → used as-is
+    - {interpreter?, script} → interpreter argv + script
+      (default interpreter: this python, -c)
+    """
+    import shlex
+    import sys
+
+    if isinstance(run, str):
+        return shlex.split(run)
+    if isinstance(run, list):
+        return [str(a) for a in run]
+    if isinstance(run, dict):
+        interp = run.get("interpreter") or f"{sys.executable} -c"
+        script = run.get("script")
+        if script is None:
+            raise ValueError("run: {interpreter, script} form needs `script`")
+        return [*shlex.split(str(interp)), str(script)]
+    raise ValueError(f"unsupported run form: {type(run).__name__}")
+
+
+def _subprocess_task_fn(argv: list[str], basedir: str) -> TaskFn:
+    """Subprocess-parity execution (reference task.py:291-347): run the
+    program with cwd = the task's directory and env = host env + the
+    command's stringified inputs (None renders as "null",
+    reference job.py:387/task.py:307), stream stdout+stderr lines into
+    the logger, raise on non-zero exit (runner wraps into TaskFailure →
+    CLI exit code). Dataflow medium is the filesystem, exactly like the
+    reference — the stage returns no DataFrame; downstream stages pick
+    the output path out of env placeholders.
+    """
+    import subprocess
+
+    def fn(ctx: "StageContext"):
+        env = dict(os.environ)
+        for k, v in ctx.env.items():
+            env[k] = "null" if v is None else str(v)
+        proc = subprocess.Popen(
+            argv,
+            cwd=basedir,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            log.info("[subprocess] %s", line.rstrip("\n"))
+        ret = proc.wait()
+        if ret != 0:
+            raise RuntimeError(f"subprocess task exited with code {ret}")
+        return None
 
     return fn
 

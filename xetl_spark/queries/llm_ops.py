@@ -519,3 +519,37 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     with_media = multimodal.attach_binary(docs, "text", mime="audio/wav")
     return multimodal.window_audio(with_media, "media", "doc_id")
+
+
+@query(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents WHERE doc_id < 450),
+    bench AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents WHERE doc_id >= 450),
+    cg AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, greatest(len(t) - 1, 2)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS sh
+           FROM corpus),
+    bg AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, greatest(len(t) - 1, 2)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS sh
+           FROM bench)
+    SELECT doc_id AS doc, count(*) AS n_shared
+    FROM cg JOIN bg USING (sh)
+    GROUP BY doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥2 distinct word
+    trigrams with a held-out 'benchmark' slice (any-source overlap via
+    one equi-join against the benchmark n-gram set — no doc×doc
+    pairwise work), hash-verified against the set-join oracle."""
+    from xetl_spark.operators import contamination_check
+
+    (docs,) = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 450)
+    bench = docs.filter(F.col("doc_id") >= 450)
+    return contamination_check(corpus, bench, "text", "doc_id", n=3, min_overlap=2)
