@@ -323,8 +323,12 @@ def contamination_check(
         shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
     )
     corp = shingles(corpus, text_col, id_col, n)
+    # explicit broadcast: eval sets are ≤ millions of n-grams (tens of
+    # MB) while the corpus is the 100 TB side — the corpus must never
+    # shuffle on shingle. The only corpus-side shuffle left is the
+    # per-doc count (map-side partials → one row per contaminated doc).
     return (
-        corp.join(bench_grams, "shingle")
+        corp.join(F.broadcast(bench_grams), "shingle")
         .groupBy("doc")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)

@@ -149,7 +149,14 @@ def cosine_near_duplicates(
     at 0.5^8 ≈ 0.4% per table, keeping candidates near-linear.
     Returns (id_a, id_b, cos_sim).
     """
-    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u")
+    # Banding carries IDS ONLY: shipping the unit vector through the
+    # (tbl, sig) self-join and the pair-dedup shuffle would inflate
+    # shuffle payload by num_tables × |vector| (at 100 TB the dominant
+    # cost). Vectors are re-attached to the (much smaller) deduped
+    # candidate set by two id-keyed joins against the one-row-per-doc
+    # units table.
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u").persist()
+    units = c.select(F.col(id_col).alias("id"), "__u")
     sigs = []
     for t in range(num_tables):
         planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
@@ -159,8 +166,8 @@ def cosine_near_duplicates(
             )
         )
     banded = c.select(
-        F.col(id_col).alias("id"), "__u", F.explode(F.array(*sigs)).alias("s")
-    ).select("id", "__u", "s.tbl", "s.sig")
+        F.col(id_col).alias("id"), F.explode(F.array(*sigs)).alias("s")
+    ).select("id", "s.tbl", "s.sig")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -171,17 +178,15 @@ def cosine_near_duplicates(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__u").alias("__ua"),
-            F.col("b.__u").alias("__ub"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", _dot(F.col("__ua"), F.col("__ub")).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    return (
+        cand.join(units.select(F.col("id").alias("id_a"), F.col("__u").alias("__ua")), "id_a")
+        .join(units.select(F.col("id").alias("id_b"), F.col("__u").alias("__ub")), "id_b")
+        .select("id_a", "id_b", _dot(F.col("__ua"), F.col("__ub")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def _nearest_cells(unit_col: str, centroids: list[list[float]], n: int):
@@ -368,10 +373,16 @@ def lsh_ann_topk(
     favors recall (~0.8+ for neighbors at cos≥0.7); scale deployments
     raise num_planes to cut candidate volume per byte scanned.
     """
-    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
+    # Corpus-side banding carries IDS ONLY (see cosine_near_duplicates:
+    # shipping vectors through the signature join multiplies shuffle
+    # bytes by num_tables). The small query side keeps its vector —
+    # it rides a broadcast — and corpus vectors are re-attached to the
+    # deduped candidate set by one id-keyed join.
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc").persist()
     q = with_unit_vectors(queries, vec_col, "__uq")
+    c_units = c.select(F.col(id_col).alias("neighbor_id"), "__uc")
 
-    def signatures(df: DataFrame, unit_col: str, idname: str) -> DataFrame:
+    def signatures(df: DataFrame, unit_col: str, idname: str, keep_vec: bool) -> DataFrame:
         sigs = []
         for t in range(num_tables):
             planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
@@ -381,21 +392,19 @@ def lsh_ann_topk(
                     lsh_signature(df, unit_col, planes).alias("sig"),
                 )
             )
-        return df.select(
-            F.col(id_col).alias(idname),
-            F.col(unit_col),
-            F.explode(F.array(*sigs)).alias("s"),
-        ).select(idname, unit_col, "s.tbl", "s.sig")
+        cols = [F.col(id_col).alias(idname)] + ([F.col(unit_col)] if keep_vec else [])
+        out = df.select(*cols, F.explode(F.array(*sigs)).alias("s"))
+        return out.select(idname, *([unit_col] if keep_vec else []), "s.tbl", "s.sig")
 
-    cs = signatures(c, "__uc", "neighbor_id")
-    qs = signatures(q, "__uq", "query_id")
+    cs = signatures(c, "__uc", "neighbor_id", keep_vec=False)
+    qs = signatures(q, "__uq", "query_id", keep_vec=True)
     cand = (
-        cs.join(qs, on=["tbl", "sig"])
+        cs.join(F.broadcast(qs), on=["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__uq", "__uc")
+        .select("query_id", "neighbor_id", "__uq")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
+    scored = cand.join(c_units, "neighbor_id").select(
         "query_id", "neighbor_id", _dot(F.col("__uq"), F.col("__uc")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
