@@ -194,3 +194,41 @@ def test_stream_cdc_fold_versioned_snapshots(spark, tmp_path):
     # old snapshot still queryable (poor man's time travel)
     v0 = spark.read.parquet(f"{table}/v=0")
     assert v0.count() in (1, 2)  # whichever file came first
+
+
+def test_compact_parquet_cluster_by_disjoint_zones(spark, sf_dir, tmp_path):
+    """cluster_by compaction: output files carry DISJOINT o_orderkey
+    ranges (range partitioning + in-file sort), so parquet min/max
+    stats prune whole files for selective scans."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from xetl_spark.sources.maintenance import compact_parquet
+
+    src = str(tmp_path / "clustered")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # shuffled write: row order uncorrelated with o_orderkey
+    orders.orderBy(F.rand(42)).repartition(6).write.parquet(src)
+
+    n = compact_parquet(
+        spark, src, target_file_bytes=256 * 1024, cluster_by=["o_orderkey"]
+    )
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert 1 <= len(files) <= n + 1
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+        )
+        mins = [md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint zones across files
+    # data intact
+    back = spark.read.parquet(src)
+    assert back.count() == orders.count()

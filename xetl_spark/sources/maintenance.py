@@ -27,19 +27,30 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Rewrite ``path`` with files sized toward ``target_file_bytes``.
 
+    ``cluster_by`` additionally range-partitions and sorts rows by the
+    given columns, giving each output file a disjoint value range —
+    parquet min/max (zone-map) stats then prune whole files/row-groups
+    for selective scans on those columns (the plain-parquet equivalent
+    of a table format's OPTIMIZE ... ZORDER for the 1-column case).
+
     Returns the chosen output file count. Writes to ``<path>__compact``
-    then swaps, so a failed rewrite never corrupts the source. At
-    cluster scale prefer a table format's OPTIMIZE; this is the
-    plain-parquet equivalent.
+    then swaps, so a failed rewrite never corrupts the source.
     """
     total = _tree_bytes(spark, path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    if cluster_by:
+        df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        df = df.repartition(n_files)
+    writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
