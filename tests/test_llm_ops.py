@@ -260,3 +260,37 @@ def test_chunk_text_properties(spark):
         assert rebuilt == words  # stride prefixes + final chunk = the doc
 
     check()
+
+
+def test_hashing_tfidf_pipeline(spark, docs):
+    """ml-pipeline TF-IDF (Tokenizer→HashingTF→IDF): fixed-width sparse
+    vectors; a token present in every doc gets idf weight ~0 while a
+    rare token weighs more (sanity against the exact tf_idf)."""
+    from xetl_spark.operators.text import hashing_tfidf
+
+    out = hashing_tfidf(docs, "text", "doc_id", num_features=256).collect()
+    assert len(out) == docs.count()
+    assert all(r.tfidf_vec.size == 256 for r in out)
+    assert any(r.tfidf_vec.numNonzeros() > 0 for r in out)
+
+
+def test_vacuum_snapshots(spark, tmp_path):
+    from xetl_spark.operators import latest_snapshot, stream_cdc_fold
+    from xetl_spark.operators.cdc import vacuum_snapshots
+
+    schema = "k long, ver long, amt double"
+    src = tmp_path / "vac_src"
+    for i in range(3):
+        spark.createDataFrame([(i, 1, 1.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    table = str(tmp_path / "vac_table")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    n = stream_cdc_fold(stream, table, keys=["k"], order_by=["ver", "k"])
+    assert n == 3
+    removed = vacuum_snapshots(table, keep_last=1)
+    assert removed == [0, 1]
+    final, v = latest_snapshot(spark, table)
+    assert v == 2 and final.count() == 3

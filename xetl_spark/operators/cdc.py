@@ -160,3 +160,24 @@ def stream_cdc_fold(
     finally:
         q.stop()
     return len(batches)
+
+
+def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
+    """Delete all but the newest ``keep_last`` versioned snapshots under
+    ``path`` (the VACUUM of the poor man's table format —
+    stream_cdc_fold's v=N directories). Returns the removed versions."""
+    import os
+    import re
+    import shutil
+
+    if not os.path.isdir(path):
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    drop = versions[:-keep_last] if keep_last > 0 else versions
+    for v in drop:
+        shutil.rmtree(os.path.join(path, f"v={v}"))
+    return drop

@@ -115,10 +115,11 @@ def fingerprint(text: Column | str) -> Column:
 def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
     """Smoothed TF-IDF per (doc, term): tf * (ln((N+1)/(df+1)) + 1).
 
-    Pure DataFrame composition (explode → two aggregations → broadcast
-    join of the tiny df-count side): unlike HashingTF there are no
-    hash collisions, and every step is a keyed shuffle that scales
-    linearly with the corpus. Returns (doc, term, tf, df, tfidf).
+    Pure DataFrame composition (explode → per-(doc,term) aggregation →
+    term-partitioned window for document frequency): unlike HashingTF
+    there are no hash collisions, and every step is a keyed shuffle
+    that scales linearly with the corpus. Returns
+    (doc, term, tf, df, tfidf).
     """
     from pyspark.sql import DataFrame, Window  # noqa: F401
     from xetl_spark.operators.util import ensure_parallelism
@@ -223,3 +224,22 @@ def rolling_hash_fingerprint(text: Column | str, window: int = 4) -> Column:
         _ngram_array(tokens(text), window), lambda g: F.xxhash64(g)
     )
     return F.md5(F.concat_ws(",", F.transform(grams, lambda h: h.cast("string"))))
+
+
+def hashing_tfidf(df, text_col: str, id_col: str, num_features: int = 1024):
+    """TF-IDF via the pyspark.ml feature pipeline (Tokenizer →
+    HashingTF → IDF) — the fixed-width, vocabulary-free variant: no
+    term dictionary to build or broadcast, vectors are bounded at
+    num_features regardless of corpus size, at the price of hash
+    collisions (why the exact tf_idf operator exists alongside).
+    Returns (doc, tfidf_vec: SparseVector).
+    """
+    from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__toks", pattern=r"[^a-z0-9]+", toLowercase=True
+    )
+    tf = HashingTF(inputCol="__toks", outputCol="__tf", numFeatures=num_features)
+    with_tf = tf.transform(tok.transform(df))
+    idf = IDF(inputCol="__tf", outputCol="tfidf_vec").fit(with_tf)
+    return idf.transform(with_tf).select(F.col(id_col).alias("doc"), "tfidf_vec")

@@ -553,3 +553,22 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") < 450)
     bench = docs.filter(F.col("doc_id") >= 450)
     return contamination_check(corpus, bench, "text", "doc_id", n=3, min_overlap=2)
+
+
+@query("q_text_hashing_tfidf", oracle=None)
+def q_text_hashing_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via the pyspark.ml feature pipeline (Tokenizer→HashingTF
+    →IDF): vocabulary-free fixed-width vectors — the bounded-memory
+    twin of the exact q_text_tfidf (hash collisions ⇒ no exact oracle;
+    pipeline properties tested in tests/test_llm_ops.py). Projected to
+    (doc, nnz, l2) scalars for the rows-only check."""
+    from pyspark.ml.functions import vector_to_array
+
+    from xetl_spark.operators.text import hashing_tfidf
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = hashing_tfidf(docs, "text", "doc_id", num_features=1024)
+    arr = vector_to_array(F.col("tfidf_vec"))
+    l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    nnz = F.size(F.filter(arr, lambda x: x != 0))
+    return out.select("doc", nnz.alias("nnz"), F.round(l2, 4).alias("l2"))
