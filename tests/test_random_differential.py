@@ -119,6 +119,49 @@ def test_random_tables_differential(spark, con, seed):
                FROM fact""",
         ),
     }
+    cases.update(
+        {
+            "global_topk": (
+                fact.orderBy(
+                    F.col("v").desc_nulls_last(), F.col("id").asc()
+                ).limit(25).select("id", "v"),
+                """SELECT id, v FROM fact
+                   ORDER BY v DESC NULLS LAST, id LIMIT 25""",
+            ),
+            "rollup": (
+                fact.rollup("grp", "k")
+                .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("sv"))
+                .filter(F.col("k").isNull() | (F.col("k") <= 5)),
+                """SELECT grp, k, count(*) AS n, round(sum(v), 2) AS sv
+                   FROM fact GROUP BY ROLLUP (grp, k)
+                   HAVING k IS NULL OR k <= 5""",
+            ),
+            "scalar_matrix": (
+                fact.select(
+                    "id",
+                    F.upper(F.col("s")).alias("up"),
+                    F.substring(F.col("s"), 2, 3).alias("sub"),
+                    F.lpad(F.col("s"), 8, "_").alias("pad"),
+                    F.abs(F.round(F.col("v") - 100, 2)).alias("dev"),
+                    F.floor(F.col("v")).alias("fl"),
+                    F.concat_ws("|", "grp", "s").alias("cat"),
+                ),
+                """SELECT id, upper(s) AS up, substring(s, 2, 3) AS sub,
+                          lpad(s, 8, '_') AS pad,
+                          abs(round(v - 100, 2)) AS dev, floor(v) AS fl,
+                          concat_ws('|', grp, s) AS cat
+                   FROM fact""",
+            ),
+            "intersect": (
+                fact.filter(F.col("k") <= 12)
+                .select("grp", "k")
+                .intersect(fact.filter(F.col("k") >= 4).select("grp", "k")),
+                """SELECT DISTINCT grp, k FROM fact WHERE k <= 12
+                   INTERSECT
+                   SELECT DISTINCT grp, k FROM fact WHERE k >= 4""",
+            ),
+        }
+    )
     for name, (sdf, sql) in cases.items():
         got = sdf.toPandas()
         want = con.execute(sql).fetchdf()

@@ -72,11 +72,17 @@ def quality_score(text: Column | str) -> Column:
     punctuation noise, lexical diversity, and some stopword presence
     (fluency proxy). Deterministic, expression-only."""
     length_score = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    # +1e-7 half-grid epsilon: the weighted ratio sum can land exactly
+    # on a 4dp rounding midpoint (e.g. 0.71925), where cross-engine ulp
+    # differences flip the rounded digit; the nudge is far above
+    # accumulated fp error (~1e-15) and far below the grid step (5e-5),
+    # so it only disambiguates midpoints (same nudge in the oracle SQL).
     return F.round(
         0.3 * length_score
         + 0.3 * (1 - punct_ratio(text))
         + 0.2 * unique_token_ratio(text)
-        + 0.2 * F.least(stopword_ratio(text) * 5, F.lit(1.0)),
+        + 0.2 * F.least(stopword_ratio(text) * 5, F.lit(1.0))
+        + 1e-7,
         4,
     )
 

@@ -110,7 +110,8 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.2 * (len(list_distinct(toks)) / greatest(len(toks), 1))
                + 0.2 * least(5.0 * len(list_filter(toks,
                        x -> list_contains(['the','and','of','to','a'], x)))
-                       / greatest(len(toks), 1), 1.0), 4) AS quality
+                       / greatest(len(toks), 1), 1.0)
+               + 1e-7, 4) AS quality
     FROM t
     """,
 )

@@ -682,3 +682,47 @@ def q_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
     )
+
+
+@query(
+    "q_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ALL ORDER BY ALL
+    """,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 ⇄ DuckDB dialect parity):
+    grouping keys inferred from the non-aggregate select list."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders",),
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ALL ORDER BY ALL
+        """,
+    )
+
+
+@query(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 350000.0
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers (spark.sql(..., args=...)):
+    the injection-safe templating path — parameters are bound by the
+    engine as typed literals, never string-spliced."""
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderstatus = :status AND o_totalprice > :floor
+        """,
+        args={"status": "F", "floor": 350000.0},
+    )
