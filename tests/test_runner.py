@@ -552,3 +552,70 @@ def test_example_parallel_report_manifest(spark, tmp_path, monkeypatch):
     out = spark.read.parquet(str(tmp_path / "par_out"))
     assert out.count() == 25  # one row per nation
     assert results[-1].rows == 25  # Observation-reported sink rows
+
+
+def test_retry_policy_recovers_and_counts_attempts(spark, tmp_path):
+    """A stage with RETRIES succeeds once the transient failure clears;
+    attempts land in the StageResult and run report. A stage without
+    RETRIES fails immediately."""
+    from xetl_spark.plans.runner import run_report
+
+    reg = TaskRegistry()
+    calls = {"n": 0}
+
+    @task(registry=reg, name="flaky")
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return ctx.spark.range(4)
+
+    job = _job(
+        f"""
+        name: retry
+        data: {tmp_path}
+        commands:
+          - {{name: f, task: flaky,
+              env: {{RETRIES: 3, RETRY_BACKOFF_S: 0}}}}
+        """
+    )
+    results = run_job(spark, job, registry=reg)
+    assert results[0].status == "success"
+    assert results[0].attempts == 3
+    assert run_report(results, job)["stages"][0]["attempts"] == 3
+
+    calls["n"] = -10  # needs 13 calls to clear; 1+2 attempts won't
+    job2 = _job(
+        f"""
+        name: retry2
+        data: {tmp_path}
+        commands:
+          - {{name: f, task: flaky, env: {{RETRIES: 2}}}}
+        """
+    )
+    with pytest.raises(TaskFailure):
+        run_job(spark, job2, registry=reg)
+    assert calls["n"] == -7  # exactly 3 attempts were made
+
+
+def test_write_run_report_sink(spark, tmp_path):
+    """Run reports append to a queryable parquet history table."""
+    from xetl_spark.plans.runner import run_report, write_run_report
+
+    job = _job(
+        f"""
+        name: hist
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: r, task: read_parquet, env: {{PATH: "${{SF_DIR}}/region.parquet"}}}}
+          - {{name: top, task: sql, env: {{QUERY: "SELECT r_name FROM r"}}}}
+        """
+    )
+    dest = str(tmp_path / "run_history")
+    rep = run_report(run_job(spark, job), job)
+    write_run_report(spark, rep, dest)
+    hist = write_run_report(spark, rep, dest)  # second run appends
+    assert hist.count() == 4  # 2 stages x 2 runs
+    assert set(hist.columns) >= {"job", "stage", "status", "wall_s", "attempts"}
+    assert hist.filter("job = 'hist' AND status = 'success'").count() == 4

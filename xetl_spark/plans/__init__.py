@@ -30,4 +30,5 @@ from xetl_spark.plans.runner import (  # noqa: F401
     run_report,
     run_task_tests,
     stage_dependencies,
+    write_run_report,
 )

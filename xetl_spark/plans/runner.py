@@ -34,6 +34,12 @@ from xetl_spark.plans.registry import BUILTINS, TaskRegistry
 
 log = logging.getLogger("xetl_spark.runner")
 
+# Runner-level control keys, valid on ANY stage without being declared
+# in the task's env interface (the reference has no equivalent — its
+# commands carry only task inputs; these are the Spark-runner extensions
+# for materialization, DAG scheduling, and retry policy).
+RESERVED_ENV = frozenset({"MATERIALIZE", "DEPENDS_ON", "RETRIES", "RETRY_BACKOFF_S"})
+
 
 class TaskFailure(RuntimeError):
     """A stage raised; carries the failed command for CLI exit codes
@@ -98,6 +104,7 @@ class StageResult:
     status: str  # "success" | "skipped" | "filtered" | "dryrun" | "resumed"
     output: DataFrame | None = None
     wall_s: float = 0.0
+    attempts: int = 1
     rows: int | None = None  # materialized stages only (parquet metadata)
     bytes: int | None = None  # materialized stages only (on-disk size)
     output_path: str | None = None
@@ -173,28 +180,50 @@ def _execute_stage(
 
     log.info("Running command %s (task=%s)", label, spec.name)
     t0 = time.time()
-    ctx = StageContext(
-        spark=spark, job=job, command=cmd, env=env, outputs=outputs, previous=previous
-    )
+    # retry policy: RETRIES extra attempts with exponential backoff
+    # (RETRY_BACKOFF_S * 2^attempt sleep between tries). Only a
+    # MATERIALIZE stage is re-runnable by construction (lazy stages
+    # defer execution to a downstream action anyway); a lazy stage that
+    # fails while BUILDING its plan is also retried — transient driver
+    # conditions (e.g. a view not yet registered by a racing stage in
+    # parallel mode, a flaky source listing) are the target.
+    max_attempts = 1 + max(0, int(env.get("RETRIES", 0) or 0))
+    backoff = float(env.get("RETRY_BACKOFF_S", 0) or 0)
     rows = nbytes = None
     path = None
-    try:
-        out = fn(ctx)
-        # per-stage materialization knob (reference parity: every
-        # command materialized files; here it's opt-in — default
-        # lazy so Catalyst fuses across stages, SURVEY.md §4.2)
-        if out is not None and wants_mat:
-            if not dest:
-                raise ValueError("MATERIALIZE=true requires a job data dir")
-            out.write.mode("overwrite").parquet(dest)
-            out = spark.read.parquet(dest)
-            rows = out.count()  # metadata-only over fresh parquet
-            nbytes = _dir_size(dest)
-            path = dest
-    except TaskFailure:
-        raise
-    except Exception as exc:
-        raise TaskFailure(cmd, exc) from exc
+    out = None
+    for attempt in range(1, max_attempts + 1):
+        ctx = StageContext(
+            spark=spark, job=job, command=cmd, env=env, outputs=outputs, previous=previous
+        )
+        rows = nbytes = None
+        path = None
+        try:
+            out = fn(ctx)
+            # per-stage materialization knob (reference parity: every
+            # command materialized files; here it's opt-in — default
+            # lazy so Catalyst fuses across stages, SURVEY.md §4.2)
+            if out is not None and wants_mat:
+                if not dest:
+                    raise ValueError("MATERIALIZE=true requires a job data dir")
+                out.write.mode("overwrite").parquet(dest)
+                out = spark.read.parquet(dest)
+                rows = out.count()  # metadata-only over fresh parquet
+                nbytes = _dir_size(dest)
+                path = dest
+            break
+        except TaskFailure:
+            raise
+        except Exception as exc:
+            if attempt >= max_attempts:
+                raise TaskFailure(cmd, exc) from exc
+            sleep_s = backoff * (2 ** (attempt - 1))
+            log.warning(
+                "command %s attempt %d/%d failed (%s); retrying in %.1fs",
+                label, attempt, max_attempts, exc, sleep_s,
+            )
+            if sleep_s:
+                time.sleep(sleep_s)
     if rows is None and "rows" in ctx.metrics:
         rows = int(ctx.metrics["rows"])  # Observation-reported, action-free
     return StageResult(
@@ -202,6 +231,7 @@ def _execute_stage(
         "success",
         out,
         wall_s=round(time.time() - t0, 3),
+        attempts=attempt,
         rows=rows,
         bytes=nbytes,
         output_path=path,
@@ -234,7 +264,8 @@ def _prepare(
     for cmd in selected:
         spec, fn = reg.get(cmd.task)
         env = spec.apply_defaults(cmd.env)
-        for warning in spec.validate_inputs(env):
+        declared = {k for k in env if k not in RESERVED_ENV}
+        for warning in spec.validate_inputs({k: env[k] for k in declared}):
             log.warning(warning)
         plan.append((cmd, spec, fn, env))
     return plan
@@ -431,6 +462,7 @@ def run_report(results: list[StageResult], job: Job | None = None) -> dict[str, 
                 "task": r.command.task,
                 "status": r.status,
                 "wall_s": r.wall_s,
+                "attempts": r.attempts,
                 "rows": r.rows,
                 "bytes": r.bytes,
                 "output_path": r.output_path,
@@ -442,6 +474,62 @@ def run_report(results: list[StageResult], job: Job | None = None) -> dict[str, 
         "total_wall_s": round(sum(r.wall_s for r in results), 3),
         "stages": stages,
     }
+
+
+def write_run_report(
+    spark: SparkSession, report: dict[str, Any], path: str
+) -> DataFrame:
+    """Append a run report to a parquet table (one row per stage,
+    stamped with job name and wall-clock finish time) — the queryable
+    run-history sink the reference's log decorations can't provide.
+    Appends, so successive runs accumulate into an auditable history;
+    at cluster scale this is a tiny driver-side write (stage counts,
+    not data rows)."""
+    import time
+
+    rows = [
+        {
+            "job": report.get("job"),
+            "finished_at": float(time.time()),
+            "total_wall_s": float(report.get("total_wall_s") or 0.0),
+            "stage": s["name"],
+            "task": s["task"],
+            "status": s["status"],
+            "wall_s": float(s["wall_s"] or 0.0),
+            "attempts": int(s.get("attempts") or 1),
+            "rows": s["rows"],
+            "bytes": s["bytes"],
+            "output_path": s["output_path"],
+            "schema": s["schema"],
+        }
+        for s in report["stages"]
+    ]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("job", StringType()),
+            StructField("finished_at", DoubleType()),
+            StructField("total_wall_s", DoubleType()),
+            StructField("stage", StringType()),
+            StructField("task", StringType()),
+            StructField("status", StringType()),
+            StructField("wall_s", DoubleType()),
+            StructField("attempts", LongType()),
+            StructField("rows", LongType()),
+            StructField("bytes", LongType()),
+            StructField("output_path", StringType()),
+            StructField("schema", StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+    return spark.read.parquet(path)
 
 
 def run_task_tests(
