@@ -109,3 +109,27 @@ def test_hll_sketch_estimates_and_merge(spark, sf_dir):
     (orders,) = load(spark, sf_dir, "orders")
     exact_all = orders.select("o_custkey").distinct().count()
     assert abs(all_row.approx_custs - exact_all) / exact_all < 0.05
+
+
+def test_ivf_centroid_cache(spark, sf_dir):
+    """Repeated centroid fits over the same corpus plan return the
+    memoized list (no KMeans re-scan); cache=False and a changed plan
+    both refit."""
+    from xetl_spark.operators.similarity import (
+        clear_centroid_cache,
+        ivf_fit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clear_centroid_cache()
+    first = ivf_fit_centroids(emb, "embedding", n_clusters=4)
+    assert ivf_fit_centroids(emb, "embedding", n_clusters=4) is first
+    # same plan rebuilt from scratch still hits (semantic hash, not id)
+    emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert ivf_fit_centroids(emb2, "embedding", n_clusters=4) is first
+    # different params / cache opt-out miss
+    assert ivf_fit_centroids(emb, "embedding", n_clusters=5) is not first
+    uncached = ivf_fit_centroids(emb, "embedding", n_clusters=4, cache=False)
+    assert uncached is not first and uncached == first
+    clear_centroid_cache()
+    assert ivf_fit_centroids(emb, "embedding", n_clusters=4) is not first

@@ -215,18 +215,56 @@ def _nearest_cells(unit_col: str, centroids: list[list[float]], n: int):
     return F.transform(top, lambda s: s["cell"])
 
 
+#: session-scoped centroid memo — a KMeans fit is a full corpus scan
+#: (several, with iterations), so repeated index builds / ANN calls over
+#: the same corpus in one driver session should pay it once. Keyed by
+#: (application id, the corpus plan's semantic hash, params): the
+#: semantic hash pins the exact logical plan incl. source paths, and the
+#: app id scopes entries to one session. Mutating files UNDER an
+#: unchanged path between calls is the one case the key can't see —
+#: clear_centroid_cache() for that.
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def clear_centroid_cache() -> None:
+    _CENTROID_CACHE.clear()
+
+
 def ivf_fit_centroids(
-    corpus: DataFrame, vec_col: str, n_clusters: int = 16, seed: int = 42
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    cache: bool = True,
 ) -> list[list[float]]:
     """KMeans-fit IVF cell centroids over unit vectors; returns them as
-    plain lists (tiny — driver-held, plan-shipped)."""
+    plain lists (tiny — driver-held, plan-shipped). Fits are memoized
+    per (session, corpus plan, params) unless ``cache=False``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    key = None
+    if cache:
+        try:
+            key = (
+                corpus.sparkSession.sparkContext.applicationId,
+                corpus._jdf.queryExecution().analyzed().semanticHash(),
+                vec_col,
+                n_clusters,
+                seed,
+            )
+        except Exception:  # e.g. Connect-mode DataFrames have no _jdf
+            key = None
+        if key is not None and key in _CENTROID_CACHE:
+            return _CENTROID_CACHE[key]
 
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
     train = c.select(array_to_vector(F.col("__uc")).alias("features"))
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
-    return [list(ctr) for ctr in model.clusterCenters()]
+    centroids = [list(ctr) for ctr in model.clusterCenters()]
+    if key is not None:
+        _CENTROID_CACHE[key] = centroids
+    return centroids
 
 
 def ivf_ann_topk(
