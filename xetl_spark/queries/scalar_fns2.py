@@ -304,3 +304,42 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("flag_int"),
         F.col("l_linestatus").try_cast("boolean").alias("status_bool"),
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT s_suppkey,
+             'https://supplier-' || s_suppkey || '.example.com/catalog/parts?region='
+               || s_nationkey || '&page=2' AS url
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           regexp_extract(url, '^https?://([^/]+)', 1)  AS host,
+           regexp_extract(url, '^([a-z]+)://', 1)       AS proto,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'region=([0-9]+)', 1)    AS region_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing: Spark's dedicated parse_url (HOST/PROTOCOL/PATH and
+    per-key QUERY extraction) vs a regexp oracle — the log/clickstream
+    ingestion staple."""
+    (supp,) = load(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://supplier-"),
+        F.col("s_suppkey"),
+        F.lit(".example.com/catalog/parts?region="),
+        F.col("s_nationkey"),
+        F.lit("&page=2"),
+    )
+    u = supp.select("s_suppkey", url.alias("url"))
+    return u.select(
+        "s_suppkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("proto"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("region")).alias("region_param"),
+    )

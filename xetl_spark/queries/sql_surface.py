@@ -726,3 +726,68 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "floor": 350000.0},
     )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS band,
+           bit_or(l_linenumber)  AS bor,
+           bit_xor(l_linenumber) AS bxor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — flag-mask folding;
+    partial-aggregatable, so map-side combine keeps the shuffle tiny."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_linenumber").alias("bxor"),
+    )
+
+
+@query(
+    "q_agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 2)     AS med_qty,
+           round(median(l_extendedprice) + 1e-6, 2) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median aggregate (interpolated at even counts in both
+    engines; the +1e-6 half-grid epsilon keeps even-count midpoints
+    like x.xx5 rounding the same way in both engines). Exact medians
+    need the full group's values — at 100 TB
+    prefer percentile_approx (mergeable sketch) unless exactness is a
+    hard requirement."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        F.round(F.median("l_extendedprice") + 1e-6, 2).alias("med_price"),
+    )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)    AS all_over_1k,
+           bool_or(o_orderstatus = 'P')     AS any_pending,
+           count(*) FILTER (o_orderdate >= DATE '1995-01-01') AS recent
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or, a.k.a. every/any) plus a
+    FILTER-clause conditional count."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_if(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")).alias("recent"),
+    )
