@@ -67,6 +67,12 @@ def argument_parser() -> argparse.ArgumentParser:
         metavar="PATH",
         help="write a JSON run report (per-stage status/wall/rows/bytes)",
     )
+    p.add_argument(
+        "--report-table",
+        metavar="PATH",
+        help="append the run report to a parquet history table "
+        "(one row per stage, queryable across runs)",
+    )
     return p
 
 
@@ -134,14 +140,19 @@ def main(argv: list[str] | None = None) -> int:
     except TaskFailure as tf:
         print(f"error: {tf}", file=sys.stderr)
         return 2
-    if args.report:
-        import json
+    if args.report or args.report_table:
+        from xetl_spark.plans.runner import run_report, write_run_report
 
-        from xetl_spark.plans.runner import run_report
+        rep = run_report(results, job)
+        if args.report:
+            import json
 
-        with open(args.report, "w") as fh:
-            json.dump(run_report(results, job), fh, indent=2)
-        print(f"report: {args.report}")
+            with open(args.report, "w") as fh:
+                json.dump(rep, fh, indent=2)
+            print(f"report: {args.report}")
+        if args.report_table:
+            write_run_report(spark, rep, args.report_table)
+            print(f"report table: {args.report_table}")
     for r in results:
         label = r.command.name or r.command.task
         print(f"{label}: {r.status}")
