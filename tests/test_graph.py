@@ -88,3 +88,29 @@ def test_salted_join_skewed_random(spark):
     plain = sorted(map(tuple, left.join(right, "k", "left").collect()))
     salted = sorted(map(tuple, salted_join(left, right, ["k"], "left").collect()))
     assert plain == salted
+
+
+def test_pagerank_known_graph_and_dangling(spark):
+    """Classic 4-node example: ranks sum to 1 despite a dangling node,
+    and ordering matches the analytic solution (c > a > b > d)."""
+    from xetl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src string, dst string",
+    )
+    r = {x.node: x.rank for x in pagerank(edges, max_iter=40, tol=1e-10).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert r["c"] > r["a"] > r["b"] > r["d"]
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """On a directed cycle every node is symmetric: ranks are uniform."""
+    from xetl_spark.operators.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src int, dst int"
+    )
+    ranks = [x.rank for x in pagerank(edges, max_iter=30).collect()]
+    assert all(abs(v - 1.0 / n) < 1e-6 for v in ranks)

@@ -101,3 +101,69 @@ def dedup_clusters(
         )
         .withColumn("is_representative", F.col("id") == F.col("cluster"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Distributed PageRank over a directed edge list → (node, rank),
+    ranks summing to ~1. Power iteration as pure DataFrame algebra:
+    each round is one join (ranks → out-edges) + one keyed sum;
+    dangling-node mass is redistributed uniformly so the distribution
+    stays stochastic. Same iterative discipline as
+    connected_components: localCheckpoint per round bounds lineage, and
+    convergence (L1 delta < tol) is checked with a single tiny
+    aggregate. The rank/degree tables are O(nodes) — never collected.
+    """
+    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst")).distinct()
+    nodes = (
+        e.select(F.col("esrc").alias("node"))
+        .union(e.select(F.col("edst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("esrc").agg(F.count("*").alias("deg"))
+    e_deg = e.join(out_deg, "esrc").localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        contrib = (
+            e_deg.join(ranks, e_deg.esrc == ranks.node)
+            .select("edst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("edst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.esrc, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contrib, nodes.node == contrib.edst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

@@ -573,3 +573,30 @@ def q_text_hashing_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
     nnz = F.size(F.filter(arr, lambda x: x != 0))
     return out.select("doc", nnz.alias("nnz"), F.round(l2, 4).alias("l2"))
+
+
+@query("q_graph_pagerank", oracle=None)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer fulfillment graph
+    (lineitem⋈orders edges): pure-DataFrame power iteration with
+    dangling-mass redistribution — the iterative-algorithm pattern
+    (localCheckpoint lineage cuts, aggregate-only convergence checks)
+    on a real derived graph. Top-50 by rank; P class (float iteration
+    order varies the low bits across partitionings)."""
+    from xetl_spark.operators.graph import pagerank
+
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), "l_suppkey").alias("src"),
+            F.concat(F.lit("c"), "o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        pagerank(edges, max_iter=8, tol=1e-7)
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(50)
+        .select("node", F.round("rank", 6).alias("rank"))
+    )

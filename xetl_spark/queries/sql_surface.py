@@ -791,3 +791,31 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
         F.count_if(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")).alias("recent"),
     )
+
+
+@query(
+    "q_agg_within_group",
+    oracle="""
+    SELECT l_returnflag,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 2) AS p25,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 2) AS p75,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ordered-set aggregates: percentile_cont
+    (interpolated) and percentile_disc (an actual data value) WITHIN
+    GROUP. Exact order statistics — see q_agg_median's scale note."""
+    return _sql(
+        spark,
+        sf_dir,
+        ("lineitem",),
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 2) AS p25,
+               round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 2) AS p75,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )

@@ -181,3 +181,34 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rn"
     )
+
+
+@query(
+    "q_win_nth_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value under a total order; the
+    last_value frame is widened to the full partition (the default
+    frame ends at CURRENT ROW, which makes last_value = current row —
+    the classic trap)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
