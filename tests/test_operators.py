@@ -281,3 +281,31 @@ def test_multimodal_audio_windows(spark, sf_dir):
     assert {(r.id, r.window_idx): bytes(r.pcm) for r in again} == {
         (r.id, r.window_idx): bytes(r.pcm) for r in wins
     }
+
+
+def test_resample_ffill_hand_series(spark):
+    """Gaps get the grid rows; v stays NULL there while v_filled
+    carries the last observation forward; each key spans only its own
+    range."""
+    from xetl_spark.operators import resample_ffill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1.0),
+        (1, "2024-01-01 00:40:00", 2.0),   # same bucket as above
+        (1, "2024-01-01 03:05:00", 5.0),   # 2-hour gap
+        (2, "2024-01-01 10:00:00", 7.0),   # key 2: single bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = resample_ffill(df, "ts", "user_id", "value", unit="hour")
+    got = {
+        (r.key, str(r.bucket)): (r.v, r.v_filled)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (3.0, 3.0),
+        (1, "2024-01-01 01:00:00"): (None, 3.0),
+        (1, "2024-01-01 02:00:00"): (None, 3.0),
+        (1, "2024-01-01 03:00:00"): (5.0, 5.0),
+        (2, "2024-01-01 10:00:00"): (7.0, 7.0),
+    }

@@ -15,7 +15,9 @@ from xetl_spark.operators.relational import (  # noqa: F401
 from xetl_spark.operators.graph import (  # noqa: F401
     connected_components,
     dedup_clusters,
+    pagerank,
 )
+from xetl_spark.operators.timeseries import resample_ffill  # noqa: F401
 from xetl_spark.operators.cdc import (  # noqa: F401
     latest_snapshot,
     merge_upsert,

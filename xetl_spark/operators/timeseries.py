@@ -1,0 +1,76 @@
+"""Time-series regularization: resampling onto a fixed grid with
+forward fill.
+
+The reference's capability class includes arbitrary per-record
+subprocess transforms (SURVEY.md §2-B); gap-filling a time series is
+the canonical one that looks imperative but is pure relational algebra
+on Spark: bucket → per-key spine (sequence+explode) → left join →
+last(ignorenulls) window. No UDFs, no driver loops; every step is
+whole-stage-codegen relational ops.
+
+Scale shape: the spine is |keys| × |grid| rows — generated
+distributed (explode of a per-key sequence), never on the driver.
+Three keyed exchanges total (bucket agg on (key, bucket); spine agg
+and the fill join/window on key), each over data already reduced to
+one row per (key, bucket) — the raw-event scan aggregates before any
+wide grid exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNIT_INTERVAL = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 1 week",
+    "month": "interval 1 month",
+}
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    unit: str = "hour",
+    agg: Column | None = None,
+) -> DataFrame:
+    """Resample ``value_col`` onto a regular per-``unit`` grid per key,
+    forward-filling buckets with no observations.
+
+    Returns (key, bucket, v, v_filled): ``v`` is the bucket's aggregate
+    (NULL where the key had no events in that bucket), ``v_filled`` the
+    last non-null aggregate at or before the bucket. The grid spans each
+    key's own [min, max] observed range — keys don't pay for the global
+    time span.
+    """
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_INTERVAL)}")
+    step = _UNIT_INTERVAL[unit]
+    agg = agg if agg is not None else F.round(F.sum(value_col), 2)
+
+    b = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(agg.alias("v"))
+    )
+    spine = (
+        b.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(F.sequence("lo", "hi", F.expr(step))).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    return spine.join(b, ["key", "bucket"], "left").select(
+        "key",
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

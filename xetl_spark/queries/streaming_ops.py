@@ -237,3 +237,35 @@ def q_stream_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("ts_us"),
         F.round("value", 2).alias("value"),
     )
+
+
+@query(
+    "q_ts_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT key, unnest(generate_series(min(bucket), max(bucket),
+                                         INTERVAL 1 HOUR)) AS bucket
+      FROM b GROUP BY key
+    )
+    SELECT s.key, epoch_us(s.bucket) AS bucket_us, b.v,
+           last_value(b.v IGNORE NULLS) OVER
+             (PARTITION BY s.key ORDER BY s.bucket) AS v_filled
+    FROM spine s LEFT JOIN b ON s.key = b.key AND s.bucket = b.bucket
+    """,
+)
+def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-user value sums resampled
+    onto each user's own [min, max] hourly grid, gaps forward-filled —
+    bucket → sequence/explode spine → left join → last(ignorenulls)
+    window, all relational (operators/timeseries.py)."""
+    from xetl_spark.operators import resample_ffill
+
+    (events,) = load(spark, sf_dir, "events")
+    out = resample_ffill(events, "ts", "user_id", "value", unit="hour")
+    return out.select(
+        "key", F.unix_micros("bucket").alias("bucket_us"), "v", "v_filled"
+    )
