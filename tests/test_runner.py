@@ -619,3 +619,44 @@ def test_write_run_report_sink(spark, tmp_path):
     assert hist.count() == 4  # 2 stages x 2 runs
     assert set(hist.columns) >= {"job", "stage", "status", "wall_s", "attempts"}
     assert hist.filter("job = 'hist' AND status = 'success'").count() == 4
+
+
+def test_compact_and_resample_tasks(spark, tmp_path):
+    """compact (z-order) and resample builtin tasks drive the
+    maintenance + time-series operators from a manifest; nano-timestamp
+    parquet (events) is readable through the plain read_parquet task."""
+    import glob
+
+    frag = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.repartition(12).write.parquet(frag)
+    job = _job(
+        f"""
+        name: maint
+        data: {tmp_path}
+        commands:
+          - name: compacted
+            task: compact
+            env:
+              PATH: {frag}
+              TARGET_FILE_BYTES: 262144
+              ZORDER_BY: "o_orderkey,o_custkey"
+          - name: ev
+            task: read_parquet
+            env: {{PATH: {SF}/events.parquet, DEPENDS_ON: ""}}
+          - name: reg
+            task: sql
+            env: {{QUERY: "SELECT user_id, value,
+                           timestamp_micros(ts div 1000) AS ts FROM ev"}}
+          - name: grid
+            task: resample
+            env: {{KEY_COL: user_id, VALUE_COL: value}}
+        """
+    )
+    res = run_job(spark, job)
+    assert [r.status for r in res] == ["success"] * 4
+    assert len(glob.glob(f"{frag}/part-*.parquet")) < 12  # fewer, larger files
+    grid = res[3].output
+    assert grid.columns == ["key", "bucket", "v", "v_filled"]
+    # forward fill leaves no NULL v_filled after each key's first bucket
+    assert grid.filter("v_filled IS NULL").count() == 0

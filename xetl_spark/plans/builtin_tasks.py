@@ -363,3 +363,74 @@ def chunk(ctx: StageContext):
         chunk_tokens=int(ctx.env["CHUNK_TOKENS"]),  # type: ignore[arg-type]
         overlap=int(ctx.env["OVERLAP"]),  # type: ignore[arg-type]
     )
+
+
+@task(
+    "compact",
+    "Compact a parquet location toward a target file size "
+    "(optional single-column clustering or multi-column z-order)",
+    env={
+        "PATH": {"description": "parquet location to rewrite", "type": "string"},
+        "TARGET_FILE_BYTES": {
+            "description": "target output file size",
+            "type": "int",
+            "default": 128 * 1024 * 1024,
+        },
+        "CLUSTER_BY": {
+            "description": "comma-separated sort columns (disjoint per-file ranges)",
+            "type": "string",
+            "required": False,
+        },
+        "ZORDER_BY": {
+            "description": "comma-separated z-order columns (zone-map pruning on all)",
+            "type": "string",
+            "required": False,
+        },
+        "PARTITION_BY": {
+            "description": "comma-separated hive partition columns",
+            "type": "string",
+            "required": False,
+        },
+    },
+)
+def compact(ctx: StageContext):
+    from xetl_spark.sources.maintenance import compact_parquet
+
+    def cols(key):
+        v = ctx.env.get(key)
+        return [c.strip() for c in str(v).split(",")] if v else None
+
+    path = str(ctx.env["PATH"])
+    n = compact_parquet(
+        ctx.spark,
+        path,
+        target_file_bytes=int(ctx.env["TARGET_FILE_BYTES"]),  # type: ignore[arg-type]
+        partition_by=cols("PARTITION_BY"),
+        cluster_by=cols("CLUSTER_BY"),
+        zorder_by=cols("ZORDER_BY"),
+    )
+    ctx.metrics["files"] = n
+    return ctx.spark.read.parquet(path)
+
+
+@task(
+    "resample",
+    "Resample a time series onto a fixed per-key grid with forward fill",
+    env={
+        "TS_COL": {"description": "timestamp column", "type": "string", "default": "ts"},
+        "KEY_COL": {"description": "series key column", "type": "string"},
+        "VALUE_COL": {"description": "value column (sum per bucket)", "type": "string"},
+        "UNIT": {"description": "grid unit: minute|hour|day|week|month", "type": "string", "default": "hour"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def resample(ctx: StageContext):
+    from xetl_spark.operators import resample_ffill
+
+    return resample_ffill(
+        ctx.input_df(),
+        str(ctx.env["TS_COL"]),
+        str(ctx.env["KEY_COL"]),
+        str(ctx.env["VALUE_COL"]),
+        unit=str(ctx.env["UNIT"]),
+    )

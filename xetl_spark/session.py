@@ -69,6 +69,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("XETL_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # TIMESTAMP(NANOS) parquet (e.g. the events fixture) is
+        # unreadable by default; read as raw int64 nanos — same
+        # truncation DuckDB applies — instead of crashing the scan
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
