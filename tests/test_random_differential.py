@@ -162,6 +162,66 @@ def test_random_tables_differential(spark, con, seed):
             ),
         }
     )
+    cases.update(
+        {
+            "window_lag_runsum": (
+                fact.select(
+                    "id",
+                    F.lag("v", 1).over(
+                        Window.partitionBy("grp").orderBy("id")
+                    ).alias("pv"),
+                    F.round(
+                        F.sum("v").over(
+                            Window.partitionBy("grp")
+                            .orderBy("id")
+                            .rowsBetween(Window.unboundedPreceding, 0)
+                        ),
+                        2,
+                    ).alias("rs"),
+                ).filter(F.col("grp").isNotNull()),
+                """SELECT id, lag(v, 1) OVER w AS pv,
+                          round(sum(v) OVER (PARTITION BY grp ORDER BY id
+                            ROWS UNBOUNDED PRECEDING), 2) AS rs
+                   FROM fact WHERE grp IS NOT NULL
+                   WINDOW w AS (PARTITION BY grp ORDER BY id)""",
+            ),
+            "semi_anti": (
+                fact.join(dim.filter(F.col("label") == "L3"), "k", "left_semi")
+                .select("id", "k")
+                .unionByName(
+                    fact.join(dim, "k", "left_anti")
+                    .select("id", "k")
+                    .withColumn("k", F.col("k") * -1)
+                ),
+                """SELECT id, k FROM fact
+                   WHERE k IN (SELECT k FROM dim WHERE label = 'L3')
+                   UNION ALL
+                   SELECT id, -k AS k FROM fact
+                   WHERE k NOT IN (SELECT k FROM dim)""",
+            ),
+            "grouping_sets": (
+                fact.filter(F.col("grp").isNotNull())
+                .cube("grp", "k")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("k").isNull() | (F.col("k") <= 4)),
+                """SELECT grp, k, count(*) AS n FROM fact
+                   WHERE grp IS NOT NULL GROUP BY CUBE (grp, k)
+                   HAVING k IS NULL OR k <= 4""",
+            ),
+            "string_ops": (
+                fact.select(
+                    "id",
+                    F.regexp_extract("s", r"s(\d+)", 1).alias("num"),
+                    F.translate("s", "s0", "t#").alias("tr"),
+                    F.instr(F.col("s"), "1").alias("pos1"),
+                ),
+                r"""SELECT id, regexp_extract(s, 's(\d+)', 1) AS num,
+                          translate(s, 's0', 't#') AS tr,
+                          instr(s, '1') AS pos1
+                   FROM fact""",
+            ),
+        }
+    )
     for name, (sdf, sql) in cases.items():
         got = sdf.toPandas()
         want = con.execute(sql).fetchdf()
