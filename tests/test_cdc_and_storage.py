@@ -287,3 +287,28 @@ def test_compact_parquet_zorder_prunes_both_dims(spark, sf_dir, tmp_path):
     assert fr1_ck > 0.9  # uncorrelated dim: every file spans ~everything
     # data intact under zorder rewrite
     assert spark.read.parquet(zsrc).count() == orders.count()
+
+
+def test_read_with_quarantine_splits_bad_rows(spark, tmp_path):
+    """PERMISSIVE ingest: malformed JSONL rows land in the quarantine
+    branch as raw text (replayable), parseable rows come back typed,
+    and neither FAILFAST-aborts nor silently drops."""
+    from xetl_spark.sources import read_with_quarantine
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "not json at all\n"
+        '{"id": 2, "v": "NaN-ish"}\n'   # type mismatch -> corrupt
+        '{"id": 3, "v": 2.5}\n'
+    )
+    q = str(tmp_path / "quarantine")
+    good, bad = read_with_quarantine(
+        spark, str(src), "json", "id bigint, v double", quarantine_path=q
+    )
+    assert {r.id for r in good.collect()} == {1, 3}
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2 and "not json at all" in raws
+    # quarantine file holds the same raw lines for replay
+    replay = spark.read.text(q)
+    assert replay.count() == 2
