@@ -434,3 +434,26 @@ def resample(ctx: StageContext):
         str(ctx.env["VALUE_COL"]),
         unit=str(ctx.env["UNIT"]),
     )
+
+
+@task(
+    "pagerank",
+    "Score nodes of an edge-list stage by PageRank (adds rank column)",
+    env={
+        "SRC_COL": {"description": "edge source column", "type": "string", "default": "src"},
+        "DST_COL": {"description": "edge destination column", "type": "string", "default": "dst"},
+        "DAMPING": {"description": "damping factor", "type": "float", "default": 0.85},
+        "MAX_ITER": {"description": "max power iterations", "type": "int", "default": 15},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def pagerank_task(ctx: StageContext):
+    from xetl_spark.operators import pagerank
+
+    return pagerank(
+        ctx.input_df(),
+        src=str(ctx.env["SRC_COL"]),
+        dst=str(ctx.env["DST_COL"]),
+        damping=float(ctx.env["DAMPING"]),  # type: ignore[arg-type]
+        max_iter=int(ctx.env["MAX_ITER"]),  # type: ignore[arg-type]
+    )

@@ -217,7 +217,12 @@ def _execute_stage(
         except Exception as exc:
             if attempt >= max_attempts:
                 raise TaskFailure(cmd, exc) from exc
-            sleep_s = backoff * (2 ** (attempt - 1))
+            # full jitter on the exponential backoff: stages retried in
+            # lockstep (parallel mode, shared failing dependency) would
+            # otherwise re-hit the resource simultaneously every round
+            import random
+
+            sleep_s = backoff * (2 ** (attempt - 1)) * random.uniform(0.5, 1.0)
             log.warning(
                 "command %s attempt %d/%d failed (%s); retrying in %.1fs",
                 label, attempt, max_attempts, exc, sleep_s,
