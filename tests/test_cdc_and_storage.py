@@ -312,3 +312,31 @@ def test_read_with_quarantine_splits_bad_rows(spark, tmp_path):
     # quarantine file holds the same raw lines for replay
     replay = spark.read.text(q)
     assert replay.count() == 2
+
+
+def test_compact_hive_partitions_selective(spark, sf_dir, tmp_path):
+    """Per-partition compaction rewrites only fragmented partition
+    dirs, preserves the partition column, and leaves compacted
+    partitions untouched."""
+    import glob
+
+    from xetl_spark.sources.maintenance import compact_hive_partitions
+
+    src = str(tmp_path / "hive")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # fragment only status 'O': many files; others stay single-file
+    frag = orders.filter("o_orderstatus = 'O'").repartition(10)
+    rest = orders.filter("o_orderstatus <> 'O'").coalesce(1)
+    frag.unionByName(rest).write.partitionBy("o_orderstatus").parquet(src)
+    before_f = len(glob.glob(f"{src}/o_orderstatus=F/part-*.parquet"))
+
+    done = compact_hive_partitions(
+        spark, src, target_file_bytes=64 * 1024 * 1024, min_files=4
+    )
+    assert set(done) == {"o_orderstatus=O"}  # only the fragmented one
+    assert len(glob.glob(f"{src}/o_orderstatus=O/part-*.parquet")) < 10
+    assert len(glob.glob(f"{src}/o_orderstatus=F/part-*.parquet")) == before_f
+    back = spark.read.parquet(src)
+    assert back.count() == orders.count()
+    # partition column survives (it lives in the dir name)
+    assert back.filter("o_orderstatus = 'O'").count() == frag.count()

@@ -23,6 +23,56 @@ def _tree_bytes(spark: SparkSession, path: str) -> int:
     return fs.getContentSummary(p).getLength()
 
 
+def compact_hive_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+    cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Selectively compact a Hive-partitioned location, one partition
+    directory at a time.
+
+    Only partitions with ≥ ``min_files`` data files are rewritten — an
+    incremental maintenance pass touches just the directories a
+    streaming sink or fine-grained writer actually fragmented, instead
+    of rewriting the whole table (on a 100 TB table, almost all
+    partitions are already compacted and cold). The partition column
+    itself lives in the directory name, so per-directory rewrites
+    preserve it untouched. Returns {partition_dir: output_file_count}
+    for the rewritten partitions.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    fs = root.getFileSystem(conf)
+    done: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if "=" not in name:  # not a hive partition dir (_centroids etc.)
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and f.getPath().getName().startswith("part-")
+        )
+        if n_files < min_files:
+            continue
+        sub = st.getPath().toString()
+        done[name] = compact_parquet(
+            spark,
+            sub,
+            target_file_bytes=target_file_bytes,
+            cluster_by=cluster_by,
+            zorder_by=zorder_by,
+        )
+    return done
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits_per_col: int = 6
 ) -> Column:
