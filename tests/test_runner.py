@@ -623,8 +623,9 @@ def test_write_run_report_sink(spark, tmp_path):
 
 def test_compact_and_resample_tasks(spark, tmp_path):
     """compact (z-order) and resample builtin tasks drive the
-    maintenance + time-series operators from a manifest; nano-timestamp
-    parquet (events) is readable through the plain read_parquet task."""
+    maintenance + time-series operators from a manifest; the events
+    table (timestamp[us] ts) is readable through the plain
+    read_parquet task."""
     import glob
 
     frag = str(tmp_path / "frag")
@@ -646,8 +647,7 @@ def test_compact_and_resample_tasks(spark, tmp_path):
             env: {{PATH: {SF}/events.parquet, DEPENDS_ON: ""}}
           - name: reg
             task: sql
-            env: {{QUERY: "SELECT user_id, value,
-                           timestamp_micros(ts div 1000) AS ts FROM ev"}}
+            env: {{QUERY: "SELECT user_id, value, ts FROM ev"}}
           - name: grid
             task: resample
             env: {{KEY_COL: user_id, VALUE_COL: value}}

@@ -68,9 +68,11 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
     Timestamp normalization (matches DuckDB's reading of the same
     files): parquet NTZ timestamps are read as TimestampType under the
-    UTC session (inferTimestampNTZ off), and nanosecond timestamps
-    (events.ts) are read as raw int64 then floor-truncated to
-    microseconds — exactly what DuckDB does on read.
+    UTC session (inferTimestampNTZ off). events.ts is dtype-probed:
+    fixtures written as TIMESTAMP(MICROS) arrive as TimestampType and
+    pass through untouched; legacy TIMESTAMP(NANOS) fixtures arrive as
+    raw int64 (nanosAsLong) and are floor-truncated to microseconds —
+    the same truncation DuckDB applies on read.
     """
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -88,7 +90,7 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
         df = _TABLE_CACHE.get(key)
         if df is None:
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            if n == "events":
+            if n == "events" and dict(df.dtypes).get("ts") == "bigint":
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -18,26 +18,47 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.ts is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
-# raw int64 (nanosAsLong) which we floor to microseconds — the same
-# truncation DuckDB applies on read.
+# Streaming sources never infer schemas, so the ts encoding must be
+# probed from the files themselves. Current fixtures store events.ts as
+# parquet TIMESTAMP(MICROS) (read natively as TimestampType); legacy
+# fixtures used TIMESTAMP(NANOS), which Spark reads as raw int64
+# (nanosAsLong) that we floor to microseconds — the same truncation
+# DuckDB applies on read.
 EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
 
+def _events_ts_is_long(spark: SparkSession, sf_dir: str) -> bool:
+    """One batch footer read to learn how ts decodes on this fixture."""
+    probe = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return dict(probe.dtypes).get("ts") == "bigint"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (explicit schema — streaming
-    sources never infer; maxFilesPerTrigger bounds micro-batch size)."""
+    sources never infer; maxFilesPerTrigger bounds micro-batch size).
+
+    The schema is chosen by probing the batch read of the same path, so
+    both TIMESTAMP(MICROS) and legacy TIMESTAMP(NANOS) fixtures produce
+    an identical ``ts timestamp`` column downstream.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = _events_ts_is_long(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_window_agg(
