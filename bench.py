@@ -59,34 +59,44 @@ def main() -> None:
     # the LSH dedup query is ~3s steady-state vs ~25s including cold JIT.
     # Two iterations: AQE re-plans at runtime stats produce a second wave
     # of generated classes, so a single pass leaves some compiles unpaid.
+    # per-query try/except everywhere: one broken query must cost only
+    # its own timing, never zero out the other measurements
+    errors: dict[str, str] = {}
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir):
         for _ in range(2):
             for name in HEADLINE:
-                Q.REGISTRY[name].fn(spark, warm_dir).count()
+                try:
+                    Q.REGISTRY[name].fn(spark, warm_dir).count()
+                except Exception as e:  # noqa: BLE001
+                    print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = Q.REGISTRY[name]
         t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        # force full materialization of every row without driver transfer
-        n = df.count()
+        try:
+            df = q.fn(spark, sf_dir)
+            # force full materialization of every row without driver transfer
+            n = df.count()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -108,7 +108,7 @@ def oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
 
 
-# Import side-effect registration; order defines display order.
+# Import side-effect registration.
 from xetl_spark.queries import relational  # noqa: E402,F401
 from xetl_spark.queries import relational2  # noqa: E402,F401
 from xetl_spark.queries import window  # noqa: E402,F401
@@ -119,3 +119,26 @@ from xetl_spark.queries import llm_ops  # noqa: E402,F401
 from xetl_spark.queries import streaming_ops  # noqa: E402,F401
 from xetl_spark.queries import sql_surface  # noqa: E402,F401
 from xetl_spark.queries import udf_surface  # noqa: E402,F401
+
+
+def _interleave_registry() -> None:
+    """Round-robin the registry across source modules.
+
+    External correctness harnesses sample a prefix of the registry; a
+    module-ordered dict means that prefix is all relational queries and
+    a regression anywhere else goes unsampled. Interleaving one query
+    per family per round puts every family (scans, windows, scalars,
+    streaming, LLM ops, UDFs, SQL surface) inside any prefix of ~10+.
+    """
+    from itertools import zip_longest
+
+    groups: dict[str, list[str]] = {}
+    for name, q in REGISTRY.items():
+        groups.setdefault(q.fn.__module__.rsplit(".", 1)[-1], []).append(name)
+    order = [n for tier in zip_longest(*groups.values()) for n in tier if n]
+    reordered = {n: REGISTRY[n] for n in order}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
+
+_interleave_registry()
