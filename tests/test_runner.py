@@ -457,6 +457,57 @@ def test_parallel_run_matches_sequential(spark, tmp_path):
     assert n_par == n_seq
 
 
+def test_parallel_skip_chain_matches_sequential(spark, tmp_path):
+    """`previous` resolves THROUGH a skip:true stage identically in
+    both schedulers: the implicit chain read → (skipped filter) → agg
+    must aggregate the read's output, not a None previous."""
+    manifest = f"""
+        name: skipchain
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: src, task: read_parquet,
+              env: {{PATH: "${{SF_DIR}}/nation.parquet"}}}}
+          - {{name: flt, task: sql, skip: true,
+              env: {{QUERY: "SELECT * FROM src WHERE n_regionkey = 0"}}}}
+          - {{name: agg, task: sql,
+              env: {{QUERY: "SELECT count(*) AS n FROM src"}}}}
+        """
+    seq = run_job(spark, _job(manifest))
+    par = run_job(spark, _job(manifest), parallel=True, max_workers=4)
+    assert [r.status for r in seq] == ["success", "skipped", "success"]
+    assert [r.status for r in par] == ["success", "skipped", "success"]
+    assert par[2].output.collect() == seq[2].output.collect()
+
+
+def test_parallel_previous_through_skip(spark, tmp_path):
+    """A stage consuming ctx.previous (no named view) after a skipped
+    predecessor sees the last non-skipped output in both modes."""
+    from xetl_spark.plans.registry import task
+
+    reg = BUILTINS.copy()
+
+    @task(registry=reg, name="take3")
+    def take3(ctx):
+        assert ctx.previous is not None, "previous lost across skip"
+        return ctx.previous.limit(3)
+
+    manifest = f"""
+        name: prevskip
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - {{name: src, task: read_parquet,
+              env: {{PATH: "${{SF_DIR}}/region.parquet"}}}}
+          - {{name: noop, task: take3, skip: true}}
+          - {{name: head, task: take3}}
+        """
+    seq = run_job(spark, _job(manifest), registry=reg)
+    par = run_job(spark, _job(manifest), parallel=True, max_workers=4, registry=reg)
+    assert seq[2].output.count() == 3
+    assert par[2].output.count() == 3
+
+
 def test_parallel_failure_fails_fast(spark):
     from xetl_spark.plans.registry import task
 

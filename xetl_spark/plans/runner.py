@@ -407,13 +407,27 @@ def run_job(
         cmd, spec, fn, env = plan[i]
         # ctx.previous under explicit deps = the latest dependency's
         # output; under the implicit chain that IS the predecessor.
+        # A dependency with no output (skip:true, or a task returning
+        # None) is transparent: walk ITS dependencies, latest-position
+        # first, exactly as the sequential loop carries `previous`
+        # unchanged across such stages.
+        import heapq
+
         with lock:
             prev = None
-            for j in sorted(deps[i], reverse=True):
+            heap = [-j for j in deps[i]]
+            heapq.heapify(heap)
+            seen = set(deps[i])
+            while heap:
+                j = -heapq.heappop(heap)
                 r = results_by_pos.get(j)
                 if r is not None and r.output is not None:
                     prev = r.output
                     break
+                for k in deps[j]:
+                    if k not in seen:
+                        seen.add(k)
+                        heapq.heappush(heap, -k)
             outs = dict(outputs)
         res = _execute_stage(spark, job, cmd, spec, fn, env, outs, prev, resume)
         with lock:
@@ -424,17 +438,29 @@ def run_job(
         return i
 
     pending = set(range(len(plan)))
-    # skipped stages complete immediately (their env stays referenceable)
-    for i, (cmd, _s, _f, _e) in enumerate(plan):
-        if cmd.skip:
-            log.info("Skipping command %s (skip=true)", cmd.name or cmd.task)
-            results_by_pos[i] = StageResult(cmd, "skipped")
-            done.add(i)
-            pending.discard(i)
+
+    def complete_ready_skips() -> None:
+        # a skipped stage costs no compute, but it completes only once
+        # its own deps are done — otherwise a successor resolving
+        # `previous` through it could run before the stage the skip is
+        # transparent to has produced output (sequential-mode parity)
+        progressed = True
+        while progressed:
+            progressed = False
+            for i in ready(pending):
+                cmd = plan[i][0]
+                if cmd.skip:
+                    log.info("Skipping command %s (skip=true)", cmd.name or cmd.task)
+                    with lock:
+                        results_by_pos[i] = StageResult(cmd, "skipped")
+                    done.add(i)
+                    pending.discard(i)
+                    progressed = True
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = {}
         while (pending or futures) and not failure:
+            complete_ready_skips()
             for i in ready(pending):
                 pending.discard(i)
                 futures[pool.submit(run_one, i)] = i
