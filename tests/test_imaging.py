@@ -1,0 +1,171 @@
+"""Pure-Python image codec (operators/imaging.py) + real-decode
+multimodal path.
+
+The reference's concrete image job is download-PNG -> `convert
+-colorspace Gray` (reference README.md:50-95); these tests pin the
+engine-native equivalent at pixel level: PNG/PPM round-trips, all five
+PNG scanline filters on decode, BT.601 grayscale, nearest-neighbor
+resize, and the grayscale_images / resize_images operators running on
+real compressed bytes through mapInPandas.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from xetl_spark.operators import imaging as im
+
+rng = np.random.default_rng(1234)
+
+
+@pytest.mark.parametrize("shape", [(7, 5, 3), (16, 16, 4), (9, 3, 1), (4, 4, 2), (1, 1, 3)])
+def test_png_roundtrip(shape):
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(im.png_decode(im.png_encode(a)), a)
+
+
+def test_ppm_pgm_roundtrip():
+    a = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    assert np.array_equal(im.ppm_decode(im.ppm_encode(a)), a)
+    g = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    assert np.array_equal(im.ppm_decode(im.ppm_encode(g))[:, :, 0], g)
+
+
+def _encode_with_filter(arr: np.ndarray, ftype: int) -> bytes:
+    """Independent PNG writer emitting a chosen filter type per row —
+    exercises the decoder's unfiltering paths our encoder (filter 0)
+    never produces."""
+    h, w, n = arr.shape
+    stride = w * n
+    body = arr.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = body[y]
+        f = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = row[x - n] if x >= n else 0
+            up = prior[x]
+            ul = prior[x - n] if x >= n else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:  # 4: Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            f[x] = (row[x] - pred) & 0xFF
+        out.append(ftype)
+        out.extend(f.astype(np.uint8).tobytes())
+        prior = row
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[n]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    return (
+        im.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_decode_filtered(ftype):
+    a = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    assert np.array_equal(im.png_decode(_encode_with_filter(a, ftype)), a)
+
+
+def test_unsupported_rejected():
+    with pytest.raises(im.UnsupportedImageError):
+        im.decode_image(b"not an image at all")
+    # palette PNG (color type 3) rejected, not silently garbled
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    fake = (
+        im.PNG_MAGIC
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(">I", crc)
+    )
+    with pytest.raises(im.UnsupportedImageError):
+        im.png_decode(fake)
+
+
+def test_grayscale_bt601():
+    a = np.full((4, 4, 3), [100, 50, 200], dtype=np.uint8)
+    g = im.to_grayscale(a)
+    assert g.shape == (4, 4)
+    assert int(g[0, 0]) == round(0.299 * 100 + 0.587 * 50 + 0.114 * 200)
+    # alpha dropped, gray passthrough
+    assert np.array_equal(im.to_grayscale(g), g)
+
+
+def test_resize_nearest():
+    a = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    r = im.resize_nearest(a, 3, 4)
+    assert r.shape == (4, 3, 3)
+    # upscale preserves corner pixels
+    up = im.resize_nearest(a, 12, 16)
+    assert np.array_equal(up[0, 0], a[0, 0])
+    # identity resize is exact
+    assert np.array_equal(im.resize_nearest(a, 6, 8), a)
+
+
+def test_grayscale_images_operator(spark, sf_dir):
+    """grayscale_images on real synthesized PNGs: output PNGs decode
+    back to the BT.601 luma of the input pixels, exactly."""
+    from xetl_spark.queries.llm_ops import _synth_images
+
+    imgs = _synth_images(spark, sf_dir, limit=16)
+    src = {int(r.doc_id): bytes(r.media) for r in imgs.collect()}
+    from xetl_spark.operators.multimodal import grayscale_images
+
+    out = grayscale_images(imgs, "media", "doc_id").collect()
+    assert len(out) == len(src)
+    for r in out:
+        expect = im.to_grayscale(im.png_decode(src[int(r.id)]))
+        got = im.png_decode(bytes(r.gray_png))[:, :, 0]
+        assert np.array_equal(got, expect)
+        assert abs(r.mean_gray - float(expect.mean())) < 1e-9
+
+
+def test_resize_images_real_decode(spark, sf_dir):
+    """resize_images(decode_stub=False) emits real PNGs at the target
+    dimensions whose pixels equal a local nearest-neighbor resize."""
+    from xetl_spark.queries.llm_ops import _synth_images
+
+    imgs = _synth_images(spark, sf_dir, limit=8)
+    src = {int(r.doc_id): bytes(r.media) for r in imgs.collect()}
+    from xetl_spark.operators.multimodal import resize_images
+
+    out = resize_images(imgs, "media", "doc_id", 8, 4, decode_stub=False).collect()
+    for r in out:
+        got = im.png_decode(bytes(r.resized))
+        assert got.shape == (4, 8, 3)
+        expect = im.resize_nearest(im.png_decode(src[int(r.id)]), 8, 4)
+        assert np.array_equal(got, expect)
+
+
+def test_extract_features_real_decode(spark, sf_dir):
+    """extract_features(decode_stub=False): luma band-profile features
+    in [0,1], true dimensions from the decoded image."""
+    from xetl_spark.operators.multimodal import extract_features
+    from xetl_spark.queries.llm_ops import _synth_images
+
+    imgs = _synth_images(spark, sf_dir, limit=8)
+    rows = extract_features(imgs, "media", "doc_id", decode_stub=False).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert (r.width, r.height) == (16, 16)
+        assert len(r.features) == 8
+        assert all(0.0 <= f <= 1.0 for f in r.features)

@@ -1,0 +1,254 @@
+"""Pure-Python image codecs (PNG + PPM/PGM) and pixel transforms.
+
+Reference parity: the reference's concrete image pipeline downloads a
+PNG and runs ``convert -colorspace Gray`` over it as a subprocess task
+(reference README.md:50-95). This engine has no ImageMagick/Pillow, so
+the codec is implemented here from the public PNG spec (RFC 2083) on
+stdlib ``zlib`` + numpy — enough to decode/encode real 8-bit PNGs and
+run grayscale/resize as vectorized array math inside Arrow-batched
+UDFs. Scale note: each image decodes independently inside its
+partition; nothing touches the driver.
+
+Supported: 8-bit PNG color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+6 (RGBA), non-interlaced; binary PPM (P6) / PGM (P5) maxval 255.
+Palette, 16-bit, and interlaced PNGs raise ``UnsupportedImageError``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# channels per pixel by PNG color type
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class UnsupportedImageError(ValueError):
+    """Payload is not an image format this codec handles."""
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Return 'png', 'ppm', 'pgm', or None for unrecognized bytes."""
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"P5":
+        return "pgm"
+    return None
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode a PNG to a (H, W, C) uint8 array.
+
+    Full scanline unfiltering (filter types 0-4 per RFC 2083 §6); Sub/
+    Paeth carry an in-row dependency so those rows run per-pixel, None/
+    Up/Average vectorize. Our own encoder emits filter 0, so the
+    round-trip hot path is pure numpy.
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise UnsupportedImageError("not a PNG (bad signature)")
+    pos, width, height, color_type, bit_depth, interlace = 8, 0, 0, None, 8, 0
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if color_type not in _CHANNELS:
+        raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
+    if bit_depth != 8:
+        raise UnsupportedImageError(f"unsupported PNG bit depth {bit_depth}")
+    if interlace:
+        raise UnsupportedImageError("interlaced PNG not supported")
+    nch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise UnsupportedImageError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    view = np.frombuffer(raw, dtype=np.uint8)
+    for y in range(height):
+        rowstart = y * (stride + 1)
+        ftype = view[rowstart]
+        row = view[rowstart + 1 : rowstart + 1 + stride].astype(np.int32)
+        if ftype == 0:  # None
+            recon = row
+        elif ftype == 2:  # Up
+            recon = (row + prior) & 0xFF
+        elif ftype == 1:  # Sub
+            recon = row.copy()
+            for x in range(nch, stride):
+                recon[x] = (recon[x] + recon[x - nch]) & 0xFF
+        elif ftype == 3:  # Average
+            recon = row.copy()
+            for x in range(stride):
+                left = recon[x - nch] if x >= nch else 0
+                recon[x] = (recon[x] + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = row.copy()
+            for x in range(stride):
+                left = int(recon[x - nch]) if x >= nch else 0
+                up = int(prior[x])
+                ul = int(prior[x - nch]) if x >= nch else 0
+                recon[x] = (recon[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise UnsupportedImageError(f"bad PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = out[y]
+    return out.reshape(height, width, nch)
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Encode a (H, W) or (H, W, C) uint8 array as a PNG (filter 0)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
+    if color_type is None:
+        raise UnsupportedImageError(f"cannot encode {nch}-channel image")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = arr.astype(np.uint8).reshape(h, w * nch)
+    raw = np.zeros((h, w * nch + 1), dtype=np.uint8)
+    raw[:, 1:] = body  # filter byte 0 per scanline
+    idat = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------------------ PPM/PGM
+
+
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6, RGB) or PGM (P5, gray) to (H, W, C) uint8."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise UnsupportedImageError("not a binary PPM/PGM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise UnsupportedImageError(f"unsupported PPM maxval {maxval}")
+    nch = 3 if magic == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=h * w * nch, offset=i)
+    return data.reshape(h, w, nch).copy()
+
+
+def ppm_encode(arr: np.ndarray) -> bytes:
+    """Encode a (H, W[, C]) uint8 array as binary PPM (3ch) / PGM (1ch)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch == 3:
+        header = f"P6\n{w} {h}\n255\n".encode()
+    elif nch == 1:
+        header = f"P5\n{w} {h}\n255\n".encode()
+    else:
+        raise UnsupportedImageError(f"cannot encode {nch}-channel PPM")
+    return header + arr.astype(np.uint8).tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode any supported payload to (H, W, C) uint8."""
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return png_decode(payload)
+    if fmt in ("ppm", "pgm"):
+        return ppm_decode(payload)
+    raise UnsupportedImageError("unrecognized image payload")
+
+
+# --------------------------------------------------------- transforms
+
+# ITU-R BT.601 luma weights — what `convert -colorspace Gray` applies
+GRAY_WEIGHTS = (0.299, 0.587, 0.114)
+
+
+def to_grayscale(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) -> (H, W) uint8 luminance via BT.601 weights; alpha is
+    dropped; already-gray input passes through."""
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] in (1, 2):  # gray / gray+alpha
+        return arr[:, :, 0]
+    r, g, b = GRAY_WEIGHTS
+    lum = arr[:, :, 0] * r + arr[:, :, 1] * g + arr[:, :, 2] * b
+    return np.clip(np.rint(lum), 0, 255).astype(np.uint8)
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W[, C]) to (height, width) —
+    pure index math, fully vectorized."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def pixel_stats(arr: np.ndarray) -> dict[str, float]:
+    """Deterministic per-image stats used by the pixel-stat oracle."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    flat = arr.reshape(-1, nch).astype(np.float64)
+    means = flat.mean(axis=0)
+    if nch >= 3:
+        r, g, b = means[0], means[1], means[2]
+    else:
+        r = g = b = means[0]
+    wr, wg, wb = GRAY_WEIGHTS
+    return {
+        "width": float(w),
+        "height": float(h),
+        "mean_r": float(r),
+        "mean_g": float(g),
+        "mean_b": float(b),
+        "mean_gray": float(wr * r + wg * g + wb * b),
+    }

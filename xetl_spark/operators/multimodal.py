@@ -6,11 +6,15 @@ the engine treats media as first-class ``binary`` columns with a typed
 metadata struct; decode / feature-extraction runs as Arrow-batched
 Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio codecs, so the actual decode is
-STUBBED: ``decode_stub=True`` (default) produces deterministic fake
-features so the Spark-side plumbing — schema, batching, partitioning —
-is real and testable; ``decode_stub=False`` raises NotImplementedError
-where a codec (Pillow/ffmpeg) would be called.
+Image decode is REAL: ``decode_stub=False`` routes PNG/PPM/PGM
+payloads through the pure-Python codec in ``operators.imaging``
+(stdlib zlib + numpy — no Pillow in this container), so grayscale /
+resize / pixel-stat pipelines run end-to-end on actual pixels.
+``decode_stub=True`` (default for non-image payloads like the text
+fixtures) produces deterministic fake features so the Spark-side
+plumbing — schema, batching, partitioning — is exercised on any
+binary column. Audio/video codecs (ffmpeg) are still absent, so
+frame-sampling and PCM windowing keep deterministic stand-ins.
 """
 
 from __future__ import annotations
@@ -60,27 +64,69 @@ def resize_images(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Resize image payloads to (width, height) via Arrow-batched
-    mapInPandas. Codec stubbed (no Pillow here): the stand-in emits a
-    deterministic byte payload of the right conceptual shape so the
-    schema/batching contract is real and tested; with Pillow present
-    only the inner function changes."""
+    mapInPandas. ``decode_stub=False``: real decode (PNG/PPM via
+    operators.imaging), nearest-neighbor resize, PNG re-encode.
+    ``decode_stub=True``: deterministic fake payload exercising the
+    same schema/batching contract on non-image bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from xetl_spark.operators import imaging
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires Pillow, not present here"
-                )
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[media_col])
-                fake = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
-                rows.append((row[id_col], width, height, fake))
+                if decode_stub:
+                    out = hashlib.sha256(
+                        payload + f"{width}x{height}".encode()
+                    ).digest()
+                else:
+                    arr = imaging.decode_image(payload)
+                    out = imaging.png_encode(
+                        imaging.resize_nearest(arr, width, height)
+                    )
+                rows.append((row[id_col], width, height, out))
             yield pd.DataFrame(rows, columns=["id", "width", "height", "resized"])
 
     return df.select(id_col, media_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+GRAYSCALE_SCHEMA = "id long, width int, height int, mean_gray double, gray_png binary"
+
+
+def grayscale_images(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Convert image payloads to grayscale — the engine-native form of
+    the reference's ``convert -colorspace Gray`` subprocess task
+    (reference README.md:66-77). Real decode (PNG/PPM), BT.601 luma,
+    PNG re-encode; runs as vectorized array math per image inside
+    Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import imaging
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = imaging.decode_image(bytes(row[media_col]))
+                gray = imaging.to_grayscale(arr)
+                rows.append(
+                    (
+                        row[id_col],
+                        gray.shape[1],
+                        gray.shape[0],
+                        float(gray.mean()),
+                        imaging.png_encode(gray),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mean_gray", "gray_png"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=GRAYSCALE_SCHEMA)
 
 
 def sample_frames(
@@ -182,7 +228,10 @@ def extract_features(
     The batch shape is the real contract: each partition streams Arrow
     record batches through the UDF; at cluster scale, partition sizing
     (maxPartitionBytes) bounds executor memory, and no data crosses the
-    driver. The decode itself is stubbed (see module docstring).
+    driver. ``decode_stub=False``: real image decode; features are the
+    per-channel means + overall luma of an n_features-bucket row
+    profile. ``decode_stub=True``: deterministic sha-derived stand-in
+    for arbitrary (non-image) binary payloads.
     """
 
     def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
@@ -196,17 +245,26 @@ def extract_features(
         feats = [((h >> (i * 3)) % 1000) / 1000.0 for i in range(n_features)]
         return w, ht, feats
 
+    def real_decode(payload: bytes) -> tuple[int, int, list[float]]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+
+        arr = imaging.decode_image(payload)
+        gray = imaging.to_grayscale(arr).astype(np.float64)
+        ht, w = gray.shape
+        # n_features-bucket vertical luma profile (row-band means):
+        # a tiny, deterministic "embedding" of the image's structure
+        bands = np.array_split(gray, n_features, axis=0)
+        feats = [float(b.mean()) / 255.0 if b.size else 0.0 for b in bands]
+        return w, ht, feats
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires a codec library (Pillow/ffmpeg) "
-                    "not present in this environment"
-                )
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[media_col])
-                w, ht, feats = fake_decode(payload)
+                w, ht, feats = (fake_decode if decode_stub else real_decode)(payload)
                 rows.append((row[id_col], len(payload), w, ht, feats))
             yield pd.DataFrame(
                 rows, columns=["id", "byte_len", "width", "height", "features"]

@@ -381,6 +381,119 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(with_media, "media", "doc_id")
 
 
+def _synth_images(spark: SparkSession, sf_dir: str, limit: int = 256) -> DataFrame:
+    """Deterministic 16x16 RGB PNGs keyed by doc_id, encoded with the
+    REAL pure-Python PNG encoder (operators/imaging.py). Pixel values
+    are a closed form of doc_id — R=(id%200)+x, G=(id*7%200)+y,
+    B=(id*13%200)+(x+y)%16 — so expected channel means are computable
+    in plain SQL and an oracle can verify the full encode→decode
+    round-trip on actual compressed PNG bytes."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+
+        x = np.arange(16)[None, :]
+        y = np.arange(16)[:, None]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = np.stack(
+                    [
+                        np.broadcast_to(did % 200 + x, (16, 16)),
+                        np.broadcast_to(did * 7 % 200 + y, (16, 16)),
+                        (did * 13 % 200 + (x + y) % 16),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append((did, imaging.png_encode(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return ids.mapInPandas(gen, schema="doc_id long, media binary")
+
+
+@query(
+    "q_multimodal_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           16 AS width, 16 AS height,
+           ROUND((doc_id % 200) + 7.5, 3) AS mean_r,
+           ROUND((doc_id * 7 % 200) + 7.5, 3) AS mean_g,
+           ROUND((doc_id * 13 % 200) + 7.5, 3) AS mean_b,
+           ROUND(0.299 * ((doc_id % 200) + 7.5)
+               + 0.587 * ((doc_id * 7 % 200) + 7.5)
+               + 0.114 * ((doc_id * 13 % 200) + 7.5), 3) AS mean_gray
+    FROM documents WHERE doc_id < 256
+    """,
+)
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-verified: synthesizes PNGs whose pixel
+    values are a closed form of doc_id, pushes the compressed bytes
+    through the pure-Python PNG decoder, and emits per-channel pixel
+    means — which the SQL oracle recomputes analytically. A decoder
+    bug of even one pixel breaks the hash match."""
+    from collections.abc import Iterator as _It
+
+    imgs = _synth_images(spark, sf_dir)
+
+    def stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators import imaging
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                s = imaging.pixel_stats(imaging.decode_image(bytes(row["media"])))
+                rows.append(
+                    (
+                        int(row["doc_id"]),
+                        int(s["width"]),
+                        int(s["height"]),
+                        round(s["mean_r"], 3),
+                        round(s["mean_g"], 3),
+                        round(s["mean_b"], 3),
+                        round(s["mean_gray"], 3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "mean_gray",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width int, height int, mean_r double, "
+            "mean_g double, mean_b double, mean_gray double"
+        ),
+    )
+
+
+@query("q_multimodal_grayscale", oracle=None)
+def q_multimodal_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `convert -colorspace Gray` job (README.md:66-77)
+    engine-native: real PNG decode → BT.601 luma → PNG re-encode over
+    Arrow batches. Rows-only here; pixel-exactness is unit-tested
+    (tests/test_imaging.py)."""
+    imgs = _synth_images(spark, sf_dir)
+    out = multimodal.grayscale_images(imgs, "media", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        F.round("mean_gray", 3).alias("mean_gray"),
+        F.length("gray_png").alias("png_bytes"),
+    )
+
+
 @query(
     "q_udf_pandas_scalar",
     oracle="""
