@@ -118,6 +118,42 @@ def test_task_discovery_from_directory(spark, tmp_path):
     assert [r.r_regionkey for r in rows] == [0, 1]
 
 
+def test_typoed_run_name_rejected_at_discovery(spark, tmp_path):
+    """A manifest whose `run:` is a bare token naming neither a
+    registered task nor an executable is rejected at discovery (logged
+    + skipped) instead of becoming a subprocess that fails opaquely at
+    run time."""
+    from xetl_spark.plans.registry import TaskRegistry
+
+    taskdir = tmp_path / "tasks" / "typo"
+    taskdir.mkdir(parents=True)
+    (taskdir / "manifest.yml").write_text(
+        "name: typo-task\nrun: read_parqet\n"  # typo'd builtin name
+    )
+    reg = TaskRegistry()
+    reg.discover(str(tmp_path / "tasks"))
+    assert not reg._has("typo-task")  # skipped, not silently registered
+
+    # a real program with args still discovers as a subprocess task
+    okdir = tmp_path / "tasks" / "shellok"
+    okdir.mkdir(parents=True)
+    (okdir / "manifest.yml").write_text("name: shell-ok\nrun: echo hello\n")
+    reg.discover(str(tmp_path / "tasks"))
+    assert reg._has("shell-ok")
+
+
+def test_cli_parallel_zero_rejected():
+    """--parallel 0 is a usage error, not a silent fall-back to 8."""
+    from xetl_spark.cli import argument_parser
+
+    with pytest.raises(SystemExit):
+        argument_parser().parse_args(["job.yml", "--parallel", "0"])
+    ns = argument_parser().parse_args(["job.yml", "--parallel", "4"])
+    assert ns.parallel == 4
+    ns = argument_parser().parse_args(["job.yml", "--parallel"])
+    assert ns.parallel == 8
+
+
 def test_argparse_bridge_env_fallback(monkeypatch):
     """CLI wins over env; env fills omitted flags; required enforced
     (reference tests/test_argparser.py:244-277)."""

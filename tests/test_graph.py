@@ -114,3 +114,13 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     ranks = [x.rank for x in pagerank(edges, max_iter=30).collect()]
     assert all(abs(v - 1.0 / n) < 1e-6 for v in ranks)
+
+
+def test_pagerank_empty_edges(spark):
+    """Empty edge list → empty ranking, not ZeroDivisionError."""
+    from xetl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

@@ -294,3 +294,19 @@ def test_vacuum_snapshots(spark, tmp_path):
     assert removed == [0, 1]
     final, v = latest_snapshot(spark, table)
     assert v == 2 and final.count() == 3
+
+
+def test_bruteforce_query_side_guard(spark):
+    """The broadcast-query contract is enforced: an oversized query
+    side raises with guidance instead of OOMing the driver."""
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_bruteforce(df, df, "embedding", "vec_id", k=2, max_queries=10)
+    # within the cap it works
+    out = cosine_topk_bruteforce(
+        df.limit(40), df.limit(5), "embedding", "vec_id", k=2, max_queries=10
+    )
+    assert out.count() > 0

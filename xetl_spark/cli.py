@@ -52,11 +52,19 @@ def argument_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="run every task's declared tests: block and exit non-zero on failure",
     )
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(
+                f"--parallel expects a worker count >= 1, got {n}"
+            )
+        return n
+
     p.add_argument(
         "--parallel",
         nargs="?",
         const=8,
-        type=int,
+        type=_positive_int,
         metavar="N",
         help="schedule independent stages concurrently on up to N threads "
         "(default 8); stages opt in with DEPENDS_ON, default order is "
@@ -135,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
             commands=args.commands,
             resume=args.resume,
             parallel=args.parallel is not None,
-            max_workers=args.parallel or 8,
+            max_workers=args.parallel if args.parallel is not None else 8,
         )
     except TaskFailure as tf:
         print(f"error: {tf}", file=sys.stderr)

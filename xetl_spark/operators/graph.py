@@ -128,6 +128,9 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list → empty ranking, not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     out_deg = e.groupBy("esrc").agg(F.count("*").alias("deg"))
     e_deg = e.join(out_deg, "esrc").localCheckpoint()
 

@@ -47,6 +47,7 @@ def cosine_topk_bruteforce(
     id_col: str,
     k: int = 5,
     exclude_self: bool = True,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query row against the corpus.
 
@@ -66,7 +67,18 @@ def cosine_topk_bruteforce(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # the query side is collected + closure-broadcast: enforce the
+    # "small by contract" assumption instead of silently OOMing the
+    # driver on a mis-sized call (limit(n+1) costs one extra row, not
+    # a count job)
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_bruteforce query side exceeds max_queries="
+            f"{max_queries}; this operator broadcasts the query matrix — "
+            "split the query set, raise max_queries deliberately, or use "
+            "ivf_ann_topk/lsh_ann_topk for large-to-large search"
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
@@ -224,6 +236,9 @@ def _nearest_cells(unit_col: str, centroids: list[list[float]], n: int):
 #: unchanged path between calls is the one case the key can't see —
 #: clear_centroid_cache() for that.
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+#: FIFO bound: centroid lists are small (n_clusters × dim floats) but a
+#: long-lived session fitting many corpora must not grow without limit
+_CENTROID_CACHE_MAX = 32
 
 
 def clear_centroid_cache() -> None:
@@ -263,6 +278,8 @@ def ivf_fit_centroids(
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
     centroids = [list(ctr) for ctr in model.clusterCenters()]
     if key is not None:
+        while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
         _CENTROID_CACHE[key] = centroids
     return centroids
 

@@ -16,8 +16,17 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     partition count is below ``min_fraction`` of default parallelism) —
     it never adds a shuffle to an already-parallel 100 TB scan.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+    try:
+        # classic mode: probe actual partitioning via the RDD handle
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor df.rdd; there
+        # the input comes from a real cluster source that is already
+        # split, so the local-file single-partition case this guards
+        # against doesn't arise — pass through unchanged.
+        return df
+    if parts < max(1, int(target * min_fraction)):
         return df.repartition(target)
     return df

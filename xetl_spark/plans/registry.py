@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
+import shutil
 from collections.abc import Callable
 from typing import TYPE_CHECKING, Any
 
@@ -90,10 +91,26 @@ class TaskRegistry:
                     elif run is not None:
                         # subprocess-parity escape hatch (reference
                         # task.py:291-347): `run` is a real program in
-                        # any of the reference's three forms
-                        fn = _subprocess_task_fn(
-                            parse_run_command(run), basedir=dirpath
-                        )
+                        # any of the reference's three forms. A bare
+                        # token that resolves to neither a registered
+                        # task nor an executable is almost certainly a
+                        # typo'd task name — reject it at discovery
+                        # with a clear message instead of deferring an
+                        # opaque subprocess failure to run time.
+                        argv = parse_run_command(run)
+                        if (
+                            isinstance(run, str)
+                            and len(argv) == 1
+                            and shutil.which(argv[0]) is None
+                            and not os.path.exists(os.path.join(dirpath, argv[0]))
+                            and not os.path.isabs(argv[0])
+                        ):
+                            raise ValueError(
+                                f"run: {run!r} names neither a registered "
+                                "task nor an executable on PATH — "
+                                "misspelled task name?"
+                            )
+                        fn = _subprocess_task_fn(argv, basedir=dirpath)
                     else:
                         raise ValueError("task manifest needs `sql` or `run`")
                     self.register(spec, fn)

@@ -244,7 +244,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard-correctness property-tested in tests/test_llm_ops.py."""
     (docs,) = load(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(
-        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.5
+        docs, "text", "doc_id", n=3, num_hashes=24, bands=8, threshold=0.5
     )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
