@@ -1,0 +1,180 @@
+"""Golden-transcript CLI tests.
+
+Reference parity: the reference pins exact dry-run and failure stdout
+(reference tests/test_end_to_end.py:252-349 and :522-584, with
+timestamps regex-normalized by strip_dates). Same discipline here for
+THIS engine's CLI surface: the full normalized transcript is asserted,
+so any drift in what the user sees — stage ordering, env echo,
+EXPLAIN presence, error shape, exit codes — is a test diff, not a
+surprise.
+
+Normalization strips the volatile parts only: Spark/JVM log noise,
+plan expression ids (#12 → #N), codegen ids, timestamps, and the
+temp directory path.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+import textwrap
+
+_NOISE = re.compile(
+    r"WARNING: Using incubator|Setting default log level|"
+    r"Using Spark's default log4j|To adjust logging level|"
+    r"native-hadoop|log4j|py4j|INFO |WARN |SLF4J|"
+    r"\[Stage \d+:|"  # console progress bar
+    r"^\s*$"
+)
+
+
+def _split_lines(text: str) -> list[str]:
+    # the console progress bar rewrites lines with bare \r
+    return text.replace("\r", "\n").splitlines()
+
+
+def _normalize(text: str, tmp: str) -> str:
+    out = []
+    for line in _split_lines(text):
+        if _NOISE.search(line):
+            continue
+        line = line.replace(tmp, "{TMP}")
+        line = re.sub(r"#\d+", "#N", line)  # plan expression ids
+        line = re.sub(r"\*\(\d+\)", "*(S)", line)  # codegen stage ids
+        line = re.sub(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}\S*", "{TS}", line)
+        line = re.sub(r"InMemoryFileIndex\(\d+ paths\)", "InMemoryFileIndex(P paths)", line)
+        out.append(line.rstrip())
+    return "\n".join(out).strip()
+
+
+def _run_cli(manifest: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "xetl_spark", manifest],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        cwd="/root/repo",
+        timeout=240,
+    )
+
+
+def test_dryrun_golden_transcript(tmp_path):
+    """Dry-run output is EXPLAIN-as-transcript: job header, each stage's
+    resolved env, and the physical plan with pushed-down scan details.
+    Pinned verbatim (normalized)."""
+    (tmp_path / "data").mkdir()
+    manifest = tmp_path / "job.yml"
+    manifest.write_text(
+        textwrap.dedent(
+            f"""
+            name: golden
+            description: golden transcript job
+            data: {tmp_path}/data
+            env: {{SF_DIR: /root/testdata/sf0.001}}
+            commands:
+              - {{name: src, task: read_parquet,
+                  env: {{PATH: "${{SF_DIR}}/region.parquet"}}}}
+              - {{name: top, task: sql,
+                  env: {{QUERY: "SELECT r_name FROM src ORDER BY r_name LIMIT 2"}}}}
+            """
+        )
+    )
+    res = subprocess.run(
+        [sys.executable, "-m", "xetl_spark", str(manifest), "--dryrun"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    assert res.returncode == 0, res.stdout.decode()
+    got = _normalize(res.stdout.decode(), str(tmp_path))
+    expected = textwrap.dedent(
+        """\
+        job: golden
+        data: {TMP}/data
+        command: src (task=read_parquet, skip=False)
+          SF_DIR = '/root/testdata/sf0.001'
+          PATH = '/root/testdata/sf0.001/region.parquet'
+          == Physical Plan ==
+        *(S) ColumnarToRow
+        +- FileScan parquet [r_regionkey#N,r_name#N] Batched: true, DataFilters: [], Format: Parquet, Location: InMemoryFileIndex(P paths)[file:/root/testdata/sf0.001/region.parquet], PartitionFilters: [], PushedFilters: [], ReadSchema: struct<r_regionkey:int,r_name:string>
+        command: top (task=sql, skip=False)
+          SF_DIR = '/root/testdata/sf0.001'
+          QUERY = 'SELECT r_name FROM src ORDER BY r_name LIMIT 2'
+          == Physical Plan ==
+        TakeOrderedAndProject(limit=2, orderBy=[r_name#N ASC NULLS FIRST], output=[r_name#N])
+        +- *(S) ColumnarToRow
+           +- FileScan parquet [r_name#N] Batched: true, DataFilters: [], Format: Parquet, Location: InMemoryFileIndex(P paths)[file:/root/testdata/sf0.001/region.parquet], PartitionFilters: [], PushedFilters: [], ReadSchema: struct<r_name:string>"""
+    ).strip()
+    assert got == expected, f"--- got ---\n{got}\n--- want ---\n{expected}"
+
+
+def test_failure_golden_transcript(tmp_path):
+    """A failing SQL stage: exit code 2, one clean `error:` line naming
+    the stage plus the analyzer's diagnosis, and the terminating
+    banner — no Python traceback."""
+    (tmp_path / "data").mkdir()
+    manifest = tmp_path / "fail.yml"
+    manifest.write_text(
+        textwrap.dedent(
+            f"""
+            name: failjob
+            data: {tmp_path}/data
+            env: {{SF_DIR: /root/testdata/sf0.001}}
+            commands:
+              - {{name: src, task: read_parquet,
+                  env: {{PATH: "${{SF_DIR}}/region.parquet"}}}}
+              - {{name: boom, task: sql,
+                  env: {{QUERY: "SELECT no_such_col FROM src"}}}}
+            """
+        )
+    )
+    res = _run_cli(str(manifest))
+    out = res.stdout.decode()
+    assert res.returncode == 2, out
+    got = _normalize(out, str(tmp_path))
+    assert "Traceback" not in got
+    lines = got.splitlines()
+    # the reference transcript includes its "Ignoring unexpected env
+    # variable" warnings (test_end_to_end.py:322,341); ours are the
+    # runner's unknown-input warnings in the same position
+    assert lines[0] == (
+        "WARNING xetl_spark.runner: task 'read_parquet': "
+        "unknown input 'SF_DIR' ignored"
+    ), lines[0]
+    assert lines[1] == (
+        "WARNING xetl_spark.runner: task 'sql': unknown input 'SF_DIR' ignored"
+    ), lines[1]
+    # pinned shape: error line names the failed stage and the column;
+    # the analyzer detail (suggestion list, plan echo) may evolve with
+    # Spark versions, so pin the stable head + the terminating banner
+    assert lines[2].startswith("error: command 'boom' failed:"), lines[2]
+    assert "`no_such_col` cannot be resolved" in got
+    assert lines[-1] == "Task failed, terminating job."
+
+
+def test_missing_data_dir_golden_transcript(tmp_path):
+    """Missing job data directory: exit 1 with exactly one clean error
+    line (the reference's data-dir guard, surfaced without traceback)."""
+    manifest = tmp_path / "nodata.yml"
+    manifest.write_text(
+        textwrap.dedent(
+            f"""
+            name: nodata
+            data: {tmp_path}/does_not_exist
+            commands:
+              - {{name: one, task: sql, env: {{QUERY: "SELECT 1 AS x"}}}}
+            """
+        )
+    )
+    res = _run_cli(str(manifest))
+    assert res.returncode == 1
+    got = _normalize(res.stdout.decode(), str(tmp_path))
+    assert got == "error: job data directory not found: {TMP}/does_not_exist", got
+
+
+def test_missing_manifest_golden_transcript(tmp_path):
+    res = _run_cli(str(tmp_path / "absent.yml"))
+    assert res.returncode == 1
+    got = _normalize(res.stdout.decode(), str(tmp_path))
+    assert got == "error: manifest not found: {TMP}/absent.yml", got

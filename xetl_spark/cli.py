@@ -99,11 +99,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: manifest not found: {args.manifest}", file=sys.stderr)
         return 1
 
-    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.models import (
+        Job,
+        JobDataDirectoryNotFound,
+        ManifestError,
+        ValidationError,
+    )
     from xetl_spark.plans.runner import TaskFailure, explain_job, run_job
     from xetl_spark.session import get_session
 
-    job = Job.from_file(args.manifest)
+    try:
+        job = Job.from_file(args.manifest)
+    except (ManifestError, ValidationError) as exc:
+        print(f"error: invalid manifest: {exc}", file=sys.stderr)
+        return 1
 
     if args.list_tasks:
         from xetl_spark.plans.registry import BUILTINS
@@ -147,7 +156,16 @@ def main(argv: list[str] | None = None) -> int:
         )
     except TaskFailure as tf:
         print(f"error: {tf}", file=sys.stderr)
+        print("Task failed, terminating job.", file=sys.stderr)
         return 2
+    except (ManifestError, ValidationError) as exc:
+        # job-level misconfiguration (unknown task, bad DEPENDS_ON,
+        # bad inputs, ...) — a clean one-line error, not a traceback
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    except JobDataDirectoryNotFound as exc:
+        print(f"error: job data directory not found: {exc}", file=sys.stderr)
+        return 1
     if args.report or args.report_table:
         from xetl_spark.plans.runner import run_report, write_run_report
 
