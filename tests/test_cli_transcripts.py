@@ -42,7 +42,7 @@ def _normalize(text: str, tmp: str) -> str:
         line = line.replace(tmp, "{TMP}")
         line = re.sub(r"#\d+", "#N", line)  # plan expression ids
         line = re.sub(r"\*\(\d+\)", "*(S)", line)  # codegen stage ids
-        line = re.sub(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}\S*", "{TS}", line)
+        line = re.sub(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}\.\d{3}", "{TS}", line)
         line = re.sub(r"InMemoryFileIndex\(\d+ paths\)", "InMemoryFileIndex(P paths)", line)
         out.append(line.rstrip())
     return "\n".join(out).strip()
@@ -135,22 +135,91 @@ def test_failure_golden_transcript(tmp_path):
     got = _normalize(out, str(tmp_path))
     assert "Traceback" not in got
     lines = got.splitlines()
-    # the reference transcript includes its "Ignoring unexpected env
-    # variable" warnings (test_end_to_end.py:322,341); ours are the
-    # runner's unknown-input warnings in the same position
-    assert lines[0] == (
-        "WARNING xetl_spark.runner: task 'read_parquet': "
-        "unknown input 'SF_DIR' ignored"
-    ), lines[0]
-    assert lines[1] == (
-        "WARNING xetl_spark.runner: task 'sql': unknown input 'SF_DIR' ignored"
-    ), lines[1]
-    # pinned shape: error line names the failed stage and the column;
+    # everything up to the failure is pinned verbatim: the resolution
+    # warnings (the reference pins its "Ignoring unexpected env
+    # variable" lines the same way), then the moderate-style nested
+    # job/command/task transcript with Return code footers
+    expected_head = textwrap.dedent(
+        """\
+        WARNING task 'read_parquet': unknown input 'SF_DIR' ignored
+        WARNING task 'sql': unknown input 'SF_DIR' ignored
+        ─╴Executing job: failjob╶─
+        ━╸Executing command: src (1 of 2)╺━
+          name: src
+          description: null
+          task: read_parquet
+          env:
+            SF_DIR: /root/testdata/sf0.001
+            PATH: /root/testdata/sf0.001/region.parquet
+          skip: false
+        ═╴Executing task: read_parquet╶═
+        {TS}  Running command src (task=read_parquet)
+        ═╴Return code: 0╶═
+        ━╸Executing command: boom (2 of 2)╺━
+          name: boom
+          description: null
+          task: sql
+          env:
+            SF_DIR: /root/testdata/sf0.001
+            QUERY: SELECT no_such_col FROM src
+          skip: false
+        ═╴Executing task: sql╶═
+        {TS}  Running command boom (task=sql)
+        ═╴Return code: 1╶═"""
+    ).splitlines()
+    assert lines[: len(expected_head)] == expected_head, "\n".join(lines)
     # the analyzer detail (suggestion list, plan echo) may evolve with
     # Spark versions, so pin the stable head + the terminating banner
-    assert lines[2].startswith("error: command 'boom' failed:"), lines[2]
+    err = lines[len(expected_head)]
+    assert err.startswith("error: command 'boom' failed:"), err
     assert "`no_such_col` cannot be resolved" in got
     assert lines[-1] == "Task failed, terminating job."
+
+
+def test_gaudy_success_golden_transcript(tmp_path):
+    """Gaudy style: the reference's nested box-drawing transcript
+    (logging.py:64-88 decorations, test_end_to_end.py:202-249 shape) —
+    job frame, per-command banner with manifest echo, task sub-frame
+    with timestamped body lines and a Return code footer, Done banner."""
+    (tmp_path / "data").mkdir()
+    manifest = tmp_path / "ok.yml"
+    manifest.write_text(
+        textwrap.dedent(
+            f"""
+            name: okjob
+            data: {tmp_path}/data
+            commands:
+              - {{name: one, task: sql, env: {{QUERY: "SELECT 1 AS x"}}}}
+            """
+        )
+    )
+    res = subprocess.run(
+        [sys.executable, "-m", "xetl_spark", str(manifest), "-l", "gaudy"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        cwd="/root/repo",
+        timeout=240,
+    )
+    out = res.stdout.decode()
+    assert res.returncode == 0, out
+    got = _normalize(out, str(tmp_path))
+    expected = textwrap.dedent(
+        """\
+        ╭──╴Executing job: okjob ╶╴╴╶ ╶
+        ┏━━╸Executing command: one (1 of 1) ━╴╴╶ ╶
+        ┃   name: one
+        ┃   description: null
+        ┃   task: sql
+        ┃   env:
+        ┃     QUERY: SELECT 1 AS x
+        ┃   skip: false
+        ┃╭──╴Executing task: sql ─╴╴╶ ╶
+        ┃│{TS}┊ Running command one (task=sql)
+        ┃╰──╴Return code: 0 ─╴╴╶ ╶
+        │ Done! \\o/
+        one: success"""
+    ).strip()
+    assert got == expected, f"--- got ---\n{got}\n--- want ---\n{expected}"
 
 
 def test_missing_data_dir_golden_transcript(tmp_path):

@@ -88,10 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     args = argument_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.log_style == "gaudy" else logging.INFO,
-        format="%(levelname)s %(name)s: %(message)s"
-        if args.log_style != "minimal"
-        else "%(message)s",
+        stream=sys.stdout,
     )
+    from xetl_spark.plans.logctx import configure as configure_log_style
+
+    configure_log_style(style=args.log_style)
 
     import os
 

@@ -144,6 +144,23 @@ def _dir_size(path: str) -> int:
     return total
 
 
+def _describe_command(cmd: Command, spec: Any, env: dict[str, EnvValue]) -> list[str]:
+    """Manifest-echo body lines for a stage header (reference transcript
+    shape: name/description/task/env/skip, env keys nested)."""
+    lines = [
+        f"  name: {cmd.name or 'null'}",
+        f"  description: {cmd.description or 'null'}",
+        f"  task: {cmd.task}",
+    ]
+    if env:
+        lines.append("  env:")
+        lines.extend(f"    {k}: {v}" for k, v in env.items())
+    else:
+        lines.append("  env: {}")
+    lines.append(f"  skip: {str(bool(cmd.skip)).lower()}")
+    return lines
+
+
 def _execute_stage(
     spark: SparkSession,
     job: Job,
@@ -368,27 +385,46 @@ def run_job(
     outputs: dict[str, DataFrame] = {}
 
     if dryrun or not parallel:
+        from xetl_spark.plans.logctx import Scope, log_scope
+
         results: list[StageResult] = []
         previous: DataFrame | None = None
-        for cmd, spec, fn, env in plan:
-            label = cmd.name or cmd.task
-            if cmd.skip:
-                log.info("Skipping command %s (skip=true)", label)
-                results.append(StageResult(cmd, "skipped"))
-                continue
-            if dryrun:
-                log.info("DRYRUN %s task=%s env=%s", label, spec.name, env)
-                results.append(StageResult(cmd, "dryrun"))
-                continue
-            res = _execute_stage(
-                spark, job, cmd, spec, fn, env, outputs, previous, resume
-            )
-            if res.output is not None:
-                if cmd.name:
-                    outputs[cmd.name] = res.output
-                    res.output.createOrReplaceTempView(cmd.name)
-                previous = res.output
-            results.append(res)
+        total = len(plan)
+        with log_scope(Scope.JOB, f"Executing job: {job.name}"):
+            for i, (cmd, spec, fn, env) in enumerate(plan, 1):
+                label = cmd.name or cmd.task
+                if cmd.skip:
+                    log.info("Skipping command %s (skip=true)", label)
+                    results.append(StageResult(cmd, "skipped"))
+                    continue
+                if dryrun:
+                    log.info("DRYRUN %s task=%s env=%s", label, spec.name, env)
+                    results.append(StageResult(cmd, "dryrun"))
+                    continue
+                with log_scope(
+                    Scope.STAGE, f"Executing command: {label} ({i} of {total})"
+                ):
+                    for line in _describe_command(cmd, spec, env):
+                        log.info(line)
+                    with log_scope(
+                        Scope.TASK, f"Executing task: {spec.name}"
+                    ) as set_task_footer:
+                        try:
+                            res = _execute_stage(
+                                spark, job, cmd, spec, fn, env, outputs,
+                                previous, resume,
+                            )
+                        except TaskFailure:
+                            set_task_footer("Return code: 1")
+                            raise
+                        set_task_footer("Return code: 0")
+                if res.output is not None:
+                    if cmd.name:
+                        outputs[cmd.name] = res.output
+                        res.output.createOrReplaceTempView(cmd.name)
+                    previous = res.output
+                results.append(res)
+            log.info("Done! \\o/")
         return results
 
     # ---- parallel DAG schedule ----
