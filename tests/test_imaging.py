@@ -156,6 +156,52 @@ def test_resize_images_real_decode(spark, sf_dir):
         assert np.array_equal(got, expect)
 
 
+def test_fetch_grayscale_job_end_to_end(spark, tmp_path):
+    """The reference README's fetch-grayscale job (README.md:79-95)
+    engine-native: read_binary scans PNGs, the grayscale task decodes/
+    converts/re-encodes and writes one .png per image, and the written
+    files decode to the exact BT.601 luma of the sources."""
+    import glob as globmod
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    src = tmp_path / "source"
+    src.mkdir()
+    rng2 = np.random.default_rng(7)
+    originals = {}
+    for name in ("logo", "banner"):
+        a = rng2.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        originals[name] = a
+        (src / f"{name}.png").write_bytes(im.png_encode(a))
+
+    job = Job.from_yaml(
+        f"""
+        name: fetch-grayscale
+        data: {tmp_path}
+        commands:
+          - {{name: download, task: read_binary,
+              env: {{PATH: {src}, GLOB: "*.png"}}}}
+          - {{name: to_gray, task: grayscale,
+              env: {{MEDIA_COL: content, ID_COL: path,
+                     OUTPUT: {tmp_path}/final}}}}
+          - {{name: report, task: sql,
+              env: {{QUERY: "SELECT id, width, height FROM to_gray ORDER BY id"}}}}
+        """,
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success"] * 3
+    rows = results[-1].output.collect()
+    assert len(rows) == 2
+    assert all((r.width, r.height) == (10, 12) for r in rows)
+    written = sorted(globmod.glob(f"{tmp_path}/final/*.png"))
+    assert [p.rsplit("/", 1)[1] for p in written] == ["banner.png", "logo.png"]
+    for name, arr in originals.items():
+        got = im.png_decode(open(f"{tmp_path}/final/{name}.png", "rb").read())
+        assert np.array_equal(got[:, :, 0], im.to_grayscale(arr))
+
+
 def test_extract_features_real_decode(spark, sf_dir):
     """extract_features(decode_stub=False): luma band-profile features
     in [0,1], true dimensions from the decoded image."""

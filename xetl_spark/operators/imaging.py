@@ -213,14 +213,24 @@ GRAY_WEIGHTS = (0.299, 0.587, 0.114)
 
 def to_grayscale(arr: np.ndarray) -> np.ndarray:
     """(H, W, C) -> (H, W) uint8 luminance via BT.601 weights; alpha is
-    dropped; already-gray input passes through."""
+    dropped; already-gray input passes through.
+
+    Computed in EXACT integer milliweight arithmetic:
+    ``(299*R + 587*G + 114*B + 500) div 1000`` — i.e. round-half-up of
+    the exact decimal luma. No floating point anywhere, so the result
+    is bit-reproducible across numpy, SQL engines evaluating the same
+    expression in DECIMAL (DuckDB parses 0.299 as decimal, not
+    double), and any integer runtime — which is what lets grayscale
+    outputs be verified by a closed-form relational oracle
+    pixel-for-pixel.
+    """
     if arr.ndim == 2:
         return arr
     if arr.shape[2] in (1, 2):  # gray / gray+alpha
         return arr[:, :, 0]
-    r, g, b = GRAY_WEIGHTS
-    lum = arr[:, :, 0] * r + arr[:, :, 1] * g + arr[:, :, 2] * b
-    return np.clip(np.rint(lum), 0, 255).astype(np.uint8)
+    px = arr.astype(np.int64)
+    lum_milli = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    return ((lum_milli + 500) // 1000).astype(np.uint8)  # max 255 by weights
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -93,9 +93,6 @@ def resize_images(
     return df.select(id_col, media_col).mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
-GRAYSCALE_SCHEMA = "id long, width int, height int, mean_gray double, gray_png binary"
-
-
 def grayscale_images(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -126,7 +123,11 @@ def grayscale_images(
                 rows, columns=["id", "width", "height", "mean_gray", "gray_png"]
             )
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=GRAYSCALE_SCHEMA)
+    # the id column keeps its source type (doc ids are longs, file
+    # paths are strings — both are valid image keys)
+    id_type = T.StructType([df.schema[id_col]]).fields[0].dataType.simpleString()
+    schema = f"id {id_type}, width int, height int, mean_gray double, gray_png binary"
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
 def sample_frames(

@@ -457,3 +457,85 @@ def pagerank_task(ctx: StageContext):
         damping=float(ctx.env["DAMPING"]),  # type: ignore[arg-type]
         max_iter=int(ctx.env["MAX_ITER"]),  # type: ignore[arg-type]
     )
+
+
+@task(
+    "read_binary",
+    "Scan files as opaque binary payloads (path, modificationTime, "
+    "length, content) via the binaryFile source",
+    env={
+        "PATH": {"description": "file/dir/glob to read", "type": "string"},
+        "GLOB": {
+            "description": "pathGlobFilter, e.g. *.png",
+            "type": "string",
+            "required": False,
+        },
+    },
+)
+def read_binary(ctx: StageContext):
+    reader = ctx.spark.read.format("binaryFile")
+    glob = ctx.env.get("GLOB")
+    if glob:
+        reader = reader.option("pathGlobFilter", str(glob))
+    return reader.load(str(ctx.env["PATH"]))
+
+
+@task(
+    "grayscale",
+    "Convert image payloads (PNG/PPM) to grayscale PNGs — the "
+    "engine-native form of the reference README's "
+    "`convert -colorspace Gray` task (reference README.md:66-77); "
+    "optionally writes one .png per image under OUTPUT",
+    env={
+        "MEDIA_COL": {
+            "description": "binary image column",
+            "type": "string",
+            "default": "content",
+        },
+        "ID_COL": {
+            "description": "per-image id column (any orderable type)",
+            "type": "string",
+            "default": "path",
+        },
+        "OUTPUT": {
+            "description": "directory to write <id>.png files into "
+            "(executor-side, per partition)",
+            "type": "string",
+            "required": False,
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def grayscale_task(ctx: StageContext):
+    from xetl_spark.operators.multimodal import grayscale_images
+
+    df = ctx.input_df()
+    id_col = str(ctx.env["ID_COL"])
+    out = grayscale_images(df, str(ctx.env["MEDIA_COL"]), id_col)
+    dest = ctx.env.get("OUTPUT")
+    if dest:
+        import os
+
+        dest_s = str(dest)
+        os.makedirs(dest_s, exist_ok=True)
+
+        def write_files(batches):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    stem = os.path.splitext(os.path.basename(str(row["id"])))[0]
+                    with open(os.path.join(dest_s, f"{stem}.png"), "wb") as fh:
+                        fh.write(bytes(row["gray_png"]))
+                yield pdf[["id", "width", "height", "mean_gray"]]
+
+        # executor-side writes (shared FS assumed, as for any sink);
+        # the returned frame keeps the stats, drops the payload.
+        # Stages are lazy by default, but file emission is a side
+        # effect the user asked for — persist + count forces it to run
+        # exactly once, and downstream stages read the cached stats.
+        stats = out.mapInPandas(
+            write_files,
+            schema="id string, width int, height int, mean_gray double",
+        ).persist()
+        stats.count()
+        return stats
+    return out

@@ -477,20 +477,56 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_grayscale", oracle=None)
+@query(
+    "q_multimodal_grayscale",
+    oracle="""
+    SELECT d.doc_id,
+           16 AS width, 16 AS height,
+           CAST(SUM(
+               (  299 * ((d.doc_id % 200) + x.i)
+                + 587 * ((d.doc_id * 7 % 200) + y.i)
+                + 114 * ((d.doc_id * 13 % 200) + ((x.i + y.i) % 16))
+                + 500) // 1000) AS BIGINT) AS gray_sum
+    FROM documents d, range(16) x(i), range(16) y(i)
+    WHERE d.doc_id < 256
+    GROUP BY d.doc_id
+    """,
+)
 def q_multimodal_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `convert -colorspace Gray` job (README.md:66-77)
-    engine-native: real PNG decode → BT.601 luma → PNG re-encode over
-    Arrow batches. Rows-only here; pixel-exactness is unit-tested
-    (tests/test_imaging.py)."""
+    engine-native and ORACLE-VERIFIED pixel-for-pixel: real PNG decode
+    → BT.601 luma with SQL-replicable floor(x+0.5) quantization → PNG
+    re-encode → re-DECODE of the emitted grayscale PNG → exact integer
+    pixel sum. The SQL oracle recomputes every pixel's quantized luma
+    from the closed-form synth pattern over a 16x16 lattice cross-join
+    — the values agree only if decode, luma math, quantization, and
+    the re-encoded PNG are all bit-correct."""
+    from collections.abc import Iterator as _It
+
     imgs = _synth_images(spark, sf_dir)
-    out = multimodal.grayscale_images(imgs, "media", "doc_id")
-    return out.select(
-        F.col("id").alias("doc_id"),
-        "width",
-        "height",
-        F.round("mean_gray", 3).alias("mean_gray"),
-        F.length("gray_png").alias("png_bytes"),
+    gray = multimodal.grayscale_images(imgs, "media", "doc_id")
+
+    def sum_pixels(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = imaging.png_decode(bytes(row["gray_png"]))
+                rows.append(
+                    (
+                        int(row["id"]),
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "gray_sum"])
+
+    return gray.mapInPandas(
+        sum_pixels, schema="doc_id long, width int, height int, gray_sum long"
     )
 
 
