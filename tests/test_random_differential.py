@@ -227,3 +227,170 @@ def test_random_tables_differential(spark, con, seed):
         want = con.execute(sql).fetchdf()
         assert len(got) == len(want), (name, len(got), len(want))
         assert canonical_hash(got) == canonical_hash(want), name
+
+
+def _tables2(seed: int):
+    """Second fuzz schema: timestamps, arrays, and paired numerics —
+    the semantic families the first schema doesn't reach."""
+    rng = np.random.default_rng(seed)
+    n = 1200
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    ts_us = base_us + rng.integers(0, 30 * 86_400_000_000, size=n)
+    ev = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "cat": rng.choice(["x", "y", "z"], size=n),
+            "a": np.round(rng.uniform(0, 50, size=n), 2),
+            "b": np.round(rng.uniform(0, 50, size=n), 2),
+            "arr": [
+                [int(x) for x in rng.integers(0, 9, size=rng.integers(0, 5))]
+                for _ in range(n)
+            ],
+        }
+    )
+    spans = pd.DataFrame(
+        {
+            "span_id": np.arange(40, dtype=np.int64),
+            "lo": np.round(np.linspace(0, 45, 40), 2),
+            "hi": np.round(np.linspace(0, 45, 40) + 5.0, 2),
+        }
+    )
+    return ev, spans
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_random_tables_differential_ts_arrays(spark, con, seed):
+    from pyspark.sql import functions as F
+
+    ev_pd, spans_pd = _tables2(seed)
+    ev = spark.createDataFrame(ev_pd)
+    spans = spark.createDataFrame(spans_pd)
+    con.register("ev", ev_pd)
+    con.register("spans", spans_pd)
+
+    cases = {
+        "time_bucket_agg": (
+            ev.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "cat"
+            ).agg(F.count("*").alias("n"), F.round(F.sum("a"), 2).alias("sa")),
+            """SELECT date_trunc('day', ts) AS day, cat, count(*) AS n,
+                      round(sum(a), 2) AS sa
+               FROM ev GROUP BY day, cat""",
+        ),
+        "time_parts": (
+            ev.select(
+                "id",
+                F.year("ts").alias("y"),
+                F.dayofmonth("ts").alias("dom"),
+                F.hour("ts").alias("h"),
+                F.date_format("ts", "yyyy-MM-dd").alias("ds"),
+            ),
+            """SELECT id, year(ts) AS y, day(ts) AS dom, hour(ts) AS h,
+                      strftime(ts, '%Y-%m-%d') AS ds
+               FROM ev""",
+        ),
+        "interval_shift": (
+            ev.select(
+                "id",
+                (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("later"),
+                F.unix_micros(F.col("ts")).alias("us"),
+            ),
+            """SELECT id, ts + INTERVAL 90 MINUTE AS later,
+                      epoch_us(ts) AS us
+               FROM ev""",
+        ),
+        "array_ops": (
+            # empty-list edges normalized on BOTH sides (DuckDB returns
+            # NULL from array_to_string/list_sum on empties): sums cast
+            # to double, empty renders as a sentinel
+            ev.select(
+                "id",
+                F.size("arr").cast("long").alias("len"),
+                F.array_contains("arr", 3).alias("has3"),
+                F.coalesce(
+                    F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x),
+                    F.lit(0),
+                ).cast("double").alias("asum"),
+                F.coalesce(
+                    F.nullif(F.concat_ws(",", F.array_sort("arr")), F.lit("")),
+                    F.lit("(empty)"),
+                ).alias("sorted"),
+            ),
+            """SELECT id, len(arr) AS len, list_contains(arr, 3) AS has3,
+                      CAST(coalesce(list_sum(arr), 0) AS DOUBLE) AS asum,
+                      coalesce(nullif(array_to_string(list_sort(arr), ','), ''),
+                               '(empty)') AS sorted
+               FROM ev""",
+        ),
+        "explode_regroup": (
+            ev.select("id", "cat", F.explode("arr").alias("e"))
+            .groupBy("cat", "e")
+            .agg(F.count("*").alias("n")),
+            """SELECT cat, e, count(*) AS n FROM (
+                 SELECT cat, unnest(arr) AS e FROM ev)
+               GROUP BY cat, e""",
+        ),
+        "stats_corr": (
+            ev.groupBy("cat").agg(
+                F.round(F.stddev_samp("a"), 4).alias("sd"),
+                F.round(F.corr("a", "b"), 4).alias("r"),
+                F.round(F.covar_samp("a", "b"), 4).alias("cv"),
+            ),
+            """SELECT cat, round(stddev_samp(a), 4) AS sd,
+                      round(corr(a, b), 4) AS r,
+                      round(covar_samp(a, b), 4) AS cv
+               FROM ev GROUP BY cat""",
+        ),
+        "percentiles": (
+            ev.groupBy("cat").agg(
+                F.round(
+                    F.expr("percentile(a, array(0.25, 0.5, 0.9))")[1], 4
+                ).alias("p50"),
+            ),
+            """SELECT cat,
+                      round(quantile_cont(a, 0.5), 4) AS p50
+               FROM ev GROUP BY cat""",
+        ),
+        "range_join": (
+            ev.join(
+                spans,
+                (F.col("a") >= F.col("lo")) & (F.col("a") < F.col("hi")),
+                "inner",
+            )
+            .groupBy("span_id")
+            .agg(F.count("*").alias("n")),
+            """SELECT span_id, count(*) AS n
+               FROM ev JOIN spans ON a >= lo AND a < hi
+               GROUP BY span_id""",
+        ),
+        "exists_sub": (
+            ev.filter(F.col("a") > 48).select("id", "cat").join(
+                spans.filter(F.col("lo") > 40).select(F.lit(1).alias("__x")).limit(1),
+                how="cross",
+            ).drop("__x"),
+            """SELECT id, cat FROM ev WHERE a > 48
+               AND EXISTS (SELECT 1 FROM spans WHERE lo > 40)""",
+        ),
+        "cast_matrix": (
+            ev.select(
+                "id",
+                F.col("a").cast("int").alias("ai"),
+                F.col("a").cast("string").alias("astr"),
+                F.col("id").cast("double").alias("idd"),
+                F.round(F.col("b") / 7, 4).alias("bdiv"),
+            ),
+            """SELECT id, CAST(trunc(a) AS INT) AS ai,
+                      CAST(a AS VARCHAR) AS astr,
+                      CAST(id AS DOUBLE) AS idd, round(b / 7, 4) AS bdiv
+               FROM ev""",
+            # Spark CAST(double AS INT) truncates toward zero; DuckDB's
+            # rounds half to even — trunc() on the oracle side pins the
+            # Spark (SQL-standard) semantics the engine exposes
+        ),
+    }
+    for name, (sdf, sql) in cases.items():
+        got = sdf.toPandas()
+        want = con.execute(sql).fetchdf()
+        assert len(got) == len(want), (name, len(got), len(want))
+        assert canonical_hash(got) == canonical_hash(want), name
