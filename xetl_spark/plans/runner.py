@@ -666,7 +666,19 @@ def explain_job(
             lines.append(f"  (plan unavailable: {exc})")
             continue
         if out is not None:
-            lines.append("  " + out._jdf.queryExecution().simpleString().strip())
+            try:
+                plan = out._jdf.queryExecution().simpleString().strip()
+            except Exception:
+                # Spark Connect DataFrames have no _jdf; capture the
+                # portable explain() output instead
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    out.explain()
+                plan = buf.getvalue().strip()
+            lines.append("  " + plan)
             if cmd.name:
                 outputs[cmd.name] = out
             previous = out

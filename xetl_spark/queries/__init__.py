@@ -83,7 +83,9 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     # timestamp→string rendering is session-TZ dependent; pin UTC so
     # results match the (UTC-naive) DuckDB oracle on any host
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    app = spark.sparkContext.applicationId
+    # spark.app.id is readable on both classic and Connect sessions
+    # (sparkContext is absent under Connect)
+    app = spark.conf.get("spark.app.id", "app")
     out = []
     for n in names or TABLES:
         key = (app, sf_dir, n)
