@@ -711,3 +711,68 @@ def test_compact_and_resample_tasks(spark, tmp_path):
     assert grid.columns == ["key", "bucket", "v", "v_filled"]
     # forward fill leaves no NULL v_filled after each key's first bucket
     assert grid.filter("v_filled IS NULL").count() == 0
+
+
+@pytest.mark.parametrize("seed", [3, 17, 42, 101])
+def test_parallel_scheduler_parity_random_dags(spark, seed):
+    """Property: for ANY dag shape — random DEPENDS_ON edges, random
+    skip flags, implicit chains mixed with explicit deps — the parallel
+    scheduler produces the same per-stage statuses and the same final
+    outputs as sequential execution. (Regression net for the skip-chain
+    class of bugs: previous resolution through output-less stages.)"""
+    import random
+
+    rng = random.Random(seed)
+    n = 8
+    lines = [
+        "name: fuzzdag",
+        f"env: {{SF_DIR: {SF}}}",
+        "commands:",
+        "  - {name: s0, task: read_parquet,"
+        ' env: {PATH: "${SF_DIR}/nation.parquet", DEPENDS_ON: ""}}',
+    ]
+    skipped = {0: False}
+    for i in range(1, n):
+        skip = rng.random() < 0.3
+        skipped[i] = skip
+        live = [j for j in range(i) if not skipped[j]]
+        deps = sorted(rng.sample(range(i), k=rng.randint(0, min(2, i))))
+        dep_env = (
+            ', DEPENDS_ON: "' + ",".join(f"s{d}" for d in deps) + '"'
+            if deps
+            else ""
+        )
+        # query a view that EXISTS in both modes: the nearest live
+        # (non-skipped) stage — skipped stages never register a view.
+        # Dep edges may still point at skipped stages, which is exactly
+        # the previous-through-skip resolution under test.
+        live_deps = [d for d in deps if not skipped[d]]
+        src_idx = live_deps[0] if live_deps else live[-1]
+        src = f"s{src_idx}"
+        if deps and src_idx not in deps:
+            # explicit-deps mode must also order after the view it
+            # queries, or the parallel schedule could legitimately run
+            # this stage before src registers its temp view
+            deps = sorted(set(deps + [src_idx]))
+            dep_env = ', DEPENDS_ON: "' + ",".join(f"s{d}" for d in deps) + '"'
+        skip_part = ", skip: true" if skip else ""
+        lines.append(
+            f"  - {{name: s{i}, task: sql{skip_part},"
+            f' env: {{QUERY: "SELECT count(*) AS n_{i} FROM {src}"{dep_env}}}}}'
+        )
+    manifest = "\n".join(lines)
+
+    def statuses_and_rows(results):
+        out = []
+        for r in results:
+            rows = None
+            if r.output is not None and r.status == "success":
+                rows = sorted(map(tuple, r.output.collect()))
+            out.append((r.command.name, r.status, rows))
+        return out
+
+    seq = statuses_and_rows(run_job(spark, _job(manifest)))
+    par = statuses_and_rows(
+        run_job(spark, _job(manifest), parallel=True, max_workers=4)
+    )
+    assert seq == par
