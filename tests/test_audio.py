@@ -1,0 +1,89 @@
+"""Pure-Python WAV/PCM codec (operators/audio.py) + real-decode
+window_audio path. Same discipline as tests/test_imaging.py: pin the
+codec at sample level, then the operator on real payloads end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xetl_spark.operators import audio
+
+rng = np.random.default_rng(99)
+
+
+def test_wav_roundtrip_mono():
+    s = rng.integers(-32768, 32767, size=4321, dtype=np.int16)
+    back, sr = audio.wav_decode(audio.wav_encode(s, 16000))
+    assert sr == 16000
+    assert back.shape == (4321, 1)
+    assert np.array_equal(back[:, 0], s)
+
+
+def test_wav_roundtrip_stereo():
+    s = rng.integers(-32768, 32767, size=(1000, 2), dtype=np.int16)
+    back, sr = audio.wav_decode(audio.wav_encode(s, 44100))
+    assert sr == 44100
+    assert np.array_equal(back, s)
+
+
+def test_wav_unsupported_rejected():
+    with pytest.raises(audio.UnsupportedAudioError):
+        audio.wav_decode(b"OggS not a wav")
+    # 8-bit PCM rejected, not silently garbled
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(audio.UnsupportedAudioError, match="PCM-16"):
+        audio.wav_decode(payload)
+
+
+def test_duration_and_slicing():
+    s = np.arange(2500, dtype=np.int16)  # 2.5s at 1 kHz
+    payload = audio.wav_encode(s, 1000)
+    assert audio.duration_ms(payload) == 2500
+    samples, sr = audio.wav_decode(payload)
+    win = audio.slice_window(samples, sr, 1000, 1500)
+    assert np.array_equal(win[:, 0], np.arange(1000, 1500, dtype=np.int16))
+
+
+def test_window_audio_real_decode(spark):
+    """window_audio(decode_stub=False) on real WAVs: window count from
+    true duration, payloads are the exact sample slices."""
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import window_audio
+
+    s = ((np.arange(1800) * 13) % 997).astype(np.int16)  # 1.8s at 1 kHz
+    payload = audio.wav_encode(s, 1000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "media": [payload]}),
+        "doc_id long, media binary",
+    )
+    rows = window_audio(
+        df, "media", "doc_id", window_ms=500, hop_ms=250, decode_stub=False
+    ).collect()
+    # hops at 0,250,...,1750 → 8 windows
+    assert len(rows) == 8
+    for r in rows:
+        assert r.start_ms == r.window_idx * 250
+        assert r.end_ms == min(r.start_ms + 500, 1800)
+        got = np.frombuffer(bytes(r.pcm), dtype="<i2")
+        assert np.array_equal(got, s[r.start_ms : r.end_ms])
+
+
+def test_window_audio_rejects_non_wav_in_real_mode(spark):
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import window_audio
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "media": [b"definitely not audio"]}),
+        "doc_id long, media binary",
+    )
+    with pytest.raises(Exception, match="RIFF|WAVE|Unsupported"):
+        window_audio(df, "media", "doc_id", decode_stub=False).collect()

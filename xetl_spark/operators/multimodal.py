@@ -180,32 +180,47 @@ def window_audio(
     """Split audio payloads into fixed-length overlapping PCM windows
     (1 row in → ceil(duration/hop) rows out) — the audio analog of
     video frame sampling; windows feed ASR/embedding models downstream.
-    The PCM decode is stubbed (no audio codec in this container); the
-    1→N expansion, window timing, and binary window payloads are the
-    real Spark-side contract."""
+
+    ``decode_stub=False``: REAL decode for WAV/PCM payloads
+    (operators/audio.py — RIFF needs no codec library): duration from
+    actual sample counts, window payloads are the actual int16 sample
+    slices. Compressed formats (mp3/ogg) would need ffmpeg and raise
+    UnsupportedAudioError. ``decode_stub=True``: deterministic
+    sha-derived stand-in for arbitrary binary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from xetl_spark.operators import audio
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real audio decode requires an audio codec (soundfile/"
-                    "ffmpeg), not present here"
-                )
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[media_col])
-                # deterministic fake duration from content: 1-8 hops
-                dur_ms = hop_ms * (
-                    1 + int.from_bytes(hashlib.sha256(payload).digest()[2:4], "big") % 8
-                )
+                if decode_stub:
+                    # deterministic fake duration from content: 1-8 hops
+                    dur_ms = hop_ms * (
+                        1
+                        + int.from_bytes(hashlib.sha256(payload).digest()[2:4], "big")
+                        % 8
+                    )
+                    slicer = None
+                else:
+                    samples, sr = audio.wav_decode(payload)
+                    dur_ms = samples.shape[0] * 1000 // sr
+
+                    def slicer(start: int, end: int, _s=samples, _sr=sr) -> bytes:
+                        return audio.slice_window(_s, _sr, start, end).tobytes()
+
                 idx = 0
                 for start in range(0, dur_ms, hop_ms):
-                    pcm = hashlib.sha256(payload + start.to_bytes(4, "big")).digest()
-                    rows.append(
-                        (row[id_col], idx, start, min(start + window_ms, dur_ms), pcm)
+                    end = min(start + window_ms, dur_ms)
+                    pcm = (
+                        hashlib.sha256(payload + start.to_bytes(4, "big")).digest()
+                        if slicer is None
+                        else slicer(start, end)
                     )
+                    rows.append((row[id_col], idx, start, end, pcm))
                     idx += 1
             yield pd.DataFrame(
                 rows, columns=["id", "window_idx", "start_ms", "end_ms", "pcm"]

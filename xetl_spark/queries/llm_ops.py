@@ -671,6 +671,96 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.window_audio(with_media, "media", "doc_id")
 
 
+def _synth_wavs(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame:
+    """Deterministic 1 kHz mono PCM WAVs keyed by doc_id, encoded with
+    the REAL RIFF encoder (operators/audio.py). Sample i of doc d is
+    ((d*31 + i*17) mod 2003) - 1001 over n = 1000 + (d*7 mod 1000)
+    samples — closed forms a SQL oracle can recompute exactly."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import audio
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1000 + (did * 7) % 1000
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + i * 17) % 2003 - 1001).astype(np.int16)
+                rows.append((did, audio.wav_encode(samples, 1000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return ids.mapInPandas(gen, schema="doc_id long, media binary")
+
+
+@query(
+    "q_multimodal_audio_windows",
+    oracle="""
+    SELECT d.doc_id, w.i AS window_idx,
+           CAST(w.i * 250 AS BIGINT) AS start_ms,
+           CAST(LEAST(w.i * 250 + 500, 1000 + (d.doc_id * 7) % 1000)
+                AS BIGINT) AS end_ms,
+           CAST(SUM((d.doc_id * 31 + s.i * 17) % 2003 - 1001) AS BIGINT)
+               AS sample_sum
+    FROM documents d
+    JOIN range(8) w(i) ON w.i * 250 < 1000 + (d.doc_id * 7) % 1000
+    JOIN range(2000) s(i)
+      ON s.i >= w.i * 250
+     AND s.i < LEAST(w.i * 250 + 500, 1000 + (d.doc_id * 7) % 1000)
+    WHERE d.doc_id < 128
+    GROUP BY d.doc_id, w.i
+    """,
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-verified: synthesizes PCM WAVs whose
+    samples are a closed form of doc_id, pushes the RIFF bytes through
+    the pure-Python WAV decoder, windows them (500 ms / 250 ms hop at
+    1 kHz), and emits each window's exact integer sample sum — which
+    the SQL oracle recomputes analytically over a sample-index lattice.
+    A decoder or slicing bug of even one sample breaks the match."""
+    from collections.abc import Iterator as _It
+
+    wavs = _synth_wavs(spark, sf_dir)
+    windows = multimodal.window_audio(
+        wavs, "media", "doc_id", window_ms=500, hop_ms=250, decode_stub=False
+    )
+
+    def sums(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples = np.frombuffer(bytes(row["pcm"]), dtype="<i2")
+                rows.append(
+                    (
+                        int(row["id"]),
+                        int(row["window_idx"]),
+                        int(row["start_ms"]),
+                        int(row["end_ms"]),
+                        int(samples.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "window_idx", "start_ms", "end_ms", "sample_sum"],
+            )
+
+    return windows.mapInPandas(
+        sums,
+        schema=(
+            "doc_id long, window_idx long, start_ms long, end_ms long, "
+            "sample_sum long"
+        ),
+    )
+
+
 @query(
     "q_text_decontaminate",
     oracle=f"""
