@@ -139,26 +139,51 @@ def sample_frames(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Sample frames from video payloads (1 row in → up to max_frames
-    rows out). The ffmpeg decode is stubbed; the 1→N row expansion,
-    frame timestamps, and binary frame payloads are the real Spark-side
-    contract a video pipeline builds on."""
+    rows out).
+
+    ``decode_stub=False``: REAL decode for Y4M payloads
+    (operators/video.py — the uncompressed interchange format needs no
+    codec library): every ``every_ms`` of true media time the nearest
+    frame's actual luma plane is emitted as a grayscale PNG, with its
+    SOURCE frame index and timestamp. Compressed video (h264/vp9)
+    would need ffmpeg and raises UnsupportedVideoError.
+    ``decode_stub=True``: deterministic sha stand-in for arbitrary
+    binary payloads — the 1→N expansion/timing contract without a
+    parsable container."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from xetl_spark.operators import imaging, video
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg, not present here"
-                )
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[media_col])
-                # deterministic fake duration from content
-                n = 1 + int.from_bytes(hashlib.sha256(payload).digest()[:2], "big") % max_frames
-                for i in range(n):
-                    frame = hashlib.sha256(payload + bytes([i])).digest()
-                    rows.append((row[id_col], i, i * every_ms, frame))
+                if decode_stub:
+                    # deterministic fake duration from content
+                    n = (
+                        1
+                        + int.from_bytes(hashlib.sha256(payload).digest()[:2], "big")
+                        % max_frames
+                    )
+                    for i in range(n):
+                        frame = hashlib.sha256(payload + bytes([i])).digest()
+                        rows.append((row[id_col], i, i * every_ms, frame))
+                    continue
+                frames, fps = video.y4m_decode(payload)
+                times = video.frame_times_ms(frames.shape[0], fps)
+                emitted = 0
+                target = 0
+                for idx, t in enumerate(times):
+                    if emitted >= max_frames:
+                        break
+                    if t >= target:
+                        rows.append(
+                            (row[id_col], idx, t, imaging.png_encode(frames[idx]))
+                        )
+                        emitted += 1
+                        target += every_ms
             yield pd.DataFrame(
                 rows, columns=["id", "frame_idx", "frame_ts_ms", "frame"]
             )

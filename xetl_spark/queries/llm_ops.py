@@ -699,6 +699,95 @@ def _synth_wavs(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame
     return ids.mapInPandas(gen, schema="doc_id long, media binary")
 
 
+def _synth_y4ms(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame:
+    """Deterministic 8x8 Y4M clips keyed by doc_id, encoded with the
+    REAL YUV4MPEG2 encoder (operators/video.py): 10 fps, n = 2 +
+    (d*3 mod 6) frames, pixel(f,y,x) = (d*29 + f*13 + y*8 + x) mod
+    251 — closed forms a SQL oracle can recompute exactly."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import video
+
+        y = np.arange(8)[:, None]
+        x = np.arange(8)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + (did * 3) % 6
+                frames = np.stack(
+                    [(did * 29 + f * 13 + y * 8 + x) % 251 for f in range(n)]
+                ).astype(np.uint8)
+                rows.append((did, video.y4m_encode(frames, fps=(10, 1))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return ids.mapInPandas(gen, schema="doc_id long, media binary")
+
+
+@query(
+    "q_multimodal_video_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(s.i * 2 AS INT) AS frame_idx,
+           CAST(s.i * 200 AS BIGINT) AS frame_ts_ms,
+           CAST(SUM((d.doc_id * 29 + s.i * 2 * 13 + y.i * 8 + x.i) % 251)
+                AS BIGINT) AS pixel_sum
+    FROM documents d
+    JOIN range(4) s(i) ON s.i * 2 < 2 + (d.doc_id * 3) % 6
+    JOIN range(8) y(i) ON true
+    JOIN range(8) x(i) ON true
+    WHERE d.doc_id < 128
+    GROUP BY d.doc_id, s.i
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-verified: synthesizes Y4M
+    clips whose luma is a closed form of doc_id, decodes them for
+    real, samples every 200 ms of true media time (10 fps → source
+    frames 0,2,4,6), re-decodes the emitted grayscale PNGs, and emits
+    exact integer pixel sums — which the SQL oracle recomputes over a
+    frame × 8x8 lattice. A decoder, sampler, or PNG bug of one pixel
+    breaks the match."""
+    from collections.abc import Iterator as _It
+
+    clips = _synth_y4ms(spark, sf_dir)
+    frames = multimodal.sample_frames(
+        clips, "media", "doc_id", every_ms=200, max_frames=4, decode_stub=False
+    )
+
+    def sums(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = imaging.png_decode(bytes(row["frame"]))
+                rows.append(
+                    (
+                        int(row["id"]),
+                        int(row["frame_idx"]),
+                        int(row["frame_ts_ms"]),
+                        int(px.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "pixel_sum"]
+            )
+
+    return frames.mapInPandas(
+        sums,
+        schema="doc_id long, frame_idx int, frame_ts_ms long, pixel_sum long",
+    )
+
+
 @query(
     "q_multimodal_audio_windows",
     oracle="""
