@@ -87,3 +87,54 @@ def test_window_audio_rejects_non_wav_in_real_mode(spark):
     )
     with pytest.raises(Exception, match="RIFF|WAVE|Unsupported"):
         window_audio(df, "media", "doc_id", decode_stub=False).collect()
+
+
+def test_window_features_analytic():
+    """Feature math pinned on analytic signals: a bin-aligned sine's
+    dominant frequency is exact, its ZCR is 2f/sr, its RMS is
+    amplitude/sqrt(2); a DC signal never crosses zero."""
+    sr = 8000
+    t = np.arange(sr)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+    f = audio.window_features(sine[:, None], sr, 0, 1000)
+    assert f["dom_hz"] == pytest.approx(440.0, abs=1e-9)
+    assert f["zcr"] == pytest.approx(2 * 440 / sr, abs=0.01)
+    assert f["rms"] == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+
+    dc = np.full(4000, 1234, dtype=np.int16)
+    g = audio.window_features(dc[:, None], sr, 0, 500)
+    assert g["zcr"] == 0.0
+    assert g["rms"] == pytest.approx(1234.0)
+
+    # empty window degrades to zeros, not NaN
+    z = audio.window_features(sine[:, None], sr, 5000, 6000)
+    assert (z["rms"], z["zcr"], z["dom_hz"]) == (0.0, 0.0, 0.0)
+
+
+def test_audio_feature_windows_operator(spark):
+    """Operator end-to-end: two tones in one WAV → each window's
+    dominant frequency identifies its tone."""
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import audio_feature_windows
+
+    sr = 4000
+    t = np.arange(sr)  # 1s total
+    first = 10000 * np.sin(2 * np.pi * 500 * t[: sr // 2] / sr)
+    second = 10000 * np.sin(2 * np.pi * 1000 * t[sr // 2 :] / sr)
+    payload = audio.wav_encode(
+        np.concatenate([first, second]).astype(np.int16), sr
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "media": [payload]}),
+        "doc_id long, media binary",
+    )
+    rows = {
+        r.window_idx: r
+        for r in audio_feature_windows(
+            df, "media", "doc_id", window_ms=500, hop_ms=500
+        ).collect()
+    }
+    assert len(rows) == 2
+    assert rows[0].dom_hz == pytest.approx(500.0, abs=2.0)
+    assert rows[1].dom_hz == pytest.approx(1000.0, abs=2.0)

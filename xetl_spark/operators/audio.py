@@ -83,3 +83,31 @@ def slice_window(
     lo = start_ms * sample_rate // 1000
     hi = end_ms * sample_rate // 1000
     return samples[lo:hi]
+
+
+def window_features(
+    samples: np.ndarray, sample_rate: int, start_ms: int, end_ms: int
+) -> dict[str, float]:
+    """Per-window acoustic features for filtering/clustering pipelines:
+    RMS energy (loudness), zero-crossing rate (noisiness/voicing
+    proxy), and dominant frequency in Hz via numpy rfft. Mono-mixes
+    multichannel input. Deterministic — no windowing function, so a
+    pure sine's dominant bin is exact for bin-aligned frequencies.
+    """
+    win = slice_window(samples, sample_rate, start_ms, end_ms)
+    if win.shape[0] == 0:
+        return {"rms": 0.0, "zcr": 0.0, "dom_hz": 0.0}
+    mono = win.astype(np.float64).mean(axis=1)
+    rms = float(np.sqrt(np.mean(mono**2)))
+    signs = np.sign(mono)
+    nz = signs != 0
+    crossings = int(np.count_nonzero(np.diff(signs[nz]) != 0))
+    zcr = crossings / max(1, mono.shape[0] - 1)
+    spec = np.abs(np.fft.rfft(mono))
+    if spec.shape[0] > 1:
+        # ignore the DC bin when picking the dominant component
+        k = 1 + int(np.argmax(spec[1:]))
+        dom_hz = k * sample_rate / mono.shape[0]
+    else:
+        dom_hz = 0.0
+    return {"rms": rms, "zcr": float(zcr), "dom_hz": float(dom_hz)}

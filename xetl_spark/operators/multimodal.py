@@ -254,6 +254,53 @@ def window_audio(
     return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "id long, window_idx int, start_ms long, end_ms long, "
+    "rms double, zcr double, dom_hz double"
+)
+
+
+def audio_feature_windows(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+) -> DataFrame:
+    """Per-window acoustic features (RMS energy, zero-crossing rate,
+    dominant frequency via rfft) over REAL WAV/PCM payloads — the
+    filtering/clustering signal a speech/music training-data pipeline
+    runs before transcription or embedding. 1 row in → ceil(dur/hop)
+    rows out, vectorized numpy inside Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import audio
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples, sr = audio.wav_decode(bytes(row[media_col]))
+                dur_ms = samples.shape[0] * 1000 // sr
+                for idx, start in enumerate(range(0, dur_ms, hop_ms)):
+                    end = min(start + window_ms, dur_ms)
+                    feats = audio.window_features(samples, sr, start, end)
+                    rows.append(
+                        (
+                            row[id_col], idx, start, end,
+                            feats["rms"], feats["zcr"], feats["dom_hz"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "window_idx", "start_ms", "end_ms",
+                    "rms", "zcr", "dom_hz",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
 FEATURE_SCHEMA = "id long, byte_len long, width int, height int, features array<float>"
 
 

@@ -699,6 +699,29 @@ def _synth_wavs(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame
     return ids.mapInPandas(gen, schema="doc_id long, media binary")
 
 
+@query("q_multimodal_audio_features", oracle=None)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic feature extraction over REAL WAV decode: per-window RMS
+    energy, zero-crossing rate, and rfft dominant frequency — the
+    speech/music filtering signal of a training-data pipeline.
+    Rows-only here (float spectra aren't SQL-replicable); the feature
+    math is pinned analytically in tests/test_audio.py (pure sine →
+    exact bin, DC → zero ZCR)."""
+    wavs = _synth_wavs(spark, sf_dir)
+    out = multimodal.audio_feature_windows(
+        wavs, "media", "doc_id", window_ms=500, hop_ms=250
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "window_idx",
+        "start_ms",
+        "end_ms",
+        F.round("rms", 3).alias("rms"),
+        F.round("zcr", 5).alias("zcr"),
+        F.round("dom_hz", 2).alias("dom_hz"),
+    )
+
+
 def _synth_y4ms(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame:
     """Deterministic 8x8 Y4M clips keyed by doc_id, encoded with the
     REAL YUV4MPEG2 encoder (operators/video.py): 10 fps, n = 2 +
