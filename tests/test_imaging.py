@@ -215,3 +215,39 @@ def test_extract_features_real_decode(spark, sf_dir):
         assert (r.width, r.height) == (16, 16)
         assert len(r.features) == 8
         assert all(0.0 <= f <= 1.0 for f in r.features)
+
+
+def test_dhash_properties():
+    """Perceptual-hash invariants: identical images hash identically;
+    small pixel noise moves the hash a little; an independent random
+    image sits near Hamming 32 (uncorrelated bits)."""
+    r = np.random.default_rng(5)
+    a = r.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert im.dhash(a) == im.dhash(a.copy())
+    # 2x upscale is dhash-invariant (nearest-neighbor downsample hits
+    # the same source pixels)
+    up = im.resize_nearest(a, 64, 64)
+    assert im.dhash(up) == im.dhash(a)
+    noisy = a.astype(np.int16)
+    ys, xs = r.integers(0, 32, 15), r.integers(0, 32, 15)
+    noisy[ys, xs] += r.integers(-2, 3, (15, 3))
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    ham_noise = bin((im.dhash(a) ^ im.dhash(noisy)) & (2**64 - 1)).count("1")
+    other = np.random.default_rng(6).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ham_other = bin((im.dhash(a) ^ im.dhash(other)) & (2**64 - 1)).count("1")
+    assert ham_noise <= 6, ham_noise
+    assert ham_other >= 16, ham_other
+    assert ham_noise < ham_other
+
+
+def test_image_dhash_near_dup_query(spark, sf_dir):
+    """q_dedup_image_dhash: every planted near-dup pair recovered,
+    zero false positives across independent patterns."""
+    from xetl_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_dedup_image_dhash"].fn(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    planted = set()
+    for b in range(32):
+        planted |= {(b, b + 32), (b, b + 64), (b + 32, b + 64)}
+    assert pairs == planted

@@ -372,31 +372,33 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return bit_sums.select("doc", fp.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
+def hamming_near_pairs(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc",
     max_hamming: int = 3,
     chunks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs within a Hamming radius.
+    """Pairs of 64-bit fingerprints within a Hamming radius — the
+    shared candidate-generation core for SimHash text dedup and dHash
+    image dedup.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into ``chunks``
-    16-bit blocks; any pair within radius ``chunks-1`` shares ≥1 exact
-    block, so candidates come from equi-joins on block values — never a
-    cross product. Hamming distance verified with bit_count(xor).
+    Pigeonhole blocking: split the fingerprint into ``chunks`` equal
+    blocks; any pair within radius ``chunks-1`` shares ≥1 exact block,
+    so candidates come from equi-joins on block values — never a cross
+    product. Hamming distance verified with bit_count(xor). For a
+    guaranteed-complete answer, pick chunks > max_hamming.
     """
-    fps = simhash(df, text_col, id_col)
     width = 64 // chunks
     blocked = fps.select(
-        "doc",
-        "simhash",
+        F.col(id_col).alias("doc"),
+        F.col(fp_col).alias("__fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        F.shiftrightunsigned(F.col(fp_col), c * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bval"),
                     )
@@ -404,7 +406,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("bc"),
-    ).select("doc", "simhash", "bc.blk", "bc.bval")
+    ).select("doc", "__fp", "bc.blk", "bc.bval")
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(
@@ -418,8 +420,8 @@ def simhash_near_duplicates(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.col("a.__fp").alias("h_a"),
+            F.col("b.__fp").alias("h_b"),
         )
         .distinct()
     )
@@ -427,3 +429,19 @@ def simhash_near_duplicates(
     return cand.select(
         "doc_a", "doc_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius (see
+    hamming_near_pairs for the blocking strategy)."""
+    fps = simhash(df, text_col, id_col)
+    return hamming_near_pairs(
+        fps, fp_col="simhash", id_col="doc",
+        max_hamming=max_hamming, chunks=chunks,
+    )

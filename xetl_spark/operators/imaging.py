@@ -242,6 +242,26 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[np.ix_(ys, xs)]
 
 
+def dhash(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale → nearest-neighbor
+    resize to 9x8 → bit b_{y*8+x} = lum[y,x] < lum[y,x+1]. The
+    standard perceptual fingerprint for image near-dup detection:
+    robust to re-encoding, scaling, and small pixel noise; compared by
+    Hamming distance (see operators/dedup.py hamming_near_pairs).
+    Returned as a signed 64-bit int (two's complement) so it fits a
+    Spark LongType column."""
+    lum = to_grayscale(arr).astype(np.int16)
+    small = resize_nearest(lum, 9, 8)  # (8 rows, 9 cols)
+    bits = (small[:, :-1] < small[:, 1:]).astype(np.uint64).reshape(-1)
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return int(val)
+
+
 def pixel_stats(arr: np.ndarray) -> dict[str, float]:
     """Deterministic per-image stats used by the pixel-stat oracle."""
     if arr.ndim == 2:

@@ -254,6 +254,26 @@ def window_audio(
     return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
 
 
+def image_dhash(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit perceptual dHash per image (REAL decode) — feed the
+    result to dedup.hamming_near_pairs for image near-dup detection
+    at corpus scale (blocked equi-joins, never pairwise)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import imaging
+
+        for pdf in batches:
+            rows = [
+                (row[id_col], imaging.dhash(imaging.decode_image(bytes(row[media_col]))))
+                for _, row in pdf.iterrows()
+            ]
+            yield pd.DataFrame(rows, columns=["id", "dhash"])
+
+    return df.select(id_col, media_col).mapInPandas(run, schema="id long, dhash long")
+
+
 AUDIO_FEATURE_SCHEMA = (
     "id long, window_idx int, start_ms long, end_ms long, "
     "rms double, zcr double, dom_hz double"

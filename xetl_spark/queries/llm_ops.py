@@ -699,6 +699,60 @@ def _synth_wavs(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame
     return ids.mapInPandas(gen, schema="doc_id long, media binary")
 
 
+def _synth_neardup_images(
+    spark: SparkSession, sf_dir: str, limit: int = 96
+) -> DataFrame:
+    """PNGs with PLANTED near-duplicates: docs sharing doc_id mod 32
+    render the same seeded random 32x32 pattern, each variant with a
+    sprinkle of small pixel noise — perceptually identical, byte-level
+    different. Cross-group patterns are independent randoms (expected
+    dHash Hamming ≈ 32)."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base, variant = did % 32, did // 32
+                rng = np.random.default_rng(base)
+                img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                if variant:
+                    noise_rng = np.random.default_rng(1000 + did)
+                    ys = noise_rng.integers(0, 32, 20)
+                    xs = noise_rng.integers(0, 32, 20)
+                    img = img.astype(np.int16)
+                    img[ys, xs] += noise_rng.integers(-2, 3, (20, 3))
+                    img = np.clip(img, 0, 255).astype(np.uint8)
+                rows.append((did, imaging.png_encode(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return ids.mapInPandas(gen, schema="doc_id long, media binary")
+
+
+@query("q_dedup_image_dhash", oracle=None)
+def q_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over REAL decode: perceptual dHash per
+    PNG, then Hamming-radius pairs via pigeonhole-blocked equi-joins
+    (shared core with SimHash text dedup — dedup.hamming_near_pairs;
+    never a pairwise cross product). Recall/precision on planted
+    near-dups property-tested in tests/test_imaging.py."""
+    from xetl_spark.operators.dedup import hamming_near_pairs
+
+    imgs = _synth_neardup_images(spark, sf_dir)
+    fps = multimodal.image_dhash(imgs, "media", "doc_id")
+    return hamming_near_pairs(
+        fps, fp_col="dhash", id_col="id", max_hamming=6, chunks=8
+    )
+
+
 @query("q_multimodal_audio_features", oracle=None)
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic feature extraction over REAL WAV decode: per-window RMS
