@@ -310,3 +310,34 @@ def test_bruteforce_query_side_guard(spark):
         df.limit(40), df.limit(5), "embedding", "vec_id", k=2, max_queries=10
     )
     assert out.count() > 0
+
+
+def test_random_projection_jl_property(spark, sf_dir):
+    """JL guarantee, empirically: pairwise distances among fixture
+    embeddings survive a 64→16 projection within loose (eps≈0.6)
+    bounds for most pairs, the projection is deterministic per seed,
+    and differs across seeds."""
+    import numpy as np
+
+    from xetl_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    out = random_project(emb, "embedding", out_dim=16, seed=7).collect()
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in out}
+    proj = {r.vec_id: np.array(r.projected, dtype=np.float64) for r in out}
+    ids = sorted(orig)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(proj[a] - proj[b])
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert np.median(ratios) == pytest.approx(1.0, abs=0.25)
+    assert ((ratios > 0.4) & (ratios < 1.8)).mean() >= 0.9
+
+    again = random_project(emb, "embedding", out_dim=16, seed=7).collect()
+    assert [r.projected for r in out] == [r.projected for r in again]
+    other = random_project(emb, "embedding", out_dim=16, seed=8).collect()
+    assert [r.projected for r in out] != [r.projected for r in other]

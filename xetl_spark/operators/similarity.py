@@ -468,3 +468,44 @@ def lsh_ann_topk(
     return scored.withColumn("nn_rank", F.row_number().over(w)).filter(
         F.col("nn_rank") <= k
     )
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 42,
+    out_col: str = "projected",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress embeddings to
+    ``out_dim`` dimensions while approximately preserving pairwise
+    distances (within 1±eps for out_dim = O(log n / eps^2)).
+
+    The projection matrix is derived deterministically from ``seed``
+    (numpy Gaussian / sqrt(out_dim)) and closure-broadcast — tiny
+    (in_dim x out_dim doubles) regardless of corpus size, so the 100 TB
+    side never shuffles; each partition is one Arrow-batched float64
+    matmul. The canonical pre-step before ANN indexing or clustering
+    when raw embedding width makes the index too large.
+    """
+    import numpy as np
+
+    if in_dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("random_project: empty input and no in_dim given")
+        in_dim = int(probe["d"])
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def project(vs):  # pd.Series of lists -> pd.Series of lists
+        import pandas as pd
+
+        M = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series(list(M @ R))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))

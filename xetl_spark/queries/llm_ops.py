@@ -319,6 +319,27 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_embed_random_projection", oracle=None)
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims over the
+    embeddings table — the compression step before ANN indexing /
+    clustering at scale (tiny closure-broadcast matrix, one Arrow
+    matmul per partition, the corpus never shuffles). Rows-only;
+    distance preservation + determinism property-tested in
+    tests/test_llm_ops.py."""
+    from xetl_spark.operators.similarity import random_project
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    out = random_project(emb, "embedding", out_dim=16, seed=7, in_dim=64)
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("projected", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("proj_norm"),
+        F.round(F.element_at("projected", 1), 4).alias("p0"),
+    )
+
+
 @query(
     "q_embed_stats",
     oracle="""
