@@ -341,3 +341,25 @@ def test_random_projection_jl_property(spark, sf_dir):
     assert [r.projected for r in out] == [r.projected for r in again]
     other = random_project(emb, "embedding", out_dim=16, seed=8).collect()
     assert [r.projected for r in out] != [r.projected for r in other]
+
+
+def test_stratified_split_exact_proportions(spark, sf_dir):
+    """Each stratum's test share is exactly ceil(20%); assignment is
+    deterministic and disjoint."""
+    from xetl_spark.operators.relational import stratified_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_split(docs, ["lang"], ["doc_id"], test_pct=20)
+    counts = {
+        (r.lang, r.split): r.n
+        for r in out.groupBy("lang", "split").count().withColumnRenamed("count", "n").collect()
+    }
+    import math
+
+    langs = {k[0] for k in counts}
+    for lang in langs:
+        test = counts.get((lang, "test"), 0)
+        total = test + counts.get((lang, "train"), 0)
+        assert test == math.ceil(0.2 * total), (lang, test, total)
+    again = stratified_split(docs, ["lang"], ["doc_id"], test_pct=20)
+    assert out.collect() == again.collect()

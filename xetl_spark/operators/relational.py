@@ -100,6 +100,37 @@ def train_test_split(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_cols: Sequence[str],
+    test_pct: int = 20,
+    split_col: str = "split",
+) -> DataFrame:
+    """Stratified train/test split with EXACT per-stratum proportions.
+
+    train_test_split's pure per-row hashing drifts from the target
+    fraction on small strata (binomial noise); here each stratum is
+    ranked by content hash and the first ceil(test_pct%) of rows go to
+    test — deterministic (hash order, key tiebreak), exact per
+    stratum, and one window over the stratum partitioning (a stratum's
+    rows shuffle to their stratum — the same partitioning any
+    per-stratum aggregation needs).
+    """
+    from pyspark.sql import Window
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(*strata_cols).orderBy(F.md5(key), *key_cols)
+    cnt = F.count("*").over(Window.partitionBy(*strata_cols))
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        split_col,
+        F.when(rn <= F.ceil(cnt * test_pct / 100.0), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -97,6 +97,30 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_split_stratified",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                <= CEIL(0.2 * (count(*) OVER (PARTITION BY lang)))
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split with exact 20% test per language stratum —
+    content-hash ranked, so deterministic across engines/runs (the
+    oracle replays the identical ranking in SQL)."""
+    from xetl_spark.operators.relational import stratified_split
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return stratified_split(docs, ["lang"], ["doc_id"], test_pct=20).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@query(
     "q_text_quality",
     oracle=f"""
     WITH t AS (
