@@ -251,3 +251,40 @@ def test_image_dhash_near_dup_query(spark, sf_dir):
     for b in range(32):
         planted |= {(b, b + 32), (b, b + 64), (b + 32, b + 64)}
     assert pairs == planted
+
+
+def test_multimodal_prep_example_manifest(spark, tmp_path):
+    """examples/multimodal_prep.yml end-to-end on planted data: the
+    image_dedup stage collapses a near-duplicate pair, grayscale
+    writes files, audio_features windows the clips."""
+    import shutil
+
+    from xetl_spark.operators import audio as aud
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "audio").mkdir()
+    r = np.random.default_rng(11)
+    base = r.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    near = np.clip(base.astype(np.int16) + r.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+    other = np.random.default_rng(12).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    for name, arr in [("a", base), ("b", near), ("c", other)]:
+        (tmp_path / "images" / f"{name}.png").write_bytes(im.png_encode(arr))
+    tone = (9000 * np.sin(2 * np.pi * 300 * np.arange(2000) / 1000)).astype(np.int16)
+    (tmp_path / "audio" / "clip.wav").write_bytes(aud.wav_encode(tone, 1000))
+
+    manifest = tmp_path / "job.yml"
+    text = open("/root/repo/examples/multimodal_prep.yml").read()
+    text = text.replace("data: ./data", f"data: {tmp_path}")
+    text = text.replace("IMAGES: ./data/images", f"IMAGES: {tmp_path}/images")
+    text = text.replace("AUDIO: ./data/audio", f"AUDIO: {tmp_path}/audio")
+    manifest.write_text(text)
+
+    job = Job.from_file(str(manifest))
+    results = run_job(spark, job)
+    assert all(r2.status == "success" for r2 in results)
+    row = results[-1].output.collect()[0]
+    assert row.n_unique_images == 2  # near-dup pair collapsed to one
+    assert row.n_audio_windows == 8  # 2s / 250ms hop
+    shutil.rmtree(tmp_path / "gray", ignore_errors=False)

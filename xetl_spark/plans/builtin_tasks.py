@@ -539,3 +539,79 @@ def grayscale_task(ctx: StageContext):
         stats.count()
         return stats
     return out
+
+
+@task(
+    "image_dedup",
+    "Drop perceptually near-duplicate images (dHash + Hamming-blocked "
+    "pairs + connected components; keeps each cluster's lowest-id "
+    "representative)",
+    env={
+        "MEDIA_COL": {
+            "description": "binary image column",
+            "type": "string",
+            "default": "content",
+        },
+        "ID_COL": {
+            "description": "per-image integer id column",
+            "type": "string",
+            "default": "doc_id",
+        },
+        "MAX_HAMMING": {
+            "description": "near-dup Hamming radius on the 64-bit dHash",
+            "type": "int",
+            "default": 6,
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def image_dedup(ctx: StageContext):
+    from xetl_spark.operators import dedup_clusters
+    from xetl_spark.operators.dedup import hamming_near_pairs
+    from xetl_spark.operators.multimodal import image_dhash
+
+    df = ctx.input_df()
+    id_col = str(ctx.env["ID_COL"])
+    fps = image_dhash(df, str(ctx.env["MEDIA_COL"]), id_col)
+    pairs = hamming_near_pairs(
+        fps, fp_col="dhash", id_col="id",
+        max_hamming=int(ctx.env["MAX_HAMMING"]),  # type: ignore[arg-type]
+        chunks=8,
+    ).select(F.col("doc_a"), F.col("doc_b"))
+    decision = dedup_clusters(pairs, df, id_col)
+    keep = decision.filter(F.col("is_representative")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+@task(
+    "audio_features",
+    "Per-window acoustic features over WAV payloads: RMS energy, "
+    "zero-crossing rate, dominant frequency (rfft)",
+    env={
+        "MEDIA_COL": {
+            "description": "binary WAV column",
+            "type": "string",
+            "default": "content",
+        },
+        "ID_COL": {
+            "description": "per-clip id column",
+            "type": "string",
+            "default": "doc_id",
+        },
+        "WINDOW_MS": {"description": "window length", "type": "int", "default": 1000},
+        "HOP_MS": {"description": "hop between windows", "type": "int", "default": 500},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def audio_features_task(ctx: StageContext):
+    from xetl_spark.operators.multimodal import audio_feature_windows
+
+    return audio_feature_windows(
+        ctx.input_df(),
+        str(ctx.env["MEDIA_COL"]),
+        str(ctx.env["ID_COL"]),
+        window_ms=int(ctx.env["WINDOW_MS"]),  # type: ignore[arg-type]
+        hop_ms=int(ctx.env["HOP_MS"]),  # type: ignore[arg-type]
+    )
