@@ -288,3 +288,43 @@ def test_multimodal_prep_example_manifest(spark, tmp_path):
     assert row.n_unique_images == 2  # near-dup pair collapsed to one
     assert row.n_audio_windows == 8  # 2s / 250ms hop
     shutil.rmtree(tmp_path / "gray", ignore_errors=False)
+
+
+def test_grayscale_task_long_id_column(spark, tmp_path):
+    """The grayscale task's OUTPUT mode works with integer id columns,
+    not just string paths (stats schema follows the source id type)."""
+    import pandas as pd
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "media": [
+                bytes(im.png_encode(
+                    np.random.default_rng(s).integers(0, 256, (6, 6, 3), dtype=np.uint8)
+                ))
+                for s in (1, 2)
+            ],
+        }
+    )
+    spark.createDataFrame(pdf, "doc_id long, media binary").createOrReplaceTempView(
+        "imgs_longid"
+    )
+    job = Job.from_yaml(
+        f"""
+        name: longid
+        data: {tmp_path}
+        commands:
+          - {{name: src, task: sql, env: {{QUERY: "SELECT * FROM imgs_longid"}}}}
+          - {{name: g, task: grayscale,
+              env: {{MEDIA_COL: media, ID_COL: doc_id, OUTPUT: {tmp_path}/gray}}}}
+        """,
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success", "success"]
+    import os
+
+    assert sorted(os.listdir(f"{tmp_path}/gray")) == ["1.png", "2.png"]

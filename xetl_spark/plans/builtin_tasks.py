@@ -532,9 +532,10 @@ def grayscale_task(ctx: StageContext):
         # Stages are lazy by default, but file emission is a side
         # effect the user asked for — persist + count forces it to run
         # exactly once, and downstream stages read the cached stats.
+        id_type = out.schema["id"].dataType.simpleString()
         stats = out.mapInPandas(
             write_files,
-            schema="id string, width int, height int, mean_gray double",
+            schema=f"id {id_type}, width int, height int, mean_gray double",
         ).persist()
         stats.count()
         return stats
