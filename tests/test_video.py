@@ -68,3 +68,34 @@ def test_sample_frames_real_decode(spark):
     for r in rows:
         got = imaging.png_decode(bytes(r.frame))[:, :, 0]
         assert np.array_equal(got, frames[r.frame_idx])
+
+
+def test_sample_frames_task(spark, tmp_path):
+    """The sample_frames builtin task drives real Y4M decode from a
+    manifest."""
+    import pandas as pd
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    frames = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)  # 0.6s at 10fps
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "media": [video.y4m_encode(frames, fps=(10, 1))]}
+    )
+    spark.createDataFrame(pdf, "doc_id long, media binary").createOrReplaceTempView(
+        "clips_y4m"
+    )
+    job = Job.from_yaml(
+        f"""
+        name: frames
+        data: {tmp_path}
+        commands:
+          - {{name: src, task: sql, env: {{QUERY: "SELECT * FROM clips_y4m"}}}}
+          - {{name: fr, task: sample_frames,
+              env: {{MEDIA_COL: media, ID_COL: doc_id, EVERY_MS: 200, MAX_FRAMES: 3}}}}
+        """,
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    rows = results[-1].output.collect()
+    assert [(r.frame_idx, r.frame_ts_ms) for r in rows] == [(0, 0), (2, 200), (4, 400)]

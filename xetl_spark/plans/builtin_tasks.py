@@ -616,3 +616,36 @@ def audio_features_task(ctx: StageContext):
         window_ms=int(ctx.env["WINDOW_MS"]),  # type: ignore[arg-type]
         hop_ms=int(ctx.env["HOP_MS"]),  # type: ignore[arg-type]
     )
+
+
+@task(
+    "sample_frames",
+    "Sample frames from video payloads (Y4M) every EVERY_MS of media "
+    "time; emits grayscale PNG frames with source indices/timestamps",
+    env={
+        "MEDIA_COL": {
+            "description": "binary video column",
+            "type": "string",
+            "default": "content",
+        },
+        "ID_COL": {
+            "description": "per-clip id column",
+            "type": "string",
+            "default": "doc_id",
+        },
+        "EVERY_MS": {"description": "sampling cadence", "type": "int", "default": 1000},
+        "MAX_FRAMES": {"description": "cap per clip", "type": "int", "default": 4},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def sample_frames_task(ctx: StageContext):
+    from xetl_spark.operators.multimodal import sample_frames
+
+    return sample_frames(
+        ctx.input_df(),
+        str(ctx.env["MEDIA_COL"]),
+        str(ctx.env["ID_COL"]),
+        every_ms=int(ctx.env["EVERY_MS"]),  # type: ignore[arg-type]
+        max_frames=int(ctx.env["MAX_FRAMES"]),  # type: ignore[arg-type]
+        decode_stub=False,
+    )
