@@ -363,3 +363,21 @@ def test_stratified_split_exact_proportions(spark, sf_dir):
         assert test == math.ceil(0.2 * total), (lang, test, total)
     again = stratified_split(docs, ["lang"], ["doc_id"], test_pct=20)
     assert out.collect() == again.collect()
+
+
+def test_remove_boilerplate_semantics(spark):
+    """Shared lines drop, unique lines keep their order, fully-
+    boilerplate documents drop out entirely."""
+    from xetl_spark.operators.text import remove_boilerplate
+
+    header = "COOKIE BANNER"
+    rows = [(i, f"{header}\ncontent {i} alpha\ncontent {i} beta") for i in range(5)]
+    rows.append((99, header))  # nothing but boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc: r.clean_text
+        for r in remove_boilerplate(df, "text", "doc_id", min_docs=3).collect()
+    }
+    assert 99 not in out
+    assert out[2] == "content 2 alpha\ncontent 2 beta"
+    assert len(out) == 5

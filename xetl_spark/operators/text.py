@@ -249,3 +249,46 @@ def hashing_tfidf(df, text_col: str, id_col: str, num_features: int = 1024):
     with_tf = tf.transform(tok.transform(df))
     idf = IDF(inputCol="__tf", outputCol="tfidf_vec").fit(with_tf)
     return idf.transform(with_tf).select(F.col(id_col).alias("doc"), "tfidf_vec")
+
+
+def remove_boilerplate(
+    df,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 30,
+    delim: str = "\n",
+):
+    """Drop lines that appear in >= ``min_docs`` distinct documents —
+    the C4-style boilerplate filter (navigation bars, cookie banners,
+    license headers) applied line-wise across the corpus.
+
+    Shape for scale: explode to (doc, pos, line), dedupe (doc, line),
+    one line-keyed aggregation for document frequency, one line-keyed
+    join back, then a doc-keyed reassembly preserving line order —
+    two linear shuffles, no pairwise work, no vocabulary broadcast
+    (line frequencies live in the shuffle, sized by distinct lines).
+    Documents whose every line is boilerplate drop out of the result
+    (document removal is a valid outcome of this filter).
+
+    Returns (doc, clean_text).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    docfreq = (
+        lines.select("doc", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("__df"))
+    )
+    kept = lines.join(docfreq, "line").filter(F.col("__df") < min_docs)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("line")))
+        ),
+        lambda s: s["line"],
+    )
+    return kept.groupBy("doc").agg(
+        F.array_join(ordered, delim).alias("clean_text")
+    )

@@ -97,6 +97,53 @@ def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_boilerplate",
+    oracle="""
+    WITH lines AS (
+      SELECT d.doc_id, j.i AS pos,
+             'seg-' || ((d.doc_id * 7 + j.i)
+                        % (CASE WHEN j.i = 0 THEN 10 ELSE 200 END)) AS line
+      FROM documents d, range(4) j(i) WHERE d.doc_id < 400
+    ), freq AS (
+      SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text
+    FROM lines l JOIN freq f USING (line)
+    WHERE f.df < 30
+    GROUP BY l.doc_id
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal, hash-verified: synthesizes
+    4-line documents where line 0 draws from a 10-value pool (each
+    value shared by ~40 docs — boilerplate) and lines 1-3 from a
+    200-value pool (~8 docs each — content). The operator must drop
+    exactly the line-0 family and reassemble the rest in order; the
+    SQL oracle replays the same frequencies and filtering."""
+    from xetl_spark.operators.text import remove_boilerplate
+
+    (docs,) = load(spark, sf_dir, "documents")
+    synth = docs.select("doc_id").where(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            *[
+                F.concat(
+                    F.lit("seg-"),
+                    ((F.col("doc_id") * 7 + F.lit(j)) % (10 if j == 0 else 200)).cast(
+                        "string"
+                    ),
+                )
+                for j in range(4)
+            ],
+        ).alias("text"),
+    )
+    out = remove_boilerplate(synth, "text", "doc_id", min_docs=30)
+    return out.select(F.col("doc").alias("doc_id"), "clean_text")
+
+
+@query(
     "q_split_stratified",
     oracle="""
     SELECT doc_id, lang,
