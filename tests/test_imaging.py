@@ -328,3 +328,54 @@ def test_grayscale_task_long_id_column(spark, tmp_path):
     import os
 
     assert sorted(os.listdir(f"{tmp_path}/gray")) == ["1.png", "2.png"]
+
+
+def test_png_decode_mixed_filters_per_row():
+    """Real encoders mix filter types row by row; the decoder must
+    handle any per-row sequence (prior-row state threading)."""
+    r2 = np.random.default_rng(77)
+    a = r2.integers(0, 256, (12, 5, 3), dtype=np.uint8)
+    h, w, n = a.shape
+    stride = w * n
+    body = a.reshape(h, stride).astype(np.int32)
+    ftypes = r2.integers(0, 5, size=h)  # includes filter 0
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = body[y]
+        ftype = int(ftypes[y])
+        f = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = row[x - n] if x >= n else 0
+            up = prior[x]
+            ul = prior[x - n] if x >= n else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            f[x] = (row[x] - pred) & 0xFF
+        out.append(ftype)
+        out.extend(f.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    payload = (
+        im.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(im.png_decode(payload), a)
