@@ -269,3 +269,45 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", F.unix_micros("bucket").alias("bucket_us"), "v", "v_filled"
     )
+
+
+@query(
+    "q_funnel_ordered",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      CAST(count_if(t_view IS NOT NULL) AS BIGINT) AS step_view,
+      CAST(count_if(t_view IS NOT NULL AND t_click > t_view)
+           AS BIGINT) AS step_click,
+      CAST(count_if(t_view IS NOT NULL AND t_click > t_view
+               AND t_buy > t_click) AS BIGINT) AS step_purchase
+    FROM firsts
+    """,
+)
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream (view → click
+    → purchase): one conditional-min aggregation per user, then step
+    predicates — the canonical product-analytics query, one shuffle on
+    user_id, no self-joins or window scans per step."""
+    (events,) = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_buy = reached_click & (F.col("t_buy") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(reached_view).alias("step_view"),
+        F.count_if(reached_click).alias("step_click"),
+        F.count_if(reached_buy).alias("step_purchase"),
+    )
