@@ -311,3 +311,39 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(reached_click).alias("step_click"),
         F.count_if(reached_buy).alias("step_purchase"),
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort AS cohort_week,
+           CAST(floor(date_diff('day', f.cohort,
+                                date_trunc('week', e.ts)) / 7)
+                AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted distinct per week offset — two user_id-keyed
+    shuffles (first-event aggregation, join back) plus one
+    (cohort, offset) aggregation. The classic growth-analytics rollup;
+    joins stay co-partitioned on user_id at any corpus size."""
+    (events,) = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    joined = events.join(firsts, "user_id")
+    offset = F.floor(
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+    ).cast("long")
+    return (
+        joined.groupBy(F.col("cohort").alias("cohort_week"), offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
