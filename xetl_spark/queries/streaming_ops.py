@@ -347,3 +347,38 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("cohort").alias("cohort_week"), offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "q_ts_rolling_extrema",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           min(value) OVER w AS min_1h,
+           max(value) OVER w AS max_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ts_rolling_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour window per user over REAL event time (RANGE
+    frame on the timestamp axis, not row counts): rolling count/min/
+    max — exact aggregates, so cross-engine hash-safe without float
+    rounding discipline. One shuffle on user_id; the time-range frame
+    runs in the sorted partition."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.min("value").over(w).alias("min_1h"),
+        F.max("value").over(w).alias("max_1h"),
+    )
