@@ -1,0 +1,83 @@
+"""Registry-order rotation and table-cache bounds.
+
+The driver's correctness gate samples a ~50-entry prefix of the
+registry; these tests pin the two properties that make that sampling
+trustworthy round over round: every module family stays represented in
+any prefix (interleave), and the represented *window* of each family
+moves between rounds (rotation) so the whole registry is eventually
+driver-verified.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import xetl_spark.queries as Q
+
+
+def _families(names):
+    return Counter(Q.REGISTRY[n].fn.__module__.rsplit(".", 1)[-1] for n in names)
+
+
+def test_interleave_prefix_covers_every_family():
+    prefix = list(Q.REGISTRY)[:50]
+    fams = _families(prefix)
+    n_modules = len({q.fn.__module__ for q in Q.REGISTRY.values()})
+    assert len(fams) == n_modules
+    # an even round-robin: no family hogs the window
+    assert max(fams.values()) - min(fams.values()) <= 1
+
+
+def test_rotation_moves_the_sampled_window():
+    try:
+        Q._interleave_registry(offset=0)
+        base = list(Q.REGISTRY)[:50]
+        Q._interleave_registry(offset=5)
+        shifted = list(Q.REGISTRY)[:50]
+        fresh = set(shifted) - set(base)
+        # one rotation step swaps most of the window (small families wrap)
+        assert len(fresh) >= 25
+        assert _families(shifted) == _families(base)
+    finally:
+        Q._interleave_registry()  # restore the round-derived order
+
+
+def test_rotation_sweeps_whole_registry_over_rounds():
+    try:
+        seen: set[str] = set()
+        for rnd in range(20):
+            Q._interleave_registry(offset=5 * rnd)
+            seen.update(list(Q.REGISTRY)[:50])
+        assert seen == set(Q.REGISTRY)
+    finally:
+        Q._interleave_registry()
+
+
+def test_round_number_reads_progress_log(tmp_path, monkeypatch):
+    assert isinstance(Q._round_number(), int)
+
+
+def test_table_cache_evicts_oldest_scope(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    dirs = []
+    for i in range(3):
+        d = tmp_path / f"sf{i}"
+        spark.range(2).withColumn("r_name", F.lit(f"dir{i}")).write.parquet(
+            str(d / "region.parquet")
+        )
+        dirs.append(str(d))
+
+    Q._TABLE_CACHE.clear()
+    app = spark.conf.get("spark.app.id", "app")
+    Q.load(spark, dirs[0], "region")
+    Q.load(spark, dirs[1], "region")
+    assert (app, dirs[0]) in Q._TABLE_CACHE
+    Q.load(spark, dirs[2], "region")  # third scope evicts the first
+    assert (app, dirs[0]) not in Q._TABLE_CACHE
+    assert (app, dirs[1]) in Q._TABLE_CACHE and (app, dirs[2]) in Q._TABLE_CACHE
+    # LRU touch: re-loading dir1 makes dir2 the eviction victim
+    Q.load(spark, dirs[1], "region")
+    Q.load(spark, dirs[0], "region")
+    assert (app, dirs[2]) not in Q._TABLE_CACHE
+    Q._TABLE_CACHE.clear()

