@@ -89,8 +89,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        # a failed query drops out of `timings`, which would make the
+        # total *shrink* — a breakage must never read as a speedup, so
+        # the aggregate is only published when the set ran complete
+        "value": round(sum(timings.values()), 3) if not errors else None,
         "unit": "sec",
+        "complete": not errors,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -138,3 +138,17 @@ def test_audio_feature_windows_operator(spark):
     assert len(rows) == 2
     assert rows[0].dom_hz == pytest.approx(500.0, abs=2.0)
     assert rows[1].dom_hz == pytest.approx(1000.0, abs=2.0)
+
+
+def test_wav_truncated_data_rejected():
+    """A data chunk shorter than its declared length is a truncated
+    file; decoding must raise the typed error instead of silently
+    returning fewer samples than the header promises."""
+    samples = (np.sin(np.linspace(0, 40 * np.pi, 8000)) * 20000).astype(np.int16)
+    payload = audio.wav_encode(samples, 8000)
+    with pytest.raises(audio.UnsupportedAudioError, match="truncated"):
+        audio.wav_decode(payload[:-100])
+    # a short fmt chunk is typed too
+    bad = payload[:16] + b"\x08\x00\x00\x00" + payload[20:28]
+    with pytest.raises(audio.UnsupportedAudioError):
+        audio.wav_decode(bad)

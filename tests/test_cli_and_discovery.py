@@ -118,12 +118,18 @@ def test_task_discovery_from_directory(spark, tmp_path):
     assert [r.r_regionkey for r in rows] == [0, 1]
 
 
-def test_typoed_run_name_rejected_at_discovery(spark, tmp_path):
+def test_typoed_run_name_deferred_to_run_time(spark, tmp_path):
     """A manifest whose `run:` is a bare token naming neither a
-    registered task nor an executable is rejected at discovery (logged
-    + skipped) instead of becoming a subprocess that fails opaquely at
-    run time."""
+    registered task nor an executable still registers (the program may
+    be produced by an earlier stage or appear on PATH only at run
+    time); executing it while still unresolvable raises the clear
+    misspelled-task message instead of an opaque exec error, and a
+    program that materializes in the task dir before execution runs."""
+    import os
+    import stat
+
     from xetl_spark.plans.registry import TaskRegistry
+    from xetl_spark.plans.runner import StageContext
 
     taskdir = tmp_path / "tasks" / "typo"
     taskdir.mkdir(parents=True)
@@ -132,7 +138,24 @@ def test_typoed_run_name_rejected_at_discovery(spark, tmp_path):
     )
     reg = TaskRegistry()
     reg.discover(str(tmp_path / "tasks"))
-    assert not reg._has("typo-task")  # skipped, not silently registered
+    assert reg._has("typo-task")  # registered; resolution is deferred
+
+    _, fn = reg.get("typo-task")
+    ctx = StageContext(spark=spark, job=None, command=None, env={})
+    with pytest.raises(ValueError, match="misspelled task name"):
+        fn(ctx)
+
+    # the same shape resolves fine once the program exists at run time
+    latedir = tmp_path / "tasks" / "late"
+    latedir.mkdir(parents=True)
+    (latedir / "manifest.yml").write_text("name: late-task\nrun: gen.sh\n")
+    reg.discover(str(tmp_path / "tasks"))
+    assert reg._has("late-task")
+    script = latedir / "gen.sh"
+    script.write_text("#!/bin/sh\necho made-late\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    _, late_fn = reg.get("late-task")
+    late_fn(ctx)  # no raise: re-resolved at execution
 
     # a real program with args still discovers as a subprocess task
     okdir = tmp_path / "tasks" / "shellok"

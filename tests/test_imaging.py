@@ -379,3 +379,57 @@ def test_png_decode_mixed_filters_per_row():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(im.png_decode(payload), a)
+
+
+def test_grayscale_task_output_collision_safe(spark, tmp_path):
+    """Two ids sharing a basename in different directories must not
+    overwrite each other's OUTPUT file: colliding stems get a short
+    content-independent suffix derived from the full id."""
+    import pandas as pd
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    rngc = np.random.default_rng(11)
+    arrs = {
+        "a/img.png": rngc.integers(0, 256, (5, 4, 3), dtype=np.uint8),
+        "b/img.png": rngc.integers(0, 256, (5, 4, 3), dtype=np.uint8),
+        "solo.png": rngc.integers(0, 256, (5, 4, 3), dtype=np.uint8),
+    }
+    pdf = pd.DataFrame(
+        {
+            "path": list(arrs),
+            "media": [bytes(im.png_encode(a)) for a in arrs.values()],
+        }
+    )
+    spark.createDataFrame(pdf, "path string, media binary").createOrReplaceTempView(
+        "imgs_dupname"
+    )
+    job = Job.from_yaml(
+        f"""
+        name: dupname
+        data: {tmp_path}
+        commands:
+          - {{name: src, task: sql, env: {{QUERY: "SELECT * FROM imgs_dupname"}}}}
+          - {{name: g, task: grayscale,
+              env: {{MEDIA_COL: media, ID_COL: path, OUTPUT: {tmp_path}/gray}}}}
+        """,
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success", "success"]
+    import os
+
+    files = sorted(os.listdir(f"{tmp_path}/gray"))
+    assert len(files) == 3  # no silent overwrite
+    assert "solo.png" in files  # non-colliding names stay friendly
+    assert sum(f.startswith("img-") for f in files) == 2
+    # each suffixed file holds its OWN source's grayscale
+    for full_id, arr in arrs.items():
+        if full_id == "solo.png":
+            continue
+        import hashlib
+
+        suffix = hashlib.sha1(full_id.encode()).hexdigest()[:8]
+        got = im.png_decode(open(f"{tmp_path}/gray/img-{suffix}.png", "rb").read())
+        assert np.array_equal(got[:, :, 0], im.to_grayscale(arr))

@@ -99,3 +99,17 @@ def test_sample_frames_task(spark, tmp_path):
     results = run_job(spark, job)
     rows = results[-1].output.collect()
     assert [(r.frame_idx, r.frame_ts_ms) for r in rows] == [(0, 0), (2, 200), (4, 400)]
+
+
+def test_y4m_truncated_payload_rejected():
+    """A truncated frame payload raises the typed codec error, not a
+    bare ValueError from numpy/index internals."""
+    frames = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    payload = video.y4m_encode(frames)
+    with pytest.raises(video.UnsupportedVideoError, match="truncated"):
+        video.y4m_decode(payload[:-5])  # short last frame
+    with pytest.raises(video.UnsupportedVideoError):
+        video.y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 Cmono")  # unterminated header
+    with pytest.raises(video.UnsupportedVideoError):
+        # frame marker present but its newline is missing
+        video.y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME")

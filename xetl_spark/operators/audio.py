@@ -52,8 +52,17 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            # the header declared more bytes than the payload holds;
+            # decoding the short slice would silently drop samples
+            raise UnsupportedAudioError(
+                f"truncated WAV {cid!r} chunk: declared {clen} bytes, "
+                f"have {len(body)}"
+            )
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if clen < 16:
+                raise UnsupportedAudioError("WAV fmt chunk shorter than 16 bytes")
             fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

@@ -55,6 +55,17 @@ RESIZE_SCHEMA = "id long, width int, height int, resized binary"
 FRAME_SCHEMA = "id long, frame_idx int, frame_ts_ms long, frame binary"
 
 
+def _id_typed(df: DataFrame, id_col: str, schema: str) -> str:
+    """Rewrite a mapInPandas output schema so ``id`` keeps the SOURCE
+    id column's type (doc ids are longs, read_binary paths are strings
+    — both are valid media keys; a hardcoded ``id long`` makes string
+    keys fail deep inside Arrow with an opaque cast error)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    head, _, rest = schema.partition(",")
+    assert head.strip().startswith("id ")
+    return f"id {id_type}, {rest.strip()}"
+
+
 def resize_images(
     df: DataFrame,
     media_col: str = "media",
@@ -90,7 +101,9 @@ def resize_images(
                 rows.append((row[id_col], width, height, out))
             yield pd.DataFrame(rows, columns=["id", "width", "height", "resized"])
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, RESIZE_SCHEMA)
+    )
 
 
 def grayscale_images(
@@ -188,7 +201,9 @@ def sample_frames(
                 rows, columns=["id", "frame_idx", "frame_ts_ms", "frame"]
             )
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=FRAME_SCHEMA)
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, FRAME_SCHEMA)
+    )
 
 
 AUDIO_WINDOW_SCHEMA = "id long, window_idx int, start_ms long, end_ms long, pcm binary"
@@ -251,7 +266,9 @@ def window_audio(
                 rows, columns=["id", "window_idx", "start_ms", "end_ms", "pcm"]
             )
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, AUDIO_WINDOW_SCHEMA)
+    )
 
 
 def image_dhash(
@@ -271,7 +288,9 @@ def image_dhash(
             ]
             yield pd.DataFrame(rows, columns=["id", "dhash"])
 
-    return df.select(id_col, media_col).mapInPandas(run, schema="id long, dhash long")
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, "id long, dhash long")
+    )
 
 
 AUDIO_FEATURE_SCHEMA = (
@@ -318,7 +337,9 @@ def audio_feature_windows(
                 ],
             )
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, AUDIO_FEATURE_SCHEMA)
+    )
 
 
 FEATURE_SCHEMA = "id long, byte_len long, width int, height int, features array<float>"
@@ -378,4 +399,6 @@ def extract_features(
                 rows, columns=["id", "byte_len", "width", "height", "features"]
             )
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, FEATURE_SCHEMA)
+    )

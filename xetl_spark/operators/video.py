@@ -43,7 +43,9 @@ def y4m_decode(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     """Decode Y4M to ((n, h, w) uint8 luma frames, (fps_num, fps_den))."""
     if not sniff_y4m(payload):
         raise UnsupportedVideoError("not a YUV4MPEG2 payload")
-    nl = payload.index(b"\n")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise UnsupportedVideoError("Y4M header not terminated")
     header = payload[:nl].decode("ascii", "replace").split(" ")
     w = h = None
     num, den = 25, 1
@@ -71,10 +73,19 @@ def y4m_decode(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     frames = []
     pos = nl + 1
     while pos < len(payload):
-        eol = payload.index(b"\n", pos)
         if payload[pos : pos + 5] != b"FRAME":
             raise UnsupportedVideoError("malformed Y4M frame marker")
+        eol = payload.find(b"\n", pos)
+        if eol < 0:
+            raise UnsupportedVideoError("Y4M frame header not terminated")
         pos = eol + 1
+        # header-declared geometry bounds the payload; a short read means
+        # a truncated file, not a smaller frame
+        if pos + frame_bytes > len(payload):
+            raise UnsupportedVideoError(
+                f"truncated Y4M frame: need {frame_bytes} bytes, "
+                f"have {len(payload) - pos}"
+            )
         luma = np.frombuffer(payload, dtype=np.uint8, count=luma_bytes, offset=pos)
         frames.append(luma.reshape(h, w))
         pos += frame_bytes

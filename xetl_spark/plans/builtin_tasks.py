@@ -516,13 +516,40 @@ def grayscale_task(ctx: StageContext):
     if dest:
         import os
 
+        from pyspark.sql import functions as F
+
         dest_s = str(dest)
         os.makedirs(dest_s, exist_ok=True)
 
+        # files are named by the id's basename stem (a/img.png → img.png),
+        # so two ids sharing a filename in different directories would
+        # silently overwrite each other. Pre-compute colliding stems from
+        # the id column alone (no decode) and hash-suffix only those.
+        id_str = F.col(id_col).cast("string")
+        stem_expr = F.regexp_replace(
+            F.element_at(F.split(id_str, "/"), -1), r"\.[^.]*$", ""
+        )
+        collided = (
+            df.select(stem_expr.alias("stem"), id_str.alias("id_s"))
+            .groupBy("stem")
+            .agg(F.countDistinct("id_s").alias("n"))
+            .filter("n > 1")
+            .select("stem")
+            .limit(10001)
+            .collect()
+        )
+        hash_all = len(collided) > 10000  # too many to broadcast a set
+        dupe_stems = frozenset(r.stem for r in collided)
+
         def write_files(batches):
+            import hashlib
+
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    stem = os.path.splitext(os.path.basename(str(row["id"])))[0]
+                    full_id = str(row["id"])
+                    stem = os.path.splitext(os.path.basename(full_id))[0]
+                    if hash_all or stem in dupe_stems:
+                        stem += "-" + hashlib.sha1(full_id.encode()).hexdigest()[:8]
                     with open(os.path.join(dest_s, f"{stem}.png"), "wb") as fh:
                         fh.write(bytes(row["gray_png"]))
                 yield pdf[["id", "width", "height", "mean_gray"]]

@@ -93,24 +93,32 @@ class TaskRegistry:
                         # task.py:291-347): `run` is a real program in
                         # any of the reference's three forms. A bare
                         # token that resolves to neither a registered
-                        # task nor an executable is almost certainly a
-                        # typo'd task name — reject it at discovery
-                        # with a clear message instead of deferring an
-                        # opaque subprocess failure to run time.
+                        # task nor an executable may be a typo'd task
+                        # name — but it may also be produced by an
+                        # earlier stage or appear on PATH only at run
+                        # time, so warn here and re-resolve at
+                        # execution, failing then with the clear
+                        # message rather than an opaque exec error.
                         argv = parse_run_command(run)
-                        if (
+                        suspect = (
                             isinstance(run, str)
                             and len(argv) == 1
                             and shutil.which(argv[0]) is None
                             and not os.path.exists(os.path.join(dirpath, argv[0]))
                             and not os.path.isabs(argv[0])
-                        ):
-                            raise ValueError(
-                                f"run: {run!r} names neither a registered "
-                                "task nor an executable on PATH — "
-                                "misspelled task name?"
+                        )
+                        if suspect:
+                            log.warning(
+                                "task manifest %s: run: %r names neither a "
+                                "registered task nor an executable on PATH — "
+                                "misspelled task name? Deferring resolution "
+                                "to run time.",
+                                path,
+                                run,
                             )
-                        fn = _subprocess_task_fn(argv, basedir=dirpath)
+                        fn = _subprocess_task_fn(
+                            argv, basedir=dirpath, recheck=suspect
+                        )
                     else:
                         raise ValueError("task manifest needs `sql` or `run`")
                     self.register(spec, fn)
@@ -152,7 +160,9 @@ def parse_run_command(run: Any) -> list[str]:
     raise ValueError(f"unsupported run form: {type(run).__name__}")
 
 
-def _subprocess_task_fn(argv: list[str], basedir: str) -> TaskFn:
+def _subprocess_task_fn(
+    argv: list[str], basedir: str, recheck: bool = False
+) -> TaskFn:
     """Subprocess-parity execution (reference task.py:291-347): run the
     program with cwd = the task's directory and env = host env + the
     command's stringified inputs (None renders as "null",
@@ -165,11 +175,23 @@ def _subprocess_task_fn(argv: list[str], basedir: str) -> TaskFn:
     import subprocess
 
     def fn(ctx: "StageContext"):
+        argv_run = argv
+        if recheck and shutil.which(argv[0]) is None:
+            local = os.path.join(basedir, argv[0])
+            if os.path.exists(local):
+                # appeared in the task dir after discovery (e.g. written
+                # by an earlier stage); exec searches PATH, not cwd
+                argv_run = [local, *argv[1:]]
+            else:
+                raise ValueError(
+                    f"run: {argv[0]!r} names neither a registered task nor "
+                    "an executable on PATH — misspelled task name?"
+                )
         env = dict(os.environ)
         for k, v in ctx.env.items():
             env[k] = "null" if v is None else str(v)
         proc = subprocess.Popen(
-            argv,
+            argv_run,
             cwd=basedir,
             env=env,
             stdout=subprocess.PIPE,
