@@ -81,3 +81,21 @@ def test_table_cache_evicts_oldest_scope(spark, tmp_path):
     Q.load(spark, dirs[0], "region")
     assert (app, dirs[2]) not in Q._TABLE_CACHE
     Q._TABLE_CACHE.clear()
+
+
+def test_inventory_md_matches_registry():
+    """INVENTORY.md is generated (tools/gen_inventory.py); drift between
+    its counts and the live registry is the doc rot that made round 2
+    expensive, so it fails the suite."""
+    import re
+
+    text = open("/root/repo/INVENTORY.md").read()
+    m = re.search(r"Total: (\d+) queries — (\d+) hash-verified, (\d+)", text)
+    assert m, "INVENTORY.md missing generated total line"
+    n_total, n_h, n_p = map(int, m.groups())
+    assert n_total == len(Q.REGISTRY)
+    assert n_h == sum(1 for q in Q.REGISTRY.values() if q.oracle)
+    assert n_p == n_total - n_h
+    # one table row per registered query, each name present exactly once
+    for name in Q.REGISTRY:
+        assert f"`{name}`" in text

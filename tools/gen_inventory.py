@@ -24,7 +24,11 @@ def main() -> None:
         "| # | query | verify | what it covers |",
         "|---|---|---|---|",
     ]
-    for i, (name, q) in enumerate(Q.REGISTRY.items(), 1):
+    # canonical registration order: stable across rounds (REGISTRY
+    # iteration order rotates per driver round for sampling coverage)
+    order = Q._CANONICAL_ORDER or list(Q.REGISTRY)
+    for i, name in enumerate(order, 1):
+        q = Q.REGISTRY[name]
         doc = " ".join((q.doc or "").split())
         if len(doc) > 110:
             doc = doc[:107] + "..."
