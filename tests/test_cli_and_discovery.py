@@ -384,3 +384,17 @@ def test_subprocess_parity_task(spark, tmp_path):
     with pytest.raises(TaskFailure) as exc:
         run_job(spark, bad)
     assert "3" in str(exc.value)
+
+
+def test_cli_reference_flag_shapes():
+    """Literal CLI parity with the reference (xetl/__main__.py:24-37):
+    -l defaults to gaudy and accepts 1|2|3 numeric aliases; -t means
+    --no-timestamps; --list-tasks is long-form only."""
+    from xetl_spark.cli import argument_parser
+
+    ns = argument_parser().parse_args(["job.yml"])
+    assert ns.log_style == "gaudy" and ns.no_timestamps is False
+    ns = argument_parser().parse_args(["job.yml", "-l", "1", "-t"])
+    assert ns.log_style == "1" and ns.no_timestamps is True
+    with pytest.raises(SystemExit):
+        argument_parser().parse_args(["job.yml", "-l", "4"])

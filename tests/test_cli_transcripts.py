@@ -129,7 +129,16 @@ def test_failure_golden_transcript(tmp_path):
             """
         )
     )
-    res = _run_cli(str(manifest))
+    # `-l 2` = moderate via the reference's numeric alias
+    # (reference xetl/__main__.py:28: choices 1|2|3); the default is
+    # gaudy, matching the reference default
+    res = subprocess.run(
+        [sys.executable, "-m", "xetl_spark", str(manifest), "-l", "2"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        cwd="/root/repo",
+        timeout=240,
+    )
     out = res.stdout.decode()
     assert res.returncode == 2, out
     got = _normalize(out, str(tmp_path))

@@ -32,9 +32,15 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-l",
         "--log-style",
-        choices=["minimal", "moderate", "gaudy"],
-        default="moderate",
-        help="log verbosity style",
+        choices=["1", "2", "3", "minimal", "moderate", "gaudy"],
+        default="gaudy",
+        help="amount of decoration around logs, 1 (minimal) to 3 (gaudy)",
+    )
+    p.add_argument(
+        "-t",
+        "--no-timestamps",
+        action="store_true",
+        help="omit timestamps from log decoration",
     )
     p.add_argument(
         "--resume",
@@ -42,7 +48,6 @@ def argument_parser() -> argparse.ArgumentParser:
         help="restore MATERIALIZE=true stages from existing checkpoints",
     )
     p.add_argument(
-        "-t",
         "--list-tasks",
         action="store_true",
         help="list available tasks (built-in + discovered) and exit",
@@ -86,13 +91,18 @@ def argument_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = argument_parser().parse_args(argv)
+    # numeric aliases match the reference CLI (reference
+    # xetl/__main__.py:24-36, 44-50): 1=minimal, 2=moderate, 3=gaudy
+    style = {"1": "minimal", "2": "moderate", "3": "gaudy"}.get(
+        args.log_style, args.log_style
+    )
     logging.basicConfig(
-        level=logging.DEBUG if args.log_style == "gaudy" else logging.INFO,
+        level=logging.DEBUG if style == "gaudy" else logging.INFO,
         stream=sys.stdout,
     )
     from xetl_spark.plans.logctx import configure as configure_log_style
 
-    configure_log_style(style=args.log_style)
+    configure_log_style(style=style, timestamps=not args.no_timestamps)
 
     import os
 
