@@ -1,0 +1,160 @@
+"""Pure-numpy baseline JPEG codec (operators/jpeg.py).
+
+Validation strategy mirrors the PNG/WAV/Y4M codecs — pin the codec at
+pixel level, then the operator surface — plus a differential oracle no
+other codec here has: the Spark distribution bundles real camera JPEGs
+and the JVM `image` data source (Java ImageIO) decodes them, so the
+decoder is checked against an independent production decoder on
+real-world 4:2:0 files, not just its own encoder.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from xetl_spark.operators import jpeg
+from xetl_spark.operators.imaging import UnsupportedImageError, decode_image, sniff_format
+
+rng = np.random.default_rng(7)
+
+REAL_JPEG_DIR = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+
+
+def _gradient(h=48, w=64):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [(xx * 3) % 200, (yy * 4) % 200, ((xx + yy) * 2) % 200], axis=2
+    ).astype(np.uint8)
+
+
+def test_roundtrip_smooth_high_quality():
+    img = _gradient()
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=95))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 2.0 and err.max() <= 25
+
+
+def test_roundtrip_quality_monotone():
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    errs = []
+    for q in (30, 60, 90):
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(noise, quality=q))
+        errs.append(np.abs(dec.astype(int) - noise.astype(int)).mean())
+    assert errs[0] > errs[1] > errs[2]  # higher quality, lower error
+
+
+def test_uniform_blocks_exact_at_q100():
+    """Per-8x8-block uniform images carry only DC coefficients; with
+    unit quant tables (quality 100) the round-trip is bit-exact — the
+    invariant q_multimodal_jpeg's SQL oracle relies on."""
+    arr = np.zeros((16, 24, 3), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                40 * by + 25 * bx,
+                200 - 30 * bx,
+                17 + 60 * by,
+            )
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(arr, quality=100))
+    assert np.array_equal(dec, arr)
+
+
+def test_grayscale_single_component():
+    g = (np.arange(40)[None, :] * 5 % 256 * np.ones((24, 1))).astype(np.uint8)
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(g, quality=92))
+    assert dec.shape == (24, 40, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 3
+
+
+def test_odd_dimensions_edge_padding():
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=95))
+    assert dec.shape == (13, 17, 3)
+
+
+def test_restart_markers_equal_plain():
+    """RSTn segmentation must not change decoded pixels: the encoder's
+    DRI output decodes identically to the unsegmented stream."""
+    img = _gradient(24, 32)
+    plain = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=90))
+    restarted = jpeg.jpeg_decode(
+        jpeg.jpeg_encode(img, quality=90, restart_interval=2)
+    )
+    assert np.array_equal(plain, restarted)
+
+
+def test_truncated_stream_typed_error():
+    payload = jpeg.jpeg_encode(_gradient(16, 16), quality=90)
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_decode(payload[: len(payload) // 2])
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_decode(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _gradient(16, 16)
+    payload = jpeg.jpeg_encode(img, quality=95)
+    assert sniff_format(payload) == "jpeg"
+    assert decode_image(payload).shape == (16, 16, 3)
+
+
+@pytest.mark.skipif(
+    not glob.glob(f"{REAL_JPEG_DIR}/**/*.jpg", recursive=True),
+    reason="Spark-bundled sample JPEGs not present",
+)
+def test_real_world_jpegs_match_imageio(spark):
+    """Differential oracle: every baseline JPEG shipped with the Spark
+    distribution decodes within tight tolerance of the JVM's ImageIO
+    decoder (Spark `image` data source). These are real encoder
+    outputs — 4:2:0 subsampled camera files — so this pins Huffman
+    decode, dequantization, IDCT, chroma upsampling, and the YCbCr
+    matrix against an independent implementation."""
+    checked = 0
+    for path in sorted(glob.glob(f"{REAL_JPEG_DIR}/**/*.jpg", recursive=True)):
+        payload = open(path, "rb").read()
+        try:
+            mine = jpeg.jpeg_decode(payload)
+        except UnsupportedImageError:
+            continue  # progressive — out of scope by contract
+        row = (
+            spark.read.format("image").load(path).select("image.*").collect()[0]
+        )
+        ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )
+        if row.nChannels == 3:
+            ref = ref[:, :, ::-1]  # Spark image source is BGR
+        assert mine.shape == ref.shape
+        err = np.abs(mine.astype(int) - ref.astype(int))
+        # mean within a fraction of a level; p99 a few levels (ImageIO
+        # uses smooth chroma upsampling, we use nearest)
+        assert err.mean() < 3.0, path
+        assert np.percentile(err, 99) <= 12, path
+        checked += 1
+    assert checked >= 4  # the distribution ships several baseline files
+
+
+def test_progressive_rejected_with_typed_error():
+    candidates = glob.glob("/usr/share/doc/nodejs/*.jpg")
+    progressive = None
+    for path in candidates:
+        data = open(path, "rb").read()
+        if b"\xff\xc2" in data[:200]:
+            progressive = data
+            break
+    if progressive is None:
+        pytest.skip("no progressive JPEG available")
+    with pytest.raises(UnsupportedImageError, match="non-baseline"):
+        jpeg.jpeg_decode(progressive)
+
+
+def test_quality_scaling_bounds():
+    q1 = jpeg._quality_scale(jpeg._Q_LUMA, 1)
+    q100 = jpeg._quality_scale(jpeg._Q_LUMA, 100)
+    assert q100.min() == q100.max() == 1  # quality 100 → unit tables
+    assert q1.max() == 255 and q1.min() >= 1

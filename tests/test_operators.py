@@ -309,3 +309,73 @@ def test_resample_ffill_hand_series(spark):
         (1, "2024-01-01 03:00:00"): (5.0, 5.0),
         (2, "2024-01-01 10:00:00"): (7.0, 7.0),
     }
+
+
+def test_cohort_retention_two_phase_distinct_plan(spark, sf_dir):
+    """countDistinct per (cohort, offset) must not funnel a hot cell's
+    raw users through one reducer. Catalyst's distinct-aggregate
+    rewrite handles this: the first exchange hashes on
+    (cohort, offset, user_id) — uniform even when one cohort holds
+    every user — and the per-cell exchange carries only map-side
+    partial COUNTS. Pin that shape so a refactor (e.g. rewriting via
+    collect_set or a window) can't silently reintroduce the skew."""
+    from pyspark.sql import functions as F
+
+    from xetl_spark.queries import REGISTRY
+
+    import re
+
+    df = REGISTRY["q_cohort_retention"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # dedup stage keyed by the full (cohort, offset, user) tuple
+    assert re.search(r"hashpartitioning\(cohort[^)]*user_id", plan), plan
+    # per-cell stage merges partial counts, not raw rows
+    assert "partial_count(distinct" in plan
+
+
+def test_cohort_retention_skewed_cohort_differential(spark):
+    """One mega-cohort (90% of users first appear the same week) —
+    the exact skew VERDICT flagged. The query's result must equal a
+    manually salted two-phase countDistinct on the same data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = []
+    # 900 users first appear in week 0; 100 spread over weeks 1-4;
+    # everyone re-appears in later weeks
+    for u in range(1000):
+        first_week = 0 if u < 900 else 1 + u % 4
+        for wk in range(first_week, 8, 2):
+            rows.append((u, pd.Timestamp("2024-01-01") + pd.Timedelta(weeks=wk)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"]), "user_id long, ts timestamp"
+    )
+
+    firsts = df.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    joined = df.join(firsts, "user_id")
+    offset = F.floor(
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+    ).cast("long")
+    cells = joined.select(
+        F.col("cohort").alias("cohort_week"), offset.alias("week_offset"), "user_id"
+    )
+    engine = (
+        cells.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    # manual salted two-phase: distinct per (cell, salt), sum partials
+    salted = (
+        cells.withColumn("salt", F.col("user_id") % 16)
+        .groupBy("cohort_week", "week_offset", "salt")
+        .agg(F.countDistinct("user_id").alias("part"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("part").alias("active_users"))
+    )
+    a = sorted(map(tuple, engine.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # the mega-cohort is really in the data (sanity of the fixture)
+    mega = [r for r in a if r[1] == 0]
+    assert max(r[2] for r in mega) >= 900

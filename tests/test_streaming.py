@@ -202,3 +202,68 @@ def test_stream_static_join(spark, sf_dir):
         for r in events.join(dim, "user_id").groupBy("cohort").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_watermark_exact_late_row_accounting(spark, tmp_path):
+    """Pin EXACTLY which out-of-order rows a watermark drops.
+
+    Batch 1 (max ts = minute 30 → watermark after batch = minute 20):
+      minutes 0, 2, 7, 30 — all on time.
+    Batch 2, against watermark 20:
+      minute  3 → below watermark, its window [0,5) already closed: DROPPED
+      minute 16 → below watermark (window [15,20) never opens):      DROPPED
+      minute 25 → out-of-order but ABOVE watermark:                  COUNTED
+      minute 50 → advances the watermark to 40.
+    Batch 3: minute 60 (trigger fuel; advances watermark to 50).
+
+    Final append-mode output must therefore be exactly
+    [0,5)=2, [5,10)=1, [25,30)=1, [30,35)=1 — no [15,20) window, no
+    recount of minute 3, and [50,55)/[60,65) still open (absent).
+    """
+    import datetime as dt
+
+    src = tmp_path / "late_exact_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 3, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m), 1, "e", 1.0, "{}") for i, m in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    write_batch([(1, 0), (2, 2), (3, 7), (4, 30)])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_exact_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(5, 3), (6, 16), (7, 25), (8, 50)])
+        q.processAllAvailable()
+        write_batch([(9, 60)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window.start - t0).total_seconds() // 60: r.n
+        for r in spark.table("late_exact_sink").collect()
+    }
+    assert got == {0.0: 2, 5.0: 1, 25.0: 1, 30.0: 1}

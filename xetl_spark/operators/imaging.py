@@ -1,4 +1,5 @@
-"""Pure-Python image codecs (PNG + PPM/PGM) and pixel transforms.
+"""Pure-Python image codecs (PNG + PPM/PGM; baseline JPEG in
+operators/jpeg.py) and pixel transforms.
 
 Reference parity: the reference's concrete image pipeline downloads a
 PNG and runs ``convert -colorspace Gray`` over it as a subprocess task
@@ -10,8 +11,9 @@ UDFs. Scale note: each image decodes independently inside its
 partition; nothing touches the driver.
 
 Supported: 8-bit PNG color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-6 (RGBA), non-interlaced; binary PPM (P6) / PGM (P5) maxval 255.
-Palette, 16-bit, and interlaced PNGs raise ``UnsupportedImageError``.
+6 (RGBA), non-interlaced; binary PPM (P6) / PGM (P5) maxval 255;
+baseline JFIF/JPEG via operators/jpeg.py. Palette, 16-bit, and
+interlaced PNGs raise ``UnsupportedImageError``.
 """
 
 from __future__ import annotations
@@ -32,13 +34,15 @@ class UnsupportedImageError(ValueError):
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return 'png', 'ppm', 'pgm', or None for unrecognized bytes."""
+    """Return 'png', 'ppm', 'pgm', 'jpeg', or None for unrecognized bytes."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
         return "pgm"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -202,6 +206,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return png_decode(payload)
     if fmt in ("ppm", "pgm"):
         return ppm_decode(payload)
+    if fmt == "jpeg":
+        from xetl_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     raise UnsupportedImageError("unrecognized image payload")
 
 

@@ -6,8 +6,9 @@ the engine treats media as first-class ``binary`` columns with a typed
 metadata struct; decode / feature-extraction runs as Arrow-batched
 Pandas UDFs over ``mapInPandas``.
 
-Image decode is REAL: ``decode_stub=False`` routes PNG/PPM/PGM
-payloads through the pure-Python codec in ``operators.imaging``
+Image decode is REAL: ``decode_stub=False`` routes PNG/PPM/PGM and
+baseline-JPEG payloads through the pure-Python codecs in
+``operators.imaging`` / ``operators.jpeg``
 (stdlib zlib + numpy — no Pillow in this container), so grayscale /
 resize / pixel-stat pipelines run end-to-end on actual pixels.
 ``decode_stub=True`` (default for non-image payloads like the text

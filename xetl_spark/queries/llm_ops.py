@@ -623,6 +623,84 @@ def q_multimodal_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg",
+    oracle="""
+    SELECT doc_id,
+           16 AS width, 16 AS height,
+           ROUND(( (doc_id      % 256) + ((doc_id      + 37) % 256)
+                 + ((doc_id+ 74) % 256) + ((doc_id      +111) % 256)) / 4.0, 3) AS mean_r,
+           ROUND(( (doc_id*7    % 256) + ((doc_id*7  + 53) % 256)
+                 + ((doc_id*7 +106) % 256) + ((doc_id*7  +159) % 256)) / 4.0, 3) AS mean_g,
+           ROUND(( (doc_id*13   % 256) + ((doc_id*13 + 71) % 256)
+                 + ((doc_id*13+142) % 256) + ((doc_id*13 +213) % 256)) / 4.0, 3) AS mean_b
+    FROM documents WHERE doc_id < 256
+    """,
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (ITU-T T.81, pure numpy —
+    operators/jpeg.py), oracle-verified: synthesizes JFIF payloads via
+    the pure-numpy encoder (quality 100, restart markers every MCU),
+    decodes them back through the full Huffman → dequant → IDCT →
+    YCbCr→RGB path, and emits per-channel means. The fixture family —
+    four uniform 8x8 blocks per image, colors a closed form of doc_id
+    — round-trips bit-exactly at quality 100 (only DC coefficients,
+    unit quant tables), so the SQL oracle can recompute the means
+    analytically; any decode defect (wrong zigzag, Huffman mis-read,
+    restart mishandling, color-matrix error) breaks the hash. Means
+    are quarters, exact in both double and DECIMAL, so ROUND(,3) is
+    engine-agnostic. Covers reference README.md:66-77's
+    download-and-convert pipeline for the dominant wire format."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 256)
+
+    def gen_and_stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging, jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = np.zeros((16, 16, 3), dtype=np.uint8)
+                for by in range(2):
+                    for bx in range(2):
+                        b = by * 2 + bx
+                        sl = (slice(by * 8, by * 8 + 8), slice(bx * 8, bx * 8 + 8))
+                        arr[sl[0], sl[1], 0] = (did + 37 * b) % 256
+                        arr[sl[0], sl[1], 1] = (did * 7 + 53 * b) % 256
+                        arr[sl[0], sl[1], 2] = (did * 13 + 71 * b) % 256
+                payload = jpeg.jpeg_encode(arr, quality=100, restart_interval=1)
+                # dispatched through the generic sniffer, like any
+                # binary column arriving from read_binary
+                px = imaging.decode_image(payload).astype(np.float64)
+                rows.append(
+                    (
+                        did,
+                        px.shape[1],
+                        px.shape[0],
+                        round(float(px[:, :, 0].mean()), 3),
+                        round(float(px[:, :, 1].mean()), 3),
+                        round(float(px[:, :, 2].mean()), 3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return ids.mapInPandas(
+        gen_and_stats,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+@query(
     "q_udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -332,9 +332,17 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity
     week, counted distinct per week offset — two user_id-keyed
-    shuffles (first-event aggregation, join back) plus one
-    (cohort, offset) aggregation. The classic growth-analytics rollup;
-    joins stay co-partitioned on user_id at any corpus size."""
+    shuffles (first-event aggregation, join back) plus the distinct
+    rollup. The classic growth-analytics rollup; joins stay
+    co-partitioned on user_id at any corpus size.
+
+    Skew note: Catalyst's distinct-aggregate rewrite already runs this
+    two-phase — dedup shuffled on (cohort, offset, user_id) (uniform
+    even when one mega-cohort holds most users), then per-cell merges
+    of map-side partial COUNTS — so a hot cohort never funnels raw
+    user rows through one reducer. Plan-asserted in
+    tests/test_operators.py (two_phase_distinct_plan) with a skewed
+    differential test against a manually salted rollup."""
     (events,) = load(spark, sf_dir, "events")
     firsts = events.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
