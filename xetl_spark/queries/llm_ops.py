@@ -731,25 +731,43 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_udf_grouped_map",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS qty_demeaned
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           floor((l_quantity - avg(l_quantity) OVER (PARTITION BY l_suppkey))
+                 * 1000000 + 0.5) / 1000000 AS qty_demeaned
     FROM lineitem
     """,
 )
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (per-group pandas transform), verified
-    against the equivalent window expression."""
+    against the equivalent window expression.
+
+    Grouping key cardinality is the scale lever for this operator:
+    each group pays a Python/pandas dispatch, so a high-cardinality
+    key (l_orderkey: ~tiny groups, one dispatch per 4 rows — measured
+    35s at sf0.01) makes the overhead the workload. Supplier groups
+    amortize the dispatch over thousands of rows (~1s for the same
+    data). When the per-group logic IS expressible as a window
+    function, prefer the window (q's oracle) — applyInPandas earns its
+    cost only for genuinely procedural per-group logic."""
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
-        pdf["qty_demeaned"] = (pdf["l_quantity"] - pdf["l_quantity"].mean()).round(6)
-        return pdf[["l_orderkey", "l_linenumber", "qty_demeaned"]]
+        import numpy as np
+
+        # floor(x*1e6+0.5)/1e6, not .round(6): same double in, same
+        # double out on every IEEE engine (see q_udf_pandas_scalar)
+        d = pdf["l_quantity"] - pdf["l_quantity"].mean()
+        pdf["qty_demeaned"] = np.floor(d * 1_000_000 + 0.5) / 1_000_000
+        return pdf[["l_orderkey", "l_linenumber", "l_suppkey", "qty_demeaned"]]
 
     (li,) = load(spark, sf_dir, "lineitem")
     return (
-        li.select("l_orderkey", "l_linenumber", "l_quantity")
-        .groupBy("l_orderkey")
-        .applyInPandas(demean, schema="l_orderkey long, l_linenumber int, qty_demeaned double")
+        li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+        .groupBy("l_suppkey")
+        .applyInPandas(
+            demean,
+            schema="l_orderkey long, l_linenumber int, l_suppkey long, qty_demeaned double",
+        )
     )
 
 
