@@ -28,14 +28,20 @@ def test_interleave_prefix_covers_every_family():
     assert max(fams.values()) - min(fams.values()) <= 1
 
 
+def _n_families():
+    return len({q.fn.__module__ for q in Q.REGISTRY.values()})
+
+
 def test_rotation_moves_the_sampled_window():
+    step = Q._rotation_step(_n_families())
     try:
         Q._interleave_registry(offset=0)
         base = list(Q.REGISTRY)[:50]
-        Q._interleave_registry(offset=5)
+        Q._interleave_registry(offset=step)
         shifted = list(Q.REGISTRY)[:50]
         fresh = set(shifted) - set(base)
-        # one rotation step swaps most of the window (small families wrap)
+        # one rotation step swaps most of the window (families no larger
+        # than the window wrap onto themselves and contribute no churn)
         assert len(fresh) >= 25
         assert _families(shifted) == _families(base)
     finally:
@@ -43,10 +49,19 @@ def test_rotation_moves_the_sampled_window():
 
 
 def test_rotation_sweeps_whole_registry_over_rounds():
+    step = Q._rotation_step(_n_families())
+    # step never exceeds the per-family window (50 // n_families), so
+    # consecutive windows tile each family list with no skipped entries
+    assert step <= max(1, 50 // _n_families())
+    biggest = max(
+        sum(1 for q in Q.REGISTRY.values() if q.fn.__module__ == m)
+        for m in {q.fn.__module__ for q in Q.REGISTRY.values()}
+    )
+    rounds = -(-biggest // step) + biggest  # tile + wrap slack
     try:
         seen: set[str] = set()
-        for rnd in range(20):
-            Q._interleave_registry(offset=5 * rnd)
+        for rnd in range(rounds):
+            Q._interleave_registry(offset=step * rnd)
             seen.update(list(Q.REGISTRY)[:50])
         assert seen == set(Q.REGISTRY)
     finally:

@@ -132,6 +132,7 @@ from xetl_spark.queries import streaming_ops  # noqa: E402,F401
 from xetl_spark.queries import sql_surface  # noqa: E402,F401
 from xetl_spark.queries import udf_surface  # noqa: E402,F401
 from xetl_spark.queries import tpch_suite  # noqa: E402,F401
+from xetl_spark.queries import training_pipeline  # noqa: E402,F401
 
 
 def _round_number() -> int:
@@ -158,6 +159,14 @@ def _round_number() -> int:
     return best
 
 
+def _rotation_step(n_families: int) -> int:
+    """Positions each family's list rotates per driver round: the
+    per-family share of a 50-entry sampled prefix, floored at 1. Kept
+    ≤ the window size so consecutive rounds' windows tile the family
+    list without gaps (a larger step would permanently skip entries)."""
+    return max(1, 50 // max(1, n_families))
+
+
 def _interleave_registry(offset: int | None = None) -> None:
     """Round-robin the registry across source modules, rotated per round.
 
@@ -169,16 +178,16 @@ def _interleave_registry(offset: int | None = None) -> None:
     of ~10+.
 
     A static order would also re-verify the *same* prefix every round,
-    so each family's list is additionally rotated by 5 positions per
-    driver round (5 = entries per family inside a 50-prefix with 10
-    families): round N samples a fresh window of each family while
+    so each family's list is additionally rotated per driver round by
+    the per-family window size (≈ 50-prefix ÷ family count, via
+    _rotation_step): the step must not exceed the window, or each
+    round's rotation would skip past entries the previous round never
+    sampled. Round N thus samples a fresh window of each family while
     keeping the per-family coverage guarantee, and over successive
     rounds the windows sweep the whole registry.
     """
     from itertools import zip_longest
 
-    if offset is None:
-        offset = 5 * _round_number()
     # group from the immutable registration order, not the current (already
     # interleaved) REGISTRY order, so repeated calls don't compound rotations
     global _CANONICAL_ORDER
@@ -188,6 +197,8 @@ def _interleave_registry(offset: int | None = None) -> None:
     for name in _CANONICAL_ORDER:
         q = REGISTRY[name]
         groups.setdefault(q.fn.__module__.rsplit(".", 1)[-1], []).append(name)
+    if offset is None:
+        offset = _rotation_step(len(groups)) * _round_number()
     rotated = [g[offset % len(g) :] + g[: offset % len(g)] for g in groups.values()]
     order = [n for tier in zip_longest(*rotated) for n in tier if n]
     reordered = {n: REGISTRY[n] for n in order}
