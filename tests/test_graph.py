@@ -124,3 +124,46 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(edges)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from xetl_spark.operators.graph import triangle_count
+
+    # K4: every vertex is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.v: r.triangles for r in triangle_count(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # path graph: no triangles at all
+    path = [(i, i + 1) for i in range(6)]
+    assert triangle_count(spark.createDataFrame(path, "src long, dst long")).count() == 0
+
+    # one triangle + pendant vertex; duplicate & reversed edges collapse
+    g = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4)]
+    got = {r.v: r.triangles for r in triangle_count(
+        spark.createDataFrame(g, "src long, dst long")).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_matches_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    from xetl_spark.operators.graph import triangle_count
+
+    rnd = random.Random(7)
+    n = 40
+    edges = [(a, b) for a, b in itertools.combinations(range(n), 2) if rnd.random() < 0.15]
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for v in range(n):
+        t = sum(1 for x, y in itertools.combinations(sorted(adj[v]), 2) if y in adj[x])
+        if t:
+            expected[v] = t
+    got = {r.v: r.triangles for r in triangle_count(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    assert got == expected

@@ -170,3 +170,60 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts on an undirected simple graph —
+    (v, triangles) for every vertex in ≥1 triangle.
+
+    Degree-ordered compact-forward enumeration: orient each edge from
+    the (degree, id)-smaller endpoint to the larger, list each
+    vertex's out-wedges, and close them against the oriented edge
+    list. Orientation makes every triangle appear exactly once (at
+    its unique min-rank apex), and — decisive at scale — bounds
+    out-degree by O(√m) even on power-law graphs, so the wedge join
+    that dominates the plan generates O(m^1.5) rows worst-case
+    instead of the Σdeg² blowup of naive id-ordering (a celebrity
+    vertex with 10⁷ neighbors would otherwise emit 10¹⁴ wedges from
+    one key). Three keyed shuffles total: degree agg, wedge
+    self-join, closing equi-join.
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # rank = (degree, id): a total order, ties broken by id
+    ranked = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    lo = ranked.select(F.col("u"), F.col("w").alias("w1"))
+    hi = ranked.select(F.col("u"), F.col("w").alias("w2"))
+    # wedges at the min-rank apex; w1 < w2 by id canonicalizes the pair
+    wedges = lo.join(hi, "u").filter(F.col("w1") < F.col("w2"))
+    # e is id-canonical (a < b) and the wedge pair is too (w1 < w2), so
+    # closure is a plain two-key equi-join — an OR over both orients
+    # would degrade to a nested-loop join
+    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"])
+    return (
+        tri.select(F.explode(F.array("u", "w1", "w2")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("triangles"))
+    )
