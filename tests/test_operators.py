@@ -379,3 +379,46 @@ def test_cohort_retention_skewed_cohort_differential(spark):
     # the mega-cohort is really in the data (sanity of the fixture)
     mega = [r for r in a if r[1] == 0]
     assert max(r[2] for r in mega) >= 900
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-min invariants: estimate ≥ true always; sketch(A∪B) =
+    merge(sketch(A), sketch(B)); wide sketch on few keys is exact."""
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.sketch import cms_estimate, cms_merge, count_min_sketch
+
+    a = spark.createDataFrame([(i % 7,) for i in range(300)], "k long")
+    b = spark.createDataFrame([(i % 11,) for i in range(200)], "k long")
+    keys = spark.range(12).select(F.col("id").alias("k"))
+    true_union = {
+        r.k: r.n
+        for r in a.unionByName(b).groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+
+    d, w = 4, 64
+    sk_a = count_min_sketch(a, "k", d, w)
+    sk_b = count_min_sketch(b, "k", d, w)
+    merged = cms_merge(sk_a, sk_b)
+    direct = count_min_sketch(a.unionByName(b), "k", d, w)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    est = {r.k: r.est for r in cms_estimate(merged, keys, "k", d, w).collect()}
+    n_total = 500
+    for k in range(12):
+        truth = true_union.get(k, 0)
+        assert est[k] >= truth  # counters only over-count
+        assert est[k] <= truth + n_total  # trivial sanity ceiling
+    # 12 keys in a 4x4096 sketch: collisions virtually impossible → exact
+    wide = count_min_sketch(a.unionByName(b), "k", 4, 4096)
+    est_w = {r.k: r.est for r in cms_estimate(wide, keys, "k", 4, 4096).collect()}
+    assert est_w == {k: true_union.get(k, 0) for k in range(12)}
+
+
+def test_cms_deterministic_across_partitionings(spark):
+    from xetl_spark.operators.sketch import count_min_sketch
+
+    df = spark.createDataFrame([(i % 13,) for i in range(500)], "k long")
+    one = sorted(map(tuple, count_min_sketch(df.coalesce(1), "k").collect()))
+    many = sorted(map(tuple, count_min_sketch(df.repartition(16), "k").collect()))
+    assert one == many

@@ -390,3 +390,23 @@ def q_ts_rolling_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").over(w).alias("min_1h"),
         F.max("value").over(w).alias("max_1h"),
     )
+
+
+@query("q_sketch_cms_heavy_hitters")
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the distinct event
+    users (operators/sketch.py): the sketch is a ≤ depth×width counter
+    table built in one bounded shuffle and broadcast back for point
+    queries — per-key state never grows with cardinality, the scale
+    contract exact counting can't give on an unbounded stream.
+    Deterministic hashing ⇒ rerun-identical; overestimate-only and
+    merge-distributivity are property-tested in
+    tests/test_operators.py."""
+    from xetl_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    (events,) = load(spark, sf_dir, "events")
+    sketch = count_min_sketch(events, "user_id", depth=4, width=2048)
+    users = events.select("user_id").distinct()
+    return cms_estimate(sketch, users, "user_id", depth=4, width=2048).select(
+        "user_id", "est"
+    )
