@@ -86,6 +86,13 @@ def argument_parser() -> argparse.ArgumentParser:
         help="append the run report to a parquet history table "
         "(one row per stage, queryable across runs)",
     )
+    p.add_argument(
+        "--alerts",
+        metavar="PATH",
+        help="evaluate declarative alert rules (YAML) against the run "
+        "report after the job; rules marked fail:true make the exit "
+        "code 3 when fired",
+    )
     return p
 
 
@@ -177,7 +184,8 @@ def main(argv: list[str] | None = None) -> int:
     except JobDataDirectoryNotFound as exc:
         print(f"error: job data directory not found: {exc}", file=sys.stderr)
         return 1
-    if args.report or args.report_table:
+    rc = 0
+    if args.report or args.report_table or args.alerts:
         from xetl_spark.plans.runner import run_report, write_run_report
 
         rep = run_report(results, job)
@@ -190,10 +198,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.report_table:
             write_run_report(spark, rep, args.report_table)
             print(f"report table: {args.report_table}")
+        if args.alerts:
+            from xetl_spark.plans.alerts import (
+                dispatch_alerts,
+                evaluate_alerts,
+                load_rules,
+            )
+
+            fired = evaluate_alerts(rep, load_rules(args.alerts))
+            rc = dispatch_alerts(fired)
+            for f in fired:
+                where = f" [{f['stage']}]" if f["stage"] else ""
+                print(f"alert: {f['name']}{where} value={f['value']}")
     for r in results:
         label = r.command.name or r.command.task
         print(f"{label}: {r.status}")
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
