@@ -394,3 +394,94 @@ def test_random_tables_differential_ts_arrays(spark, con, seed):
         want = con.execute(sql).fetchdf()
         assert len(got) == len(want), (name, len(got), len(want))
         assert canonical_hash(got) == canonical_hash(want), name
+
+
+@pytest.mark.parametrize("seed", [13, 57])
+def test_random_tables_differential_subquery_shapes(spark, con, seed):
+    """The decision-support shapes added with the full TPC-H suite, on
+    random tables: correlated extrema via window-vs-correlated-scalar,
+    folded EXISTS/NOT-EXISTS pairs, scalar-subquery thresholds with
+    exact decimal arithmetic, and counts-of-counts distributions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fact_pd, dim_pd = _tables(seed)
+    fact = spark.createDataFrame(fact_pd)
+    con.register("fact", fact_pd)
+
+    cases = {}
+
+    # correlated minimum: rows achieving their group's min v (ties kept)
+    w = Window.partitionBy("grp")
+    cases["correlated_min"] = (
+        fact.filter(F.col("v").isNotNull() & F.col("grp").isNotNull())
+        .withColumn("mv", F.min("v").over(w))
+        .filter(F.col("v") == F.col("mv"))
+        .select("grp", "id", "v"),
+        """SELECT grp, id, v FROM fact f
+           WHERE v IS NOT NULL AND grp IS NOT NULL
+             AND v = (SELECT min(v) FROM fact i
+                      WHERE i.grp = f.grp AND i.v IS NOT NULL)""",
+    )
+
+    # EXISTS / NOT EXISTS pair folded into one aggregation per key:
+    # ids whose k-bucket has >1 distinct grp but exactly one null-v row
+    per_k = fact.groupBy("k").agg(
+        F.countDistinct("grp").alias("ng"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("nn"),
+    )
+    cases["exists_pair"] = (
+        fact.filter(F.col("grp").isNotNull())
+        .join(per_k, "k")
+        .filter((F.col("ng") > 1) & (F.col("nn") == 1))
+        .select("id", "k"),
+        """SELECT id, f.k AS k FROM fact f
+           WHERE EXISTS (SELECT 1 FROM fact a
+                         WHERE a.k = f.k AND a.grp IS DISTINCT FROM f.grp
+                           AND a.grp IS NOT NULL AND f.grp IS NOT NULL)
+             AND 1 = (SELECT count(*) FROM fact b
+                      WHERE b.k = f.k AND b.v IS NULL)
+             AND f.grp IS NOT NULL""",
+    )
+
+    # scalar-subquery threshold, decimal-exact (v*n > sum form)
+    posd = fact.filter(F.col("v") > 0).select(
+        "id", "k", F.col("v").cast("decimal(12,2)").alias("dv")
+    )
+    stats = posd.agg(F.count("*").alias("n"), F.sum("dv").alias("s"))
+    cases["scalar_threshold"] = (
+        posd.join(F.broadcast(stats))
+        .filter(F.col("dv") * F.col("n") > F.col("s"))
+        .select("id", "k"),
+        """WITH p AS (SELECT id, k, CAST(v AS DECIMAL(12,2)) AS dv
+                      FROM fact WHERE v > 0)
+           SELECT id, k FROM p
+           WHERE dv * (SELECT count(*) FROM p) > (SELECT sum(dv) FROM p)""",
+    )
+
+    # counts-of-counts with an ON-clause filter (Q13 shape)
+    per_key = (
+        fact.select("k").distinct()
+        .join(
+            fact.select(F.col("k").alias("k2"), "grp").filter(F.col("grp") != "a"),
+            F.col("k") == F.col("k2"),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("k2").alias("cnt"))
+    )
+    cases["count_distribution"] = (
+        per_key.groupBy("cnt").agg(F.count("*").alias("dist")),
+        """SELECT cnt, count(*) AS dist FROM (
+             SELECT ks.k, count(f.k) AS cnt
+             FROM (SELECT DISTINCT k FROM fact) ks
+             LEFT JOIN fact f ON f.k = ks.k AND f.grp <> 'a'
+             GROUP BY ks.k)
+           GROUP BY cnt""",
+    )
+
+    for name, (sdf, sql) in cases.items():
+        got = sdf.toPandas()
+        want = con.execute(sql).fetchdf()
+        assert len(got) == len(want), (name, len(got), len(want))
+        assert canonical_hash(got) == canonical_hash(want), name
