@@ -102,3 +102,41 @@ def test_tws_totals_converge_to_batch_agg(spark, sf_dir):
     got = {(r.user_id, r.n_events, r.total) for r in final.collect()}
     want = {(r.user_id, r.n_events, r.total) for r in expected.collect()}
     assert got == want
+
+
+def test_cms_stream_fold_equals_batch(spark, tmp_path):
+    """CMS mergeability in a stream: per-micro-batch sketches folded
+    with cms_merge converge to exactly the batch sketch of the full
+    data, independent of how the stream was split into batches."""
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.sketch import cms_merge, count_min_sketch
+
+    src = tmp_path / "src"
+    for i in range(4):  # four files → four micro-batches
+        spark.createDataFrame(
+            [((i * 97 + j) % 13,) for j in range(200)], "k long"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    acc = {"sketch": None}
+
+    def fold(batch_df, batch_id):
+        sk = count_min_sketch(batch_df, "k", depth=4, width=64)
+        prev = acc["sketch"]
+        merged = sk if prev is None else cms_merge(
+            spark.createDataFrame(prev, "row int, slot long, c long"), sk
+        )
+        acc["sketch"] = merged.collect()  # tiny: ≤ depth×width rows
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch = count_min_sketch(spark.read.parquet(str(src)), "k", depth=4, width=64)
+    assert sorted(map(tuple, acc["sketch"])) == sorted(
+        map(tuple, batch.collect())
+    )
