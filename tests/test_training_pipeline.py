@@ -101,3 +101,61 @@ def test_shard_assignment_balance(spark, sf_dir):
     # like all-even shards empty)
     assert min(counts) > 0
     assert max(counts) <= 4 * n / 64
+
+
+def test_training_tasks_in_job_manifest(spark, tmp_path):
+    """pack / mix_sources / shard as pipeline stages: a YAML manifest
+    counts tokens, rebalances sources, packs bins, and shards output."""
+    import textwrap
+
+    from pyspark.sql import functions as F
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    out = tmp_path / "shards"
+    job = Job.from_yaml(
+        textwrap.dedent(
+            f"""
+            name: prep
+            data: {tmp_path}
+            env: {{SF_DIR: /root/testdata/sf0.001}}
+            commands:
+              - name: docs
+                task: read_parquet
+                env: {{PATH: "${{SF_DIR}}/documents.parquet"}}
+              - name: toks
+                task: sql
+                env: {{QUERY: "SELECT doc_id, source,
+                               greatest(1, n_chars div 4) AS tok FROM docs"}}
+              - name: mixed
+                task: mix_sources
+                env: {{ALPHA: 0.5}}
+              - name: packed
+                task: pack
+                env: {{BUDGET: 512, SHARDS: 8}}
+              - name: sharded
+                task: shard
+                env: {{INPUT: mixed, SHARDS: 4, PATH: {out}}}
+            """
+        )
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success"] * 5
+    docs_n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    mixed = results[2].output
+    packed = results[3].output
+    assert 0 < mixed.count() <= docs_n
+    # every mixed doc got a bin, and no multi-doc bin exceeds budget
+    assert packed.count() == mixed.count()
+    bad = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("tok").alias("fill"), F.count("*").alias("n"))
+        .filter((F.col("fill") > 512) & (F.col("n") > 1))
+        .count()
+    )
+    assert bad == 0
+    # shard task wrote one directory per shard, round-trippable
+    sharded = spark.read.parquet(str(out))
+    assert sharded.count() == mixed.count()
+    assert sharded.select("shard").distinct().count() == 4

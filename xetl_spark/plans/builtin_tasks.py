@@ -676,3 +676,98 @@ def sample_frames_task(ctx: StageContext):
         max_frames=int(ctx.env["MAX_FRAMES"]),  # type: ignore[arg-type]
         decode_stub=False,
     )
+
+
+@task(
+    "pack",
+    "Assign documents to fixed-token-budget training bins "
+    "(greedy no-overflow packing; adds shard + bin columns)",
+    env={
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "TOKENS_COL": {
+            "description": "per-doc token count column (e.g. from a counting stage)",
+            "type": "string",
+            "default": "tok",
+        },
+        "BUDGET": {"description": "tokens per bin", "type": "int", "default": 2048},
+        "SHARDS": {"description": "parallel packing shards", "type": "int", "default": 32},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def pack(ctx: StageContext):
+    from xetl_spark.queries.training_pipeline import pack_greedy
+
+    df = ctx.input_df()
+    id_col = str(ctx.env["ID_COL"])
+    shards = int(ctx.env["SHARDS"])  # type: ignore[arg-type]
+    with_shard = df.withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)))
+    return pack_greedy(
+        with_shard,
+        budget=int(ctx.env["BUDGET"]),  # type: ignore[arg-type]
+        id_col=id_col,
+        tok_col=str(ctx.env["TOKENS_COL"]),
+    )
+
+
+@task(
+    "mix_sources",
+    "Temperature-rebalance a corpus across sources "
+    "(keep rate ∝ count^ALPHA, deterministic hash selection — "
+    "rerun-identical, no RNG)",
+    env={
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "SOURCE_COL": {"description": "source column", "type": "string", "default": "source"},
+        "ALPHA": {"description": "temperature exponent in (0, 1]", "type": "float", "default": 0.5},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def mix_sources(ctx: StageContext):
+    df = ctx.input_df()
+    id_col, src_col = str(ctx.env["ID_COL"]), str(ctx.env["SOURCE_COL"])
+    alpha = float(ctx.env["ALPHA"])  # type: ignore[arg-type]
+    if not (0 < alpha <= 1):
+        raise ValueError(f"mix_sources: ALPHA must be in (0, 1], got {alpha}")
+    counts = df.groupBy(src_col).agg(F.count("*").alias("__n"))
+    max_w = counts.agg(F.max(F.pow(F.col("__n").cast("double"), alpha)).alias("__mw"))
+    rates = counts.join(F.broadcast(max_w)).select(
+        src_col,
+        (F.pow(F.col("__n").cast("double"), alpha) / F.col("__mw")).alias("__rate"),
+    )
+    # deterministic per-doc uniform draw — xxhash64 is already a full
+    # avalanche mix (no post-multiply: that would overflow ANSI BIGINT)
+    u = F.pmod(F.xxhash64(F.col(id_col)), F.lit(2_147_483_648)).cast(
+        "double"
+    ) / F.lit(2_147_483_648)
+    return (
+        df.join(F.broadcast(rates), src_col)
+        .filter(u < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+@task(
+    "shard",
+    "Write the input as N hash-sharded parquet directories "
+    "(shard=K/ subdirs; deterministic id hash, reproducible epochs)",
+    env={
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "SHARDS": {"description": "number of shards", "type": "int", "default": 64},
+        "PATH": {"description": "output directory", "type": "string"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def shard(ctx: StageContext):
+    df = ctx.input_df()
+    id_col = str(ctx.env["ID_COL"])
+    n = int(ctx.env["SHARDS"])  # type: ignore[arg-type]
+    dest = str(ctx.env["PATH"])
+    sharded = df.withColumn("shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)))
+    # partitionBy(shard) writes each shard to its own directory; the
+    # repartition on the same key makes it one file per shard dir
+    (
+        sharded.repartition(n, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(dest)
+    )
+    return ctx.spark.read.parquet(dest)
