@@ -188,10 +188,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     one key). Three keyed shuffles total: degree agg, wedge
     self-join, closing equi-join.
     """
+    # e feeds three consumers (degrees, orientation, closure) — persist
+    # once; edge lists are small relative to the corpora they derive
+    # from, the same materialization discipline as the dedup signature
     e = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("v"))
