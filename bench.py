@@ -63,9 +63,11 @@ def main() -> None:
     # its own timing, never zero out the other measurements
     errors: dict[str, str] = {}
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    tpch = [n for n in sorted(Q.REGISTRY) if n.startswith("q_tpch_q")]
+    tpch.insert(0, "q_agg_pricing_summary")
     if os.path.isdir(warm_dir):
         for _ in range(2):
-            for name in HEADLINE:
+            for name in HEADLINE + tpch[1:]:
                 try:
                     Q.REGISTRY[name].fn(spark, warm_dir).count()
                 except Exception as e:  # noqa: BLE001
@@ -86,6 +88,21 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # auxiliary suite: all 22 classic TPC-H plan shapes (pricing summary
+    # is the Q1 shape). Reported under its own key so the headline
+    # `value` stays comparable across rounds; failures here are also
+    # recorded but don't null the headline total.
+    tpch_timings: dict[str, float] = {}
+    for name in tpch:
+        t0 = time.time()
+        try:
+            Q.REGISTRY[name].fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
+        tpch_timings[name] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_seconds",
@@ -96,6 +113,8 @@ def main() -> None:
         "unit": "sec",
         "complete": not errors,
         "queries": timings,
+        "tpch_suite_wall_seconds": round(sum(tpch_timings.values()), 3),
+        "tpch_queries": tpch_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
