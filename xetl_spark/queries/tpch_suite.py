@@ -68,21 +68,33 @@ def q_tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — and the revenue extremum is decimal-exact so the
     equality filter is deterministic cross-engine.
 
-    Scale: the window runs partitioned on l_partkey (the natural key
-    of the aggregation it follows, so AQE coalesces both into one
-    exchange); dimension joins broadcast.
+    Scale: the p_size predicate is per-part, so it commutes with the
+    per-(part, supplier) aggregation AND the per-part minimum — the
+    broadcast semi-join pushes it below the big aggregation, shrinking
+    the fact input ~10× before any shuffle (the oracle filters after
+    its CTE; results are identical because dropping whole partitions
+    of the correlation key can't change surviving groups' minima).
+    The window then runs partitioned on partkey, the same key the
+    aggregation shuffled on; dimension joins broadcast.
     """
     from pyspark.sql import Window
 
     li, part, supplier = load(spark, sf_dir, "lineitem", "part", "supplier")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.sum(_rev_dec()).alias("srev"))
+    big = part.filter(F.col("p_size") > 45)
+    ps = (
+        li.join(
+            F.broadcast(big.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(_rev_dec()).alias("srev"))
+    )
     w = Window.partitionBy("partkey")
     return (
         ps.withColumn("min_rev", F.min("srev").over(w))
         .filter(F.col("srev") == F.col("min_rev"))
-        .join(F.broadcast(part.filter(F.col("p_size") > 45)), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(big), F.col("partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey",
