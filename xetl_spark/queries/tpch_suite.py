@@ -486,19 +486,25 @@ def q_tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines (quantities are integral; products stay far under
     2^53).
 
-    Scale: per-part (sum, count) is a partial-aggregated shuffle on
-    partkey, joined back co-partitioned on the same key; the brand
-    filter broadcasts. No correlated-subquery re-scan per row.
+    Scale: the brand predicate is per-part, so the per-part (sum,
+    count) only matters for brand parts — a broadcast semi-join prunes
+    the fact ~25× before the aggregation shuffle (the oracle computes
+    pq over all parts; unused groups can't change the join result).
+    The pruned aggregate joins back co-partitioned on partkey. No
+    correlated-subquery re-scan per row.
     """
     li, part = load(spark, sf_dir, "lineitem", "part")
-    pq = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+    brand = part.filter(F.col("p_brand") == "Brand#5")
+    li_b = li.join(
+        F.broadcast(brand.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    pq = li_b.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum("l_quantity").alias("sq"), F.count("*").alias("cq")
     )
     return (
-        li.join(
-            F.broadcast(part.filter(F.col("p_brand") == "Brand#5")),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
+        li_b.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
         .join(pq, F.col("l_partkey") == F.col("partkey"))
         .filter(5 * F.col("l_quantity") * F.col("cq") < F.col("sq"))
         .agg(
@@ -605,6 +611,10 @@ def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_returnflag") == "R").alias("returned"),
         )
         .distinct()
+        # feeds both the per-order aggregate and the returned-rows side
+        # of the final join — persist instead of re-deriving the
+        # lineitem⋈orders distinct twice
+        .persist()
     )
     per_order = ret.groupBy("orderkey").agg(
         F.countDistinct("suppkey").alias("n_supp"),
