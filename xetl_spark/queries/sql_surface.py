@@ -157,14 +157,24 @@ def q_sub_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume-customer shape (TPC-H Q18): join + group + HAVING
-    over the grouped quantity."""
+    over the grouped quantity.
+
+    The grouping key (c_custkey, o_orderkey, o_totalprice) is
+    functionally dependent on o_orderkey, so the aggregate commutes
+    below both joins: sum lineitem quantities per order FIRST (one
+    orderkey shuffle over the fact), keep the few large-volume orders,
+    and only then join orders (co-partitioned on the same key) and
+    customer (AQE broadcasts the now-tiny build side). The oracle
+    keeps the canonical join-then-group form — results identical."""
     li, orders, cust = load(spark, sf_dir, "lineitem", "orders", "customer")
-    return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        qty.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "sum_qty"
         )
