@@ -410,26 +410,3 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, users, "user_id", depth=4, width=2048).select(
         "user_id", "est"
     )
-
-
-@query("q_sketch_hll_by_type")
-def q_sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-user cardinality per event type via
-    DataSketches HLL (hll_sketch_agg), plus an 'ALL' row whose sketch
-    is the UNION of the per-type sketches (hll_union_agg) — never a
-    rescan. The sketch-per-group + union-for-rollup pattern is how
-    100 TB pipelines serve overlapping distinct counts (per type, per
-    day, global) from one pass: sketches are tiny, associative, and
-    persistable; exact countDistinct can't be rolled up because
-    distinct doesn't add. Estimate-accuracy and merge-vs-direct
-    equality are property-tested (tests/test_approx.py)."""
-    (events,) = load(spark, sf_dir, "events")
-    per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    merged = per_type.agg(
-        F.lit("ALL").alias("event_type"), F.hll_union_agg("sk").alias("sk")
-    )
-    return per_type.unionByName(merged).select(
-        "event_type", F.hll_sketch_estimate("sk").cast("long").alias("approx_users")
-    )
