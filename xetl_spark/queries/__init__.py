@@ -86,6 +86,13 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     # timestamp→string rendering is session-TZ dependent; pin UTC so
     # results match the (UTC-naive) DuckDB oracle on any host
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # a vanilla session (the driver's) defaults to 200 shuffle
+    # partitions — wasteful at these SFs and unlike the configuration
+    # the suite/bench run under; align with get_session. AQE (on by
+    # default in Spark 4) coalesces further at runtime. Results are
+    # partitioning-independent; this is wall-clock only.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     # spark.app.id is readable on both classic and Connect sessions
     # (sparkContext is absent under Connect)
     app = spark.conf.get("spark.app.id", "app")
