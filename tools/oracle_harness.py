@@ -6,7 +6,13 @@ row ordering, round-trip through strings with float rounding), and
 compares row counts + value hashes.
 
 Usage:
-    python tools/oracle_harness.py [sf_dir] [query ...]
+    python tools/oracle_harness.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla runs under a bare SparkSession.builder.getOrCreate() — the
+driver's conditions, where every correctness-relevant config must come
+from load() itself, not from xetl_spark.session.get_session. Run the
+full battery in both modes before round end (the round-2 regression
+was exactly a get_session-only config).
 """
 
 from __future__ import annotations
@@ -50,13 +56,22 @@ def canonical_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import xetl_spark.queries as Q
-    from xetl_spark.session import get_session
 
-    spark = get_session("oracle_harness")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from xetl_spark.session import get_session
+
+        spark = get_session("oracle_harness")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
