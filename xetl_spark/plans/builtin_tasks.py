@@ -771,3 +771,24 @@ def shard(ctx: StageContext):
         .parquet(dest)
     )
     return ctx.spark.read.parquet(dest)
+
+
+@task(
+    "lineage",
+    "Column-level lineage of the upstream stage: one row per "
+    "(column, source, source_column), derived from the analyzed plan "
+    "without executing it",
+    env={
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def lineage(ctx: StageContext):
+    from xetl_spark.plans.lineage import column_lineage
+
+    rows = []
+    for col, srcs in column_lineage(ctx.input_df()).items():
+        for s, c in sorted(srcs) or [("<literal>", "")]:
+            rows.append((col, s, c))
+    return ctx.spark.createDataFrame(
+        rows, "column string, source string, source_column string"
+    )
