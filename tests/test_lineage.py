@@ -160,3 +160,22 @@ def test_lineage_task_in_manifest(spark, tmp_path):
     got = {(r.column, r.source_column) for r in results[2].output.collect()}
     assert ("spend", "o_totalprice") in got
     assert ("o_custkey", "o_custkey") in got
+
+
+def test_sensitive_column_propagation(tables):
+    from xetl_spark.plans.lineage import sensitive_columns
+
+    orders, cust = tables
+    df = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("o_totalprice").alias("spend"),
+            F.max("c_name").alias("top_name"),
+        )
+    )
+    tainted = sensitive_columns(df, {"c_name"})
+    assert set(tainted) == {"top_name"}
+    # source-scoped form: only customer.parquet's c_name counts
+    tainted2 = sensitive_columns(df, {"customer.parquet": {"c_name", "o_totalprice"}})
+    assert set(tainted2) == {"top_name"}

@@ -170,3 +170,30 @@ def lineage_report(df: DataFrame) -> str:
         rendered = ", ".join(f"{s}::{c}" for s, c in sorted(srcs)) or "<literal>"
         lines.append(f"{col} <- {rendered}")
     return "\n".join(lines)
+
+
+def sensitive_columns(
+    df: DataFrame, sensitive: set[str] | dict[str, set[str]]
+) -> dict[str, set[tuple[str, str]]]:
+    """Which output columns derive from sensitive source columns?
+
+    ``sensitive`` is either a set of column names (matched in any
+    source) or a mapping of source-label substring → column names.
+    Returns {output_column: {(source, column) that tainted it}} for
+    tainted outputs only — the PII-propagation check a governance
+    gate runs before a sink stage, at zero execution cost.
+    """
+    lin = column_lineage(df)
+    out: dict[str, set[tuple[str, str]]] = {}
+    for col, srcs in lin.items():
+        hits = set()
+        for s, c in srcs:
+            if isinstance(sensitive, dict):
+                for label_part, cols in sensitive.items():
+                    if label_part in s and c in cols:
+                        hits.add((s, c))
+            elif c in sensitive:
+                hits.add((s, c))
+        if hits:
+            out[col] = hits
+    return out
