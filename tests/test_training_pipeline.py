@@ -159,3 +159,37 @@ def test_training_tasks_in_job_manifest(spark, tmp_path):
     sharded = spark.read.parquet(str(out))
     assert sharded.count() == mixed.count()
     assert sharded.select("shard").distinct().count() == 4
+
+
+def test_pack_greedy_hypothesis_invariants(spark):
+    """Property fuzz: for arbitrary token lists and budgets, greedy
+    packing preserves membership, respects capacity (modulo oversize
+    singletons), and never reorders within a shard."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=40),
+        budget=st.integers(min_value=8, max_value=96),
+    )
+    def check(toks, budget):
+        rows = [(i, i % 3, t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, shard long, tok long")
+        packed = sorted(
+            pack_greedy(df, budget=budget).collect(),
+            key=lambda r: (r.shard, r.doc_id),
+        )
+        assert sorted(r.doc_id for r in packed) == list(range(len(toks)))
+        fills: dict[tuple, list] = {}
+        for r in packed:
+            fills.setdefault((r.shard, r.bin), []).append(r.tok)
+        for members in fills.values():
+            assert sum(members) <= budget or (
+                len(members) == 1 and members[0] > budget
+            )
+        for a, b in zip(packed, packed[1:]):
+            if a.shard == b.shard:
+                assert b.bin >= a.bin
+
+    check()
