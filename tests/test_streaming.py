@@ -267,3 +267,35 @@ def test_watermark_exact_late_row_accounting(spark, tmp_path):
         for r in spark.table("late_exact_sink").collect()
     }
     assert got == {0.0: 2, 5.0: 1, 25.0: 1, 30.0: 1}
+
+
+def test_replay_datasource_drains_file_deterministically(spark, sf_dir, tmp_path):
+    """xetl_replay streams a parquet file through real micro-batches:
+    AvailableNow drains exactly the file's rows, no batch exceeds
+    rows_per_batch, and the streamed content equals the batch read."""
+    from xetl_spark.sources.replay import register_replay_datasource
+
+    register_replay_datasource(spark)
+    path = f"{sf_dir}/events.parquet"
+    batches = []
+
+    def grab(df, batch_id):
+        batches.append((batch_id, df.count(), {r.event_id for r in df.select("event_id").collect()}))
+
+    q = (
+        spark.readStream.format("xetl_replay")
+        .option("path", path)
+        .option("rows_per_batch", 700)
+        .load()
+        .writeStream.foreachBatch(grab)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    expected = spark.read.parquet(path)
+    n_expected = expected.count()
+    streamed_ids = set().union(*(ids for _b, _n, ids in batches))
+    assert sum(n for _b, n, _ids in batches) == n_expected
+    assert streamed_ids == {r.event_id for r in expected.select("event_id").collect()}
