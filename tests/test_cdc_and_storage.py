@@ -340,3 +340,73 @@ def test_compact_hive_partitions_selective(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
     # partition column survives (it lives in the dir name)
     assert back.filter("o_orderstatus = 'O'").count() == frag.count()
+
+
+def test_ivm_matches_full_recompute_under_inserts_and_retractions(spark):
+    """Randomized: applying N insert/retract batches through ivm_apply
+    equals a full groupBy recompute over the surviving multiset."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.ivm import agg_snapshot, ivm_apply, ivm_read
+
+    rnd = random.Random(11)
+    live = []  # the surviving multiset, mirrored in plain Python
+    base = [(rnd.randrange(6), rnd.randrange(100), round(rnd.uniform(0, 50), 2))
+            for _ in range(400)]
+    live.extend(base)
+    schema = "k long, sub long, v double"
+    state = agg_snapshot(spark.createDataFrame(base, schema), ["k"], ["v"])
+
+    for _round in range(4):
+        inserts = [(rnd.randrange(6), rnd.randrange(100), round(rnd.uniform(0, 50), 2))
+                   for _ in range(120)]
+        retracts = rnd.sample(live, 80)
+        for r in retracts:
+            live.remove(r)
+        live.extend(inserts)
+        batch = spark.createDataFrame(
+            [(k, s, v, 1) for k, s, v in inserts]
+            + [(k, s, v, -1) for k, s, v in retracts],
+            schema + ", w int",
+        )
+        state = ivm_apply(state, batch, ["k"], ["v"], weight_col="w")
+
+    got = {
+        r.k: (r.n, round(r.sum_v, 6))
+        for r in ivm_read(state, ["v"]).collect()
+    }
+    want: dict = {}
+    for k, _s, v in live:
+        n, s = want.get(k, (0, 0.0))
+        want[k] = (n + 1, s + v)
+    want = {k: (n, round(s, 6)) for k, (n, s) in want.items() if n}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-4, k
+
+
+def test_ivm_drops_emptied_groups_and_flags_drift(spark):
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.ivm import agg_snapshot, ivm_apply
+
+    base = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], "k long, v double")
+    state = agg_snapshot(base, ["k"], ["v"])
+    # retract both k=1 rows: the group disappears entirely
+    batch = spark.createDataFrame(
+        [(1, 10.0, -1), (1, 5.0, -1)], "k long, v double, w int"
+    )
+    state = ivm_apply(state, batch, ["k"], ["v"], weight_col="w")
+    assert {r.k for r in state.collect()} == {2}
+    # over-retraction drift is visible as a negative count, not clamped
+    bad = ivm_apply(
+        state,
+        spark.createDataFrame([(2, 7.0, -1), (2, 1.0, -1)], "k long, v double, w int"),
+        ["k"],
+        ["v"],
+        weight_col="w",
+    )
+    assert [r["__n"] for r in bad.collect()] == [-1]
