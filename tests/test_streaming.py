@@ -299,3 +299,56 @@ def test_replay_datasource_drains_file_deterministically(spark, sf_dir, tmp_path
     streamed_ids = set().union(*(ids for _b, _n, ids in batches))
     assert sum(n for _b, n, _ids in batches) == n_expected
     assert streamed_ids == {r.event_id for r in expected.select("event_id").collect()}
+
+
+def test_replay_stream_maintains_ivm_rollup(spark, sf_dir, tmp_path):
+    """Backfill-as-a-stream + IVM: replaying events through foreachBatch
+    with ivm_apply maintains the count/sum-by-type rollup incrementally
+    (O(batch) per micro-batch, no base rescan) and converges to exactly
+    the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.ivm import agg_snapshot, ivm_apply, ivm_read
+    from xetl_spark.sources.replay import register_replay_datasource
+
+    register_replay_datasource(spark)
+    path = f"{sf_dir}/events.parquet"
+    empty = spark.createDataFrame([], "event_type string, value double")
+    holder = {"state": agg_snapshot(empty, ["event_type"], ["value"])}
+
+    def fold(batch_df, batch_id):
+        state = ivm_apply(
+            holder["state"], batch_df.select("event_type", "value"),
+            ["event_type"], ["value"],
+        )
+        # pin each micro-batch's result so the lineage doesn't grow
+        # unboundedly across batches (same discipline as iterative algs)
+        holder["state"] = state.localCheckpoint()
+
+    q = (
+        spark.readStream.format("xetl_replay")
+        .option("path", path)
+        .option("rows_per_batch", 900)
+        .load()
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_ivm"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.event_type: (r.n, round(r.sum_value, 4))
+        for r in ivm_read(holder["state"], ["value"]).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.s, 4))
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-3
