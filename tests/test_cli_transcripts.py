@@ -98,13 +98,18 @@ def test_dryrun_golden_transcript(tmp_path):
           == Physical Plan ==
         *(S) ColumnarToRow
         +- FileScan parquet [r_regionkey#N,r_name#N] Batched: true, DataFilters: [], Format: Parquet, Location: InMemoryFileIndex(P paths)[file:/root/testdata/sf0.001/region.parquet], PartitionFilters: [], PushedFilters: [], ReadSchema: struct<r_regionkey:int,r_name:string>
+          lineage:
+            r_regionkey <- file:/root/testdata/sf0.001/region.parquet::r_regionkey
+            r_name <- file:/root/testdata/sf0.001/region.parquet::r_name
         command: top (task=sql, skip=False)
           SF_DIR = '/root/testdata/sf0.001'
           QUERY = 'SELECT r_name FROM src ORDER BY r_name LIMIT 2'
           == Physical Plan ==
         TakeOrderedAndProject(limit=2, orderBy=[r_name#N ASC NULLS FIRST], output=[r_name#N])
         +- *(S) ColumnarToRow
-           +- FileScan parquet [r_name#N] Batched: true, DataFilters: [], Format: Parquet, Location: InMemoryFileIndex(P paths)[file:/root/testdata/sf0.001/region.parquet], PartitionFilters: [], PushedFilters: [], ReadSchema: struct<r_name:string>"""
+           +- FileScan parquet [r_name#N] Batched: true, DataFilters: [], Format: Parquet, Location: InMemoryFileIndex(P paths)[file:/root/testdata/sf0.001/region.parquet], PartitionFilters: [], PushedFilters: [], ReadSchema: struct<r_name:string>
+          lineage:
+            r_name <- file:/root/testdata/sf0.001/region.parquet::r_name"""
     ).strip()
     assert got == expected, f"--- got ---\n{got}\n--- want ---\n{expected}"
 

@@ -679,6 +679,16 @@ def explain_job(
                     out.explain()
                 plan = buf.getvalue().strip()
             lines.append("  " + plan)
+            # column provenance rides the same analyzed plan the
+            # explain used — still zero execution
+            try:
+                from xetl_spark.plans.lineage import lineage_report
+
+                lines.append("  lineage:")
+                for ln in lineage_report(out).splitlines():
+                    lines.append("    " + ln)
+            except Exception:
+                pass  # Connect sessions (no _jdf) skip lineage
             if cmd.name:
                 outputs[cmd.name] = out
             previous = out
