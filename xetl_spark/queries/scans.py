@@ -254,3 +254,35 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("extra")
     ).write.mode("overwrite").parquet(f"{out}/b2")
     return spark.read.option("mergeSchema", True).parquet(f"{out}/b1", f"{out}/b2")
+
+
+@query(
+    "q_lineage_flagship",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_name',      'nation',   'n_name'),
+      ('revenue',     'lineitem', 'l_discount'),
+      ('revenue',     'lineitem', 'l_extendedprice'))
+    AS t(column_name, source_table, source_column)
+    """,
+)
+def q_lineage_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column provenance of the flagship star join as DATA: extract
+    lineage from the analyzed plan (plans/lineage.py — zero execution)
+    and emit one row per (output column, source table, source column).
+    Hash-verified against the literal expected provenance, which pins
+    lineage-extraction stability itself into the correctness gate.
+    count(*)-style columns have no attribute inputs and are excluded
+    (n_lineitems derives from no source column)."""
+    from xetl_spark.plans.lineage import column_lineage
+    from xetl_spark.queries.relational import q_join_revenue_by_nation
+
+    lin = column_lineage(q_join_revenue_by_nation(spark, sf_dir))
+    rows = sorted(
+        (col, src.rsplit("/", 1)[-1].removesuffix(".parquet"), c)
+        for col, srcs in lin.items()
+        for src, c in srcs
+    )
+    return spark.createDataFrame(
+        rows, "column_name string, source_table string, source_column string"
+    )
