@@ -381,3 +381,47 @@ def test_remove_boilerplate_semantics(spark):
     assert 99 not in out
     assert out[2] == "content 2 alpha\ncontent 2 beta"
     assert len(out) == 5
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    """PQ ADC + exact rerank: recall@10 >= 0.85 vs brute force on the
+    fixture embeddings; codebook fit is partitioning-independent so
+    results are rerun-identical."""
+    import numpy as np
+    from collections import defaultdict
+
+    from xetl_spark.operators.pq import pq_fit, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = pq_topk(emb, queries, "embedding", k=10).collect()
+    by_q = defaultdict(set)
+    for r in got:
+        by_q[r.query_id].add(r.corpus_id)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    x = np.asarray([r.embedding for r in rows])
+    recalls = []
+    for qr in queries.select("vec_id", "embedding").collect():
+        d = ((x - np.asarray(qr.embedding)) ** 2).sum(1)
+        true10 = {ids[i] for i in np.argsort(d, kind="stable")[:10]}
+        recalls.append(len(true10 & by_q[qr.vec_id]) / 10)
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+    # partitioning-independent fit → identical codebooks
+    b1 = pq_fit(emb.coalesce(1), "embedding")
+    b2 = pq_fit(emb.repartition(16), "embedding")
+    assert b1 == b2
+
+
+def test_pq_encode_shapes_and_code_range(spark, sf_dir):
+    from xetl_spark.operators.pq import pq_encode, pq_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_fit(emb, "embedding", m=8, k=16)
+    enc = pq_encode(emb, "embedding", books).collect()
+    assert len(enc) == emb.count()
+    for r in enc[:50]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)

@@ -1244,3 +1244,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges).select("v", "triangles")
+
+
+@query("q_sim_pq_topk", oracle=None)
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 8-byte-per-vector
+    compressed-domain ADC shortlist + exact rerank, top-10 neighbors
+    for a small query batch. Recall ≥ 0.85 vs brute force is
+    property-tested in tests/test_llm_ops.py; the 32x vector
+    compression is what keeps a 100 TB embedding corpus scannable."""
+    from xetl_spark.operators.pq import pq_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, "embedding", k=10)
