@@ -137,3 +137,46 @@ alerts:
     )
     assert proc.returncode == 3, proc.stdout + proc.stderr
     assert "alert: has-rows [r] value=5" in proc.stdout
+
+
+def test_expect_task_gates_and_reports(spark, tmp_path):
+    """expect: green constraints pass and return the report; violated
+    constraints fail the stage (fail-fast), or warn in MODE=warn."""
+    import textwrap
+
+    import pytest as _pytest
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import TaskFailure, run_job
+
+    def job_yaml(mode, hi):
+        return textwrap.dedent(
+            f"""
+            name: gate
+            data: {tmp_path}
+            env: {{SF_DIR: /root/testdata/sf0.001}}
+            commands:
+              - name: o
+                task: read_parquet
+                env: {{PATH: "${{SF_DIR}}/orders.parquet"}}
+              - name: gate
+                task: expect
+                env: {{NOT_NULL: "o_orderkey,o_custkey", UNIQUE: o_orderkey,
+                      RANGE: "o_totalprice:0:{hi}", MODE: {mode}}}
+            """
+        )
+
+    results = run_job(spark, Job.from_yaml(job_yaml("fail", 10_000_000)))
+    rep = {r.check: (r.n_violations, r.passed) for r in results[1].output.collect()}
+    assert all(p for _n, p in rep.values()), rep
+    assert set(rep) == {
+        "not_null_o_orderkey", "not_null_o_custkey", "unique_o_orderkey",
+        "in_range_o_totalprice",
+    }
+
+    with _pytest.raises(TaskFailure):
+        run_job(spark, Job.from_yaml(job_yaml("fail", 10)))  # price cap violated
+
+    results = run_job(spark, Job.from_yaml(job_yaml("warn", 10)))
+    rep = {r.check: r.passed for r in results[1].output.collect()}
+    assert rep["in_range_o_totalprice"] is False  # reported, not fatal

@@ -792,3 +792,57 @@ def lineage(ctx: StageContext):
     return ctx.spark.createDataFrame(
         rows, "column string, source string, source_column string"
     )
+
+
+@task(
+    "expect",
+    "Data-quality gate: declarative constraints on the upstream stage, "
+    "all evaluated in one pass; violations fail the stage (fail-fast + "
+    "alerting) or warn, per MODE. Returns the per-check report",
+    env={
+        "NOT_NULL": {"description": "comma-separated columns that must be non-null", "type": "string", "default": ""},
+        "UNIQUE": {"description": "comma-separated columns forming a unique key", "type": "string", "default": ""},
+        "RANGE": {"description": "semicolon-separated col:lo:hi bounds", "type": "string", "default": ""},
+        "MATCHES": {"description": "semicolon-separated col:regex rules", "type": "string", "default": ""},
+        "VIOLATION_WHERE": {"description": "SQL predicate counting violating rows", "type": "string", "default": ""},
+        "MODE": {"description": "fail | warn", "type": "string", "default": "fail"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def expect(ctx: StageContext):
+    from xetl_spark.operators import quality as Q
+
+    df = ctx.input_df()
+    checks = []
+    if str(ctx.env["NOT_NULL"]).strip():
+        checks += Q.not_null(*[c.strip() for c in str(ctx.env["NOT_NULL"]).split(",") if c.strip()])
+    if str(ctx.env["UNIQUE"]).strip():
+        checks.append(Q.unique(*[c.strip() for c in str(ctx.env["UNIQUE"]).split(",") if c.strip()]))
+    for rule in str(ctx.env["RANGE"]).split(";"):
+        if rule.strip():
+            col, lo, hi = (p.strip() for p in rule.split(":"))
+            checks.append(Q.in_range(col, float(lo), float(hi)))
+    for rule in str(ctx.env["MATCHES"]).split(";"):
+        if rule.strip():
+            col, pattern = rule.split(":", 1)
+            checks.append(Q.matches(col.strip(), pattern.strip()))
+    if str(ctx.env["VIOLATION_WHERE"]).strip():
+        checks.append(Q.custom("violation_where", F.expr(str(ctx.env["VIOLATION_WHERE"]))))
+    if not checks:
+        raise ValueError("expect: no constraints declared")
+    quality_rows = Q.quality_report(df, checks).collect()
+    failed = [(r.check, r.n_violations) for r in quality_rows if not r.passed]
+    mode = str(ctx.env["MODE"]).lower()
+    if failed and mode == "fail":
+        detail = ", ".join(f"{name} ({n} violations)" for name, n in failed)
+        raise ValueError(f"expect: constraint(s) failed: {detail}")
+    if failed:
+        import logging
+
+        logging.getLogger("xetl_spark.expect").warning(
+            "expect (warn mode): %s", failed
+        )
+    return ctx.spark.createDataFrame(
+        [(r.check, r.n_violations, r.passed) for r in quality_rows],
+        "check string, n_violations long, passed boolean",
+    )
