@@ -114,3 +114,18 @@ def test_inventory_md_matches_registry():
     # one table row per registered query, each name present exactly once
     for name in Q.REGISTRY:
         assert f"`{name}`" in text
+
+
+def test_coverage_md_counts_match_registry():
+    """COVERAGE.md's headline counts are hand-maintained; pin them to
+    the live registry so they can't rot (INVENTORY.md already has the
+    generated-file version of this canary)."""
+    import re
+
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"(\d+) registered queries: (\d+) H, (\d+) P", text)
+    assert m, "COVERAGE.md missing the counts line"
+    n_total, n_h, n_p = map(int, m.groups())
+    assert n_total == len(Q.REGISTRY)
+    assert n_h == sum(1 for q in Q.REGISTRY.values() if q.oracle)
+    assert n_p == n_total - n_h
