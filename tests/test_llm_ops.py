@@ -425,3 +425,39 @@ def test_pq_encode_shapes_and_code_range(spark, sf_dir):
     for r in enc[:50]:
         assert len(r.codes) == 8
         assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_ivfpq_recall_cost_dial(spark, sf_dir):
+    """IVF-PQ: recall rises monotonically with probed-cell fraction
+    (the scan-cost dial), and probing every cell recovers PQ-grade
+    recall — pruning, not quantization, is the recall limiter."""
+    import numpy as np
+    from collections import defaultdict
+
+    from xetl_spark.operators.pq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    x = np.asarray([r.embedding for r in rows])
+    qrows = queries.select("vec_id", "embedding").collect()
+
+    def recall(n_probe):
+        got = ivfpq_topk(
+            emb, queries, "embedding", n_cells=16, n_probe=n_probe
+        ).collect()
+        by_q = defaultdict(set)
+        for r in got:
+            by_q[r.query_id].add(r.corpus_id)
+        recs = []
+        for qr in qrows:
+            d = ((x - np.asarray(qr.embedding)) ** 2).sum(1)
+            true10 = {ids[i] for i in np.argsort(d, kind="stable")[:10]}
+            recs.append(len(true10 & by_q[qr.vec_id]) / 10)
+        return sum(recs) / len(recs)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    assert r4 <= r8 + 0.05 and r8 <= r16 + 0.05  # monotone (noise slack)
+    assert r8 >= 0.75
+    assert r16 >= 0.85  # full probe ~= plain PQ quality

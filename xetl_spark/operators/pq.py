@@ -205,3 +205,163 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("corpus_id"), "dist", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 32,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    q_id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the scan, residual PQ compresses it —
+    the FAISS IVFPQ architecture as a DataFrame pipeline.
+
+    Build: full-dim k-means (bounded driver sample) gives n_cells
+    coarse centroids; each vector stores (cell, PQ codes of its
+    RESIDUAL v − centroid). Residual encoding is what makes the
+    codebooks sharp: residual magnitudes are a fraction of vector
+    magnitudes, so the same k_codes quantize far finer.
+
+    Search: each query probes its n_probe nearest cells; rows outside
+    probed cells are skipped BEFORE any distance math (with the code
+    table persisted partitionBy(cell), that's partition pruning — the
+    scan touches n_probe/n_cells of the data). Probed rows score via
+    per-(query, cell) ADC tables (residualized query against the
+    shared codebooks), then the shortlist reranks exactly.
+    """
+    from pyspark.sql import Window
+
+    # ---- build ----
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("v").cast("string")))
+        .limit(_MAX_FIT_SAMPLE)
+        .collect()
+    )
+    x = np.asarray([r.v for r in sample], dtype=np.float64)
+    cells = _kmeans_np(x, n_cells, seed)
+    # residual codebooks fit on the sample's residuals
+    assign = ((x[:, None, :] - cells[None, :, :]) ** 2).sum(-1).argmin(1)
+    resid = x - cells[assign]
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = [
+        _kmeans_np(resid[:, i * dsub : (i + 1) * dsub], k_codes, seed + 1 + i)
+        for i in range(m)
+    ]
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            cell = ((v[:, None, :] - cells[None, :, :]) ** 2).sum(-1).argmin(1)
+            r = v - cells[cell]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for i, b in enumerate(books):
+                sub = r[:, i * dsub : (i + 1) * dsub]
+                codes[:, i] = ((b * b).sum(1)[None, :] - 2.0 * (sub @ b.T)).argmin(1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "cell": cell.astype("int32"),
+                    "codes": [list(map(int, c)) for c in codes],
+                }
+            )
+
+    encoded = ensure_parallelism(corpus).mapInPandas(
+        encode, schema=f"id {id_type}, cell int, codes array<int>"
+    )
+
+    # ---- search ----
+    q_rows = queries.select(q_id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    cell_d = ((q_mat[:, None, :] - cells[None, :, :]) ** 2).sum(-1)
+    probed = np.argsort(cell_d, axis=1)[:, :n_probe]  # (n_q, n_probe)
+    # ADC tables per (query, probed cell): residualized query vs books
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(q_ids)):
+        for c in probed[qi]:
+            rq = q_mat[qi] - cells[c]
+            tables[(qi, int(c))] = np.stack(
+                [
+                    ((rq[i * dsub : (i + 1) * dsub][None, :] - b) ** 2).sum(1)
+                    for i, b in enumerate(books)
+                ]
+            )
+    probe_sets = [set(int(c) for c in probed[qi]) for qi in range(len(q_ids))]
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            by_cell = pdf.groupby("cell", sort=False)
+            out = []
+            for cell_val, grp in by_cell:
+                codes = np.asarray(list(grp["codes"]), dtype=np.int64)
+                for qi, qid in enumerate(q_ids):
+                    if int(cell_val) not in probe_sets[qi]:
+                        continue  # pruned before any distance math
+                    t = tables[(qi, int(cell_val))]
+                    dist = np.zeros(len(grp))
+                    for i in range(codes.shape[1]):
+                        dist += t[i][codes[:, i]]
+                    top = min(shortlist, len(grp))
+                    idx = np.argpartition(dist, top - 1)[:top]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "id": grp["id"].iloc[idx],
+                                "adc": dist[idx],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame({"query_id": [], "id": [], "adc": []})
+            )
+
+    cand = encoded.mapInPandas(
+        adc, schema=f"query_id {id_type}, id {id_type}, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "id")
+    short = cand.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= shortlist
+    )
+    corp_v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__cv"))
+    q_v = queries.select(F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    exact = (
+        short.join(corp_v, "id")
+        .join(F.broadcast(q_v), "query_id")
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("__cv", "__qv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("dist", "id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("corpus_id"), "dist", "rank")
+    )

@@ -1258,3 +1258,18 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries, "embedding", k=10)
+
+
+@query("q_sim_ivfpq_topk", oracle=None)
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py ivfpq_topk): coarse cells prune the
+    scan to n_probe/n_cells of the corpus BEFORE any distance math,
+    residual PQ codes compress what remains 32x, exact rerank restores
+    precision — the FAISS IVFPQ architecture as a DataFrame pipeline.
+    Recall-vs-probe-fraction monotonicity is property-tested in
+    tests/test_llm_ops.py."""
+    from xetl_spark.operators.pq import ivfpq_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(emb, queries, "embedding", n_cells=16, n_probe=8, k=10)
