@@ -461,3 +461,34 @@ def test_ivfpq_recall_cost_dial(spark, sf_dir):
     assert r4 <= r8 + 0.05 and r8 <= r16 + 0.05  # monotone (noise slack)
     assert r8 >= 0.75
     assert r16 >= 0.85  # full probe ~= plain PQ quality
+
+
+def test_edit_distance_join_matches_exhaustive(spark):
+    """Deletion-neighborhood blocking finds exactly the exhaustive
+    pairs, including short strings, duplicates-by-content, and d=2."""
+    import itertools
+
+    from xetl_spark.operators.text import edit_distance_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    words = ["cat", "cats", "bat", "at", "a", "", "dog", "dig", "dug",
+             "customer01", "customer02", "customer11", "xyz"]
+    df = spark.createDataFrame(list(enumerate(words)), "k long, s string")
+    for d in (1, 2):
+        got = {
+            (r.key_a, r.key_b, r.dist)
+            for r in edit_distance_join(df, "s", "k", max_distance=d).collect()
+        }
+        want = {
+            (i, j, lev(words[i], words[j]))
+            for i, j in itertools.combinations(range(len(words)), 2)
+            if lev(words[i], words[j]) <= d
+        }
+        assert got == want, (d, got ^ want)

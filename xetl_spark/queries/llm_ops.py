@@ -1273,3 +1273,34 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk(emb, queries, "embedding", n_cells=16, n_probe=8, k=10)
+
+
+@query(
+    "q_fuzzy_name_join",
+    oracle="""
+    WITH n AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM n a JOIN n b ON a.c_name < b.c_name
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join over the customer name dictionary
+    (operators/text.py edit_distance_join): SymSpell-style deletion-
+    neighborhood blocking — provably no false negatives, buckets stay
+    near-constant even on shared-prefix identifiers where q-gram
+    blocking degenerates to all-pairs — then exact levenshtein verify.
+    Hash-verified against DuckDB's exhaustive quadratic join: the
+    blocked plan and the O(n²) oracle agree row-for-row."""
+    from xetl_spark.operators.text import edit_distance_join
+
+    (cust,) = load(spark, sf_dir, "customer")
+    names = cust.select("c_name").distinct()
+    out = edit_distance_join(names, "c_name", "c_name", max_distance=1)
+    return out.select(
+        F.col("c_name_a").alias("name_a"),
+        F.col("c_name_b").alias("name_b"),
+        "dist",
+    )
