@@ -46,7 +46,16 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # triples work that executes once. Live exchanges: edge build (5),
 # degree agg + two degree joins (3), wedge self-join (1), closure join
 # (1), vertex rollup (1).
-EXCHANGE_ALLOWANCE = {"q_dedup_minhash_lsh": 7, "q_graph_triangles": 21}
+# q_fuzzy_name_join — base (names) and sig (variant hashes) are
+# persisted and feed 3 / 2 consumers respectively; the static text
+# repeats each cached subtree per consumer. Live exchanges: distinct
+# names (1), variant-hash distinct (1), candidate self-join (2),
+# candidate distinct (1), two verify joins (2).
+EXCHANGE_ALLOWANCE = {
+    "q_dedup_minhash_lsh": 7,
+    "q_graph_triangles": 21,
+    "q_fuzzy_name_join": 10,
+}
 
 
 def main() -> int:

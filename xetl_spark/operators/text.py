@@ -325,9 +325,13 @@ def edit_distance_join(
 
     from xetl_spark.operators.util import ensure_parallelism
 
+    # base feeds the variant explode and both verify joins; sig feeds
+    # both sides of the candidate self-join — persist each once rather
+    # than re-deriving per consumer (same discipline as the dedup
+    # signature table; both are one row per string / per variant hash)
     base = ensure_parallelism(df).select(
         F.col(key_col).alias("__k"), F.col(str_col).alias("__s")
-    )
+    ).persist()
     # deletion neighborhood, built iteratively: one more deletion per round
     variants = base.select("__k", F.col("__s").alias("__v"))
     frontier = variants
@@ -345,7 +349,7 @@ def edit_distance_join(
             ).alias("__v"),
         )
         variants = variants.unionByName(frontier)
-    sig = variants.select("__k", F.xxhash64("__v").alias("__h")).distinct()
+    sig = variants.select("__k", F.xxhash64("__v").alias("__h")).distinct().persist()
 
     cand = (
         sig.join(
