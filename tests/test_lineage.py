@@ -179,3 +179,21 @@ def test_sensitive_column_propagation(tables):
     # source-scoped form: only customer.parquet's c_name counts
     tainted2 = sensitive_columns(df, {"customer.parquet": {"c_name", "o_totalprice"}})
     assert set(tainted2) == {"top_name"}
+
+
+def test_lineage_through_sql_views(spark):
+    """spark.sql over temp views resolves through SubqueryAlias to the
+    same parquet leaves as the DataFrame API."""
+    spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView("o_view")
+    spark.read.parquet(f"{SF}/customer.parquet").createOrReplaceTempView("c_view")
+    df = spark.sql(
+        """
+        SELECT c_mktsegment, sum(o_totalprice) AS spend
+        FROM o_view JOIN c_view ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+    lin = column_lineage(df)
+    assert _cols(lin, "spend") == {"o_totalprice"}
+    assert _srcs(lin, "spend") == {"orders.parquet"}
+    assert _srcs(lin, "c_mktsegment") == {"customer.parquet"}
