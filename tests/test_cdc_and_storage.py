@@ -410,3 +410,47 @@ def test_ivm_drops_emptied_groups_and_flags_drift(spark):
         weight_col="w",
     )
     assert [r["__n"] for r in bad.collect()] == [-1]
+
+
+def test_snapshot_diff_then_ivm_keeps_rollup_fresh(spark):
+    """CDC-extract feeds IVM: diff(old,new) converted to insert/retract
+    weights updates the rollup to exactly agg(new) — the end-to-end
+    incremental freshness loop (diff is O(changes) input to ivm)."""
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.cdc import snapshot_diff
+    from xetl_spark.operators.ivm import agg_snapshot, ivm_apply, ivm_read
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "b", 1.0)],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 5.0), (4, "b", 2.0), (5, "a", 9.0)],
+        "k long, g string, v double",
+    )
+    diff = snapshot_diff(old, new, keys=["k"])
+    ops = {r.k: r.op for r in diff.collect()}
+    assert ops == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+
+    # updates retract the old image and insert the new one
+    old_img = old.select("k", "g", "v")
+    retract = (
+        diff.filter(F.col("op").isin("delete", "update"))
+        .select("k")
+        .join(old_img, "k")
+        .withColumn("w", F.lit(-1))
+    )
+    insert = (
+        diff.filter(F.col("op").isin("insert", "update"))
+        .select("k", "g", "v")
+        .withColumn("w", F.lit(1))
+    )
+    state = agg_snapshot(old, ["g"], ["v"])
+    state = ivm_apply(state, retract.unionByName(insert), ["g"], ["v"], weight_col="w")
+    got = {r.g: (r.n, round(r.sum_v, 6)) for r in ivm_read(state, ["v"]).collect()}
+    want = {
+        r.g: (r.n, round(r.s, 6))
+        for r in new.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    assert got == want

@@ -181,3 +181,38 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> list[int]:
     for v in drop:
         shutil.rmtree(os.path.join(path, f"v={v}"))
     return drop
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data extraction between two table versions: one row per
+    changed key with op ∈ {insert, delete, update} — the inverse of
+    MERGE, and what downstream consumers (IVM rollups, search indexes,
+    caches) need to stay fresh without rescanning either version.
+
+    One key-co-partitioned full-outer join; change detection compares
+    the non-key column structs (or ``compare_cols``) null-safely.
+    Emits the NEW image for inserts/updates and the OLD image for
+    deletes, plus the op tag. At 100 TB both sides are key-partitioned
+    parquet, so the join is the only shuffle and pruning/pushdown act
+    on both scans.
+    """
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*[old[c] for c in cols]).alias("__o"))
+    n = new.select(*keys, F.struct(*[new[c] for c in cols]).alias("__n"))
+    joined = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("__o").isNull(), F.lit("insert"))
+        .when(F.col("__n").isNull(), F.lit("delete"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("update"))
+    )
+    image = F.coalesce(F.col("__n"), F.col("__o"))
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *keys, *[image[c].alias(c) for c in cols])
+    )

@@ -434,3 +434,48 @@ def q_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(
         replaced.select("c_custkey", F.col("seg").alias("seg_replaced")), "c_custkey"
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0          -- deletes
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,                      -- updates
+             round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 11 <> 0          -- inserts (of %7 rows)
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           coalesce(n.price, o.price) AS price
+    FROM old o FULL JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus OR o.price <> n.price
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction between two synthetic table versions
+    (operators/cdc.py snapshot_diff): derive old/new views of orders
+    with disjoint delete/insert/update populations, emit one tagged
+    row per changed key from a single key-co-partitioned full-outer
+    join. DuckDB recomputes the same diff declaratively."""
+    from xetl_spark.operators.cdc import snapshot_diff
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 10 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
