@@ -776,3 +776,18 @@ def test_parallel_scheduler_parity_random_dags(spark, seed):
         run_job(spark, _job(manifest), parallel=True, max_workers=4)
     )
     assert seq == par
+
+
+def test_example_llm_prep_manifest(spark, monkeypatch, tmp_path):
+    """The shipped LLM-prep example (scan → gate → redact → dedup →
+    near-dedup → mix → pack → chunk → summary → sink) runs green end
+    to end on sf0.001 and its sink round-trips."""
+    monkeypatch.setenv("OUT_DIR", str(tmp_path / "llm_out"))
+    job = Job.from_file("/root/repo/examples/llm_prep.yml")
+    results = run_job(spark, job)
+    assert all(r.status == "success" for r in results), [
+        (r.command.name, r.status) for r in results
+    ]
+    sunk = spark.read.parquet(str(tmp_path / "llm_out"))
+    assert sunk.count() > 0
+    assert "lang" in sunk.columns  # partitioned-by-language sink
