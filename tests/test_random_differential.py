@@ -485,3 +485,49 @@ def test_random_tables_differential_subquery_shapes(spark, con, seed):
         want = con.execute(sql).fetchdf()
         assert len(got) == len(want), (name, len(got), len(want))
         assert canonical_hash(got) == canonical_hash(want), name
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_random_tables_differential_pivot_and_decimal(spark, con, seed):
+    """Pivot (wide conditional aggregation) and exact decimal sums on
+    random tables — the shapes the earlier fuzz batteries skip."""
+    from pyspark.sql import functions as F
+
+    fact_pd, _dim_pd = _tables(seed)
+    fact = spark.createDataFrame(fact_pd)
+    con.register("fact", fact_pd)
+
+    cases = {
+        "pivot_counts": (
+            fact.filter(F.col("grp").isNotNull())
+            .groupBy("k")
+            .pivot("grp", ["a", "b", "c", "d"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["a", "b", "c", "d"]),
+            """SELECT k,
+                      count(*) FILTER (WHERE grp = 'a') AS a,
+                      count(*) FILTER (WHERE grp = 'b') AS b,
+                      count(*) FILTER (WHERE grp = 'c') AS c,
+                      count(*) FILTER (WHERE grp = 'd') AS d
+               FROM fact WHERE grp IS NOT NULL GROUP BY k""",
+        ),
+        "decimal_exact_sums": (
+            fact.withColumn("dv", F.col("v").cast("decimal(12,2)"))
+            .groupBy("grp")
+            .agg(
+                F.sum("dv").cast("string").alias("sv"),
+                F.min("dv").cast("string").alias("mn"),
+                F.max("dv").cast("string").alias("mx"),
+            ),
+            """SELECT grp, CAST(sum(dv) AS VARCHAR) AS sv,
+                      CAST(min(dv) AS VARCHAR) AS mn,
+                      CAST(max(dv) AS VARCHAR) AS mx
+               FROM (SELECT grp, CAST(v AS DECIMAL(12,2)) AS dv FROM fact)
+               GROUP BY grp""",
+        ),
+    }
+    for name, (sdf, sql) in cases.items():
+        got = sdf.toPandas()
+        want = con.execute(sql).fetchdf()
+        assert len(got) == len(want), (name, len(got), len(want))
+        assert canonical_hash(got) == canonical_hash(want), name
