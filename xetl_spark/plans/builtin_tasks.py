@@ -26,6 +26,14 @@ _PATH = {"PATH": {"description": "file/directory URI", "type": "string"}}
     "read_parquet",
     "Scan a parquet table",
     env=_PATH,
+    # shipped golden cases (run via --run-task-tests): source tasks can
+    # self-test against the fixture corpus with no pipeline context
+    tests=[
+        {"env": {"PATH": "/root/testdata/sf0.001/region.parquet"},
+         "verify_sql": "SELECT count(*) = 5 FROM result"},
+        {"env": {"PATH": "/root/testdata/sf0.001/nation.parquet"},
+         "verify_sql": "SELECT count(*) = 25 AND min(n_nationkey) = 0 FROM result"},
+    ],
 )
 def read_parquet(ctx: StageContext):
     return ctx.spark.read.parquet(str(ctx.env["PATH"]))
@@ -89,6 +97,10 @@ def download(ctx: StageContext):
     "sql",
     "Free-form SQL over prior stage outputs (temp views by command name)",
     env={"QUERY": {"description": "SQL text; {ENV} placeholders substituted", "type": "string"}},
+    tests=[
+        {"env": {"QUERY": "SELECT 1 + 1 AS two"},
+         "verify_sql": "SELECT two = 2 FROM result"},
+    ],
 )
 def sql(ctx: StageContext):
     return ctx.sql(str(ctx.env["QUERY"]))

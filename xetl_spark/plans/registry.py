@@ -217,11 +217,22 @@ def task(
     description: str | None = None,
     env: dict[str, Any] | None = None,
     registry: TaskRegistry = BUILTINS,
+    tests: list | None = None,
 ) -> Callable[[TaskFn], TaskFn]:
-    """Decorator: register a Python transform as a named task."""
+    """Decorator: register a Python transform as a named task.
+
+    ``tests`` ships golden task-level cases (env + verify_sql) with the
+    task itself — run via ``run_task_tests`` / the CLI's
+    ``--run-task-tests`` (reference task.py:161-193 parity)."""
 
     def deco(fn: TaskFn) -> TaskFn:
         spec = TaskSpec(name=name, description=description or fn.__doc__, env=env or {})
+        if tests:
+            from xetl_spark.plans.models import TaskTestCase
+
+            spec.tests = [
+                t if isinstance(t, TaskTestCase) else TaskTestCase(**t) for t in tests
+            ]
         registry.register(spec, fn)
         return fn
 
