@@ -232,13 +232,38 @@ def pack_greedy(
     return docs.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
 
 
-@query("q_pack_greedy")
+@query(
+    "q_pack_greedy",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT doc_id, doc_id % 32 AS shard, greatest(1, n_chars // 4) AS tok,
+             row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, tok, CAST(0 AS BIGINT) AS bin, tok AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.tok,
+             CASE WHEN p.fill > 0 AND p.fill + o.tok > 2048
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill > 0 AND p.fill + o.tok > 2048
+                  THEN o.tok ELSE p.fill + o.tok END
+      FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, bin, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy no-overflow packing manifest over the documents corpus
-    (rows-only in the driver check — the greedy recurrence is
-    sequential per shard and not SQL-expressible; bin-capacity,
-    completeness, and determinism are property-tested in
-    tests/test_training_pipeline.py)."""
+    """Greedy no-overflow packing manifest over the documents corpus.
+    The greedy recurrence is sequential per shard — Spark runs it as a
+    per-shard applyInPandas fold, and the ORACLE expresses the same
+    fold as a recursive CTE stepping one row per shard per iteration
+    (recursion depth = rows/shard), so even this stateful operator is
+    hash-verified cross-engine. Capacity/completeness/determinism are
+    additionally property-tested in tests/test_training_pipeline.py."""
     (docs,) = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
