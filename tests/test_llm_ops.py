@@ -492,3 +492,11 @@ def test_edit_distance_join_matches_exhaustive(spark):
             if lev(words[i], words[j]) <= d
         }
         assert got == want, (d, got ^ want)
+
+
+def test_pq_rejects_indivisible_subspaces(spark, sf_dir):
+    from xetl_spark.operators.pq import pq_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(emb, "embedding", m=7)

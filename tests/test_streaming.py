@@ -352,3 +352,18 @@ def test_replay_stream_maintains_ivm_rollup(spark, sf_dir, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-3
+
+
+def test_replay_datasource_requires_path(spark):
+    from pyspark.sql.utils import AnalysisException
+
+    from xetl_spark.sources.replay import register_replay_datasource
+
+    register_replay_datasource(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        spark.readStream.format("xetl_replay").load().writeStream.format(
+            "noop"
+        ).trigger(availableNow=True).start()
+    assert "path" in str(ei.value)
