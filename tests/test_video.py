@@ -113,3 +113,31 @@ def test_y4m_truncated_payload_rejected():
     with pytest.raises(video.UnsupportedVideoError):
         # frame marker present but its newline is missing
         video.y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME")
+
+
+def test_scene_cuts_on_synthesized_two_scene_video(spark):
+    """Two static scenes (luma 50 then 200) with a hard cut: exactly
+    one detected boundary, at the cut frame, with the analytic delta."""
+    import numpy as np
+
+    from xetl_spark.operators.multimodal import scene_cuts
+    from xetl_spark.operators.video import y4m_encode
+
+    h, w = 16, 16
+    frames = np.concatenate(
+        [np.full((3, h, w), 50, np.uint8), np.full((2, h, w), 200, np.uint8)]
+    )
+    payload = y4m_encode(frames, fps=(10, 1))
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, media binary")
+    got = sorted(
+        scene_cuts(df, threshold=30.0).collect(), key=lambda r: r.frame_idx
+    )
+    assert [(r.frame_idx, r.mean_abs_diff) for r in got] == [(0, 0.0), (3, 150.0)]
+    assert got[1].frame_ts_ms == 300  # 3rd frame at 10 fps
+    # below-threshold noise produces no cut
+    calm = np.full((4, h, w), 90, np.uint8)
+    calm[2] += 5  # delta 5 < threshold
+    df2 = spark.createDataFrame(
+        [(1, bytearray(y4m_encode(calm, fps=(10, 1))))], "doc_id long, media binary"
+    )
+    assert scene_cuts(df2, threshold=30.0).count() == 1  # just frame 0

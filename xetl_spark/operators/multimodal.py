@@ -403,3 +403,52 @@ def extract_features(
     return df.select(id_col, media_col).mapInPandas(
         run, schema=_id_typed(df, id_col, FEATURE_SCHEMA)
     )
+
+
+SCENE_SCHEMA = "id long, frame_idx int, frame_ts_ms long, mean_abs_diff double"
+
+
+def scene_cuts(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    threshold: float = 30.0,
+) -> DataFrame:
+    """Detect scene boundaries in Y4M video payloads: emit one row per
+    frame that STARTS a scene — frame 0, plus every frame whose mean
+    absolute luma delta against its predecessor exceeds ``threshold``
+    (the classic hard-cut detector; dissolves need windowed deltas).
+
+    The per-video work is a vectorized numpy pass over the decoded
+    luma stack inside Arrow-batched ``mapInPandas`` — per-partition,
+    driver-free, memory bounded by one payload's frame stack at a
+    time. Deltas are exact integer sums divided once at the end, so
+    results are bit-stable across runs/partitionings. Compressed
+    containers raise UnsupportedVideoError at the same call site as
+    the other video ops."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import video
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                frames, fps = video.y4m_decode(bytes(row[media_col]))
+                times = video.frame_times_ms(frames.shape[0], fps)
+                rows.append((row[id_col], 0, times[0], 0.0))
+                if frames.shape[0] > 1:
+                    a = frames.astype(np.int64)
+                    # exact integer |Δ| sums per frame pair, one division
+                    diffs = np.abs(a[1:] - a[:-1]).sum(axis=(1, 2))
+                    per_px = diffs / (frames.shape[1] * frames.shape[2])
+                    for i, d in enumerate(per_px, start=1):
+                        if d > threshold:
+                            rows.append((row[id_col], i, times[i], float(d)))
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "frame_ts_ms", "mean_abs_diff"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, SCENE_SCHEMA)
+    )

@@ -1304,3 +1304,29 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name_b").alias("name_b"),
         "dist",
     )
+
+
+@query("q_multimodal_scene_cuts", oracle=None)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-boundary detection over synthesized Y4M videos
+    (operators/multimodal.py scene_cuts): hard cuts found by exact
+    integer luma-delta sums inside Arrow-batched mapInPandas.
+    Boundary positions and analytic deltas pinned in
+    tests/test_video.py; fixtures here are deterministic two-scene
+    clips derived from vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import scene_cuts
+    from xetl_spark.operators.video import y4m_encode
+
+    rows = []
+    for i in range(8):
+        a = np.full((2 + i % 3, 16, 16), 40 + i, np.uint8)
+        b = np.full((2, 16, 16), 190 + i % 4, np.uint8)
+        rows.append((i, bytearray(y4m_encode(np.concatenate([a, b]), fps=(10, 1)))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media"]),
+        "doc_id long, media binary",
+    )
+    return scene_cuts(df, threshold=30.0)
