@@ -152,3 +152,31 @@ def test_wav_truncated_data_rejected():
     bad = payload[:16] + b"\x08\x00\x00\x00" + payload[20:28]
     with pytest.raises(audio.UnsupportedAudioError):
         audio.wav_decode(bad)
+
+
+def test_activity_segments_tone_silence_tone(spark):
+    """1s tone / 1s silence / 1s tone at 8kHz: exactly three segments
+    with the right states and boundaries."""
+    import numpy as np
+
+    from xetl_spark.operators.audio import wav_encode
+    from xetl_spark.operators.multimodal import activity_segments
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = (10_000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    silence = np.zeros(rate, np.int16)
+    payload = wav_encode(np.concatenate([tone, silence, tone]), rate)
+    df = spark.createDataFrame([(5, bytearray(payload))], "doc_id long, media binary")
+    segs = sorted(
+        activity_segments(df, window_ms=100, rms_threshold=500.0).collect(),
+        key=lambda r: r.seg_idx,
+    )
+    assert [(r.start_ms, r.end_ms, r.active) for r in segs] == [
+        (0, 1000, True),
+        (1000, 2000, False),
+        (2000, 3000, True),
+    ]
+    # tone RMS of a full-cycle sine = amplitude/sqrt(2)
+    assert abs(segs[0].rms - 10_000 / np.sqrt(2)) < 60
+    assert segs[1].rms < 1.0

@@ -452,3 +452,69 @@ def scene_cuts(
     return df.select(id_col, media_col).mapInPandas(
         run, schema=_id_typed(df, id_col, SCENE_SCHEMA)
     )
+
+
+SEGMENT_SCHEMA = "id long, seg_idx int, start_ms long, end_ms long, active boolean, rms double"
+
+
+def activity_segments(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    window_ms: int = 100,
+    rms_threshold: float = 500.0,
+) -> DataFrame:
+    """Voice/tone-activity segmentation over WAV/PCM payloads: windowed
+    RMS is thresholded and consecutive same-state windows merge into
+    (start_ms, end_ms, active, mean rms) segments — the silence-trim /
+    speech-extent primitive an audio training pipeline runs before
+    transcription or tokenization.
+
+    Per-payload work is one vectorized numpy pass (reshape into
+    windows, RMS per row, run-length encode the boolean) inside
+    Arrow-batched mapInPandas; exact sample counts drive the
+    timestamps so segment bounds are bit-stable. Compressed audio
+    (mp3/aac) raises UnsupportedAudioError at the same call site as
+    the other audio ops."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import audio
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples, rate = audio.wav_decode(bytes(row[media_col]))
+                if samples.ndim > 1:  # mixdown for detection
+                    samples = samples.mean(axis=1)
+                win = max(1, rate * window_ms // 1000)
+                n = len(samples) // win
+                if n == 0:
+                    continue
+                x = samples[: n * win].astype(np.float64).reshape(n, win)
+                rms = np.sqrt((x * x).mean(axis=1))
+                act = rms > rms_threshold
+                seg = 0
+                start = 0
+                for i in range(1, n + 1):
+                    if i == n or act[i] != act[start]:
+                        rows.append(
+                            (
+                                row[id_col],
+                                seg,
+                                start * win * 1000 // rate,
+                                i * win * 1000 // rate,
+                                bool(act[start]),
+                                float(rms[start:i].mean()),
+                            )
+                        )
+                        seg += 1
+                        start = i
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "seg_idx", "start_ms", "end_ms", "active", "rms"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, SEGMENT_SCHEMA)
+    )

@@ -1330,3 +1330,30 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, media binary",
     )
     return scene_cuts(df, threshold=30.0)
+
+
+@query("q_multimodal_activity_segments", oracle=None)
+def q_multimodal_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over synthesized WAV clips
+    (operators/multimodal.py activity_segments): windowed RMS
+    thresholding + run-length merge into (start, end, active)
+    segments. Exact boundaries and analytic RMS pinned on
+    tone/silence clips in tests/test_audio.py."""
+    import numpy as np
+    import pandas as pd
+
+    from xetl_spark.operators.audio import wav_encode
+    from xetl_spark.operators.multimodal import activity_segments
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    rows = []
+    for i in range(6):
+        tone = (9000 * np.sin(2 * np.pi * (300 + 50 * i) * t)).astype(np.int16)
+        silence = np.zeros(rate // 2, np.int16)
+        parts = [tone, silence] * (1 + i % 2) + [tone]
+        rows.append((i, bytearray(wav_encode(np.concatenate(parts), rate))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media"]), "doc_id long, media binary"
+    )
+    return activity_segments(df, window_ms=100, rms_threshold=500.0)
