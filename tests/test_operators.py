@@ -422,3 +422,30 @@ def test_cms_deterministic_across_partitionings(spark):
     one = sorted(map(tuple, count_min_sketch(df.coalesce(1), "k").collect()))
     many = sorted(map(tuple, count_min_sketch(df.repartition(16), "k").collect()))
     assert one == many
+
+
+def test_cms_error_bound_on_fixture(spark, sf_dir):
+    """CMS estimate error on real data stays within the theoretical
+    envelope: with width w, expected per-key overestimate is N/w; the
+    fixture check allows 3x the eN/w bound (deterministic hashing, so
+    this pins behavior, not luck)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d, w = 4, 2048
+    n_total = events.count()
+    sketch = count_min_sketch(events, "user_id", d, w)
+    users = events.select("user_id").distinct()
+    est = {r.user_id: r.est for r in cms_estimate(sketch, users, "user_id", d, w).collect()}
+    true = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    bound = 3 * math.e * n_total / w
+    for k, t in true.items():
+        assert est[k] >= t, k  # never undercounts
+        assert est[k] - t <= bound, (k, est[k], t, bound)
