@@ -180,3 +180,12 @@ def test_expect_task_gates_and_reports(spark, tmp_path):
     results = run_job(spark, Job.from_yaml(job_yaml("warn", 10)))
     rep = {r.check: r.passed for r in results[1].output.collect()}
     assert rep["in_range_o_totalprice"] is False  # reported, not fatal
+
+
+def test_shipped_alerts_example_parses():
+    rules = load_rules("/root/repo/examples/alerts.yml")
+    assert {r.name for r in rules} == {
+        "stage-over-a-minute", "stage-retried",
+        "empty-materialized-output", "any-stage-failed",
+    }
+    assert any(r.fail for r in rules)
