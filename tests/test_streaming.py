@@ -367,3 +367,35 @@ def test_replay_datasource_requires_path(spark):
             "noop"
         ).trigger(availableNow=True).start()
     assert "path" in str(ei.value)
+
+
+def test_replay_offsets_deterministic_across_runs(spark, sf_dir, tmp_path):
+    """Two independent replays of the same file with the same
+    rows_per_batch produce identical batch boundaries and contents —
+    the offset determinism that exactly-once recovery rests on."""
+    from xetl_spark.sources.replay import register_replay_datasource
+
+    register_replay_datasource(spark)
+    path = f"{sf_dir}/events.parquet"
+
+    def drain(ck):
+        seen = []
+
+        def grab(df, bid):
+            ids = sorted(r.event_id for r in df.select("event_id").collect())
+            seen.append((bid, len(ids), ids[0] if ids else None, ids[-1] if ids else None))
+
+        q = (
+            spark.readStream.format("xetl_replay")
+            .option("path", path)
+            .option("rows_per_batch", 800)
+            .load()
+            .writeStream.foreachBatch(grab)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen
+
+    assert drain("ck_a") == drain("ck_b")
