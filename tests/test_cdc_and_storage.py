@@ -454,3 +454,28 @@ def test_snapshot_diff_then_ivm_keeps_rollup_fresh(spark):
         for r in new.groupBy("g").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
     }
     assert got == want
+
+
+def test_ivm_state_roundtrips_through_parquet(spark, tmp_path):
+    """IVM state is a plain table: persisting to parquet between update
+    batches (the real deployment shape — state lives in storage, not a
+    session) changes nothing."""
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.ivm import agg_snapshot, ivm_apply, ivm_read
+
+    base = spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(100)], "k long, v double"
+    )
+    state = agg_snapshot(base, ["k"], ["v"])
+    p1 = str(tmp_path / "state_v1")
+    state.write.parquet(p1)
+
+    batch = spark.createDataFrame(
+        [(1, 100.0, 1), (2, 0.0, 1), (0, 0.0, -1)], "k long, v double, w int"
+    )
+    resumed = ivm_apply(spark.read.parquet(p1), batch, ["k"], ["v"], weight_col="w")
+    live = ivm_apply(state, batch, ["k"], ["v"], weight_col="w")
+    assert sorted(map(tuple, resumed.collect())) == sorted(map(tuple, live.collect()))
+    out = {r.k: r.n for r in ivm_read(resumed, ["v"]).collect()}
+    assert out[0] == 19 and out[1] == 21 and out[2] == 21
