@@ -449,3 +449,92 @@ def test_cms_error_bound_on_fixture(spark, sf_dir):
     for k, t in true.items():
         assert est[k] >= t, k  # never undercounts
         assert est[k] - t <= bound, (k, est[k], t, bound)
+
+
+def test_interpolate_linear_hand_series(spark):
+    """Interior gaps interpolate time-weighted between the surrounding
+    observed buckets; observed buckets pass through; leading/trailing
+    gaps take the nearest single side."""
+    from xetl_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1.0),
+        (1, "2024-01-01 03:05:00", 7.0),   # 2 missing hours between
+        (2, "2024-01-01 10:00:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = interpolate_linear(df, "ts", "user_id", "value", unit="hour")
+    got = {(r.key, str(r.bucket)): (r.v, r.v_interp) for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00"): (1.0, 1.0),
+        (1, "2024-01-01 01:00:00"): (None, 3.0),   # 1 + (7-1)*1/3
+        (1, "2024-01-01 02:00:00"): (None, 5.0),   # 1 + (7-1)*2/3
+        (1, "2024-01-01 03:00:00"): (7.0, 7.0),
+        (2, "2024-01-01 10:00:00"): (4.0, 4.0),
+    }
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting changes only the physical distribution: the salted join
+    must return exactly the plain join's multiset, including left rows
+    duplicated per matching right row and (for how='left') unmatched
+    left rows."""
+    from xetl_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (2, "W")], "k int, rv string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, ["k"], how=how).collect())
+        )
+        want = sorted(map(tuple, left.join(right, ["k"], how).collect()))
+        assert got == want, how
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every inserted key must probe present; FP rate over a disjoint
+    probe set stays within ~2x of the analytic (1-e^{-kn/m})^k."""
+    import math
+
+    from xetl_spark.operators.sketch import bloom_build, bloom_probe
+
+    n, k, m = 500, 7, 1 << 14
+    present = spark.range(n).selectExpr("id AS key")
+    absent = spark.range(10_000, 12_000).selectExpr("id AS key")
+    sk = bloom_build(present, "key", num_hashes=k, num_bits=m)
+    hits = bloom_probe(sk, present, "key", num_hashes=k, num_bits=m)
+    assert hits.filter("NOT maybe_present").count() == 0
+    fp = bloom_probe(sk, absent, "key", num_hashes=k, num_bits=m)
+    rate = fp.filter("maybe_present").count() / 2_000
+    analytic = (1 - math.exp(-k * n / m)) ** k
+    assert rate <= max(2 * analytic, 0.01), (rate, analytic)
+
+
+def test_bloom_merge_distributivity(spark):
+    """bloom(A ∪ B) == merge(bloom(A), bloom(B)) exactly (bit-set
+    union), and the merged filter answers membership for both halves."""
+    from xetl_spark.operators.sketch import bloom_build, bloom_merge, bloom_probe
+
+    a = spark.range(0, 300).selectExpr("id AS key")
+    b = spark.range(300, 600).selectExpr("id AS key")
+    both = a.unionByName(b)
+    k, m = 5, 1 << 13
+    merged = bloom_merge(
+        bloom_build(a, "key", k, m), bloom_build(b, "key", k, m)
+    )
+    direct = bloom_build(both, "key", k, m)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    assert (
+        bloom_probe(merged, both, "key", k, m).filter("NOT maybe_present").count()
+        == 0
+    )

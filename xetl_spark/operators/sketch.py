@@ -72,3 +72,60 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, num_hashes: int = 7, num_bits: int = 1 << 16
+) -> DataFrame:
+    """Mergeable Bloom filter, represented relationally as the set of
+    set bit positions: one row per distinct (bit,) — at most
+    ``num_bits`` rows regardless of corpus size.
+
+    Like the CMS, the distributed build IS the merge: each partition
+    contributes its distinct bits and the shuffle unions them (set
+    union is the Bloom merge operator), so sharded corpora and stream
+    batches can be sketched independently and OR-ed. Guarantees: no
+    false negatives ever; false-positive rate ≈ (1-e^{-kn/m})^k for k
+    hashes / m bits / n distinct keys. Hashing is xxhash64(key, seed) —
+    deterministic, reproducible run-over-run.
+    """
+    bits = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two filters of identical (num_hashes, num_bits): bit-set union.
+    bloom(A ∪ B) == merge(bloom(A), bloom(B)) exactly."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_hashes: int = 7,
+    num_bits: int = 1 << 16,
+) -> DataFrame:
+    """Membership-test a batch of keys: present iff all ``num_hashes``
+    probe bits are set. The sketch is ≤ num_bits rows → broadcast
+    join; the probe side streams. Returns (key_col, maybe_present) —
+    false means definitely absent; true means present-or-collision.
+    """
+    bits = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+    probes = keys.select(key_col, F.explode(bits).alias("bit"))
+    hit = F.when(F.col("__hit").isNull(), 0).otherwise(1)
+    return (
+        probes.join(F.broadcast(sketch.withColumn("__hit", F.lit(1))), ["bit"], "left")
+        .groupBy(key_col)
+        .agg((F.sum(hit) == F.lit(num_hashes)).alias("maybe_present"))
+    )

@@ -74,3 +74,72 @@ def resample_ffill(
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    unit: str = "hour",
+    agg: Column | None = None,
+) -> DataFrame:
+    """Resample onto a per-``unit`` grid per key, linearly interpolating
+    buckets with no observations from the surrounding observed buckets.
+
+    Returns (key, bucket, v, v_interp): ``v`` as in :func:`resample_ffill`;
+    ``v_interp`` is time-weighted between the last observed bucket at or
+    before and the first at or after (falling back to the nearest single
+    side at the edges). Same plan skeleton as resample_ffill — spine +
+    left join — plus two window passes over the *same* (key, bucket)
+    sort, so Catalyst plans one extra sort-free window, not a new
+    shuffle. All arithmetic is double-precision on epoch seconds with a
+    fixed evaluation order so results are bit-reproducible across
+    engines.
+    """
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_INTERVAL)}")
+    step = _UNIT_INTERVAL[unit]
+    agg = agg if agg is not None else F.round(F.sum(value_col), 2)
+
+    b = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+    ).agg(agg.alias("v"))
+    spine = (
+        b.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "key",
+            F.explode(F.sequence("lo", "hi", F.expr(step))).alias("bucket"),
+        )
+    )
+    grid = spine.join(b, ["key", "bucket"], "left")
+    order = Window.partitionBy("key").orderBy("bucket")
+    w_prev = order.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = order.rowsBetween(0, Window.unboundedFollowing)
+    obs = F.when(
+        F.col("v").isNotNull(),
+        F.struct(F.col("bucket").cast("double").alias("t"), F.col("v").alias("val")),
+    )
+    with_ends = grid.select(
+        "key",
+        "bucket",
+        "v",
+        F.col("bucket").cast("double").alias("t"),
+        F.last(obs, ignorenulls=True).over(w_prev).alias("p"),
+        F.first(obs, ignorenulls=True).over(w_next).alias("n"),
+    )
+    interp = F.col("p.val") + (F.col("n.val") - F.col("p.val")) * (
+        (F.col("t") - F.col("p.t")) / (F.col("n.t") - F.col("p.t"))
+    )
+    return with_ends.select(
+        "key",
+        "bucket",
+        "v",
+        F.when(F.col("p").isNull(), F.col("n.val"))
+        .when(F.col("n").isNull(), F.col("p.val"))
+        .when(F.col("n.t") > F.col("p.t"), interp)
+        .otherwise(F.col("p.val"))
+        .alias("v_interp"),
+    )

@@ -479,3 +479,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 10 == 0, "X").otherwise(F.col("o_orderstatus")),
     )
     return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT s_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/relational.py salted_join):
+    each left key is spread over 16 shuffle buckets via a
+    deterministic row-hash salt and the small right side is replicated
+    across the buckets, so one pathological hot key can no longer pin
+    a single reducer. Results are exactly the plain equi-join (the
+    oracle), which is the point: salting changes the physical
+    distribution only. At 100 TB this is the manual fallback when
+    AQE's skew split can't help (one key > a partition by itself)."""
+    from xetl_spark.operators.relational import salted_join
+
+    lineitem, supplier = load(spark, sf_dir, "lineitem", "supplier")
+    left = lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+    right = supplier.select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(left, right, on=["l_suppkey"], salt_buckets=16)
+    return joined.groupBy("s_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )

@@ -829,3 +829,73 @@ def q_agg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """,
     )
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           count(*) - count(o_orderkey) AS null_count,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (data-quality discovery): null count, exact
+    distinct count, and min/max per column, emitted one row per column.
+
+    One wide aggregation over the table (Catalyst expands the multiple
+    exact count-distincts into a single multi-pass aggregate — still no
+    driver involvement, no per-column rescans of the parquet), then an
+    unpivot to rows. Doubles are canonicalized to DECIMAL(18,2) strings
+    so both engines render identically."""
+    (orders,) = load(spark, sf_dir, "orders")
+
+    def prof(col: str, render):
+        return [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            render(F.min(col)).alias(f"{col}__min"),
+            render(F.max(col)).alias(f"{col}__max"),
+        ]
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_dec = lambda c: c.cast("decimal(18,2)").cast("string")  # noqa: E731
+    cols = {
+        "o_orderkey": as_str,
+        "o_custkey": as_str,
+        "o_orderstatus": as_str,
+        "o_totalprice": as_dec,
+        "o_orderpriority": as_str,
+    }
+    wide = orders.agg(*[e for c, r in cols.items() for e in prof(c, r)])
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, null_count, n_distinct, min_s, max_s)"
+    )

@@ -410,3 +410,72 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, users, "user_id", depth=4, width=2048).select(
         "user_id", "est"
     )
+
+
+@query(
+    "q_ts_interpolate_linear",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT key, unnest(generate_series(min(bucket), max(bucket),
+                                         INTERVAL 1 HOUR)) AS bucket
+      FROM b GROUP BY key
+    ), g AS (
+      SELECT s.key, s.bucket, b.v, epoch(s.bucket) AS t,
+             last_value(CASE WHEN b.v IS NOT NULL THEN
+                 struct_pack(t := epoch(s.bucket), val := b.v) END
+               IGNORE NULLS) OVER
+               (PARTITION BY s.key ORDER BY s.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             first_value(CASE WHEN b.v IS NOT NULL THEN
+                 struct_pack(t := epoch(s.bucket), val := b.v) END
+               IGNORE NULLS) OVER
+               (PARTITION BY s.key ORDER BY s.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM spine s LEFT JOIN b ON s.key = b.key AND s.bucket = b.bucket
+    )
+    SELECT key, epoch_us(bucket) AS bucket_us, v,
+           CASE WHEN p IS NULL THEN n.val
+                WHEN n IS NULL THEN p.val
+                WHEN n.t > p.t THEN
+                  p.val + (n.val - p.val) * ((t - p.t) / (n.t - p.t))
+                ELSE p.val END AS v_interp
+    FROM g
+    """,
+)
+def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling by linear interpolation: hourly per-user sums on each
+    user's own hourly grid, missing buckets time-weighted between the
+    surrounding observed buckets (operators/timeseries.py
+    interpolate_linear — spine join + two windows over one sort, no
+    UDFs). Double arithmetic on epoch seconds with a fixed evaluation
+    order, so the DuckDB oracle reproduces the values bit-for-bit."""
+    from xetl_spark.operators.timeseries import interpolate_linear
+
+    (events,) = load(spark, sf_dir, "events")
+    out = interpolate_linear(events, "ts", "user_id", "value", unit="hour")
+    return out.select(
+        "key", F.unix_micros("bucket").alias("bucket_us"), "v", "v_interp"
+    )
+
+
+@query("q_sketch_bloom_membership")
+def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators/sketch.py bloom_*): sketch the
+    set of customers that placed orders as a ≤ num_bits bit-set table
+    (distinct-union build — the shuffle IS the merge), broadcast it,
+    and probe every customer key. No false negatives by construction;
+    FP rate and merge-distributivity are property-tested in
+    tests/test_operators.py. The big-data use is semi-join pruning: a
+    100 TB fact scan can drop rows whose key is definitely absent
+    before any shuffle, at the cost of a few KB broadcast."""
+    from xetl_spark.operators.sketch import bloom_build, bloom_probe
+
+    orders, customer = load(spark, sf_dir, "orders", "customer")
+    sk = bloom_build(orders, "o_custkey", num_hashes=7, num_bits=1 << 16)
+    return bloom_probe(
+        sk, customer.select("c_custkey"), "c_custkey", num_hashes=7, num_bits=1 << 16
+    )
