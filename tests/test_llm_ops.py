@@ -500,3 +500,26 @@ def test_pq_rejects_indivisible_subspaces(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(emb, "embedding", m=7)
+
+
+def test_line_dedup_keeps_global_first_occurrence(spark):
+    """A line shared by two docs survives only in the earlier doc;
+    within-doc repeats keep only the first position; docs made entirely
+    of already-seen lines stay as empty rows."""
+    from xetl_spark.operators.text import line_dedup
+
+    rows = [
+        (1, "a b c d"),          # lines (2-token): "a b", "c d"
+        (2, "a b x y a b"),      # "a b" dup of doc1; "a b" again at pos 2
+        (3, "c d a b"),          # all lines already seen
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.kept_lines, r.new_text)
+        for r in line_dedup(df, "text", "doc_id", line_tokens=2).collect()
+    }
+    assert got == {
+        1: (2, 2, "a b c d"),
+        2: (3, 1, "x y"),
+        3: (2, 0, ""),
+    }

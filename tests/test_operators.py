@@ -538,3 +538,22 @@ def test_bloom_merge_distributivity(spark):
         bloom_probe(merged, both, "key", k, m).filter("NOT maybe_present").count()
         == 0
     )
+
+
+def test_ewma_hand_series(spark):
+    """Half-life-one EWMA over observed buckets: weights 2^-j on the
+    j-th newest; [10, 20, 40] folds to (10*0.25+20*0.5+40*1)/1.75."""
+    from xetl_spark.operators.timeseries import ewma
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 01:10:00", 20.0),
+        (1, "2024-01-01 02:10:00", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = ewma(df, "ts", "user_id", "value", unit="hour", window=12)
+    got = {str(r.bucket): r.ewma_v for r in out.collect()}
+    assert got["2024-01-01 00:00:00"] == 10.0
+    assert abs(got["2024-01-01 01:00:00"] - (10 * 0.5 + 20) / 1.5) < 1e-12
+    assert abs(got["2024-01-01 02:00:00"] - 30.0) < 1e-12

@@ -368,3 +368,64 @@ def edit_distance_join(
         .withColumn("dist", F.levenshtein(f"{str_col}_a", f"{str_col}_b"))
         .filter(F.col("dist") <= max_distance)
     )
+
+
+def line_dedup(df, text_col: str, id_col: str, line_tokens: int = 16):
+    """Corpus-level exact line deduplication (the C4/RefinedWeb recipe):
+    split every document into fixed ``line_tokens``-token lines, keep
+    only the globally FIRST occurrence of each distinct line (ordered
+    by (doc id, line position)), and reassemble the surviving lines in
+    document order.
+
+    Plan shape: one narrow chunking pass (sequence → transform →
+    posexplode, no shuffle), one shuffle keyed on the line text for the
+    first-occurrence window — uniform unless the corpus is one repeated
+    line, in which case AQE's skew split applies — and one doc-keyed
+    shuffle to reassemble. No driver state, no collects; line-keyed
+    state is the dedup's working set, exactly how a 100 TB corpus pass
+    has to be keyed.
+
+    Returns (doc id, n_lines, kept_lines, new_text) with one row per
+    input document (documents whose every line lost dedup keep a row
+    with kept_lines = 0 and new_text = '').
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(line_tokens)
+    )
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(toks, s + 1, line_tokens))
+        ).alias("__pos", "__lt"),
+    ).select("__doc", "__pos", F.concat_ws(" ", "__lt").alias("__line"))
+    first = Window.partitionBy("__line").orderBy("__doc", "__pos")
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(first))
+        .withColumn("__keep", F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy("__doc")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("__keep").cast("long")).alias("kept_lines"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["__line"],
+                ),
+            ).alias("new_text"),
+        )
+        .withColumnRenamed("__doc", id_col)
+    )

@@ -143,3 +143,53 @@ def interpolate_linear(
         .otherwise(F.col("p.val"))
         .alias("v_interp"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    unit: str = "hour",
+    window: int = 12,
+) -> DataFrame:
+    """Exponentially-weighted moving average over the last ``window``
+    observed buckets per key (half-life = one bucket, so the j-th
+    newest bucket weighs 2^-j).
+
+    EWMA looks inherently sequential (y_t = αx_t + (1-α)y_{t-1}) but a
+    finite-window form is pure relational algebra: one bucket
+    aggregation, then a single (key, bucket) window collecting the
+    frame into an array and folding it with higher-order functions —
+    no UDFs, no per-key iteration, one shuffle total. Weights 2^-j are
+    exact binary powers and the fold order is fixed (strict left
+    fold), so results are bit-reproducible across engines.
+
+    Returns (key, bucket, v, ewma_v).
+    """
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_INTERVAL)}")
+
+    b = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+    ).agg(F.round(F.sum(value_col), 2).alias("v"))
+    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(-(window - 1), 0)
+    vals = F.collect_list("v").over(w)
+    with_frame = b.select("key", "bucket", "v", vals.alias("__vals"))
+    n = F.size(F.col("__vals"))
+    weighted = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(F.col("__vals"), i)
+        * F.pow(F.lit(0.5), (n - i).cast("double")),
+    )
+    weights = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pow(F.lit(0.5), (n - i).cast("double")),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return with_frame.select(
+        "key", "bucket", "v", (fold(weighted) / fold(weights)).alias("ewma_v")
+    )

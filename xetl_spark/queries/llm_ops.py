@@ -1357,3 +1357,36 @@ def q_multimodal_activity_segments(spark: SparkSession, sf_dir: str) -> DataFram
         pd.DataFrame(rows, columns=["doc_id", "media"]), "doc_id long, media binary"
     )
     return activity_segments(df, window_ms=100, rms_threshold=500.0)
+
+
+@query(
+    "q_text_line_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKENS} AS t FROM documents),
+    lines AS (
+      SELECT doc_id, CAST(s // 16 AS INT) AS pos,
+             array_to_string(t[s+1 : s+16], ' ') AS line
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t), 1), 16)) AS s FROM toks)
+    ),
+    k AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM lines
+    )
+    SELECT doc_id, count(*) AS n_lines,
+           CAST(count_if(keep) AS BIGINT) AS kept_lines,
+           coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                               ORDER BY pos), '') AS new_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (C4/RefinedWeb recipe,
+    operators/text.py line_dedup): fixed 16-token lines, globally-first
+    occurrence survives, documents reassembled in line order. One
+    line-keyed shuffle for the first-occurrence window + one doc-keyed
+    reassembly — the canonical whole-corpus text-cleaning pass."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return text.line_dedup(docs, "text", "doc_id", line_tokens=16)

@@ -479,3 +479,42 @@ def q_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(
         sk, customer.select("c_custkey"), "c_custkey", num_hashes=7, num_bits=1 << 16
     )
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), f AS (
+      SELECT key, bucket, v,
+             list(v) OVER (PARTITION BY key ORDER BY bucket
+                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS l
+      FROM b
+    )
+    SELECT key, epoch_us(bucket) AS bucket_us, v,
+           list_reduce(list_transform(range(1, len(l)+1),
+               i -> l[i] * power(0.5, CAST(len(l) - i AS DOUBLE))),
+               (a, x) -> a + x)
+           / list_reduce(list_transform(range(1, len(l)+1),
+               i -> power(0.5, CAST(len(l) - i AS DOUBLE))),
+               (a, x) -> a + x) AS ewma_v
+    FROM f
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life = one hourly
+    bucket, 12-bucket window) per user
+    (operators/timeseries.py ewma). The 'sequential' recurrence becomes
+    one window collect + higher-order fold — single shuffle, no UDFs;
+    weights are exact binary powers and the fold order is strict-left
+    on both engines, so the DuckDB oracle matches bit-for-bit."""
+    from xetl_spark.operators.timeseries import ewma
+
+    (events,) = load(spark, sf_dir, "events")
+    out = ewma(events, "ts", "user_id", "value", unit="hour", window=12)
+    return out.select(
+        "key", F.unix_micros("bucket").alias("bucket_us"), "v", "ewma_v"
+    )
