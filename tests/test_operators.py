@@ -557,3 +557,35 @@ def test_ewma_hand_series(spark):
     assert got["2024-01-01 00:00:00"] == 10.0
     assert abs(got["2024-01-01 01:00:00"] - (10 * 0.5 + 20) / 1.5) < 1e-12
     assert abs(got["2024-01-01 02:00:00"] - 30.0) < 1e-12
+
+
+def test_sliding_distinct_hll_accuracy(spark, sf_dir):
+    """The HLL trailing-24h distinct estimate must track the exact
+    trailing-window distinct (range self-join) within 2% on the events
+    fixture, and the per-bucket frame must be a true time RANGE (gaps
+    in the hour sequence don't stretch the window)."""
+    import xetl_spark.queries as Q
+
+    est = {
+        r.bucket_us: r.approx_users_24h
+        for r in Q.REGISTRY["q_stream_sliding_distinct_hll"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    (events,) = Q.load(spark, sf_dir, "events")
+    ex = events.selectExpr(
+        "unix_timestamp(date_trunc('hour', ts)) AS b", "user_id"
+    ).distinct()
+    buckets = ex.selectExpr("b AS bb").distinct()
+    exact = {
+        r.bb * 1_000_000: r.exact
+        for r in buckets.join(
+            ex, (F.col("b") <= F.col("bb")) & (F.col("b") > F.col("bb") - 24 * 3600)
+        )
+        .groupBy("bb")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.02 * e), (k, est[k], e)

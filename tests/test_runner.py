@@ -381,6 +381,32 @@ def test_near_dedup_task(spark, tmp_path):
     assert kept == [0, 20]  # 0,1,2,10 collapse to representative 0
 
 
+def test_line_dedup_task(spark, tmp_path):
+    """Declarative line-dedup stage: a line shared across docs survives
+    only in the earliest doc, rewritten text replaces the text column,
+    and fully-duplicated docs are dropped (DROP_EMPTY default)."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta epsilon zeta"),   # first line dups doc 1
+        (3, "alpha beta gamma delta"),    # entirely duplicated
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    job = _job(
+        f"""
+        name: ld
+        commands:
+          - {{name: docs, task: read_parquet, env: {{PATH: {src}}}}}
+          - {{name: clean, task: line_dedup, env: {{LINE_TOKENS: 2}}}}
+        """
+    )
+    results = run_job(spark, job)
+    got = {r.doc_id: (r.text, r.kept_lines) for r in results[-1].output.collect()}
+    assert got == {1: ("alpha beta gamma delta", 2), 2: ("epsilon zeta", 1)}
+
+
 def test_stage_dependencies_default_is_sequential(spark):
     """Without DEPENDS_ON, the edge set reproduces the reference's
     strictly-sequential chain (job.py:203-207)."""
@@ -779,9 +805,9 @@ def test_parallel_scheduler_parity_random_dags(spark, seed):
 
 
 def test_example_llm_prep_manifest(spark, monkeypatch, tmp_path):
-    """The shipped LLM-prep example (scan → gate → redact → dedup →
-    near-dedup → mix → pack → chunk → summary → sink) runs green end
-    to end on sf0.001 and its sink round-trips."""
+    """The shipped LLM-prep example (scan → gate → redact → line-dedup
+    → dedup → near-dedup → mix → pack → chunk → summary → sink) runs
+    green end to end on sf0.001 and its sink round-trips."""
     monkeypatch.setenv("OUT_DIR", str(tmp_path / "llm_out"))
     job = Job.from_file("/root/repo/examples/llm_prep.yml")
     results = run_job(spark, job)

@@ -339,6 +339,39 @@ def near_dedup(ctx: StageContext):
 
 
 @task(
+    "line_dedup",
+    "Corpus-level exact line dedup (C4/RefinedWeb recipe): fixed-token "
+    "lines, globally-first occurrence survives, text rewritten in place",
+    env={
+        "TEXT_COL": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "LINE_TOKENS": {"description": "tokens per line", "type": "int", "default": 16},
+        "DROP_EMPTY": {
+            "description": "drop docs whose every line lost dedup",
+            "type": "bool",
+            "default": True,
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def line_dedup_task(ctx: StageContext):
+    from xetl_spark.operators.text import line_dedup
+
+    df = ctx.input_df()
+    text_col = str(ctx.env["TEXT_COL"])
+    id_col = str(ctx.env["ID_COL"])
+    deduped = line_dedup(df, text_col, id_col, line_tokens=int(ctx.env["LINE_TOKENS"]))  # type: ignore[arg-type]
+    if ctx.env["DROP_EMPTY"]:
+        deduped = deduped.filter(F.col("kept_lines") > 0)
+    out = df.drop(text_col).join(
+        deduped.select(id_col, F.col("new_text").alias(text_col), "kept_lines"),
+        on=id_col,
+        how="inner",
+    )
+    return out
+
+
+@task(
     "redact",
     "Redact PII (emails / phone numbers / IPv4) in a text column",
     env={

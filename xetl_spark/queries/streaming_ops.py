@@ -518,3 +518,34 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", F.unix_micros("bucket").alias("bucket_us"), "v", "ewma_v"
     )
+
+
+@query("q_stream_sliding_distinct_hll")
+def q_stream_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per hour, the mergeable-sketch way:
+    one HLL sketch per hourly bucket (hll_sketch_agg), then
+    hll_union_agg over a RANGE frame of the preceding 24 hours. Exact
+    sliding distinct is the textbook non-scalable op (re-counting every
+    window from raw rows); sketch-union makes the window pass O(hours ×
+    sketch size) after a single scan-side aggregation — the same
+    mergeability that lets 1000 executors sketch shards independently.
+    Estimates are deterministic (no RNG) and within ~1% at lgK=14;
+    accuracy vs exact is pinned in tests/test_operators.py."""
+    (events,) = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("bucket"))
+        .rangeBetween(-23 * 3600, 0)
+    )
+    return hourly.select(
+        F.unix_micros("bucket").alias("bucket_us"),
+        "n_events",
+        F.hll_sketch_estimate(F.expr("hll_union_agg(sk)").over(w)).alias(
+            "approx_users_24h"
+        ),
+    )
