@@ -549,3 +549,60 @@ def q_stream_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame
             "approx_users_24h"
         ),
     )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.click_id, c.click_ts_us
+    FROM purchases p LEFT JOIN LATERAL (
+      SELECT event_id AS click_id, epoch_us(ts) AS click_ts_us
+      FROM clicks c
+      WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        AND epoch(p.ts) - epoch(c.ts) <= 604800.0
+      ORDER BY c.ts DESC LIMIT 1
+    ) c ON TRUE
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: each purchase is credited to
+    the user's most recent click within a 7-day lookback — the as-of
+    join (operators/asof.py) wearing its other hat. One shuffle on
+    user_id + one per-partition sort, the sort-merge cost shape; no
+    per-user history ever materializes in Python."""
+    from xetl_spark.operators import asof_join
+
+    (events,) = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        right_payload=["click_id", "click_ts_us"],
+        direction="backward",
+        tolerance=604800.0,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.col("click_id_asof").alias("click_id"),
+        F.col("click_ts_us_asof").alias("click_ts_us"),
+    )
