@@ -514,3 +514,80 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram via ntile: every bucket holds
+    ~n/10 rows, bucket edges are the observed deciles. The global
+    ORDER BY carries a full tiebreaker (o_orderkey) so bucket
+    assignment is engine-independent. The 100 TB note: a global ntile
+    is a single-reducer sort; at scale the same result comes from
+    approx_percentile edges + a broadcast bucket join — this query
+    pins the exact semantics the approximation targets."""
+    (orders,) = load(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q_basket_frequent_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least 2 orders — the frequent-itemset building block. Per-order
+    pair expansion is an order-keyed self-join with the a<b canonical
+    orientation (half the pairs, no dedup pass); TPC-H baskets are ≤7
+    items so the blowup is bounded ~k² per order, and the pair count
+    aggregates with map-side partials. At 100 TB the same shape holds;
+    a support-threshold pre-prune (drop parts below min support before
+    pairing — the A-Priori step) bolts on as one extra semi-join."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
