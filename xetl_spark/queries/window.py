@@ -212,3 +212,42 @@ def q_win_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
     )
+
+
+@query(
+    "q_win_moving_median",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           median(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med3
+    FROM orders
+    """,
+)
+def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a 3-row trailing frame per customer — an
+    order-statistic window aggregate (not a running sum), the robust
+    smoother for noisy per-entity series. Spark bars `median` from
+    framed windows (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    frame is collected (O(frame)=3 values, not O(partition)) and the
+    order statistic computed with array expressions: odd count takes
+    the middle, even interpolates (a+b)/2 — exactly DuckDB's
+    median-on-DOUBLE, so raw values hash-match."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    s = F.array_sort(F.collect_list("o_totalprice").over(w))
+    n = F.size(s)
+    mid = ((n + 1) / 2).cast("int")  # floor for positive n
+    half = (n / 2).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(s, mid)).otherwise(
+        (F.element_at(s, half) + F.element_at(s, half + 1)) / 2.0
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        med.alias("med3"),
+    )
