@@ -167,3 +167,34 @@ def test_triangle_count_matches_naive_on_random_graph(spark):
     got = {r.v: r.triangles for r in triangle_count(
         spark.createDataFrame(edges, "src long, dst long")).collect()}
     assert got == expected
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge settle into exactly two
+    communities (one per clique), deterministically."""
+    from xetl_spark.operators.graph import label_propagation
+
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i + 10, j + 10) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(k4a + k4b + [(3, 10)], "src int, dst int")
+    got = {r.node: r.community for r in label_propagation(edges, max_iter=8).collect()}
+    assert set(got) == set(range(4)) | set(range(10, 14))
+    assert len({got[i] for i in range(4)}) == 1
+    assert len({got[i] for i in range(10, 14)}) == 1
+    assert got[0] != got[10]
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    """Same labels regardless of input partitioning (the tie-break is
+    total, so no run-to-run or layout dependence)."""
+    from xetl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 9) for i in range(9)] + [(0, 4), (2, 7)],
+        "src int, dst int",
+    )
+    a = sorted(map(tuple, label_propagation(edges, max_iter=6).collect()))
+    b = sorted(
+        map(tuple, label_propagation(edges.repartition(13), max_iter=6).collect())
+    )
+    assert a == b

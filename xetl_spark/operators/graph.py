@@ -231,3 +231,67 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("v")
         .agg(F.count("*").alias("triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over
+    undirected edges → (node, community).
+
+    Each round every node adopts the most frequent label among its
+    neighbors, breaking count ties toward the smaller label — a fully
+    deterministic variant of LPA (classic LPA breaks ties randomly,
+    which would make results partitioning-dependent). Per round: one
+    join (labels → edges) + one (node, label) count + one arg-max
+    aggregation — all keyed shuffles over O(edges) rows, the same
+    iterative discipline as connected_components/pagerank
+    (localCheckpoint lineage cuts, aggregate-only convergence check).
+    Synchronous updates can oscillate on bipartite structures, so the
+    loop is capped at ``max_iter`` and also stops at a fixed point.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        freq = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # arg-max with deterministic ties: min over (-count, label)
+        # works for labels of any orderable type (node ids may be strings)
+        best = freq.groupBy("a").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))).alias("top")
+        )
+        new_labels = (
+            labels.join(best, labels.node == best.a, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("top.lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("community"))

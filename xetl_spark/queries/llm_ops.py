@@ -1390,3 +1390,31 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly — the canonical whole-corpus text-cleaning pass."""
     (docs,) = load(spark, sf_dir, "documents")
     return text.line_dedup(docs, "text", "doc_id", line_tokens=16)
+
+
+@query("q_graph_label_propagation", oracle=None)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (deterministic label propagation,
+    operators/graph.py) over the supplier→customer fulfillment graph:
+    per-round join + count + arg-max keyed shuffles, tie-broken toward
+    the smaller label so results are partitioning-independent. Returns
+    community sizes (top 50); structure properties pinned in
+    tests/test_graph.py."""
+    from xetl_spark.operators.graph import label_propagation
+
+    li, orders = load(spark, sf_dir, "lineitem", "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), "l_suppkey").alias("src"),
+            F.concat(F.lit("c"), "o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    comm = label_propagation(edges, max_iter=5)
+    return (
+        comm.groupBy("community")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("community"))
+        .limit(50)
+    )
