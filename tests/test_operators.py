@@ -589,3 +589,25 @@ def test_sliding_distinct_hll_accuracy(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(2, 0.02 * e), (k, est[k], e)
+
+
+def test_weighted_sample_properties(spark):
+    """Inclusion tracks the weight (rate within binomial noise per
+    weight class), weight 0 excludes, weight >= scale always includes,
+    and the draw is stable across partitionings."""
+    from xetl_spark.operators import weighted_sample
+
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(CASE WHEN id % 4 = 0 THEN 0 WHEN id % 4 = 1 THEN 250 "
+        "WHEN id % 4 = 2 THEN 750 ELSE 1500 END AS BIGINT) AS w"
+    )
+    out = weighted_sample(df, "w", ["id"], scale=1000)
+    got = out.groupBy("w").count().collect()
+    by_w = {r.w: r["count"] for r in got}
+    assert 0 not in by_w                       # p=0 never sampled
+    assert by_w[1500] == 1000                  # p=1 keeps all
+    assert abs(by_w[250] - 250) < 80           # p=0.25 of 1000
+    assert abs(by_w[750] - 750) < 80           # p=0.75 of 1000
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in weighted_sample(df.repartition(17), "w", ["id"], 1000).collect())
+    assert a == b

@@ -11,13 +11,19 @@ from xetl_spark.operators.relational import (  # noqa: F401
     salted_join,
     sessionize,
     topk_per_group,
+    weighted_sample,
 )
 from xetl_spark.operators.graph import (  # noqa: F401
     connected_components,
     dedup_clusters,
+    label_propagation,
     pagerank,
 )
-from xetl_spark.operators.timeseries import resample_ffill  # noqa: F401
+from xetl_spark.operators.timeseries import (  # noqa: F401
+    ewma,
+    interpolate_linear,
+    resample_ffill,
+)
 from xetl_spark.operators.cdc import (  # noqa: F401
     latest_snapshot,
     merge_upsert,

@@ -75,6 +75,31 @@ def deterministic_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame, weight_col: str, key_cols: Sequence[str], scale: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability min(1, weight/scale), decided by md5(key) — importance
+    sampling (e.g. quality- or length-weighted corpus selection) that
+    is reproducible across runs, partitionings, and engines.
+
+    The inclusion test is pure 64-bit integer arithmetic
+    (hash32 · scale < weight · 2³²), so a SQL oracle reproduces it
+    bit-for-bit — no float thresholds that could flip rows at ties.
+    Pushes down as a plain filter over a scan: no shuffle, no RNG
+    state, trivially correct under retries/speculative execution
+    (the same row always draws the same coin).
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return df.filter(
+        h * F.lit(int(scale))
+        < F.col(weight_col).cast("bigint") * F.lit(1 << 32)
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_cols: Sequence[str],

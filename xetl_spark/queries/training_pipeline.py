@@ -274,3 +274,27 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("tok").alias("bin_tokens")
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars, source FROM documents
+    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * 4000
+          < n_chars * 4294967296
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sampling (importance sampling): each doc
+    is kept with probability min(1, n_chars/4000), decided by a pure
+    integer test on md5(doc_id) (operators/relational.py
+    weighted_sample) — reproducible across runs, partitionings, and
+    engines, and pushed down as a plain scan filter (no shuffle, no
+    RNG state, retry-safe)."""
+    from xetl_spark.operators import weighted_sample
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", ["doc_id"], scale=4000).select(
+        "doc_id", "n_chars", "source"
+    )
