@@ -531,3 +531,167 @@ def test_random_tables_differential_pivot_and_decimal(spark, con, seed):
         want = con.execute(sql).fetchdf()
         assert len(got) == len(want), (name, len(got), len(want))
         assert canonical_hash(got) == canonical_hash(want), name
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_random_tables_differential_timeseries_ops(spark, con, seed):
+    """The round-4 operators (linear interpolation, EWMA, moving
+    median, weighted sampling, corpus line dedup) hash-match DuckDB on
+    seeded random tables — not just the driver fixtures."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators import weighted_sample
+    from xetl_spark.operators.text import line_dedup
+    from xetl_spark.operators.timeseries import ewma, interpolate_linear
+
+    rng = np.random.default_rng(seed)
+    n = 2000
+    ev_pd = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 25, size=n).astype(np.int64),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(
+                np.sort(rng.integers(0, 21 * 24 * 3600, size=n)), unit="s"
+            ),
+            "v": np.round(rng.uniform(1, 500, size=n), 2),
+            "w": rng.integers(0, 3000, size=n).astype(np.int64),
+        }
+    )
+    # words drawn from a tiny vocab so duplicate lines actually occur
+    vocab = np.array(["ax", "by", "cz", "dw", "ev", "fu"])
+    docs_pd = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.integers(2, 9)))
+                for _ in range(300)
+            ],
+        }
+    )
+    ev = spark.createDataFrame(ev_pd)
+    docs = spark.createDataFrame(docs_pd)
+    con.register("ev", ev_pd)
+    con.register("docs", docs_pd)
+
+    interp = interpolate_linear(ev, "ts", "key", "v", unit="hour").select(
+        "key", F.unix_micros("bucket").alias("bu"), "v", "v_interp"
+    )
+    interp_sql = """
+    WITH b AS (
+      SELECT key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             round(sum(v), 2) AS v
+      FROM ev GROUP BY 1, 2
+    ), spine AS (
+      SELECT key, unnest(generate_series(min(bucket), max(bucket),
+                                         INTERVAL 1 HOUR)) AS bucket
+      FROM b GROUP BY key
+    ), g AS (
+      SELECT s.key, s.bucket, b.v, epoch(s.bucket) AS t,
+             last_value(CASE WHEN b.v IS NOT NULL THEN
+                 struct_pack(t := epoch(s.bucket), val := b.v) END
+               IGNORE NULLS) OVER
+               (PARTITION BY s.key ORDER BY s.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             first_value(CASE WHEN b.v IS NOT NULL THEN
+                 struct_pack(t := epoch(s.bucket), val := b.v) END
+               IGNORE NULLS) OVER
+               (PARTITION BY s.key ORDER BY s.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM spine s LEFT JOIN b ON s.key = b.key AND s.bucket = b.bucket
+    )
+    SELECT key, epoch_us(bucket) AS bu, v,
+           CASE WHEN p IS NULL THEN n.val
+                WHEN n IS NULL THEN p.val
+                WHEN n.t > p.t THEN
+                  p.val + (n.val - p.val) * ((t - p.t) / (n.t - p.t))
+                ELSE p.val END AS v_interp
+    FROM g
+    """
+
+    ew = ewma(ev, "ts", "key", "v", unit="hour", window=8).select(
+        "key", F.unix_micros("bucket").alias("bu"), "v", "ewma_v"
+    )
+    ew_sql = """
+    WITH b AS (
+      SELECT key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             round(sum(v), 2) AS v
+      FROM ev GROUP BY 1, 2
+    ), f AS (
+      SELECT key, bucket, v,
+             list(v) OVER (PARTITION BY key ORDER BY bucket
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+      FROM b
+    )
+    SELECT key, epoch_us(bucket) AS bu, v,
+           list_reduce(list_transform(range(1, len(l)+1),
+               i -> l[i] * power(0.5, CAST(len(l) - i AS DOUBLE))),
+               (a, x) -> a + x)
+           / list_reduce(list_transform(range(1, len(l)+1),
+               i -> power(0.5, CAST(len(l) - i AS DOUBLE))),
+               (a, x) -> a + x) AS ewma_v
+    FROM f
+    """
+
+    wmed = Window.partitionBy("key").orderBy("ts", "eid").rowsBetween(-4, 0)
+    s_arr = F.array_sort(F.collect_list("v").over(wmed))
+    nn = F.size(s_arr)
+    mid = ((nn + 1) / 2).cast("int")
+    half = (nn / 2).cast("int")
+    med = F.when(nn % 2 == 1, F.element_at(s_arr, mid)).otherwise(
+        (F.element_at(s_arr, half) + F.element_at(s_arr, half + 1)) / 2.0
+    )
+    movmed = ev.select("eid", "key", med.alias("m5"))
+    movmed_sql = """
+    SELECT eid, key,
+           median(CAST(v AS DOUBLE)) OVER
+             (PARTITION BY key ORDER BY ts, eid
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m5
+    FROM ev
+    """
+
+    ws = weighted_sample(ev, "w", ["eid"], scale=2000).select("eid", "w")
+    ws_sql = """
+    SELECT eid, w FROM ev
+    WHERE CAST(concat('0x', substring(md5(CAST(eid AS VARCHAR)), 1, 8))
+               AS BIGINT) * 2000 < w * 4294967296
+    """
+
+    ld = line_dedup(docs, "text", "doc_id", line_tokens=2)
+    ld_sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS t
+      FROM docs),
+    lines AS (
+      SELECT doc_id, CAST(s // 2 AS INT) AS pos,
+             array_to_string(t[s+1 : s+2], ' ') AS line
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t), 1), 2)) AS s FROM toks)
+    ),
+    k AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM lines
+    )
+    SELECT doc_id, count(*) AS n_lines,
+           CAST(count_if(keep) AS BIGINT) AS kept_lines,
+           coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                               ORDER BY pos), '') AS new_text
+    FROM k GROUP BY doc_id
+    """
+
+    cases = {
+        "interpolate": (interp, interp_sql),
+        "ewma": (ew, ew_sql),
+        "moving_median": (movmed, movmed_sql),
+        "weighted_sample": (ws, ws_sql),
+        "line_dedup": (ld, ld_sql),
+    }
+    for name, (sdf, sql) in cases.items():
+        got = sdf.toPandas()
+        want = con.sql(sql).df()
+        assert canonical_hash(got) == canonical_hash(want), name
