@@ -728,15 +728,22 @@ def test_compact_and_resample_tasks(spark, tmp_path):
           - name: grid
             task: resample
             env: {{KEY_COL: user_id, VALUE_COL: value}}
+          - name: smooth
+            task: resample
+            env: {{INPUT: reg, KEY_COL: user_id, VALUE_COL: value, METHOD: linear}}
         """
     )
     res = run_job(spark, job)
-    assert [r.status for r in res] == ["success"] * 4
+    assert [r.status for r in res] == ["success"] * 5
     assert len(glob.glob(f"{frag}/part-*.parquet")) < 12  # fewer, larger files
     grid = res[3].output
     assert grid.columns == ["key", "bucket", "v", "v_filled"]
     # forward fill leaves no NULL v_filled after each key's first bucket
     assert grid.filter("v_filled IS NULL").count() == 0
+    smooth = res[4].output
+    assert smooth.columns == ["key", "bucket", "v", "v_interp"]
+    # linear interpolation covers every grid row (edges take a side)
+    assert smooth.filter("v_interp IS NULL").count() == 0
 
 
 @pytest.mark.parametrize("seed", [3, 17, 42, 101])

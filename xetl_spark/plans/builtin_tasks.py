@@ -460,19 +460,25 @@ def compact(ctx: StageContext):
 
 @task(
     "resample",
-    "Resample a time series onto a fixed per-key grid with forward fill",
+    "Resample a time series onto a fixed per-key grid (METHOD: ffill "
+    "forward-fills gaps, linear interpolates them time-weighted)",
     env={
         "TS_COL": {"description": "timestamp column", "type": "string", "default": "ts"},
         "KEY_COL": {"description": "series key column", "type": "string"},
         "VALUE_COL": {"description": "value column (sum per bucket)", "type": "string"},
         "UNIT": {"description": "grid unit: minute|hour|day|week|month", "type": "string", "default": "hour"},
+        "METHOD": {"description": "gap fill: ffill|linear", "type": "string", "default": "ffill"},
         "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
     },
 )
 def resample(ctx: StageContext):
-    from xetl_spark.operators import resample_ffill
+    from xetl_spark.operators import interpolate_linear, resample_ffill
 
-    return resample_ffill(
+    method = str(ctx.env["METHOD"])
+    if method not in ("ffill", "linear"):
+        raise ValueError(f"METHOD must be ffill or linear, got {method!r}")
+    fn = resample_ffill if method == "ffill" else interpolate_linear
+    return fn(
         ctx.input_df(),
         str(ctx.env["TS_COL"]),
         str(ctx.env["KEY_COL"]),
