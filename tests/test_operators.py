@@ -611,3 +611,36 @@ def test_weighted_sample_properties(spark):
     a = sorted(r.id for r in out.collect())
     b = sorted(r.id for r in weighted_sample(df.repartition(17), "w", ["id"], 1000).collect())
     assert a == b
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Catalyst injects a runtime Bloom filter on the fact side of a
+    selective shuffle join (bloom_filter_might_contain in the plan).
+    The size thresholds are lowered because local fixtures sit under
+    the 10MB creation-side default; at production scale the defaults
+    engage on their own — this pins that the engine's join pipeline is
+    inject-capable, the built-in complement of sketch.bloom_probe's
+    explicit semi-join pruning."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        j = li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == orders.o_orderkey,
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan.lower(), plan[:2000]
+        assert j.collect()[0].q is not None  # and it still computes
+    finally:
+        for k in overrides:
+            spark.conf.unset(k)
