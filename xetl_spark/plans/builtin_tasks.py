@@ -263,6 +263,39 @@ def write_json(ctx: StageContext):
 
 
 @task(
+    "read_avro",
+    "Scan Avro container files (pure-Python codec, no spark-avro jar)",
+    env=_PATH,
+)
+def read_avro(ctx: StageContext):
+    from xetl_spark.sources.avro import register_avro_datasource
+
+    register_avro_datasource(ctx.spark)
+    return (
+        ctx.spark.read.format("xetl_avro")
+        .option("path", str(ctx.env["PATH"]))
+        .load()
+    )
+
+
+@task(
+    "write_avro",
+    "Materialize to Avro container files (one per partition, deflate)",
+    env={
+        "PATH": {"description": "destination directory", "type": "string"},
+        "CODEC": {"description": "null|deflate", "type": "string", "default": "deflate"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def write_avro_task(ctx: StageContext):
+    from xetl_spark.sources.avro import write_avro
+
+    df = ctx.input_df()
+    write_avro(df, str(ctx.env["PATH"]), codec=str(ctx.env["CODEC"]))
+    return df
+
+
+@task(
     "subjob",
     "Run a nested job manifest on the same SparkSession (reference "
     "nested-job parity, test_end_to_end.py:434-519)",

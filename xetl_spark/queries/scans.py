@@ -286,3 +286,43 @@ def q_lineage_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, source_table string, source_column string"
     )
+
+
+@query(
+    "q_scan_avro_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+           epoch_us(o_orderdate) AS od_us
+    FROM orders
+    """,
+)
+def q_scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink + scan without the spark-avro jar: pure-Python Object
+    Container File codec (sources/avro.py — zigzag varints, deflate
+    blocks, sync markers per the Avro 1.11 spec) writing one container
+    per Spark partition inside mapInPandas, read back through the
+    ``xetl_avro`` Python DataSource (one InputPartition per file,
+    executor-side decode). Lossless for the projected columns,
+    verified against the parquet original."""
+    from xetl_spark.sources.avro import register_avro_datasource, write_avro
+
+    (orders,) = load(spark, sf_dir, "orders")
+    out = _tmp("avro", sf_dir)
+    proj = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderdate",
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # rerun-safe
+    write_avro(proj, out, codec="deflate")
+    register_avro_datasource(spark)
+    back = spark.read.format("xetl_avro").option("path", out).load()
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
