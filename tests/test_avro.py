@@ -123,20 +123,15 @@ def test_error_paths():
         parse_container(bad)
     with pytest.raises(UnsupportedAvroError):
         encode_container(SCHEMA, [], codec="snappy")
-    nested = {
+    multi_union = {
         "type": "record",
         "name": "n",
-        "fields": [
-            {
-                "name": "inner",
-                "type": {"type": "record", "name": "i", "fields": []},
-            }
-        ],
+        "fields": [{"name": "u", "type": ["null", "long", "string"]}],
     }
-    # decoding a container whose schema declares a nested record
+    # decoding a container whose schema declares a 3-branch union
     import json
 
-    sj = json.dumps(nested).encode()
+    sj = json.dumps(multi_union).encode()
     sync = bytes(16)
     payload = (
         b"Obj\x01"
@@ -144,10 +139,49 @@ def test_error_paths():
         + _zz(11) + b"avro.schema" + _zz(len(sj)) + sj
         + _zz(0)
         + sync
-        + _zz(1) + _zz(0) + sync
+        + _zz(1) + _zz(1) + _zz(0) + sync
     )
     with pytest.raises(UnsupportedAvroError):
         parse_container(payload)
+
+
+def test_nested_record_decodes_to_struct():
+    """Nested records decode to dicts (→ Spark structs) with the right
+    DDL; pins the read-side nesting support the writer doesn't need."""
+    import json
+
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "geo",
+                "type": {
+                    "type": "record",
+                    "name": "g",
+                    "fields": [
+                        {"name": "lat", "type": "double"},
+                        {"name": "lon", "type": "double"},
+                    ],
+                },
+            },
+        ],
+    }
+    sj = json.dumps(schema).encode()
+    sync = bytes(range(16))
+    body = _zz(7) + struct.pack("<d", 1.5) + struct.pack("<d", -2.5)
+    payload = (
+        b"Obj\x01"
+        + _zz(1)
+        + _zz(11) + b"avro.schema" + _zz(len(sj)) + sj
+        + _zz(0)
+        + sync
+        + _zz(1) + _zz(len(body)) + body + sync
+    )
+    sch, rows = parse_container(payload)
+    assert rows == [(7, {"lat": 1.5, "lon": -2.5})]
+    assert schema_to_ddl(sch) == "k bigint, geo struct<lat: double, lon: double>"
 
 
 def test_spark_write_read_roundtrip(spark, tmp_path):

@@ -10,11 +10,12 @@ endian IEEE floats, OCF header/blocks/sync-markers, null + deflate
 codecs — and expose it through the Spark-4 Python DataSource API so
 ``spark.read.format("xetl_avro")`` is first-class.
 
-Scope (typed errors beyond it, never wrong answers): top-level record
-schemas of primitive fields, nullable via ``[null, T]`` unions,
+Scope (typed errors beyond it, never wrong answers): record schemas of
+primitive fields, nullable via ``[null, T]`` unions,
 ``timestamp-micros`` logical longs, enums (decoded to their symbol),
-fixed, and arrays/maps of primitives. Nested records and multi-branch
-unions raise ``UnsupportedAvroError``.
+fixed, arrays/maps, and nested records on the READ side (decoded to
+Spark structs; the writer stays flat). Multi-branch unions and
+non-null/deflate codecs raise ``UnsupportedAvroError``.
 
 Scale shape: the reader is one InputPartition per .avro file (the
 natural Avro split is the file/block, both self-delimiting via sync
@@ -126,7 +127,12 @@ def _decode_value(buf: bytes, pos: int, sch) -> tuple[object, int]:
                     v, pos = _decode_value(buf, pos, sch["values"])
                     out[k] = v
         if t == "record":
-            raise UnsupportedAvroError("nested records not supported")
+            # nested record → dict keyed by field name (maps to a Spark
+            # struct on read; the writer stays primitive-only)
+            out = {}
+            for f in sch["fields"]:
+                out[f["name"]], pos = _decode_value(buf, pos, f["type"])
+            return out, pos
         return _decode_value(buf, pos, t)  # {"type": "long"} wrapper form
     if sch == "null":
         return None, pos
@@ -372,6 +378,11 @@ def _field_ddl(sch) -> str:
             return f"array<{_field_ddl(sch['items'])}>"
         if sch["type"] == "map":
             return f"map<string,{_field_ddl(sch['values'])}>"
+        if sch["type"] == "record":
+            inner = ", ".join(
+                f"{f['name']}: {_field_ddl(f['type'])}" for f in sch["fields"]
+            )
+            return f"struct<{inner}>"
         return _field_ddl(sch["type"])
     try:
         return _AVRO_TO_SPARK[sch]
