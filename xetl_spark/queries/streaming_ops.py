@@ -606,3 +606,59 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_id_asof").alias("click_id"),
         F.col("click_ts_us_asof").alias("click_ts_us"),
     )
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+           round(p.value, 2) AS amount
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+      AND p.ts <= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the harder streaming
+    join surface: unmatched purchases must be HELD in state until the
+    watermark proves no click can still arrive, then emitted with null
+    click columns. The probed side is cut off well before the stream's
+    end (purchases ≤ Jan 15, streams run ~a week longer) so every held
+    row's watermark deadline passes inside the replay and batch
+    equivalence is exact — the oracle is the plain left join. Same
+    state-bounding properties as the inner variant: watermark + time
+    band cap both sides' state for an unbounded run."""
+    s = read_events_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    # cutoff is applied AFTER the watermark node: the watermark must
+    # track the full purchase stream's event times, or the last
+    # retained row's own timestamp pins its side's watermark below its
+    # eviction deadline and the final unmatched row never flushes
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+        .filter(F.col("p_ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    out = run_stream_to_memory(joined, mode="append", drain_state=True)
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+        F.round("value", 2).alias("amount"),
+    )

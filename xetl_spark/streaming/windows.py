@@ -133,9 +133,19 @@ def watermarked_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFram
     return events.dropDuplicates(["event_id"])
 
 
-def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    stream_df: DataFrame, mode: str = "complete", drain_state: bool = False
+) -> DataFrame:
     """Drive a (finite-source) streaming DataFrame to completion through
     a memory sink; returns the materialized result as a batch DataFrame.
+
+    ``drain_state=True`` additionally waits for the engine's no-data
+    micro-batches to flush watermark-held state: outer joins (and
+    event-time timeouts) emit their final rows in a batch AFTER the one
+    that advanced the watermark, so stopping at processAllAvailable()
+    can strand the last deadline-passed rows in the state store. The
+    drain loop polls progress until a no-data batch ran and no further
+    rows were produced.
 
     This is the local test harness path — real deployments use
     writeStream with checkpointLocation to durable sinks.
@@ -147,9 +157,27 @@ def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFr
         .queryName(name)
         .start()
     )
+    spark = stream_df.sparkSession
     try:
         q.processAllAvailable()
+        if drain_state:
+            import time
+
+            # rows visible so far; no-data batches may add late flushes
+            seen = spark.table(name).count()
+            deadline = time.time() + 30
+            stable_since = None
+            while time.time() < deadline:
+                time.sleep(0.5)
+                q.processAllAvailable()
+                now = spark.table(name).count()
+                if now != seen:
+                    seen = now
+                    stable_since = None
+                    continue
+                stable_since = stable_since or time.time()
+                if time.time() - stable_since >= 2.0:
+                    break
     finally:
         q.stop()
-    spark = stream_df.sparkSession
     return spark.table(name)
