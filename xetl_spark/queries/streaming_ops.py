@@ -662,3 +662,110 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("c_ts").alias("click_us"),
         F.round("value", 2).alias("amount"),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts): per-user
+    lag over one (user, time) sort, then a bounded-cardinality pair
+    count — the building block for journey/path analysis. One shuffle
+    for the window, map-side partials for the count."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_ts_anomaly_zscore",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), f AS (
+      SELECT key, bucket, v,
+             count(*) OVER w AS n,
+             round(sum(v) OVER w, 2) AS s,
+             round(sum(v * v) OVER w, 4) AS s2
+      FROM b
+      WINDOW w AS (PARTITION BY key ORDER BY bucket
+                   ROWS BETWEEN 11 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT key, bucket_us, v, z,
+           coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+    FROM (SELECT key, epoch_us(bucket) AS bucket_us, v,
+                 CASE WHEN n >= 4 AND vr > 0.0
+                      THEN (v - mu) / sqrt(vr) END AS z
+          FROM (SELECT *, s / greatest(n, 1) AS mu,
+                       (s2 - s * s / greatest(n, 1)) / greatest(n - 1, 1) AS vr
+                FROM f))
+    """,
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection per key: each hourly
+    bucket scored against the PRECEDING 11 buckets' mean/stddev
+    (excluding itself — no self-masking). Variance is computed from
+    windowed sum/sum² with one fixed expression instead of the
+    engines' built-in stddev (whose summation algorithms differ in low
+    bits), so z-scores are bit-identical cross-engine. One window
+    sort, three frame aggregates sharing it; sqrt is IEEE
+    correctly-rounded on both engines."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    b = events.groupBy(
+        F.col("user_id").alias("key"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(-11, -1)
+    f = b.select(
+        "key",
+        "bucket",
+        "v",
+        F.count("*").over(w).alias("n"),
+        # frame sums are quantized to their true decimal precision (v has
+        # 2dp, v*v has 4dp): the engines sum window frames in different
+        # orders (recompute vs segment tree), so raw low bits differ
+        F.round(F.sum("v").over(w), 2).alias("s"),
+        F.round(F.sum(F.col("v") * F.col("v")).over(w), 4).alias("s2"),
+    )
+    # denominators clamped with greatest(): ANSI mode raises on the
+    # empty/size-1 frames even inside a CASE guard, and the guard
+    # (n >= 4) hides the clamped rows anyway; mirrored in the oracle
+    n_c = F.greatest(F.col("n"), F.lit(1))
+    var = (F.col("s2") - F.col("s") * F.col("s") / n_c) / F.greatest(
+        F.col("n") - 1, F.lit(1)
+    )
+    z = (F.col("v") - F.col("s") / n_c) / F.sqrt(var)
+    valid = (F.col("n") >= 4) & (var > 0.0)
+    scored = f.select(
+        "key",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "v",
+        F.when(valid, z).alias("z"),
+    )
+    return scored.withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) > 3.0, F.lit(False))
+    )
