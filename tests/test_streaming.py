@@ -399,3 +399,29 @@ def test_replay_offsets_deterministic_across_runs(spark, sf_dir, tmp_path):
         return seen
 
     assert drain("ck_a") == drain("ck_b")
+
+
+def test_replay_row_group_pruning_multi_group(spark, tmp_path):
+    """A file written with many small row groups replays to exactly the
+    batch content with slice boundaries that straddle group boundaries
+    — pins the footer-metadata row-group pruning path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xetl_spark.sources.replay import register_replay_datasource
+    from xetl_spark.streaming import run_stream_to_memory
+
+    path = str(tmp_path / "multi.parquet")
+    tbl = pa.table({"i": list(range(1000)), "s": [f"r{i}" for i in range(1000)]})
+    pq.write_table(tbl, path, row_group_size=37)  # 28 groups
+    assert pq.ParquetFile(path).metadata.num_row_groups > 20
+
+    register_replay_datasource(spark)
+    stream = (
+        spark.readStream.format("xetl_replay")
+        .option("path", path)
+        .option("rows_per_batch", 113)  # co-prime with 37: straddles groups
+        .load()
+    )
+    got = run_stream_to_memory(stream, mode="append")
+    assert sorted(map(tuple, got.collect())) == [(i, f"r{i}") for i in range(1000)]

@@ -14,10 +14,10 @@ each partition reads its slice executor-side via pyarrow — the driver
 never touches row data. Exactly-once follows from offset determinism:
 re-reading ``[start, end)`` always yields the same rows.
 
-At real scale the slice read should prune row groups by the slice
-bounds (pyarrow exposes per-row-group row counts in metadata) rather
-than loading the file; fixtures are single-row-group so this reader
-keeps the simple path and notes the upgrade.
+The slice read prunes row groups by the slice bounds (per-group row
+counts come from the footer metadata, no data read), so a slice of a
+multi-GB file costs only its overlapping groups — multi-row-group
+determinism is pinned in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -70,10 +70,29 @@ def register_replay_datasource(spark: SparkSession) -> None:
             ]
 
         def read(self, partition):
-            # executor-side slice read; deterministic for fixed offsets
-            table = pq.ParquetFile(partition.path).read()
+            # executor-side slice read; deterministic for fixed offsets.
+            # Row-group pruning: only groups overlapping [start, end)
+            # are read, so a slice of a multi-GB file costs its own
+            # groups, not a whole-file materialization. Positions are
+            # derived from the footer's per-group row counts (no data
+            # read), preserving exact offset determinism.
+            pf = pq.ParquetFile(partition.path)
+            need_lo, need_hi = partition.start, partition.end
+            first = 0
+            groups = []
+            base = None  # row position where the pruned read begins
+            for g in range(pf.metadata.num_row_groups):
+                n = pf.metadata.row_group(g).num_rows
+                if first + n > need_lo and first < need_hi:
+                    if base is None:
+                        base = first
+                    groups.append(g)
+                first += n
+            if not groups:
+                return
+            table = pf.read_row_groups(groups)
             for row in table.slice(
-                partition.start, partition.end - partition.start
+                need_lo - base, need_hi - need_lo
             ).to_pylist():
                 yield tuple(row.values())
 
