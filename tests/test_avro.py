@@ -245,3 +245,50 @@ def test_avro_tasks_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, results[0].output.collect())
     )
+
+
+def test_avro_schema_evolution_union_by_name(spark, tmp_path):
+    """Files with differing schemas read as the by-name union: old
+    files null-fill later-added columns; a type conflict on one name
+    is a typed error, not a coercion."""
+    import os
+
+    from xetl_spark.sources.avro import (
+        UnsupportedAvroError,
+        encode_container,
+        register_avro_datasource,
+    )
+
+    dest = tmp_path / "evolve"
+    os.makedirs(dest)
+    v1 = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": ["null", "long"]}],
+    }
+    v2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "tag", "type": ["null", "string"]},
+        ],
+    }
+    (dest / "a_v1.avro").write_bytes(encode_container(v1, [(1,), (2,)]))
+    (dest / "b_v2.avro").write_bytes(encode_container(v2, [(3, "x")]))
+    register_avro_datasource(spark)
+    back = spark.read.format("xetl_avro").option("path", str(dest)).load()
+    assert back.columns == ["id", "tag"]
+    assert sorted(map(tuple, back.collect())) == [(1, None), (2, None), (3, "x")]
+
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "tag", "type": ["null", "long"]}],  # conflicts
+    }
+    (dest / "c_bad.avro").write_bytes(encode_container(bad, [(9,)]))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        spark.read.format("xetl_avro").option("path", str(dest)).load().collect()
+    assert "conflicting types" in str(ei.value)

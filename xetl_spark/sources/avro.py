@@ -484,11 +484,40 @@ def register_avro_datasource(spark) -> None:
             )
         return [path]
 
+    def _union_schema(files: list[str]) -> dict:
+        """Schema evolution on read: union fields by NAME across all
+        files' headers (first-seen order), so old files null-fill
+        columns later files added — the mergeSchema contract parquet
+        users expect. Conflicting types for one name are a typed error,
+        not a silent coercion. Header-only parses; no block decode."""
+        fields: dict[str, object] = {}
+        for p in files:
+            with open(p, "rb") as fh:
+                sch = parse_schema(fh.read())
+            for f in sch["fields"]:
+                ddl = _field_ddl(f["type"])
+                prev = fields.get(f["name"])
+                if prev is None:
+                    fields[f["name"]] = (f["type"], ddl)
+                elif prev[1] != ddl:
+                    raise UnsupportedAvroError(
+                        f"field {f['name']!r} has conflicting types "
+                        f"{prev[1]} vs {ddl} across files"
+                    )
+        return {
+            "type": "record",
+            "name": "union",
+            "fields": [{"name": n, "type": t} for n, (t, _) in fields.items()],
+        }
+
     class _AvroReader(DataSourceReader):
         def __init__(self, options):
             self.path = options.get("path")
             if not self.path:
                 raise AvroFormatError("xetl_avro requires a path option")
+            self.union_names = [
+                f["name"] for f in _union_schema(_list(self.path))["fields"]
+            ]
 
         def partitions(self):
             files = _list(self.path)
@@ -498,8 +527,17 @@ def register_avro_datasource(spark) -> None:
 
         def read(self, partition):
             with open(partition.path, "rb") as fh:
-                _, rows = parse_container(fh.read())
-            yield from rows
+                sch, rows = parse_container(fh.read())
+            own = [f["name"] for f in sch["fields"]]
+            if own == self.union_names:
+                yield from rows
+                return
+            # project this file's fields into the union order, None-
+            # filling columns this file predates
+            idx = {n: i for i, n in enumerate(own)}
+            slots = [idx.get(n) for n in self.union_names]
+            for r in rows:
+                yield tuple(None if i is None else r[i] for i in slots)
 
     class AvroDataSource(DataSource):
         @classmethod
@@ -510,9 +548,7 @@ def register_avro_datasource(spark) -> None:
             files = _list(self.options.get("path", ""))
             if not files:
                 raise AvroFormatError("no .avro files to infer schema from")
-            with open(files[0], "rb") as fh:
-                sch = parse_schema(fh.read())
-            return schema_to_ddl(sch)
+            return schema_to_ddl(_union_schema(files))
 
         def reader(self, schema):  # noqa: ANN001
             return _AvroReader(self.options)
