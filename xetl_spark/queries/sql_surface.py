@@ -899,3 +899,47 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, null_count, n_distinct, min_s, max_s)"
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+             AS n_big_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap aggregation (Spark 3.5
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count): keys bucket
+    into fixed 32KB bitmaps that OR together — mergeable like a
+    sketch but EXACT, the roaring-bitmap pattern big warehouses use
+    when count(DISTINCT) must be both correct and re-aggregatable.
+    Unlike Catalyst's expand-based distinct rewrite (one extra shuffle
+    per distinct column), the bitmap agg is a plain one-pass
+    aggregation. Oracle: plain COUNT(DISTINCT) — the results must be
+    identical, which is the point."""
+    (orders,) = load(spark, sf_dir, "orders")
+    bucket = F.expr("bitmap_bucket_number(o_custkey)")
+    bit = F.expr("bitmap_bit_position(o_custkey)")
+    per_bucket = (
+        orders.select(
+            "o_orderpriority",
+            bucket.alias("bkt"),
+            bit.alias("pos"),
+            (F.col("o_totalprice") > 200000).alias("big"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(
+            F.expr("bitmap_construct_agg(pos)").alias("bm"),
+            F.expr(
+                "bitmap_construct_agg(CASE WHEN big THEN pos END)"
+            ).alias("bm_big"),
+        )
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_cust"),
+        F.expr("sum(bitmap_count(bm_big))").alias("n_big_cust"),
+    )
