@@ -943,3 +943,66 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(bitmap_count(bm))").alias("n_cust"),
         F.expr("sum(bitmap_count(bm_big))").alias("n_big_cust"),
     )
+
+
+@query(
+    "q_udf_sql_function",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice * 0.93, 2) AS net,
+           CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def q_udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN):
+    reusable expressions registered in pure SQL — inlined by Catalyst
+    into the calling plan, so unlike Python UDFs they cost nothing at
+    100 TB (no serialization boundary, full codegen + pushdown)."""
+    load(spark, sf_dir, "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE) "
+        "RETURNS DOUBLE RETURN round(p * 0.93, 2)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p > 250000 THEN 'high' "
+        "WHEN p > 100000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, net_price(o_totalprice) AS net,
+               price_tier(o_totalprice) AS tier
+        FROM orders WHERE o_orderkey % 50 = 0
+        """
+    )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+    SELECT c_custkey, c_name,
+           lower(c_name) = 'customer#000000020' AS eq_ci,
+           CASE WHEN lower(c_name) LIKE '%customer%' THEN 1 ELSE 0 END
+             AS has_word_ci,
+           lower(c_name) AS sort_key
+    FROM customer WHERE c_custkey % 20 = 0
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics (Spark 4 COLLATE UTF8_LCASE):
+    case-insensitive equality and LIKE at the type level instead of
+    lower()-wrapping every predicate — collation-aware comparisons
+    stay codegen'd and sargable. The oracle expresses the same
+    semantics with explicit case folding."""
+    (cust,) = load(spark, sf_dir, "customer")
+    ci = F.expr("collate(c_name, 'UTF8_LCASE')")
+    return cust.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        "c_name",
+        (ci == F.lit("CUSTOMER#000000020")).alias("eq_ci"),
+        F.when(ci.like("%CUSTOMER%"), 1).otherwise(0).alias("has_word_ci"),
+        F.lower("c_name").alias("sort_key"),
+    )
