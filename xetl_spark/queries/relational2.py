@@ -591,3 +591,89 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "q_cdc_scd2",
+    oracle="""
+    WITH cur AS (
+      SELECT user_id, event_type, ts AS valid_from FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-10') WHERE rn = 1
+    ), chg AS (
+      SELECT user_id, event_type AS new_type, ts AS chg_ts FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-10') WHERE rn = 1
+    ), j AS (
+      SELECT c.user_id, c.event_type, c.valid_from, g.new_type, g.chg_ts
+      FROM cur c LEFT JOIN chg g USING (user_id)
+    )
+    SELECT user_id, event_type, epoch_us(valid_from) AS vf_us,
+           CAST(NULL AS BIGINT) AS vt_us, TRUE AS is_current
+    FROM j WHERE chg_ts IS NULL OR new_type = event_type
+    UNION ALL
+    SELECT user_id, event_type, epoch_us(valid_from),
+           epoch_us(chg_ts), FALSE
+    FROM j WHERE chg_ts IS NOT NULL AND new_type <> event_type
+    UNION ALL
+    SELECT user_id, new_type, epoch_us(chg_ts),
+           CAST(NULL AS BIGINT), TRUE
+    FROM j WHERE chg_ts IS NOT NULL AND new_type <> event_type
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 fold (operators/cdc.py scd2):
+    the open row per user (latest event type before Jan 10) is closed
+    by that user's first differing post-Jan-10 event and a new current
+    row opens at the change timestamp; unchanged keys pass through.
+    One keyed shuffle; the oracle reconstructs the same close/open
+    algebra relationally."""
+    from pyspark.sql import Window
+
+    from xetl_spark.operators import scd2
+
+    (events,) = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cur = (
+        events.filter(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        events.filter(F.col("ts") >= cutoff)
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    hist = scd2(
+        cur,
+        chg,
+        keys=["user_id"],
+        ts_col="ts",
+        compare_cols=["event_type"],
+        start_col="valid_from",
+        end_col="valid_to",
+        current_col="is_current",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("vf_us"),
+        F.unix_micros("valid_to").alias("vt_us"),
+        "is_current",
+    )
