@@ -292,3 +292,23 @@ def test_avro_schema_evolution_union_by_name(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         spark.read.format("xetl_avro").option("path", str(dest)).load().collect()
     assert "conflicting types" in str(ei.value)
+
+
+def test_avro_date_logical_type(spark, tmp_path):
+    """DATE columns roundtrip via the Avro date logical (int days since
+    epoch), including pre-epoch dates and NULLs."""
+    from pyspark.sql import functions as F
+
+    from xetl_spark.sources.avro import register_avro_datasource, write_avro
+
+    df = spark.sql(
+        """SELECT * FROM VALUES
+           (1, DATE '2024-03-01'), (2, DATE '1969-07-20'), (3, CAST(NULL AS DATE))
+           AS t(id, d)"""
+    )
+    dest = str(tmp_path / "dates")
+    write_avro(df.coalesce(1), dest)
+    register_avro_datasource(spark)
+    back = spark.read.format("xetl_avro").option("path", dest).load()
+    assert dict(back.dtypes)["d"] == "date"
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -90,6 +90,9 @@ def _decode_value(buf: bytes, pos: int, sch) -> tuple[object, int]:
         if t == "long" and sch.get("logicalType") == "timestamp-micros":
             us, pos = _read_long(buf, pos)
             return _EPOCH + timedelta(microseconds=us), pos
+        if t == "int" and sch.get("logicalType") == "date":
+            days, pos = _read_long(buf, pos)
+            return (_EPOCH + timedelta(days=days)).date(), pos
         if t == "enum":
             idx, pos = _read_long(buf, pos)
             syms = sch["symbols"]
@@ -276,6 +279,15 @@ def _encode_value(out: io.BytesIO, v, sch) -> None:
                 v = (v - _EPOCH) // timedelta(microseconds=1)
             _write_zigzag(out, int(v))
             return
+        if t == "int" and sch.get("logicalType") == "date":
+            from datetime import date
+
+            if isinstance(v, datetime):
+                v = v.date()
+            if isinstance(v, date):
+                v = (v - _EPOCH.date()).days
+            _write_zigzag(out, int(v))
+            return
         raise UnsupportedAvroError(f"encoder for {sch!r}")
     if sch == "null":
         return
@@ -370,6 +382,8 @@ def _field_ddl(sch) -> str:
     if isinstance(sch, dict):
         if sch["type"] == "long" and sch.get("logicalType") == "timestamp-micros":
             return "timestamp_ntz"
+        if sch["type"] == "int" and sch.get("logicalType") == "date":
+            return "date"
         if sch["type"] == "enum":
             return "string"
         if sch["type"] == "fixed":
@@ -412,6 +426,8 @@ def _spark_type_to_avro(dt) -> object:
             return name
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
     raise UnsupportedAvroError(f"no Avro encoding for Spark type {dt}")
 
 
