@@ -824,3 +824,27 @@ def test_example_llm_prep_manifest(spark, monkeypatch, tmp_path):
     sunk = spark.read.parquet(str(tmp_path / "llm_out"))
     assert sunk.count() > 0
     assert "lang" in sunk.columns  # partitioned-by-language sink
+
+
+def test_anomaly_task_flags_planted_spike(spark, tmp_path):
+    """The declarative anomaly stage flags a planted 100x spike after a
+    stable history and leaves the stable buckets unflagged."""
+    rows = [(1, f"2024-01-01 {h:02d}:00:00", 10.0) for h in range(10)]
+    rows.append((1, "2024-01-01 10:00:00", 1000.0))  # spike
+    src = tmp_path / "series"
+    df = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    df.withColumn("ts", df.ts.cast("timestamp")).write.parquet(str(src))
+    job = _job(
+        f"""
+        name: anom
+        commands:
+          - {{name: series, task: read_parquet, env: {{PATH: {src}}}}}
+          - {{name: flagged, task: anomaly,
+              env: {{KEY_COL: user_id, VALUE_COL: value, ONLY_ANOMALIES: true}}}}
+        """
+    )
+    results = run_job(spark, job)
+    flagged = results[-1].output.collect()
+    assert [str(r.bucket) for r in flagged] == ["2024-01-01 10:00:00"]
+    # constant history => zero variance => z undefined but flagged
+    assert flagged[0].v == 1000.0 and flagged[0].z is None

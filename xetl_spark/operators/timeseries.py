@@ -193,3 +193,71 @@ def ewma(
     return with_frame.select(
         "key", "bucket", "v", (fold(weighted) / fold(weights)).alias("ewma_v")
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    unit: str = "hour",
+    window: int = 12,
+    threshold: float = 3.0,
+    min_history: int = 4,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per key: each bucket's
+    aggregate is scored against the PRECEDING ``window-1`` buckets'
+    mean/stddev (self-excluded, so a spike can't mask itself).
+
+    Variance comes from windowed sum/sum² with one fixed expression —
+    cross-engine reproducible — with denominators clamped for the
+    short frames that ``min_history`` hides anyway. One window sort,
+    three frame aggregates sharing it. Returns
+    (key, bucket, v, z, is_anomaly).
+    """
+    if unit not in _UNIT_INTERVAL:
+        raise ValueError(f"unit must be one of {sorted(_UNIT_INTERVAL)}")
+    b = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+    ).agg(F.round(F.sum(value_col), 2).alias("v"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-(window - 1), -1)
+    )
+    f = b.select(
+        "key",
+        "bucket",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.round(F.sum("v").over(w), 2).alias("s"),
+        F.round(F.sum(F.col("v") * F.col("v")).over(w), 4).alias("s2"),
+    )
+    n_c = F.greatest(F.col("n"), F.lit(1))
+    mu = F.col("s") / n_c
+    var = (F.col("s2") - F.col("s") * F.col("s") / n_c) / F.greatest(
+        F.col("n") - 1, F.lit(1)
+    )
+    z = (F.col("v") - mu) / F.sqrt(var)
+    history = F.col("n") >= min_history
+    # a constant history has zero variance; any deviation from it is
+    # infinitely many sigmas — flagged (z stays NULL, not ±inf)
+    zero_var_dev = history & (var <= 0.0) & (F.col("v") != mu)
+    scored = f.select(
+        "key",
+        "bucket",
+        "v",
+        F.when(history & (var > 0.0), z).alias("z"),
+        zero_var_dev.alias("__zv"),
+    )
+    return scored.select(
+        "key",
+        "bucket",
+        "v",
+        "z",
+        (
+            F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
+            | F.col("__zv")
+        ).alias("is_anomaly"),
+    )

@@ -521,6 +521,38 @@ def resample(ctx: StageContext):
 
 
 @task(
+    "anomaly",
+    "Score a time series for trailing-window z-score anomalies "
+    "(adds v/z/is_anomaly per key+bucket)",
+    env={
+        "TS_COL": {"description": "timestamp column", "type": "string", "default": "ts"},
+        "KEY_COL": {"description": "series key column", "type": "string"},
+        "VALUE_COL": {"description": "value column (sum per bucket)", "type": "string"},
+        "UNIT": {"description": "bucket unit: minute|hour|day|week|month", "type": "string", "default": "hour"},
+        "WINDOW": {"description": "trailing buckets incl. current", "type": "int", "default": 12},
+        "THRESHOLD": {"description": "|z| flag threshold", "type": "float", "default": 3.0},
+        "ONLY_ANOMALIES": {"description": "emit only flagged rows", "type": "bool", "default": False},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def anomaly_task(ctx: StageContext):
+    from xetl_spark.operators.timeseries import zscore_anomalies
+
+    out = zscore_anomalies(
+        ctx.input_df(),
+        str(ctx.env["TS_COL"]),
+        str(ctx.env["KEY_COL"]),
+        str(ctx.env["VALUE_COL"]),
+        unit=str(ctx.env["UNIT"]),
+        window=int(ctx.env["WINDOW"]),  # type: ignore[arg-type]
+        threshold=float(ctx.env["THRESHOLD"]),  # type: ignore[arg-type]
+    )
+    if ctx.env["ONLY_ANOMALIES"]:
+        out = out.filter(F.col("is_anomaly"))
+    return out
+
+
+@task(
     "pagerank",
     "Score nodes of an edge-list stage by PageRank (adds rank column)",
     env={

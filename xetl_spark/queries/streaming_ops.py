@@ -714,10 +714,11 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 11 PRECEDING AND 1 PRECEDING)
     )
     SELECT key, bucket_us, v, z,
-           coalesce(abs(z) > 3.0, FALSE) AS is_anomaly
+           coalesce(abs(z) > 3.0, FALSE) OR zv AS is_anomaly
     FROM (SELECT key, epoch_us(bucket) AS bucket_us, v,
                  CASE WHEN n >= 4 AND vr > 0.0
-                      THEN (v - mu) / sqrt(vr) END AS z
+                      THEN (v - mu) / sqrt(vr) END AS z,
+                 n >= 4 AND vr <= 0.0 AND v <> mu AS zv
           FROM (SELECT *, s / greatest(n, 1) AS mu,
                        (s2 - s * s / greatest(n, 1)) / greatest(n - 1, 1) AS vr
                 FROM f))
@@ -732,40 +733,17 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits), so z-scores are bit-identical cross-engine. One window
     sort, three frame aggregates sharing it; sqrt is IEEE
     correctly-rounded on both engines."""
-    from pyspark.sql import Window
+    from xetl_spark.operators.timeseries import zscore_anomalies
 
     (events,) = load(spark, sf_dir, "events")
-    b = events.groupBy(
-        F.col("user_id").alias("key"),
-        F.date_trunc("hour", "ts").alias("bucket"),
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
-    w = Window.partitionBy("key").orderBy("bucket").rowsBetween(-11, -1)
-    f = b.select(
-        "key",
-        "bucket",
-        "v",
-        F.count("*").over(w).alias("n"),
-        # frame sums are quantized to their true decimal precision (v has
-        # 2dp, v*v has 4dp): the engines sum window frames in different
-        # orders (recompute vs segment tree), so raw low bits differ
-        F.round(F.sum("v").over(w), 2).alias("s"),
-        F.round(F.sum(F.col("v") * F.col("v")).over(w), 4).alias("s2"),
+    out = zscore_anomalies(
+        events, "ts", "user_id", "value", unit="hour", window=12,
+        threshold=3.0, min_history=4,
     )
-    # denominators clamped with greatest(): ANSI mode raises on the
-    # empty/size-1 frames even inside a CASE guard, and the guard
-    # (n >= 4) hides the clamped rows anyway; mirrored in the oracle
-    n_c = F.greatest(F.col("n"), F.lit(1))
-    var = (F.col("s2") - F.col("s") * F.col("s") / n_c) / F.greatest(
-        F.col("n") - 1, F.lit(1)
-    )
-    z = (F.col("v") - F.col("s") / n_c) / F.sqrt(var)
-    valid = (F.col("n") >= 4) & (var > 0.0)
-    scored = f.select(
+    return out.select(
         "key",
         F.unix_micros("bucket").alias("bucket_us"),
         "v",
-        F.when(valid, z).alias("z"),
-    )
-    return scored.withColumn(
-        "is_anomaly", F.coalesce(F.abs(F.col("z")) > 3.0, F.lit(False))
+        "z",
+        "is_anomaly",
     )
