@@ -848,3 +848,25 @@ def test_anomaly_task_flags_planted_spike(spark, tmp_path):
     assert [str(r.bucket) for r in flagged] == ["2024-01-01 10:00:00"]
     # constant history => zero variance => z undefined but flagged
     assert flagged[0].v == 1000.0 and flagged[0].z is None
+
+
+def test_example_timeseries_watch_manifest(spark, monkeypatch, tmp_path):
+    """The shipped time-series observability example (resample-linear →
+    anomaly → expect gate → filter → avro sink) runs green and its
+    Avro archive reads back through xetl_avro."""
+    monkeypatch.setenv("OUT_DIR", str(tmp_path / "ts_out"))
+    job = Job.from_file("/root/repo/examples/timeseries_watch.yml")
+    results = run_job(spark, job)
+    assert all(r.status == "success" for r in results), [
+        (r.command.name, r.status) for r in results
+    ]
+    from xetl_spark.sources.avro import register_avro_datasource
+
+    register_avro_datasource(spark)
+    back = (
+        spark.read.format("xetl_avro")
+        .option("path", str(tmp_path / "ts_out"))
+        .load()
+    )
+    assert back.count() > 0
+    assert {"key", "v", "z", "is_anomaly"} <= set(back.columns)
