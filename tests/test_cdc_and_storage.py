@@ -479,3 +479,24 @@ def test_ivm_state_roundtrips_through_parquet(spark, tmp_path):
     assert sorted(map(tuple, resumed.collect())) == sorted(map(tuple, live.collect()))
     out = {r.k: r.n for r in ivm_read(resumed, ["v"]).collect()}
     assert out[0] == 19 and out[1] == 21 and out[2] == 21
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic replaces only the partitions the
+    write touches — the idempotent-backfill write pattern (static mode
+    would truncate the whole table first)."""
+    dest = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id int, part string"
+    )
+    base.write.partitionBy("part").parquet(dest)
+    patch = spark.createDataFrame([(99, "b")], "id int, part string")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch.write.mode("overwrite").partitionBy("part").parquet(dest)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    # partition b fully replaced; a and c untouched
+    assert back == [(1, "a"), (2, "a"), (4, "c"), (99, "b")]
