@@ -1006,3 +1006,30 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ci.like("%CUSTOMER%"), 1).otherwise(0).alias("has_word_ci"),
         F.lower("c_name").alias("sort_key"),
     )
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the linear FROM-first
+    query style — each stage feeds the next like a DataFrame chain,
+    parsed to exactly the same Catalyst plan as the classic form (the
+    oracle is that classic form)."""
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
