@@ -523,3 +523,31 @@ def test_line_dedup_keeps_global_first_occurrence(spark):
         2: (3, 1, "x y"),
         3: (2, 0, ""),
     }
+
+
+def test_kmeans_query_quality_and_stability(spark, sf_dir):
+    """q_embed_kmeans: every vector lands in a cluster, the weighted
+    mean squared distance beats assigning everything to the global
+    centroid (variance reduction — the point of clustering), and the
+    result is rerun-stable (seeded)."""
+    import numpy as np
+
+    import xetl_spark.queries as Q
+
+    fn = Q.REGISTRY["q_embed_kmeans"].fn
+    a = {r.cluster: (r.n, r.mean_sqdist) for r in fn(spark, sf_dir).collect()}
+    b = {r.cluster: (r.n, r.mean_sqdist) for r in fn(spark, sf_dir).collect()}
+    assert a == b  # seeded determinism
+    (emb,) = Q.load(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    assert sum(n for n, _ in a.values()) == n_total
+    # inertia vs the single-centroid baseline on unit vectors
+    from xetl_spark.operators.similarity import with_unit_vectors
+    from pyspark.sql import functions as F
+
+    u = with_unit_vectors(emb, "embedding", "__u").select("__u").toPandas()
+    mat = np.array(u["__u"].tolist())
+    global_c = mat.mean(axis=0)
+    base = float(((mat - global_c) ** 2).sum(axis=1).mean())
+    inertia = sum(n * d for n, d in a.values()) / n_total
+    assert inertia < base * 0.95, (inertia, base)

@@ -1418,3 +1418,50 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), F.col("community"))
         .limit(50)
     )
+
+
+@query("q_embed_kmeans", oracle=None)
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMeans clustering over the embeddings table (MLlib
+    KMeans|| via similarity.ivf_fit_centroids — the same fit that backs
+    the IVF/IVF-PQ indexes, exposed as a first-class clustering op):
+    returns per-cluster sizes and mean distance to centroid. Iterative
+    Lloyd steps run as Catalyst aggregations over cached vectors; the
+    centroid table is O(k·dim) — never the corpus — on the driver.
+    Seeded, so rerun-stable; quality (inertia ≤ random assignment) is
+    property-tested in tests/test_llm_ops.py."""
+    from xetl_spark.operators.similarity import (
+        ivf_fit_centroids,
+        with_unit_vectors,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    k = 8
+    centroids = ivf_fit_centroids(emb, "embedding", n_clusters=k, seed=7)
+    c = with_unit_vectors(emb, "embedding", "__u")
+    cent = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in ctr])
+            for ctr in centroids
+        ]
+    )
+    dists = F.transform(
+        cent,
+        lambda ctr: F.aggregate(
+            F.zip_with(F.col("__u"), ctr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = c.select(
+        F.array_position(dists, F.array_min(dists)).alias("cluster"),
+        F.array_min(dists).alias("sqdist"),
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("sqdist"), 6).alias("mean_sqdist"),
+        )
+        .orderBy("cluster")
+    )

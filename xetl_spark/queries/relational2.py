@@ -677,3 +677,55 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("vt_us"),
         "is_current",
     )
+
+
+@query(
+    "q_join_bloom_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join pruning with the relational Bloom filter
+    (operators/sketch.py): sketch the selective side's keys (a few KB,
+    broadcast), pre-filter the 100 TB side BEFORE its shuffle, then
+    run the exact join — false positives survive the probe but die in
+    the join, so the result is exactly the plain join (the oracle).
+    This is the manual form of Catalyst's runtime bloom injection,
+    usable when the filter must cross a stage boundary the optimizer
+    can't see through (e.g. a pre-aggregated or checkpointed side).
+    Working set: the fact side's DISTINCT keys (probed once each),
+    which is the right trade when keys ≪ rows — the usual fact-table
+    shape."""
+    from xetl_spark.operators.sketch import bloom_build, bloom_probe
+
+    lineitem, orders = load(spark, sf_dir, "lineitem", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    sk = bloom_build(urgent, "o_orderkey", num_hashes=7, num_bits=1 << 17)
+    probed = bloom_probe(
+        sk,
+        lineitem.select("l_orderkey").distinct(),
+        "l_orderkey",
+        num_hashes=7,
+        num_bits=1 << 17,
+    ).filter(F.col("maybe_present"))
+    pruned = lineitem.join(
+        F.broadcast(probed.select("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
