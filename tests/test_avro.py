@@ -312,3 +312,25 @@ def test_avro_date_logical_type(spark, tmp_path):
     back = spark.read.format("xetl_avro").option("path", dest).load()
     assert dict(back.dtypes)["d"] == "date"
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_avro_decimal_logical_type(spark, tmp_path):
+    """DECIMAL columns roundtrip via the Avro decimal logical (bytes,
+    big-endian two's-complement unscaled), exactly — including
+    negatives and NULLs."""
+    from xetl_spark.sources.avro import register_avro_datasource, write_avro
+
+    df = spark.sql(
+        """SELECT * FROM VALUES
+           (1, CAST(12345.67 AS DECIMAL(18,2))),
+           (2, CAST(-0.01 AS DECIMAL(18,2))),
+           (3, CAST(NULL AS DECIMAL(18,2))),
+           (4, CAST(99999999999999.99 AS DECIMAL(18,2)))
+           AS t(id, amt)"""
+    )
+    dest = str(tmp_path / "decs")
+    write_avro(df.coalesce(1), dest)
+    register_avro_datasource(spark)
+    back = spark.read.format("xetl_avro").option("path", dest).load()
+    assert dict(back.dtypes)["amt"] == "decimal(18,2)"
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -93,6 +93,16 @@ def _decode_value(buf: bytes, pos: int, sch) -> tuple[object, int]:
         if t == "int" and sch.get("logicalType") == "date":
             days, pos = _read_long(buf, pos)
             return (_EPOCH + timedelta(days=days)).date(), pos
+        if t in ("bytes", "fixed") and sch.get("logicalType") == "decimal":
+            from decimal import Decimal
+
+            if t == "bytes":
+                raw, pos = _read_bytes(buf, pos)
+            else:
+                n = sch["size"]
+                raw, pos = buf[pos : pos + n], pos + n
+            unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
+            return Decimal(unscaled).scaleb(-sch.get("scale", 0)), pos
         if t == "enum":
             idx, pos = _read_long(buf, pos)
             syms = sch["symbols"]
@@ -288,6 +298,17 @@ def _encode_value(out: io.BytesIO, v, sch) -> None:
                 v = (v - _EPOCH.date()).days
             _write_zigzag(out, int(v))
             return
+        if t == "bytes" and sch.get("logicalType") == "decimal":
+            from decimal import Decimal
+
+            unscaled = int(
+                Decimal(str(v)).scaleb(sch.get("scale", 0)).to_integral_value()
+            )
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            _write_zigzag(out, len(raw))
+            out.write(raw)
+            return
         raise UnsupportedAvroError(f"encoder for {sch!r}")
     if sch == "null":
         return
@@ -384,6 +405,8 @@ def _field_ddl(sch) -> str:
             return "timestamp_ntz"
         if sch["type"] == "int" and sch.get("logicalType") == "date":
             return "date"
+        if sch["type"] in ("bytes", "fixed") and sch.get("logicalType") == "decimal":
+            return f"decimal({sch.get('precision', 38)},{sch.get('scale', 0)})"
         if sch["type"] == "enum":
             return "string"
         if sch["type"] == "fixed":
@@ -428,6 +451,13 @@ def _spark_type_to_avro(dt) -> object:
         return {"type": "long", "logicalType": "timestamp-micros"}
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     raise UnsupportedAvroError(f"no Avro encoding for Spark type {dt}")
 
 
