@@ -425,3 +425,71 @@ def test_replay_row_group_pruning_multi_group(spark, tmp_path):
     )
     got = run_stream_to_memory(stream, mode="append")
     assert sorted(map(tuple, got.collect())) == [(i, f"r{i}") for i in range(1000)]
+
+
+def test_replay_checkpoint_resume_exactly_once(spark, tmp_path):
+    """A checkpointed stream killed mid-replay resumes from its
+    committed offset and the sink ends up with exactly the file's rows
+    — no duplicates, no gaps (exactly-once via offset determinism +
+    idempotent micro-batch commits)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xetl_spark.sources.replay import register_replay_datasource
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({"i": list(range(5000))}), src, row_group_size=500)
+    register_replay_datasource(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("xetl_replay")
+            .option("path", src)
+            .option("rows_per_batch", 250)
+            .option("rows_per_trigger", 500)  # 10 micro-batches
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    # let a few micro-batches commit, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 3:
+            break
+        time.sleep(0.2)
+    q.stop()
+    partial = spark.read.parquet(sink).count()
+    assert 0 < partial < 5000, partial  # genuinely interrupted mid-replay
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(r.i for r in spark.read.parquet(sink).collect())
+    assert got == list(range(5000))  # exactly once: no dupes, no gaps
+
+
+def test_observe_metrics_api(spark, sf_dir):
+    """df.observe() accumulates in-query metrics without a second scan
+    — the hook run reports would use for per-stage custom counters."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("stats")
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("o_totalprice").alias("total"),
+    ).filter(F.col("o_totalprice") > 0)
+    n = out.count()
+    assert obs.get["rows"] == df.count() and obs.get["rows"] >= n
+    assert obs.get["total"] > 0

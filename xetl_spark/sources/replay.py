@@ -50,19 +50,34 @@ def register_replay_datasource(spark: SparkSession) -> None:
             if not self.path:
                 raise ValueError("xetl_replay requires option 'path'")
             self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+            # admission control (maxFilesPerTrigger analog): cap how far
+            # latestOffset advances per poll so one micro-batch can't
+            # swallow the whole backlog. 0 = unbounded (drain in one).
+            self.rows_per_trigger = int(options.get("rows_per_trigger", 0))
             self._n_rows = pq.ParquetFile(self.path).metadata.num_rows
+            self._cursor = 0
 
         def initialOffset(self):
             return {"row": 0}
 
         def latestOffset(self):
-            # bounded replay: the file end; AvailableNow drains to here.
-            # rows_per_batch is enforced by slicing partitions, keeping
-            # per-task memory bounded regardless of trigger pacing.
-            return {"row": self._n_rows}
+            # bounded replay: advance toward the file end, at most
+            # rows_per_trigger per poll. After a checkpoint restart the
+            # cursor re-learns its position from partitions(); until
+            # then a stale (smaller) latest just reads as "no new
+            # data". rows_per_batch is separately enforced by slicing
+            # partitions, bounding per-task memory at any pacing.
+            if not self.rows_per_trigger:
+                self._cursor = self._n_rows
+            else:
+                self._cursor = min(
+                    self._n_rows, self._cursor + self.rows_per_trigger
+                )
+            return {"row": self._cursor}
 
         def partitions(self, start, end):
             lo, hi = int(start["row"]), int(end["row"])
+            self._cursor = max(self._cursor, hi)
             step = self.rows_per_batch
             return [
                 _Slice(self.path, s, min(s + step, hi))
