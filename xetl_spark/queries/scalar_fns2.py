@@ -343,3 +343,33 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("region")).alias("region_param"),
     )
+
+
+@query(
+    "q_fn_crypto",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS roundtrip,
+           sha256(o_orderstatus) AS status_sha256,
+           md5(CAST(o_orderkey AS VARCHAR)) AS key_md5
+    FROM orders WHERE o_orderkey % 200 = 0
+    """,
+)
+def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt → aes_decrypt
+    roundtrip (AES-128-GCM, the at-rest PII pattern — the oracle checks
+    the decrypted value equals the plaintext, which is the contract)
+    plus sha2-256 / md5 digests that must match any engine
+    bit-for-bit."""
+    (orders,) = load(spark, sf_dir, "orders")
+    key = F.lit("0123456789abcdef")
+    return orders.filter(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey",
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("o_orderstatus").cast("binary"), key), key
+        )
+        .cast("string")
+        .alias("roundtrip"),
+        F.sha2(F.col("o_orderstatus").cast("binary"), 256).alias("status_sha256"),
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias("key_md5"),
+    )

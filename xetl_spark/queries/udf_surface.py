@@ -170,3 +170,61 @@ def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg_group, schema="c_nationkey long, n_cust long, bal_sum double"
         )
     )
+
+
+@query(
+    "q_udtf_polymorphic",
+    oracle="""
+    SELECT o_orderkey, 0 AS bucket_idx,
+           round(o_totalprice / 3, 2) AS share
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 1, round(o_totalprice / 3, 2)
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 2, round(o_totalprice / 3, 2)
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 static ``analyze``): the output
+    schema is computed from a constant argument at plan time — here a
+    row splitter whose fan-out degree is a parameter. The Arrow-batched
+    eval path is the same as static UDTFs; only schema resolution is
+    dynamic."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+
+    class SplitShares:
+        @staticmethod
+        def analyze(n: AnalyzeArgument, key: AnalyzeArgument, amt: AnalyzeArgument) -> AnalyzeResult:
+            from pyspark.sql.types import (
+                DoubleType,
+                IntegerType,
+                LongType,
+                StructType,
+            )
+
+            st = (
+                StructType()
+                .add("o_orderkey", LongType())
+                .add("bucket_idx", IntegerType())
+                .add("share", DoubleType())
+            )
+            if n.value <= 0:
+                raise ValueError("n must be positive")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, n, key, amt):
+            share = round(amt / n, 2)
+            for i in range(n):
+                yield key, i, share
+
+    spark.udtf.register("split_shares", udtf(SplitShares))
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT s.* FROM orders,
+               LATERAL split_shares(3, o_orderkey, o_totalprice) s
+        WHERE orders.o_orderkey % 100 = 0
+        """
+    )
