@@ -870,3 +870,21 @@ def test_example_timeseries_watch_manifest(spark, monkeypatch, tmp_path):
     )
     assert back.count() > 0
     assert {"key", "v", "z", "is_anomaly"} <= set(back.columns)
+
+
+def test_profile_task(spark):
+    """Declarative profile stage: one row per column with
+    rows/nulls/distinct/min/max."""
+    job = _job(
+        f"""
+        name: prof
+        commands:
+          - {{name: cust, task: read_parquet, env: {{PATH: {SF}/customer.parquet}}}}
+          - {{name: stats, task: profile, env: {{COLUMNS: "c_custkey,c_mktsegment"}}}}
+        """
+    )
+    results = run_job(spark, job)
+    prof = {r.column: r for r in results[-1].output.collect()}
+    assert set(prof) == {"c_custkey", "c_mktsegment"}
+    assert prof["c_custkey"].n_nulls == 0
+    assert prof["c_mktsegment"].min_str == "AUTOMOBILE"

@@ -1,0 +1,72 @@
+"""Compare two bench JSON lines and flag per-query regressions.
+
+Usage: python tools/bench_compare.py BENCH_old.json BENCH_new.json [ratio]
+
+Reads the driver's one-line bench artifacts (or bench.py stdout saved
+to a file), joins per-query timings, and reports queries slower than
+``ratio`` (default 1.5x) in the new run plus the headline delta.
+Exit code 1 if any regression crosses the threshold AND the headline
+total also regressed by the same ratio — single-query noise on a
+shared host doesn't fail the gate by itself (see ROADMAP.md's
+measured host-variance caveat).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict:
+    text = open(path).read().strip()
+    try:
+        d = json.loads(text)  # whole file (driver artifact or bare line)
+    except json.JSONDecodeError:
+        d = None
+        for line in reversed(text.splitlines()):  # bench.py stdout capture
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if d is None:
+            raise SystemExit(f"{path}: no JSON object found") from None
+    # the driver wraps bench.py's line under "parsed"
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    return d
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    oq, nq = old.get("queries") or {}, new.get("queries") or {}
+    rows = []
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            rows.append((name, a, b, None, "missing in one run"))
+            continue
+        r = b / a if a else float("inf")
+        flag = "REGRESSED" if r >= ratio else ("improved" if r <= 1 / ratio else "")
+        rows.append((name, a, b, r, flag))
+    w = max(len(r[0]) for r in rows)
+    for name, a, b, r, flag in rows:
+        rs = f"{r:5.2f}x" if r is not None else "    ? "
+        print(f"{name:<{w}}  {a!s:>7} -> {b!s:>7}  {rs}  {flag}")
+    ov, nv = old.get("value"), new.get("value")
+    print(f"\nheadline: {ov} -> {nv}")
+    regressed = [r for r in rows if r[4] == "REGRESSED"]
+    if regressed:
+        print(f"{len(regressed)} queries >= {ratio}x slower")
+    headline_bad = ov is not None and nv is not None and nv / ov >= ratio
+    return 1 if (regressed and headline_bad) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -521,6 +521,29 @@ def resample(ctx: StageContext):
 
 
 @task(
+    "profile",
+    "One-pass column profile: rows, nulls, approx distinct, min/max "
+    "per column (the data-catalog primitive)",
+    env={
+        "COLUMNS": {
+            "description": "comma-separated column subset (default: all)",
+            "type": "string",
+            "required": False,
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def profile_task(ctx: StageContext):
+    from xetl_spark.operators.quality import profile
+
+    cols = ctx.env.get("COLUMNS")
+    return profile(
+        ctx.input_df(),
+        [c.strip() for c in str(cols).split(",")] if cols else None,
+    )
+
+
+@task(
     "anomaly",
     "Score a time series for trailing-window z-score anomalies "
     "(adds v/z/is_anomaly per key+bucket)",
