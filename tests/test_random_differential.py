@@ -695,3 +695,93 @@ def test_random_tables_differential_timeseries_ops(spark, con, seed):
         got = sdf.toPandas()
         want = con.sql(sql).df()
         assert canonical_hash(got) == canonical_hash(want), name
+
+
+@pytest.mark.parametrize("seed", [5, 71])
+def test_random_tables_differential_round4_shapes(spark, con, seed):
+    """Bitmap exact distinct, equi-depth histogram, transition counts,
+    and basket pairs hash-match DuckDB on seeded random tables."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    ev_pd = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "u": rng.zipf(1.6, size=n).clip(max=40).astype(np.int64),
+            "typ": rng.choice(list("abcd"), size=n),
+            "grp": rng.choice(["x", "y", "z"], size=n),
+            "amt": np.round(rng.uniform(0, 900, size=n), 2),
+            "basket": rng.integers(0, 400, size=n).astype(np.int64),
+            "item": rng.integers(0, 60, size=n).astype(np.int64),
+        }
+    )
+    ev = spark.createDataFrame(ev_pd)
+    con.register("rt", ev_pd)
+
+    bitmap = (
+        ev.select(
+            "grp",
+            F.expr("bitmap_bucket_number(u)").alias("bkt"),
+            F.expr("bitmap_bit_position(u)").alias("pos"),
+        )
+        .groupBy("grp", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("grp")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_u"))
+    )
+    bitmap_sql = "SELECT grp, count(DISTINCT u) AS n_u FROM rt GROUP BY grp"
+
+    eq = ev.select(
+        "eid",
+        F.ntile(8).over(Window.orderBy("amt", "eid")).alias("bucket"),
+    ).groupBy("bucket").agg(F.count("*").alias("n"))
+    eq_sql = """
+    SELECT bucket, count(*) AS n FROM (
+      SELECT eid, ntile(8) OVER (ORDER BY amt, eid) AS bucket FROM rt)
+    GROUP BY bucket
+    """
+
+    w = Window.partitionBy("u").orderBy("eid")
+    trans = (
+        ev.select("u", "typ", F.lag("typ").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "typ")
+        .agg(F.count("*").alias("n"))
+    )
+    trans_sql = """
+    SELECT prev, typ, count(*) AS n FROM (
+      SELECT u, typ, lag(typ) OVER (PARTITION BY u ORDER BY eid) AS prev
+      FROM rt) WHERE prev IS NOT NULL
+    GROUP BY prev, typ
+    """
+
+    items = ev.select("basket", "item").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    pairs_sql = """
+    WITH it AS (SELECT DISTINCT basket, item FROM rt)
+    SELECT a.item AS i, b.item AS j, count(*) AS n
+    FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+
+    for name, (sdf, sql) in {
+        "bitmap_distinct": (bitmap, bitmap_sql),
+        "equidepth": (eq, eq_sql),
+        "transitions": (trans, trans_sql),
+        "basket_pairs": (pairs, pairs_sql),
+    }.items():
+        got = sdf.toPandas()
+        want = con.sql(sql).df()
+        assert canonical_hash(got) == canonical_hash(want), name
