@@ -334,3 +334,53 @@ def test_avro_decimal_logical_type(spark, tmp_path):
     back = spark.read.format("xetl_avro").option("path", dest).load()
     assert dict(back.dtypes)["amt"] == "decimal(18,2)"
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_field_vals = {
+    "long": st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    "double": st.one_of(
+        st.none(),
+        st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+    ),
+    "string": st.one_of(st.none(), st.text(max_size=40)),
+    "bytes": st.one_of(st.none(), st.binary(max_size=40)),
+    "boolean": st.one_of(st.none(), st.booleans()),
+}
+
+
+@st.composite
+def _schema_and_rows(draw):
+    types = draw(
+        st.lists(st.sampled_from(sorted(_field_vals)), min_size=1, max_size=5)
+    )
+    schema = {
+        "type": "record",
+        "name": "fz",
+        "fields": [
+            {"name": f"f{i}", "type": ["null", t]} for i, t in enumerate(types)
+        ],
+    }
+    rows = draw(
+        st.lists(
+            st.tuples(*[_field_vals[t] for t in types]), min_size=0, max_size=30
+        )
+    )
+    codec = draw(st.sampled_from(["null", "deflate"]))
+    return schema, rows, codec
+
+
+@given(_schema_and_rows())
+@settings(max_examples=150, deadline=None)
+def test_avro_codec_roundtrip_fuzz(case):
+    """Any supported schema × random rows (extreme longs, ±0.0/inf
+    doubles, unicode, NULLs, empty containers) roundtrips exactly
+    through both codecs."""
+    schema, rows, codec = case
+    payload = encode_container(schema, rows, codec=codec)
+    sch, back = parse_container(payload)
+    assert sch == schema
+    assert back == rows
