@@ -398,3 +398,28 @@ def test_cli_reference_flag_shapes():
     assert ns.log_style == "1" and ns.no_timestamps is True
     with pytest.raises(SystemExit):
         argument_parser().parse_args(["job.yml", "-l", "4"])
+
+
+def test_builtin_task_surface_hygiene():
+    """Every builtin task ships a description, typed env fields with
+    descriptions, and INPUT declared optional where present — the
+    contract `--list-tasks` and validation error messages rely on."""
+    from xetl_spark.plans.registry import BUILTINS
+
+    names = BUILTINS.names()
+    assert len(names) >= 35
+    for name in names:
+        spec, fn = BUILTINS.get(name)
+        assert spec.description, name
+        assert callable(fn), name
+        for env_name, inp in spec.env.items():
+            assert env_name.isupper(), (name, env_name)
+            assert inp.description, (name, env_name)
+            assert inp.type in {"string", "int", "float", "bool"}, (
+                name,
+                env_name,
+                inp.type,
+            )
+        inp = spec.env.get("INPUT")
+        if inp is not None:
+            assert not inp.required, name
