@@ -384,3 +384,39 @@ def test_avro_codec_roundtrip_fuzz(case):
     sch, back = parse_container(payload)
     assert sch == schema
     assert back == rows
+
+
+def test_streaming_foreachbatch_avro_sink(spark, tmp_path):
+    """A streaming query archives micro-batches to Avro via
+    foreachBatch(write_avro); the drained archive reads back equal to
+    the batch content — streaming sink + jar-free codec composed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xetl_spark.sources.avro import register_avro_datasource, write_avro
+    from xetl_spark.sources.replay import register_replay_datasource
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table({"i": list(range(600)), "s": [f"v{i}" for i in range(600)]}), src
+    )
+    register_replay_datasource(spark)
+    dest = str(tmp_path / "avro_archive")
+
+    q = (
+        spark.readStream.format("xetl_replay")
+        .option("path", src)
+        .option("rows_per_batch", 100)
+        .load()
+        .writeStream.foreachBatch(lambda df, epoch: write_avro(df, dest))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    register_avro_datasource(spark)
+    back = spark.read.format("xetl_avro").option("path", dest).load()
+    assert sorted(map(tuple, back.collect())) == [
+        (i, f"v{i}") for i in range(600)
+    ]
