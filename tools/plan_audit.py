@@ -27,6 +27,7 @@ PYTHON_SURFACE = {
     "q_udaf_grouped_agg",
     "q_udf_cogrouped",
     "q_udtf_split",
+    "q_udtf_polymorphic",
     "q_sim_topk_cosine",
     "q_multimodal_features",
 }
