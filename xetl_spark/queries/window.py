@@ -251,3 +251,52 @@ def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         med.alias("med3"),
     )
+
+
+@query(
+    "q_win_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n_regionkey AS region, n_name AS nation,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS share_in_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_global
+    FROM rev
+    """,
+)
+def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's revenue as a share of its
+    region and of the global total — window sums over an already-
+    aggregated relation (25 rows), so the 'global window' materializes
+    nothing meaningful; the heavy lifting stays in the keyed
+    pre-aggregation. Shares divide two 2dp-rounded sums and round at
+    6dp — identical doubles both engines."""
+    orders, customer, nation = load(spark, sf_dir, "orders", "customer", "nation")
+    rev = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_regionkey").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_in_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_global"
+        ),
+    )
