@@ -500,3 +500,18 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     back = sorted(map(tuple, spark.read.parquet(dest).collect()))
     # partition b fully replaced; a and c untouched
     assert back == [(1, "a"), (2, "a"), (4, "c"), (99, "b")]
+
+
+def test_compression_codec_roundtrips(spark, tmp_path):
+    """Parquet zstd/gzip and gzip CSV write+read roundtrip — codec
+    choice is a storage knob, never a semantics change."""
+    df = spark.range(500).selectExpr("id", "concat('x', id % 7) AS tag")
+    want = sorted(map(tuple, df.collect()))
+    for codec in ("zstd", "gzip", "snappy"):
+        dest = str(tmp_path / f"pq_{codec}")
+        df.write.option("compression", codec).parquet(dest)
+        assert sorted(map(tuple, spark.read.parquet(dest).collect())) == want
+    csvd = str(tmp_path / "csv_gz")
+    df.write.option("compression", "gzip").option("header", True).csv(csvd)
+    back = spark.read.option("header", True).schema("id long, tag string").csv(csvd)
+    assert sorted(map(tuple, back.collect())) == want
