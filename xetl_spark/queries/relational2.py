@@ -729,3 +729,109 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q_join_effective_dated",
+    oracle="""
+    WITH cur AS (
+      SELECT user_id, event_type, ts AS valid_from FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-10') WHERE rn = 1
+    ), chg AS (
+      SELECT user_id, event_type AS new_type, ts AS chg_ts FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-10') WHERE rn = 1
+    ), j AS (
+      SELECT c.user_id, c.event_type, c.valid_from, g.new_type, g.chg_ts
+      FROM cur c LEFT JOIN chg g USING (user_id)
+    ), hist AS (
+      SELECT user_id, event_type, valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM j WHERE chg_ts IS NULL OR new_type = event_type
+      UNION ALL
+      SELECT user_id, event_type, valid_from, chg_ts
+      FROM j WHERE chg_ts IS NOT NULL AND new_type <> event_type
+      UNION ALL
+      SELECT user_id, new_type, chg_ts, CAST(NULL AS TIMESTAMP)
+      FROM j WHERE chg_ts IS NOT NULL AND new_type <> event_type
+    )
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS fact_ts_us,
+           h.event_type AS dim_type_at_fact
+    FROM events f LEFT JOIN hist h
+      ON f.user_id = h.user_id
+     AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    WHERE f.ts >= TIMESTAMP '2024-01-12'
+    """,
+)
+def q_join_effective_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated dimension lookup — the standard warehouse
+    pattern over an SCD2 history: each fact row joins the dimension
+    version whose [valid_from, valid_to) interval contains the fact
+    timestamp. The history comes from the same fold as q_cdc_scd2; the
+    interval predicate rides the user_id equi-join (sort-merge + band
+    filter, never a nested loop), exactly the range-join shape. Facts
+    before any open row get NULL (left join) — no silent row loss."""
+    from pyspark.sql import Window
+
+    from xetl_spark.operators import scd2
+
+    (events,) = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cur = (
+        events.filter(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        events.filter(F.col("ts") >= cutoff)
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    hist = scd2(
+        cur,
+        chg,
+        keys=["user_id"],
+        ts_col="ts",
+        compare_cols=["event_type"],
+        start_col="valid_from",
+        end_col="valid_to",
+        current_col="is_current",
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("dim_type_at_fact"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = events.filter(
+        F.col("ts") >= F.lit("2024-01-12 00:00:00").cast("timestamp")
+    )
+    return facts.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("fact_ts_us"),
+        "dim_type_at_fact",
+    )
