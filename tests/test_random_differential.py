@@ -533,7 +533,7 @@ def test_random_tables_differential_pivot_and_decimal(spark, con, seed):
         assert canonical_hash(got) == canonical_hash(want), name
 
 
-@pytest.mark.parametrize("seed", [11, 47])
+@pytest.mark.parametrize("seed", [11, 47, 83])
 def test_random_tables_differential_timeseries_ops(spark, con, seed):
     """The round-4 operators (linear interpolation, EWMA, moving
     median, weighted sampling, corpus line dedup) hash-match DuckDB on
@@ -697,7 +697,7 @@ def test_random_tables_differential_timeseries_ops(spark, con, seed):
         assert canonical_hash(got) == canonical_hash(want), name
 
 
-@pytest.mark.parametrize("seed", [5, 71])
+@pytest.mark.parametrize("seed", [5, 71, 129])
 def test_random_tables_differential_round4_shapes(spark, con, seed):
     """Bitmap exact distinct, equi-depth histogram, transition counts,
     and basket pairs hash-match DuckDB on seeded random tables."""
