@@ -52,10 +52,17 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # repeats each cached subtree per consumer. Live exchanges: distinct
 # names (1), variant-hash distinct (1), candidate self-join (2),
 # candidate distinct (1), two verify joins (2).
+# q_join_effective_dated — SCD2 build + effective-dated fact lookup is
+# 7 user-keyed stages by construction: two first/last-occurrence
+# windows (2), the fold join (2 sides), the three-branch history union
+# re-exchange (2), and the fact-side join (1). Every exchange carries
+# one row per user or per fact — nothing exploded — and all hash on
+# user_id, so AQE coalescing stacks them onto the same partitioning.
 EXCHANGE_ALLOWANCE = {
     "q_dedup_minhash_lsh": 7,
     "q_graph_triangles": 21,
     "q_fuzzy_name_join": 10,
+    "q_join_effective_dated": 7,
 }
 
 

@@ -1,0 +1,86 @@
+"""Round-end release check: run the full verification battery and
+print a one-page summary.
+
+Usage: python tools/release_check.py [--fast]
+
+Runs, in order (see .claude/skills/verify/SKILL.md for the manual
+recipe): driver simulation, oracle harness (standard + vanilla,
+sf0.01), plan audit, pytest, and bench — each as a subprocess so one
+failure can't poison the others' Spark state. ``--fast`` skips pytest
+and bench (the two slow legs) for a mid-round spot check.
+
+Exit code = number of failed legs.
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+import time
+
+FAST = "--fast" in sys.argv
+
+DRIVER_SIM = """
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+import sys; sys.path.insert(0, "/root/repo"); import importlib
+m = importlib.import_module("__spark_entry__")
+rows = len(m.entry(spark).collect())
+print(f"DRIVER_SIM rows={rows} queries={len(m.queries())} oracles={len(m.oracle_sql())}")
+assert rows > 0
+"""
+
+LEGS: list[tuple[str, list[str]]] = [
+    ("driver-sim", [sys.executable, "-c", DRIVER_SIM]),
+    ("harness", [sys.executable, "tools/oracle_harness.py", "/root/testdata/sf0.01"]),
+    (
+        "harness-vanilla",
+        [sys.executable, "tools/oracle_harness.py", "--vanilla", "/root/testdata/sf0.01"],
+    ),
+    ("plan-audit", [sys.executable, "tools/plan_audit.py"]),
+]
+if not FAST:
+    LEGS += [
+        ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
+        ("bench", [sys.executable, "bench.py"]),
+    ]
+
+
+def main() -> int:
+    results = []
+    for name, cmd in LEGS:
+        t0 = time.time()
+        proc = subprocess.run(
+            cmd, cwd="/root/repo", capture_output=True, text=True, timeout=3600
+        )
+        wall = time.time() - t0
+        full = proc.stdout + proc.stderr
+        # progress bars and blank lines drown the summary; show the last
+        # few SUBSTANTIVE lines and assert against the full output
+        lines = [
+            ln
+            for ln in full.strip().splitlines()
+            if ln.strip() and "[Stage" not in ln and "\r" not in ln
+        ]
+        tail = lines[-3:]
+        ok = proc.returncode == 0
+        if name.startswith("harness") and ok:
+            ok = bool(re.search(r"\b0 failed\b", full))
+        if name == "plan-audit" and ok:
+            ok = bool(re.search(r"--- findings ---\s*\n\s*none", full))
+        if name == "bench" and ok:
+            ok = '"complete": true' in full
+        results.append((name, ok, wall, tail))
+        status = "ok" if ok else "FAILED"
+        print(f"[{status:>6}] {name} ({wall:.0f}s)")
+        for line in tail:
+            print(f"         {line[:110]}")
+    failed = [n for n, ok, _, _ in results if not ok]
+    print(f"\n{len(LEGS) - len(failed)}/{len(LEGS)} legs green"
+          + (f"; FAILED: {failed}" if failed else ""))
+    return len(failed)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
