@@ -1033,3 +1033,30 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_agg_listagg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS names_asc,
+           string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS names_by_key_desc
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-controlled string aggregation (Spark 4 LISTAGG ... WITHIN
+    GROUP): deterministic concatenation order is declared in the
+    aggregate itself instead of relying on input order — the only
+    shuffle-safe way to build ordered strings at scale."""
+    load(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+                 AS names_asc,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_nationkey DESC)
+                 AS names_by_key_desc
+        FROM nation GROUP BY n_regionkey
+        """
+    )
