@@ -1060,3 +1060,27 @@ def q_agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "q_sql_identifier_template",
+    oracle="""
+    SELECT c_mktsegment AS seg, count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_sql_identifier_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() templating (Spark 3.4+): table and column names
+    bound as parameters through the injection-safe identifier clause —
+    the dynamic-SQL path that stays analyzable (wrong names fail at
+    analysis, not as string-spliced surprises)."""
+    load(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS seg, count(*) AS n,
+               round(sum(IDENTIFIER(:balcol)), 2) AS total_bal
+        FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:col)
+        """,
+        args={"tab": "customer", "col": "c_mktsegment", "balcol": "c_acctbal"},
+    )
