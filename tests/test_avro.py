@@ -336,6 +336,24 @@ def test_avro_decimal_logical_type(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_avro_truncated_fixed_decimal_raises():
+    """A fixed-type decimal whose buffer ends mid-value must raise
+    AvroFormatError like every other branch — not silently decode the
+    short slice into a wrong Decimal."""
+    from decimal import Decimal
+
+    import pytest
+
+    from xetl_spark.sources.avro import AvroFormatError, _decode_value
+
+    sch = {"type": "fixed", "size": 4, "logicalType": "decimal", "scale": 2}
+    buf = (123456).to_bytes(4, "big", signed=True)
+    v, pos = _decode_value(buf, 0, sch)
+    assert (v, pos) == (Decimal("1234.56"), 4)
+    with pytest.raises(AvroFormatError):
+        _decode_value(buf[:3], 0, sch)  # truncated mid-fixed
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -122,17 +122,32 @@ def test_parquet_pushdown_plan(spark, sf_dir):
 
 
 def test_multimodal_feature_schema(spark, sf_dir):
-    from xetl_spark.queries import REGISTRY
+    """The OPERATOR emits the typed feature vector (array<float> — the
+    embedding-pipeline contract); the registry QUERY flattens it to
+    scalar columns per the canon rule (r4's one red driver row was
+    exactly this query returning the raw array)."""
+    from xetl_spark.operators import multimodal
+    from xetl_spark.queries import REGISTRY, load
 
-    df = REGISTRY["q_multimodal_features"].fn(spark, sf_dir)
-    assert df.schema.simpleString() == (
+    (docs,) = load(spark, sf_dir, "documents")
+    with_media = multimodal.attach_binary(docs, "text", mime="text/plain")
+    feats = multimodal.extract_features(with_media, "media", "doc_id")
+    assert feats.schema.simpleString() == (
         "struct<id:bigint,byte_len:bigint,width:int,height:int,features:array<float>>"
     )
-    rows = df.limit(5).collect()
+    rows = feats.limit(5).collect()
     assert all(len(r.features) == 8 for r in rows)
     # determinism: same payload → same features on a second run
-    again = REGISTRY["q_multimodal_features"].fn(spark, sf_dir).limit(5).collect()
+    again = (
+        multimodal.extract_features(with_media, "media", "doc_id").limit(5).collect()
+    )
     assert [r.features for r in rows] == [r.features for r in again]
+
+    q = REGISTRY["q_multimodal_features"].fn(spark, sf_dir)
+    assert q.schema.simpleString() == (
+        "struct<doc_id:bigint,byte_len:bigint,width:int,height:int,"
+        "feat_sum:double,f0:double>"
+    )
 
 
 def test_functions_library_columns(spark):
@@ -517,6 +532,36 @@ def test_bloom_no_false_negatives_and_fp_bound(spark):
     rate = fp.filter("maybe_present").count() / 2_000
     analytic = (1 - math.exp(-k * n / m)) ** k
     assert rate <= max(2 * analytic, 0.01), (rate, analytic)
+
+
+def test_bloom_probe_duplicate_keys_no_false_negative(spark):
+    """A key repeated k times in the probe batch must still report
+    maybe_present=true (regression: a raw hit-count == num_hashes
+    compare saw k*num_hashes joined rows and reported a present key
+    absent — violating the definitely-absent guarantee). Absent keys
+    stay absent when duplicated, and output is one row per distinct
+    key."""
+    import pyspark.sql.functions as F
+
+    from xetl_spark.operators.sketch import bloom_build, bloom_probe
+
+    k, m = 7, 1 << 14
+    present = spark.range(100).selectExpr("id AS key")
+    sk = bloom_build(present, "key", num_hashes=k, num_bits=m)
+    dup_present = present.withColumn("x", F.explode(F.array_repeat(F.lit(1), 3)))
+    probed = bloom_probe(sk, dup_present.select("key"), "key", k, m)
+    assert probed.count() == 100
+    assert probed.filter("NOT maybe_present").count() == 0
+    # duplicated ABSENT keys: overwhelmingly still definitely-absent
+    # (equality would be flaky only via genuine FP collisions, ~0 here)
+    dup_absent = (
+        spark.range(10_000, 10_100)
+        .selectExpr("id AS key")
+        .withColumn("x", F.explode(F.array_repeat(F.lit(1), 3)))
+        .select("key")
+    )
+    fp = bloom_probe(sk, dup_absent, "key", k, m).filter("maybe_present").count()
+    assert fp <= 2
 
 
 def test_bloom_merge_distributivity(spark):

@@ -477,6 +477,84 @@ def test_replay_checkpoint_resume_exactly_once(spark, tmp_path):
     assert got == list(range(5000))  # exactly once: no dupes, no gaps
 
 
+def test_replay_reader_offset_monotone_across_restart(tmp_path):
+    """Unit contract for the pacing cursor (regression: with
+    rows_per_trigger set, a checkpoint-restarted reader started at
+    cursor=0, so latestOffset could return an offset BELOW the
+    committed one; Spark's new-data check is inequality, so the
+    'backwards' batch rolled the commit log back and re-emitted
+    committed rows). The engine contract (same one pyspark's
+    _SimpleStreamReaderWrapper relies on) is that on ANY restart the
+    last offset-log batch is replanned via partitions() before the
+    first latestOffset poll — so partitions()/commit() re-learning
+    keeps the paced offset at/above the committed one. NOTE:
+    latestOffset may be polled BEFORE initialOffset on a fresh start,
+    so pacing must work with no initialOffset call at all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xetl_spark.sources.replay import ReplayStreamReader
+
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(pa.table({"i": list(range(2000))}), src, row_group_size=100)
+    opts = {"path": src, "rows_per_batch": 100, "rows_per_trigger": 500}
+
+    # fresh start, engine polls latestOffset first: paced from 0
+    fresh = ReplayStreamReader(opts)
+    assert fresh.latestOffset() == {"row": 500}
+    assert fresh.latestOffset() == {"row": 1000}
+
+    # restart: the engine replans the last offset-log batch FIRST;
+    # partitions() re-learns the cursor from its end, so the next poll
+    # is paced from the committed position, never below it
+    restarted = ReplayStreamReader(opts)
+    restarted.partitions({"row": 1000}, {"row": 1500})
+    assert restarted.latestOffset() == {"row": 2000}  # min(n, 1500+500)
+
+    # commit() also raises the cursor (restart where commit replays)
+    c = ReplayStreamReader(opts)
+    c.commit({"row": 1200})
+    assert c.latestOffset() == {"row": 1700}
+
+
+def test_replay_restart_after_complete_emits_nothing(spark, tmp_path):
+    """E2E: re-starting a fully-drained checkpointed paced replay adds
+    zero rows — the committed offset is never rolled back."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xetl_spark.sources.replay import register_replay_datasource
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.table({"i": list(range(1500))}), src, row_group_size=250)
+    register_replay_datasource(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        # NOT availableNow: that snapshots ONE paced latestOffset at
+        # start and stops there; processAllAvailable keeps polling
+        # until the paced cursor reaches the file end
+        q = (
+            spark.readStream.format("xetl_replay")
+            .option("path", src)
+            .option("rows_per_batch", 250)
+            .option("rows_per_trigger", 500)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sorted(r.i for r in spark.read.parquet(sink).collect()) == list(range(1500))
+    run_once()  # second run restores the checkpoint: nothing new to emit
+    assert sorted(r.i for r in spark.read.parquet(sink).collect()) == list(range(1500))
+
+
 def test_observe_metrics_api(spark, sf_dir):
     """df.observe() accumulates in-query metrics without a second scan
     — the hook run reports would use for per-stage custom counters."""

@@ -64,7 +64,13 @@ def main() -> int:
     regressed = [r for r in rows if r[4] == "REGRESSED"]
     if regressed:
         print(f"{len(regressed)} queries >= {ratio}x slower")
-    headline_bad = ov is not None and nv is not None and nv / ov >= ratio
+    # ov == 0 (errored/empty baseline artifact): treat like the
+    # per-query path — any nonzero new value is an infinite ratio
+    headline_bad = (
+        ov is not None
+        and nv is not None
+        and (nv / ov if ov else float("inf") if nv else 1.0) >= ratio
+    )
     return 1 if (regressed and headline_bad) else 0
 
 

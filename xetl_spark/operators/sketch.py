@@ -115,6 +115,11 @@ def bloom_probe(
     probe bits are set. The sketch is ≤ num_bits rows → broadcast
     join; the probe side streams. Returns (key_col, maybe_present) —
     false means definitely absent; true means present-or-collision.
+    One output row per distinct key: present iff NO probed bit missed
+    (min over per-bit hit flags), which stays correct when the probe
+    batch repeats a key — a raw hit-count == num_hashes compare would
+    see k*num_hashes rows for a k-duplicated key and report a false
+    negative, breaking the definitely-absent guarantee.
     """
     bits = F.array(
         *[
@@ -127,5 +132,5 @@ def bloom_probe(
     return (
         probes.join(F.broadcast(sketch.withColumn("__hit", F.lit(1))), ["bit"], "left")
         .groupBy(key_col)
-        .agg((F.sum(hit) == F.lit(num_hashes)).alias("maybe_present"))
+        .agg((F.min(hit) == F.lit(1)).alias("maybe_present"))
     )

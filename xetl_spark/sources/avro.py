@@ -100,6 +100,11 @@ def _decode_value(buf: bytes, pos: int, sch) -> tuple[object, int]:
                 raw, pos = _read_bytes(buf, pos)
             else:
                 n = sch["size"]
+                if pos + n > len(buf):
+                    # mirror the plain 'fixed' branch — a truncated
+                    # container must fail loudly, not decode a short
+                    # byte string into a silently-wrong Decimal
+                    raise AvroFormatError("truncated fixed decimal")
                 raw, pos = buf[pos : pos + n], pos + n
             unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
             return Decimal(unscaled).scaleb(-sch.get("scale", 0)), pos
@@ -476,7 +481,15 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     """Write ``df`` as one Avro container file per Spark partition under
     ``path`` (shared FS assumed, as for any sink). Executor-side: each
     partition encodes independently with its own sync marker; the
-    driver only creates the directory. Returns the row count written."""
+    driver only creates the directory. Returns the row count written.
+
+    Known coercion: a floating-point ``NaN`` is written as Avro
+    ``null``. Spark distinguishes NaN from null, but the mapInPandas
+    bridge renders BOTH as pandas ``NaN`` in a float64 column, so the
+    distinction is unrecoverable here; null is the conservative choice
+    (round-tripping null→NaN would invent values). Pipelines that must
+    preserve NaN should encode it explicitly (e.g. nanvl/flag column)
+    before this sink."""
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
