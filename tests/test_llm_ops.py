@@ -56,6 +56,45 @@ def test_minhash_finds_exact_and_near_dups(spark, docs):
     assert not any(3 in p or 4 in p for p in got)
 
 
+def test_minhash_giant_doc_routes_to_explode_verify(spark):
+    """The verify-path auto-switch: pairs touching a doc with more
+    shingle hashes than max_hset_size verify via the explode-join
+    pair_jaccard path; the rest stay on the hashed fast path. Both
+    paths use the same hash universe, so results are identical to the
+    unsplit run — pinned here with one planted giant near-dup pair
+    and one ordinary near-dup pair, at a threshold low enough (30
+    shingles) to exercise routing without megabyte fixtures."""
+    base = "w%d " * 200  # 200 tokens → ~198 trigram shingles (giant at cap 30)
+    giant_a = (base % tuple(range(200))).strip()
+    giant_b = (base % tuple(list(range(190)) + list(range(900, 910)))).strip()
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small2 = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    lone = "completely unrelated text about volcanoes and glaciers today"
+    docs = spark.createDataFrame(
+        [(0, giant_a), (1, giant_b), (2, small), (3, small2), (4, lone)],
+        "doc_id long, text string",
+    )
+
+    def run(cap):
+        return {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_near_duplicates(
+                docs, "text", "doc_id", threshold=0.3, bands=12, max_hset_size=cap
+            ).collect()
+        }
+
+    split = run(30)  # giants routed to explode verify
+    unsplit = run(None)  # everything on the hashed path
+    default = run(1_000_000)  # no giants at default cap → eager fast path
+    assert set(split) == set(unsplit) == set(default)
+    for k in split:
+        assert split[k] == pytest.approx(unsplit[k])
+        assert default[k] == pytest.approx(unsplit[k])
+    assert (0, 1) in split  # the giant pair survives the split path
+    assert (2, 3) in split  # the ordinary pair stays on the fast path
+    assert not any(4 in p for p in split)
+
+
 def test_minhash_lsh_recall_on_fixture(spark, sf_dir):
     """LSH candidates must recover ≥90% of truly-similar pairs found by
     exhaustive jaccard on the fixture subset."""

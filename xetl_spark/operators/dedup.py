@@ -337,6 +337,7 @@ def minhash_near_duplicates(
     num_hashes: int = 24,
     bands: int = 8,
     threshold: float = 0.8,
+    max_hset_size: int | None = 1_000_000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → signature →
     band → candidate pairs → exact-Jaccard verify ≥ threshold.
@@ -352,12 +353,70 @@ def minhash_near_duplicates(
     verify joins, so it is persisted (one row per doc — small relative
     to the corpus, the same materialization a production dedup job
     makes).
+
+    Verify-path auto-switch: pairs whose docs both have ≤
+    ``max_hset_size`` shingle hashes verify via pair_jaccard_hashed
+    (array_intersect on the pair row — the fast path for real
+    web/LLM corpora). Pairs touching a pathological multi-million-
+    shingle doc would ship multi-MB arrays through that join, so they
+    route to the explode-join pair_jaccard path instead, restricted
+    (semi-join) to exactly the involved docs before exploding. Both
+    paths hash shingles with the same xxhash64 universe, so the split
+    is value-invisible. Giant docs are by construction rare, so the
+    routing marks pairs with two BROADCAST joins against the tiny
+    giant-doc set — no extra shuffle on the candidate-pair table.
+    ``max_hset_size=None`` disables the split (always hashed).
+
+    The split plan unions two branches over the candidate-pair
+    subtree, so it is materially bigger than the hashed-only plan.
+    The giant-doc check is therefore taken EAGERLY on the persisted
+    per-doc signature table (one bounded filter+isEmpty job — the
+    same table every later stage reuses): a corpus with no giant docs
+    keeps the exact single-branch plan, and only a corpus that
+    actually contains one pays for the routed plan.
     """
     sig = minhash_signatures_rowwise(df, text_col, id_col, num_hashes, n).persist()
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
-    return pair_jaccard_hashed(pairs, sig).filter(
-        F.col("jaccard") >= threshold
+    if max_hset_size is None:
+        return pair_jaccard_hashed(pairs, sig).filter(F.col("jaccard") >= threshold)
+
+    giants = sig.filter(F.col("sz") > max_hset_size).select("doc")
+    if giants.isEmpty():
+        return pair_jaccard_hashed(pairs, sig).filter(F.col("jaccard") >= threshold)
+    marked = (
+        pairs.join(
+            F.broadcast(giants.select(F.col("doc").alias("doc_a"), F.lit(True).alias("__ga"))),
+            "doc_a",
+            "left",
+        )
+        .join(
+            F.broadcast(giants.select(F.col("doc").alias("doc_b"), F.lit(True).alias("__gb"))),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "__giant",
+            F.coalesce(F.col("__ga"), F.lit(False)) | F.coalesce(F.col("__gb"), F.lit(False)),
+        )
     )
+    small_pairs = marked.filter(~F.col("__giant")).select("doc_a", "doc_b")
+    giant_pairs = marked.filter(F.col("__giant")).select("doc_a", "doc_b")
+
+    fast = pair_jaccard_hashed(small_pairs, sig)
+
+    # explode only the docs the giant pairs actually touch (both
+    # partners — a giant pair may include one ordinary doc)
+    involved = (
+        giant_pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(giant_pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sig_involved = sig.join(involved, "doc", "left_semi")
+    sh_involved = sig_involved.select("doc", F.explode("hset").alias("shingle"))
+    slow = pair_jaccard(
+        sh_involved, giant_pairs, sizes=sig_involved.select("doc", "sz")
+    )
+    return fast.unionByName(slow).filter(F.col("jaccard") >= threshold)
 
 
 def contamination_check(
