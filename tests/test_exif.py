@@ -1,0 +1,96 @@
+"""EXIF APP1/TIFF codec (operators/exif.py): synthetic round-trips in
+both byte orders, real camera-file golden values, and robustness on
+truncated/garbage segments."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pytest
+
+from xetl_spark.operators import exif, jpeg
+
+FIELDS = {
+    "make": "maker3",
+    "model": "cam-42",
+    "orientation": 6,
+    "datetime": "2024:05:06 07:08:09",
+    "software": "xetl",
+    "iso": 200,
+    "exposure_time": "1/125",
+    "f_number": "28/10",
+    "pixel_x": 16,
+    "pixel_y": 16,
+    "datetime_original": "2024:05:06 07:08:08",
+    "focal_length": "50/1",
+}
+
+REAL_DIR = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_roundtrip_both_byte_orders(bo):
+    img = np.full((16, 16, 3), 99, np.uint8)
+    payload = exif.insert_app1(jpeg.jpeg_encode(img, 90), exif.exif_build(FIELDS, bo))
+    assert exif.exif_parse(payload) == FIELDS
+    # the APP1 insert must not disturb the image stream
+    assert np.array_equal(
+        jpeg.jpeg_decode(payload), jpeg.jpeg_decode(jpeg.jpeg_encode(img, 90))
+    )
+
+
+def test_no_exif_returns_empty():
+    img = np.full((8, 8, 3), 7, np.uint8)
+    assert exif.exif_parse(jpeg.jpeg_encode(img, 90)) == {}
+    assert exif.exif_parse(b"\xff\xd8\xff\xd9") == {}
+    assert exif.exif_parse(b"not a jpeg at all") == {}
+
+
+def test_truncated_app1_degrades_not_crashes():
+    """Triage must survive arbitrary wire bytes: every prefix of a
+    valid payload parses to a (possibly partial) dict, never raises."""
+    img = np.full((8, 8, 3), 50, np.uint8)
+    payload = exif.insert_app1(jpeg.jpeg_encode(img, 90), exif.exif_build(FIELDS))
+    for cut in range(0, min(len(payload), 400), 7):
+        out = exif.exif_parse(payload[:cut])
+        assert isinstance(out, dict)
+
+
+@pytest.mark.skipif(
+    not glob.glob(f"{REAL_DIR}/**/*.jpg", recursive=True),
+    reason="Spark-bundled sample JPEGs not present",
+)
+def test_real_camera_exif_golden():
+    """Independent-encoder validation: the NIKON COOLPIX P4 fixture
+    shipped with Spark parses to its known camera metadata."""
+    path = f"{REAL_DIR}/multi-channel/chr30.4.184.jpg"
+    got = exif.exif_parse(open(path, "rb").read())
+    assert got["make"] == "NIKON"
+    assert got["model"] == "COOLPIX P4"
+    assert got["orientation"] == 1
+    assert got["datetime_original"] == "2007:05:19 09:15:25"
+    assert got["iso"] == 100
+    assert got["f_number"] == "68/10"
+    assert got["focal_length"] == "157/10"
+    assert (got["pixel_x"], got["pixel_y"]) == (471, 337)
+    # every bundled file yields at least orientation
+    for p in glob.glob(f"{REAL_DIR}/**/*.jpg", recursive=True):
+        assert exif.exif_parse(open(p, "rb").read()).get("orientation") == 1
+
+
+def test_extract_exif_operator(spark):
+    """The Spark-side operator: payload column in, typed metadata out,
+    NULL fields for EXIF-less payloads."""
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import extract_exif
+
+    img = np.full((8, 8, 3), 10, np.uint8)
+    base = jpeg.jpeg_encode(img, 90)
+    with_meta = exif.insert_app1(base, exif.exif_build({"make": "m1", "iso": 400}))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "media": [with_meta, base]})
+    df = spark.createDataFrame(pdf)
+    rows = {r.id: r for r in extract_exif(df, "media", "doc_id").collect()}
+    assert rows[1].make == "m1" and rows[1].iso == 400
+    assert rows[2].make is None and rows[2].iso is None

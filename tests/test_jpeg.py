@@ -139,18 +139,97 @@ def test_real_world_jpegs_match_imageio(spark):
     assert checked >= 4  # the distribution ships several baseline files
 
 
-def test_progressive_rejected_with_typed_error():
-    candidates = glob.glob("/usr/share/doc/nodejs/*.jpg")
-    progressive = None
-    for path in candidates:
-        data = open(path, "rb").read()
-        if b"\xff\xc2" in data[:200]:
-            progressive = data
-            break
-    if progressive is None:
-        pytest.skip("no progressive JPEG available")
+@pytest.mark.skipif(
+    not glob.glob(f"{REAL_JPEG_DIR}/**/*.jpg", recursive=True),
+    reason="Spark-bundled sample JPEGs not present",
+)
+def test_progressive_jpegs_match_imageio(spark, tmp_path):
+    """Progressive (SOF2) golden round-trip: re-encode each bundled
+    baseline JPEG as progressive with the JVM's ImageIO writer (the
+    classic jpeg_simple_progression scan script — interleaved DC with
+    successive approximation, per-component spectral-selection AC
+    scans, AC refinement passes) and require our decoder to match the
+    JVM's decode of the SAME progressive file within the baseline
+    test's tolerances (nearest vs smooth chroma upsampling)."""
+    jvm = spark._jvm
+    checked = 0
+    for path in sorted(glob.glob(f"{REAL_JPEG_DIR}/**/*.jpg", recursive=True)):
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        out = str(tmp_path / f"prog_{checked}.jpg")
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(out))
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.close()
+        writer.dispose()
+
+        payload = open(out, "rb").read()
+        sof = _sof_marker(payload)
+        assert sof == 2, f"JVM did not emit SOF2 for {path}"
+        mine = jpeg.jpeg_decode(payload)
+        row = spark.read.format("image").load(out).select("image.*").collect()[0]
+        ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )
+        if row.nChannels == 3:
+            ref = ref[:, :, ::-1]  # Spark image source is BGR
+        assert mine.shape == ref.shape
+        err = np.abs(mine.astype(int) - ref.astype(int))
+        assert err.mean() < 3.0, path
+        assert np.percentile(err, 99) <= 12, path
+        checked += 1
+    assert checked >= 4
+
+
+def _sof_marker(data: bytes) -> int | None:
+    i = 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xC0 <= data[i + 1] <= 0xCF and data[i + 1] not in (
+            0xC4, 0xC8, 0xCC,
+        ):
+            return data[i + 1] - 0xC0
+        i += 1
+    return None
+
+
+def test_progressive_encode_decodes_bit_identical_to_baseline():
+    """The pure-Python progressive mode (spectral-selection scan
+    script) carries exactly the same quantized coefficients as
+    baseline mode, so decode must be bit-identical — any disagreement
+    means the multi-scan bookkeeping (DC scan, per-component AC band
+    scans, EOB-run handling) corrupted a coefficient."""
+    rng = np.random.default_rng(7)
+    img = (np.cumsum(rng.integers(-3, 4, (40, 56, 3)), axis=1) % 256).astype(
+        np.uint8
+    )
+    prog = jpeg.jpeg_encode(img, quality=90, progressive=True)
+    assert _sof_marker(prog) == 2
+    assert np.array_equal(
+        jpeg.jpeg_decode(prog), jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=90))
+    )
+    # uniform blocks at q100: DC-only, unit tables → exact round-trip
+    u = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(
+        jpeg.jpeg_decode(jpeg.jpeg_encode(u, quality=100, progressive=True)), u
+    )
+    # single-component (grayscale) progressive
+    g = (np.arange(24 * 24) % 256).astype(np.uint8).reshape(24, 24)
+    assert np.array_equal(
+        jpeg.jpeg_decode(jpeg.jpeg_encode(g, quality=85, progressive=True)),
+        jpeg.jpeg_decode(jpeg.jpeg_encode(g, quality=85)),
+    )
+
+
+def test_arithmetic_coded_rejected_with_typed_error():
+    """SOF9 (arithmetic-coded sequential) stays a typed boundary."""
+    img = _gradient(16, 16)
+    payload = bytearray(jpeg.jpeg_encode(img, quality=90))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC9
     with pytest.raises(UnsupportedImageError, match="non-baseline"):
-        jpeg.jpeg_decode(progressive)
+        jpeg.jpeg_decode(bytes(payload))
 
 
 def test_quality_scaling_bounds():

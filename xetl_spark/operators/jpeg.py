@@ -14,10 +14,17 @@ The encoder emits baseline 4:4:4 with the Annex K example tables
 (quality-scaled exactly as libjpeg's ``jpeg_quality_scaling``), which
 is how the test fixtures are synthesized without any external codec.
 
-Out of scope (typed ``UnsupportedImageError``): progressive (SOF2),
-arithmetic coding, 12-bit precision, lossless, hierarchical — formats
-a training-data pipeline meets rarely and that genuinely need a codec
-library's worth of machinery.
+Progressive (SOF2) decodes too — ITU-T T.81 Annex G: spectral
+selection, successive approximation (DC first/refine, AC first with
+EOB runs, AC refinement with correction bits), interleaved DC and
+non-interleaved AC scans, restart markers per scan. Golden-tested
+against the JVM's ImageIO progressive encoder+decoder (the classic
+jpeg_simple_progression scan script).
+
+Out of scope (typed ``UnsupportedImageError``): arithmetic coding,
+12-bit precision, lossless, hierarchical — formats a training-data
+pipeline meets rarely and that genuinely need a codec library's worth
+of machinery.
 
 Scale note: like the PNG codec, every image decodes independently
 inside its Arrow batch on the executor; nothing touches the driver.
@@ -137,17 +144,164 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     return np.einsum("ij,njk,kl->nil", _C.T, coefs, _C)
 
 
+def _entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Extract one scan's entropy-coded bytes starting at ``pos``:
+    destuff FF00, split on RSTn markers. Returns (segments, position of
+    the next marker)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker: end of scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _block_sequential(br, zz, dc_tab, ac_tab, pred, cid) -> None:
+    """Baseline sequential block: DC diff + AC run-length (T.81 F.2)."""
+    t = _decode_huff(br, dc_tab)
+    pred[cid] += _extend(br.receive(t), t)
+    zz[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: skip 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise UnsupportedImageError("JPEG AC index overflow")
+        zz[k] = _extend(br.receive(s), s)
+        k += 1
+
+
+def _block_dc_first(br, zz, dc_tab, pred, cid, al) -> None:
+    """Progressive DC, first pass (G.2): diffs of DC>>Al; the running
+    predictor is kept in reduced precision and shifted out on store."""
+    t = _decode_huff(br, dc_tab)
+    pred[cid] += _extend(br.receive(t), t)
+    zz[0] = pred[cid] << al
+
+def _block_dc_refine(br, zz, al) -> None:
+    """Progressive DC refinement (G.1.2.1): one appended bit."""
+    if br.receive(1):
+        zz[0] = int(zz[0]) | (1 << al)
+
+
+def _block_ac_first(br, zz, ac_tab, ss, se, al, state) -> None:
+    """Progressive AC, first pass over a spectral band (G.1.2.2):
+    run-length coding within Ss..Se plus EOBn run symbols that skip
+    whole blocks (state['eobrun'] carries the remainder across
+    blocks)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: this block ends; (1<<r)+bits-1 more follow
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                return
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise UnsupportedImageError("JPEG AC index overflow")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+
+def _block_ac_refine(br, zz, ac_tab, ss, se, al, state) -> None:
+    """Progressive AC refinement (G.1.2.3): each symbol either places a
+    new ±1<<Al coefficient after a run of zero-history positions or
+    starts an EOB run; every nonzero-history coefficient passed on the
+    way reads one correction bit."""
+    bit = 1 << al
+
+    def correct(k: int) -> None:
+        v = int(zz[k])
+        if v != 0 and br.receive(1) and not (v & bit):
+            zz[k] = v + bit if v > 0 else v - bit
+
+    if state["eobrun"] > 0:
+        for k in range(ss, se + 1):
+            correct(k)
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOB run: finish correcting this block, then done
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                while k <= se:
+                    correct(k)
+                    k += 1
+                return
+            # ZRL: r==15 → pass 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise UnsupportedImageError("invalid JPEG AC refinement symbol")
+            newval = bit if br.receive(1) else -bit
+        while k <= se:  # pass r zero-history coefs, correcting nonzeros
+            if int(zz[k]) != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if s and k <= se:
+            zz[k] = newval
+        k += 1
+
+
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF/JPEG to (H, W, C) uint8
-    (C=3 YCbCr->RGB, or C=1 grayscale)."""
+    """Decode a baseline-sequential OR progressive JFIF/JPEG to
+    (H, W, C) uint8 (C=3 YCbCr->RGB, or C=1 grayscale).
+
+    Multi-scan architecture: every SOS decodes into per-component
+    quantized-coefficient planes (zigzag index space); dequantization
+    + one vectorized IDCT pass per component happen once at the end.
+    Baseline is the degenerate single-scan case of the same machinery.
+    """
     if not sniff_jpeg(payload):
         raise UnsupportedImageError("not a JPEG (bad SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}  # (class, id)
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) zigzag space
+    geom: dict[int, tuple[int, int, int, int]] = {}  # cid -> (nbx_t, nby_t, hs, vs)
+    saw_scan = False
 
     while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
@@ -183,7 +337,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 symbols = seg[i + 17 : i + 17 + nsym]
                 huff[(tc, th)] = _Huff(counts, symbols)
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
@@ -192,122 +347,67 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hs, vs, _tq in comps:
+                # MCU-padded grid (superset of the component's true
+                # ceil(cw/8) x ceil(ch/8) grid used by non-interleaved scans)
+                coefs[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                cw = -(-w * hs // hmax)
+                ch = -(-h * vs // vmax)
+                geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise UnsupportedImageError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF) for c in range(ns)]
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                for c in range(ns)
+            ]
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
             pos += seglen
-            break
+            segments, pos = _entropy_segments(payload, pos)
+            _decode_sos(
+                segments, scan, frame, huff, coefs, geom,
+                restart_interval, ss, se, ah, al, progressive,
+            )
+            saw_scan = True
+            continue
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise UnsupportedImageError("JPEG missing SOF/SOS")
     h, w, comps = frame
-
-    # entropy-coded bytes: destuff FF00, split on restart markers
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nxt = payload[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # EOI or next marker: end of scan
-            break
-    segments.append(bytes(cur))
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
 
-    # per-component coefficient planes (padded to whole MCUs)
-    planes = {
-        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-        for cid, hs, vs, _tq in comps
-    }
-    comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-
-    pred = {cid: 0 for cid, *_ in comps}
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    mcu_in_seg = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_in_seg == restart_interval:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise UnsupportedImageError("JPEG missing restart segment")
-                br = _BitReader(segments[seg_idx])
-                pred = {cid: 0 for cid, *_ in comps}
-                mcu_in_seg = 0
-            for cid, dc_id, ac_id in scan:
-                hs, vs, tq = comp_by_id[cid]
-                dc_tab = huff.get((0, dc_id))
-                ac_tab = huff.get((1, ac_id))
-                if dc_tab is None or ac_tab is None:
-                    raise UnsupportedImageError("JPEG missing Huffman table")
-                q = qtables.get(tq)
-                if q is None:
-                    raise UnsupportedImageError("JPEG missing quant table")
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = _decode_huff(br, dc_tab)
-                        diff = _extend(br.receive(t), t)
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL: skip 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise UnsupportedImageError("JPEG AC index overflow")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int32)
-                        block[ZIGZAG] = zz
-                        coef = block.reshape(8, 8) * q
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = coef
-            mcu_in_seg += 1
-
-    # one vectorized IDCT pass per component over all its blocks
+    # dequantize + one vectorized IDCT pass per component
     out_comps = []
-    for cid, hs, vs, _tq in comps:
-        p = planes[cid]
-        ph, pw = p.shape
-        blocks = (
-            p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        )
-        spatial = _idct_blocks(blocks) + 128.0
+    for cid, hs, vs, tq in comps:
+        q = qtables.get(tq)
+        if q is None:
+            raise UnsupportedImageError("JPEG missing quant table")
+        zzc = coefs[cid]
+        nby, nbx, _ = zzc.shape
+        nat = np.zeros_like(zzc)
+        nat[:, :, ZIGZAG] = zzc  # zigzag -> natural order
+        blocks = (nat.reshape(nby, nbx, 8, 8) * q[None, None]).reshape(-1, 8, 8)
+        spatial = _idct_blocks(blocks.astype(np.float64)) + 128.0
         p = (
-            spatial.reshape(ph // 8, pw // 8, 8, 8)
+            spatial.reshape(nby, nbx, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(ph, pw)
+            .reshape(nby * 8, nbx * 8)
         )
         # upsample subsampled chroma to full resolution (nearest)
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
@@ -323,6 +423,87 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_sos(
+    segments, scan, frame, huff, coefs, geom,
+    restart_interval, ss, se, ah, al, progressive,
+) -> None:
+    """Decode one scan's entropy segments into the coefficient planes.
+
+    Interleaved (ns>1) scans walk MCUs (hs x vs blocks per component);
+    a single-component scan walks that component's true block grid
+    (T.81 A.2.2 — NOT the MCU-padded grid). Restart intervals count
+    MCUs (or blocks, non-interleaved), resetting DC predictors and the
+    EOB run."""
+    h, w, comps = frame
+    comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    pred = {cid: 0 for cid, *_ in scan}
+    state = {"eobrun": 0}
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    unit_in_seg = 0
+
+    def maybe_restart():
+        nonlocal seg_idx, br, unit_in_seg, pred
+        if restart_interval and unit_in_seg == restart_interval:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise UnsupportedImageError("JPEG missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            pred = {cid: 0 for cid, *_ in scan}
+            state["eobrun"] = 0
+            unit_in_seg = 0
+
+    def decode_block(zz, cid, dc_tab, ac_tab):
+        if not progressive:
+            if dc_tab is None or ac_tab is None:
+                raise UnsupportedImageError("JPEG missing Huffman table")
+            _block_sequential(br, zz, dc_tab, ac_tab, pred, cid)
+        elif ss == 0:  # DC scan (se must be 0 per spec)
+            if ah == 0:
+                if dc_tab is None:
+                    raise UnsupportedImageError("JPEG missing Huffman table")
+                _block_dc_first(br, zz, dc_tab, pred, cid, al)
+            else:
+                _block_dc_refine(br, zz, al)
+        else:  # AC scan
+            if ac_tab is None:
+                raise UnsupportedImageError("JPEG missing Huffman table")
+            if ah == 0:
+                _block_ac_first(br, zz, ac_tab, ss, se, al, state)
+            else:
+                _block_ac_refine(br, zz, ac_tab, ss, se, al, state)
+
+    if len(scan) > 1:  # interleaved: MCU order
+        if progressive and ss != 0:
+            raise UnsupportedImageError("interleaved progressive AC scan")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for cid, dc_id, ac_id in scan:
+                    hs, vs, _tq = comp_by_id[cid]
+                    dc_tab, ac_tab = huff.get((0, dc_id)), huff.get((1, ac_id))
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = coefs[cid][my * vs + by, mx * hs + bx]
+                            decode_block(zz, cid, dc_tab, ac_tab)
+                unit_in_seg += 1
+    else:  # non-interleaved: the component's own block grid
+        cid, dc_id, ac_id = scan[0]
+        nbx_t, nby_t, _hs, _vs = geom[cid]
+        dc_tab, ac_tab = huff.get((0, dc_id)), huff.get((1, ac_id))
+        for by in range(nby_t):
+            for bx in range(nbx_t):
+                maybe_restart()
+                zz = coefs[cid][by, bx]
+                decode_block(zz, cid, dc_tab, ac_tab)
+                unit_in_seg += 1
 
 
 # ---------------------------------------------------------------- encode
@@ -464,13 +645,58 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, (v if v >= 0 else v + (1 << t) - 1)
 
 
+def _encode_dc(wr: _BitWriter, codes: dict, diff: int) -> None:
+    t, bits = _magnitude(diff)
+    code, ln = codes[t]
+    wr.put(code, ln)
+    wr.put(bits, t)
+
+
+def _encode_ac_band(wr: _BitWriter, codes: dict, zz: np.ndarray) -> None:
+    """Run-length encode zz[1..63] (baseline F.2 — identical symbol
+    semantics to a progressive first AC scan over Ss=1..Se=63, where
+    the EOB symbol is the degenerate EOB0 run of one block)."""
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = codes[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        t, bits = _magnitude(v)
+        code, ln = codes[(run << 4) | t]
+        wr.put(code, ln)
+        wr.put(bits, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = codes[0x00]  # EOB
+        wr.put(code, ln)
+
+
 def jpeg_encode(
-    arr: np.ndarray, quality: int = 85, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (H, W[, C]) uint8 as baseline JFIF: 4:4:4, Annex K
-    Huffman tables, quality-scaled Annex K quant tables.
+    """Encode (H, W[, C]) uint8 as JFIF: 4:4:4, Annex K Huffman
+    tables, quality-scaled Annex K quant tables.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (what camera/libjpeg output commonly carries)."""
+    that many MCUs (what camera/libjpeg output commonly carries;
+    baseline mode only). ``progressive=True`` emits SOF2 with a
+    spectral-selection scan script — one interleaved full-precision DC
+    scan, then one Ss=1..63 AC scan per component (T.81 Annex G
+    without successive approximation: same Huffman symbol semantics as
+    baseline, re-ordered into per-band scans, so the pixel result is
+    bit-identical to baseline mode at the same quality). Successive-
+    approximation ENCODING is out of scope; the decoder's refinement
+    path is golden-tested against JVM ImageIO progressive output."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
@@ -495,8 +721,6 @@ def jpeg_encode(
 
     bh, bw = -(-h // 8), -(-w // 8)
     bw8, bh8 = bw * 8, bh * 8
-    wr = _BitWriter()
-    pred = [0] * len(ycc)
     # quantized blocks per component, edge-padded by replication
     comp_blocks = []
     for ci, plane in enumerate(ycc):
@@ -512,64 +736,52 @@ def jpeg_encode(
         qz = np.round(coefs / qt[qsel[ci]]).astype(np.int64)
         comp_blocks.append(qz)
 
-    entropy = bytearray()
-    rst = 0
-    for bi in range(bh * bw):
-        if restart_interval and bi and bi % restart_interval == 0:
-            entropy += wr.flush()
-            entropy += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) % 8
-            wr = _BitWriter()
-            pred = [0] * len(ycc)
-        for ci in range(len(ycc)):
-            qz = comp_blocks[ci][bi]
-            zz = qz.reshape(-1)[ZIGZAG]
-            dc = int(zz[0])
-            diff = dc - pred[ci]
-            pred[ci] = dc
-            t, bits = _magnitude(diff)
-            code, ln = dc_codes[qsel[ci]][t]
-            wr.put(code, ln)
-            wr.put(bits, t)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[qsel[ci]][0xF0]  # ZRL
-                    wr.put(code, ln)
-                    run -= 16
-                t, bits = _magnitude(v)
-                code, ln = ac_codes[qsel[ci]][(run << 4) | t]
-                wr.put(code, ln)
-                wr.put(bits, t)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[qsel[ci]][0x00]  # EOB
-                wr.put(code, ln)
+    zz_blocks = [qz.reshape(-1, 64)[:, ZIGZAG] for qz in comp_blocks]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    ncomp = len(ycc)
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     for ti, q in enumerate(qt[: max(qsel) + 1]):
         out += seg(0xDB, bytes([ti]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    ncomp = len(ycc)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, qsel[ci]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     tables = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
     if ncomp > 1:
         tables += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
     for tc, th, (counts, symbols) in tables:
         out += seg(0xC4, bytes([(tc << 4) | th]) + counts + symbols)
+
+    if progressive:
+        # scan 1: interleaved DC, full precision (Ss=Se=0, Ah=Al=0)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, qsel[ci] << 4])
+        sos += bytes([0, 0, 0])
+        out += seg(0xDA, sos)
+        wr = _BitWriter()
+        pred = [0] * ncomp
+        for bi in range(bh * bw):
+            for ci in range(ncomp):
+                dc = int(zz_blocks[ci][bi, 0])
+                _encode_dc(wr, dc_codes[qsel[ci]], dc - pred[ci])
+                pred[ci] = dc
+        out += wr.flush()
+        # scans 2..: one Ss=1..63 AC scan per component (non-interleaved;
+        # 4:4:4 so the component grid equals the MCU grid)
+        for ci in range(ncomp):
+            out += seg(0xDA, bytes([1, ci + 1, qsel[ci]]) + bytes([1, 63, 0]))
+            wr = _BitWriter()
+            for bi in range(bh * bw):
+                _encode_ac_band(wr, ac_codes[qsel[ci]], zz_blocks[ci][bi])
+            out += wr.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -577,6 +789,23 @@ def jpeg_encode(
         sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
+    entropy = bytearray()
+    wr = _BitWriter()
+    pred = [0] * ncomp
+    rst = 0
+    for bi in range(bh * bw):
+        if restart_interval and bi and bi % restart_interval == 0:
+            entropy += wr.flush()
+            entropy += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            wr = _BitWriter()
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            zz = zz_blocks[ci][bi]
+            dc = int(zz[0])
+            _encode_dc(wr, dc_codes[qsel[ci]], dc - pred[ci])
+            pred[ci] = dc
+            _encode_ac_band(wr, ac_codes[qsel[ci]], zz)
     entropy += wr.flush()
     out += entropy
     out += b"\xff\xd9"

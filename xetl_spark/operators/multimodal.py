@@ -518,3 +518,49 @@ def activity_segments(
     return df.select(id_col, media_col).mapInPandas(
         run, schema=_id_typed(df, id_col, SEGMENT_SCHEMA)
     )
+
+
+EXIF_SCHEMA = (
+    "id long, make string, model string, orientation int, "
+    "datetime string, iso int, exposure_time string, pixel_x long"
+)
+
+
+def extract_exif(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """EXIF triage over a JPEG payload column (operators/exif.py —
+    APP1/TIFF parse, both byte orders): the metadata-first pass a
+    multimodal pipeline runs before any pixel decode (orientation for
+    correct decode, capture time for dedup/ordering, camera model for
+    bias audits). Arrow-batched mapInPandas, executor-side, no pixel
+    work; payloads without EXIF yield NULL fields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import exif as ex
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                f = ex.exif_parse(bytes(row[media_col]))
+                rows.append(
+                    (
+                        row[id_col],
+                        f.get("make"),
+                        f.get("model"),
+                        f.get("orientation"),
+                        f.get("datetime"),
+                        f.get("iso"),
+                        f.get("exposure_time"),
+                        f.get("pixel_x"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "make", "model", "orientation",
+                    "datetime", "iso", "exposure_time", "pixel_x",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, EXIF_SCHEMA)
+    )
