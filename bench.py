@@ -92,16 +92,44 @@ def main() -> None:
     # is the Q1 shape). Reported under its own key so the headline
     # `value` stays comparable across rounds; failures here are also
     # recorded but don't null the headline total.
+    aux_errors: dict[str, str] = {}
     tpch_timings: dict[str, float] = {}
     for name in tpch:
         t0 = time.time()
         try:
             Q.REGISTRY[name].fn(spark, sf_dir).count()
         except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
             continue
         tpch_timings[name] = round(time.time() - t0, 3)
+
+    # auxiliary suite: the LLM-data-pipeline operator battery (dedup
+    # variants beyond the headline LSH, similarity search, text
+    # analysis, training-data assembly, multimodal featurize) — its own
+    # key for the same comparability reason as the TPC-H suite.
+    LLM_SUITE = [
+        "q_dedup_simhash",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_embedding_cosine",
+        "q_sim_lsh_ann",
+        "q_text_unigram_logprob",
+        "q_text_hashing_tfidf",
+        "q_text_decontaminate",
+        "q_pack_greedy",
+        "q_multimodal_features",
+    ]
+    llm_timings: dict[str, float] = {}
+    for name in LLM_SUITE:
+        t0 = time.time()
+        try:
+            Q.REGISTRY[name].fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
+            continue
+        llm_timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {llm_timings[name]}s", file=sys.stderr)
 
     # streaming throughput: drive the tumbling-window aggregation as a
     # REAL Structured Streaming query over the events table and report
@@ -136,11 +164,15 @@ def main() -> None:
         "queries": timings,
         "tpch_suite_wall_seconds": round(sum(tpch_timings.values()), 3),
         "tpch_queries": tpch_timings,
+        "llm_suite_wall_seconds": round(sum(llm_timings.values()), 3),
+        "llm_queries": llm_timings,
         "streaming_events_per_sec": stream_eps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+    if aux_errors:
+        out["aux_errors"] = aux_errors
     print(json.dumps(out))
 
 

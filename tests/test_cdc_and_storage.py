@@ -515,3 +515,36 @@ def test_compression_codec_roundtrips(spark, tmp_path):
     df.write.option("compression", "gzip").option("header", True).csv(csvd)
     back = spark.read.option("header", True).schema("id long, tag string").csv(csvd)
     assert sorted(map(tuple, back.collect())) == want
+
+
+def test_manifest_pruning_skips_files_and_matches_unpruned(spark, tmp_path):
+    """sources/manifest.py: the footer-stats manifest must (a) carry
+    exact per-file min/max in the column's own type, (b) prune the
+    file list to only range-overlapping files, (c) return exactly the
+    unpruned predicate's rows, and (d) handle the no-overlap case with
+    an empty, correctly-typed result."""
+    from xetl_spark.sources.manifest import _parquet_files, build_manifest, pruned_read
+
+    dest = str(tmp_path / "fact")
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    df.repartitionByRange(10, "k").sortWithinPartitions("k").write.parquet(dest)
+
+    mani = build_manifest(spark, dest, "k").collect()
+    assert len(mani) == len(_parquet_files(dest)) == 10
+    assert all(isinstance(r.min_v, int) for r in mani)  # typed, not double
+    assert sum(r.n_rows for r in mani) == 1000
+    # disjoint sorted ranges: total span covers 0..999 without overlap
+    spans = sorted((r.min_v, r.max_v) for r in mani)
+    assert spans[0][0] == 0 and spans[-1][1] == 999
+    assert all(a2 > b1 for (_a1, b1), (a2, _b2) in zip(spans, spans[1:]))
+
+    got = pruned_read(spark, dest, "k", 150, 340)
+    want = df.filter("k BETWEEN 150 AND 340")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # and it genuinely skipped files: the scan's input list is smaller
+    kept_files = {f for f in got.inputFiles()}
+    assert 0 < len(kept_files) < 10
+
+    empty = pruned_read(spark, dest, "k", 5000, 6000)
+    assert empty.count() == 0
+    assert empty.schema == got.schema

@@ -162,6 +162,50 @@ def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
     )
 
 
+def unigram_logprob(df, text_col: str, id_col: str):
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram MLE — the poor man's perplexity filter (real pipelines use
+    a KenLM n-gram model; the unigram surrogate keeps the identical
+    dataflow shape and is exactly SQL-verifiable). Low avg_nll = the
+    document is made of corpus-typical tokens; high = rare/garbled.
+
+    Same scale discipline as tf_idf: per-(doc,term) counts first (one
+    keyed shuffle that collapses each doc's repeats), corpus term
+    counts as a term-partitioned WINDOW over that table (no
+    vocabulary-sized broadcast, no exchange-recompute join-back), and
+    the corpus token total computed row-wise from the source scan
+    (size(filter(tokens))) — no second explode. Stopword skew is
+    bounded because the window input is already one row per
+    (doc,term). Returns (doc, n_tokens, avg_nll) with avg_nll in
+    nats, unrounded.
+    """
+    from pyspark.sql import Window
+
+    from xetl_spark.operators.util import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    corpus_c = F.sum("tf").over(Window.partitionBy("term"))
+    total = df.select(
+        F.sum(F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))).alias("__n")
+    )
+    return (
+        tf.withColumn("c", corpus_c)
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("__n"))) / F.sum("tf")
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def chunk_text(df, text_col: str, id_col: str, chunk_tokens: int = 64, overlap: int = 16):
     """Sliding-window token chunking for LLM context packing: each doc
     becomes ceil(n/step) chunks of ``chunk_tokens`` tokens advancing by

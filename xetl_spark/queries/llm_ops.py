@@ -168,6 +168,40 @@ def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_unigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter({_DD_TOKENS}, x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    c AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+    n AS (SELECT sum(tf) AS N FROM tf)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * -ln(c / N)) / sum(tf), 6) AS avg_nll
+    FROM tf JOIN c USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: mean per-token negative
+    log-likelihood under the corpus's own unigram distribution
+    (operators/text.py unigram_logprob — tf table + term-partitioned
+    window, no vocabulary broadcast). The LLM-pipeline filter shape:
+    rank/flag documents whose token mix is corpus-atypical."""
+    from xetl_spark.operators.text import unigram_logprob
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        F.round("avg_nll", 6).alias("avg_nll"),
+    )
+
+
+@query(
     "q_text_quality",
     oracle=f"""
     WITH t AS (
@@ -739,6 +773,138 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, width int, height int, "
             "mean_r double, mean_g double, mean_b double"
         ),
+    )
+
+
+@query(
+    "q_multimodal_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           16 AS width, 16 AS height,
+           ROUND(( (doc_id      % 256) + ((doc_id      + 37) % 256)
+                 + ((doc_id+ 74) % 256) + ((doc_id      +111) % 256)) / 4.0, 3) AS mean_r,
+           ROUND(( (doc_id*7    % 256) + ((doc_id*7  + 53) % 256)
+                 + ((doc_id*7 +106) % 256) + ((doc_id*7  +159) % 256)) / 4.0, 3) AS mean_g,
+           ROUND(( (doc_id*13   % 256) + ((doc_id*13 + 71) % 256)
+                 + ((doc_id*13+142) % 256) + ((doc_id*13 +213) % 256)) / 4.0, 3) AS mean_b
+    FROM documents WHERE doc_id < 256
+    """,
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (ITU-T T.81 Annex G multi-scan:
+    interleaved DC scan + per-component spectral-selection AC scans),
+    oracle-verified with the same closed-form fixture family as
+    q_multimodal_jpeg — four uniform 8x8 blocks per image at quality
+    100 round-trip bit-exactly, so the SQL oracle recomputes channel
+    means analytically. Any multi-scan defect (scan sequencing,
+    EOB-run bookkeeping, coefficient-plane indexing) breaks the hash.
+    The successive-approximation refinement path is separately
+    golden-tested against JVM ImageIO progressive output
+    (tests/test_jpeg.py)."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 256)
+
+    def gen_and_stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging, jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = np.zeros((16, 16, 3), dtype=np.uint8)
+                for by in range(2):
+                    for bx in range(2):
+                        b = by * 2 + bx
+                        sl = (slice(by * 8, by * 8 + 8), slice(bx * 8, bx * 8 + 8))
+                        arr[sl[0], sl[1], 0] = (did + 37 * b) % 256
+                        arr[sl[0], sl[1], 1] = (did * 7 + 53 * b) % 256
+                        arr[sl[0], sl[1], 2] = (did * 13 + 71 * b) % 256
+                payload = jpeg.jpeg_encode(arr, quality=100, progressive=True)
+                px = imaging.decode_image(payload).astype(np.float64)
+                rows.append(
+                    (
+                        did,
+                        px.shape[1],
+                        px.shape[0],
+                        round(float(px[:, :, 0].mean()), 3),
+                        round(float(px[:, :, 1].mean()), 3),
+                        round(float(px[:, :, 2].mean()), 3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return ids.mapInPandas(
+        gen_and_stats,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+@query(
+    "q_multimodal_exif",
+    oracle="""
+    SELECT doc_id,
+           concat('maker', CAST(doc_id % 5 AS VARCHAR)) AS make,
+           concat('cam-', CAST(doc_id % 7 AS VARCHAR)) AS model,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           concat('2024:01:', lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0'),
+                  ' 12:00:00') AS datetime,
+           CAST(100 * (1 + doc_id % 4) AS INT) AS iso,
+           concat('1/', CAST(60 + doc_id % 20 AS VARCHAR)) AS exposure_time,
+           CAST(16 AS BIGINT) AS pixel_x
+    FROM documents WHERE doc_id < 256
+    """,
+)
+def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata triage, hash-verified: synthesize JPEG payloads
+    whose APP1/TIFF block (operators/exif.py — real IFD layout, byte
+    order alternating II/MM by doc parity so both endian parsers are
+    exercised) carries closed-form fields of doc_id, then extract via
+    the Arrow-batched mapInPandas operator and let the SQL oracle
+    recompute every field. The same parser reads real camera EXIF
+    (NIKON fixtures pinned in tests/test_exif.py)."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 256)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import exif as ex
+        from xetl_spark.operators import jpeg
+
+        base = jpeg.jpeg_encode(np.full((16, 16, 3), 99, np.uint8), quality=90)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fields = {
+                    "make": f"maker{did % 5}",
+                    "model": f"cam-{did % 7}",
+                    "orientation": 1 + did % 8,
+                    "datetime": f"2024:01:{1 + did % 28:02d} 12:00:00",
+                    "iso": 100 * (1 + did % 4),
+                    "exposure_time": f"1/{60 + did % 20}",
+                    "pixel_x": 16,
+                }
+                bo = "II" if did % 2 == 0 else "MM"
+                payload = ex.insert_app1(base, ex.exif_build(fields, bo))
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    with_media = ids.mapInPandas(gen, schema="doc_id long, media binary")
+    return multimodal.extract_exif(with_media, "media", "doc_id").withColumnRenamed(
+        "id", "doc_id"
     )
 
 

@@ -130,6 +130,36 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_pruned_manifest",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id BETWEEN 120 AND 260
+    """,
+)
+def q_scan_pruned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max data skipping (sources/manifest.py): lay the table out
+    range-partitioned on the key (repartitionByRange + sort — the
+    layout a large fact table should have), build a per-file min/max
+    manifest from parquet FOOTERS only, and prune the file list before
+    Spark plans the scan — the Iceberg/Delta metadata pattern without
+    a table format. Hash-verified against the unpruned predicate; the
+    files-actually-skipped assertion lives in
+    tests/test_cdc_and_storage.py."""
+    from xetl_spark.sources.manifest import pruned_read
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = _tmp("manifest", sf_dir)
+    (
+        docs.select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return pruned_read(spark, out, "doc_id", 120, 260)
+
+
+@query(
     "q_scan_binary",
     oracle="""
     SELECT doc_id, strlen(text) AS byte_len, sha256(text) AS digest
