@@ -1,0 +1,107 @@
+"""Codec-free media probes (operators/mediaprobe.py): MP3 frame-header
+walking + Xing VBR tag, H.264 SPS Exp-Golomb parsing, and the unified
+probe_media dispatch operator."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from xetl_spark.operators import mediaprobe as mp
+
+
+def test_mp3_cbr_probe_closed_form():
+    s = mp.mp3_build(100, bitrate_kbps=128, sample_rate=44100, channels=2)
+    got = mp.mp3_probe(s)
+    assert got["container"] == "mp3"
+    assert got["mpeg_version"] == "1"
+    assert (got["bitrate_kbps"], got["sample_rate"], got["channels"]) == (128, 44100, 2)
+    assert got["n_frames"] == 100 and not got["vbr"]
+    assert got["duration_ms"] == 100 * 1152 * 1000 // 44100
+
+
+def test_mp3_mono_and_rates():
+    for kbps, sr, ch in [(64, 32000, 1), (192, 48000, 2), (96, 44100, 1)]:
+        got = mp.mp3_probe(mp.mp3_build(7, kbps, sr, ch))
+        assert (got["bitrate_kbps"], got["sample_rate"], got["channels"]) == (
+            kbps, sr, ch,
+        )
+        assert got["n_frames"] == 7
+
+
+def test_mp3_id3v2_tag_skipped():
+    s = mp.mp3_build(5, 128, 44100, 2)
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10
+    assert mp.mp3_probe(id3 + s)["n_frames"] == 5
+
+
+def test_mp3_xing_vbr_frame_count_wins():
+    """A Xing tag's frame count overrides the CBR walk (VBR streams
+    have varying frame sizes the walk can't follow)."""
+    s = bytearray(mp.mp3_build(5, 128, 44100, 2))
+    side = 32  # MPEG1 stereo side-info size
+    off = 4 + side
+    s[off : off + 4] = b"Xing"
+    s[off + 4 : off + 8] = struct.pack(">L", 1)  # FRAMES flag
+    s[off + 8 : off + 12] = struct.pack(">L", 777)
+    got = mp.mp3_probe(bytes(s))
+    assert got["n_frames"] == 777 and got["vbr"]
+
+
+def test_mp3_garbage_raises():
+    with pytest.raises(mp.Mp3FormatError):
+        mp.mp3_probe(b"\x00" * 2000)
+
+
+def test_h264_sps_resolutions():
+    for wm, hm, exp in [
+        (80, 45, (1280, 720)),
+        (120, 68, (1920, 1088)),
+        (8, 8, (128, 128)),
+        (45, 30, (720, 480)),
+    ]:
+        got = mp.h264_sps_probe(mp.h264_sps_build(wm, hm))
+        assert (got["width"], got["height"]) == exp
+        assert got["profile_idc"] == 66 and got["frame_mbs_only"]
+        # SPS followed by another NAL parses identically
+        again = mp.h264_sps_probe(
+            mp.h264_sps_build(wm, hm) + b"\x00\x00\x01\x68\xce\x38\x80"
+        )
+        assert (again["width"], again["height"]) == exp
+
+
+def test_h264_no_sps_raises():
+    with pytest.raises(mp.H264FormatError):
+        mp.h264_sps_probe(b"\x00\x00\x01\x68\xce\x38\x80")  # PPS only
+
+
+def test_probe_media_dispatch(spark):
+    """The unified operator routes by magic bytes and NULLs
+    inapplicable fields; unknown payloads never crash the batch."""
+    import pandas as pd
+
+    from xetl_spark.operators import audio, jpeg
+    from xetl_spark.operators.multimodal import probe_media
+
+    payloads = {
+        1: mp.mp3_build(10, 128, 44100, 2),
+        2: mp.h264_sps_build(80, 45),
+        3: audio.wav_encode(np.zeros(1600, dtype=np.int16), 16000),
+        4: jpeg.jpeg_encode(np.full((24, 32, 3), 5, np.uint8), 90),
+        5: b"utterly not media",
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "media": [payloads[k] for k in payloads]}
+    )
+    rows = {
+        r.id: r
+        for r in probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
+    }
+    assert rows[1].container == "mp3" and rows[1].n_frames == 10
+    assert rows[2].container == "h264" and (rows[2].width, rows[2].height) == (1280, 720)
+    assert rows[3].container == "wav" and rows[3].duration_ms == 100
+    assert rows[4].container == "jpeg" and (rows[4].width, rows[4].height) == (32, 24)
+    assert rows[5].container == "unknown"
+    assert rows[1].width is None and rows[4].sample_rate is None

@@ -1,0 +1,342 @@
+"""Compressed-media METADATA probes — pure-spec header parsing, no
+codec required (the ffprobe pattern).
+
+Full mp3/h264 DECODE genuinely needs an ffmpeg-class library and stays
+a typed ``Unsupported*Error`` boundary (operators/audio.py, video.py).
+But a training pipeline's triage pass doesn't decode: it reads stream
+parameters to route/filter/cost media — duration and bitrate from MP3
+frame headers (ISO 11172-3 / 13818-3 frame sync + the Xing/Info VBR
+tag), and resolution/profile from the H.264 sequence parameter set
+(ITU-T H.264 §7.3.2.1, Exp-Golomb coded, Annex B byte stream). Both
+are byte/bit arithmetic on public spec tables — implemented here and
+used by the q_multimodal_media_probe oracle query.
+
+Scale shape: probes run per payload inside Arrow-batched mapInPandas
+(multimodal.probe_media) and read only the first frames/NAL units —
+O(KB) per document regardless of media size.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------- mp3
+
+# bitrate kbps tables, index 1..14 (0=free, 15=bad): [MPEG1 L3, MPEG2/2.5 L3]
+_BR_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_BR_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+class Mp3FormatError(ValueError):
+    """Payload is not an MP3 frame stream this probe understands."""
+
+
+def _parse_frame_header(b: bytes, i: int) -> dict | None:
+    """Parse the 4-byte frame header at offset i; None if no sync."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    version = (b[i + 1] >> 3) & 0x3  # 0=2.5, 2=MPEG2, 3=MPEG1
+    layer = (b[i + 1] >> 1) & 0x3  # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    padding = (b[i + 2] >> 1) & 0x1
+    channel_mode = (b[i + 3] >> 6) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    kbps = (_BR_V1_L3 if version == 3 else _BR_V2_L3)[br_idx]
+    sr = _SR[version][sr_idx]
+    spf = 1152 if version == 3 else 576  # samples per frame, Layer III
+    size = spf // 8 * kbps * 1000 // sr + padding
+    return {
+        "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[version],
+        "bitrate_kbps": kbps,
+        "sample_rate": sr,
+        "channels": 1 if channel_mode == 3 else 2,
+        "samples_per_frame": spf,
+        "frame_size": size,
+    }
+
+
+def mp3_probe(payload: bytes, max_scan: int = 4096) -> dict:
+    """Probe an MP3 (Layer III) stream: walk frame headers, honor a
+    Xing/Info VBR frame count when present, and estimate duration.
+
+    Returns mpeg_version, bitrate_kbps (first frame), sample_rate,
+    channels, n_frames, duration_ms, vbr. Raises Mp3FormatError when
+    no valid frame sync is found in the first ``max_scan`` bytes
+    (ID3v2 tags are skipped by their declared size first)."""
+    b = payload
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        syncsafe = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        i = 10 + syncsafe
+    start = None
+    for j in range(i, min(len(b), i + max_scan)):
+        if _parse_frame_header(b, j) is not None:
+            start = j
+            break
+    if start is None:
+        raise Mp3FormatError("no MP3 frame sync found")
+    first = _parse_frame_header(b, start)
+
+    # Xing/Info tag (VBR): lives after the side info of the first frame
+    side = 32 if first["mpeg_version"] == "1" else 17
+    if first["channels"] == 1:
+        side = 17 if first["mpeg_version"] == "1" else 9
+    tag_off = start + 4 + side
+    n_frames = None
+    vbr = False
+    tag = b[tag_off : tag_off + 4]
+    if tag in (b"Xing", b"Info"):
+        flags = struct.unpack(">L", b[tag_off + 4 : tag_off + 8])[0]
+        if flags & 0x1:
+            n_frames = struct.unpack(">L", b[tag_off + 8 : tag_off + 12])[0]
+        vbr = tag == b"Xing"
+    if n_frames is None:  # CBR walk (bounded by payload size)
+        n_frames = 0
+        j = start
+        while True:
+            h = _parse_frame_header(b, j)
+            if h is None:
+                break
+            n_frames += 1
+            j += h["frame_size"]
+    duration_ms = n_frames * first["samples_per_frame"] * 1000 // first["sample_rate"]
+    return {
+        "container": "mp3",
+        "mpeg_version": first["mpeg_version"],
+        "bitrate_kbps": first["bitrate_kbps"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+        "vbr": vbr,
+    }
+
+
+def mp3_build(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+) -> bytes:
+    """Synthesize a structurally-valid CBR MPEG1 Layer III stream
+    (frame headers + zeroed payloads — not decodable audio, but a
+    correct FRAME STRUCTURE, which is all the probe reads). Fixture
+    generator for the oracle query and tests."""
+    br_idx = _BR_V1_L3.index(bitrate_kbps)
+    sr_idx = _SR[3].index(sample_rate)
+    mode = 3 if channels == 1 else 1
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            mode << 6,
+        ]
+    )
+    size = 1152 // 8 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (size - 4)
+    return frame * n_frames
+
+
+# ---------------------------------------------------------------- h264
+
+
+class H264FormatError(ValueError):
+    """Payload is not an H.264 Annex-B stream with a parseable SPS."""
+
+
+class _ExpGolombReader:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.d[self.pos >> 3]
+        v = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+            if zeros > 31:
+                raise H264FormatError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.bits(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def _unescape_rbsp(data: bytes) -> bytes:
+    """Remove emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if i + 2 < len(data) and data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 3:
+            out += b"\x00\x00"
+            i += 3
+        else:
+            out.append(data[i])
+            i += 1
+    return bytes(out)
+
+
+def h264_sps_probe(payload: bytes, max_scan: int = 65536) -> dict:
+    """Find the first SPS NAL unit in an Annex-B stream and parse
+    profile/level/resolution (ITU-T H.264 §7.3.2.1). Supports the
+    baseline/main/extended profiles and the high-profile chroma
+    branch with 4:2:0/4:2:2/4:4:4, frame_mbs_only and cropping."""
+    b = payload[:max_scan]
+    sps_body = None
+    i = 0
+    while i + 4 < len(b):
+        if b[i] == 0 and b[i + 1] == 0 and (
+            (b[i + 2] == 1) or (b[i + 2] == 0 and i + 4 < len(b) and b[i + 3] == 1)
+        ):
+            start = i + (3 if b[i + 2] == 1 else 4)
+            if start >= len(b):
+                break
+            nal_type = b[start] & 0x1F
+            # find next start code to bound this NAL (stream end bounds
+            # the last NAL — don't truncate its final bytes)
+            j = start + 1
+            while j + 3 <= len(b) and not (
+                b[j] == 0 and b[j + 1] == 0 and b[j + 2] in (0, 1)
+            ):
+                j += 1
+            if j + 3 > len(b):
+                j = len(b)
+            if nal_type == 7:
+                sps_body = _unescape_rbsp(b[start + 1 : j])
+                break
+            i = j
+        else:
+            i += 1
+    if sps_body is None:
+        raise H264FormatError("no SPS NAL unit found")
+
+    r = _ExpGolombReader(sps_body)
+    profile_idc = r.bits(8)
+    r.bits(8)  # constraint flags + reserved
+    level_idc = r.bits(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.bit()  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.bit()  # qpprime_y_zero_transform_bypass
+        if r.bit():  # seq_scaling_matrix_present
+            raise H264FormatError("scaling matrices unsupported in probe")
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.bit()
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.bit()  # gaps_in_frame_num_value_allowed
+    pw = r.ue() + 1  # pic_width_in_mbs
+    ph = r.ue() + 1  # pic_height_in_map_units
+    frame_mbs_only = r.bit()
+    if not frame_mbs_only:
+        r.bit()  # mb_adaptive_frame_field
+    r.bit()  # direct_8x8_inference
+    width = pw * 16
+    height = ph * 16 * (2 - frame_mbs_only)
+    if r.bit():  # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        # crop units per §7.4.2.1.1 (4:2:0 → x2; 4:2:2 → x2 horizontal)
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        width -= (cl + cr) * sub_w
+        height -= (ct + cb) * sub_h * (2 - frame_mbs_only)
+    return {
+        "container": "h264",
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+        "chroma_format_idc": chroma_format_idc,
+        "frame_mbs_only": bool(frame_mbs_only),
+    }
+
+
+class _ExpGolombWriter:
+    def __init__(self) -> None:
+        self.bits_buf: list[int] = []
+
+    def bit(self, v: int) -> None:
+        self.bits_buf.append(v & 1)
+
+    def bits(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        self.bits(0, n - 1)
+        self.bits(k, n)
+
+    def tobytes(self) -> bytes:
+        bb = self.bits_buf + [1] + [0] * 7  # rbsp_stop_one_bit + pad
+        out = bytearray()
+        for i in range(0, len(bb) - 7, 8):
+            out.append(int("".join(map(str, bb[i : i + 8])), 2))
+        return bytes(out)
+
+
+def h264_sps_build(width_mbs: int, height_mbs: int, level_idc: int = 31) -> bytes:
+    """Synthesize a minimal Annex-B baseline-profile SPS NAL for a
+    frame_mbs_only stream of width_mbs x height_mbs macroblocks (no
+    cropping). Fixture generator — parseable by any SPS reader."""
+    w = _ExpGolombWriter()
+    w.bits(66, 8)  # profile_idc: baseline
+    w.bits(0, 8)  # constraint flags
+    w.bits(level_idc, 8)
+    w.ue(0)  # sps id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type = 2 (no extra fields)
+    w.ue(1)  # max_num_ref_frames
+    w.bit(0)  # gaps_in_frame_num
+    w.ue(width_mbs - 1)
+    w.ue(height_mbs - 1)
+    w.bit(1)  # frame_mbs_only
+    w.bit(1)  # direct_8x8_inference
+    w.bit(0)  # frame_cropping_flag
+    w.bit(0)  # vui_parameters_present
+    rbsp = w.tobytes()
+    # emulation prevention (§7.4.1): escape 00 00 0x sequences so the
+    # payload can't fake a start code / NAL boundary
+    esc = bytearray()
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            esc.append(3)
+            zeros = 0
+        esc.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return b"\x00\x00\x00\x01" + bytes([0x67]) + bytes(esc)

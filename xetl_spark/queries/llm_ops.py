@@ -909,6 +909,75 @@ def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_media_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'h264' ELSE 'wav' END
+             AS container,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(16 * (4 + doc_id % 40) AS INT) END
+             AS width,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(16 * (3 + doc_id % 30) AS INT) END
+             AS height,
+           CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 2 THEN 16000 END AS sample_rate,
+           CASE doc_id % 3 WHEN 0 THEN CAST(2 - doc_id % 2 AS INT)
+                           WHEN 2 THEN 1 END AS channels,
+           CASE doc_id % 3
+             WHEN 0 THEN (10 + doc_id % 50) * 1152 * 1000 // 44100
+             WHEN 2 THEN (1000 + (doc_id * 7) % 4000) * 1000 // 16000
+           END AS duration_ms,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST(CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 96
+                          WHEN 2 THEN 128 ELSE 192 END AS INT) END AS bitrate_kbps,
+           CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 50 END AS n_frames
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free media triage over a MIXED corpus (the ffprobe pass):
+    synthesize structurally-valid MP3 frame streams, H.264 Annex-B SPS
+    NALs, and WAV payloads with closed-form parameters of doc_id, then
+    probe container/resolution/duration/bitrate via
+    multimodal.probe_media (operators/mediaprobe.py — pure-spec frame
+    header + Exp-Golomb SPS parsing; decode itself remains a typed
+    Unsupported*Error boundary). Every field recomputed by the SQL
+    oracle."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import audio, mediaprobe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 3
+                if kind == 0:
+                    kbps = (64, 96, 128, 192)[did % 4]
+                    payload = mediaprobe.mp3_build(
+                        10 + did % 50, kbps, 44100, channels=2 - did % 2
+                    )
+                elif kind == 1:
+                    payload = mediaprobe.h264_sps_build(4 + did % 40, 3 + did % 30)
+                else:
+                    n = 1000 + (did * 7) % 4000
+                    payload = audio.wav_encode(
+                        np.zeros(n, dtype=np.int16), 16000
+                    )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    with_media = ids.mapInPandas(gen, schema="doc_id long, media binary")
+    return multimodal.probe_media(with_media, "media", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
     "q_udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
