@@ -548,3 +548,40 @@ def test_manifest_pruning_skips_files_and_matches_unpruned(spark, tmp_path):
     empty = pruned_read(spark, dest, "k", 5000, 6000)
     assert empty.count() == 0
     assert empty.schema == got.schema
+
+
+def test_deletion_vectors_positional_semantics(spark, tmp_path):
+    """operators/cdc.py deletion vectors address rows by PHYSICAL
+    position (file, row_index), not by content — deleting one of two
+    identical rows keeps the other, which no key-based anti-join can
+    express. Also: empty DV is identity; bcast and shuffle paths
+    agree."""
+    from xetl_spark.operators.cdc import apply_deletion_vectors, read_with_position
+
+    dest = str(tmp_path / "tbl")
+    # two CONTENT-IDENTICAL rows (k=42) among distinct ones
+    spark.createDataFrame(
+        [(42, "dup"), (42, "dup"), (1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.parquet(dest)
+    base = read_with_position(spark, dest)
+    # delete exactly ONE of the duplicates (lowest position)
+    one_dup = (
+        base.filter("k = 42")
+        .orderBy("__pos")
+        .limit(1)
+        .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+    )
+    alive = apply_deletion_vectors(base, one_dup)
+    got = sorted((r.k, r.v) for r in alive.collect())
+    assert got == [(1, "a"), (2, "b"), (42, "dup")]  # one dup survives
+    assert "__pos" not in alive.columns and "__file" not in alive.columns
+
+    none = spark.createDataFrame([], "file string, pos long")
+    assert apply_deletion_vectors(base, none).count() == 4
+    # broadcast and shuffle variants agree
+    dv = base.filter("k <= 2").select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    )
+    a = sorted(map(tuple, apply_deletion_vectors(base, dv, True).collect()))
+    b = sorted(map(tuple, apply_deletion_vectors(base, dv, False).collect()))
+    assert a == b and len(a) == 2

@@ -25,8 +25,10 @@ from xetl_spark.operators.timeseries import (  # noqa: F401
     resample_ffill,
 )
 from xetl_spark.operators.cdc import (  # noqa: F401
+    apply_deletion_vectors,
     latest_snapshot,
     merge_upsert,
+    read_with_position,
     scd2,
     stream_cdc_fold,
 )

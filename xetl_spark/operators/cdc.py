@@ -216,3 +216,49 @@ def snapshot_diff(
         .filter(F.col("op").isNotNull())
         .select("op", *keys, *[image[c].alias(c) for c in cols])
     )
+
+
+def apply_deletion_vectors(
+    base: DataFrame, dv: DataFrame, broadcast_dv: bool = True
+) -> DataFrame:
+    """Delta-style POSITIONAL deletion vectors: soft-delete rows of an
+    immutable parquet table without rewriting data files.
+
+    ``base`` must carry the reader-provided identity columns
+    ``__file`` / ``__pos`` (from the parquet reader's ``_metadata``
+    hidden struct — see ``read_with_position``); ``dv`` is the
+    deletion-vector table (file string, pos long), one row per deleted
+    position. Alive rows = one LEFT ANTI join on (file, position).
+
+    Scale shape: DVs are tiny relative to the base table (they encode
+    deletions since the last rewrite), so the anti-join broadcasts the
+    DV side by default — zero shuffle on the base scan; set
+    ``broadcast_dv=False`` for pathological DV sizes and the anti-join
+    shuffles both sides on the uniform (file, pos) key instead."""
+    d = dv.select(F.col("file").alias("__f_d"), F.col("pos").alias("__p_d"))
+    if broadcast_dv:
+        d = F.broadcast(d)
+    return (
+        base.join(
+            d,
+            on=[
+                base["__file"] == d["__f_d"],
+                base["__pos"] == d["__p_d"],
+            ],
+            how="left_anti",
+        )
+        .drop("__file", "__pos")
+    )
+
+
+def read_with_position(spark, path: str) -> DataFrame:
+    """Parquet scan that exposes each row's physical identity —
+    (``__file``, ``__pos``) from Spark's ``_metadata.file_path`` /
+    ``_metadata.row_index`` hidden columns — the coordinates
+    deletion vectors address rows by."""
+    df = spark.read.parquet(path)
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )

@@ -160,6 +160,36 @@ def q_scan_pruned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_deletion_vectors",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def q_scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style positional deletion vectors (operators/cdc.py):
+    write an immutable multi-file parquet table, soft-delete rows by
+    recording their (_metadata.file_path, _metadata.row_index)
+    coordinates in a tiny DV table, and read alive rows back as one
+    broadcast LEFT ANTI join — no data-file rewrite. Hash-verified
+    against the logical predicate the DV encodes."""
+    from xetl_spark.operators.cdc import apply_deletion_vectors, read_with_position
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = _tmp("dv", sf_dir)
+    (
+        docs.select("doc_id", "lang", "n_chars")
+        .repartition(6)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    base = read_with_position(spark, out)
+    dv = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    )
+    return apply_deletion_vectors(base, dv)
+
+
+@query(
     "q_scan_binary",
     oracle="""
     SELECT doc_id, strlen(text) AS byte_len, sha256(text) AS digest
