@@ -37,6 +37,19 @@ HEADLINE = [
 ]
 
 
+LLM_SUITE = [
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding_cosine",
+    "q_sim_lsh_ann",
+    "q_text_unigram_logprob",
+    "q_text_hashing_tfidf",
+    "q_text_decontaminate",
+    "q_pack_greedy",
+    "q_multimodal_features",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import xetl_spark.queries as Q
@@ -67,7 +80,7 @@ def main() -> None:
     tpch.insert(0, "q_agg_pricing_summary")
     if os.path.isdir(warm_dir):
         for _ in range(2):
-            for name in HEADLINE + tpch[1:]:
+            for name in HEADLINE + tpch[1:] + LLM_SUITE:
                 try:
                     Q.REGISTRY[name].fn(spark, warm_dir).count()
                 except Exception as e:  # noqa: BLE001
@@ -108,17 +121,6 @@ def main() -> None:
     # variants beyond the headline LSH, similarity search, text
     # analysis, training-data assembly, multimodal featurize) — its own
     # key for the same comparability reason as the TPC-H suite.
-    LLM_SUITE = [
-        "q_dedup_simhash",
-        "q_dedup_ngram_jaccard",
-        "q_dedup_embedding_cosine",
-        "q_sim_lsh_ann",
-        "q_text_unigram_logprob",
-        "q_text_hashing_tfidf",
-        "q_text_decontaminate",
-        "q_pack_greedy",
-        "q_multimodal_features",
-    ]
     llm_timings: dict[str, float] = {}
     for name in LLM_SUITE:
         t0 = time.time()
