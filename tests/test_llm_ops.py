@@ -129,6 +129,52 @@ def test_simhash_properties(spark, docs):
     assert ham_near < ham_far  # near-dup closer than unrelated
 
 
+def test_hamming_blocking_recall_at_query_radius(spark):
+    """Planted-pair recall for hamming_near_pairs at q_dedup_simhash's
+    exact operating point (max_hamming=3, chunks=4): the pigeonhole
+    contract (chunks > max_hamming → any in-radius pair shares an exact
+    16-bit block) must yield 100% recall vs a brute-force all-pairs
+    ground truth, and zero false positives past the verify filter."""
+    import random
+
+    rng = random.Random(42)
+    MASK = (1 << 64) - 1
+
+    def to_i64(u):  # two's-complement view, matching LongType
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base_fps = [rng.getrandbits(64) for _ in range(60)]
+    rows = [(i, to_i64(fp)) for i, fp in enumerate(base_fps)]
+    planted = []
+    nid = len(base_fps)
+    for i, fp in enumerate(base_fps[:32]):  # plant one partner per base doc
+        d = rng.randint(1, 3)
+        flipped = fp
+        for bit in rng.sample(range(64), d):
+            flipped ^= 1 << bit
+        rows.append((nid, to_i64(flipped & MASK)))
+        planted.append((i, nid))
+        nid += 1
+    df = spark.createDataFrame(rows, "doc long, fp long")
+
+    from xetl_spark.operators.dedup import hamming_near_pairs
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in hamming_near_pairs(df, "fp", "doc", max_hamming=3, chunks=4).collect()
+    }
+    # brute-force ground truth over every pair (includes accidental ones)
+    fps = {doc: fp & MASK for doc, fp in rows}
+    truth = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert truth >= set(planted)  # sanity: planting really is in-radius
+    assert got == truth  # complete (100% recall) and exact (no FPs)
+
+
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     """Recall scales with (planes, tables): the fixture's true top-5
     neighbors sit at cosine ≈0.32 (near-random vectors), so the test
@@ -204,6 +250,47 @@ def test_cosine_near_dup_recall_and_precision(spark):
     found = planted & set(pairs)
     assert len(found) >= 8, sorted(pairs)  # ≥80% recall on cos≈0.99 dups
     assert all(s >= 0.9 for s in pairs.values())  # exact verification
+
+
+def test_cosine_near_dup_degenerate_corpus_capped(spark):
+    """500 identical vectors share every (table, signature) bucket; the
+    max_bucket_size guard must drop the degenerate bucket instead of
+    emitting a ~125k-row candidate set (quadratic blowup at scale)."""
+    from xetl_spark.operators import cosine_near_duplicates
+
+    vec = [1.0] * 64
+    rows = [(i, vec) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_near_duplicates(
+        df, "embedding", "vec_id", threshold=0.9, max_bucket_size=100
+    )
+    assert got.count() == 0  # oversized buckets dropped, not exploded
+
+
+def test_cosine_near_dup_tolerates_null_and_ragged_vectors(spark):
+    """Null / wrong-length embeddings must not crash the signature UDF;
+    the malformed docs are simply excluded from banding while valid
+    near-dup pairs are still found."""
+    import numpy as np
+
+    from xetl_spark.operators import cosine_near_duplicates
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64).astype("float32")
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.001).tolist()),  # near-dup of 0
+        (2, None),  # null vector
+        (3, [1.0, 2.0]),  # ragged length
+        (4, rng.standard_normal(64).astype("float32").tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_duplicates(df, "embedding", "vec_id", threshold=0.9).collect()
+    }
+    assert (0, 1) in got
+    assert all(2 not in p and 3 not in p for p in got)
 
 
 def test_incremental_exact_dedup(spark):
@@ -420,6 +507,19 @@ def test_remove_boilerplate_semantics(spark):
     assert 99 not in out
     assert out[2] == "content 2 alpha\ncontent 2 beta"
     assert len(out) == 5
+
+
+def test_pq_query_side_is_bounded(spark, sf_dir):
+    """pq_topk/ivfpq_topk collect the query side into the task closure;
+    an oversized query set must raise, never OOM the driver — same
+    guard as cosine_topk_bruteforce (limit(n+1) + raise)."""
+    from xetl_spark.operators.pq import ivfpq_topk, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="pq_topk query side exceeds"):
+        pq_topk(emb, emb, "embedding", k=3, max_queries=10)
+    with pytest.raises(ValueError, match="ivfpq_topk query side exceeds"):
+        ivfpq_topk(emb, emb, "embedding", k=3, max_queries=10)
 
 
 def test_pq_recall_and_determinism(spark, sf_dir):

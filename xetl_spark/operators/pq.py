@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xetl_spark.operators.util import ensure_parallelism
+from xetl_spark.operators.util import bounded_query_collect, ensure_parallelism
 
 _MAX_FIT_SAMPLE = 20_000
 
@@ -125,6 +125,7 @@ def pq_topk(
     id_col: str = "vec_id",
     q_id_col: str = "vec_id",
     seed: int = 42,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """ADC shortlist + exact rerank: (query_id, corpus_id, dist, rank).
 
@@ -140,7 +141,9 @@ def pq_topk(
     dsub = books[0].shape[1]
     encoded = pq_encode(corpus, vec_col, codebooks, id_col)
 
-    q_rows = queries.select(q_id_col, vec_col).collect()
+    q_rows = bounded_query_collect(
+        queries, [q_id_col, vec_col], max_queries, "pq_topk"
+    )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     # per-query ADC tables: (n_q, m, k) — tiny, rides the closure
@@ -220,6 +223,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     q_id_col: str = "vec_id",
     seed: int = 42,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """IVF-PQ: coarse cells prune the scan, residual PQ compresses it —
     the FAISS IVFPQ architecture as a DataFrame pipeline.
@@ -286,7 +290,9 @@ def ivfpq_topk(
     )
 
     # ---- search ----
-    q_rows = queries.select(q_id_col, vec_col).collect()
+    q_rows = bounded_query_collect(
+        queries, [q_id_col, vec_col], max_queries, "ivfpq_topk"
+    )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     cell_d = ((q_mat[:, None, :] - cells[None, :, :]) ** 2).sum(-1)

@@ -172,10 +172,20 @@ def lsh_signatures_all(
 
         if len(s) == 0:
             return pd.Series([], dtype=object)
-        X = np.array(s.tolist(), dtype=np.float64)
-        bits = (X @ P.T) > 0  # (n, tables*planes)
-        packed = (bits.reshape(len(X), num_tables, num_planes) * weights).sum(axis=2)
-        return pd.Series(list(packed.astype(np.int64)))
+        # null / wrong-length vectors can't enter the matmul: emit a
+        # null signature array instead of crashing the batch — the
+        # posexplode downstream drops those rows, so a malformed doc
+        # simply isn't banded (it can't be a near-dup candidate).
+        vals = s.tolist()
+        good = [i for i, v in enumerate(vals) if v is not None and len(v) == dim]
+        out = [None] * len(vals)
+        if good:
+            X = np.array([vals[i] for i in good], dtype=np.float64)
+            bits = (X @ P.T) > 0  # (n, tables*planes)
+            packed = (bits.reshape(len(X), num_tables, num_planes) * weights).sum(axis=2)
+            for j, i in enumerate(good):
+                out[i] = packed[j].astype(np.int64)
+        return pd.Series(out, dtype=object)
 
     return sigs(F.col(vec_col))
 
@@ -189,15 +199,22 @@ def cosine_near_duplicates(
     num_tables: int = 6,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
-    generation (self-join on (table, signature) buckets) + exact cosine
-    verification ≥ threshold.
+    generation (bucket-local pairing on (table, signature)) + exact
+    cosine verification ≥ threshold.
 
     The dedup twin of LSH ANN: at cos ≥ 0.9 (θ ≤ 26°) a plane agrees
     with p ≈ 0.86, so an 8-plane bucket collides with p ≈ 0.29 and six
     tables give ~87% pair recall — while random pairs (θ≈90°) collide
     at 0.5^8 ≈ 0.4% per table, keeping candidates near-linear.
+
+    ``max_bucket_size`` is the quadratic-blowup guard, identical to
+    lsh_candidate_pairs: a degenerate corpus (e.g. many zero/identical
+    embeddings sharing one signature) would otherwise emit |bucket|²/2
+    pairs from one bucket. Oversized buckets are dropped — their
+    members are near-identical and are caught by exact dedup.
     Returns (id_a, id_b, cos_sim).
     """
     # Banding carries IDS ONLY: shipping the unit vector through the
@@ -214,17 +231,23 @@ def cosine_near_duplicates(
             lsh_signatures_all(vec_col, num_planes, num_tables, dim, seed)
         ).alias("tbl", "sig"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # bucket-local pair generation (one groupBy shuffle + streamed
+    # posexplode, same shape as lsh_candidate_pairs) rather than a
+    # (tbl, sig) self-join: one exchange instead of two sort-merge
+    # sides, and the bucket cap applies before any pair exists
+    buckets = (
+        banded.groupBy("tbl", "sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
     cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.tbl") == F.col("b.tbl"),
-                F.col("a.sig") == F.col("b.sig"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+        buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (

@@ -30,3 +30,25 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if parts < max(1, int(target * min_fraction)):
         return df.repartition(target)
     return df
+
+
+def bounded_query_collect(
+    queries: DataFrame, cols: list[str], max_queries: int, op_name: str
+) -> list:
+    """Collect a caller-supplied query-side DataFrame under an explicit
+    row bound.
+
+    Every ANN operator that broadcasts its query matrix through the
+    task closure funnels its collect through here, so the "small by
+    contract" assumption is enforced instead of silently OOMing the
+    driver on a mis-sized call (limit(n+1) costs one extra row, not a
+    count job)."""
+    rows = queries.select(*cols).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{op_name} query side exceeds max_queries={max_queries}; "
+            "this operator broadcasts the query matrix — split the query "
+            "set, raise max_queries deliberately, or use a large-to-large "
+            "search (lsh_ann_topk / cosine_near_duplicates)"
+        )
+    return rows

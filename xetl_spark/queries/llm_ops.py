@@ -368,10 +368,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming radius 8 of the 64-bit
-    fingerprint (pigeonhole-blocked candidate generation)."""
+    """SimHash near-dup pairs within Hamming radius 3 of the 64-bit
+    fingerprint (pigeonhole-blocked candidate generation).
+
+    Completeness guarantee: chunks=4 > max_hamming=3, so any pair
+    within the radius shares >=1 exact 16-bit block and is generated
+    by the blocking (operators/dedup.py hamming_near_pairs contract;
+    recall pinned by tests/test_llm_ops.py planted-pair test). Radius
+    3 with 16-bit blocks is the Manku et al. (WWW'07) operating point:
+    65k distinct values per block position keeps buckets small at
+    corpus scale, where a radius-8/4-bit-block variant would collapse
+    to 16 values per position and quadratic bucket-local pairing."""
     (docs,) = load(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=8, chunks=4)
+    return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=3, chunks=4)
 
 
 @query(
@@ -406,11 +415,27 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_embedding_cosine", oracle=None)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH buckets + exact-cosine
-    verify ≥ 0.8); recall property-tested vs the brute-force pair set."""
+    verify ≥ 0.8); recall property-tested vs the brute-force pair set.
+
+    The fixture embeddings are near-random (no pair reaches cos 0.8 at
+    small SF), which would make a rows-only check vacuous — so the
+    query unions in deterministic planted near-dups: scaled copies
+    (vec_id + 10^6) of the first 20 vectors. Sign-of-projection is
+    scale-invariant, so a scaled copy lands in the original's bucket
+    in every LSH table and verifies at cos = 1.0 — exactly 20 stable
+    pairs regardless of SF, plus any genuine corpus pairs."""
     from xetl_spark.operators import cosine_near_duplicates
 
     (emb,) = load(spark, sf_dir, "embeddings")
-    pairs = cosine_near_duplicates(emb, "embedding", "vec_id", threshold=0.8)
+    planted = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = cosine_near_duplicates(corpus, "embedding", "vec_id", threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
