@@ -57,6 +57,24 @@ def test_truncated_app1_degrades_not_crashes():
         assert isinstance(out, dict)
 
 
+def test_ifd_pointer_cycle_degrades_not_crashes():
+    """A crafted Exif sub-IFD pointer that points back at IFD0 must
+    terminate (visited-offset guard), not RecursionError the stage."""
+    import struct
+
+    tiff = (
+        b"II"
+        + struct.pack("<HL", 42, 8)  # magic, ifd0 @ 8
+        + struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHL", 0x8769, 4, 1)  # Exif sub-IFD pointer, LONG
+        + struct.pack("<L", 8)  # ...pointing back at IFD0: a cycle
+        + struct.pack("<L", 0)  # next-IFD terminator
+    )
+    seg = b"Exif\x00\x00" + tiff
+    payload = b"\xff\xd8\xff\xe1" + struct.pack(">H", 2 + len(seg)) + seg + b"\xff\xd9"
+    assert exif.exif_parse(payload) == {}  # terminates, partial/empty dict
+
+
 @pytest.mark.skipif(
     not glob.glob(f"{REAL_DIR}/**/*.jpg", recursive=True),
     reason="Spark-bundled sample JPEGs not present",

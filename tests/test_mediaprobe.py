@@ -50,6 +50,20 @@ def test_mp3_xing_vbr_frame_count_wins():
     assert got["n_frames"] == 777 and got["vbr"]
 
 
+def test_mp3_xing_found_in_crc_protected_frame():
+    """Protection bit 0 inserts a 2-byte CRC between header and side
+    info; the Xing tag offset must account for it or CRC-protected VBR
+    files silently fall back to a wrong CBR walk."""
+    s = bytearray(mp.mp3_build(5, 128, 44100, 2))
+    s[1] = 0xFA  # clear protection bit: MPEG1 Layer III, CRC present
+    off = 4 + 2 + 32  # header + CRC + MPEG1-stereo side info
+    s[off : off + 4] = b"Xing"
+    s[off + 4 : off + 8] = struct.pack(">L", 1)  # FRAMES flag
+    s[off + 8 : off + 12] = struct.pack(">L", 555)
+    got = mp.mp3_probe(bytes(s))
+    assert got["n_frames"] == 555 and got["vbr"]
+
+
 def test_mp3_garbage_raises():
     with pytest.raises(mp.Mp3FormatError):
         mp.mp3_probe(b"\x00" * 2000)
@@ -105,3 +119,21 @@ def test_probe_media_dispatch(spark):
     assert rows[4].container == "jpeg" and (rows[4].width, rows[4].height) == (32, 24)
     assert rows[5].container == "unknown"
     assert rows[1].width is None and rows[4].sample_rate is None
+
+
+def test_probe_media_jpeg_fill_bytes_before_sof(spark):
+    """Legal FF fill bytes / standalone markers before SOF carry no
+    length field; the scan must step over them instead of reading a
+    garbage length and jumping past SOF (→ null dims)."""
+    import pandas as pd
+
+    from xetl_spark.operators import jpeg
+    from xetl_spark.operators.multimodal import probe_media
+
+    base = jpeg.jpeg_encode(np.full((24, 32, 3), 5, np.uint8), 90)
+    assert base[:2] == b"\xff\xd8"
+    # inject FF fill padding and a standalone TEM marker right after SOI
+    padded = base[:2] + b"\xff\xff\xff\x01" + base[2:]
+    pdf = pd.DataFrame({"doc_id": [1], "media": [padded]})
+    (r,) = probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
+    assert r.container == "jpeg" and (r.width, r.height) == (32, 24)

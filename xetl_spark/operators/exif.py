@@ -65,9 +65,22 @@ def find_app1_exif(payload: bytes) -> bytes | None:
     return None
 
 
-def _read_ifd(tiff: bytes, off: int, e: str, out: dict, ifd_name: str) -> None:
-    if off + 2 > len(tiff):
+def _read_ifd(
+    tiff: bytes,
+    off: int,
+    e: str,
+    out: dict,
+    ifd_name: str,
+    seen: set | None = None,
+) -> None:
+    # a crafted/corrupt Exif sub-IFD pointer can form a cycle (e.g.
+    # point back at its own IFD); track visited offsets so a hostile
+    # payload degrades to partial fields, never RecursionError
+    if seen is None:
+        seen = set()
+    if off in seen or off + 2 > len(tiff):
         return
+    seen.add(off)
     (count,) = struct.unpack_from(e + "H", tiff, off)
     for k in range(count):
         ent = off + 2 + 12 * k
@@ -85,7 +98,7 @@ def _read_ifd(tiff: bytes, off: int, e: str, out: dict, ifd_name: str) -> None:
             continue  # truncated value: keep what else fits
         if tag == _EXIF_PTR and typ == 4:
             (sub,) = struct.unpack_from(e + "L", tiff, ent + 8)
-            _read_ifd(tiff, sub, e, out, "exif")
+            _read_ifd(tiff, sub, e, out, "exif", seen)
             continue
         if tag == _GPS_PTR:
             continue  # GPS block out of v1 scope
@@ -124,7 +137,10 @@ def exif_parse(payload: bytes) -> dict:
     if magic != 42:
         return {}
     out: dict = {}
-    _read_ifd(tiff, ifd0, e, out, "ifd0")
+    try:
+        _read_ifd(tiff, ifd0, e, out, "ifd0")
+    except (struct.error, ValueError, OverflowError):
+        pass  # hostile/corrupt structure: keep the fields parsed so far
     return out
 
 

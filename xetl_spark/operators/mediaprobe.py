@@ -43,6 +43,7 @@ def _parse_frame_header(b: bytes, i: int) -> dict | None:
     br_idx = (b[i + 2] >> 4) & 0xF
     sr_idx = (b[i + 2] >> 2) & 0x3
     padding = (b[i + 2] >> 1) & 0x1
+    crc = (b[i + 1] & 0x1) == 0  # protection bit 0 → 16-bit CRC follows header
     channel_mode = (b[i + 3] >> 6) & 0x3
     if br_idx in (0, 15) or sr_idx == 3:
         return None
@@ -57,6 +58,7 @@ def _parse_frame_header(b: bytes, i: int) -> dict | None:
         "channels": 1 if channel_mode == 3 else 2,
         "samples_per_frame": spf,
         "frame_size": size,
+        "crc": crc,
     }
 
 
@@ -86,7 +88,9 @@ def mp3_probe(payload: bytes, max_scan: int = 4096) -> dict:
     side = 32 if first["mpeg_version"] == "1" else 17
     if first["channels"] == 1:
         side = 17 if first["mpeg_version"] == "1" else 9
-    tag_off = start + 4 + side
+    # CRC-protected frames (protection bit 0) carry a 2-byte CRC
+    # between header and side info — the Xing tag shifts with it
+    tag_off = start + 4 + (2 if first["crc"] else 0) + side
     n_frames = None
     vbr = False
     tag = b[tag_off : tag_off + 4]

@@ -591,13 +591,20 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
             if payload[:2] == b"\xff\xd8":  # JPEG: scan for SOF dims
                 i = 2
                 while i < len(payload) - 9:
-                    if payload[i] == 0xFF and payload[i + 1] in (0xC0, 0xC1, 0xC2):
+                    if payload[i] != 0xFF:
+                        i += 1
+                        continue
+                    m = payload[i + 1]
+                    if m in (0xC0, 0xC1, 0xC2):
                         h, w = _struct.unpack(">HH", payload[i + 5 : i + 9])
                         return ("jpeg", w, h, None, None, None, None, None)
-                    if payload[i] == 0xFF and payload[i + 1] not in (0xD8, 0x01):
-                        i += 2 + _struct.unpack(">H", payload[i + 2 : i + 4])[0]
-                    else:
-                        i += 1
+                    # standalone markers carry no length field: FF fill
+                    # bytes (FF FF), TEM (01), RSTn/SOI/EOI (D0-D9) —
+                    # reading a length there jumps past the real SOF
+                    if m == 0xFF or m == 0x01 or 0xD0 <= m <= 0xD9:
+                        i += 1 if m == 0xFF else 2
+                        continue
+                    i += 2 + _struct.unpack(">H", payload[i + 2 : i + 4])[0]
                 return ("jpeg", None, None, None, None, None, None, None)
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h = _struct.unpack(">LL", payload[16:24])
