@@ -404,6 +404,42 @@ def test_avro_codec_roundtrip_fuzz(case):
     assert back == rows
 
 
+@given(_schema_and_rows())
+@settings(max_examples=100, deadline=None)
+def test_vectorized_codec_matches_generic(case):
+    """Differential fuzz for the numpy fast path: _np_encode_block's
+    bytes must decode identically through BOTH the generic recursive
+    decoder and the flat Arrow decoder, for any flat schema × random
+    rows (extreme longs, ±inf doubles, unicode, NULLs, empty)."""
+    import pandas as pd
+
+    from xetl_spark.sources.avro import (
+        _container_header,
+        _flat_kinds,
+        _frame_block,
+        _np_encode_block,
+        iter_arrow_batches,
+        parse_container,
+    )
+
+    schema, rows, codec = case
+    kinds = _flat_kinds(schema)
+    assert kinds is not None
+    names = [f["name"] for f in schema["fields"]]
+    pdf = pd.DataFrame(rows, columns=names, dtype=object)
+    block = _np_encode_block(pdf, kinds)
+    sync = b"\x07" * 16
+    payload = _container_header(schema, codec, sync) + (
+        _frame_block(len(pdf), block, codec, sync) if len(pdf) else b""
+    )
+    _, back = parse_container(payload)
+    assert back == rows
+    arrow_rows = []
+    for b in iter_arrow_batches(payload):
+        arrow_rows.extend(tuple(d[nm] for nm in names) for d in b.to_pylist())
+    assert arrow_rows == rows
+
+
 def test_streaming_foreachbatch_avro_sink(spark, tmp_path):
     """A streaming query archives micro-batches to Avro via
     foreachBatch(write_avro); the drained archive reads back equal to

@@ -342,15 +342,7 @@ def _encode_value(out: io.BytesIO, v, sch) -> None:
     raise UnsupportedAvroError(f"encoder for {sch!r}")
 
 
-def encode_container(
-    schema: dict, rows, codec: str = "deflate", sync: bytes | None = None
-) -> bytes:
-    """Rows (tuples in field order) + record schema → OCF bytes."""
-    if codec not in ("null", "deflate"):
-        raise UnsupportedAvroError(f"codec {codec!r}")
-    sync = sync or os.urandom(16)
-    if len(sync) != 16:
-        raise AvroFormatError("sync marker must be 16 bytes")
+def _container_header(schema: dict, codec: str, sync: bytes) -> bytes:
     out = io.BytesIO()
     out.write(MAGIC)
     meta = {
@@ -366,6 +358,33 @@ def encode_container(
         out.write(v)
     _write_zigzag(out, 0)
     out.write(sync)
+    return out.getvalue()
+
+
+def _frame_block(n: int, block: bytes, codec: str, sync: bytes) -> bytes:
+    """count + size + (possibly deflated) body + sync marker."""
+    if codec == "deflate":
+        comp = zlib.compressobj(wbits=-15)
+        block = comp.compress(block) + comp.flush()
+    out = io.BytesIO()
+    _write_zigzag(out, n)
+    _write_zigzag(out, len(block))
+    out.write(block)
+    out.write(sync)
+    return out.getvalue()
+
+
+def encode_container(
+    schema: dict, rows, codec: str = "deflate", sync: bytes | None = None
+) -> bytes:
+    """Rows (tuples in field order) + record schema → OCF bytes."""
+    if codec not in ("null", "deflate"):
+        raise UnsupportedAvroError(f"codec {codec!r}")
+    sync = sync or os.urandom(16)
+    if len(sync) != 16:
+        raise AvroFormatError("sync marker must be 16 bytes")
+    out = io.BytesIO()
+    out.write(_container_header(schema, codec, sync))
 
     fields = schema["fields"]
     body = io.BytesIO()
@@ -384,6 +403,307 @@ def encode_container(
         out.write(block)
         out.write(sync)
     return out.getvalue()
+
+
+# ------------------------------------------- vectorized flat-schema codec
+#
+# The generic recursive codec above is the compatibility path (~1 MB/s
+# per core — fine for exotic schemas, measured in SCALING.md). Flat
+# records of nullable primitives — the overwhelmingly common OCF shape,
+# and the only shape write_avro itself emits — go through a vectorized
+# fast path instead: encode assembles each block with numpy scatter
+# writes (one pass per byte position, no per-value Python), decode runs
+# a compiled flat loop into columnar buffers and hands Spark pyarrow
+# RecordBatches (no per-row pickling through the DataSource bridge).
+
+_K_LONG, _K_INT, _K_BOOL, _K_FLOAT, _K_DOUBLE = 0, 1, 2, 3, 4
+_K_STRING, _K_BYTES, _K_TS, _K_DATE = 5, 6, 7, 8
+
+_KIND_OF = {
+    "long": _K_LONG,
+    "int": _K_INT,
+    "boolean": _K_BOOL,
+    "float": _K_FLOAT,
+    "double": _K_DOUBLE,
+    "string": _K_STRING,
+    "bytes": _K_BYTES,
+}
+
+
+def _flat_kinds(schema: dict):
+    """(name, kind, nullable) per field if every field is a primitive /
+    [null, primitive] (incl. timestamp-micros, date); else None —
+    caller falls back to the generic recursive codec."""
+    out = []
+    for f in schema["fields"]:
+        sch = f["type"]
+        nullable = False
+        if isinstance(sch, list):
+            branches = [s for s in sch if s != "null"]
+            if len(sch) != 2 or len(branches) != 1:
+                return None
+            sch, nullable = branches[0], True
+        if isinstance(sch, dict):
+            if sch["type"] == "long" and sch.get("logicalType") == "timestamp-micros":
+                kind = _K_TS
+            elif sch["type"] == "int" and sch.get("logicalType") == "date":
+                kind = _K_DATE
+            else:
+                return None
+        else:
+            kind = _KIND_OF.get(sch)
+            if kind is None:
+                return None
+        out.append((f["name"], kind, nullable))
+    return out
+
+
+def _arrow_type(kind: int):
+    import pyarrow as pa
+
+    return {
+        _K_LONG: pa.int64(),
+        _K_INT: pa.int32(),
+        _K_BOOL: pa.bool_(),
+        _K_FLOAT: pa.float32(),
+        _K_DOUBLE: pa.float64(),
+        _K_STRING: pa.string(),
+        _K_BYTES: pa.binary(),
+        _K_TS: pa.timestamp("us"),
+        _K_DATE: pa.date32(),
+    }[kind]
+
+
+def _decode_block_flat(block: bytes, count: int, kinds) -> list[list]:
+    """Decode one uncompressed block body into per-field value lists.
+
+    A single flat loop with local-variable dispatch: no recursion, no
+    per-value tuple returns, and temporal values stay raw ints (Arrow
+    applies the logical type) — ~4× the generic path, still exact."""
+    cols: list[list] = [[] for _ in kinds]
+    pos = 0
+    n = len(block)
+    u_d = struct.Struct("<d").unpack_from
+    u_f = struct.Struct("<f").unpack_from
+    for _ in range(count):
+        for ci, (_, kind, nullable) in enumerate(kinds):
+            if nullable:
+                if pos >= n:
+                    raise AvroFormatError("truncated union tag")
+                tag = block[pos]
+                pos += 1
+                if tag == 0:
+                    cols[ci].append(None)
+                    continue
+                if tag != 2:
+                    raise AvroFormatError("union branch out of range")
+            if kind <= _K_INT or kind >= _K_TS:  # varint long/int/ts/date
+                if pos >= n:
+                    raise AvroFormatError("truncated varint")
+                acc = block[pos]
+                pos += 1
+                if acc & 0x80:
+                    acc &= 0x7F
+                    shift = 7
+                    while True:
+                        if pos >= n:
+                            raise AvroFormatError("truncated varint")
+                        b = block[pos]
+                        pos += 1
+                        acc |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                cols[ci].append((acc >> 1) ^ -(acc & 1))
+            elif kind == _K_DOUBLE:
+                if pos + 8 > n:
+                    raise AvroFormatError("truncated double")
+                cols[ci].append(u_d(block, pos)[0])
+                pos += 8
+            elif kind == _K_FLOAT:
+                if pos + 4 > n:
+                    raise AvroFormatError("truncated float")
+                cols[ci].append(u_f(block, pos)[0])
+                pos += 4
+            elif kind == _K_BOOL:
+                if pos >= n:
+                    raise AvroFormatError("truncated boolean")
+                cols[ci].append(block[pos] == 1)
+                pos += 1
+            else:  # string / bytes: varint length + payload
+                if pos >= n:
+                    raise AvroFormatError("truncated varint")
+                acc = block[pos]
+                pos += 1
+                if acc & 0x80:
+                    acc &= 0x7F
+                    shift = 7
+                    while True:
+                        if pos >= n:
+                            raise AvroFormatError("truncated varint")
+                        b = block[pos]
+                        pos += 1
+                        acc |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                ln = (acc >> 1) ^ -(acc & 1)
+                if ln < 0 or pos + ln > n:
+                    raise AvroFormatError("truncated bytes")
+                raw = block[pos : pos + ln]
+                pos += ln
+                cols[ci].append(raw.decode("utf-8") if kind == _K_STRING else raw)
+    if pos != n:
+        raise AvroFormatError("trailing bytes in block")
+    return cols
+
+
+def iter_arrow_batches(payload: bytes, kinds=None):
+    """Decode an OCF into pyarrow RecordBatches (flat schemas only —
+    raises UnsupportedAvroError otherwise; callers that can fall back
+    should check _flat_kinds first). One batch per Avro block."""
+    import pyarrow as pa
+
+    schema, codec, sync, pos = _parse_header(payload)
+    kinds = kinds if kinds is not None else _flat_kinds(schema)
+    if kinds is None:
+        raise UnsupportedAvroError("non-flat schema has no Arrow fast path")
+    arrow_schema = pa.schema([(nm, _arrow_type(k)) for nm, k, _ in kinds])
+    while pos < len(payload):
+        count, pos = _read_long(payload, pos)
+        size, pos = _read_long(payload, pos)
+        if count < 0 or size < 0 or pos + size > len(payload):
+            raise AvroFormatError("block overruns payload")
+        block = payload[pos : pos + size]
+        pos += size
+        if payload[pos : pos + 16] != sync:
+            raise AvroFormatError("sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            try:
+                block = zlib.decompress(block, wbits=-15)
+            except zlib.error as e:
+                raise AvroFormatError(f"deflate block: {e}") from None
+        cols = _decode_block_flat(block, count, kinds)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=_arrow_type(k)) for c, (_, k, _) in zip(cols, kinds)],
+            schema=arrow_schema,
+        )
+
+
+def _np_varint_scatter(out, starts, z, lens) -> None:
+    """Scatter zigzagged uint64 values as varints: one vectorized pass
+    per byte position instead of per value."""
+    import numpy as np
+
+    for j in range(int(lens.max()) if len(lens) else 0):
+        m = lens > j
+        b = ((z[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        b[lens[m] - 1 > j] |= 0x80
+        out[starts[m] + j] = b
+
+
+def _np_encode_block(pdf, kinds) -> bytes:
+    """Vectorized encode of one pandas batch under a flat all-nullable
+    schema (write_avro always emits [null, T] fields): compute every
+    field's per-row byte length, prefix-sum the layout, then scatter
+    tags / varints / fixed-width bytes / string payloads columnwise
+    into one preallocated buffer."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    if n == 0:
+        return b""
+    prepped = []  # (kind, nulls, payload-specific data, per-row value lens)
+    for name, kind, _ in kinds:
+        col = pdf[name]
+        nulls = col.isna().to_numpy(dtype=bool)
+        if kind in (_K_LONG, _K_INT, _K_TS, _K_DATE):
+            if kind == _K_TS:
+                vals = (
+                    pd.to_datetime(col)
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                    .to_numpy()
+                )
+            elif kind == _K_DATE:
+                vals = (
+                    pd.to_datetime(col)
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype("int64")
+                )
+            else:
+                vals = col.where(~nulls, 0).to_numpy(dtype=np.int64)
+            vals = np.where(nulls, 0, vals)
+            u = vals.astype(np.uint64)
+            z = (u << np.uint64(1)) ^ np.where(
+                vals < 0, np.uint64(2**64 - 1), np.uint64(0)
+            )
+            vlens = np.ones(n, dtype=np.int64)
+            for k in range(1, 10):
+                vlens += z >= np.uint64(1 << (7 * k))
+            prepped.append((kind, nulls, z, np.where(nulls, 0, vlens)))
+        elif kind in (_K_DOUBLE, _K_FLOAT):
+            width = 8 if kind == _K_DOUBLE else 4
+            dt = "<f8" if kind == _K_DOUBLE else "<f4"
+            vals = col.where(~nulls, 0.0).astype("float64").to_numpy().astype(dt)
+            bmat = vals.view(np.uint8).reshape(n, width)
+            prepped.append((kind, nulls, bmat, np.where(nulls, 0, width)))
+        elif kind == _K_BOOL:
+            vals = col.where(~nulls, False).to_numpy(dtype=bool).astype(np.uint8)
+            prepped.append((kind, nulls, vals, np.where(nulls, 0, 1)))
+        else:  # string / bytes
+            enc = [
+                b""
+                if (v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)))
+                else (v.encode("utf-8") if isinstance(v, str) else bytes(v))
+                for v in col
+            ]
+            slens = np.fromiter(map(len, enc), dtype=np.int64, count=n)
+            slens = np.where(nulls, 0, slens)
+            u = slens.astype(np.uint64)
+            z = u << np.uint64(1)  # lengths are non-negative
+            plens = np.ones(n, dtype=np.int64)
+            for k in range(1, 10):
+                plens += z >= np.uint64(1 << (7 * k))
+            vlens = np.where(nulls, 0, plens + slens)
+            prepped.append((kind, nulls, (z, plens, slens, enc), vlens))
+
+    field_lens = [1 + p[3] for p in prepped]  # +1: union tag byte
+    row_lens = np.sum(field_lens, axis=0)
+    row_starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+    out = np.zeros(int(row_lens.sum()), dtype=np.uint8)
+
+    off = row_starts
+    for (kind, nulls, data, vlens), flens in zip(prepped, field_lens):
+        out[off] = np.where(nulls, 0, 2)  # zigzag union index: null=0, T=1
+        vstarts = off + 1
+        live = ~nulls
+        if kind in (_K_LONG, _K_INT, _K_TS, _K_DATE):
+            _np_varint_scatter(out, vstarts[live], data[live], vlens[live])
+        elif kind in (_K_DOUBLE, _K_FLOAT):
+            width = 8 if kind == _K_DOUBLE else 4
+            for j in range(width):
+                out[vstarts[live] + j] = data[live, j]
+        elif kind == _K_BOOL:
+            out[vstarts[live]] = data[live]
+        else:
+            z, plens, slens, enc = data
+            _np_varint_scatter(out, vstarts[live], z[live], plens[live])
+            blob = b"".join(enc)
+            if blob:
+                cstarts = vstarts + plens
+                total = int(slens.sum())
+                within = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(slens)[:-1])), slens
+                )
+                out[np.repeat(cstarts, slens) + within] = np.frombuffer(
+                    blob, dtype=np.uint8
+                )
+        off = off + flens
+    return out.tobytes()
 
 
 # ------------------------------------------------------- Spark integration
@@ -494,28 +814,38 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
 
     os.makedirs(path, exist_ok=True)
     schema = df_avro_schema(df)
-    cols = [f.name for f in df.schema.fields]
 
     def emit(batches):
         import socket
         import uuid
 
-        rows = []
-        for pdf in batches:
-            for t in pdf.itertuples(index=False):
-                rows.append(
-                    tuple(
-                        None
-                        if not isinstance(v, (list, dict, bytes, str))
-                        and pd.isna(v)
-                        else v
-                        for v in t
-                    )
-                )
+        kinds = _flat_kinds(schema)  # always flat for df_avro_schema output
+        sync = os.urandom(16)
+        n_total = 0
         fname = f"part-{uuid.uuid4().hex}-{socket.gethostname()}.avro"
         with open(os.path.join(path, fname), "wb") as fh:
-            fh.write(encode_container(schema, rows, codec=codec))
-        yield pd.DataFrame({"n": [len(rows)]})
+            fh.write(_container_header(schema, codec, sync))
+            # one OCF block per Arrow batch: the vectorized encoder works
+            # columnwise and memory stays bounded by the batch size
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if kinds is not None:
+                    block = _np_encode_block(pdf, kinds)
+                else:  # exotic type slipped through: generic row path
+                    body = io.BytesIO()
+                    for t in pdf.itertuples(index=False):
+                        for f, v in zip(schema["fields"], t):
+                            if (
+                                not isinstance(v, (list, dict, bytes, str))
+                                and pd.isna(v)
+                            ):
+                                v = None
+                            _encode_value(body, v, f["type"])
+                    block = body.getvalue()
+                fh.write(_frame_block(len(pdf), block, codec, sync))
+                n_total += len(pdf)
+        yield pd.DataFrame({"n": [n_total]})
 
     stats = df.mapInPandas(emit, schema="n long")
     from pyspark.sql import functions as F
@@ -574,9 +904,12 @@ def register_avro_datasource(spark) -> None:
             self.path = options.get("path")
             if not self.path:
                 raise AvroFormatError("xetl_avro requires a path option")
-            self.union_names = [
-                f["name"] for f in _union_schema(_list(self.path))["fields"]
-            ]
+            union = _union_schema(_list(self.path))
+            self.union_names = [f["name"] for f in union["fields"]]
+            # flat union ⇒ every file's fields are flat primitives too;
+            # those partitions stream pyarrow RecordBatches to Spark
+            # (no per-row pickling). Exotic schemas keep the tuple path.
+            self.union_kinds = _flat_kinds(union)
 
         def partitions(self):
             files = _list(self.path)
@@ -586,7 +919,11 @@ def register_avro_datasource(spark) -> None:
 
         def read(self, partition):
             with open(partition.path, "rb") as fh:
-                sch, rows = parse_container(fh.read())
+                payload = fh.read()
+            if self.union_kinds is not None:
+                yield from self._read_arrow(payload)
+                return
+            sch, rows = parse_container(payload)
             own = [f["name"] for f in sch["fields"]]
             if own == self.union_names:
                 yield from rows
@@ -597,6 +934,26 @@ def register_avro_datasource(spark) -> None:
             slots = [idx.get(n) for n in self.union_names]
             for r in rows:
                 yield tuple(None if i is None else r[i] for i in slots)
+
+        def _read_arrow(self, payload: bytes):
+            import pyarrow as pa
+
+            own_names = [f["name"] for f in parse_schema(payload)["fields"]]
+            kind_of = {nm: k for nm, k, _ in self.union_kinds}
+            for batch in iter_arrow_batches(payload):
+                if own_names == self.union_names:
+                    yield batch
+                    continue
+                present = set(own_names)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(nm)
+                        if nm in present
+                        else pa.nulls(batch.num_rows, _arrow_type(kind_of[nm]))
+                        for nm in self.union_names
+                    ],
+                    names=self.union_names,
+                )
 
     class AvroDataSource(DataSource):
         @classmethod
