@@ -28,6 +28,67 @@ def test_png_roundtrip(shape):
     assert np.array_equal(im.png_decode(im.png_encode(a)), a)
 
 
+def _encode_adam7(arr: np.ndarray) -> bytes:
+    """Independent Adam7 interlaced PNG writer (filter 0 per pass row)
+    — the decoder under test must reassemble the seven sub-images."""
+    h, w, nch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)  # interlace=1
+    body = bytearray()
+    for x0, y0, dx, dy in im._ADAM7:
+        sub = arr[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            body.append(0)  # filter: None
+            body.extend(row.tobytes())
+    idat = zlib.compress(bytes(body), 6)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (
+        im.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 1, 3), (3, 3, 1), (8, 8, 3), (9, 10, 4), (16, 5, 2), (7, 23, 3)],
+)
+def test_png_adam7_interlaced_decode(shape):
+    """Adam7 decode is exact for every channel count and for sizes
+    where several passes are empty (1x1 exercises the degenerate
+    single-pass case)."""
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(im.png_decode(_encode_adam7(a)), a)
+
+
+def test_png_adam7_matches_jvm_imageio(spark, tmp_path):
+    """Golden cross-check: re-encode a PNG as Adam7 with the JVM's
+    ImageIO writer (progressive mode) and require bit-exact decode —
+    PNG is lossless, so any difference is a decoder bug."""
+    a = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    src = str(tmp_path / "seq.png")
+    with open(src, "wb") as fh:
+        fh.write(im.png_encode(a))
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(src))
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    out = str(tmp_path / "adam7.png")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(out))
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    writer.dispose()
+    payload = open(out, "rb").read()
+    assert payload[28] == 1, "JVM did not emit an interlaced PNG"
+    assert np.array_equal(im.png_decode(payload), a)
+
+
 def test_ppm_pgm_roundtrip():
     a = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
     assert np.array_equal(im.ppm_decode(im.ppm_encode(a)), a)

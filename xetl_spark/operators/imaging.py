@@ -11,9 +11,10 @@ UDFs. Scale note: each image decodes independently inside its
 partition; nothing touches the driver.
 
 Supported: 8-bit PNG color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-6 (RGBA), non-interlaced; binary PPM (P6) / PGM (P5) maxval 255;
-baseline JFIF/JPEG via operators/jpeg.py. Palette, 16-bit, and
-interlaced PNGs raise ``UnsupportedImageError``.
+6 (RGBA), sequential and Adam7-interlaced (decode; validated bit-exact
+against the JVM ImageIO writer's interlaced output); binary PPM (P6) /
+PGM (P5) maxval 255; baseline JFIF/JPEG via operators/jpeg.py. Palette
+and 16-bit PNGs raise ``UnsupportedImageError``.
 """
 
 from __future__ import annotations
@@ -86,16 +87,56 @@ def png_decode(payload: bytes) -> np.ndarray:
         raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
     if bit_depth != 8:
         raise UnsupportedImageError(f"unsupported PNG bit depth {bit_depth}")
-    if interlace:
-        raise UnsupportedImageError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise UnsupportedImageError(f"bad PNG interlace method {interlace}")
     nch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
+    if not interlace:
+        stride = width * nch
+        if len(raw) != height * (stride + 1):
+            raise UnsupportedImageError("PNG data length mismatch")
+        out = _unfilter(np.frombuffer(raw, dtype=np.uint8), width, height, nch)
+        return out.reshape(height, width, nch)
+    # Adam7: seven independently-filtered sub-images, scattered onto
+    # the output grid at (x0 + i*dx, y0 + j*dy)
+    out = np.zeros((height, width, nch), dtype=np.uint8)
+    view = np.frombuffer(raw, dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty at this image size: zero bytes in IDAT
+        nbytes = ph * (pw * nch + 1)
+        if pos + nbytes > len(view):
+            raise UnsupportedImageError("PNG data length mismatch")
+        sub = _unfilter(view[pos : pos + nbytes], pw, ph, nch)
+        pos += nbytes
+        out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, nch)
+    if pos != len(view):
         raise UnsupportedImageError("PNG data length mismatch")
+    return out
+
+
+# Adam7 pass origins/steps per RFC 2083 §2.6: (x_start, y_start, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter(view: np.ndarray, width: int, height: int, nch: int) -> np.ndarray:
+    """Reverse scanline filters 0-4 over a (filter byte + row)*height
+    byte stream → (height, width*nch) uint8. Shared by the sequential
+    and Adam7 paths (each Adam7 pass filters as its own sub-image)."""
+    stride = width * nch
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
-    view = np.frombuffer(raw, dtype=np.uint8)
     for y in range(height):
         rowstart = y * (stride + 1)
         ftype = view[rowstart]
@@ -124,7 +165,7 @@ def png_decode(payload: bytes) -> np.ndarray:
             raise UnsupportedImageError(f"bad PNG filter type {ftype}")
         out[y] = recon.astype(np.uint8)
         prior = out[y]
-    return out.reshape(height, width, nch)
+    return out
 
 
 def png_encode(arr: np.ndarray) -> bytes:
