@@ -45,22 +45,34 @@ def main() -> int:
         return 2
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    oq, nq = old.get("queries") or {}, new.get("queries") or {}
     rows = []
-    for name in sorted(set(oq) | set(nq)):
-        a, b = oq.get(name), nq.get(name)
-        if a is None or b is None:
-            rows.append((name, a, b, None, "missing in one run"))
+    # every per-query dict the bench emits gets its own diff section:
+    # headline battery, TPC-H suite, LLM-ops suite (round 5+)
+    for suite in ("queries", "tpch_queries", "llm_queries"):
+        oq, nq = old.get(suite) or {}, new.get(suite) or {}
+        if not oq and not nq:
             continue
-        r = b / a if a else float("inf")
-        flag = "REGRESSED" if r >= ratio else ("improved" if r <= 1 / ratio else "")
-        rows.append((name, a, b, r, flag))
+        rows.append((f"-- {suite} --", None, None, None, ""))
+        for name in sorted(set(oq) | set(nq)):
+            a, b = oq.get(name), nq.get(name)
+            if a is None or b is None:
+                rows.append((name, a, b, None, "missing in one run"))
+                continue
+            r = b / a if a else float("inf")
+            flag = "REGRESSED" if r >= ratio else ("improved" if r <= 1 / ratio else "")
+            rows.append((name, a, b, r, flag))
     w = max(len(r[0]) for r in rows)
     for name, a, b, r, flag in rows:
+        if a is None and b is None and r is None and not flag:
+            print(name)
+            continue
         rs = f"{r:5.2f}x" if r is not None else "    ? "
         print(f"{name:<{w}}  {a!s:>7} -> {b!s:>7}  {rs}  {flag}")
     ov, nv = old.get("value"), new.get("value")
     print(f"\nheadline: {ov} -> {nv}")
+    for total in ("tpch_suite_wall_seconds", "llm_suite_wall_seconds"):
+        if old.get(total) is not None or new.get(total) is not None:
+            print(f"{total}: {old.get(total)} -> {new.get(total)}")
     regressed = [r for r in rows if r[4] == "REGRESSED"]
     if regressed:
         print(f"{len(regressed)} queries >= {ratio}x slower")
