@@ -89,6 +89,76 @@ def test_png_adam7_matches_jvm_imageio(spark, tmp_path):
     assert np.array_equal(im.png_decode(payload), a)
 
 
+def _png_chunks(ihdr: bytes, extra: list, idat_body: bytes) -> bytes:
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    out = im.PNG_MAGIC + chunk(b"IHDR", ihdr)
+    for ct, data in extra:
+        out += chunk(ct, data)
+    return out + chunk(b"IDAT", zlib.compress(idat_body, 6)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_with_transparency():
+    """8-bit palette PNG: PLTE lookup + tRNS alpha → RGBA; without
+    tRNS → RGB."""
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8)
+    idx = rng.integers(0, 4, (5, 6), dtype=np.uint8)
+    body = bytearray()
+    for row in idx:
+        body.append(0)
+        body.extend(row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0)
+    trns = bytes([255, 128, 0])  # index 3 defaults to opaque
+    got = im.png_decode(
+        _png_chunks(ihdr, [(b"PLTE", plte.tobytes()), (b"tRNS", trns)], bytes(body))
+    )
+    assert got.shape == (5, 6, 4)
+    assert np.array_equal(got[:, :, :3], plte[idx])
+    assert np.array_equal(got[:, :, 3], np.array([255, 128, 0, 255], np.uint8)[idx])
+    rgb = im.png_decode(_png_chunks(ihdr, [(b"PLTE", plte.tobytes())], bytes(body)))
+    assert np.array_equal(rgb, plte[idx])
+
+
+def test_png_16bit_rounds_to_8bit():
+    """16-bit RGB: big-endian sample pairs rounded to v*255/65535."""
+    a16 = rng.integers(0, 65536, (4, 3, 3), dtype=np.uint16)
+    body = bytearray()
+    for row in a16:
+        body.append(0)
+        body.extend(row.astype(">u2").tobytes())
+    ihdr = struct.pack(">IIBBBBB", 3, 4, 16, 2, 0, 0, 0)
+    got = im.png_decode(_png_chunks(ihdr, [], bytes(body)))
+    exp = ((a16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(got, exp)
+    # 16-bit roundtrip of 8-bit-representable data is exact
+    a8 = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    body = bytearray()
+    for row in a8:
+        body.append(0)
+        body.extend((row.astype(np.uint16) * 257).astype(">u2").tobytes())
+    assert np.array_equal(im.png_decode(_png_chunks(ihdr, [], bytes(body))), a8)
+
+
+def test_png_subbyte_gray_depths():
+    """1/2/4-bit grayscale: bit-packed samples scale to the full 8-bit
+    range (e.g. depth-1 white = 255, depth-2 0b11 = 255)."""
+    for depth in (1, 2, 4):
+        w, h = 11, 3  # non-byte-aligned width exercises row padding
+        maxv = (1 << depth) - 1
+        vals = rng.integers(0, maxv + 1, (h, w), dtype=np.uint8)
+        body = bytearray()
+        for row in vals:
+            bits = np.unpackbits(row[:, None], axis=1, count=8)[:, -depth:]
+            packed = np.packbits(bits.flatten())
+            body.append(0)
+            body.extend(packed.tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        got = im.png_decode(_png_chunks(ihdr, [], bytes(body)))
+        assert np.array_equal(got[:, :, 0], vals.astype(int) * 255 // maxv), depth
+
+
 def test_ppm_pgm_roundtrip():
     a = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
     assert np.array_equal(im.ppm_decode(im.ppm_encode(a)), a)

@@ -10,11 +10,13 @@ run grayscale/resize as vectorized array math inside Arrow-batched
 UDFs. Scale note: each image decodes independently inside its
 partition; nothing touches the driver.
 
-Supported: 8-bit PNG color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-6 (RGBA), sequential and Adam7-interlaced (decode; validated bit-exact
-against the JVM ImageIO writer's interlaced output); binary PPM (P6) /
-PGM (P5) maxval 255; baseline JFIF/JPEG via operators/jpeg.py. Palette
-and 16-bit PNGs raise ``UnsupportedImageError``.
+Supported: every PNG color type — gray (depths 1/2/4/8/16), RGB and
+gray+alpha and RGBA (8/16), palette (1/2/4/8 with tRNS transparency)
+— sequential and Adam7-interlaced on decode (validated bit-exact
+against the JVM ImageIO writer's interlaced output; 16-bit samples
+round to 8-bit); the encoder emits 8-bit sequential. Binary PPM (P6)
+/ PGM (P5) maxval 255; baseline + progressive JFIF/JPEG via
+operators/jpeg.py.
 """
 
 from __future__ import annotations
@@ -26,8 +28,8 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-# channels per pixel by PNG color type
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# channels per pixel by PNG color type (3 = palette: one index sample)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 class UnsupportedImageError(ValueError):
@@ -65,11 +67,17 @@ def png_decode(payload: bytes) -> np.ndarray:
     Paeth carry an in-row dependency so those rows run per-pixel, None/
     Up/Average vectorize. Our own encoder emits filter 0, so the
     round-trip hot path is pure numpy.
+
+    Covers all five color types: gray (depths 1/2/4/8/16, scaled to
+    8-bit), RGB / gray+alpha / RGBA (8/16), and palette (depths
+    1/2/4/8 via PLTE, with tRNS transparency → RGBA). 16-bit samples
+    are rounded to 8-bit (v*255/65535); sequential and Adam7.
     """
     if payload[:8] != PNG_MAGIC:
         raise UnsupportedImageError("not a PNG (bad signature)")
     pos, width, height, color_type, bit_depth, interlace = 8, 0, 0, None, 8, 0
     idat = bytearray()
+    plte = trns = None
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -79,43 +87,83 @@ def png_decode(payload: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if color_type not in _CHANNELS:
         raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
-    if bit_depth != 8:
-        raise UnsupportedImageError(f"unsupported PNG bit depth {bit_depth}")
+    depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color_type, (8, 16))
+    if bit_depth not in depths:
+        raise UnsupportedImageError(
+            f"bit depth {bit_depth} invalid for color type {color_type}"
+        )
     if interlace not in (0, 1):
         raise UnsupportedImageError(f"bad PNG interlace method {interlace}")
+    if color_type == 3 and plte is None:
+        raise UnsupportedImageError("palette PNG missing PLTE chunk")
     nch = _CHANNELS[color_type]
+    bpp = max(1, nch * bit_depth // 8)  # filter distance, bytes
     raw = zlib.decompress(bytes(idat))
-    if not interlace:
-        stride = width * nch
-        if len(raw) != height * (stride + 1):
-            raise UnsupportedImageError("PNG data length mismatch")
-        out = _unfilter(np.frombuffer(raw, dtype=np.uint8), width, height, nch)
-        return out.reshape(height, width, nch)
-    # Adam7: seven independently-filtered sub-images, scattered onto
-    # the output grid at (x0 + i*dx, y0 + j*dy)
-    out = np.zeros((height, width, nch), dtype=np.uint8)
     view = np.frombuffer(raw, dtype=np.uint8)
-    pos = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (width - x0 + dx - 1) // dx
-        ph = (height - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue  # pass empty at this image size: zero bytes in IDAT
-        nbytes = ph * (pw * nch + 1)
-        if pos + nbytes > len(view):
+
+    def rowbytes(w: int) -> int:
+        return (w * nch * bit_depth + 7) // 8
+
+    def decode_pass(sub: np.ndarray, w: int, h: int) -> np.ndarray:
+        """(h, rowbytes) unfiltered bytes → (h, w, nch) samples."""
+        if bit_depth == 8:
+            return sub[:, : w * nch].reshape(h, w, nch)
+        if bit_depth == 16:
+            u16 = sub[:, : w * nch * 2].reshape(h, w * nch, 2)
+            v = u16[:, :, 0].astype(np.uint32) << 8 | u16[:, :, 1]
+            return ((v * 255 + 32767) // 65535).astype(np.uint8).reshape(h, w, nch)
+        bits = np.unpackbits(sub, axis=1)[:, : w * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        v = (bits.reshape(h, w, bit_depth) * weights).sum(axis=2)
+        if color_type == 0:  # sub-byte gray: scale to full 8-bit range
+            v = v * 255 // ((1 << bit_depth) - 1)
+        return v.astype(np.uint8).reshape(h, w, 1)
+
+    if not interlace:
+        rb = rowbytes(width)
+        if len(raw) != height * (rb + 1):
             raise UnsupportedImageError("PNG data length mismatch")
-        sub = _unfilter(view[pos : pos + nbytes], pw, ph, nch)
-        pos += nbytes
-        out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, nch)
-    if pos != len(view):
-        raise UnsupportedImageError("PNG data length mismatch")
-    return out
+        img = decode_pass(_unfilter(view, rb, height, bpp), width, height)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # onto the output grid at (x0 + i*dx, y0 + j*dy)
+        img = np.zeros((height, width, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size: no IDAT bytes
+            rb = rowbytes(pw)
+            nbytes = ph * (rb + 1)
+            if pos + nbytes > len(view):
+                raise UnsupportedImageError("PNG data length mismatch")
+            sub = _unfilter(view[pos : pos + nbytes], rb, ph, bpp)
+            pos += nbytes
+            img[y0::dy, x0::dx, :] = decode_pass(sub, pw, ph)
+        if pos != len(view):
+            raise UnsupportedImageError("PNG data length mismatch")
+    if color_type != 3:
+        return img
+    idx = img[:, :, 0]
+    if idx.max() >= len(plte):
+        raise UnsupportedImageError("palette index out of range")
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(len(plte), 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
 
 
 # Adam7 pass origins/steps per RFC 2083 §2.6: (x_start, y_start, dx, dy)
@@ -130,11 +178,13 @@ _ADAM7 = (
 )
 
 
-def _unfilter(view: np.ndarray, width: int, height: int, nch: int) -> np.ndarray:
+def _unfilter(view: np.ndarray, stride: int, height: int, bpp: int) -> np.ndarray:
     """Reverse scanline filters 0-4 over a (filter byte + row)*height
-    byte stream → (height, width*nch) uint8. Shared by the sequential
-    and Adam7 paths (each Adam7 pass filters as its own sub-image)."""
-    stride = width * nch
+    byte stream → (height, stride) uint8, where ``stride`` is the
+    row's byte length and ``bpp`` the filter's left-pixel distance in
+    bytes (1 for sub-byte depths per RFC 2083 §6.2). Shared by the
+    sequential and Adam7 paths (each Adam7 pass filters as its own
+    sub-image)."""
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -147,19 +197,19 @@ def _unfilter(view: np.ndarray, width: int, height: int, nch: int) -> np.ndarray
             recon = (row + prior) & 0xFF
         elif ftype == 1:  # Sub
             recon = row.copy()
-            for x in range(nch, stride):
-                recon[x] = (recon[x] + recon[x - nch]) & 0xFF
+            for x in range(bpp, stride):
+                recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
         elif ftype == 3:  # Average
             recon = row.copy()
             for x in range(stride):
-                left = recon[x - nch] if x >= nch else 0
+                left = recon[x - bpp] if x >= bpp else 0
                 recon[x] = (recon[x] + ((left + int(prior[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             recon = row.copy()
             for x in range(stride):
-                left = int(recon[x - nch]) if x >= nch else 0
+                left = int(recon[x - bpp]) if x >= bpp else 0
                 up = int(prior[x])
-                ul = int(prior[x - nch]) if x >= nch else 0
+                ul = int(prior[x - bpp]) if x >= bpp else 0
                 recon[x] = (recon[x] + _paeth(left, up, ul)) & 0xFF
         else:
             raise UnsupportedImageError(f"bad PNG filter type {ftype}")
