@@ -122,7 +122,7 @@ def test_error_paths():
     with pytest.raises(AvroFormatError):
         parse_container(bad)
     with pytest.raises(UnsupportedAvroError):
-        encode_container(SCHEMA, [], codec="snappy")
+        encode_container(SCHEMA, [], codec="zstandard")  # not implemented
     multi_union = {
         "type": "record",
         "name": "n",
@@ -387,7 +387,7 @@ def _schema_and_rows(draw):
             st.tuples(*[_field_vals[t] for t in types]), min_size=0, max_size=30
         )
     )
-    codec = draw(st.sampled_from(["null", "deflate"]))
+    codec = draw(st.sampled_from(["null", "deflate", "snappy"]))
     return schema, rows, codec
 
 
@@ -402,6 +402,96 @@ def test_avro_codec_roundtrip_fuzz(case):
     sch, back = parse_container(payload)
     assert sch == schema
     assert back == rows
+
+
+def test_snappy_codec_roundtrip_and_malformed():
+    import os
+
+    import pytest
+
+    from xetl_spark.sources import snappy
+
+    for data in (b"", b"x", b"ab" * 40000, os.urandom(70000)):
+        assert snappy.decompress(snappy.compress(data)) == data
+    # hand-built stream with an overlapping copy (RLE idiom):
+    # literal 'ab' then copy(len=6, off=2) -> 'abababab'
+    stream = bytes([8]) + bytes([1 << 2]) + b"ab" + bytes([((6 - 4) << 2) | 1, 2])
+    assert snappy.decompress(stream) == b"abababab"
+    with pytest.raises(snappy.SnappyError):
+        snappy.decompress(bytes([8, 1 << 2]) + b"ab")  # truncated
+    with pytest.raises(snappy.SnappyError):
+        snappy.decompress(bytes([4, (2 << 2) | 1, 9]))  # offset past start
+
+
+def test_snappy_matches_jvm_snappy_java(spark):
+    """Cross-validate against the real implementation on Spark's
+    classpath: snappy-java's compressed bytes decode through our
+    decompressor, and our literal-only output decodes through
+    snappy-java."""
+    import os
+
+    from xetl_spark.sources import snappy
+
+    jvm = spark._jvm
+    for data in (b"", b"hello", b"ab" * 5000, os.urandom(40000), b"\x00" * 99999):
+        jcomp = bytes(jvm.org.xerial.snappy.Snappy.compress(bytearray(data)))
+        assert snappy.decompress(jcomp) == data
+        assert bytes(
+            jvm.org.xerial.snappy.Snappy.uncompress(bytearray(snappy.compress(data)))
+        ) == data
+
+
+def test_avro_snappy_codec_real_interop(spark, tmp_path):
+    """An Avro container whose block is compressed by REAL snappy
+    (snappy-java) + big-endian CRC32 suffix — the wire format other
+    systems emit — decodes through both the generic and Arrow paths,
+    and write_avro(codec='snappy') round-trips through the DataSource."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from xetl_spark.sources import avro as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [(i, f"v{i}" * 3) for i in range(500)]
+    raw = A.encode_container(schema, rows, codec="null")
+    _, codec_, sync, pos = A._parse_header(raw)
+    # body of the single null-codec block
+    count, p2 = A._read_long(raw, pos)
+    size, p2 = A._read_long(raw, p2)
+    body = raw[p2 : p2 + size]
+    jvm = spark._jvm
+    jcomp = bytes(jvm.org.xerial.snappy.Snappy.compress(bytearray(body)))
+    block = jcomp + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    out = bytearray(A._container_header(schema, "snappy", sync))
+    b = A.io.BytesIO()
+    A._write_zigzag(b, count)
+    A._write_zigzag(b, len(block))
+    out += b.getvalue() + block + sync
+    payload = bytes(out)
+    _, back = A.parse_container(payload)
+    assert back == rows
+    arrow_rows = [
+        (d["x"], d["s"]) for bt in A.iter_arrow_batches(payload) for d in bt.to_pylist()
+    ]
+    assert arrow_rows == rows
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"), F.concat(F.lit("s"), F.col("id")).alias("s")
+    )
+    dest = str(tmp_path / "sn")
+    assert A.write_avro(df, dest, codec="snappy") == 100
+    A.register_avro_datasource(spark)
+    got = spark.read.format("xetl_avro").option("path", dest).load()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
 
 
 @given(_schema_and_rows())

@@ -6,8 +6,9 @@ usual Spark route is the external ``spark-avro`` jar, absent in this
 container. Same answer as the media codecs (PNG/WAV/Y4M): implement
 the public format (Avro 1.11 spec) in pure Python against the binary
 encoding — zigzag varints, length-prefixed bytes/strings, little-
-endian IEEE floats, OCF header/blocks/sync-markers, null + deflate
-codecs — and expose it through the Spark-4 Python DataSource API so
+endian IEEE floats, OCF header/blocks/sync-markers, null/deflate/
+snappy codecs (snappy via the pure-Python raw-block codec in
+sources/snappy.py, cross-validated against snappy-java) — and expose it through the Spark-4 Python DataSource API so
 ``spark.read.format("xetl_avro")`` is first-class.
 
 Scope (typed errors beyond it, never wrong answers): record schemas of
@@ -15,7 +16,7 @@ primitive fields, nullable via ``[null, T]`` unions,
 ``timestamp-micros`` logical longs, enums (decoded to their symbol),
 fixed, arrays/maps, and nested records on the READ side (decoded to
 Spark structs; the writer stays flat). Multi-branch unions and
-non-null/deflate codecs raise ``UnsupportedAvroError``.
+other codecs (e.g. zstandard) raise ``UnsupportedAvroError``.
 
 Scale shape: the reader is one InputPartition per .avro file (the
 natural Avro split is the file/block, both self-delimiting via sync
@@ -200,7 +201,7 @@ def _parse_header(payload: bytes):
         raise AvroFormatError("truncated sync marker")
     pos += 16
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise UnsupportedAvroError(f"codec {codec!r}")
     try:
         schema = json.loads(meta["avro.schema"])
@@ -237,11 +238,7 @@ def parse_container(payload: bytes):
         if payload[pos : pos + 16] != sync:
             raise AvroFormatError("sync marker mismatch")
         pos += 16
-        if codec == "deflate":
-            try:
-                block = zlib.decompress(block, wbits=-15)
-            except zlib.error as e:
-                raise AvroFormatError(f"deflate block: {e}") from None
+        block = _decompress_block(block, codec)
         bpos = 0
         for _ in range(count):
             row = []
@@ -361,11 +358,46 @@ def _container_header(schema: dict, codec: str, sync: bytes) -> bytes:
     return out.getvalue()
 
 
-def _frame_block(n: int, block: bytes, codec: str, sync: bytes) -> bytes:
-    """count + size + (possibly deflated) body + sync marker."""
+def _compress_block(block: bytes, codec: str) -> bytes:
     if codec == "deflate":
         comp = zlib.compressobj(wbits=-15)
-        block = comp.compress(block) + comp.flush()
+        return comp.compress(block) + comp.flush()
+    if codec == "snappy":
+        from xetl_spark.sources import snappy
+
+        # Avro snappy framing: raw snappy block + big-endian CRC32 of
+        # the UNCOMPRESSED data (Avro spec, snappy codec)
+        return snappy.compress(block) + struct.pack(
+            ">I", zlib.crc32(block) & 0xFFFFFFFF
+        )
+    return block
+
+
+def _decompress_block(block: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        try:
+            return zlib.decompress(block, wbits=-15)
+        except zlib.error as e:
+            raise AvroFormatError(f"deflate block: {e}") from None
+    if codec == "snappy":
+        from xetl_spark.sources import snappy
+
+        if len(block) < 4:
+            raise AvroFormatError("snappy block missing CRC suffix")
+        body, crc = block[:-4], struct.unpack(">I", block[-4:])[0]
+        try:
+            out = snappy.decompress(body)
+        except snappy.SnappyError as e:
+            raise AvroFormatError(f"snappy block: {e}") from None
+        if zlib.crc32(out) & 0xFFFFFFFF != crc:
+            raise AvroFormatError("snappy block CRC mismatch")
+        return out
+    return block
+
+
+def _frame_block(n: int, block: bytes, codec: str, sync: bytes) -> bytes:
+    """count + size + (possibly compressed) body + sync marker."""
+    block = _compress_block(block, codec)
     out = io.BytesIO()
     _write_zigzag(out, n)
     _write_zigzag(out, len(block))
@@ -378,7 +410,7 @@ def encode_container(
     schema: dict, rows, codec: str = "deflate", sync: bytes | None = None
 ) -> bytes:
     """Rows (tuples in field order) + record schema → OCF bytes."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise UnsupportedAvroError(f"codec {codec!r}")
     sync = sync or os.urandom(16)
     if len(sync) != 16:
@@ -393,10 +425,7 @@ def encode_container(
         for f, v in zip(fields, row):
             _encode_value(body, v, f["type"])
         n += 1
-    block = body.getvalue()
-    if codec == "deflate":
-        comp = zlib.compressobj(wbits=-15)
-        block = comp.compress(block) + comp.flush()
+    block = _compress_block(body.getvalue(), codec)
     if n:
         _write_zigzag(out, n)
         _write_zigzag(out, len(block))
@@ -579,11 +608,7 @@ def iter_arrow_batches(payload: bytes, kinds=None):
         if payload[pos : pos + 16] != sync:
             raise AvroFormatError("sync marker mismatch")
         pos += 16
-        if codec == "deflate":
-            try:
-                block = zlib.decompress(block, wbits=-15)
-            except zlib.error as e:
-                raise AvroFormatError(f"deflate block: {e}") from None
+        block = _decompress_block(block, codec)
         cols = _decode_block_flat(block, count, kinds)
         yield pa.RecordBatch.from_arrays(
             [pa.array(c, type=_arrow_type(k)) for c, (_, k, _) in zip(cols, kinds)],
