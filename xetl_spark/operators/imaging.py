@@ -37,7 +37,8 @@ class UnsupportedImageError(ValueError):
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return 'png', 'ppm', 'pgm', 'jpeg', or None for unrecognized bytes."""
+    """Return 'png', 'ppm', 'pgm', 'jpeg', 'gif', 'bmp', or None for
+    unrecognized bytes."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == b"P6":
@@ -46,6 +47,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "pgm"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
     return None
 
 
@@ -290,6 +295,53 @@ def ppm_encode(arr: np.ndarray) -> bytes:
     return header + arr.astype(np.uint8).tobytes()
 
 
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BITMAPINFOHEADER BMP →
+    (H, W, 3|4) uint8. Rows are 4-byte aligned and bottom-up unless
+    height is negative (top-down); BGR(A) reorders to RGB(A)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise UnsupportedImageError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or planes != 1:
+        raise UnsupportedImageError("unsupported BMP header")
+    if compression != 0 or bpp not in (24, 32):
+        raise UnsupportedImageError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    need = data_off + stride * h
+    if w <= 0 or len(payload) < need:
+        raise UnsupportedImageError("truncated BMP")
+    rows = np.frombuffer(payload[data_off:need], dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        img = img[::-1]
+    # BGR(A) → RGB(A)
+    return np.ascontiguousarray(
+        img[:, :, [2, 1, 0, 3]] if nch == 4 else img[:, :, ::-1]
+    )
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 as a bottom-up 24-bit BMP."""
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise UnsupportedImageError("bmp_encode takes (H, W, 3)")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return hdr + dib + data
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode any supported payload to (H, W, C) uint8."""
     fmt = sniff_format(payload)
@@ -301,6 +353,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from xetl_spark.operators.jpeg import jpeg_decode
 
         return jpeg_decode(payload)
+    if fmt == "gif":
+        from xetl_spark.operators.gif import gif_decode
+
+        return gif_decode(payload)
+    if fmt == "bmp":
+        return bmp_decode(payload)
     raise UnsupportedImageError("unrecognized image payload")
 
 

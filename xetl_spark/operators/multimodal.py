@@ -629,6 +629,17 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
                     "mp3", None, None, p["sample_rate"], p["channels"],
                     p["duration_ms"], p["bitrate_kbps"], p["n_frames"],
                 )
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                from xetl_spark.operators import gif
+
+                p = gif.gif_probe(payload)  # block walk, no LZW decode
+                return (
+                    "gif", p["width"], p["height"], None, None,
+                    p["duration_ms"] or None, None, p["n_frames"],
+                )
+            if payload[:2] == b"BM" and len(payload) >= 54:
+                w, h = _struct.unpack_from("<ii", payload, 18)
+                return ("bmp", w, abs(h), None, None, None, None, None)
             if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
                 p = mediaprobe.h264_sps_probe(payload)
                 return ("h264", p["width"], p["height"], None, None, None, None, None)
