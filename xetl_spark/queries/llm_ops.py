@@ -1003,6 +1003,73 @@ def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_image_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp'
+                           WHEN 2 THEN 'png' ELSE 'jpeg' END AS container,
+           CAST(5 + doc_id % 20 AS INT) AS width,
+           CAST(4 + doc_id % 15 AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS channels,
+           CASE WHEN doc_id % 4 = 0 THEN (1 + doc_id % 5) * 100 END AS duration_ms,
+           CAST(NULL AS INT) AS bitrate_kbps,
+           CASE WHEN doc_id % 4 = 0 THEN 1 + doc_id % 5 END AS n_frames
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q_multimodal_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-container triage twin of q_multimodal_media_probe:
+    synthesize GIF (multi-frame, real LZW via operators/gif.py), BMP,
+    PNG, and JPEG payloads with closed-form dimensions of doc_id, then
+    probe container/width/height (+ GIF frame count and duration from
+    the block walk — no LZW decode) via multimodal.probe_media. Every
+    field recomputed by the SQL oracle."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import gif, imaging, jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 20, 4 + did % 15
+                kind = did % 4
+                if kind == 0:
+                    nf = 1 + did % 5
+                    frames = [
+                        np.full((h, w, 3), ((did + k) % 256, k, 9), dtype=np.uint8)
+                        for k in range(nf)
+                    ]
+                    payload = gif.gif_encode(frames, delays_cs=[10] * nf)
+                elif kind == 1:
+                    payload = imaging.bmp_encode(
+                        np.full((h, w, 3), did % 256, dtype=np.uint8)
+                    )
+                elif kind == 2:
+                    payload = imaging.png_encode(
+                        np.full((h, w, 3), did % 256, dtype=np.uint8)
+                    )
+                else:
+                    payload = jpeg.jpeg_encode(
+                        np.full((h, w, 3), did % 256, dtype=np.uint8), 90
+                    )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    with_media = ids.mapInPandas(gen, schema="doc_id long, media binary")
+    return multimodal.probe_media(with_media, "media", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
     "q_udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
