@@ -490,6 +490,7 @@ def hamming_near_pairs(
     id_col: str = "doc",
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs of 64-bit fingerprints within a Hamming radius — the
     shared candidate-generation core for SimHash text dedup and dHash
@@ -503,6 +504,12 @@ def hamming_near_pairs(
     Hamming distance verified with bit_count(xor) on the fingerprints
     carried in the bucket. For a guaranteed-complete answer, pick
     chunks > max_hamming.
+
+    ``max_bucket_size`` (default None = unlimited, preserving the
+    completeness contract) is the same quadratic-blowup guard as
+    lsh_candidate_pairs / cosine_near_duplicates: pass a cap when a
+    degenerate corpus (mass-identical fingerprints) is possible and
+    exact dedup runs upstream to catch those clusters.
     """
     width = 64 // chunks
     blocked = fps.select(
@@ -533,6 +540,8 @@ def hamming_near_pairs(
         )
         .filter(F.size("ds") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
     cand = (
         buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "a"))
         .select(
