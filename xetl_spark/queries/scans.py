@@ -386,3 +386,31 @@ def q_scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
     )
+
+
+@query(
+    "q_scan_avro_snappy",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal
+    FROM customer
+    """,
+)
+def q_scan_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro roundtrip under the SNAPPY block codec (sources/snappy.py
+    pure-Python raw-block implementation, cross-validated against
+    snappy-java; Avro framing = snappy body + big-endian CRC32 of the
+    uncompressed block). Write-side emits spec-valid literal-only
+    snappy; read-side decodes real LZ77 back-references too."""
+    from xetl_spark.sources.avro import register_avro_datasource, write_avro
+
+    (customer,) = load(spark, sf_dir, "customer")
+    out = _tmp("avro_snappy", sf_dir)
+    proj = customer.select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # rerun-safe
+    write_avro(proj, out, codec="snappy")
+    register_avro_datasource(spark)
+    return spark.read.format("xetl_avro").option("path", out).load()
