@@ -1,0 +1,104 @@
+"""WARC reader (sources/warc.py) + html_to_text extraction: record
+framing round-trips (plain + per-record-gzip), HTTP response
+splitting, malformed-stream errors, DataSource read, and the Catalyst
+HTML→text chain."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from xetl_spark.sources import warc
+
+
+def _fixture_records():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "record_id": "<urn:uuid:info>",
+            "body": b"software: xetl\r\n",
+            "content_type": "application/warc-fields",
+        },
+        {
+            "target_uri": "http://example.com/a",
+            "record_id": "<urn:uuid:a>",
+            "http": (200, "text/html; charset=utf-8", b"<p>hi</p>"),
+        },
+        {
+            "target_uri": "http://example.com/b",
+            "record_id": "<urn:uuid:b>",
+            "http": (404, "text/plain", b"gone"),
+        },
+    ]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_roundtrip(compress):
+    payload = warc.warc_build(_fixture_records(), compress=compress)
+    recs = list(warc.parse_warc(payload))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[0]["body"] == b"software: xetl\r\n"
+    assert recs[1]["http_status"] == 200
+    assert recs[1]["http_content_type"] == "text/html; charset=utf-8"
+    assert recs[1]["body"] == b"<p>hi</p>"
+    assert recs[2]["http_status"] == 404
+    assert recs[2]["target_uri"] == "http://example.com/b"
+
+
+def test_warc_gzip_members_are_independent():
+    """Each record its own gzip member (crawler layout): decompressing
+    the whole file still yields every record."""
+    payload = warc.warc_build(_fixture_records(), compress=True)
+    # three independent members → three gzip magics
+    assert payload.count(b"\x1f\x8b\x08") >= 3
+    assert len(list(warc.parse_warc(payload))) == 3
+    # a single-member gzip of the plain stream also parses
+    plain = warc.warc_build(_fixture_records(), compress=False)
+    assert len(list(warc.parse_warc(gzip.compress(plain)))) == 3
+
+
+def test_warc_malformed_raises():
+    with pytest.raises(warc.WarcFormatError):
+        list(warc.parse_warc(b"NOT A WARC\r\n\r\n"))
+    ok = warc.warc_build(_fixture_records())
+    with pytest.raises(warc.WarcFormatError):
+        list(warc.parse_warc(ok[: len(ok) - 30]))  # truncated block
+
+
+def test_warc_datasource(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    with open(os.path.join(d, "seg-0.warc.gz"), "wb") as fh:
+        fh.write(warc.warc_build(_fixture_records(), compress=True))
+    with open(os.path.join(d, "seg-1.warc"), "wb") as fh:
+        fh.write(warc.warc_build(_fixture_records()[1:]))
+    warc.register_warc_datasource(spark)
+    df = spark.read.format("xetl_warc").option("path", d).load()
+    rows = df.collect()
+    assert len(rows) == 5  # 3 + 2, one partition per file
+    resp = df.filter(F.col("warc_type") == "response")
+    assert resp.filter(F.col("http_status") == 404).count() == 2
+
+
+def test_html_to_text_extraction(spark):
+    from xetl_spark.operators.text import html_to_text
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var x = '<p>not text</p>';</script>real", "real"),
+        ("<style>p {color: red}</style>styled", "styled"),
+        ("<!-- hidden -->shown", "shown"),
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; c&nbsp;d", 'a & b <tag> "q" \'s\' c d'),
+        ("&amp;lt;", "&lt;"),  # no double-decode
+        ("  spaced\n\nout  ", "spaced out"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {r.i: r.t for r in df.select("i", html_to_text("html").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

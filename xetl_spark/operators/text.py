@@ -295,6 +295,33 @@ def hashing_tfidf(df, text_col: str, id_col: str, num_features: int = 1024):
     return idf.transform(with_tf).select(F.col(id_col).alias("doc"), "tfidf_vec")
 
 
+def html_to_text(html: Column | str) -> Column:
+    """Extract readable text from HTML markup — the WARC→documents step
+    of a crawl-ingestion pipeline.
+
+    Pure Catalyst regexp chain (whole-stage codegen, no UDF): drops
+    <script>/<style> blocks and comments wholesale, strips remaining
+    tags, decodes the common named entities (&amp; &lt; &gt; &quot;
+    &#39; &nbsp;), and collapses whitespace. A parser-grade extraction
+    (DOM-aware boilerplate handling) is remove_boilerplate's job
+    downstream; this is the markup→text normalization pass.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    out = F.regexp_replace(c, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last, so &amp;lt; doesn't double-decode
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def remove_boilerplate(
     df,
     text_col: str,

@@ -414,3 +414,66 @@ def q_scan_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_avro(proj, out, codec="snappy")
     register_avro_datasource(spark)
     return spark.read.format("xetl_avro").option("path", out).load()
+
+
+@query(
+    "q_ingest_warc_html",
+    oracle="""
+    SELECT doc_id,
+           'http://example.com/page/' || doc_id AS url,
+           200 AS http_status,
+           'Doc ' || doc_id || ' alpha ' || doc_id || ' & beta gamma '
+             || (doc_id % 7) AS text
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_ingest_warc_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl-shaped ingestion: a .warc.gz archive (one gzip
+    member per record, the crawler layout) read through the
+    ``xetl_warc`` Python DataSource (sources/warc.py — WARC/1.0 record
+    framing + HTTP response splitting), then HTML→text extraction as a
+    pure Catalyst regexp chain (operators/text.py html_to_text: strips
+    script/style/comments/tags, decodes entities, collapses
+    whitespace). Every extracted string recomputed closed-form by the
+    SQL oracle."""
+    import gzip as _gzip
+
+    from xetl_spark.operators.text import html_to_text
+    from xetl_spark.sources.warc import register_warc_datasource, warc_build
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = _tmp("warc", sf_dir)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # rerun-safe
+    os.makedirs(out, exist_ok=True)
+    records = []
+    for did in range(100):
+        html = (
+            f"<html><head><title>Doc {did}</title><style>p "
+            "{margin:0}</style></head><body>"
+            f"<p>alpha {did} &amp; beta</p><script>var x=1;</script>"
+            f"<!-- nav --><p>gamma {did % 7}</p></body></html>"
+        ).encode()
+        records.append(
+            {
+                "target_uri": f"http://example.com/page/{did}",
+                "record_id": f"<urn:uuid:{did}>",
+                "http": (200, "text/html", html),
+            }
+        )
+    with open(os.path.join(out, "crawl-00000.warc.gz"), "wb") as fh:
+        fh.write(warc_build(records, compress=True))
+    register_warc_datasource(spark)
+    resp = (
+        spark.read.format("xetl_warc")
+        .option("path", out)
+        .load()
+        .filter(F.col("warc_type") == "response")
+    )
+    return resp.select(
+        F.regexp_extract("target_uri", r"/page/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "http_status",
+        html_to_text(F.decode(F.col("body"), "utf-8")).alias("text"),
+    ).join(docs.select("doc_id"), "doc_id")  # keep oracle's doc universe
