@@ -366,6 +366,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc(pairs, docs, "doc_id")
 
 
+@query("q_text_bpe_tokenize", oracle=None)
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE (operators/bpe.py): learn 12 merges from the corpus
+    word-frequency histogram (distributed, deterministic tie-breaks),
+    then encode documents with the greedy lowest-rank rule. Not
+    SQL-expressible (iterative argmax over learned state) — the
+    trainer is cross-validated against a single-process reference
+    implementation in tests/test_bpe.py and the merge table is
+    partitioning-independent, so the output is deterministic."""
+    from xetl_spark.operators.bpe import bpe_encode, bpe_train
+
+    (docs,) = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    merges = bpe_train(corpus, "text", num_merges=12)
+    enc = bpe_encode(docs.filter(F.col("doc_id") < 100), "text", merges)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+    )
+
+
 @query("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming radius 3 of the 64-bit
