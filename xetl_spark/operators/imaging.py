@@ -51,6 +51,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     return None
 
 
@@ -359,6 +361,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return gif_decode(payload)
     if fmt == "bmp":
         return bmp_decode(payload)
+    if fmt == "tiff":
+        from xetl_spark.operators.tiff import tiff_decode
+
+        return tiff_decode(payload)
     raise UnsupportedImageError("unrecognized image payload")
 
 

@@ -640,6 +640,11 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
             if payload[:2] == b"BM" and len(payload) >= 54:
                 w, h = _struct.unpack_from("<ii", payload, 18)
                 return ("bmp", w, abs(h), None, None, None, None, None)
+            if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                from xetl_spark.operators import tiff
+
+                p = tiff.tiff_probe(payload)  # IFD tags only, no strips
+                return ("tiff", p["width"], p["height"], None, None, None, None, None)
             if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
                 p = mediaprobe.h264_sps_probe(payload)
                 return ("h264", p["width"], p["height"], None, None, None, None, None)

@@ -1029,22 +1029,23 @@ def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_image_probe",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp'
-                           WHEN 2 THEN 'png' ELSE 'jpeg' END AS container,
+           CASE doc_id % 5 WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp'
+                           WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+                           ELSE 'tiff' END AS container,
            CAST(5 + doc_id % 20 AS INT) AS width,
            CAST(4 + doc_id % 15 AS INT) AS height,
            CAST(NULL AS INT) AS sample_rate,
            CAST(NULL AS INT) AS channels,
-           CASE WHEN doc_id % 4 = 0 THEN (1 + doc_id % 5) * 100 END AS duration_ms,
+           CASE WHEN doc_id % 5 = 0 THEN (1 + doc_id % 5) * 100 END AS duration_ms,
            CAST(NULL AS INT) AS bitrate_kbps,
-           CASE WHEN doc_id % 4 = 0 THEN 1 + doc_id % 5 END AS n_frames
+           CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 5 END AS n_frames
     FROM documents WHERE doc_id < 300
     """,
 )
 def q_multimodal_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-container triage twin of q_multimodal_media_probe:
     synthesize GIF (multi-frame, real LZW via operators/gif.py), BMP,
-    PNG, and JPEG payloads with closed-form dimensions of doc_id, then
+    PNG, JPEG, and TIFF payloads with closed-form dimensions, then
     probe container/width/height (+ GIF frame count and duration from
     the block walk — no LZW decode) via multimodal.probe_media. Every
     field recomputed by the SQL oracle."""
@@ -1056,14 +1057,14 @@ def q_multimodal_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
 
-        from xetl_spark.operators import gif, imaging, jpeg
+        from xetl_spark.operators import gif, imaging, jpeg, tiff
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 5 + did % 20, 4 + did % 15
-                kind = did % 4
+                kind = did % 5
                 if kind == 0:
                     nf = 1 + did % 5
                     frames = [
@@ -1079,9 +1080,13 @@ def q_multimodal_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = imaging.png_encode(
                         np.full((h, w, 3), did % 256, dtype=np.uint8)
                     )
-                else:
+                elif kind == 3:
                     payload = jpeg.jpeg_encode(
                         np.full((h, w, 3), did % 256, dtype=np.uint8), 90
+                    )
+                else:
+                    payload = tiff.tiff_build(
+                        np.full((h, w, 3), did % 256, dtype=np.uint8)
                     )
                 rows.append((did, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media"])
