@@ -137,3 +137,47 @@ def test_probe_media_jpeg_fill_bytes_before_sof(spark):
     pdf = pd.DataFrame({"doc_id": [1], "media": [padded]})
     (r,) = probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
     assert r.container == "jpeg" and (r.width, r.height) == (32, 24)
+
+
+def test_mp4_probe_box_walk():
+    p = mp.mp4_probe(mp.mp4_build(1920, 1080, 120500, n_audio_tracks=2))
+    assert (p["width"], p["height"]) == (1920, 1080)
+    assert p["duration_ms"] == 120500 and p["n_tracks"] == 3
+    assert p["brand"] == "isom"
+    with pytest.raises(mp.Mp4FormatError):
+        mp.mp4_probe(b"\x00\x00\x00\x08free")  # no ftyp
+    ok = mp.mp4_build(64, 48, 1000)
+    with pytest.raises(mp.Mp4FormatError):
+        mp.mp4_probe(ok[:40])  # truncated moov
+
+
+def test_flac_probe_streaminfo():
+    p = mp.flac_probe(mp.flac_build(44100, 1, 441000, bps=24))
+    assert (p["sample_rate"], p["channels"], p["bits_per_sample"]) == (44100, 1, 24)
+    assert p["duration_ms"] == 10000
+    with pytest.raises(mp.FlacFormatError):
+        mp.flac_probe(b"not flac")
+    with pytest.raises(mp.FlacFormatError):
+        mp.flac_probe(b"fLaC" + bytes([0x81]) + (4).to_bytes(3, "big") + b"abcd")
+
+
+def test_probe_media_mp4_flac(spark):
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import probe_media
+
+    payloads = {
+        1: mp.mp4_build(640, 360, 5000, n_audio_tracks=1),
+        2: mp.flac_build(48000, 2, 96000),
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "media": [payloads[k] for k in payloads]}
+    )
+    rows = {
+        r.id: r
+        for r in probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
+    }
+    assert rows[1].container == "mp4" and (rows[1].width, rows[1].height) == (640, 360)
+    assert rows[1].duration_ms == 5000 and rows[1].n_frames == 2  # track count slot
+    assert rows[2].container == "flac" and rows[2].sample_rate == 48000
+    assert rows[2].duration_ms == 2000 and rows[2].channels == 2

@@ -344,3 +344,177 @@ def h264_sps_build(width_mbs: int, height_mbs: int, level_idc: int = 31) -> byte
         esc.append(byte)
         zeros = zeros + 1 if byte == 0 else 0
     return b"\x00\x00\x00\x01" + bytes([0x67]) + bytes(esc)
+
+
+# ---------------------------------------------------------------- mp4
+
+
+class Mp4FormatError(ValueError):
+    """Payload is not an ISO-BMFF (MP4/MOV) container this probe reads."""
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise Mp4FormatError("truncated largesize box")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to end
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise Mp4FormatError(f"box {btype!r} overruns container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def mp4_probe(payload: bytes) -> dict:
+    """ISO-BMFF triage from the box tree only (no sample decode):
+    brand, duration from mvhd, video dimensions from the first tkhd
+    with nonzero width/height, and the track count. The moov walk is
+    O(box headers) — mdat is skipped by its declared size, so a
+    multi-GB file costs KBs of reads."""
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        raise Mp4FormatError("no ftyp box (not ISO-BMFF)")
+    brand = payload[8:12].decode("ascii", "replace")
+    duration_ms = width = height = None
+    n_tracks = 0
+    for btype, b0, b1 in _walk_boxes(payload, 0, n):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
+            if ctype == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    scale, dur = struct.unpack_from(">IQ", payload, c0 + 20)
+                else:
+                    scale, dur = struct.unpack_from(">II", payload, c0 + 12)
+                if scale:
+                    duration_ms = dur * 1000 // scale
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, t0, t1 in _walk_boxes(payload, c0, c1):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = payload[t0]
+                    # width/height: last 8 bytes of tkhd, 16.16 fixed
+                    w16, h16 = struct.unpack_from(">II", payload, t1 - 8)
+                    if w16 and h16 and width is None:
+                        width, height = w16 >> 16, h16 >> 16
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "n_tracks": n_tracks,
+    }
+
+
+def mp4_build(
+    width: int,
+    height: int,
+    duration_ms: int,
+    timescale: int = 1000,
+    n_audio_tracks: int = 0,
+) -> bytes:
+    """Structurally-valid minimal MP4 (ftyp + moov[mvhd + trak[tkhd]…]
+    + empty mdat) — fixture generator for the probe."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version/flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+        + b"\x00\x01\x00\x00"  # rate 1.0
+        + b"\x01\x00"  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2 + n_audio_tracks),  # next track id
+    )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + b"\x00" * 4
+            + struct.pack(">I", duration_ms * timescale // 1000)
+            + b"\x00" * 8
+            + b"\x00\x00" * 2
+            + b"\x00\x00" + b"\x00" * 2
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    traks = box(b"trak", tkhd(1, width, height))
+    for t in range(n_audio_tracks):
+        traks += box(b"trak", tkhd(2 + t, 0, 0))
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+# ---------------------------------------------------------------- flac
+
+
+class FlacFormatError(ValueError):
+    """Payload is not a FLAC stream with a STREAMINFO block."""
+
+
+def flac_probe(payload: bytes) -> dict:
+    """sample_rate/channels/bits/duration from the mandatory
+    STREAMINFO metadata block — first KB of the file, no frame decode."""
+    if payload[:4] != b"fLaC":
+        raise FlacFormatError("no fLaC magic")
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4
+        if btype == 0:  # STREAMINFO
+            if length < 34 or pos + 34 > len(payload):
+                raise FlacFormatError("truncated STREAMINFO")
+            b = payload[pos : pos + 34]
+            bits = int.from_bytes(b[10:18], "big")  # 64 bits from offset 10
+            sample_rate = bits >> 44
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            return {
+                "container": "flac",
+                "sample_rate": sample_rate,
+                "channels": channels,
+                "bits_per_sample": bps,
+                "n_samples": total,
+                "duration_ms": total * 1000 // sample_rate if sample_rate else None,
+            }
+        pos += length
+        if last:
+            break
+    raise FlacFormatError("no STREAMINFO block")
+
+
+def flac_build(
+    sample_rate: int, channels: int, n_samples: int, bps: int = 16
+) -> bytes:
+    """Structurally-valid FLAC header (magic + STREAMINFO, no frames)."""
+    info = bytearray(34)
+    info[0:2] = (4096).to_bytes(2, "big")  # min blocksize
+    info[2:4] = (4096).to_bytes(2, "big")  # max blocksize
+    bits = (sample_rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | n_samples
+    info[10:18] = bits.to_bytes(8, "big")
+    return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)

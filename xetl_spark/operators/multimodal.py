@@ -645,6 +645,18 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
 
                 p = tiff.tiff_probe(payload)  # IFD tags only, no strips
                 return ("tiff", p["width"], p["height"], None, None, None, None, None)
+            if payload[4:8] == b"ftyp":
+                p = mediaprobe.mp4_probe(payload)  # box headers only
+                return (
+                    "mp4", p["width"], p["height"], None, None,
+                    p["duration_ms"], None, p["n_tracks"],
+                )
+            if payload[:4] == b"fLaC":
+                p = mediaprobe.flac_probe(payload)  # STREAMINFO only
+                return (
+                    "flac", None, None, p["sample_rate"], p["channels"],
+                    p["duration_ms"], None, None,
+                )
             if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
                 p = mediaprobe.h264_sps_probe(payload)
                 return ("h264", p["width"], p["height"], None, None, None, None, None)

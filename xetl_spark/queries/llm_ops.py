@@ -1026,6 +1026,70 @@ def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_av_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'mp4' ELSE 'flac' END AS container,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(16 * (4 + doc_id % 40) AS INT) END
+             AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(16 * (3 + doc_id % 30) AS INT) END
+             AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 44100
+                          ELSE 48000 END AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 + doc_id % 2 AS INT) END
+             AS channels,
+           CASE doc_id % 2
+             WHEN 0 THEN (1 + doc_id % 60) * 500
+             ELSE (10000 + doc_id * 13) * 1000
+                  // (CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 44100
+                      ELSE 48000 END)
+           END AS duration_ms,
+           CAST(NULL AS INT) AS bitrate_kbps,
+           CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 END AS n_frames
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q_multimodal_av_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level audio/video triage: ISO-BMFF (MP4) box-walk
+    probe (mvhd duration, tkhd dimensions, track count — mdat skipped
+    by size, O(box headers) per file) and FLAC STREAMINFO probe, over
+    payloads synthesized closed-form from doc_id. n_frames carries the
+    MP4 track count. Every field recomputed by the SQL oracle."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators import mediaprobe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    payload = mediaprobe.mp4_build(
+                        16 * (4 + did % 40),
+                        16 * (3 + did % 30),
+                        (1 + did % 60) * 500,
+                        n_audio_tracks=did % 3,
+                    )
+                else:
+                    sr = (16000, 44100, 48000)[did % 3]
+                    payload = mediaprobe.flac_build(
+                        sr, 1 + did % 2, 10000 + did * 13
+                    )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    with_media = ids.mapInPandas(gen, schema="doc_id long, media binary")
+    return multimodal.probe_media(with_media, "media", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
     "q_multimodal_image_probe",
     oracle="""
     SELECT doc_id,
