@@ -97,8 +97,8 @@ def test_packbits_spec_cases():
 
 
 def test_tiff_matches_jvm_imageio(spark, tmp_path):
-    """Golden: ImageIO TIFF writer output (both no-compression and
-    PackBits) decodes bit-exact for gray and RGB."""
+    """Golden: ImageIO TIFF writer output (no-compression, PackBits,
+    and LZW+predictor) decodes bit-exact for gray and RGB."""
     jvm = spark._jvm
     for shape in [(21, 17, 3), (12, 30, 1)]:
         a = rng.integers(0, 256, shape, dtype=np.uint8)
@@ -106,7 +106,7 @@ def test_tiff_matches_jvm_imageio(spark, tmp_path):
         with open(src, "wb") as fh:
             fh.write(im.png_encode(a))
         img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(src))
-        for comp in (None, "PackBits"):
+        for comp in (None, "PackBits", "LZW"):
             writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
                 "tiff"
             ).next()

@@ -1,12 +1,13 @@
 """Pure-Python baseline TIFF decoder (8-bit gray/RGB/RGBA, strip
-layout, uncompressed + PackBits), from the public TIFF 6.0 spec.
+layout; uncompressed, PackBits, and LZW with the horizontal-
+differencing predictor), from the public TIFF 6.0 spec.
 
 Complements the PNG/JPEG/GIF/BMP codecs for multimodal triage; the
 IFD structure mirrors operators/exif.py (which parses the same TIFF
-container embedded in JPEG APP1). Tiled layout, 16-bit samples, LZW
-and JPEG-in-TIFF compression raise ``TiffFormatError`` — typed
+container embedded in JPEG APP1). Tiled layout, 16-bit samples, and
+JPEG-in-TIFF compression raise ``TiffFormatError`` — typed
 boundaries, never wrong pixels. Validated against the JVM ImageIO
-TIFF writer in tests.
+TIFF writer in all three compressions.
 """
 
 from __future__ import annotations
@@ -34,6 +35,56 @@ def _read_tag_values(buf: bytes, e: str, typ: int, cnt: int, ent: int) -> list[i
     if fmt is None:
         raise TiffFormatError(f"unsupported tag type {typ}")
     return list(struct.unpack_from(e + fmt * cnt, buf, voff))
+
+
+def _lzw_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (6.0 §13): MSB-first bit packing, 256-symbol
+    alphabet with Clear=256/EOI=257, and EarlyChange — the code width
+    grows one code EARLIER than the GIF variant (at table size
+    2^width - 1)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = list(base)
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                if len(out) < expected:
+                    raise TiffFormatError("LZW EOI before strip complete")
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise TiffFormatError("LZW code before any output")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise TiffFormatError("LZW code out of range")
+            out += entry
+            if len(out) > expected + 16:
+                raise TiffFormatError("LZW output exceeds strip size")
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+    if len(out) < expected:
+        raise TiffFormatError("LZW strip short of expected size")
+    return bytes(out[:expected])
 
 
 def _packbits(data: bytes, expected: int) -> bytes:
@@ -143,7 +194,7 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         if ent + 12 > len(payload):
             raise TiffFormatError("truncated IFD entry")
         tag, typ, cnt = struct.unpack_from(e + "HHL", payload, ent)
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 322, 323):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317, 322, 323):
             tags[tag] = _read_tag_values(payload, e, typ, cnt, ent)
 
     if 322 in tags or 323 in tags:
@@ -159,10 +210,13 @@ def tiff_decode(payload: bytes) -> np.ndarray:
     if any(b != 8 for b in bits):
         raise TiffFormatError(f"unsupported bits-per-sample {bits}")
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise TiffFormatError(
-            f"unsupported TIFF compression {compression} (none/PackBits only)"
+            f"unsupported TIFF compression {compression} (none/LZW/PackBits only)"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise TiffFormatError(f"unsupported TIFF predictor {predictor}")
     nch = tags.get(277, [len(bits)])[0]
     if tags.get(284, [1])[0] != 1:
         raise TiffFormatError("planar TIFF not supported (chunky only)")
@@ -180,9 +234,20 @@ def tiff_decode(payload: bytes) -> np.ndarray:
         strip_rows = min(rows_per_strip, height - rows_done)
         expected = strip_rows * stride
         raw = payload[off : off + cnt]
-        body += _packbits(raw, expected) if compression == 32773 else raw[:expected]
-        if compression == 1 and cnt < expected:
-            raise TiffFormatError("strip shorter than declared rows")
+        if compression == 32773:
+            strip = _packbits(raw, expected)
+        elif compression == 5:
+            strip = _lzw_tiff(raw, expected)
+        else:
+            if cnt < expected:
+                raise TiffFormatError("strip shorter than declared rows")
+            strip = raw[:expected]
+        if predictor == 2:  # horizontal differencing: undo by cumsum
+            m = np.frombuffer(strip, dtype=np.uint8).reshape(
+                strip_rows, width, nch
+            )
+            strip = np.cumsum(m, axis=1, dtype=np.uint32).astype(np.uint8).tobytes()
+        body += strip
         rows_done += strip_rows
     if rows_done < height or len(body) < height * stride:
         raise TiffFormatError("strips cover fewer rows than ImageLength")
