@@ -477,3 +477,58 @@ def q_ingest_warc_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         html_to_text(F.decode(F.col("body"), "utf-8")).alias("text"),
     ).join(docs.select("doc_id"), "doc_id")  # keep oracle's doc universe
+
+
+@query(
+    "q_ingest_tar_webdataset",
+    oracle="""
+    SELECT doc_id, doc_id || '/sample.txt' AS member_name,
+           strlen('caption ' || doc_id) AS member_size,
+           sha256('caption ' || doc_id) AS digest
+    FROM documents WHERE doc_id < 150
+    UNION ALL
+    SELECT doc_id, doc_id || '/meta.json',
+           strlen('{"id":' || doc_id || '}'),
+           sha256('{"id":' || doc_id || '}')
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def q_ingest_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard ingestion: synthesize one tar.gz per
+    document (caption + JSON sidecar members with closed-form
+    contents), explode members executor-side via
+    operators/archive.py (stdlib tarfile inside Arrow-batched
+    mapInPandas — the driver never touches archive bytes), and emit
+    per-member size + sha256. Every field recomputed by the oracle."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from xetl_spark.operators.archive import build_tar, explode_archive
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 150)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                shard = build_tar(
+                    [
+                        (f"{did}/sample.txt", f"caption {did}".encode()),
+                        (f"{did}/meta.json", f'{{"id":{did}}}'.encode()),
+                    ],
+                    compress=True,
+                )
+                rows.append((did, shard))
+            yield pd.DataFrame(rows, columns=["doc_id", "archive"])
+
+    shards = ids.mapInPandas(gen, schema="doc_id long, archive binary")
+    members = explode_archive(shards, "archive", "doc_id")
+    return members.select(
+        F.col("id").alias("doc_id"),
+        "member_name",
+        "member_size",
+        F.sha2("member_bytes", 256).alias("digest"),
+    )
