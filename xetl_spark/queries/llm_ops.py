@@ -1025,6 +1025,40 @@ def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_embed_pca", oracle=None)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding column (operators/pca.py):
+    map-only per-partition moment reduction (count, Σx, ΣxxT via one
+    BLAS syrk per Arrow batch), driver-side eigh of the 64×64
+    covariance, executor-side projection matmul — no shuffle anywhere.
+    Eigendecomposition is not SQL-expressible; the fit is validated
+    against numpy PCA exactly in tests/test_pca.py. Returns the
+    variance spectrum plus projection norms (deterministic,
+    partitioning-independent)."""
+    from xetl_spark.operators.pca import pca_fit, pca_project
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    spectrum = spark.createDataFrame(
+        [
+            (i, round(v, 6))
+            for i, v in enumerate(model["explained_variance"])
+        ],
+        "component int, explained_variance double",
+    )
+    proj = pca_project(emb.filter(F.col("vec_id") < 50), "embedding", model)
+    norms = proj.select(
+        F.lit(-1).alias("component"),
+        F.round(
+            F.aggregate(
+                "pca", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            6,
+        ).alias("explained_variance"),
+    )
+    return spectrum.unionByName(norms)
+
+
 @query(
     "q_multimodal_av_probe",
     oracle="""
