@@ -181,3 +181,28 @@ def test_probe_media_mp4_flac(spark):
     assert rows[1].duration_ms == 5000 and rows[1].n_frames == 2  # track count slot
     assert rows[2].container == "flac" and rows[2].sample_rate == 48000
     assert rows[2].duration_ms == 2000 and rows[2].channels == 2
+
+
+def test_ogg_probe_opus_and_vorbis():
+    p = mp.ogg_probe(mp.ogg_build("opus", 2, 48000, 96000))
+    assert (p["codec"], p["channels"], p["sample_rate"]) == ("opus", 2, 48000)
+    assert p["duration_ms"] == 2000  # granule minus pre-skip, 48 kHz clock
+    v = mp.ogg_probe(mp.ogg_build("vorbis", 1, 44100, 22050))
+    assert (v["codec"], v["duration_ms"]) == ("vorbis", 500)
+    with pytest.raises(mp.OggFormatError):
+        mp.ogg_probe(b"OggS" + b"\x00" * 10)  # truncated page
+    with pytest.raises(mp.OggFormatError):
+        mp.ogg_probe(b"not ogg at all!")
+
+
+def test_probe_media_ogg(spark):
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import probe_media
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "media": [mp.ogg_build("opus", 2, 48000, 48000)]}
+    )
+    (r,) = probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
+    assert r.container == "ogg" and r.sample_rate == 48000
+    assert r.channels == 2 and r.duration_ms == 1000

@@ -518,3 +518,104 @@ def flac_build(
     bits = (sample_rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | n_samples
     info[10:18] = bits.to_bytes(8, "big")
     return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+
+# ---------------------------------------------------------------- ogg
+
+
+class OggFormatError(ValueError):
+    """Payload is not an Ogg stream with an Opus/Vorbis ident header."""
+
+
+def _ogg_page(payload: bytes, pos: int):
+    """Parse one Ogg page header → (granule, serial, body_start,
+    body_len, next_pos)."""
+    if payload[pos : pos + 4] != b"OggS":
+        raise OggFormatError("missing OggS capture pattern")
+    if pos + 27 > len(payload):
+        raise OggFormatError("truncated page header")
+    granule = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+    serial = int.from_bytes(payload[pos + 14 : pos + 18], "little")
+    nseg = payload[pos + 26]
+    seg_tbl = payload[pos + 27 : pos + 27 + nseg]
+    if len(seg_tbl) != nseg:
+        raise OggFormatError("truncated segment table")
+    body_len = sum(seg_tbl)
+    body_start = pos + 27 + nseg
+    if body_start + body_len > len(payload):
+        raise OggFormatError("page body overruns payload")
+    return granule, serial, body_start, body_len, body_start + body_len
+
+
+def ogg_probe(payload: bytes) -> dict:
+    """Ogg container triage: codec (opus/vorbis), channels, sample
+    rate, and duration from the LAST page's granule position — page
+    headers only, no audio decode."""
+    g, serial, b0, blen, pos = _ogg_page(payload, 0)
+    first = payload[b0 : b0 + blen]
+    if first[:8] == b"OpusHead":
+        codec = "opus"
+        channels = first[9]
+        sample_rate = int.from_bytes(first[12:16], "little")
+        granule_rate = 48000  # Opus granules are always 48 kHz
+        pre_skip = int.from_bytes(first[10:12], "little")
+    elif first[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        channels = first[11]
+        sample_rate = int.from_bytes(first[12:16], "little")
+        granule_rate = sample_rate
+        pre_skip = 0
+    else:
+        raise OggFormatError("first packet is neither OpusHead nor Vorbis ident")
+    last_granule = g
+    while pos < len(payload):
+        g2, s2, _b, _l, pos = _ogg_page(payload, pos)
+        if s2 == serial and g2 >= 0:
+            last_granule = g2
+    samples = max(0, last_granule - pre_skip)
+    return {
+        "container": "ogg",
+        "codec": codec,
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "duration_ms": samples * 1000 // granule_rate if granule_rate else None,
+    }
+
+
+def ogg_build(
+    codec: str, channels: int, sample_rate: int, n_samples: int
+) -> bytes:
+    """Structurally-valid Ogg (ident page + one data page carrying the
+    final granule) — fixture generator; CRCs are zeroed (the probe
+    does not verify them, matching the triage contract)."""
+
+    def page(serial: int, seq: int, granule: int, body: bytes, htype: int) -> bytes:
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        hdr = (
+            b"OggS" + bytes([0, htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs)
+        )
+        return hdr + body
+
+    if codec == "opus":
+        ident = (
+            b"OpusHead" + bytes([1, channels]) + (312).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little") + b"\x00\x00" + bytes([0])
+        )
+        granule = n_samples + 312  # granule includes pre-skip
+    else:
+        ident = (
+            b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([channels])
+            + sample_rate.to_bytes(4, "little") + b"\x00" * 12 + bytes([0x01])
+        )
+        granule = n_samples
+    return page(7, 0, 0, ident, 2) + page(7, 1, granule, b"\x00" * 10, 4)

@@ -651,6 +651,12 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
                     "mp4", p["width"], p["height"], None, None,
                     p["duration_ms"], None, p["n_tracks"],
                 )
+            if payload[:4] == b"OggS":
+                p = mediaprobe.ogg_probe(payload)  # page headers only
+                return (
+                    "ogg", None, None, p["sample_rate"], p["channels"],
+                    p["duration_ms"], None, None,
+                )
             if payload[:4] == b"fLaC":
                 p = mediaprobe.flac_probe(payload)  # STREAMINFO only
                 return (
