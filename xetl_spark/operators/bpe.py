@@ -78,6 +78,7 @@ def bpe_train(
     hist.count()  # materialize before the loop
 
     merges: list[tuple[str, str]] = []
+    pending_release = None  # unpersisted once its successor is cached
     for it in range(num_merges):
         pairs = (
             hist.select(
@@ -96,6 +97,12 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the collect just materialized hist into its persist cache —
+        # the previous generation can now release without forcing a
+        # dedicated count() job per iteration
+        if pending_release is not None:
+            pending_release.unpersist()
+            pending_release = None
         if not pairs or pairs[0]["n"] < 2:
             break
         pair = (pairs[0]["a"], pairs[0]["b"])
@@ -116,11 +123,13 @@ def bpe_train(
         prev = hist
         hist = hist.withColumn("syms", apply_merge("syms"))
         if (it + 1) % checkpoint_every == 0:
-            hist = hist.localCheckpoint()  # truncate the iteration chain
+            hist = hist.localCheckpoint()  # eager: truncates the chain
+            prev.unpersist()
         else:
-            hist = hist.persist()
-        hist.count()
-        prev.unpersist()
+            hist = hist.persist()  # lazily filled by the next collect
+            pending_release = prev
+    if pending_release is not None:
+        pending_release.unpersist()
     hist.unpersist()
     return merges
 
