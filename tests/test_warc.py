@@ -102,3 +102,69 @@ def test_html_to_text_extraction(spark):
     got = {r.i: r.t for r in df.select("i", html_to_text("html").alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_warc_pipeline_tasks(spark, tmp_path):
+    """Declarative read_warc → html_to_text stages through a YAML
+    manifest (the crawl-ingestion surface at the orchestration layer)."""
+    import os
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    d = tmp_path / "crawl"
+    os.makedirs(d)
+    recs = [
+        {
+            "target_uri": f"http://x.test/{i}",
+            "record_id": f"<urn:uuid:{i}>",
+            "http": (200, "text/html", f"<p>body {i} &amp; more</p>".encode()),
+        }
+        for i in range(4)
+    ]
+    with open(d / "seg.warc.gz", "wb") as fh:
+        fh.write(warc.warc_build(recs, compress=True))
+    job = Job.from_yaml(
+        f"""
+        name: crawl-ingest
+        data: {tmp_path}
+        commands:
+          - {{name: raw, task: read_warc, env: {{PATH: {d}}}}}
+          - {{name: html, task: sql, env: {{QUERY: "SELECT target_uri, http_status, decode(body, 'utf-8') AS page FROM raw WHERE warc_type = 'response'", INPUT: raw}}}}
+          - {{name: text, task: html_to_text, env: {{COLUMN: page, INPUT: html}}}}
+        """,
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success"] * 3
+    rows = {r.target_uri: r.text for r in results[-1].output.collect()}
+    assert rows["http://x.test/2"] == "body 2 & more"
+
+
+def test_archive_task(spark, tmp_path):
+    from xetl_spark.operators.archive import build_tar
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    src = tmp_path / "shards"
+    df = spark.createDataFrame(
+        [(1, build_tar([("a.txt", b"alpha"), ("b.txt", b"beta")]))],
+        "doc_id long, archive binary",
+    )
+    df.write.parquet(str(src))
+    job = Job.from_yaml(
+        f"""
+        name: shard-explode
+        data: {tmp_path}
+        commands:
+          - {{name: shards, task: read_parquet, env: {{PATH: {src}}}}}
+          - {{name: members, task: explode_archive, env: {{INPUT: shards}}}}
+        """,
+        basedir=str(tmp_path),
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success"] * 2
+    got = sorted(
+        (r.member_name, bytes(r.member_bytes)) for r in results[-1].output.collect()
+    )
+    assert got == [("a.txt", b"alpha"), ("b.txt", b"beta")]

@@ -283,7 +283,11 @@ def read_avro(ctx: StageContext):
     "Materialize to Avro container files (one per partition, deflate)",
     env={
         "PATH": {"description": "destination directory", "type": "string"},
-        "CODEC": {"description": "null|deflate", "type": "string", "default": "deflate"},
+        "CODEC": {
+            "description": "null|deflate|snappy",
+            "type": "string",
+            "default": "deflate",
+        },
         "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
     },
 )
@@ -293,6 +297,81 @@ def write_avro_task(ctx: StageContext):
     df = ctx.input_df()
     write_avro(df, str(ctx.env["PATH"]), codec=str(ctx.env["CODEC"]))
     return df
+
+
+@task(
+    "read_warc",
+    "Scan WARC / WARC.gz web archives (Common Crawl layout): one row "
+    "per record with HTTP responses split into status/headers/body",
+    env=_PATH,
+)
+def read_warc(ctx: StageContext):
+    from xetl_spark.sources.warc import register_warc_datasource
+
+    register_warc_datasource(ctx.spark)
+    return (
+        ctx.spark.read.format("xetl_warc")
+        .option("path", str(ctx.env["PATH"]))
+        .load()
+    )
+
+
+@task(
+    "html_to_text",
+    "Extract readable text from an HTML column (Catalyst regexp chain: "
+    "strips script/style/comments/tags, decodes entities)",
+    env={
+        "COLUMN": {"description": "HTML string column", "type": "string"},
+        "OUTPUT_COLUMN": {
+            "description": "extracted-text column name",
+            "type": "string",
+            "default": "text",
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def html_to_text_task(ctx: StageContext):
+    from xetl_spark.operators.text import html_to_text
+
+    df = ctx.input_df()
+    return df.withColumn(
+        str(ctx.env["OUTPUT_COLUMN"]), html_to_text(str(ctx.env["COLUMN"]))
+    )
+
+
+@task(
+    "explode_archive",
+    "Explode tar / tar.gz / zip shard archives in a binary column into "
+    "one row per member file (WebDataset-style shards)",
+    env={
+        "BYTES_COLUMN": {
+            "description": "archive binary column",
+            "type": "string",
+            "default": "archive",
+        },
+        "ID_COLUMN": {
+            "description": "shard id column",
+            "type": "string",
+            "default": "doc_id",
+        },
+        "MAX_MEMBER_BYTES": {
+            "description": "zip-bomb guard: declared member size cap",
+            "type": "int",
+            "required": False,
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def explode_archive_task(ctx: StageContext):
+    from xetl_spark.operators.archive import explode_archive
+
+    cap = ctx.env.get("MAX_MEMBER_BYTES")
+    return explode_archive(
+        ctx.input_df(),
+        str(ctx.env["BYTES_COLUMN"]),
+        str(ctx.env["ID_COLUMN"]),
+        max_member_bytes=int(cap) if cap is not None else None,
+    )
 
 
 @task(
