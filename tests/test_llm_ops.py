@@ -690,3 +690,32 @@ def test_kmeans_query_quality_and_stability(spark, sf_dir):
     base = float(((mat - global_c) ** 2).sum(axis=1).mean())
     inertia = sum(n * d for n, d in a.values()) / n_total
     assert inertia < base * 0.95, (inertia, base)
+
+
+def test_remove_duplicate_spans(spark):
+    """Span dedup: the globally-first occurrence of a repeated passage
+    survives, later occurrences are cut, untouched docs pass through
+    byte-identical, and sub-k duplicates are (by contract) kept."""
+    from xetl_spark.operators.text import remove_duplicate_spans
+
+    dup = " ".join(f"d{i}" for i in range(12))
+    tiny_dup = "x1 x2 x3"  # shorter than k: must NOT be cut
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(20)) + " " + dup + " " + tiny_dup),
+        (1, dup + " " + " ".join(f"b{i}" for i in range(20))),
+        (2, " ".join(f"c{i}" for i in range(30)) + " " + tiny_dup),
+        (3, dup),  # doc that IS the passage: fully cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df, "text", "doc_id", k_tokens=8, stride=4
+        ).collect()
+    }
+    assert out[0].kept_tokens == out[0].n_tokens  # first occurrence intact
+    assert "d3" in out[0].new_text and "x2" in out[0].new_text
+    toks1 = out[1].new_text.split()
+    assert all(t.startswith("b") for t in toks1) and len(toks1) == 20
+    assert out[2].kept_tokens == out[2].n_tokens  # tiny dup below k kept
+    assert out[3].kept_tokens == 0 and out[3].new_text == ""

@@ -500,3 +500,98 @@ def line_dedup(df, text_col: str, id_col: str, line_tokens: int = 16):
         )
         .withColumnRenamed("__doc", id_col)
     )
+
+
+def remove_duplicate_spans(
+    df,
+    text_col: str,
+    id_col: str,
+    k_tokens: int = 32,
+    stride: int = 16,
+):
+    """Corpus-level duplicated-substring removal (the span-dedup pass of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", approximated with stride windows instead of suffix
+    arrays): hash every ``k_tokens``-token window at ``stride``-token
+    offsets (plus the exact tail window), keep the globally FIRST
+    occurrence of each repeated window (ordered by (doc id, start)),
+    and cut every other occurrence's token range out of its document.
+    A repeated passage longer than ``k_tokens`` is covered by its
+    overlapping matched windows; the approximation can leave up to
+    ``stride - 1`` edge tokens per passage and cannot see duplicates
+    shorter than ``k_tokens`` — the standard stride-window trade-off.
+
+    Plan shape, 100 TB-safe: one narrow windowing pass (sequence →
+    explode, window hashes via structural xxhash64 on the token slice —
+    no string materialization), one hash-keyed shuffle for the
+    first-occurrence window function, one doc-keyed shuffle to collect
+    cut ranges, and one doc-keyed broadcast-free join back. No driver
+    state, no collects.
+
+    Returns (doc id, n_tokens, kept_tokens, new_text), one row per
+    input document.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+    n = F.size("__toks")
+    starts = F.array_union(
+        F.sequence(F.lit(0), F.greatest(n - k_tokens, F.lit(0)), F.lit(stride)),
+        F.array(F.greatest(n - k_tokens, F.lit(0))),
+    )
+    wins = (
+        base.filter(n > 0)
+        .select(
+            "__doc",
+            F.explode(starts).alias("__s"),
+            F.col("__toks"),
+        )
+        .select(
+            "__doc",
+            "__s",
+            F.xxhash64(F.slice("__toks", F.col("__s") + 1, k_tokens)).alias("__h"),
+        )
+    )
+    part = Window.partitionBy("__h")
+    order = part.orderBy("__doc", "__s")
+    marked = wins.select(
+        "__doc",
+        "__s",
+        (
+            (F.count("*").over(part) > 1) & (F.row_number().over(order) > 1)
+        ).alias("__cut"),
+    )
+    cuts = (
+        marked.filter("__cut")
+        .groupBy("__doc")
+        .agg(F.collect_list("__s").alias("__cuts"))
+    )
+    rebuilt = (
+        base.join(cuts, "__doc", "left")
+        .withColumn("__cuts", F.coalesce("__cuts", F.array()))
+        .select(
+            "__doc",
+            F.size("__toks").alias("n_tokens"),
+            F.filter(
+                F.zip_with(
+                    "__toks",
+                    F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                ),
+                lambda p: ~F.exists(
+                    F.col("__cuts"),
+                    lambda s: (p["i"] >= s) & (p["i"] < s + k_tokens),
+                ),
+            ).alias("__kept"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_tokens",
+            F.size("__kept").alias("kept_tokens"),
+            F.concat_ws(" ", F.transform("__kept", lambda p: p["t"])).alias(
+                "new_text"
+            ),
+        )
+    )
+    return rebuilt

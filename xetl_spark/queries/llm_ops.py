@@ -1025,6 +1025,55 @@ def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_span_dedup",
+    oracle="""
+    SELECT doc_id,
+           24 + CASE WHEN doc_id % 10 = 0 THEN 12 ELSE 0 END AS n_tokens,
+           24 + CASE WHEN doc_id = 0 THEN 12 ELSE 0 END AS kept_tokens,
+           array_to_string(
+             list_transform(generate_series(0, 23),
+                            j -> 't' || doc_id || 'x' || j), ' ')
+           || CASE WHEN doc_id = 0
+                   THEN ' ' || array_to_string(
+                     list_transform(generate_series(0, 11), j -> 'p' || j), ' ')
+                   ELSE '' END AS new_text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-substring removal (operators/text.py
+    remove_duplicate_spans — the Lee et al. 2022 span-dedup pass as
+    stride-window hashing): a synthetic corpus of per-doc unique
+    tokens plants one shared 12-token passage on every 10th document;
+    the globally-first occurrence (doc 0) must survive intact and
+    every later occurrence must be cut exactly. n_tokens /
+    kept_tokens / reassembled text all recomputed closed-form by the
+    oracle."""
+    from xetl_spark.operators.text import remove_duplicate_spans
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    own = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("t"), F.col("doc_id"), F.lit("x"), j),
+        ),
+    )
+    passage = " ".join(f"p{j}" for j in range(12))
+    corpus = ids.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(own, F.lit(" " + passage))
+        )
+        .otherwise(own)
+        .alias("text"),
+    )
+    out = remove_duplicate_spans(corpus, "text", "doc_id", k_tokens=8, stride=4)
+    return out.select("doc_id", "n_tokens", "kept_tokens", "new_text")
+
+
 @query("q_embed_pca", oracle=None)
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding column (operators/pca.py):
