@@ -595,3 +595,66 @@ def remove_duplicate_spans(
         )
     )
     return rebuilt
+
+
+def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
+    """Per-document mean negative log-likelihood under a Laplace-
+    smoothed corpus bigram model — one rung up the n-gram ladder from
+    unigram_logprob, with the same exactly-SQL-verifiable determinism
+    (a production pipeline swaps in KenLM; the dataflow is identical).
+
+    P(w2|w1) = (C(w1,w2) + k) / (C(w1·) + k·V), where C(w1·) counts
+    w1 as a bigram head and V is the corpus unigram vocabulary.
+
+    Scale shape mirrors unigram_logprob: per-(doc,bigram) counts first
+    (one keyed shuffle collapsing repeats), corpus counts as WINDOWS
+    over that table (partitionBy(w1,w2) and partitionBy(w1) — no
+    vocabulary-sized broadcast), V as a one-row broadcast. Returns
+    (doc, n_bigrams, avg_nll) for documents with ≥1 bigram.
+    """
+    from pyspark.sql import Window
+
+    from xetl_spark.operators.util import ensure_parallelism
+
+    arr = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), arr.alias("__t")
+    )
+    n = F.size("__t")
+    big = base.filter(n >= 2).select(
+        "doc",
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, n - 1),
+                F.slice("__t", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__b"),
+    ).select("doc", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    bf = big.groupBy("doc", "w1", "w2").agg(F.count("*").alias("bf"))
+    c12 = F.sum("bf").over(Window.partitionBy("w1", "w2"))
+    c1 = F.sum("bf").over(Window.partitionBy("w1"))
+    vocab = (
+        ensure_parallelism(df)
+        .select(F.explode(arr).alias("__w"))
+        .agg(F.countDistinct("__w").alias("__v"))
+    )
+    k = F.lit(float(k_smooth))
+    return (
+        bf.withColumn("c12", c12)
+        .withColumn("c1", c1)
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("bf")
+                    * -F.log(
+                        (F.col("c12") + k) / (F.col("c1") + k * F.col("__v"))
+                    )
+                )
+                / F.sum("bf")
+            ).alias("avg_nll"),
+        )
+    )

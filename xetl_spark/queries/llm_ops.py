@@ -202,6 +202,49 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({_DD_TOKENS}, x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+      FROM t, LATERAL (
+        SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pair
+      ) p
+      WHERE len(toks) >= 2),
+    bf AS (SELECT doc_id, w1, w2, count(*) AS bf FROM b GROUP BY ALL),
+    c12 AS (SELECT w1, w2, sum(bf) AS c12 FROM bf GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(bf) AS c1 FROM bf GROUP BY w1),
+    v AS (SELECT count(DISTINCT term) AS v
+          FROM (SELECT unnest(toks) AS term FROM t))
+    SELECT doc_id,
+           CAST(sum(bf) AS BIGINT) AS n_bigrams,
+           round(sum(bf * -ln((c12 + 1.0) / (c1 + 1.0 * v))) / sum(bf), 6)
+             AS avg_nll
+    FROM bf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy scoring (operators/text.py
+    bigram_logprob): mean NLL per document under the corpus's own
+    Laplace-smoothed bigram model — the next filter up from the
+    unigram surrogate, still exactly SQL-verifiable (real pipelines
+    swap in KenLM with the same dataflow)."""
+    from xetl_spark.operators.text import bigram_logprob
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+    )
+
+
+@query(
     "q_text_quality",
     oracle=f"""
     WITH t AS (
