@@ -37,7 +37,29 @@ def _sniff(payload: bytes) -> str:
 
 
 def iter_members(payload: bytes, max_member_bytes: int | None = None):
-    """Yield (name, bytes) per regular-file member, in archive order."""
+    """Yield (name, bytes) per regular-file member, in archive order.
+    Corrupt archives raise ArchiveFormatError (stdlib tarfile/zipfile/
+    gzip/zlib errors are translated), never a stage-killing escape."""
+    import zlib
+
+    try:
+        yield from _iter_members_inner(payload, max_member_bytes)
+    except ArchiveFormatError:
+        raise
+    except (
+        tarfile.TarError,
+        zipfile.BadZipFile,
+        zlib.error,
+        EOFError,
+        OSError,
+        IndexError,
+        ValueError,
+        NotImplementedError,  # tarfile: exotic/corrupt member types
+    ) as e:
+        raise ArchiveFormatError(f"corrupt archive: {type(e).__name__}: {e}") from None
+
+
+def _iter_members_inner(payload: bytes, max_member_bytes: int | None = None):
     kind = _sniff(payload)
     if kind == "gzip":
         payload = gzip.decompress(payload)

@@ -23,6 +23,23 @@ class GifFormatError(ValueError):
     """Payload is not a GIF this codec understands."""
 
 
+def _typed(fn):
+    """Translate low-level parse escapes on hostile bytes into
+    GifFormatError (struct/index errors from truncated headers)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except GifFormatError:
+            raise
+        except (struct.error, IndexError, OverflowError) as e:
+            raise GifFormatError(f"malformed GIF: {e}") from None
+
+    return wrap
+
+
 def _color_table(buf: bytes, pos: int, packed: int, flag_bit: int) -> tuple:
     """Read an (optional) color table after a descriptor; returns
     (table | None, new_pos)."""
@@ -157,6 +174,7 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_typed
 def gif_decode(payload: bytes) -> np.ndarray:
     """Decode the FIRST frame onto the logical screen → (H, W, 3)
     uint8, or (H, W, 4) when the frame declares a transparent index
@@ -228,6 +246,7 @@ def gif_decode(payload: bytes) -> np.ndarray:
     raise GifFormatError("GIF contains no image frame")
 
 
+@_typed
 def gif_probe(payload: bytes) -> dict:
     """width/height/n_frames/duration_ms/version without LZW decode —
     frame pixel data is skipped sub-block by sub-block."""

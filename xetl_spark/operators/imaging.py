@@ -36,6 +36,24 @@ class UnsupportedImageError(ValueError):
     """Payload is not an image format this codec handles."""
 
 
+def _typed(fn):
+    """Translate low-level parse escapes on hostile bytes (struct /
+    index / zlib errors from corrupt chunks) into
+    UnsupportedImageError, the module's typed rejection."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except UnsupportedImageError:
+            raise
+        except (struct.error, IndexError, OverflowError, ValueError, zlib.error) as e:
+            raise UnsupportedImageError(f"malformed image: {e}") from None
+
+    return wrap
+
+
 def sniff_format(payload: bytes) -> str | None:
     """Return 'png', 'ppm', 'pgm', 'jpeg', 'gif', 'bmp', or None for
     unrecognized bytes."""
@@ -67,6 +85,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_typed
 def png_decode(payload: bytes) -> np.ndarray:
     """Decode a PNG to a (H, W, C) uint8 array.
 
@@ -254,6 +273,7 @@ def png_encode(arr: np.ndarray) -> bytes:
 # ------------------------------------------------------------ PPM/PGM
 
 
+@_typed
 def ppm_decode(payload: bytes) -> np.ndarray:
     """Decode binary PPM (P6, RGB) or PGM (P5, gray) to (H, W, C) uint8."""
     magic = payload[:2]
@@ -297,6 +317,7 @@ def ppm_encode(arr: np.ndarray) -> bytes:
     return header + arr.astype(np.uint8).tobytes()
 
 
+@_typed
 def bmp_decode(payload: bytes) -> np.ndarray:
     """Decode an uncompressed 24/32-bit BITMAPINFOHEADER BMP →
     (H, W, 3|4) uint8. Rows are 4-byte aligned and bottom-up unless

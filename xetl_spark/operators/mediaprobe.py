@@ -28,6 +28,27 @@ _BR_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 _SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
 
 
+def _typed(err_cls):
+    """Decorator: translate low-level parse escapes (struct/index/
+    overflow on hostile bytes) into the probe's typed error, so one
+    corrupt document degrades instead of failing the Spark stage."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except err_cls:
+                raise
+            except (struct.error, IndexError, OverflowError, ValueError) as e:
+                raise err_cls(f"malformed stream: {e}") from None
+
+        return wrap
+
+    return deco
+
+
 class Mp3FormatError(ValueError):
     """Payload is not an MP3 frame stream this probe understands."""
 
@@ -62,6 +83,7 @@ def _parse_frame_header(b: bytes, i: int) -> dict | None:
     }
 
 
+@_typed(Mp3FormatError)
 def mp3_probe(payload: bytes, max_scan: int = 4096) -> dict:
     """Probe an MP3 (Layer III) stream: walk frame headers, honor a
     Xing/Info VBR frame count when present, and estimate duration.
@@ -201,6 +223,7 @@ def _unescape_rbsp(data: bytes) -> bytes:
     return bytes(out)
 
 
+@_typed(H264FormatError)
 def h264_sps_probe(payload: bytes, max_scan: int = 65536) -> dict:
     """Find the first SPS NAL unit in an Annex-B stream and parse
     profile/level/resolution (ITU-T H.264 §7.3.2.1). Supports the
@@ -373,6 +396,7 @@ def _walk_boxes(buf: bytes, start: int, end: int):
         pos += size
 
 
+@_typed(Mp4FormatError)
 def mp4_probe(payload: bytes) -> dict:
     """ISO-BMFF triage from the box tree only (no sample decode):
     brand, duration from mvhd, video dimensions from the first tkhd
@@ -473,6 +497,7 @@ class FlacFormatError(ValueError):
     """Payload is not a FLAC stream with a STREAMINFO block."""
 
 
+@_typed(FlacFormatError)
 def flac_probe(payload: bytes) -> dict:
     """sample_rate/channels/bits/duration from the mandatory
     STREAMINFO metadata block — first KB of the file, no frame decode."""
@@ -547,6 +572,7 @@ def _ogg_page(payload: bytes, pos: int):
     return granule, serial, body_start, body_len, body_start + body_len
 
 
+@_typed(OggFormatError)
 def ogg_probe(payload: bytes) -> dict:
     """Ogg container triage: codec (opus/vorbis), channels, sample
     rate, and duration from the LAST page's granule position — page

@@ -51,6 +51,26 @@ class AvroFormatError(ValueError):
 # ---------------------------------------------------------------- decoding
 
 
+def _typed_decode(fn):
+    """Translate schema/structure escapes on hostile bytes (KeyError /
+    TypeError from a mutated avro.schema JSON, struct errors) into
+    AvroFormatError; Unsupported/Format errors pass through."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (AvroFormatError, UnsupportedAvroError):
+            raise
+        except (KeyError, TypeError, AttributeError, IndexError, struct.error, OverflowError) as e:
+            raise AvroFormatError(f"malformed container: {type(e).__name__}: {e}") from None
+
+    return wrap
+
+
+
+
 def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
     """Zigzag-encoded variable-length long."""
     shift = 0
@@ -212,11 +232,13 @@ def _parse_header(payload: bytes):
     return schema, codec, sync, pos
 
 
+@_typed_decode
 def parse_schema(payload: bytes) -> dict:
     """Header-only parse → the record schema dict."""
     return _parse_header(payload)[0]
 
 
+@_typed_decode
 def parse_container(payload: bytes):
     """Decode a full OCF → (schema_dict, list-of-row-tuples).
 
@@ -587,6 +609,7 @@ def _decode_block_flat(block: bytes, count: int, kinds) -> list[list]:
     return cols
 
 
+@_typed_decode
 def iter_arrow_batches(payload: bytes, kinds=None):
     """Decode an OCF into pyarrow RecordBatches (flat schemas only —
     raises UnsupportedAvroError otherwise; callers that can fall back

@@ -40,7 +40,12 @@ def parse_warc(payload: bytes):
     responses split into status/headers/body). Tolerates trailing
     garbage only if it is whitespace."""
     if payload[:2] == b"\x1f\x8b":
-        payload = gzip.decompress(payload)  # multi-member safe
+        import zlib
+
+        try:
+            payload = gzip.decompress(payload)  # multi-member safe
+        except (OSError, EOFError, zlib.error) as e:
+            raise WarcFormatError(f"corrupt gzip stream: {e}") from None
     pos = 0
     n = len(payload)
     while pos < n:
