@@ -719,3 +719,26 @@ def test_remove_duplicate_spans(spark):
     assert all(t.startswith("b") for t in toks1) and len(toks1) == 20
     assert out[2].kept_tokens == out[2].n_tokens  # tiny dup below k kept
     assert out[3].kept_tokens == 0 and out[3].new_text == ""
+
+
+def test_dsir_importance_weights(spark):
+    """DSIR: target-like raw documents must outscore off-domain ones;
+    weights are deterministic and partitioning-independent."""
+    from xetl_spark.operators.text import dsir_logweights
+
+    target = spark.createDataFrame(
+        [(f"the quick brown fox studies machine learning paper {i}",) for i in range(20)],
+        "text string",
+    )
+    raw_rows = [(i, f"machine learning research paper about models {i}") for i in range(10)]
+    raw_rows += [(100 + i, f"recette de cuisine tarte aux pommes numero {i}") for i in range(10)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    w = {r.doc: r.logweight for r in dsir_logweights(raw, target, "text", "doc_id").collect()}
+    on = sum(w[i] for i in range(10)) / 10
+    off = sum(w[100 + i] for i in range(10)) / 10
+    assert on > off + 1.0  # clear separation, not noise
+    w2 = {
+        r.doc: r.logweight
+        for r in dsir_logweights(raw.repartition(7), target, "text", "doc_id").collect()
+    }
+    assert all(abs(w[k] - w2[k]) < 1e-9 for k in w)

@@ -658,3 +658,90 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
             ).alias("avg_nll"),
         )
     )
+
+
+def _hashed_ngram_buckets(text: Column | str, num_buckets: int) -> Column:
+    """Hashed uni+bigram feature buckets per document (the DSIR
+    feature map): array<int> of pmod(xxhash64(feature), B)."""
+    t = F.filter(tokens(text), lambda x: x != F.lit(""))
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = F.concat(t, bigrams)
+    return F.transform(feats, lambda x: F.pmod(F.xxhash64(x), F.lit(num_buckets)))
+
+
+def dsir_logweights(
+    raw,
+    target,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 10_000,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-n-gram feature mix looks like the
+    TARGET corpus rather than the raw corpus.
+
+    logweight(doc) = Σ_f count_f(doc) · (ln p̂_target(f) − ln p̂_raw(f))
+    over hashed uni+bigram buckets, both distributions Laplace-
+    smoothed. Documents above ~0 are target-like; resampling/top-k on
+    the weights is the selection step.
+
+    Scale shape: each corpus collapses to a ``num_buckets``-row
+    histogram (one explode + groupBy shuffle, key space bounded by B,
+    not the corpus); the log-ratio table is B rows — broadcast-tiny by
+    construction — joined to the raw corpus's (doc, bucket, count)
+    table, then one doc-keyed aggregation. No vocabulary-sized state
+    anywhere. Returns (doc, n_features, logweight).
+    """
+    from xetl_spark.operators.util import ensure_parallelism
+
+    def hist(df):
+        return (
+            ensure_parallelism(df)
+            .select(
+                F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    p = hist(target).withColumnRenamed("cnt", "p_cnt")
+    q = hist(raw).withColumnRenamed("cnt", "q_cnt")
+    totals_p = p.agg(F.sum("p_cnt").alias("p_tot"))
+    totals_q = q.agg(F.sum("q_cnt").alias("q_tot"))
+    B = F.lit(float(num_buckets))
+    ratio = (
+        q.join(p, "b", "full")
+        .na.fill({"p_cnt": 0, "q_cnt": 0})
+        .crossJoin(F.broadcast(totals_p))
+        .crossJoin(F.broadcast(totals_q))
+        .select(
+            "b",
+            (
+                F.log((F.col("p_cnt") + 1.0) / (F.col("p_tot") + B))
+                - F.log((F.col("q_cnt") + 1.0) / (F.col("q_tot") + B))
+            ).alias("log_ratio"),
+        )
+    )
+    doc_feats = (
+        ensure_parallelism(raw)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b"),
+        )
+        .groupBy("doc", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        doc_feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_features"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("logweight"),
+        )
+    )

@@ -1117,6 +1117,26 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "kept_tokens", "new_text")
 
 
+@query("q_text_dsir_weights", oracle=None)
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.py dsir_logweights —
+    Xie et al. 2023): score every document by hashed-n-gram likelihood
+    ratio against the English subset as the target domain. Hashed
+    features use Spark's xxhash64 (not DuckDB-replicable → P-class);
+    determinism, partitioning independence, and domain separation are
+    pinned in tests/test_llm_ops.py."""
+    from xetl_spark.operators.text import dsir_logweights
+
+    (docs,) = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_logweights(docs, target, "text", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_features",
+        F.round("logweight", 4).alias("logweight"),
+    )
+
+
 @query("q_embed_pca", oracle=None)
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embedding column (operators/pca.py):
