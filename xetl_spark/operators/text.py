@@ -691,57 +691,54 @@ def dsir_logweights(
     smoothed. Documents above ~0 are target-like; resampling/top-k on
     the weights is the selection step.
 
-    Scale shape: each corpus collapses to a ``num_buckets``-row
-    histogram (one explode + groupBy shuffle, key space bounded by B,
-    not the corpus); the log-ratio table is B rows — broadcast-tiny by
-    construction — joined to the raw corpus's (doc, bucket, count)
-    table, then one doc-keyed aggregation. No vocabulary-sized state
-    anywhere. Returns (doc, n_features, logweight).
+    Scale shape: BOTH corpora collapse into one ``num_buckets``-row
+    histogram via a single tagged-union shuffle (key space bounded by
+    B, not the corpus); the log-ratio table is B rows — broadcast-tiny
+    by construction — joined map-side to the raw corpus's exploded
+    features, then one doc-keyed aggregation (map-side partials bound
+    stopword-bucket skew). No vocabulary-sized state anywhere.
+    Returns (doc, n_features, logweight).
     """
     from xetl_spark.operators.util import ensure_parallelism
 
-    def hist(df):
+    def feats(df, tag):
         return (
             ensure_parallelism(df)
             .select(
                 F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b")
             )
-            .groupBy("b")
-            .agg(F.count("*").alias("cnt"))
+            .withColumn("__t", F.lit(tag))
         )
 
-    p = hist(target).withColumnRenamed("cnt", "p_cnt")
-    q = hist(raw).withColumnRenamed("cnt", "q_cnt")
-    totals_p = p.agg(F.sum("p_cnt").alias("p_tot"))
-    totals_q = q.agg(F.sum("q_cnt").alias("q_tot"))
-    B = F.lit(float(num_buckets))
-    ratio = (
-        q.join(p, "b", "full")
-        .na.fill({"p_cnt": 0, "q_cnt": 0})
-        .crossJoin(F.broadcast(totals_p))
-        .crossJoin(F.broadcast(totals_q))
-        .select(
-            "b",
-            (
-                F.log((F.col("p_cnt") + 1.0) / (F.col("p_tot") + B))
-                - F.log((F.col("q_cnt") + 1.0) / (F.col("q_tot") + B))
-            ).alias("log_ratio"),
+    hist = (
+        feats(target, 1)
+        .unionByName(feats(raw, 0))
+        .groupBy("b")
+        .agg(
+            F.sum("__t").alias("p_cnt"),
+            F.sum(1 - F.col("__t")).alias("q_cnt"),
         )
     )
-    doc_feats = (
-        ensure_parallelism(raw)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b"),
-        )
-        .groupBy("doc", "b")
-        .agg(F.count("*").alias("cnt"))
+    totals = hist.agg(
+        F.sum("p_cnt").alias("p_tot"), F.sum("q_cnt").alias("q_tot")
+    )
+    B = F.lit(float(num_buckets))
+    ratio = hist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("p_cnt") + 1.0) / (F.col("p_tot") + B))
+            - F.log((F.col("q_cnt") + 1.0) / (F.col("q_tot") + B))
+        ).alias("log_ratio"),
+    )
+    doc_feats = ensure_parallelism(raw).select(
+        F.col(id_col).alias("doc"),
+        F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b"),
     )
     return (
         doc_feats.join(F.broadcast(ratio), "b")
         .groupBy("doc")
         .agg(
-            F.sum("cnt").alias("n_features"),
-            F.sum(F.col("cnt") * F.col("log_ratio")).alias("logweight"),
+            F.count("*").alias("n_features"),
+            F.sum("log_ratio").alias("logweight"),
         )
     )
