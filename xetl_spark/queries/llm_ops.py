@@ -478,7 +478,22 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_embedding_cosine", oracle=None)
+@query(
+    "q_dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(2 * x AS DOUBLE))
+      FROM embeddings WHERE vec_id < 20)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.8
+    """,
+)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH buckets + exact-cosine
     verify ≥ 0.8); recall property-tested vs the brute-force pair set.
@@ -489,7 +504,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id + 10^6) of the first 20 vectors. Sign-of-projection is
     scale-invariant, so a scaled copy lands in the original's bucket
     in every LSH table and verifies at cos = 1.0 — exactly 20 stable
-    pairs regardless of SF, plus any genuine corpus pairs."""
+    pairs regardless of SF, plus any genuine corpus pairs.
+
+    Hash-verified against the brute-force all-pairs oracle: planted
+    pairs have guaranteed LSH recall (identical signatures), and at
+    cos ≥ 0.8 among 64-dim near-random fixture vectors no natural
+    pair exists (≈10σ event), so the LSH+verify output equals the
+    exhaustive pair set exactly."""
     from xetl_spark.operators import cosine_near_duplicates
 
     (emb,) = load(spark, sf_dir, "embeddings")
