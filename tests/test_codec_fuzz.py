@@ -154,3 +154,11 @@ def test_fuzz_exif():
     )
     for p in _mutations(payload):
         assert isinstance(exif_parse(p), dict)
+
+
+def test_fuzz_jpeg():
+    from xetl_spark.operators import jpeg
+
+    a = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+    for payload in (jpeg.jpeg_encode(a, 90), jpeg.jpeg_lossless_encode(a)):
+        _check(jpeg.jpeg_decode, _mutations(payload), (im.UnsupportedImageError,))

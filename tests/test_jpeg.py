@@ -237,3 +237,48 @@ def test_quality_scaling_bounds():
     q100 = jpeg._quality_scale(jpeg._Q_LUMA, 100)
     assert q100.min() == q100.max() == 1  # quality 100 → unit tables
     assert q1.max() == 255 and q1.min() >= 1
+
+
+def test_lossless_sof3_roundtrip_all_predictors():
+    """Lossless JPEG (SOF3): encode/decode must be bit-exact for every
+    T.81 predictor, channel count, and degenerate shapes (no external
+    lossless encoder exists in this container — exactness IS the
+    spec contract being pinned)."""
+    rng = np.random.default_rng(11)
+    for shape in [(13, 9, 3), (8, 8, 1), (1, 5, 3), (5, 1, 1)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for pred in range(1, 8):
+            got = jpeg.jpeg_decode(jpeg.jpeg_lossless_encode(a, predictor=pred))
+            assert np.array_equal(got, a), (shape, pred)
+
+
+def test_lossless_sof3_smooth_image_compresses():
+    """Predictive coding must beat raw size on smooth content (the
+    point of the predictors) while staying exact."""
+    g = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    img = np.stack([g, g[::-1], g.T], axis=2)
+    payload = jpeg.jpeg_lossless_encode(img, predictor=4)
+    assert np.array_equal(jpeg.jpeg_decode(payload), img)
+    assert len(payload) < img.size  # < 1 byte/sample on smooth content
+
+
+def test_lossless_sof3_fuzz_typed_errors():
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    payload = jpeg.jpeg_lossless_encode(a)
+    for cut in range(10, len(payload), 13):
+        try:
+            jpeg.jpeg_decode(payload[:cut])
+        except jpeg.UnsupportedImageError:
+            pass
+
+
+def test_probe_media_lossless_jpeg_dims(spark):
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import probe_media
+
+    a = np.random.default_rng(4).integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    pdf = pd.DataFrame({"doc_id": [1], "media": [jpeg.jpeg_lossless_encode(a)]})
+    (r,) = probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
+    assert r.container == "jpeg" and (r.width, r.height) == (34, 21)

@@ -21,10 +21,12 @@ non-interleaved AC scans, restart markers per scan. Golden-tested
 against the JVM's ImageIO progressive encoder+decoder (the classic
 jpeg_simple_progression scan script).
 
-Out of scope (typed ``UnsupportedImageError``): arithmetic coding,
-12-bit precision, lossless, hierarchical — formats a training-data
-pipeline meets rarely and that genuinely need a codec library's worth
-of machinery.
+Lossless (SOF3, Annex H) decodes AND encodes too: sample-domain
+predictive Huffman coding, all seven T.81 predictors, bit-exact
+round-trip by construction (no DCT). Out of scope (typed
+``UnsupportedImageError``): arithmetic coding, 12-bit DCT precision,
+hierarchical — the residual tail a training-data pipeline meets
+rarely.
 
 Scale note: like the PNG codec, every image decodes independently
 inside its Arrow batch on the executor; nothing touches the driver.
@@ -58,6 +60,24 @@ for _k in range(8):
         _C[_k, _n] = np.cos(np.pi * _k * (2 * _n + 1) / 16) * (
             np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
         )
+
+
+def _typed(fn):
+    """Translate low-level parse escapes on hostile/truncated bytes
+    (struct/index errors) into UnsupportedImageError — the typed
+    rejection shared with operators/imaging.py."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except UnsupportedImageError:
+            raise
+        except (struct.error, IndexError, OverflowError, ValueError) as e:
+            raise UnsupportedImageError(f"malformed JPEG: {e}") from None
+
+    return wrap
 
 
 def sniff_jpeg(payload: bytes) -> bool:
@@ -282,6 +302,7 @@ def _block_ac_refine(br, zz, ac_tab, ss, se, al, state) -> None:
         k += 1
 
 
+@_typed
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode a baseline-sequential OR progressive JFIF/JPEG to
     (H, W, C) uint8 (C=3 YCbCr->RGB, or C=1 grayscale).
@@ -358,7 +379,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cw = -(-w * hs // hmax)
                 ch = -(-h * vs // vmax)
                 geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # lossless: sample-domain predictive path
+            return _lossless_decode(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )
@@ -808,5 +831,192 @@ def jpeg_encode(
             _encode_ac_band(wr, ac_codes[qsel[ci]], zz)
     entropy += wr.flush()
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- lossless (SOF3, Annex H)
+
+
+def _lossless_predict(samples, r, c, sel, default):
+    """T.81 H.1.2: Ra=left, Rb=above, Rc=above-left; first line uses
+    Ra-prediction, first column uses Rb, scan start uses the default
+    2^(P-1-Pt)."""
+    if r == 0:
+        if c == 0:
+            return default
+        return int(samples[r, c - 1])  # first line: predictor 1
+    if c == 0:
+        return int(samples[r - 1, c])  # first column: predictor 2
+    a = int(samples[r, c - 1])
+    b = int(samples[r - 1, c])
+    cc = int(samples[r - 1, c - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return cc
+    if sel == 4:
+        return a + b - cc
+    if sel == 5:
+        return a + ((b - cc) >> 1)
+    if sel == 6:
+        return b + ((a - cc) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise UnsupportedImageError(f"lossless predictor {sel} unsupported")
+
+
+def _lossless_decode(payload: bytes) -> np.ndarray:
+    """Decode a lossless JPEG (SOF3) to (H, W, C) uint8.
+
+    Sample-domain Huffman coding of prediction differences — no DCT,
+    bit-exact by construction (self round-trip asserted in tests; no
+    external lossless encoder exists in this container for a golden
+    cross-check). Components are returned in scan order with no color
+    transform (lossless JPEG stores components verbatim). Precision
+    2-8 decodes exactly; 9-16 bit samples are rounded to 8-bit
+    (v·255/maxval), matching the PNG 16-bit contract. Restart markers
+    and hierarchical mode raise typed errors.
+    """
+    pos = 2
+    huff: dict[tuple[int, int], _Huff] = {}
+    frame = None
+    scan_info = None
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise UnsupportedImageError("truncated JPEG segment")
+        if marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = seg[i + 1 : i + 17]
+                nsym = sum(counts)
+                huff[(tc, th)] = _Huff(counts, seg[i + 17 : i + 17 + nsym])
+                i += 17 + nsym
+        elif marker == 0xC3:  # SOF3
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if not 2 <= prec <= 16:
+                raise UnsupportedImageError(f"lossless precision {prec} invalid")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, _tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11 and ncomp > 1:
+                    raise UnsupportedImageError(
+                        "subsampled lossless JPEG unsupported (1x1 only)"
+                    )
+                comps.append(cid)
+            frame = (prec, h, w, comps)
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", seg[:2])
+            if ri:
+                raise UnsupportedImageError(
+                    "lossless JPEG restart intervals unsupported"
+                )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise UnsupportedImageError("JPEG SOS before SOF")
+            ns = seg[0]
+            tabsel = {
+                seg[1 + 2 * c]: seg[2 + 2 * c] >> 4 for c in range(ns)
+            }
+            sel = seg[1 + 2 * ns]  # Ss = predictor selector
+            pt = seg[3 + 2 * ns] & 0xF  # Al = point transform
+            pos += seglen
+            segments, pos = _entropy_segments(payload, pos)
+            scan_info = (tabsel, sel, pt, b"".join(segments))
+            break
+        pos += seglen
+    if frame is None or scan_info is None:
+        raise UnsupportedImageError("lossless JPEG missing SOF3/SOS")
+    prec, h, w, comps = frame
+    tabsel, sel, pt, entropy = scan_info
+    if not 1 <= sel <= 7:
+        raise UnsupportedImageError(f"lossless predictor {sel} unsupported")
+    default = 1 << (prec - 1 - pt)
+    br = _BitReader(entropy)
+    planes = {cid: np.zeros((h, w), dtype=np.int32) for cid in comps}
+    tables = {}
+    for cid in comps:
+        t = huff.get((0, tabsel.get(cid, 0)))
+        if t is None:
+            raise UnsupportedImageError("lossless JPEG missing Huffman table")
+        tables[cid] = t
+    for r in range(h):
+        for c in range(w):
+            for cid in comps:  # interleaved: one sample per component
+                t = _decode_huff(br, tables[cid])
+                if t == 16:
+                    diff = 32768
+                elif t > 16:
+                    raise UnsupportedImageError("invalid lossless category")
+                else:
+                    diff = _extend(br.receive(t), t) if t else 0
+                pred = _lossless_predict(planes[cid], r, c, sel, default)
+                planes[cid][r, c] = (pred + diff) & 0xFFFF
+    out = np.stack([planes[cid] for cid in comps], axis=2)
+    out = (out << pt) & ((1 << prec) - 1)
+    if prec <= 8:
+        return out.astype(np.uint8)
+    maxv = (1 << prec) - 1
+    return ((out.astype(np.int64) * 255 + maxv // 2) // maxv).astype(np.uint8)
+
+
+def jpeg_lossless_encode(arr: np.ndarray, predictor: int = 4) -> bytes:
+    """Encode (H, W[, C]) uint8 as lossless JPEG (SOF3, precision 8,
+    components stored verbatim — no color transform), with the chosen
+    T.81 predictor 1-7. Decode is bit-exact."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if not 1 <= predictor <= 7:
+        raise UnsupportedImageError(f"lossless predictor {predictor} unsupported")
+    codes = _build_codes(*_DC_LUMA)
+    planes = [arr[:, :, ci].astype(np.int32) for ci in range(nch)]
+    wr = _BitWriter()
+    default = 128  # 2^(8-1)
+    for r in range(h):
+        for c in range(w):
+            for p in planes:
+                pred = _lossless_predict(p, r, c, predictor, default)
+                diff = int(p[r, c]) - pred
+                # modulo-2^16 wrap into the 16-category window
+                diff = ((diff + 32768) & 0xFFFF) - 32768
+                if diff == 32768 or diff == -32768:
+                    code, ln = codes.get(16, (None, None))
+                    if code is None:
+                        raise UnsupportedImageError("category-16 diff unsupported")
+                    wr.put(code, ln)
+                else:
+                    _encode_dc(wr, codes, diff)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch])
+    for ci in range(nch):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    counts, symbols = _DC_LUMA
+    out += seg(0xC4, bytes([0x00]) + counts + symbols)
+    sos = bytes([nch])
+    for ci in range(nch):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    out += seg(0xDA, sos)
+    out += wr.flush()
     out += b"\xff\xd9"
     return bytes(out)

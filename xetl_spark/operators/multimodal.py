@@ -595,7 +595,7 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
                         i += 1
                         continue
                     m = payload[i + 1]
-                    if m in (0xC0, 0xC1, 0xC2):
+                    if m in (0xC0, 0xC1, 0xC2, 0xC3):  # incl. lossless SOF3
                         h, w = _struct.unpack(">HH", payload[i + 5 : i + 9])
                         return ("jpeg", w, h, None, None, None, None, None)
                     # standalone markers carry no length field: FF fill
