@@ -742,3 +742,75 @@ def test_dsir_importance_weights(spark):
         for r in dsir_logweights(raw.repartition(7), target, "text", "doc_id").collect()
     }
     assert all(abs(w[k] - w2[k]) < 1e-9 for k in w)
+
+
+def test_remove_duplicate_spans_random_differential(spark):
+    """Randomized differential: the distributed span dedup must agree
+    exactly with an independent single-process reference on corpora
+    with planted shared passages at random offsets."""
+    import random
+    import re
+
+    K, S = 6, 3
+
+    def ref_span_dedup(rows):
+        def toks(t):
+            return [
+                w
+                for w in re.sub(r"[^a-z0-9\s]", " ", t.lower()).strip().split()
+                if w
+            ]
+
+        docs = {i: toks(t) for i, t in rows}
+        wins = []  # (hash-key, doc, start) in (doc, start) order
+        for i in sorted(docs):
+            T = docs[i]
+            n = len(T)
+            if n == 0:
+                continue
+            starts = sorted({*range(0, max(n - K, 0) + 1, S), max(n - K, 0)})
+            for s in starts:
+                wins.append((tuple(T[s : s + K]), i, s))
+        from collections import defaultdict
+
+        by_key = defaultdict(list)
+        for key, d, s in wins:
+            by_key[key].append((d, s))
+        cuts = defaultdict(set)
+        for key, occ in by_key.items():
+            if len(occ) < 2:
+                continue
+            occ.sort()
+            for d, s in occ[1:]:  # globally-first survives
+                cuts[d].update(range(s, s + K))
+        out = {}
+        for i, T in docs.items():
+            kept = [t for j, t in enumerate(T) if j not in cuts[i]]
+            out[i] = (len(T), len(kept), " ".join(kept))
+        return out
+
+    from xetl_spark.operators.text import remove_duplicate_spans
+
+    rng_ = random.Random(77)
+    for trial in range(3):
+        passages = [
+            [f"p{trial}x{k}w{j}" for j in range(rng_.randint(4, 14))]
+            for k in range(3)
+        ]
+        rows = []
+        for i in range(25):
+            words = [f"d{i}w{j}" for j in range(rng_.randint(0, 30))]
+            if rng_.random() < 0.6:
+                p = rng_.choice(passages)
+                pos = rng_.randint(0, len(words))
+                words = words[:pos] + p + words[pos:]
+            rows.append((i, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.kept_tokens, r.new_text)
+            for r in remove_duplicate_spans(
+                df, "text", "doc_id", k_tokens=K, stride=S
+            ).collect()
+        }
+        want = ref_span_dedup(rows)
+        assert got == want, trial

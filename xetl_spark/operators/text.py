@@ -533,7 +533,7 @@ def remove_duplicate_spans(
     """
     from pyspark.sql import Window
 
-    toks = tokens(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
     base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
     n = F.size("__toks")
     starts = F.array_union(
@@ -574,14 +574,10 @@ def remove_duplicate_spans(
             "__doc",
             F.size("__toks").alias("n_tokens"),
             F.filter(
-                F.zip_with(
-                    "__toks",
-                    F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0))),
-                    lambda t, i: F.struct(t.alias("t"), i.alias("i")),
-                ),
-                lambda p: ~F.exists(
+                "__toks",
+                lambda t, i: ~F.exists(
                     F.col("__cuts"),
-                    lambda s: (p["i"] >= s) & (p["i"] < s + k_tokens),
+                    lambda s: (i >= s) & (i < s + k_tokens),
                 ),
             ).alias("__kept"),
         )
@@ -589,9 +585,7 @@ def remove_duplicate_spans(
             F.col("__doc").alias(id_col),
             "n_tokens",
             F.size("__kept").alias("kept_tokens"),
-            F.concat_ws(" ", F.transform("__kept", lambda p: p["t"])).alias(
-                "new_text"
-            ),
+            F.concat_ws(" ", "__kept").alias("new_text"),
         )
     )
     return rebuilt
