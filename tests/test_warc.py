@@ -168,3 +168,30 @@ def test_archive_task(spark, tmp_path):
         (r.member_name, bytes(r.member_bytes)) for r in results[-1].output.collect()
     )
     assert got == [("a.txt", b"alpha"), ("b.txt", b"beta")]
+
+
+def test_write_warc_roundtrip(spark, tmp_path):
+    """Distributed WARC sink → DataSource read-back preserves URIs,
+    statuses, and bodies; repartitioned input produces multiple
+    shards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xetl_spark.sources.warc import register_warc_datasource, write_warc
+
+    df = spark.range(40).select(
+        F.concat(F.lit("http://t/"), F.col("id")).alias("target_uri"),
+        F.encode(F.concat(F.lit("<p>page "), F.col("id"), F.lit("</p>")), "utf-8").alias("body"),
+        F.when(F.col("id") % 5 == 0, 404).otherwise(200).alias("status"),
+    ).repartition(3)
+    dest = str(tmp_path / "crawl_out")
+    assert write_warc(df, dest, status_col="status") == 40
+    assert len(os.listdir(dest)) == 3
+    register_warc_datasource(spark)
+    back = spark.read.format("xetl_warc").option("path", dest).load()
+    rows = {r.target_uri: r for r in back.collect()}
+    assert len(rows) == 40
+    assert rows["http://t/5"].http_status == 404
+    assert bytes(rows["http://t/7"].body) == b"<p>page 7</p>"
+    assert rows["http://t/7"].warc_type == "response"

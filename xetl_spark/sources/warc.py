@@ -212,3 +212,55 @@ def register_warc_datasource(spark) -> None:
             return _WarcReader(self.options)
 
     spark.dataSource.register(WarcDataSource)
+
+
+def write_warc(
+    df,
+    path: str,
+    uri_col: str = "target_uri",
+    body_col: str = "body",
+    status_col: str | None = None,
+    content_type: str = "text/html",
+    compress: bool = True,
+) -> int:
+    """Write (uri, body[, status]) rows as WARC response records, one
+    ``.warc.gz`` shard per Spark partition (each record its own gzip
+    member — the crawler layout). Executor-side via mapInPandas, same
+    scale shape as write_avro: a 1000-executor write is one shard per
+    partition. Returns the record count written."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    cols = [uri_col, body_col] + ([status_col] if status_col else [])
+
+    def emit(batches):
+        import socket
+        import uuid
+
+        recs = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                body = row[body_col]
+                body = body.encode("utf-8") if isinstance(body, str) else bytes(body)
+                recs.append(
+                    {
+                        "target_uri": str(row[uri_col]),
+                        "record_id": f"<urn:uuid:{uuid.uuid4()}>",
+                        "http": (
+                            int(row[status_col]) if status_col else 200,
+                            content_type,
+                            body,
+                        ),
+                    }
+                )
+        fname = f"seg-{uuid.uuid4().hex}-{socket.gethostname()}.warc.gz"
+        with open(os.path.join(path, fname), "wb") as fh:
+            fh.write(warc_build(recs, compress=compress))
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    stats = df.select(*cols).mapInPandas(emit, schema="n long")
+    from pyspark.sql import functions as F
+
+    return stats.agg(F.sum("n")).collect()[0][0] or 0
