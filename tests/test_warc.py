@@ -195,3 +195,61 @@ def test_write_warc_roundtrip(spark, tmp_path):
     assert rows["http://t/5"].http_status == 404
     assert bytes(rows["http://t/7"].body) == b"<p>page 7</p>"
     assert rows["http://t/7"].warc_type == "response"
+
+
+def test_html_to_text_differential_vs_stdlib_parser(spark):
+    """Differential vs an independent reference (stdlib HTMLParser):
+    for generated HTML within the operator's documented entity subset,
+    the Catalyst regexp chain must extract the same whitespace-
+    normalized text as a real parser."""
+    import random
+    import re
+    from html.parser import HTMLParser
+
+    class RefExtract(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    def ref(html):
+        p = RefExtract()
+        p.feed(html)
+        return re.sub(r"\s+", " ", " ".join(p.parts)).strip()
+
+    rng_ = random.Random(9)
+    words = ["alpha", "beta", "gamma", "x1", "42", "foo&amp;bar", "a&lt;b"]
+    tags = ["p", "div", "span", "li", "h1", "em"]
+    cases = []
+    for i in range(40):
+        parts = ["<html><body>"]
+        for _ in range(rng_.randint(1, 8)):
+            t = rng_.choice(tags)
+            body = " ".join(rng_.choices(words, k=rng_.randint(1, 5)))
+            parts.append(f"<{t} class='c{rng_.randint(0,9)}'>{body}</{t}>")
+            if rng_.random() < 0.3:
+                parts.append("<script>var x = '<p>no</p>';</script>")
+            if rng_.random() < 0.2:
+                parts.append("<!-- comment -->")
+            if rng_.random() < 0.2:
+                parts.append("<style>p {color: red}</style>")
+        parts.append("</body></html>")
+        cases.append((i, "".join(parts)))
+    from xetl_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(cases, "i long, html string")
+    got = {r.i: r.t for r in df.select("i", html_to_text("html").alias("t")).collect()}
+    for i, html in cases:
+        assert got[i] == ref(html), (i, html, got[i], ref(html))
