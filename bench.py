@@ -47,6 +47,10 @@ LLM_SUITE = [
     "q_text_decontaminate",
     "q_pack_greedy",
     "q_multimodal_features",
+    # round-6 additions
+    "q_text_span_dedup",
+    "q_text_bigram_logprob",
+    "q_text_dsir_weights",
 ]
 
 
