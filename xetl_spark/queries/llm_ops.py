@@ -1193,6 +1193,92 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_decode_matrix",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp'
+                           ELSE 'tiff' END AS container,
+           CAST(5 + doc_id % 8 AS INT) AS width,
+           CAST(4 + doc_id % 6 AS INT) AS height,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * (doc_id % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 3) % 256)
+           ) AS sum_r,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 5) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 7) % 256)
+           ) AS sum_g,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 11) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 13) % 256)
+           ) AS sum_b
+    FROM documents WHERE doc_id < 240
+    """,
+)
+def q_multimodal_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-exact DECODE verification across the round-6 image codecs:
+    synthesize two-tone images (left half color A, right half color B,
+    both closed-form in doc_id) as GIF (real LZW), BMP, and TIFF,
+    decode them back through imaging.decode_image, and emit integer
+    per-channel pixel SUMS — lossless formats, so the SQL oracle
+    recomputes every sum exactly. Verifies spatial layout (column
+    split), palette lookup, BGR reorder, and strip assembly under the
+    driver's hash gate, not just pytest goldens."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 240)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import gif, imaging, tiff
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 8, 4 + did % 6
+                a = (did % 256, (did * 5) % 256, (did * 11) % 256)
+                b = ((did * 3) % 256, (did * 7) % 256, (did * 13) % 256)
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, : w // 2] = a
+                img[:, w // 2 :] = b
+                kind = did % 3
+                if kind == 0:
+                    payload = gif.gif_encode([img])
+                elif kind == 1:
+                    payload = imaging.bmp_encode(img)
+                else:
+                    payload = tiff.tiff_build(img)
+                fmt = imaging.sniff_format(payload)
+                dec = imaging.decode_image(payload)[:, :, :3].astype(np.int64)
+                rows.append(
+                    (
+                        did, fmt, dec.shape[1], dec.shape[0],
+                        int(dec[:, :, 0].sum()),
+                        int(dec[:, :, 1].sum()),
+                        int(dec[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, container string, width int, height int, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_av_probe",
     oracle="""
     SELECT doc_id,
