@@ -1196,8 +1196,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_decode_matrix",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp'
-                           ELSE 'tiff' END AS container,
+           CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp'
+                           WHEN 2 THEN 'tiff' ELSE 'jpeg' END AS container,
            CAST(5 + doc_id % 8 AS INT) AS width,
            CAST(4 + doc_id % 6 AS INT) AS height,
            (4 + doc_id % 6) * (
@@ -1220,10 +1220,11 @@ def q_multimodal_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize two-tone images (left half color A, right half color B,
     both closed-form in doc_id) as GIF (real LZW), BMP, and TIFF,
     decode them back through imaging.decode_image, and emit integer
-    per-channel pixel SUMS — lossless formats, so the SQL oracle
-    recomputes every sum exactly. Verifies spatial layout (column
-    split), palette lookup, BGR reorder, and strip assembly under the
-    driver's hash gate, not just pytest goldens."""
+    per-channel pixel SUMS — all four formats are lossless (the JPEG
+    leg is SOF3 predictive lossless), so the SQL oracle recomputes
+    every sum exactly. Verifies spatial layout (column split), palette
+    lookup, BGR reorder, strip assembly, and predictor decoding under
+    the driver's hash gate, not just pytest goldens."""
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -1232,7 +1233,7 @@ def q_multimodal_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
 
-        from xetl_spark.operators import gif, imaging, tiff
+        from xetl_spark.operators import gif, imaging, jpeg, tiff
 
         for pdf in batches:
             rows = []
@@ -1244,13 +1245,15 @@ def q_multimodal_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = np.empty((h, w, 3), dtype=np.uint8)
                 img[:, : w // 2] = a
                 img[:, w // 2 :] = b
-                kind = did % 3
+                kind = did % 4
                 if kind == 0:
                     payload = gif.gif_encode([img])
                 elif kind == 1:
                     payload = imaging.bmp_encode(img)
-                else:
+                elif kind == 2:
                     payload = tiff.tiff_build(img)
+                else:  # SOF3 lossless JPEG: predictive, bit-exact
+                    payload = jpeg.jpeg_lossless_encode(img, predictor=1 + did % 7)
                 fmt = imaging.sniff_format(payload)
                 dec = imaging.decode_image(payload)[:, :, :3].astype(np.int64)
                 rows.append(
