@@ -814,3 +814,40 @@ def test_remove_duplicate_spans_random_differential(spark):
         }
         want = ref_span_dedup(rows)
         assert got == want, trial
+
+
+def test_incremental_minhash_dedup(spark):
+    """Cross-run near-dup ingestion: batch 2 drops near-dups of batch
+    1's STORE and of lower-id in-batch partners; only fresh rows'
+    signatures join the store."""
+    from xetl_spark.operators.dedup import incremental_minhash_dedup
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+            (2, "completely different text about spark engines and data pipelines now"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh1, store1 = incremental_minhash_dedup(b1, None, "text", "doc_id", threshold=0.5)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+    store1 = store1.persist()
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+            (11, "an entirely novel document discussing benchmarks and parquet files"),
+            (12, "an entirely novel document discussing benchmarks and parquet records"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh2, store2 = incremental_minhash_dedup(b2, store1, "text", "doc_id", threshold=0.5)
+    assert sorted(r.doc_id for r in fresh2.collect()) == [11]  # 10 ~ 1, 12 ~ 11
+    assert sorted(r.doc for r in store2.select("doc").collect()) == [1, 2, 11]
+    # two-batch result == one-batch result on the concatenated corpus
+    from xetl_spark.operators.dedup import minhash_near_duplicates
+
+    allp = minhash_near_duplicates(
+        b1.unionByName(b2), "text", "doc_id", threshold=0.5
+    )
+    batch_pairs = {(r.doc_a, r.doc_b) for r in allp.collect()}
+    assert (1, 10) in batch_pairs and (11, 12) in batch_pairs

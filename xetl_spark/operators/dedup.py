@@ -575,3 +575,96 @@ def simhash_near_duplicates(
         fps, fp_col="simhash", id_col="doc",
         max_hamming=max_hamming, chunks=chunks,
     )
+
+
+def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bkey) banding projection of a signature table —
+    the same keys lsh_candidate_pairs buckets on."""
+    r = num_hashes // bands
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * r + j}") for j in range(r)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc", "bh.band", "bh.bkey")
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    store: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run NEAR-dup ingestion — the MinHash twin of
+    incremental_exact_dedup: drop rows of ``new_df`` that are verified
+    near-duplicates (jaccard ≥ threshold) of the historical signature
+    ``store`` or of a lower-id row in the same batch, and return the
+    updated store.
+
+    ``store`` is the persisted per-doc signature table
+    (doc, mh_*, hset, sz — the minhash_signatures_rowwise layout,
+    exactly what the batch operator persists anyway); only FRESH
+    rows' signatures are appended, so dropped duplicates never
+    pollute future comparisons. Doc ids must be globally unique
+    across runs.
+
+    Scale shape: the batch is scanned once for signatures (shuffle-
+    free, row-wise); candidate generation is a band-key join of the
+    NEW banding against the combined banding — new×all, never
+    old×old, so a small daily increment against a huge store costs
+    |increment| × collision-rate, not |store|². Verification is the
+    hashed pair-jaccard join. Returns (fresh_rows, new_store).
+    """
+    sig_new = minhash_signatures_rowwise(
+        new_df, text_col, id_col, num_hashes, n
+    ).persist()
+    combined = sig_new if store is None else store.unionByName(sig_new)
+    bn = _band_keys(sig_new, num_hashes, bands)
+    ba = _band_keys(combined, num_hashes, bands)
+    cand = (
+        bn.alias("n")
+        .join(
+            ba.alias("a"),
+            on=[
+                F.col("n.band") == F.col("a.band"),
+                F.col("n.bkey") == F.col("a.bkey"),
+                F.col("n.doc") != F.col("a.doc"),
+            ],
+        )
+        .select(F.col("n.doc").alias("doc_a"), F.col("a.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = pair_jaccard_hashed(cand, combined).filter(
+        F.col("jaccard") >= threshold
+    )
+    # a new doc is a duplicate if its partner is historical (not in
+    # sig_new) or an earlier (lower-id) doc of this batch
+    new_ids = sig_new.select(F.col("doc").alias("doc_b")).withColumn(
+        "__is_new", F.lit(True)
+    )
+    dup_ids = (
+        verified.join(new_ids, "doc_b", "left")
+        .filter(~F.coalesce(F.col("__is_new"), F.lit(False)) | (F.col("doc_b") < F.col("doc_a")))
+        .select(F.col("doc_a").alias("doc"))
+        .distinct()
+    )
+    fresh = new_df.join(
+        dup_ids.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
+    fresh_sigs = sig_new.join(dup_ids, "doc", "left_anti")
+    new_store = fresh_sigs if store is None else store.unionByName(fresh_sigs)
+    return fresh, new_store

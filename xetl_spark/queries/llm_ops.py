@@ -432,6 +432,27 @@ def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_incremental_minhash", oracle=None)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run near-dup ingestion (operators/dedup.py
+    incremental_minhash_dedup): the documents table split into two
+    consecutive batches — batch 1 seeds the signature store, batch 2
+    dedups against store + itself. Returns batch-2 survivors with
+    per-batch counts (deterministic: MinHash is seeded; equivalence
+    with the single-batch operator is pinned in tests)."""
+    from xetl_spark.operators.dedup import incremental_minhash_dedup
+
+    (docs,) = load(spark, sf_dir, "documents")
+    mid = 250
+    b1 = docs.filter(F.col("doc_id") < mid)
+    b2 = docs.filter(F.col("doc_id") >= mid)
+    _fresh1, store = incremental_minhash_dedup(b1, None, "text", "doc_id", threshold=0.5)
+    fresh2, _store2 = incremental_minhash_dedup(
+        b2, store.persist(), "text", "doc_id", threshold=0.5
+    )
+    return fresh2.select("doc_id", "lang", "n_chars")
+
+
 @query("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming radius 3 of the 64-bit
