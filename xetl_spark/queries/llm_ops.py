@@ -447,8 +447,11 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = docs.filter(F.col("doc_id") < mid)
     b2 = docs.filter(F.col("doc_id") >= mid)
     _fresh1, store = incremental_minhash_dedup(b1, None, "text", "doc_id", threshold=0.5)
+    # in production the store is a persisted TABLE between runs;
+    # localCheckpoint models that here (and keeps run 1's lineage out
+    # of run 2's plan)
     fresh2, _store2 = incremental_minhash_dedup(
-        b2, store.persist(), "text", "doc_id", threshold=0.5
+        b2, store.localCheckpoint(), "text", "doc_id", threshold=0.5
     )
     return fresh2.select("doc_id", "lang", "n_chars")
 
