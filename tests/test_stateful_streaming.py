@@ -148,3 +148,37 @@ def test_cms_stream_fold_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, acc["sketch"])) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_minhash_dedup_across_microbatches(spark, tmp_path):
+    """Dedup-on-ingest: batch 2's near-dup of a batch-1 document is
+    flagged against the bucket STATE (cross-batch), in-batch pairs are
+    flagged too, and unrelated docs stay silent."""
+    from xetl_spark.streaming.stateful import streaming_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+    batches = [
+        [(1, base), (2, "completely different text about spark engines and pipelines")],
+        [
+            (10, base.replace("today", "tonight")),  # near-dup of 1 (cross-batch)
+            (11, "novel words describing benchmarks and parquet files here"),
+            (12, "novel words describing benchmarks and parquet records here"),  # ~11
+        ],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = run_stream_to_memory(
+        streaming_minhash_dedup(stream, threshold=0.4), mode="append"
+    )
+    pairs = {(r.doc, r.partner) for r in out.collect()}
+    assert (10, 1) in pairs  # cross-batch: bucket state survived
+    assert (12, 11) in pairs  # in-batch, lower id is the partner
+    assert all(d not in (2, 11) or p not in (2, 11) for d, p in pairs if d != 12)
+    assert not any(d == 2 or d == 11 for d, _ in pairs)

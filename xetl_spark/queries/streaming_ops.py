@@ -747,3 +747,30 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         "is_anomaly",
     )
+
+
+@query("q_stream_neardup_ingest", oracle=None)
+def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest (streaming/stateful.py streaming_minhash_dedup):
+    the documents table replayed as a stream, near-dup votes emitted
+    from per-LSH-bucket state via applyInPandasWithState (signatures
+    only in state — the MinHash-estimator streaming twin of the batch
+    operator; cross-micro-batch behavior pinned in
+    tests/test_stateful_streaming.py). Aggregated to one verdict per
+    flagged doc (min partner) for a deterministic result."""
+    from xetl_spark.streaming.stateful import streaming_minhash_dedup
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, n_chars int")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    votes = streaming_minhash_dedup(stream, threshold=0.5)
+    out = run_stream_to_memory(votes, mode="append")
+    return (
+        out.groupBy("doc")
+        .agg(F.min("partner").alias("dup_of"))
+        .orderBy("doc")
+        .withColumnRenamed("doc", "doc_id")
+    )

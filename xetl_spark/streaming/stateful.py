@@ -127,3 +127,98 @@ def run_with_foreach_batch(stream_df: DataFrame, sink_path: str) -> int:
     finally:
         q.stop()
     return len(batches)
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket_state: int = 1000,
+) -> DataFrame:
+    """Near-dup detection ON INGEST: the streaming twin of
+    incremental_minhash_dedup, built from the same two primitives.
+
+    Stage 1 is map-only and therefore streaming-safe: row-wise MinHash
+    signatures (the corpus is never exploded or shuffled). Stage 2
+    explodes the LSH band keys and keeps per-(band, bucket) state in
+    applyInPandasWithState: each bucket remembers the (doc, signature)
+    pairs it has seen — across micro-batches — and every arriving doc
+    is compared against them with the MinHash estimator (fraction of
+    agreeing signature components ≈ jaccard; state carries signatures
+    only, never shingle sets, so per-bucket state is
+    num_hashes·8 bytes/doc). Matches stream out as
+    (doc, partner, agree) votes; a doc may match in several buckets —
+    aggregate min(partner) downstream if one verdict per doc is
+    wanted.
+
+    ``max_bucket_state`` FIFO-caps each bucket (memory bound at the
+    cost of recall against evicted history — the same cap-vs-recall
+    dial as the batch operator's max_bucket_size). State shards by
+    bucket key across executors, the natural scale-out for a
+    dedup-on-ingest service.
+    """
+    from xetl_spark.operators.dedup import (
+        _band_keys,
+        minhash_signatures_rowwise,
+    )
+
+    sig = minhash_signatures_rowwise(docs, text_col, id_col, num_hashes, n).drop(
+        "hset", "sz"
+    )
+    banded = _band_keys(
+        sig.withColumnRenamed("doc", "doc"), num_hashes, bands
+    ).join(sig, "doc")  # (doc, band, bkey, mh_0..mh_{k-1})
+
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    out_schema = "doc long, partner long, agree double"
+    state_schema = "docs array<long>, sigs array<long>"
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            seen_docs, flat = state.get
+            seen_docs = list(seen_docs)
+            sigs = [
+                list(flat[i * num_hashes : (i + 1) * num_hashes])
+                for i in range(len(seen_docs))
+            ]
+        else:
+            seen_docs, sigs = [], []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc")
+            for r in pdf.itertuples(index=False):
+                rd = getattr(r, "doc")
+                rsig = [int(getattr(r, c)) for c in mh_cols]
+                if rd in seen_docs:
+                    continue  # replays/rebanded duplicates of same doc
+                if sigs:
+                    agree = (np.asarray(sigs) == np.asarray(rsig)).mean(axis=1)
+                    for j in np.nonzero(agree >= threshold)[0]:
+                        rows.append((rd, seen_docs[int(j)], float(agree[int(j)])))
+                seen_docs.append(rd)
+                sigs.append(rsig)
+        if len(seen_docs) > max_bucket_state:  # FIFO cap
+            seen_docs = seen_docs[-max_bucket_state:]
+            sigs = sigs[-max_bucket_state:]
+        state.update(
+            (seen_docs, [v for s in sigs for v in s])
+        )
+        yield pd.DataFrame(rows, columns=["doc", "partner", "agree"])
+
+    return banded.groupBy("band", "bkey").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
