@@ -689,3 +689,39 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k in overrides:
             spark.conf.unset(k)
+
+
+def test_frequent_pairs_exact_and_guard(spark):
+    from xetl_spark.operators.basket import frequent_pairs
+
+    rows = [
+        # basket 1: {a, b, c}; basket 2: {a, b}; basket 3: {a, b, d};
+        # basket 4 (oversized under a cap of 3): {a, b, c, d}
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),  # duplicate item collapses
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "a"), (4, "b"), (4, "c"), (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in frequent_pairs(df, "bk", "it", min_support=2).collect()
+    }
+    # min_support=2 filters the ("c","d") singleton
+    assert got == {("a", "b"): 4, ("a", "c"): 2, ("b", "c"): 2,
+                   ("a", "d"): 2, ("b", "d"): 2}
+    # quadratic guard: dropping the 4-item basket removes its pairs
+    guarded = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in frequent_pairs(df, "bk", "it", min_support=1,
+                                max_basket_size=3).collect()
+    }
+    assert guarded == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1,
+                       ("a", "d"): 1, ("b", "d"): 1}
+    # A-Priori prune is semantics-preserving for pairs >= min_support
+    pruned = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in frequent_pairs(df, "bk", "it", min_support=2,
+                                prune_items=True).collect()
+    }
+    assert pruned == got

@@ -61,6 +61,21 @@ def main() -> int:
             r = b / a if a else float("inf")
             flag = "REGRESSED" if r >= ratio else ("improved" if r <= 1 / ratio else "")
             rows.append((name, a, b, r, flag))
+    # throughput metrics (higher = better): regression is new < old/ratio.
+    # Noise threshold 1.15x — streaming runs vary ~5% on a shared host
+    # (r5→r6 drifted −3.2% with no code change).
+    os_, ns = old.get("streaming_events_per_sec"), new.get("streaming_events_per_sec")
+    if os_ is not None and ns is not None:
+        rows.append(("-- throughput --", None, None, None, ""))
+        r = os_ / ns if ns else float("inf")
+        flag = (
+            "REGRESSED" if r >= min(ratio, 1.15)
+            else ("improved" if r <= 1 / min(ratio, 1.15) else "")
+        )
+        rows.append(("streaming_events_per_sec", os_, ns, r, flag))
+    if not rows:
+        print("nothing to compare: neither file has a known suite key")
+        return 2
     w = max(len(r[0]) for r in rows)
     for name, a, b, r, flag in rows:
         if a is None and b is None and r is None and not flag:

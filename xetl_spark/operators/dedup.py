@@ -628,6 +628,13 @@ def incremental_minhash_dedup(
     old×old, so a small daily increment against a huge store costs
     |increment| × collision-rate, not |store|². Verification is the
     hashed pair-jaccard join. Returns (fresh_rows, new_store).
+
+    Eager by contract: the batch's signatures are materialized inside
+    the call (localCheckpoint, sized by |increment| not |store|) and
+    the scratch cache is released before returning, so repeated
+    ingestion runs in a long-lived session don't accumulate persisted
+    signature tables (r6 advice item). The returned DataFrames carry
+    no lineage over the scratch cache.
     """
     sig_new = minhash_signatures_rowwise(
         new_df, text_col, id_col, num_hashes, n
@@ -661,10 +668,16 @@ def incremental_minhash_dedup(
         .filter(~F.coalesce(F.col("__is_new"), F.lit(False)) | (F.col("doc_b") < F.col("doc_a")))
         .select(F.col("doc_a").alias("doc"))
         .distinct()
+        .localCheckpoint(eager=True)  # small: ≤ |increment| ids
     )
     fresh = new_df.join(
         dup_ids.select(F.col("doc").alias(id_col)), id_col, "left_anti"
     )
-    fresh_sigs = sig_new.join(dup_ids, "doc", "left_anti")
+    # materialize the surviving signatures so sig_new's cache can be
+    # dropped now — otherwise every ingestion run leaks one persisted
+    # signature table into the session (and callers can't time the
+    # unpersist because the returned store retains lineage over it)
+    fresh_sigs = sig_new.join(dup_ids, "doc", "left_anti").localCheckpoint(eager=True)
+    sig_new.unpersist()
     new_store = fresh_sigs if store is None else store.unionByName(fresh_sigs)
     return fresh, new_store

@@ -229,11 +229,15 @@ def gif_decode(payload: bytes) -> np.ndarray:
                 src += cnt
             frame = seq.reshape(-1)
         nch = 4 if transparent is not None else 3
-        bg_rgb = palette[bg] if gct is not None and bg < len(palette) else (0, 0, 0)
+        # background index addresses the GLOBAL color table (GIF89a §18),
+        # not the frame's active (possibly local) palette
+        bg_rgb = gct[bg] if gct is not None and bg < len(gct) else (0, 0, 0)
         out = np.zeros((sh, sw, nch), dtype=np.uint8)
         out[:, :, :3] = bg_rgb
         if nch == 4:
             out[:, :, 3] = 255
+        if top >= sh or left >= sw:
+            raise GifFormatError("frame rectangle outside logical screen")
         fh = min(h, sh - top)
         fw = min(w, sw - left)
         sub = frame.reshape(h, w)[:fh, :fw]

@@ -426,8 +426,14 @@ def mp4_probe(payload: bytes) -> dict:
                 for ttype, t0, t1 in _walk_boxes(payload, c0, c1):
                     if ttype != b"tkhd":
                         continue
-                    ver = payload[t0]
-                    # width/height: last 8 bytes of tkhd, 16.16 fixed
+                    ver = payload[t0] if t1 > t0 else 0
+                    # width/height: last 8 bytes of tkhd, 16.16 fixed.
+                    # Guard the full version-dependent body length
+                    # (v0 = 84 B, v1 = 96 B, ISO 14496-12 §8.3.2) —
+                    # a truncated tkhd would otherwise read garbage
+                    # dimensions from adjacent header bytes.
+                    if t1 - t0 < (96 if ver == 1 else 84):
+                        continue
                     w16, h16 = struct.unpack_from(">II", payload, t1 - 8)
                     if w16 and h16 and width is None:
                         width, height = w16 >> 16, h16 >> 16

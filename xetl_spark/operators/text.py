@@ -691,22 +691,33 @@ def dsir_logweights(
     by construction — joined map-side to the raw corpus's exploded
     features, then one doc-keyed aggregation (map-side partials bound
     stopword-bucket skew). No vocabulary-sized state anywhere.
+
+    The raw corpus is tokenized+hashed ONCE: the per-doc bucket array
+    is persisted (one row per doc, populated by the histogram job that
+    builds the broadcast ratio table, reused by the scoring explode) —
+    the r6 plan audit found the double pass was the single heaviest
+    CPU term in the LLM suite. The cache is scoped to the query (the
+    harness clears caches between queries); long-lived callers should
+    unpersist via the returned plan's source once materialized.
     Returns (doc, n_features, logweight).
     """
     from xetl_spark.operators.util import ensure_parallelism
 
-    def feats(df, tag):
-        return (
-            ensure_parallelism(df)
-            .select(
-                F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b")
-            )
-            .withColumn("__t", F.lit(tag))
+    raw_b = (
+        ensure_parallelism(raw)
+        .select(
+            F.col(id_col).alias("doc"),
+            _hashed_ngram_buckets(text_col, num_buckets).alias("bs"),
         )
-
+        .persist()
+    )
     hist = (
-        feats(target, 1)
-        .unionByName(feats(raw, 0))
+        ensure_parallelism(target)
+        .select(F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b"))
+        .withColumn("__t", F.lit(1))
+        .unionByName(
+            raw_b.select(F.explode("bs").alias("b")).withColumn("__t", F.lit(0))
+        )
         .groupBy("b")
         .agg(
             F.sum("__t").alias("p_cnt"),
@@ -724,10 +735,7 @@ def dsir_logweights(
             - F.log((F.col("q_cnt") + 1.0) / (F.col("q_tot") + B))
         ).alias("log_ratio"),
     )
-    doc_feats = ensure_parallelism(raw).select(
-        F.col(id_col).alias("doc"),
-        F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b"),
-    )
+    doc_feats = raw_b.select("doc", F.explode("bs").alias("b"))
     return (
         doc_feats.join(F.broadcast(ratio), "b")
         .groupBy("doc")

@@ -337,11 +337,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle="""
-    WITH docs60 AS (SELECT * FROM documents WHERE doc_id < 60),
+    WITH docs500 AS (SELECT * FROM documents WHERE doc_id < 500),
     toks AS (
       SELECT doc_id,
              string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') AS t
-      FROM docs60),
+      FROM docs500),
     tri AS (
       SELECT doc_id, unnest(list_distinct(
                list_transform(range(1, greatest(len(t) - 1, 2)),
@@ -357,20 +357,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE i / (sa.sz + sb.sz - i) >= 0.05
+    WHERE i / (sa.sz + sb.sz - i) >= 0.02
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (trigram) Jaccard similarity for every sharing pair
     in a bounded subset — the exhaustive ground truth the LSH pipelines
-    approximate, hash-verified end to end."""
+    approximate, hash-verified end to end.
+
+    Subset/threshold (doc_id < 500, j >= 0.02) chosen so the pair set
+    is small-but-NONZERO at every fixture SF (322 / 312 / 289 pairs at
+    sf0.001 / 0.01 / 0.1): a vacuous 0-row oracle match can't certify
+    the implementation (r6 verdict item #1)."""
     from pyspark.sql import functions as F2
 
     from xetl_spark.operators import shingles
     from xetl_spark.operators.dedup import pair_jaccard
 
     (docs,) = load(spark, sf_dir, "documents")
-    sub = docs.filter(F2.col("doc_id") < 60)
+    sub = docs.filter(F2.col("doc_id") < 500)
     sh = shingles(sub, "text", "doc_id", 3).persist()
     a = sh.withColumnRenamed("doc", "doc_a")
     b = sh.select(F2.col("doc").alias("doc_b"), F2.col("shingle").alias("s2"))
@@ -381,7 +386,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pair_jaccard(sh, pairs)
-        .filter(F2.col("jaccard") >= 0.05)
+        .filter(F2.col("jaccard") >= 0.02)
         .select("doc_a", "doc_b", F2.round("jaccard", 6).alias("jaccard"))
     )
 

@@ -568,28 +568,22 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in at
-    least 2 orders — the frequent-itemset building block. Per-order
-    pair expansion is an order-keyed self-join with the a<b canonical
-    orientation (half the pairs, no dedup pass); TPC-H baskets are ≤7
-    items so the blowup is bounded ~k² per order, and the pair count
-    aggregates with map-side partials. At 100 TB the same shape holds;
-    a support-threshold pre-prune (drop parts below min support before
-    pairing — the A-Priori step) bolts on as one extra semi-join."""
+    least 2 orders — the frequent-itemset building block. Two shuffles
+    total: one groupBy assembles each order's sorted distinct-part
+    array (subsuming the old distinct + self-join exchanges — the r6
+    SCALING.md worst grower), pair expansion is map-side higher-order
+    array code with a max-basket quadratic guard (never triggered on
+    TPC-H's ≤7-item baskets, so oracle-exact), and the pair count is
+    the second shuffle with map-side partials."""
+    from xetl_spark.operators.basket import frequent_pairs
+
     (lineitem,) = load(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    return frequent_pairs(
+        lineitem, "l_orderkey", "l_partkey", min_support=2
     ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-    )
-    return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        F.col("n_baskets").alias("n_orders"),
     )
 
 

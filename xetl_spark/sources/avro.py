@@ -72,12 +72,20 @@ def _typed_decode(fn):
 
 
 def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
-    """Zigzag-encoded variable-length long."""
+    """Zigzag-encoded variable-length long.
+
+    Capped at 10 continuation bytes (the 64-bit zigzag maximum): an
+    unbounded loop lets a hostile run of 0xFF bytes build an
+    arbitrarily large Python int at quadratic cost before any typed
+    error fires — a cheap CPU-DoS on the ingestion path.
+    """
     shift = 0
     acc = 0
     while True:
         if pos >= len(buf):
             raise AvroFormatError("truncated varint")
+        if shift > 63:
+            raise AvroFormatError("varint exceeds 64-bit range")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -559,6 +567,8 @@ def _decode_block_flat(block: bytes, count: int, kinds) -> list[list]:
                     while True:
                         if pos >= n:
                             raise AvroFormatError("truncated varint")
+                        if shift > 63:
+                            raise AvroFormatError("varint exceeds 64-bit range")
                         b = block[pos]
                         pos += 1
                         acc |= (b & 0x7F) << shift
@@ -592,6 +602,8 @@ def _decode_block_flat(block: bytes, count: int, kinds) -> list[list]:
                     while True:
                         if pos >= n:
                             raise AvroFormatError("truncated varint")
+                        if shift > 63:
+                            raise AvroFormatError("varint exceeds 64-bit range")
                         b = block[pos]
                         pos += 1
                         acc |= (b & 0x7F) << shift
