@@ -585,3 +585,88 @@ def test_deletion_vectors_positional_semantics(spark, tmp_path):
     a = sorted(map(tuple, apply_deletion_vectors(base, dv, True).collect()))
     b = sorted(map(tuple, apply_deletion_vectors(base, dv, False).collect()))
     assert a == b and len(a) == 2
+
+
+def test_ivm_minmax_matches_full_recompute(spark):
+    """Randomized: min/max maintained through bounded top-k array state
+    (k=4, so evictions + drains actually happen) equals a full
+    recompute, with dirty groups repaired from the live base."""
+    import random
+
+    from xetl_spark.operators.ivm import (
+        minmax_apply,
+        minmax_read,
+        minmax_snapshot,
+    )
+
+    rnd = random.Random(23)
+    live = [(rnd.randrange(5), rnd.randrange(1000)) for _ in range(300)]
+    schema = "k long, v long"
+    state = minmax_snapshot(spark.createDataFrame(live, schema), ["k"], ["v"], k=4)
+
+    for _round in range(3):
+        inserts = [(rnd.randrange(5), rnd.randrange(1000)) for _ in range(40)]
+        # retract aggressively from the extremes to force kept-array
+        # drains (the recompute-on-eviction path)
+        by_v = sorted(live)
+        retracts = by_v[:30] + by_v[-30:]
+        for r in retracts:
+            live.remove(r)
+        live.extend(inserts)
+        batch = spark.createDataFrame(
+            [(k, v, 1) for k, v in inserts] + [(k, v, -1) for k, v in retracts],
+            schema + ", w int",
+        )
+        post_base = spark.createDataFrame(live, schema)
+        state = minmax_apply(
+            state, batch, ["k"], ["v"], weight_col="w", k=4, base=post_base
+        ).localCheckpoint()  # the persisted-state-table usage: bound lineage per batch
+
+    got = {r.k: (r.n, r.min_v, r.max_v, r.dirty_v)
+           for r in minmax_read(state, ["v"]).collect()}
+    want: dict = {}
+    for k, v in live:
+        n, lo, hi = want.get(k, (0, None, None))
+        want[k] = (n + 1, v if lo is None else min(lo, v),
+                   v if hi is None else max(hi, v))
+    assert set(got) == set(want)
+    for k, (n, lo, hi) in want.items():
+        assert got[k] == (n, lo, hi, False), (k, got[k], (n, lo, hi))
+
+
+def test_ivm_minmax_dirty_without_base_then_repair(spark):
+    """Draining a group's kept arrays without a base flags it dirty
+    (NULL extremes); a later minmax_repair restores exact values."""
+    from xetl_spark.operators.ivm import (
+        minmax_apply,
+        minmax_read,
+        minmax_repair,
+        minmax_snapshot,
+    )
+
+    rows = [(1, v) for v in range(10)]  # k=2 keeps {0,1} and {8,9}
+    base = spark.createDataFrame(rows, "k long, v long")
+    state = minmax_snapshot(base, ["k"], ["v"], k=2)
+    batch = spark.createDataFrame(
+        [(1, v, -1) for v in (0, 1, 8, 9)], "k long, v long, w int"
+    )
+    live = spark.createDataFrame([(1, v) for v in range(2, 8)], "k long, v long")
+    state = minmax_apply(state, batch, ["k"], ["v"], weight_col="w", k=2)
+    row = minmax_read(state, ["v"]).collect()[0]
+    assert (row.n, row.min_v, row.max_v, row.dirty_v) == (6, None, None, True)
+    repaired = minmax_repair(state, live, ["k"], ["v"], k=2)
+    row = minmax_read(repaired, ["v"]).collect()[0]
+    assert (row.n, row.min_v, row.max_v, row.dirty_v) == (6, 2, 7, False)
+
+
+def test_ivm_minmax_untracked_retraction_is_safe(spark):
+    """Retracting a mid-range value that was evicted from the kept
+    arrays must not disturb the (still-correct) extremes."""
+    from xetl_spark.operators.ivm import minmax_apply, minmax_read, minmax_snapshot
+
+    base = spark.createDataFrame([(1, v) for v in range(10)], "k long, v long")
+    state = minmax_snapshot(base, ["k"], ["v"], k=2)  # keeps {0,1} / {8,9}
+    batch = spark.createDataFrame([(1, 5, -1)], "k long, v long, w int")
+    state = minmax_apply(state, batch, ["k"], ["v"], weight_col="w", k=2)
+    row = minmax_read(state, ["v"]).collect()[0]
+    assert (row.n, row.min_v, row.max_v, row.dirty_v) == (9, 0, 9, False)

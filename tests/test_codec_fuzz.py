@@ -130,8 +130,16 @@ def test_fuzz_media_probes():
         mp.mp4_build(64, 48, 1000),
         mp.flac_build(44100, 2, 44100),
         mp.ogg_build("opus", 2, 48000, 4800),
+        mp.flac_build_frames(44100, 2, [4096, 192]),
     ]
-    probes = [mp.mp3_probe, mp.h264_sps_probe, mp.mp4_probe, mp.flac_probe, mp.ogg_probe]
+    probes = [
+        mp.mp3_probe,
+        mp.h264_sps_probe,
+        mp.mp4_probe,
+        mp.flac_probe,
+        mp.ogg_probe,
+        mp.flac_frame_walk,
+    ]
     allowed = (
         mp.Mp3FormatError,
         mp.H264FormatError,

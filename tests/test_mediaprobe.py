@@ -206,3 +206,33 @@ def test_probe_media_ogg(spark):
     (r,) = probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
     assert r.container == "ogg" and r.sample_rate == 48000
     assert r.channels == 2 and r.duration_ms == 1000
+
+
+def test_flac_frame_walk_counts_and_crc():
+    s = mp.flac_build_frames(44100, 2, [4096, 4096, 192])
+    r = mp.flac_frame_walk(s)
+    assert (r["n_frames"], r["n_samples"], r["crc_failures"]) == (3, 8384, 0)
+    assert r["matches_streaminfo"] is True and r["variable_blocksize"] is False
+    assert r["duration_ms"] == 8384 * 1000 // 44100
+    # flip a bit inside the first frame header: that frame drops out as
+    # a CRC failure; the walk resynchronizes on the next frame
+    b = bytearray(s)
+    b[4 + 4 + 34 + 2] ^= 0x10
+    r2 = mp.flac_frame_walk(bytes(b))
+    assert r2["n_frames"] == 2 and r2["crc_failures"] >= 1
+    assert r2["matches_streaminfo"] is False
+
+
+def test_flac_frame_walk_nonstandard_rate_and_blocksize():
+    # 12345 Hz forces the 16-bit end-of-header rate field; 100/200
+    # samples force the 16-bit blocksize field
+    r = mp.flac_frame_walk(mp.flac_build_frames(12345, 1, [100, 200]))
+    assert (r["n_frames"], r["n_samples"]) == (2, 300)
+    assert r["matches_streaminfo"] is True
+
+
+def test_flac_frame_walk_headers_only_stream():
+    # a frameless FLAC (header-only build) walks to zero frames
+    r = mp.flac_frame_walk(mp.flac_build(48000, 2, 96000))
+    assert r["n_frames"] == 0 and r["n_samples"] == 0
+    assert r["matches_streaminfo"] is False

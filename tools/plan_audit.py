@@ -58,11 +58,21 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # re-exchange (2), and the fact-side join (1). Every exchange carries
 # one row per user or per fact — nothing exploded — and all hash on
 # user_id, so AQE coalescing stacks them onto the same partitioning.
+# q_ivm_rollup_maintenance — deliberately chains the WHOLE IVM
+# lifecycle (sum/count snapshot, min/max top-k snapshot = 2 windows,
+# one change-batch fold, the semi-join-pruned dirty-group repair = a
+# nested snapshot over the pruned base, and the merged read) into one
+# plan so the driver can hash-verify it end to end. In production each
+# step is a separate O(|batch|) job against a PERSISTED state table —
+# the per-plan exchange count here is the demo composition, not the
+# steady-state cost; every exchange carries one row per group or per
+# batch row.
 EXCHANGE_ALLOWANCE = {
     "q_dedup_minhash_lsh": 7,
     "q_graph_triangles": 21,
     "q_fuzzy_name_join": 10,
     "q_join_effective_dated": 7,
+    "q_ivm_rollup_maintenance": 24,
 }
 
 

@@ -461,6 +461,9 @@ def _decode_sos(
     EOB run."""
     h, w, comps = frame
     comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    for cid, _dc, _ac in scan:
+        if cid not in comp_by_id:
+            raise UnsupportedImageError("JPEG scan references undeclared component")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))

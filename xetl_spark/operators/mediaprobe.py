@@ -551,6 +551,202 @@ def flac_build(
     return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
 
 
+# FLAC frame-header tables (RFC 9639 §9.1): coded block sizes / rates
+_FLAC_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+    header checksum."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_coded_number(b: bytes, pos: int):
+    """FLAC's extended-UTF-8 frame/sample number (1-7 bytes, ≤36 bits).
+    Returns (value, next_pos) or None on malformed coding."""
+    if pos >= len(b):
+        return None
+    first = b[pos]
+    if first < 0x80:
+        return first, pos + 1
+    n = 0
+    mask = 0x80
+    while first & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        return None
+    val = first & (0xFF >> (n + 1))
+    pos += 1
+    for _ in range(n - 1):
+        if pos >= len(b) or (b[pos] & 0xC0) != 0x80:
+            return None
+        val = (val << 6) | (b[pos] & 0x3F)
+        pos += 1
+    return val, pos
+
+
+def _flac_frame_header(b: bytes, j: int, streaminfo_rate: int):
+    """Validate a FLAC frame header at offset j (sync + field ranges +
+    CRC-8). Returns the parsed header dict or None."""
+    if j + 5 > len(b) or b[j] != 0xFF or (b[j + 1] & 0xFC) != 0xF8:
+        return None
+    if b[j + 1] & 0x02:  # reserved bit
+        return None
+    variable = bool(b[j + 1] & 0x01)
+    bs_code = b[j + 2] >> 4
+    sr_code = b[j + 2] & 0x0F
+    ch_code = b[j + 3] >> 4
+    ss_code = (b[j + 3] >> 1) & 0x07
+    if b[j + 3] & 1 or bs_code == 0 or sr_code == 15 or ch_code > 10 or ss_code in (3, 7):
+        return None
+    pos = j + 4
+    r = _flac_coded_number(b, pos)
+    if r is None:
+        return None
+    number, pos = r
+    if bs_code == 6:
+        if pos + 1 > len(b):
+            return None
+        blocksize = b[pos] + 1
+        pos += 1
+    elif bs_code == 7:
+        if pos + 2 > len(b):
+            return None
+        blocksize = int.from_bytes(b[pos : pos + 2], "big") + 1
+        pos += 2
+    else:
+        blocksize = _FLAC_BLOCKSIZES[bs_code]
+    if sr_code == 12:
+        if pos + 1 > len(b):
+            return None
+        rate = b[pos] * 1000
+        pos += 1
+    elif sr_code in (13, 14):
+        if pos + 2 > len(b):
+            return None
+        rate = int.from_bytes(b[pos : pos + 2], "big") * (10 if sr_code == 14 else 1)
+        pos += 2
+    elif sr_code == 0:
+        rate = streaminfo_rate
+    else:
+        rate = _FLAC_RATES[sr_code]
+    if pos + 1 > len(b):
+        return None
+    if _crc8(b[j:pos]) != b[pos]:
+        return None
+    return {
+        "offset": j,
+        "number": number,
+        "blocksize": blocksize,
+        "rate": rate,
+        "variable": variable,
+        "end": pos + 1,
+    }
+
+
+@_typed(FlacFormatError)
+def flac_frame_walk(payload: bytes, max_frames: int = 1_000_000) -> dict:
+    """Frame-level FLAC triage (the mp3_probe analog): walk the audio
+    region validating each frame header's sync pattern, field ranges,
+    and CRC-8 — no subframe decode needed, the fixed header is public
+    spec (RFC 9639 §9.1).
+
+    FLAC frames don't carry their own length, so the walk scans for
+    sync candidates and accepts only CRC-valid headers; a corrupt
+    header surfaces as ``crc_failures`` (sync-pattern hits whose
+    checksum fails) rather than silently ending the stream — the triage
+    a data pipeline runs to split salvageable from truncated files.
+    Returns frame counts, summed samples, duration, and whether the
+    walk agrees with STREAMINFO's declared total."""
+    info = flac_probe(payload)  # raises FlacFormatError on bad container
+    # skip metadata blocks to the first audio byte
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    n_frames = 0
+    n_samples = 0
+    crc_failures = 0
+    variable = None
+    j = pos
+    while j < len(payload) and n_frames < max_frames:
+        if payload[j] != 0xFF or j + 1 >= len(payload) or (payload[j + 1] & 0xFC) != 0xF8:
+            j += 1
+            continue
+        h = _flac_frame_header(payload, j, info["sample_rate"])
+        if h is None:
+            crc_failures += 1
+            j += 1
+            continue
+        n_frames += 1
+        n_samples += h["blocksize"]
+        variable = h["variable"] if variable is None else variable
+        j = h["end"]
+    rate = info["sample_rate"]
+    return {
+        "container": "flac",
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate if rate else None,
+        "variable_blocksize": variable,
+        "crc_failures": crc_failures,
+        "matches_streaminfo": (
+            info["n_samples"] == n_samples if info["n_samples"] else None
+        ),
+    }
+
+
+def flac_build_frames(
+    sample_rate: int,
+    channels: int,
+    blocksizes: list[int],
+    bps: int = 16,
+    body: bytes = b"\x00" * 8,
+) -> bytes:
+    """Structurally-valid FLAC stream for tests: STREAMINFO + one
+    CRC-8-correct fixed-blocksize frame header per entry in
+    ``blocksizes`` (bodies are inert filler — no subframe data, enough
+    for header-walk testing; a real decoder would reject them)."""
+    out = bytearray(flac_build(sample_rate, channels, sum(blocksizes), bps=bps))
+    bs_rev = {v: k for k, v in _FLAC_BLOCKSIZES.items()}
+    sr_rev = {v: k for k, v in _FLAC_RATES.items()}
+    ss_rev = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+    for i, bs in enumerate(blocksizes):
+        hdr = bytearray([0xFF, 0xF8])  # fixed blocksize strategy
+        bs_code = bs_rev.get(bs, 7)
+        sr_code = sr_rev.get(sample_rate, 13)
+        hdr.append((bs_code << 4) | sr_code)
+        hdr.append(((channels - 1) << 4) | (ss_rev.get(bps, 0) << 1))
+        # frame number, extended-UTF-8 (test streams stay < 128 frames)
+        if i >= 0x80:
+            raise ValueError("flac_build_frames supports < 128 frames")
+        hdr.append(i)
+        if bs_code == 7:
+            hdr += (bs - 1).to_bytes(2, "big")
+        if sr_code == 13:
+            hdr += sample_rate.to_bytes(2, "big")
+        hdr.append(_crc8(bytes(hdr)))
+        out += hdr + body
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- ogg
 
 

@@ -448,23 +448,28 @@ def line_dedup(df, text_col: str, id_col: str, line_tokens: int = 16):
     by (doc id, line position)), and reassemble the surviving lines in
     document order.
 
-    Plan shape: one narrow chunking pass (sequence → transform →
-    posexplode, no shuffle), one shuffle keyed on the line text for the
-    first-occurrence window — uniform unless the corpus is one repeated
-    line, in which case AQE's skew split applies — and one doc-keyed
-    shuffle to reassemble. No driver state, no collects; line-keyed
-    state is the dedup's working set, exactly how a 100 TB corpus pass
-    has to be keyed.
+    Plan shape (min-aggregate, not a window — the r6 SCALING.md watch
+    item): the first occurrence of each line is ``min(struct(doc,
+    pos))`` under a line-keyed hash aggregation, so duplicate lines
+    collapse MAP-SIDE and only ~distinct lines ever shuffle — the raw
+    exploded line table itself is never exchanged, and a hot key (a
+    boilerplate line repeated across the corpus) costs one partial-agg
+    cell per task instead of an unsplittable window sort partition.
+    Per-doc line counts come free from the pre-explode array length
+    (no shuffle); survivors reassemble under one doc-keyed aggregation
+    joined back to the counts (two one-row-per-doc sides).
 
     Returns (doc id, n_lines, kept_lines, new_text) with one row per
     input document (documents whose every line lost dedup keep a row
     with kept_lines = 0 and new_text = '').
     """
-    from pyspark.sql import Window
-
     toks = tokens(text_col)
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(line_tokens)
+    )
+    doc_stats = df.select(
+        F.col(id_col).alias("__doc"),
+        F.size(starts).cast("long").alias("n_lines"),
     )
     lines = df.select(
         F.col(id_col).alias("__doc"),
@@ -472,33 +477,31 @@ def line_dedup(df, text_col: str, id_col: str, line_tokens: int = 16):
             F.transform(starts, lambda s: F.slice(toks, s + 1, line_tokens))
         ).alias("__pos", "__lt"),
     ).select("__doc", "__pos", F.concat_ws(" ", "__lt").alias("__line"))
-    first = Window.partitionBy("__line").orderBy("__doc", "__pos")
-    kept = (
-        lines.withColumn("__rn", F.row_number().over(first))
-        .withColumn("__keep", F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    return (
-        kept.groupBy("__doc")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.col("__keep").cast("long")).alias("kept_lines"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__keep"),
-                                F.struct(F.col("__pos"), F.col("__line")),
-                            )
-                        )
-                    ),
-                    lambda x: x["__line"],
-                ),
-            ).alias("new_text"),
+    # lexicographic struct min == first occurrence by (doc, pos)
+    firsts = (
+        lines.groupBy("__line")
+        .agg(F.min(F.struct("__doc", "__pos")).alias("__f"))
+        .select(
+            F.col("__f.__doc").alias("__doc"),
+            F.col("__f.__pos").alias("__pos"),
+            "__line",
         )
-        .withColumnRenamed("__doc", id_col)
+    )
+    kept = firsts.groupBy("__doc").agg(
+        F.count("*").alias("kept_lines"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+        ).alias("new_text"),
+    )
+    return doc_stats.join(kept, "__doc", "left").select(
+        F.col("__doc").alias(id_col),
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0).cast("long")).alias("kept_lines"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
 
 

@@ -2131,9 +2131,11 @@ def q_multimodal_activity_segments(spark: SparkSession, sf_dir: str) -> DataFram
 def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact line dedup (C4/RefinedWeb recipe,
     operators/text.py line_dedup): fixed 16-token lines, globally-first
-    occurrence survives, documents reassembled in line order. One
-    line-keyed shuffle for the first-occurrence window + one doc-keyed
-    reassembly — the canonical whole-corpus text-cleaning pass."""
+    occurrence survives, documents reassembled in line order. First
+    occurrence is a map-side-collapsing min(struct(doc,pos)) aggregate
+    (never a window sort — hot boilerplate lines collapse in partial
+    agg), so only ~distinct lines shuffle — the canonical whole-corpus
+    text-cleaning pass."""
     (docs,) = load(spark, sf_dir, "documents")
     return text.line_dedup(docs, "text", "doc_id", line_tokens=16)
 

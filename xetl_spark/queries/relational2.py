@@ -829,3 +829,57 @@ def q_join_effective_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("fact_ts_us"),
         "dim_type_at_fact",
     )
+
+
+@query(
+    "q_ivm_rollup_maintenance",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    WHERE event_id % 4 != 1
+    GROUP BY event_type
+    """,
+)
+def q_ivm_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end (operators/ivm.py):
+    snapshot a grouped rollup over 3/4 of events, then fold ONE change
+    batch (the remaining quarter as inserts, another quarter as CDC
+    retractions) through ivm_apply + minmax_apply and read the merged
+    state — hash-verified against a full recompute of the surviving
+    multiset. min/max runs with k=2 so the batch's extremes actually
+    drain kept arrays and exercise the semi-join-pruned
+    recompute-on-eviction repair, not just the happy path."""
+    from xetl_spark.operators.ivm import (
+        agg_snapshot,
+        ivm_apply,
+        ivm_read,
+        minmax_apply,
+        minmax_read,
+        minmax_snapshot,
+    )
+
+    (events,) = load(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    base = events.filter(m != 3)
+    inserts = events.filter(m == 3).withColumn("w", F.lit(1))
+    retracts = events.filter(m == 1).withColumn("w", F.lit(-1))
+    batch = inserts.unionByName(retracts)
+    live = events.filter(m != 1)  # post-batch truth, the repair source
+
+    keys = ["event_type"]
+    sums = agg_snapshot(base, keys, ["value"])
+    sums = ivm_apply(sums, batch, keys, ["value"], weight_col="w")
+    mm = minmax_snapshot(base, keys, ["value"], k=2)
+    mm = minmax_apply(mm, batch, keys, ["value"], weight_col="w", k=2, base=live)
+    return (
+        ivm_read(sums, ["value"])
+        .select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+        .join(
+            minmax_read(mm, ["value"]).select("event_type", "min_value", "max_value"),
+            "event_type",
+        )
+    )
