@@ -122,27 +122,7 @@ def test_error_paths():
     with pytest.raises(AvroFormatError):
         parse_container(bad)
     with pytest.raises(UnsupportedAvroError):
-        encode_container(SCHEMA, [], codec="zstandard")  # not implemented
-    multi_union = {
-        "type": "record",
-        "name": "n",
-        "fields": [{"name": "u", "type": ["null", "long", "string"]}],
-    }
-    # decoding a container whose schema declares a 3-branch union
-    import json
-
-    sj = json.dumps(multi_union).encode()
-    sync = bytes(16)
-    payload = (
-        b"Obj\x01"
-        + _zz(1)
-        + _zz(11) + b"avro.schema" + _zz(len(sj)) + sj
-        + _zz(0)
-        + sync
-        + _zz(1) + _zz(1) + _zz(0) + sync
-    )
-    with pytest.raises(UnsupportedAvroError):
-        parse_container(payload)
+        encode_container(SCHEMA, [], codec="lz4")  # not an Avro 1.11 codec
 
 
 def test_nested_record_decodes_to_struct():
@@ -563,4 +543,83 @@ def test_streaming_foreachbatch_avro_sink(spark, tmp_path):
     back = spark.read.format("xetl_avro").option("path", dest).load()
     assert sorted(map(tuple, back.collect())) == [
         (i, f"v{i}") for i in range(600)
+    ]
+
+
+def test_new_codecs_roundtrip():
+    """bzip2 / xz / zstandard container codecs (Avro 1.11 codec set,
+    decompressors from the stdlib + pyarrow's bundled libzstd)."""
+    rows = [(i, f"s{i}", i * 1.5, b"\x00" + bytes([i]), None) for i in range(50)]
+    for codec in ("bzip2", "xz", "zstandard"):
+        payload = encode_container(SCHEMA, rows, codec=codec)
+        sch, got = parse_container(payload)
+        assert got == rows, codec
+
+
+def test_zstd_block_hostile_inputs():
+    from xetl_spark.sources.avro import _decompress_block
+
+    # truncated/garbage frame → typed error
+    with pytest.raises(AvroFormatError):
+        _decompress_block(b"\x28\xb5\x2f\xfdgarbage", "zstandard")
+    # absurd declared content size fails before allocation
+    import pyarrow as pa
+
+    frame = bytearray(bytes(pa.Codec("zstd").compress(b"x" * 100)))
+    # FHD at byte 4: force 8-byte FCS flag and splice a huge size in
+    with pytest.raises((AvroFormatError, UnsupportedAvroError)):
+        _decompress_block(bytes(frame[:4]) + b"\xc0" + (1 << 50).to_bytes(8, "little"), "zstandard")
+
+
+def test_multibranch_union_struct_rendering():
+    """Unions beyond [null, T] follow the spark-avro conventions:
+    int|long → bigint, float|double → double, anything else →
+    struct<member0, member1, ...> holding the taken branch."""
+    import json
+
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [
+            {"name": "n", "type": ["int", "long"]},
+            {"name": "v", "type": ["null", "string", "long"]},
+        ],
+    }
+    assert schema_to_ddl(schema) == (
+        "n bigint, v struct<member0: string, member1: bigint>"
+    )
+    sj = json.dumps(schema).encode()
+    sync = bytes(range(16))
+
+    def _zz2(v):
+        out = bytearray()
+        u = (v << 1) ^ (v >> 63)
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    # row1: n takes branch 1 (long 7), v takes branch 1 (string "hi")
+    body = _zz2(1) + _zz2(7) + _zz2(1) + _zz2(2) + b"hi"
+    # row2: n takes branch 0 (int 3), v takes branch 2 (long 9)
+    body += _zz2(0) + _zz2(3) + _zz2(2) + _zz2(9)
+    # row3: v null
+    body += _zz2(1) + _zz2(5) + _zz2(0)
+    payload = (
+        b"Obj\x01"
+        + _zz2(1)
+        + _zz2(11) + b"avro.schema" + _zz2(len(sj)) + sj
+        + _zz2(0)
+        + sync
+        + _zz2(3) + _zz2(len(body)) + body + sync
+    )
+    sch, rows = parse_container(payload)
+    assert rows == [
+        (7, {"member0": "hi", "member1": None}),
+        (3, {"member0": None, "member1": 9}),
+        (5, None),
     ]

@@ -532,3 +532,32 @@ def q_ingest_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "member_size",
         F.sha2("member_bytes", 256).alias("digest"),
     )
+
+
+@query(
+    "q_scan_avro_zstd",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS bal
+    FROM supplier
+    """,
+)
+def q_scan_avro_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro roundtrip under the ZSTANDARD block codec (pyarrow's
+    bundled libzstd; reader sizes the output from the zstd frame
+    header's declared content size, RFC 8878 §3.1.1, with a typed
+    error on streaming-mode frames and a 1 GiB claim cap against
+    hostile headers). Closes the r6 'zstd Avro codec' residual —
+    the full Avro 1.11 codec set now roundtrips."""
+    from xetl_spark.sources.avro import register_avro_datasource, write_avro
+
+    (supplier,) = load(spark, sf_dir, "supplier")
+    out = _tmp("avro_zstd", sf_dir)
+    proj = supplier.select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("bal")
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # rerun-safe
+    write_avro(proj, out, codec="zstandard")
+    register_avro_datasource(spark)
+    return spark.read.format("xetl_avro").option("path", out).load()

@@ -6,17 +6,23 @@ usual Spark route is the external ``spark-avro`` jar, absent in this
 container. Same answer as the media codecs (PNG/WAV/Y4M): implement
 the public format (Avro 1.11 spec) in pure Python against the binary
 encoding — zigzag varints, length-prefixed bytes/strings, little-
-endian IEEE floats, OCF header/blocks/sync-markers, null/deflate/
-snappy codecs (snappy via the pure-Python raw-block codec in
-sources/snappy.py, cross-validated against snappy-java) — and expose it through the Spark-4 Python DataSource API so
+endian IEEE floats, OCF header/blocks/sync-markers, the full Avro 1.11
+codec set (null/deflate/bzip2/xz from the stdlib, snappy via the
+pure-Python raw-block codec in sources/snappy.py cross-validated
+against snappy-java, zstandard via pyarrow's bundled libzstd) — and
+expose it through the Spark-4 Python DataSource API so
 ``spark.read.format("xetl_avro")`` is first-class.
 
 Scope (typed errors beyond it, never wrong answers): record schemas of
 primitive fields, nullable via ``[null, T]`` unions,
 ``timestamp-micros`` logical longs, enums (decoded to their symbol),
-fixed, arrays/maps, and nested records on the READ side (decoded to
-Spark structs; the writer stays flat). Multi-branch unions and
-other codecs (e.g. zstandard) raise ``UnsupportedAvroError``.
+fixed, arrays/maps, nested records, and multi-branch unions on the
+READ side (decoded to Spark structs; unions follow the spark-avro
+conventions — int|long → bigint, float|double → double, otherwise
+struct<member0, member1, ...>; the writer stays flat, Spark having no
+union type). A zstd frame whose writer omitted the content size
+(streaming mode) raises ``UnsupportedAvroError`` rather than guessing
+an allocation bound.
 
 Scale shape: the reader is one InputPartition per .avro file (the
 natural Avro split is the file/block, both self-delimiting via sync
@@ -104,16 +110,25 @@ def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
 
 def _decode_value(buf: bytes, pos: int, sch) -> tuple[object, int]:
     """Decode one value of (sub)schema ``sch`` at ``pos``."""
-    if isinstance(sch, list):  # union — only [null, T] / [T, null]
-        branches = [s for s in sch if s != "null"]
-        if len(sch) > 2 or len(branches) != 1:
-            raise UnsupportedAvroError(f"union {sch} beyond [null, T]")
+    if isinstance(sch, list):  # union
         idx, pos = _read_long(buf, pos)
         if idx < 0 or idx >= len(sch):
             raise AvroFormatError("union branch out of range")
-        if sch[idx] == "null":
+        branch = sch[idx]
+        if branch == "null":
             return None, pos
-        return _decode_value(buf, pos, sch[idx])
+        branches = [s for s in sch if s != "null"]
+        if len(branches) == 1:  # nullable T
+            return _decode_value(buf, pos, branch)
+        # multi-branch: the spark-avro conventions — numeric promotions
+        # collapse to the wider type; anything else renders as
+        # struct<member0, member1, ...> with the taken branch set
+        bset = set(b for b in branches if isinstance(b, str))
+        if len(bset) == len(branches) and bset in ({"int", "long"}, {"float", "double"}):
+            return _decode_value(buf, pos, branch)
+        j = branches.index(branch)
+        v, pos = _decode_value(buf, pos, branch)
+        return {f"member{i}": (v if i == j else None) for i in range(len(branches))}, pos
     if isinstance(sch, dict):
         t = sch["type"]
         if t == "long" and sch.get("logicalType") == "timestamp-micros":
@@ -229,7 +244,7 @@ def _parse_header(payload: bytes):
         raise AvroFormatError("truncated sync marker")
     pos += 16
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise UnsupportedAvroError(f"codec {codec!r}")
     try:
         schema = json.loads(meta["avro.schema"])
@@ -388,6 +403,35 @@ def _container_header(schema: dict, codec: str, sync: bytes) -> bytes:
     return out.getvalue()
 
 
+# cap on a zstd frame's DECLARED content size: a hostile frame header
+# claiming 2^60 bytes must fail typed before any allocation
+_ZSTD_MAX_BLOCK = 1 << 30
+
+
+def _zstd_content_size(b: bytes) -> int | None:
+    """Frame_Content_Size from a zstd frame header (RFC 8878 §3.1.1),
+    None when the writer omitted it (streaming mode)."""
+    if len(b) < 6 or b[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = b[4]
+    fcs_flag = fhd >> 6
+    single = (fhd >> 5) & 1
+    pos = 5
+    if not single:
+        pos += 1  # window descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]  # dictionary id
+    try:
+        if fcs_flag == 0:
+            return b[pos] if single else None
+        if fcs_flag == 1:
+            return struct.unpack_from("<H", b, pos)[0] + 256
+        if fcs_flag == 2:
+            return struct.unpack_from("<I", b, pos)[0]
+        return struct.unpack_from("<Q", b, pos)[0]
+    except (struct.error, IndexError):
+        raise AvroFormatError("truncated zstd frame header") from None
+
+
 def _compress_block(block: bytes, codec: str) -> bytes:
     if codec == "deflate":
         comp = zlib.compressobj(wbits=-15)
@@ -400,6 +444,20 @@ def _compress_block(block: bytes, codec: str) -> bytes:
         return snappy.compress(block) + struct.pack(
             ">I", zlib.crc32(block) & 0xFFFFFFFF
         )
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(block)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(block, format=lzma.FORMAT_XZ)
+    if codec == "zstandard":
+        # pyarrow bundles libzstd; its simple-compress API writes the
+        # frame content size, which the reader requires (see below)
+        import pyarrow as pa
+
+        return bytes(pa.Codec("zstd").compress(block))
     return block
 
 
@@ -422,6 +480,38 @@ def _decompress_block(block: bytes, codec: str) -> bytes:
         if zlib.crc32(out) & 0xFFFFFFFF != crc:
             raise AvroFormatError("snappy block CRC mismatch")
         return out
+    if codec == "bzip2":
+        import bz2
+
+        try:
+            return bz2.decompress(block)
+        except (OSError, ValueError) as e:
+            raise AvroFormatError(f"bzip2 block: {e}") from None
+    if codec == "xz":
+        import lzma
+
+        try:
+            return lzma.decompress(block, format=lzma.FORMAT_XZ)
+        except lzma.LZMAError as e:
+            raise AvroFormatError(f"xz block: {e}") from None
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        size = _zstd_content_size(block)
+        if size is None:
+            # content size is optional in the frame format but written
+            # by every one-shot compressor (zstd-jni, libzstd simple
+            # API, pyarrow); a streaming-mode frame without it can't be
+            # sized safely here
+            raise UnsupportedAvroError(
+                "zstd frame without content size (streaming-mode writer)"
+            )
+        if size > _ZSTD_MAX_BLOCK:
+            raise AvroFormatError(f"zstd block claims {size} bytes")
+        try:
+            return bytes(pa.Codec("zstd").decompress(block, decompressed_size=size))
+        except (OSError, ValueError, pa.lib.ArrowException) as e:
+            raise AvroFormatError(f"zstd block: {e}") from None
     return block
 
 
@@ -440,7 +530,7 @@ def encode_container(
     schema: dict, rows, codec: str = "deflate", sync: bytes | None = None
 ) -> bytes:
     """Rows (tuples in field order) + record schema → OCF bytes."""
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise UnsupportedAvroError(f"codec {codec!r}")
     sync = sync or os.urandom(16)
     if len(sync) != 16:
@@ -782,9 +872,17 @@ _AVRO_TO_SPARK = {
 def _field_ddl(sch) -> str:
     if isinstance(sch, list):
         branches = [s for s in sch if s != "null"]
-        if len(branches) != 1:
+        if len(branches) == 1:
+            return _field_ddl(branches[0])
+        if not branches:
             raise UnsupportedAvroError(f"union {sch}")
-        return _field_ddl(branches[0])
+        bset = set(b for b in branches if isinstance(b, str))
+        if len(bset) == len(branches) and bset in ({"int", "long"}, {"float", "double"}):
+            return "bigint" if "long" in bset else "double"
+        inner = ", ".join(
+            f"member{i}: {_field_ddl(b)}" for i, b in enumerate(branches)
+        )
+        return f"struct<{inner}>"
     if isinstance(sch, dict):
         if sch["type"] == "long" and sch.get("logicalType") == "timestamp-micros":
             return "timestamp_ntz"
