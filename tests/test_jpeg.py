@@ -282,3 +282,60 @@ def test_probe_media_lossless_jpeg_dims(spark):
     pdf = pd.DataFrame({"doc_id": [1], "media": [jpeg.jpeg_lossless_encode(a)]})
     (r,) = probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
     assert r.container == "jpeg" and (r.width, r.height) == (34, 21)
+
+
+def test_12bit_sequential_roundtrip():
+    """12-bit extended-sequential (SOF1): uint16 output in 0..4095,
+    relative reconstruction error comparable to the 8-bit path at the
+    same quality."""
+    import numpy as np
+
+    from xetl_spark.operators import jpeg
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:40, 0:56]
+    base = (yy * 50.0 + xx * 30.0)[:, :, None]
+    img = np.clip(base + rng.normal(0, 40, (40, 56, 3)), 0, 4095).astype(np.uint16)
+    enc = jpeg.jpeg_encode(img, quality=95, bits=12)
+    dec = jpeg.jpeg_decode(enc)
+    assert dec.dtype == np.uint16 and dec.shape == (40, 56, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() < 4096 * 0.03 and err.mean() < 4096 * 0.01
+    # SOF1 + 16-bit DQT actually on the wire
+    assert enc.find(b"\xff\xc1") > 0 and enc[enc.find(b"\xff\xdb") + 4] & 0x10
+
+
+def test_12bit_progressive_matches_sequential():
+    import numpy as np
+
+    from xetl_spark.operators import jpeg
+
+    rng = np.random.default_rng(7)
+    img = np.clip(
+        np.mgrid[0:24, 0:24][0][:, :, None] * 150.0
+        + rng.normal(0, 30, (24, 24, 3)),
+        0, 4095,
+    ).astype(np.uint16)
+    seq = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=92, bits=12))
+    prog = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=92, bits=12, progressive=True))
+    assert np.array_equal(seq, prog)
+
+
+def test_12bit_grayscale_and_guards():
+    import numpy as np
+    import pytest
+
+    from xetl_spark.operators import jpeg
+    from xetl_spark.operators.imaging import UnsupportedImageError
+
+    g = (np.mgrid[0:16, 0:16][0] * 250).astype(np.uint16)
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(g, quality=98, bits=12))
+    assert dec.dtype == np.uint16 and dec.shape == (16, 16, 1)
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_encode(g, bits=10)
+    # hand-build a 12-bit SOF0: baseline must be 8-bit per T.81
+    enc = bytearray(jpeg.jpeg_encode((g >> 4).astype(np.uint8), quality=90))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 4] = 12
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_decode(bytes(enc))

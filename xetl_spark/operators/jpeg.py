@@ -23,9 +23,15 @@ jpeg_simple_progression scan script).
 
 Lossless (SOF3, Annex H) decodes AND encodes too: sample-domain
 predictive Huffman coding, all seven T.81 predictors, bit-exact
-round-trip by construction (no DCT). Out of scope (typed
-``UnsupportedImageError``): arithmetic coding, 12-bit DCT precision,
-hierarchical — the residual tail a training-data pipeline meets
+round-trip by construction (no DCT).
+
+12-bit extended precision (SOF1 sequential / SOF2 progressive)
+decodes AND encodes: the Huffman machinery is bit-width-generic, so
+the extension is the wider level shift/clip range, 16-bit DQT
+elements (Pq=1), and generic Huffman tables covering the larger
+magnitude categories; output is uint16 in 0..4095. Out of scope
+(typed ``UnsupportedImageError``): arithmetic coding and
+hierarchical mode — the residual tail a training-data pipeline meets
 rarely.
 
 Scale note: like the PNG codec, every image decodes independently
@@ -304,13 +310,17 @@ def _block_ac_refine(br, zz, ac_tab, ss, se, al, state) -> None:
 
 @_typed
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential OR progressive JFIF/JPEG to
-    (H, W, C) uint8 (C=3 YCbCr->RGB, or C=1 grayscale).
+    """Decode a baseline-sequential, extended-sequential, OR
+    progressive JFIF/JPEG to (H, W, C) — uint8 for 8-bit precision,
+    uint16 (0..4095) for 12-bit extended precision (C=3 YCbCr->RGB, or
+    C=1 grayscale).
 
     Multi-scan architecture: every SOS decodes into per-component
     quantized-coefficient planes (zigzag index space); dequantization
     + one vectorized IDCT pass per component happen once at the end.
-    Baseline is the degenerate single-scan case of the same machinery.
+    Baseline is the degenerate single-scan case of the same machinery;
+    12-bit only widens the level shift / clip range / DQT element size
+    (T.81 tables B.1, B.4) — the Huffman machinery is bit-width-generic.
     """
     if not sniff_jpeg(payload):
         raise UnsupportedImageError("not a JPEG (bad SOI)")
@@ -318,6 +328,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}  # (class, id)
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    prec = 8
     progressive = False
     restart_interval = 0
     coefs: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) zigzag space
@@ -343,12 +354,20 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0xF
                 i += 1
-                if pq != 0:
-                    raise UnsupportedImageError("16-bit quant tables unsupported")
+                if pq not in (0, 1):
+                    raise UnsupportedImageError(f"DQT precision {pq} invalid")
                 tab = np.zeros(64, dtype=np.int32)
-                tab[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                if pq:  # 16-bit big-endian elements (12-bit frames)
+                    if i + 128 > len(seg):
+                        raise UnsupportedImageError("truncated 16-bit DQT")
+                    tab[ZIGZAG] = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+                else:
+                    tab[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
                 qtables[tq] = tab.reshape(8, 8)
-                i += 64
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -361,8 +380,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
+            if prec == 12 and marker == 0xC0:
+                raise UnsupportedImageError("baseline SOF0 must be 8-bit")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -416,6 +437,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
 
     # dequantize + one vectorized IDCT pass per component
+    half = float(1 << (prec - 1))  # level shift: 128 (8-bit) / 2048 (12-bit)
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     out_comps = []
     for cid, hs, vs, tq in comps:
         q = qtables.get(tq)
@@ -426,7 +450,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         nat = np.zeros_like(zzc)
         nat[:, :, ZIGZAG] = zzc  # zigzag -> natural order
         blocks = (nat.reshape(nby, nbx, 8, 8) * q[None, None]).reshape(-1, 8, 8)
-        spatial = _idct_blocks(blocks.astype(np.float64)) + 128.0
+        spatial = _idct_blocks(blocks.astype(np.float64)) + half
         p = (
             spatial.reshape(nby, nbx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -437,15 +461,15 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         out_comps.append(p[:h, :w])
 
     if len(out_comps) == 1:
-        return np.clip(np.round(out_comps[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return np.clip(np.round(out_comps[0]), 0, maxv).astype(dtype)[:, :, None]
     if len(out_comps) != 3:
         raise UnsupportedImageError(f"{len(out_comps)}-component JPEG unsupported")
     y, cb, cr = out_comps
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 def _decode_sos(
@@ -705,11 +729,31 @@ def _encode_ac_band(wr: _BitWriter, codes: dict, zz: np.ndarray) -> None:
         wr.put(code, ln)
 
 
+# generic tables for 12-bit encoding (Annex K's example tables only
+# cover 8-bit magnitude categories): all 16 DC categories at code
+# length 5 (Kraft 16/32, all-ones code free), all 226 possible AC
+# run/size symbols (sizes 1..14, plus EOB and ZRL) at code length 8
+# (Kraft 226/256, all-ones free) — valid canonical T.81 tables, just
+# not entropy-optimal, which only costs compressed size.
+_DC_12BIT = (
+    bytes([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(range(16)),
+)
+_AC_12BIT = (
+    bytes([0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]),
+    bytes(
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+    ),
+)
+
+
 def jpeg_encode(
     arr: np.ndarray,
     quality: int = 85,
     restart_interval: int = 0,
     progressive: bool = False,
+    bits: int = 8,
 ) -> bytes:
     """Encode (H, W[, C]) uint8 as JFIF: 4:4:4, Annex K Huffman
     tables, quality-scaled Annex K quant tables.
@@ -723,27 +767,38 @@ def jpeg_encode(
     bit-identical to baseline mode at the same quality). Successive-
     approximation ENCODING is out of scope; the decoder's refinement
     path is golden-tested against JVM ImageIO progressive output."""
+    if bits not in (8, 12):
+        raise UnsupportedImageError(f"{bits}-bit JPEG encode unsupported")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
+    half = float(1 << (bits - 1))
     if nch == 1:
-        ycc = [arr[:, :, 0].astype(np.float64) - 128.0]
+        ycc = [arr[:, :, 0].astype(np.float64) - half]
         qsel = [0]
     elif nch >= 3:
         r = arr[:, :, 0].astype(np.float64)
         g = arr[:, :, 1].astype(np.float64)
         b = arr[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        ycc = [y - 128.0, cb - 128.0, cr - 128.0]
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
+        ycc = [y - half, cb - half, cr - half]
         qsel = [0, 1, 1]
     else:
         raise UnsupportedImageError(f"cannot JPEG-encode {nch}-channel image")
 
     qt = [_quality_scale(_Q_LUMA, quality), _quality_scale(_Q_CHROMA, quality)]
-    dc_codes = [_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA)]
-    ac_codes = [_build_codes(*_AC_LUMA), _build_codes(*_AC_CHROMA)]
+    if bits == 12:
+        # scale quantization with the widened sample range (×16 signal
+        # → ×4 step keeps relative error comparable while exercising
+        # the 16-bit DQT element path)
+        qt = [q * 4 for q in qt]
+        dc_codes = [_build_codes(*_DC_12BIT)] * 2
+        ac_codes = [_build_codes(*_AC_12BIT)] * 2
+    else:
+        dc_codes = [_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA)]
+        ac_codes = [_build_codes(*_AC_LUMA), _build_codes(*_AC_CHROMA)]
 
     bh, bw = -(-h // 8), -(-w // 8)
     bw8, bh8 = bw * 8, bh * 8
@@ -771,14 +826,25 @@ def jpeg_encode(
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     for ti, q in enumerate(qt[: max(qsel) + 1]):
-        out += seg(0xDB, bytes([ti]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+        if bits == 12:  # Pq=1: 16-bit big-endian elements
+            body = bytes([0x10 | ti]) + q.reshape(-1)[ZIGZAG].astype(">u2").tobytes()
+        else:
+            body = bytes([ti]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8))
+        out += seg(0xDB, body)
+    sof = bytes([bits]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, qsel[ci]])
-    out += seg(0xC2 if progressive else 0xC0, sof)
-    tables = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
-    if ncomp > 1:
-        tables += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    # 12-bit sequential must use SOF1 (extended); baseline SOF0 is 8-bit-only
+    sof_marker = 0xC2 if progressive else (0xC1 if bits == 12 else 0xC0)
+    out += seg(sof_marker, sof)
+    if bits == 12:
+        tables = [(0, 0, _DC_12BIT), (1, 0, _AC_12BIT)]
+        if ncomp > 1:
+            tables += [(0, 1, _DC_12BIT), (1, 1, _AC_12BIT)]
+    else:
+        tables = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+        if ncomp > 1:
+            tables += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
     for tc, th, (counts, symbols) in tables:
         out += seg(0xC4, bytes([(tc << 4) | th]) + counts + symbols)
 
