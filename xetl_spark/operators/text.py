@@ -693,15 +693,19 @@ def dsir_logweights(
     B, not the corpus); the log-ratio table is B rows — broadcast-tiny
     by construction — joined map-side to the raw corpus's exploded
     features, then one doc-keyed aggregation (map-side partials bound
-    stopword-bucket skew). No vocabulary-sized state anywhere.
+    stopword-bucket skew). No vocabulary-sized state anywhere. (A
+    join-free variant scoring each doc's bucket array with a
+    higher-order aggregate over a broadcast dense ratio array was
+    measured 2.2× SLOWER at sf0.1 — lambda HOFs run interpreted,
+    outside whole-stage codegen, so the vectorized explode+join wins.)
 
     The raw corpus is tokenized+hashed ONCE: the per-doc bucket array
-    is persisted (one row per doc, populated by the histogram job that
-    builds the broadcast ratio table, reused by the scoring explode) —
-    the r6 plan audit found the double pass was the single heaviest
-    CPU term in the LLM suite. The cache is scoped to the query (the
-    harness clears caches between queries); long-lived callers should
-    unpersist via the returned plan's source once materialized.
+    is persisted (one row per doc, populated by the histogram job,
+    reused by the scoring pass) — the r6 plan audit found the double
+    tokenize pass was the single heaviest CPU term in the LLM suite.
+    The cache is scoped to the query (the harness clears caches
+    between queries); long-lived callers should unpersist via the
+    returned plan's source once materialized.
     Returns (doc, n_features, logweight).
     """
     from xetl_spark.operators.util import ensure_parallelism
