@@ -168,5 +168,12 @@ def test_fuzz_jpeg():
     from xetl_spark.operators import jpeg
 
     a = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
-    for payload in (jpeg.jpeg_encode(a, 90), jpeg.jpeg_lossless_encode(a)):
+    for payload in (
+        jpeg.jpeg_encode(a, 90),
+        jpeg.jpeg_lossless_encode(a),
+        jpeg.jpeg_encode(a, 90, bits=12) if a.dtype == np.uint8 else None,
+        jpeg.jpeg_encode_hierarchical(a, levels=2, quality=90),
+    ):
+        if payload is None:
+            continue
         _check(jpeg.jpeg_decode, _mutations(payload), (im.UnsupportedImageError,))

@@ -339,3 +339,72 @@ def test_12bit_grayscale_and_guards():
     enc[i + 4] = 12
     with pytest.raises(UnsupportedImageError):
         jpeg.jpeg_decode(bytes(enc))
+
+
+def test_hierarchical_roundtrip_quality_parity():
+    """3-level hierarchical pyramid reconstructs with error comparable
+    to single-frame baseline at the same quality (the pyramid codes
+    true decoder residuals, so precision is not lost across levels)."""
+    import numpy as np
+
+    from xetl_spark.operators import jpeg
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:33, 0:47]
+    img = np.clip(
+        np.stack([yy * 3 + xx, 255 - xx * 2, (yy + xx) * 2], axis=2)
+        + rng.normal(0, 8, (33, 47, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    enc = jpeg.jpeg_encode_hierarchical(img, levels=3, quality=90)
+    dec = jpeg.jpeg_decode(enc)
+    assert dec.shape == (33, 47, 3) and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    base = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=90))
+    berr = np.abs(base.astype(int) - img.astype(int))
+    assert err.mean() <= berr.mean() * 1.25 + 1.0
+    # hierarchical structure actually on the wire
+    for marker in (b"\xff\xde", b"\xff\xdf", b"\xff\xc5"):
+        assert enc.find(marker) > 0
+
+
+def test_hierarchical_grayscale_and_single_level():
+    import numpy as np
+
+    from xetl_spark.operators import jpeg
+
+    g = (np.mgrid[0:20, 0:28][0] * 9).astype(np.uint8)
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode_hierarchical(g, levels=2, quality=95))
+    assert dec.shape == (20, 28, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 6
+    # levels=1 degenerates to DHP + one non-differential frame
+    one = jpeg.jpeg_encode_hierarchical(g, levels=1, quality=95)
+    assert np.array_equal(
+        jpeg.jpeg_decode(one), jpeg.jpeg_decode(jpeg.jpeg_encode(g, quality=95))
+    ) or np.abs(
+        jpeg.jpeg_decode(one).astype(int)
+        - jpeg.jpeg_decode(jpeg.jpeg_encode(g, quality=95)).astype(int)
+    ).max() <= 1
+
+
+def test_hierarchical_error_paths():
+    import numpy as np
+    import pytest
+
+    from xetl_spark.operators import jpeg
+    from xetl_spark.operators.imaging import UnsupportedImageError
+
+    g = (np.mgrid[0:16, 0:16][0] * 15).astype(np.uint8)
+    enc = bytearray(jpeg.jpeg_encode_hierarchical(g, levels=2, quality=90))
+    # differential frame without a preceding reference: strip the base
+    # frame by renaming its SOF0 to a COM marker the walker skips
+    i = enc.find(b"\xff\xc0")
+    enc2 = bytes(enc[:i]) + b"\xff\xfe" + bytes(enc[i + 2 :])
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_decode(enc2)
+    # EXP expansion nibble > 1 is invalid per T.81
+    j = bytes(enc).find(b"\xff\xdf")
+    enc3 = bytearray(enc)
+    enc3[j + 4] = 0x22
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_decode(bytes(enc3))

@@ -29,10 +29,19 @@ round-trip by construction (no DCT).
 decodes AND encodes: the Huffman machinery is bit-width-generic, so
 the extension is the wider level shift/clip range, 16-bit DQT
 elements (Pq=1), and generic Huffman tables covering the larger
-magnitude categories; output is uint16 in 0..4095. Out of scope
-(typed ``UnsupportedImageError``): arithmetic coding and
-hierarchical mode — the residual tail a training-data pipeline meets
-rarely.
+magnitude categories; output is uint16 in 0..4095.
+
+Hierarchical mode (T.81 §16: DHP, EXP reference expansion, SOF5/SOF6
+differential frames) decodes AND encodes — the pyramid machinery is
+the same DCT codec minus the level shift for differential frames,
+plus the J.1.1.2 integer upsampling filter; the encoder
+mirror-decodes each frame so residuals are coded against the
+decoder's true reference. Out of scope (typed
+``UnsupportedImageError``): arithmetic coding (SOF9/10/13/14) — the
+QM-coder's 113-row probability state table can't be reproduced
+reliably without the spec text in hand, and a near-miss table decodes
+plausible-but-wrong pixels, the one failure mode this codec suite
+forbids.
 
 Scale note: like the PNG codec, every image decodes independently
 inside its Arrow batch on the executor; nothing touches the driver.
@@ -402,6 +411,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
         elif marker == 0xC3:  # lossless: sample-domain predictive path
             return _lossless_decode(payload)
+        elif marker == 0xDE:  # DHP: hierarchical stream
+            return _hierarchical_decode(payload)
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
@@ -1087,5 +1098,353 @@ def jpeg_lossless_encode(arr: np.ndarray, predictor: int = 4) -> bytes:
     sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
     out += seg(0xDA, sos)
     out += wr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------ hierarchical (DHP, T.81 §16)
+
+
+def _upsample2(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference expansion: double a sample plane
+    horizontally (eh) / vertically (ev). Even outputs copy the input;
+    odd outputs are the rounded mean of the two neighbours, with the
+    last sample replicated at the edge. Integer math on int32 planes."""
+    if eh:
+        h, w = p.shape
+        out = np.empty((h, 2 * w), dtype=p.dtype)
+        out[:, 0::2] = p
+        nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out[:, 1::2] = (p + nxt + 1) >> 1
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.empty((2 * h, w), dtype=p.dtype)
+        out[0::2, :] = p
+        nxt = np.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        out[1::2, :] = (p + nxt + 1) >> 1
+        p = out
+    return p
+
+
+def _hierarchical_decode(payload: bytes) -> np.ndarray:
+    """Decode a hierarchical JPEG (T.81 §16 / Annex J): a DHP header
+    followed by a pyramid of frames — one non-differential base frame
+    at reduced resolution, then EXP reference expansions and
+    differential frames (SOF5/SOF6) whose DCT residuals are added to
+    the expanded reference. Tables persist across frames; differential
+    frames skip the level shift. Arithmetic variants (SOF13-15) and
+    lossless frames (SOF3/7/11) inside a pyramid raise typed errors."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huff] = {}
+    full = None  # (prec, H, W) from DHP
+    refs: dict[int, np.ndarray] = {}  # cid -> int32 sample plane
+    restart_interval = 0
+    frame = None
+    prec = 8
+    progressive = False
+    differential = False
+    coefs: dict[int, np.ndarray] = {}
+    geom: dict[int, tuple[int, int, int, int]] = {}
+    last_comps = None  # final frame's comps, for chroma upsampling
+
+    def finish_frame() -> None:
+        nonlocal frame, coefs, geom, last_comps
+        if frame is None:
+            return
+        h, w, comps = frame
+        maxv = (1 << prec) - 1
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        for cid, hs, vs, tq in comps:
+            q = qtables.get(tq)
+            if q is None:
+                raise UnsupportedImageError("JPEG missing quant table")
+            zzc = coefs[cid]
+            nby, nbx, _ = zzc.shape
+            nat = np.zeros_like(zzc)
+            nat[:, :, ZIGZAG] = zzc
+            blocks = (nat.reshape(nby, nbx, 8, 8) * q[None, None]).reshape(-1, 8, 8)
+            spatial = _idct_blocks(blocks.astype(np.float64))
+            p = (
+                spatial.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+            cw = -(-w * hs // hmax)
+            ch = -(-h * vs // vmax)
+            p = np.round(p[:ch, :cw]).astype(np.int64)
+            if differential:
+                ref = refs.get(cid)
+                if ref is None:
+                    raise UnsupportedImageError(
+                        "differential frame before a reference frame"
+                    )
+                if ref.shape[0] < ch or ref.shape[1] < cw:
+                    raise UnsupportedImageError(
+                        "differential frame larger than reference"
+                    )
+                p = ref[:ch, :cw].astype(np.int64) + p
+            else:
+                p = p + (1 << (prec - 1))
+            refs[cid] = np.clip(p, 0, maxv).astype(np.int32)
+        last_comps = comps
+        frame = None
+        coefs, geom = {}, {}
+
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise UnsupportedImageError("truncated JPEG segment")
+        if marker == 0xDE:  # DHP — full-resolution declaration
+            p0, fh, fw = seg[0], *struct.unpack(">HH", seg[1:5])
+            if p0 not in (8, 12):
+                raise UnsupportedImageError(f"{p0}-bit JPEG unsupported")
+            full = (p0, fh, fw)
+        elif marker == 0xDF:  # EXP — expand reference components
+            finish_frame()
+            eh, ev = seg[0] >> 4, seg[0] & 0xF
+            if eh > 1 or ev > 1:
+                raise UnsupportedImageError("EXP expansion beyond 2x invalid")
+            for cid in refs:
+                refs[cid] = _upsample2(refs[cid], eh, ev)
+        elif marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                tab = np.zeros(64, dtype=np.int32)
+                if pq:
+                    tab[ZIGZAG] = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(
+                        np.int32
+                    )
+                    i += 128
+                else:
+                    tab[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
+                qtables[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = seg[i + 1 : i + 17]
+                nsym = sum(counts)
+                huff[(tc, th)] = _Huff(counts, seg[i + 17 : i + 17 + nsym])
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
+            finish_frame()
+            differential = marker in (0xC5, 0xC6)
+            progressive = marker in (0xC2, 0xC6)
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec not in (8, 12):
+                raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hs, vs, _tq in comps:
+                coefs[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                cw = -(-w * hs // hmax)
+                ch = -(-h * vs // vmax)
+                geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
+            raise UnsupportedImageError("lossless frame in hierarchical stream")
+        elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
+            raise UnsupportedImageError("arithmetic-coded JPEG unsupported")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise UnsupportedImageError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                for c in range(ns)
+            ]
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos += seglen
+            segments, pos = _entropy_segments(payload, pos)
+            _decode_sos(
+                segments, scan, frame, huff, coefs, geom,
+                restart_interval, ss, se, ah, al, progressive,
+            )
+            continue
+        pos += seglen
+    finish_frame()
+
+    if full is None or not refs:
+        raise UnsupportedImageError("hierarchical JPEG without DHP frame data")
+    prec_out, fh, fw = full
+    half = float(1 << (prec_out - 1))
+    maxv = (1 << prec_out) - 1
+    dtype = np.uint8 if prec_out == 8 else np.uint16
+    comps = last_comps
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out_comps = []
+    for cid, hs, vs, _tq in comps:
+        p = refs[cid].astype(np.float64)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_comps.append(p[:fh, :fw])
+    if len(out_comps) == 1:
+        return np.clip(out_comps[0], 0, maxv).astype(dtype)[:, :, None]
+    if len(out_comps) != 3:
+        raise UnsupportedImageError(f"{len(out_comps)}-component JPEG unsupported")
+    y, cb, cr = out_comps
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
+
+
+def jpeg_encode_hierarchical(
+    arr: np.ndarray, levels: int = 2, quality: int = 85
+) -> bytes:
+    """Encode (H, W[, C]) uint8 as a hierarchical JPEG pyramid:
+    DHP + one non-differential base frame at 1/2^(levels-1) resolution
+    + one EXP + SOF5 differential frame per remaining level (4:4:4,
+    8-bit, sequential). The encoder mirror-decodes each frame exactly
+    as _hierarchical_decode does (dequant + IDCT + clip, J.1.1.2
+    expansion), so residuals are coded against the decoder's true
+    reference. Huffman uses the generic wide-category tables —
+    differential DC diffs exceed the Annex K 8-bit table range."""
+    if levels < 1:
+        raise UnsupportedImageError("hierarchical encode needs >= 1 level")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch == 1:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        qsel = [0]
+    elif nch >= 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qsel = [0, 1, 1]
+    else:
+        raise UnsupportedImageError(f"cannot JPEG-encode {nch}-channel image")
+    ncomp = len(planes)
+    qt = [_quality_scale(_Q_LUMA, quality), _quality_scale(_Q_CHROMA, quality)]
+    dc_codes = _build_codes(*_DC_12BIT)
+    ac_codes = _build_codes(*_AC_12BIT)
+
+    # image pyramid: level 0 = full res .. level L-1 = smallest
+    def down2(p: np.ndarray) -> np.ndarray:
+        ph, pw = p.shape
+        pp = np.pad(p, ((0, ph % 2), (0, pw % 2)), mode="edge")
+        return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+
+    pyramid = [planes]
+    for _ in range(levels - 1):
+        pyramid.append([down2(p) for p in pyramid[-1]])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def encode_frame(
+        targets: list[np.ndarray], sof_marker: int, level_shift: bool
+    ) -> tuple[bytes, list[np.ndarray]]:
+        """One 4:4:4 sequential frame over per-component sample planes.
+        Returns (frame bytes: SOF+SOS+entropy, mirror-decoded planes)."""
+        fh, fw = targets[0].shape
+        sof = bytes([8]) + struct.pack(">HH", fh, fw) + bytes([ncomp])
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, 0x11, qsel[ci]])
+        out = bytearray(seg(sof_marker, sof))
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        bh, bw = -(-fh // 8), -(-fw // 8)
+        zz_blocks = []
+        recon = []
+        for ci, tgt in enumerate(targets):
+            padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+            padded[:fh, :fw] = tgt - (128.0 if level_shift else 0.0)
+            padded[fh:, :fw] = padded[fh - 1 : fh, :fw]
+            padded[:fh, fw:] = padded[:fh, fw - 1 : fw]
+            padded[fh:, fw:] = padded[fh - 1, fw - 1]
+            blocks = (
+                padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            )
+            coefs = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+            qz = np.round(coefs / qt[qsel[ci]]).astype(np.int64)
+            zz_blocks.append(qz.reshape(-1, 64)[:, ZIGZAG])
+            # mirror decode: dequant + IDCT (+shift), int-rounded
+            spatial = _idct_blocks(qz * qt[qsel[ci]]) + (
+                128.0 if level_shift else 0.0
+            )
+            p = (
+                spatial.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)[:fh, :fw]
+            )
+            recon.append(np.round(p).astype(np.int64))
+        wr = _BitWriter()
+        pred = [0] * ncomp
+        for bi in range(bh * bw):
+            for ci in range(ncomp):
+                zz = zz_blocks[ci][bi]
+                dc = int(zz[0])
+                _encode_dc(wr, dc_codes, dc - pred[ci])
+                pred[ci] = dc
+                _encode_ac_band(wr, ac_codes, zz)
+        out += wr.flush()
+        return bytes(out), recon
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qt[: max(qsel) + 1]):
+        out += seg(0xDB, bytes([ti]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    tables = [(0, 0, _DC_12BIT), (1, 0, _AC_12BIT)]
+    if ncomp > 1:
+        tables += [(0, 1, _DC_12BIT), (1, 1, _AC_12BIT)]
+    for tc, th, (counts, symbols) in tables:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + counts + symbols)
+    dhp = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        dhp += bytes([ci + 1, 0x11, qsel[ci]])
+    out += seg(0xDE, dhp)
+
+    # base frame: smallest pyramid level, non-differential
+    frame_bytes, refs = encode_frame(pyramid[-1], 0xC0, level_shift=True)
+    refs = [np.clip(p, 0, 255) for p in refs]
+    out += frame_bytes
+    # refinement frames: EXP + differential residual per level
+    for lvl in range(levels - 2, -1, -1):
+        out += seg(0xDF, bytes([0x11]))  # expand 2x both directions
+        targets = pyramid[lvl]
+        th_, tw_ = targets[0].shape
+        refs = [_upsample2(p.astype(np.int32), 1, 1)[:th_, :tw_] for p in refs]
+        residuals = [t - r for t, r in zip(targets, refs)]
+        frame_bytes, rec = encode_frame(residuals, 0xC5, level_shift=False)
+        out += frame_bytes
+        refs = [np.clip(r + d, 0, 255) for r, d in zip(refs, rec)]
     out += b"\xff\xd9"
     return bytes(out)
