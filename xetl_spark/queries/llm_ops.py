@@ -2213,3 +2213,54 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q_multimodal_jpeg_hierarchical",
+    oracle="""
+    SELECT doc_id,
+           CAST(15 + doc_id % 4 AS INT) AS width,
+           CAST(9 + doc_id % 6 AS INT) AS height,
+           CAST(doc_id % 256 AS BIGINT) AS gray
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hierarchical-JPEG decode (T.81 §16: DHP header, 3-level
+    pyramid, EXP reference expansions, SOF5 differential frames).
+    Uniform GRAYSCALE fixtures are DC-only at quality 100 with
+    integer-exact arithmetic at every stage (base frame, J.1.1.2
+    upsampling, differential add, odd-dimension crop), so the SQL
+    oracle states the pixel values directly; the varying odd
+    widths/heights sweep the crop/padding edge cases. (Uniform RGB is
+    NOT bit-exact here: fractional YCbCr DC rounding accumulates
+    across pyramid levels to ±1 — measured, and why this fixture is
+    grayscale.) Lossy-content parity with baseline is separately
+    pinned in tests/test_jpeg.py."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 15 + did % 4, 9 + did % 6
+                arr = np.full((h, w), did % 256, dtype=np.uint8)
+                payload = jpeg.jpeg_encode_hierarchical(arr, levels=3, quality=100)
+                px = jpeg.jpeg_decode(payload)
+                if px.shape != (h, w, 1) or not (px[:, :, 0] == arr).all():
+                    raise ValueError(f"hierarchical roundtrip drift doc {did}")
+                rows.append((did, w, h, int(px[0, 0, 0])))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "gray"])
+
+    return ids.mapInPandas(
+        gen_and_check,
+        schema="doc_id long, width int, height int, gray long",
+    )
