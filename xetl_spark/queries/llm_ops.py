@@ -2264,3 +2264,49 @@ def q_multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFram
         gen_and_check,
         schema="doc_id long, width int, height int, gray long",
     )
+
+
+@query(
+    "q_multimodal_jpeg_12bit",
+    oracle="""
+    SELECT doc_id,
+           CAST(15 + doc_id % 4 AS INT) AS width,
+           CAST(9 + doc_id % 6 AS INT) AS height,
+           CAST((doc_id * 17) % 4096 AS BIGINT) AS gray
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 12-bit extended-sequential JPEG decode (T.81 SOF1, 16-bit
+    DQT elements, wide-category Huffman tables, uint16 output).
+    Uniform grayscale at quality 100 is DC-only and integer-exact
+    (quant step 4 divides the DC term 8·(v−2048) exactly), so the SQL
+    oracle states the 12-bit sample values directly across the full
+    0..4095 range; odd dimensions sweep the pad/crop edges."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 15 + did % 4, 9 + did % 6
+                v = (did * 17) % 4096
+                arr = np.full((h, w), v, dtype=np.uint16)
+                px = jpeg.jpeg_decode(jpeg.jpeg_encode(arr, quality=100, bits=12))
+                if px.dtype != np.uint16 or px.shape != (h, w, 1) or not (px[:, :, 0] == arr).all():
+                    raise ValueError(f"12-bit roundtrip drift doc {did}")
+                rows.append((did, w, h, int(px[0, 0, 0])))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "gray"])
+
+    return ids.mapInPandas(
+        gen_and_check,
+        schema="doc_id long, width int, height int, gray long",
+    )
