@@ -2310,3 +2310,68 @@ def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen_and_check,
         schema="doc_id long, width int, height int, gray long",
     )
+
+
+@query(
+    "q_multimodal_flac_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 5 AS BIGINT) AS n_frames,
+             CASE doc_id % 4 WHEN 0 THEN 192 WHEN 1 THEN 576
+                             WHEN 2 THEN 1152 ELSE 4096 END AS bs,
+             CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                             ELSE 48000 END AS rate
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, n_frames,
+           n_frames * bs AS n_samples,
+           n_frames * bs * 1000 // rate AS duration_ms,
+           0 AS crc_failures, TRUE AS matches_streaminfo
+    FROM p
+    """,
+)
+def q_multimodal_flac_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level FLAC triage (operators/mediaprobe.py
+    flac_frame_walk): walk CRC-8-validated frame headers — sync
+    pattern, coded block size/rate fields, extended-UTF-8 frame
+    numbers — over streams synthesized closed-form from doc_id, and
+    cross-check the summed samples against STREAMINFO. The corrupt-
+    header resynchronization path is pinned in tests/test_mediaprobe.py."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators import mediaprobe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 1 + did % 5
+                bs = (192, 576, 1152, 4096)[did % 4]
+                rate = (32000, 44100, 48000)[did % 3]
+                payload = mediaprobe.flac_build_frames(rate, 1 + did % 2, [bs] * nf)
+                r = mediaprobe.flac_frame_walk(payload)
+                rows.append(
+                    (
+                        did, r["n_frames"], r["n_samples"], r["duration_ms"],
+                        r["crc_failures"], bool(r["matches_streaminfo"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_samples",
+                    "duration_ms", "crc_failures", "matches_streaminfo",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, n_samples long, "
+            "duration_ms long, crc_failures int, matches_streaminfo boolean"
+        ),
+    )
