@@ -888,3 +888,92 @@ def test_profile_task(spark):
     assert set(prof) == {"c_custkey", "c_mktsegment"}
     assert prof["c_custkey"].n_nulls == 0
     assert prof["c_mktsegment"].min_str == "AUTOMOBILE"
+
+
+def test_ivm_refresh_task_incremental_runs(spark, tmp_path):
+    """ivm_refresh maintains a persisted rollup across two job runs —
+    snapshot on first run, O(|batch|) fold (with retractions and
+    min/max) on the second — and the merged view matches a full
+    recompute of the surviving rows."""
+    state = tmp_path / "state"
+    base_job = _job(
+        f"""
+        name: rollup-init
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - name: base
+            task: sql
+            env:
+              QUERY: >
+                SELECT event_type, value FROM parquet.`${{SF_DIR}}/events.parquet`
+                WHERE event_id % 4 != 3
+          - name: rollup
+            task: ivm_refresh
+            env:
+              INPUT: base
+              STATE_PATH: {state}
+              KEYS: event_type
+              SUM_COLS: value
+              MINMAX_COLS: value
+              K: 2
+        """
+    )
+    results = run_job(spark, base_job)
+    assert [r.status for r in results] == ["success"] * 2
+
+    batch_job = _job(
+        f"""
+        name: rollup-delta
+        data: {tmp_path}
+        env: {{SF_DIR: {SF}}}
+        commands:
+          - name: batch
+            task: sql
+            env:
+              QUERY: >
+                SELECT event_type, value,
+                       CASE WHEN event_id % 4 = 3 THEN 1 ELSE -1 END AS w
+                FROM parquet.`${{SF_DIR}}/events.parquet`
+                WHERE event_id % 4 IN (1, 3)
+          - name: live
+            task: sql
+            env:
+              QUERY: >
+                SELECT event_type, value FROM parquet.`${{SF_DIR}}/events.parquet`
+                WHERE event_id % 4 != 1
+          - name: rollup
+            task: ivm_refresh
+            env:
+              INPUT: batch
+              BASE: live
+              STATE_PATH: {state}
+              KEYS: event_type
+              SUM_COLS: value
+              MINMAX_COLS: value
+              WEIGHT_COL: w
+              K: 2
+        """
+    )
+    run_job(spark, batch_job)
+    from xetl_spark.operators import ivm
+
+    view = ivm.ivm_read(spark.read.parquet(f"{state}/sums"), ["value"]).join(
+        ivm.minmax_read(spark.read.parquet(f"{state}/minmax"), ["value"]).drop("n"),
+        "event_type",
+    )
+    got = {
+        r.event_type: (r.n, round(r.sum_value, 4), round(r.min_value, 4),
+                       round(r.max_value, 4), r.dirty_value)
+        for r in view.collect()
+    }
+    want_df = spark.sql(
+        f"""SELECT event_type, count(*) n, sum(value) s, min(value) lo, max(value) hi
+            FROM parquet.`{SF}/events.parquet` WHERE event_id % 4 != 1
+            GROUP BY event_type"""
+    )
+    want = {
+        r.event_type: (r.n, round(r.s, 4), round(r.lo, 4), round(r.hi, 4), False)
+        for r in want_df.collect()
+    }
+    assert got == want

@@ -1064,3 +1064,75 @@ def expect(ctx: StageContext):
         [(r.check, r.n_violations, r.passed) for r in quality_rows],
         "check string, n_violations long, passed boolean",
     )
+
+
+@task(
+    "ivm_refresh",
+    "Incrementally maintain a grouped rollup (count/sum + min/max) "
+    "from a change batch, persisting state between runs",
+    env={
+        "STATE_PATH": {"description": "parquet directory holding the rollup state between runs", "type": "string"},
+        "KEYS": {"description": "comma-separated grouping columns", "type": "string"},
+        "SUM_COLS": {"description": "comma-separated columns maintained as count/sum/avg", "type": "string"},
+        "MINMAX_COLS": {"description": "comma-separated columns maintained as min/max (bounded top-k state)", "type": "string", "default": ""},
+        "WEIGHT_COL": {"description": "+1/-1 insert/retract column ('' = all inserts)", "type": "string", "default": ""},
+        "K": {"description": "kept extremes per group/column for min/max state", "type": "int", "default": 16},
+        "BASE": {"description": "stage holding the post-batch full base table, for dirty-group min/max repair", "type": "string", "required": False},
+        "INPUT": {"description": "change batch (or the initial base on first run)", "type": "string", "required": False},
+    },
+)
+def ivm_refresh(ctx: StageContext):
+    """First run (no state on disk): snapshot INPUT as the base table.
+    Later runs: fold INPUT as a change batch — O(|batch|), never a
+    rescan (except the semi-join-pruned min/max dirty repair when BASE
+    is given). State is swapped atomically (write .new, rename), so a
+    crashed run never corrupts the previous state. Returns the merged
+    read view (n / sum_* / avg_* / min_* / max_* / dirty_*)."""
+    import shutil
+
+    from xetl_spark.operators import ivm
+
+    batch = ctx.input_df()
+    keys = [k.strip() for k in str(ctx.env["KEYS"]).split(",") if k.strip()]
+    sum_cols = [c.strip() for c in str(ctx.env["SUM_COLS"]).split(",") if c.strip()]
+    mm_cols = [c.strip() for c in str(ctx.env["MINMAX_COLS"]).split(",") if c.strip()]
+    w = str(ctx.env["WEIGHT_COL"]) or None
+    k = int(ctx.env["K"])  # type: ignore[arg-type]
+    base = ctx.input_df("BASE") if ctx.env.get("BASE") else None
+    root = str(ctx.env["STATE_PATH"]).rstrip("/")
+    spark = ctx.spark
+    paths = {"sums": f"{root}/sums", "minmax": f"{root}/minmax"}
+
+    import os
+
+    first = not os.path.exists(paths["sums"])
+    if first:
+        sums = ivm.agg_snapshot(batch, keys, sum_cols)
+        mm = ivm.minmax_snapshot(batch, keys, mm_cols, k) if mm_cols else None
+    else:
+        sums = ivm.ivm_apply(
+            spark.read.parquet(paths["sums"]), batch, keys, sum_cols, weight_col=w
+        )
+        mm = (
+            ivm.minmax_apply(
+                spark.read.parquet(paths["minmax"]), batch, keys, mm_cols,
+                weight_col=w, k=k, base=base,
+            )
+            if mm_cols
+            else None
+        )
+    # atomic swap: materialize .new fully before replacing live state
+    for name, df in (("sums", sums), ("minmax", mm)):
+        if df is None:
+            continue
+        df.write.mode("overwrite").parquet(paths[name] + ".new")
+        shutil.rmtree(paths[name], ignore_errors=True)
+        os.rename(paths[name] + ".new", paths[name])
+    out = ivm.ivm_read(spark.read.parquet(paths["sums"]), sum_cols)
+    if mm_cols:
+        out = out.join(
+            ivm.minmax_read(spark.read.parquet(paths["minmax"]), mm_cols).drop("n"),
+            keys,
+            "full_outer",
+        )
+    return out
