@@ -757,17 +757,18 @@ def test_random_tables_differential_round4_shapes(spark, con, seed):
     GROUP BY prev, typ
     """
 
-    items = ev.select("basket", "item").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
+    # the production operator (single collect_set shuffle + generator
+    # expansion, operators/basket.py) against DuckDB's self-join SQL —
+    # the randomized fuzz for the r7 rewrite; A-Priori prune exercised
+    # on even seeds (semantics-preserving, so the oracle is unchanged)
+    from xetl_spark.operators.basket import frequent_pairs
+
+    pairs = frequent_pairs(
+        ev, "basket", "item", min_support=2, prune_items=seed % 2 == 0
+    ).select(
+        F.col("item_a").alias("i"),
+        F.col("item_b").alias("j"),
+        F.col("n_baskets").alias("n"),
     )
     pairs_sql = """
     WITH it AS (SELECT DISTINCT basket, item FROM rt)
