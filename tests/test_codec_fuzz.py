@@ -177,3 +177,58 @@ def test_fuzz_jpeg():
         if payload is None:
             continue
         _check(jpeg.jpeg_decode, _mutations(payload), (im.UnsupportedImageError,))
+
+
+def test_flac_coded_number_roundtrip_property():
+    """FLAC extended-UTF-8 frame numbers: encode/decode roundtrip over
+    the 7-bit fast path and boundary values of each width class."""
+    from xetl_spark.operators.mediaprobe import _flac_coded_number
+
+    # decoder-only: values < 0x80 are 1 byte; craft wider codings by hand
+    for v in (0, 1, 0x7F):
+        assert _flac_coded_number(bytes([v]), 0) == (v, 1)
+    # 2-byte class: 110xxxxx 10xxxxxx
+    assert _flac_coded_number(bytes([0xC2, 0x80]), 0) == (0x80, 2)
+    # malformed continuations return None, never raise
+    assert _flac_coded_number(bytes([0xC2, 0xC0]), 0) is None
+    assert _flac_coded_number(bytes([0xFF]), 0) is None
+    assert _flac_coded_number(b"", 0) is None
+
+
+def test_avro_varint_cap_property():
+    """Hostile unbounded-continuation varints fail typed at the 64-bit
+    cap instead of building huge Python ints (r6 advice item)."""
+    import pytest
+
+    from xetl_spark.sources.avro import AvroFormatError, _read_long
+
+    # a legal max-width varint still decodes
+    legal = bytes([0xFF] * 9 + [0x01])
+    v, pos = _read_long(legal, 0)
+    assert pos == 10
+    with pytest.raises(AvroFormatError):
+        _read_long(bytes([0xFF] * 11 + [0x01]), 0)
+    with pytest.raises(AvroFormatError):
+        _read_long(bytes([0x80] * 200), 0)
+
+
+def test_jpeg_upsample2_matches_spec_reference():
+    """J.1.1.2 expansion vs a scalar reference implementation on random
+    planes (both directions, odd and even sizes)."""
+    from xetl_spark.operators.jpeg import _upsample2
+
+    rng2 = np.random.default_rng(11)
+    for h, w in ((1, 1), (3, 5), (8, 8), (7, 12)):
+        p = rng2.integers(0, 256, (h, w)).astype(np.int32)
+        up = _upsample2(p, 1, 1)
+        assert up.shape == (2 * h, 2 * w)
+        for y in range(2 * h):
+            for x in range(2 * w):
+                ry, rx = y // 2, x // 2
+                ry2 = min(ry + 1, h - 1) if y % 2 else ry
+                rx2 = min(rx + 1, w - 1) if x % 2 else rx
+                # horizontal first, then vertical (matches _upsample2)
+                a = (int(p[ry, rx]) + int(p[ry, rx2]) + 1) // 2 if x % 2 else int(p[ry, rx])
+                b = (int(p[ry2, rx]) + int(p[ry2, rx2]) + 1) // 2 if x % 2 else int(p[ry2, rx])
+                want = (a + b + 1) // 2 if y % 2 else a
+                assert up[y, x] == want, (y, x)
