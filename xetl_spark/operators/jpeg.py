@@ -104,24 +104,25 @@ def sniff_jpeg(payload: bytes) -> bool:
 
 class _Huff:
     """Canonical Huffman table with a 16-bit prefix lookup: peek 16
-    bits, one array read gives (symbol, code length)."""
+    bits, ONE list read gives (length << 8) | symbol — a packed plain
+    Python list, not numpy, because a scalar list index is ~4x cheaper
+    than two numpy scalar extractions in the per-symbol hot loop."""
 
-    __slots__ = ("sym", "length")
+    __slots__ = ("lut",)
 
     def __init__(self, counts: bytes, symbols: bytes) -> None:
-        self.sym = np.zeros(1 << 16, dtype=np.int16)
-        self.length = np.zeros(1 << 16, dtype=np.int8)
+        lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
         for bitlen in range(1, 17):
             for _ in range(counts[bitlen - 1]):
                 lo = code << (16 - bitlen)
                 hi = (code + 1) << (16 - bitlen)
-                self.sym[lo:hi] = symbols[k]
-                self.length[lo:hi] = bitlen
+                lut[lo:hi] = (bitlen << 8) | symbols[k]
                 code += 1
                 k += 1
             code <<= 1
+        self.lut = lut.tolist()
 
 
 class _BitReader:
@@ -189,12 +190,11 @@ def _extend(v: int, t: int) -> int:
 
 
 def _decode_huff(br: _BitReader, table: _Huff) -> int:
-    idx = br.peek16()
-    length = int(table.length[idx])
-    if length == 0:
+    packed = table.lut[br.peek16()]
+    if packed == 0:
         raise UnsupportedImageError("invalid JPEG Huffman code")
-    br.skip(length)
-    return int(table.sym[idx])
+    br.skip(packed >> 8)
+    return packed & 0xFF
 
 
 def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
