@@ -670,3 +670,39 @@ def test_ivm_minmax_untracked_retraction_is_safe(spark):
     state = minmax_apply(state, batch, ["k"], ["v"], weight_col="w", k=2)
     row = minmax_read(state, ["v"]).collect()[0]
     assert (row.n, row.min_v, row.max_v, row.dirty_v) == (9, 0, 9, False)
+
+
+def test_ivm_minmax_per_side_overflow_thresholds(spark):
+    """Review-confirmed repro: retractions hit the two kept arrays
+    asymmetrically (different multisets), so overflow/threshold updates
+    must be PER SIDE — a shared flag let the max side evict past an
+    un-raised threshold and report a confidently wrong, non-dirty max."""
+    from xetl_spark.operators.ivm import minmax_apply, minmax_read, minmax_snapshot
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, v long, w int")
+
+    state = minmax_snapshot(
+        spark.createDataFrame([(1, 10), (1, 20)], "k long, v long"), ["k"], ["v"], k=2
+    )
+    state = minmax_apply(state, batch([(1, 30, 1), (1, 40, 1)]), ["k"], ["v"],
+                         weight_col="w", k=2)
+    state = minmax_apply(
+        state, batch([(1, 10, -1), (1, 20, -1), (1, 5, 1), (1, 35, 1)]),
+        ["k"], ["v"], weight_col="w", k=2,
+    )
+    state = minmax_apply(
+        state, batch([(1, 35, -1), (1, 40, -1), (1, 25, 1)]),
+        ["k"], ["v"], weight_col="w", k=2,
+    )
+    row = minmax_read(state, ["v"]).collect()[0]
+    # live multiset is {5, 25, 30}: either the engine knows max=30 or it
+    # must say DIRTY — it must never claim a wrong max confidently
+    assert row.dirty_v or row.max_v == 30, row
+    assert row.min_v == 5 or row.dirty_v
+    # with the live base supplied, the dirty group repairs to the truth
+    live = spark.createDataFrame([(1, 5), (1, 25), (1, 30)], "k long, v long")
+    from xetl_spark.operators.ivm import minmax_repair
+
+    row = minmax_read(minmax_repair(state, live, ["k"], ["v"], k=2), ["v"]).collect()[0]
+    assert (row.min_v, row.max_v, row.dirty_v) == (5, 30, False)

@@ -236,3 +236,11 @@ def test_flac_frame_walk_headers_only_stream():
     r = mp.flac_frame_walk(mp.flac_build(48000, 2, 96000))
     assert r["n_frames"] == 0 and r["n_samples"] == 0
     assert r["matches_streaminfo"] is False
+
+
+def test_flac_frame_walk_32bps():
+    """Sample-size code 7 = 32 bps is VALID (only code 3 is reserved,
+    RFC 9639 §9.1) — review-found: the walk previously misclassified
+    every 32-bps frame as a CRC failure."""
+    r = mp.flac_frame_walk(mp.flac_build_frames(44100, 1, [192, 192], bps=32))
+    assert (r["n_frames"], r["crc_failures"], r["matches_streaminfo"]) == (2, 0, True)

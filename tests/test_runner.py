@@ -958,8 +958,10 @@ def test_ivm_refresh_task_incremental_runs(spark, tmp_path):
     run_job(spark, batch_job)
     from xetl_spark.operators import ivm
 
-    view = ivm.ivm_read(spark.read.parquet(f"{state}/sums"), ["value"]).join(
-        ivm.minmax_read(spark.read.parquet(f"{state}/minmax"), ["value"]).drop("n"),
+    gen = open(f"{state}/CURRENT").read().strip()
+    assert gen == "gen-000001"  # second run advanced the generation
+    view = ivm.ivm_read(spark.read.parquet(f"{state}/{gen}/sums"), ["value"]).join(
+        ivm.minmax_read(spark.read.parquet(f"{state}/{gen}/minmax"), ["value"]).drop("n"),
         "event_type",
     )
     got = {

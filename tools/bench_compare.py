@@ -61,17 +61,17 @@ def main() -> int:
             r = b / a if a else float("inf")
             flag = "REGRESSED" if r >= ratio else ("improved" if r <= 1 / ratio else "")
             rows.append((name, a, b, r, flag))
-    # throughput metrics (higher = better): regression is new < old/ratio.
-    # Noise threshold 1.15x — streaming runs vary ~5% on a shared host
-    # (r5→r6 drifted −3.2% with no code change).
+    # throughput metrics (higher = better): regression is new < old/1.15.
+    # The threshold is FIXED at 1.15x — it models measured host noise
+    # (streaming varies ~5% run-to-run; r5→r6 drifted −3.2% with no
+    # code change), which doesn't scale with the user's wall-time
+    # ratio: a tight ratio would flag documented noise, a loose one
+    # would hide real drops.
     os_, ns = old.get("streaming_events_per_sec"), new.get("streaming_events_per_sec")
     if os_ is not None and ns is not None:
         rows.append(("-- throughput --", None, None, None, ""))
         r = os_ / ns if ns else float("inf")
-        flag = (
-            "REGRESSED" if r >= min(ratio, 1.15)
-            else ("improved" if r <= 1 / min(ratio, 1.15) else "")
-        )
+        flag = "REGRESSED" if r >= 1.15 else ("improved" if r <= 1 / 1.15 else "")
         rows.append(("streaming_events_per_sec", os_, ns, r, flag))
     if not rows:
         print("nothing to compare: neither file has a known suite key")

@@ -239,7 +239,13 @@ def minmax_apply(
         mx_cand = F.array_sort(F.concat(F.coalesce(F.col(f"mx_{c}"), empty), ins))
         mn_after = F.aggregate(ret, mn_cand, _remove_one)
         mx_after = F.aggregate(ret, mx_cand, _remove_one)
-        overflow = F.size(mn_after) > k  # same multiset size both sides
+        # overflow is PER SIDE: the two kept arrays are different
+        # multisets (k smallest vs k largest), so a retraction can be a
+        # no-op on one side only and their sizes diverge — a shared
+        # flag silently evicted values past an un-raised threshold
+        # (review-confirmed wrong-extreme repro)
+        mn_overflow = F.size(mn_after) > k
+        mx_overflow = F.size(mx_after) > k
         # smallest value evicted off the min array / largest off the max
         mn_evict = F.get(mn_after, F.lit(k))
         mx_evict = F.get(mx_after, F.size(mx_after) - k - 1)
@@ -252,12 +258,12 @@ def minmax_apply(
             ).alias(f"mx_{c}")
         )
         out_cols.append(
-            F.when(overflow, F.least(F.coalesce(F.col(f"mnthr_{c}"), mn_evict), mn_evict))
+            F.when(mn_overflow, F.least(F.coalesce(F.col(f"mnthr_{c}"), mn_evict), mn_evict))
             .otherwise(F.col(f"mnthr_{c}"))
             .alias(f"mnthr_{c}")
         )
         out_cols.append(
-            F.when(overflow, F.greatest(F.coalesce(F.col(f"mxthr_{c}"), mx_evict), mx_evict))
+            F.when(mx_overflow, F.greatest(F.coalesce(F.col(f"mxthr_{c}"), mx_evict), mx_evict))
             .otherwise(F.col(f"mxthr_{c}"))
             .alias(f"mxthr_{c}")
         )

@@ -230,11 +230,15 @@ def _entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, i
 
 
-def _block_sequential(br, zz, dc_tab, ac_tab, pred, cid) -> None:
-    """Baseline sequential block: DC diff + AC run-length (T.81 F.2)."""
+def _block_sequential(br, zz, dc_tab, ac_tab, pred, cid, differential=False) -> None:
+    """Baseline sequential block: DC diff + AC run-length (T.81 F.2).
+    In differential frames PRED stays 0 (F.2.1.3.1)."""
     t = _decode_huff(br, dc_tab)
-    pred[cid] += _extend(br.receive(t), t)
-    zz[0] = pred[cid]
+    if differential:
+        zz[0] = _extend(br.receive(t), t)
+    else:
+        pred[cid] += _extend(br.receive(t), t)
+        zz[0] = pred[cid]
     k = 1
     while k < 64:
         rs = _decode_huff(br, ac_tab)
@@ -251,12 +255,16 @@ def _block_sequential(br, zz, dc_tab, ac_tab, pred, cid) -> None:
         k += 1
 
 
-def _block_dc_first(br, zz, dc_tab, pred, cid, al) -> None:
+def _block_dc_first(br, zz, dc_tab, pred, cid, al, differential=False) -> None:
     """Progressive DC, first pass (G.2): diffs of DC>>Al; the running
-    predictor is kept in reduced precision and shifted out on store."""
+    predictor is kept in reduced precision and shifted out on store.
+    Differential frames code DC unpredicted (PRED = 0, F.2.1.3.1)."""
     t = _decode_huff(br, dc_tab)
-    pred[cid] += _extend(br.receive(t), t)
-    zz[0] = pred[cid] << al
+    if differential:
+        zz[0] = _extend(br.receive(t), t) << al
+    else:
+        pred[cid] += _extend(br.receive(t), t)
+        zz[0] = pred[cid] << al
 
 def _block_dc_refine(br, zz, al) -> None:
     """Progressive DC refinement (G.1.2.1): one appended bit."""
@@ -382,33 +390,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         if len(seg) != seglen - 2:
             raise UnsupportedImageError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                if pq not in (0, 1):
-                    raise UnsupportedImageError(f"DQT precision {pq} invalid")
-                tab = np.zeros(64, dtype=np.int32)
-                if pq:  # 16-bit big-endian elements (12-bit frames)
-                    if i + 128 > len(seg):
-                        raise UnsupportedImageError("truncated 16-bit DQT")
-                    tab[ZIGZAG] = np.frombuffer(
-                        seg[i : i + 128], dtype=">u2"
-                    ).astype(np.int32)
-                    i += 128
-                else:
-                    tab[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
-                    i += 64
-                qtables[tq] = tab.reshape(8, 8)
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                counts = seg[i + 1 : i + 17]
-                nsym = sum(counts)
-                symbols = seg[i + 17 : i + 17 + nsym]
-                huff[(tc, th)] = _Huff(counts, symbols)
-                i += 17 + nsym
+            _parse_dht(seg, huff)
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -506,9 +490,43 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """DQT segment → qtables (8-bit Pq=0 / 16-bit Pq=1 elements).
+    Shared by the single-frame and hierarchical decoders so the
+    validity checks can't drift."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0xF
+        i += 1
+        if pq not in (0, 1):
+            raise UnsupportedImageError(f"DQT precision {pq} invalid")
+        tab = np.zeros(64, dtype=np.int32)
+        if pq:  # 16-bit big-endian elements (12-bit frames)
+            if i + 128 > len(seg):
+                raise UnsupportedImageError("truncated 16-bit DQT")
+            tab[ZIGZAG] = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+            i += 128
+        else:
+            tab[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+            i += 64
+        qtables[tq] = tab.reshape(8, 8)
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    """DHT segment → huff[(class, id)] tables."""
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0xF
+        counts = seg[i + 1 : i + 17]
+        nsym = sum(counts)
+        huff[(tc, th)] = _Huff(counts, seg[i + 17 : i + 17 + nsym])
+        i += 17 + nsym
+
+
 def _decode_sos(
     segments, scan, frame, huff, coefs, geom,
     restart_interval, ss, se, ah, al, progressive,
+    differential=False,
 ) -> None:
     """Decode one scan's entropy segments into the coefficient planes.
 
@@ -516,7 +534,9 @@ def _decode_sos(
     a single-component scan walks that component's true block grid
     (T.81 A.2.2 — NOT the MCU-padded grid). Restart intervals count
     MCUs (or blocks, non-interleaved), resetting DC predictors and the
-    EOB run."""
+    EOB run. ``differential`` (hierarchical SOF5/SOF6 frames): DC is
+    coded WITHOUT prediction — T.81 F.2.1.3.1 sets PRED = 0 for
+    differential frames, so the decoded diff IS the coefficient."""
     h, w, comps = frame
     comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     for cid, _dc, _ac in scan:
@@ -548,12 +568,12 @@ def _decode_sos(
         if not progressive:
             if dc_tab is None or ac_tab is None:
                 raise UnsupportedImageError("JPEG missing Huffman table")
-            _block_sequential(br, zz, dc_tab, ac_tab, pred, cid)
+            _block_sequential(br, zz, dc_tab, ac_tab, pred, cid, differential)
         elif ss == 0:  # DC scan (se must be 0 per spec)
             if ah == 0:
                 if dc_tab is None:
                     raise UnsupportedImageError("JPEG missing Huffman table")
-                _block_dc_first(br, zz, dc_tab, pred, cid, al)
+                _block_dc_first(br, zz, dc_tab, pred, cid, al, differential)
             else:
                 _block_dc_refine(br, zz, al)
         else:  # AC scan
@@ -1243,28 +1263,9 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
             for cid in refs:
                 refs[cid] = _upsample2(refs[cid], eh, ev)
         elif marker == 0xDB:
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                tab = np.zeros(64, dtype=np.int32)
-                if pq:
-                    tab[ZIGZAG] = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(
-                        np.int32
-                    )
-                    i += 128
-                else:
-                    tab[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
-                    i += 64
-                qtables[tq] = tab.reshape(8, 8)
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                counts = seg[i + 1 : i + 17]
-                nsym = sum(counts)
-                huff[(tc, th)] = _Huff(counts, seg[i + 17 : i + 17 + nsym])
-                i += 17 + nsym
+            _parse_dht(seg, huff)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
             finish_frame()
             differential = marker in (0xC5, 0xC6)
@@ -1309,6 +1310,7 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
             _decode_sos(
                 segments, scan, frame, huff, coefs, geom,
                 restart_interval, ss, se, ah, al, progressive,
+                differential=differential,
             )
             continue
         pos += seglen
@@ -1435,8 +1437,11 @@ def jpeg_encode_hierarchical(
             for ci in range(ncomp):
                 zz = zz_blocks[ci][bi]
                 dc = int(zz[0])
-                _encode_dc(wr, dc_codes, dc - pred[ci])
-                pred[ci] = dc
+                if level_shift:  # non-differential: predictive DC
+                    _encode_dc(wr, dc_codes, dc - pred[ci])
+                    pred[ci] = dc
+                else:  # differential frame: PRED = 0 (T.81 F.2.1.3.1)
+                    _encode_dc(wr, dc_codes, dc)
                 _encode_ac_band(wr, ac_codes, zz)
         out += wr.flush()
         return bytes(out), recon

@@ -611,7 +611,10 @@ def _flac_frame_header(b: bytes, j: int, streaminfo_rate: int):
     sr_code = b[j + 2] & 0x0F
     ch_code = b[j + 3] >> 4
     ss_code = (b[j + 3] >> 1) & 0x07
-    if b[j + 3] & 1 or bs_code == 0 or sr_code == 15 or ch_code > 10 or ss_code in (3, 7):
+    # ss_code 3 is the only reserved sample-size code; 7 = 32 bps
+    # (RFC 9639 §9.1 — rejecting 7 misclassified every valid 32-bps
+    # frame as a CRC failure, review-confirmed)
+    if b[j + 3] & 1 or bs_code == 0 or sr_code == 15 or ch_code > 10 or ss_code == 3:
         return None
     pos = j + 4
     r = _flac_coded_number(b, pos)

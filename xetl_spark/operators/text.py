@@ -700,12 +700,14 @@ def dsir_logweights(
     outside whole-stage codegen, so the vectorized explode+join wins.)
 
     The raw corpus is tokenized+hashed ONCE: the per-doc bucket array
-    is persisted (one row per doc, populated by the histogram job,
-    reused by the scoring pass) — the r6 plan audit found the double
-    tokenize pass was the single heaviest CPU term in the LLM suite.
-    The cache is scoped to the query (the harness clears caches
-    between queries); long-lived callers should unpersist via the
-    returned plan's source once materialized.
+    is materialized eagerly (localCheckpoint — one row per doc) and
+    both the histogram job and the scoring pass read the materialized
+    blocks — the r6 plan audit found the double tokenize pass was the
+    single heaviest CPU term in the LLM suite. localCheckpoint rather
+    than persist(): the blocks are freed when the returned plan is
+    garbage-collected, so repeated calls in a long-lived session don't
+    accumulate registered cache entries no caller can safely unpersist
+    (the incremental-dedup lesson from the r6 advice).
     Returns (doc, n_features, logweight).
     """
     from xetl_spark.operators.util import ensure_parallelism
@@ -716,7 +718,7 @@ def dsir_logweights(
             F.col(id_col).alias("doc"),
             _hashed_ngram_buckets(text_col, num_buckets).alias("bs"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     hist = (
         ensure_parallelism(target)

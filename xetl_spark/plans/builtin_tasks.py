@@ -1085,9 +1085,12 @@ def ivm_refresh(ctx: StageContext):
     """First run (no state on disk): snapshot INPUT as the base table.
     Later runs: fold INPUT as a change batch — O(|batch|), never a
     rescan (except the semi-join-pruned min/max dirty repair when BASE
-    is given). State is swapped atomically (write .new, rename), so a
-    crashed run never corrupts the previous state. Returns the merged
-    read view (n / sum_* / avg_* / min_* / max_* / dirty_*)."""
+    is given). State commits via a generation directory + an
+    os.replace'd CURRENT pointer — the single atomic commit point —
+    so a crash anywhere leaves the previous COMPLETE generation live
+    and both tables always belong to the same batch generation.
+    Returns the merged read view (n / sum_* / avg_* / min_* / max_* /
+    dirty_*)."""
     import shutil
 
     from xetl_spark.operators import ivm
@@ -1101,37 +1104,66 @@ def ivm_refresh(ctx: StageContext):
     base = ctx.input_df("BASE") if ctx.env.get("BASE") else None
     root = str(ctx.env["STATE_PATH"]).rstrip("/")
     spark = ctx.spark
-    paths = {"sums": f"{root}/sums", "minmax": f"{root}/minmax"}
 
     import os
 
-    first = not os.path.exists(paths["sums"])
-    if first:
+    # Generation layout: both state tables live together under one
+    # gen-<n>/ directory and a CURRENT pointer file names the live
+    # generation. os.replace of the pointer is the ONLY commit point
+    # (atomic on POSIX), so a crash anywhere — mid-write, between the
+    # two tables, before the pointer flip — leaves CURRENT on the
+    # previous COMPLETE generation. (The earlier rmtree-then-rename
+    # swap had a window where live state vanished and the next run
+    # silently re-snapshotted the day's CHANGE BATCH as the base —
+    # review finding.)
+    cur_file = f"{root}/CURRENT"
+
+    def _live_gen() -> str | None:
+        try:
+            name = open(cur_file).read().strip()
+        except OSError:
+            return None
+        return name if name and os.path.isdir(f"{root}/{name}") else None
+
+    live_gen = _live_gen()
+    if live_gen is None:
+        gen_no = 0
         sums = ivm.agg_snapshot(batch, keys, sum_cols)
         mm = ivm.minmax_snapshot(batch, keys, mm_cols, k) if mm_cols else None
     else:
+        gen_no = int(live_gen.split("-")[1]) + 1
         sums = ivm.ivm_apply(
-            spark.read.parquet(paths["sums"]), batch, keys, sum_cols, weight_col=w
+            spark.read.parquet(f"{root}/{live_gen}/sums"),
+            batch, keys, sum_cols, weight_col=w,
         )
         mm = (
             ivm.minmax_apply(
-                spark.read.parquet(paths["minmax"]), batch, keys, mm_cols,
-                weight_col=w, k=k, base=base,
+                spark.read.parquet(f"{root}/{live_gen}/minmax"),
+                batch, keys, mm_cols, weight_col=w, k=k, base=base,
             )
             if mm_cols
             else None
         )
-    # atomic swap: materialize .new fully before replacing live state
+    new_gen = f"gen-{gen_no:06d}"
     for name, df in (("sums", sums), ("minmax", mm)):
-        if df is None:
-            continue
-        df.write.mode("overwrite").parquet(paths[name] + ".new")
-        shutil.rmtree(paths[name], ignore_errors=True)
-        os.rename(paths[name] + ".new", paths[name])
-    out = ivm.ivm_read(spark.read.parquet(paths["sums"]), sum_cols)
+        if df is not None:
+            df.write.mode("overwrite").parquet(f"{root}/{new_gen}/{name}")
+    tmp = cur_file + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(new_gen)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, cur_file)  # the commit point
+    # retire generations older than the previous one (kept for forensics)
+    for d in sorted(os.listdir(root)):
+        if d.startswith("gen-") and d not in (new_gen, live_gen):
+            shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+    out = ivm.ivm_read(spark.read.parquet(f"{root}/{new_gen}/sums"), sum_cols)
     if mm_cols:
         out = out.join(
-            ivm.minmax_read(spark.read.parquet(paths["minmax"]), mm_cols).drop("n"),
+            ivm.minmax_read(
+                spark.read.parquet(f"{root}/{new_gen}/minmax"), mm_cols
+            ).drop("n"),
             keys,
             "full_outer",
         )
