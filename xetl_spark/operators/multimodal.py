@@ -687,3 +687,58 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
     return df.select(id_col, media_col).mapInPandas(
         run, schema=_id_typed(df, id_col, PROBE_SCHEMA)
     )
+
+
+DOCTEXT_SCHEMA = "id long, fmt string, text string, pages int, err string"
+
+
+def extract_document_text(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-format ingestion: sniff PDF / DOCX / EPUB payloads and
+    extract plain text executor-side (Arrow-batched mapInPandas over
+    the pure-Python extractors in operators/pdfdoc.py and
+    operators/docx.py).
+
+    Triage semantics: per-row typed errors land in the ``err`` column
+    (the row survives with NULL text) so one corrupt file can't kill a
+    100 TB ingestion job — the same contract as ``probe_media``.
+    ``pages`` is PDF pages / EPUB chapters / DOCX paragraphs: the unit
+    a downstream chunker would fan out on."""
+
+    def one(payload: bytes):
+        from xetl_spark.operators import docx as docmod
+        from xetl_spark.operators import pdfdoc
+
+        try:
+            if pdfdoc.sniff_pdf(payload):
+                pages = pdfdoc.pdf_page_texts(payload)
+                return ("pdf", "\f".join(pages), len(pages), None)
+            if docmod.sniff_zip(payload):
+                try:
+                    text = docmod.epub_text(payload)
+                    return ("epub", text, text.count("\f") + 1, None)
+                except docmod.EpubFormatError:
+                    text = docmod.docx_text(payload)
+                    return ("docx", text, text.count("\n") + 1, None)
+            return (None, None, None, "unrecognized document container")
+        except (
+            pdfdoc.PdfFormatError,
+            docmod.DocxFormatError,
+            docmod.EpubFormatError,
+        ) as e:
+            return (None, None, None, str(e))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (row[id_col], *one(bytes(row[media_col])))
+                for _, row in pdf.iterrows()
+            ]
+            yield pd.DataFrame(
+                rows, columns=["id", "fmt", "text", "pages", "err"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, DOCTEXT_SCHEMA)
+    )

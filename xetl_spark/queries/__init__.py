@@ -140,6 +140,7 @@ from xetl_spark.queries import sql_surface  # noqa: E402,F401
 from xetl_spark.queries import udf_surface  # noqa: E402,F401
 from xetl_spark.queries import tpch_suite  # noqa: E402,F401
 from xetl_spark.queries import training_pipeline  # noqa: E402,F401
+from xetl_spark.queries import docformats  # noqa: E402,F401
 
 
 def _round_number() -> int:

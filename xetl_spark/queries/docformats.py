@@ -1,0 +1,316 @@
+"""Document-format ingestion queries: PDF / DOCX / EPUB → text.
+
+Fixtures are REAL container bytes built executor-side by the
+deterministic builders (operators/pdfdoc.py, operators/docx.py) from
+the ``documents`` table, then decoded by the REAL extractors — the
+oracle sees only the original text, so a hash match certifies the full
+build → serialize → sniff → parse → extract round-trip on actual
+compressed payloads (Flate/LZW/A85/AHx/RLE content streams, classic
+and xref-stream+ObjStm layouts, zip containers).
+
+Scale shape: both build and extract are per-row map work inside one
+Arrow-batched ``mapInPandas`` — no shuffle, no driver participation;
+at 100 TB this is embarrassingly parallel scan-side work, exactly how
+a real corpus would route PDFs (CODECS.md documents the measured
+per-core throughput contract)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xetl_spark.queries import load, query
+
+_PDF_FILTERS = ("flate", "lzw", "ahx", "a85", "rle")
+_WORDS_PER_LINE = 8
+_LINES_PER_PAGE = 25
+_DOCX_WORDS_PER_PARA = 12
+_EPUB_LINES_PER_CH = 3
+
+
+def _wrap(text: str, per_line: int = _WORDS_PER_LINE) -> list[str]:
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + per_line]) for i in range(0, len(words), per_line)
+    ]
+
+
+def _pdf_pages(text: str) -> list[str]:
+    lines = _wrap(text)
+    return [
+        "\n".join(lines[j : j + _LINES_PER_PAGE])
+        for j in range(0, len(lines), _LINES_PER_PAGE)
+    ]
+
+
+def _doc_fixture_df(
+    spark: SparkSession, sf_dir: str, lo: int, hi: int, kind: str
+) -> DataFrame:
+    """(doc_id, payload) with payload = built container bytes."""
+    (docs,) = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text").where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import docx as docmod
+        from xetl_spark.operators import pdfdoc
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                did = int(row["doc_id"])
+                text = str(row["text"])
+                if kind == "pdf":
+                    payload = pdfdoc.build_pdf(
+                        _pdf_pages(text),
+                        xref_stream=bool(did % 2),
+                        content_filter=_PDF_FILTERS[did % len(_PDF_FILTERS)],
+                    )
+                elif kind == "docx":
+                    words = text.split(" ")
+                    paras = [
+                        " ".join(words[i : i + _DOCX_WORDS_PER_PARA])
+                        for i in range(0, len(words), _DOCX_WORDS_PER_PARA)
+                    ]
+                    payload = docmod.build_docx(paras)
+                elif kind == "epub":
+                    lines = _wrap(text)
+                    chapters = [
+                        ("", "\n".join(lines[j : j + _EPUB_LINES_PER_CH]))
+                        for j in range(0, len(lines), _EPUB_LINES_PER_CH)
+                    ]
+                    payload = docmod.build_epub(chapters, title=f"doc-{did}")
+                else:  # mixed triage matrix (+ deliberate corrupt rows)
+                    if did % 17 == 0:
+                        payload = b"\x00garbage not a document\x00"
+                    elif did % 3 == 0:
+                        payload = pdfdoc.build_pdf(
+                            _pdf_pages(text), xref_stream=bool(did % 2)
+                        )
+                    elif did % 3 == 1:
+                        words = text.split(" ")
+                        payload = docmod.build_docx(
+                            [
+                                " ".join(words[i : i + _DOCX_WORDS_PER_PARA])
+                                for i in range(
+                                    0, len(words), _DOCX_WORDS_PER_PARA
+                                )
+                            ]
+                        )
+                    else:
+                        lines = _wrap(text)
+                        payload = docmod.build_epub(
+                            [
+                                ("", "\n".join(lines[j : j + _EPUB_LINES_PER_CH]))
+                                for j in range(
+                                    0, len(lines), _EPUB_LINES_PER_CH
+                                )
+                            ]
+                        )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+@query(
+    "q_ingest_pdf_text",
+    oracle="""
+    SELECT doc_id, text AS extracted
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_ingest_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF round-trip: build real PDFs from documents.text (layout and
+    content filter vary per doc — classic xref vs 1.5 xref-stream +
+    ObjStm, Flate/LZW/ASCII85/ASCIIHex/RunLength), extract with the
+    pure-spec parser (operators/pdfdoc.py), normalize page/line breaks
+    back to spaces. Hash-match against the untouched source text pins
+    every byte of both the writer and the reader."""
+    fixtures = _doc_fixture_df(spark, sf_dir, 0, 200, "pdf")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import pdfdoc
+
+        for pdf in batches:
+            rows = [
+                (int(r["doc_id"]), pdfdoc.pdf_text(bytes(r["payload"])))
+                for _, r in pdf.iterrows()
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "raw"])
+
+    texts = fixtures.mapInPandas(extract, schema="doc_id long, raw string")
+    return texts.select(
+        "doc_id", F.translate("raw", "\f\n", "  ").alias("extracted")
+    )
+
+
+@query(
+    "q_ingest_docx_text",
+    oracle="""
+    SELECT doc_id, text AS extracted
+    FROM documents WHERE doc_id >= 200 AND doc_id < 400
+    """,
+)
+def q_ingest_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX round-trip: WordprocessingML built and re-extracted
+    (operators/docx.py), paragraph breaks normalized back to spaces."""
+    fixtures = _doc_fixture_df(spark, sf_dir, 200, 400, "docx")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import docx as docmod
+
+        for pdf in batches:
+            rows = [
+                (int(r["doc_id"]), docmod.docx_text(bytes(r["payload"])))
+                for _, r in pdf.iterrows()
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "raw"])
+
+    texts = fixtures.mapInPandas(extract, schema="doc_id long, raw string")
+    return texts.select(
+        "doc_id", F.translate("raw", "\n", " ").alias("extracted")
+    )
+
+
+@query(
+    "q_ingest_epub_text",
+    oracle="""
+    SELECT doc_id, text AS extracted
+    FROM documents WHERE doc_id >= 250 AND doc_id < 450
+    """,
+)
+def q_ingest_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB round-trip: OCF container + OPF spine + XHTML chapters
+    built and re-extracted via the deterministic tag-stripper; chapter
+    and line breaks normalized back to spaces."""
+    fixtures = _doc_fixture_df(spark, sf_dir, 250, 450, "epub")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import docx as docmod
+
+        for pdf in batches:
+            rows = [
+                (int(r["doc_id"]), docmod.epub_text(bytes(r["payload"])))
+                for _, r in pdf.iterrows()
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "raw"])
+
+    texts = fixtures.mapInPandas(extract, schema="doc_id long, raw string")
+    return texts.select(
+        "doc_id", F.translate("raw", "\f\n", "  ").alias("extracted")
+    )
+
+
+@query(
+    "q_multimodal_pdf_probe",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(ceil(len(string_split(text, ' ')) / {_WORDS_PER_LINE}.0)
+                  AS BIGINT) AS nlines
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN '1.5' ELSE '1.4' END AS version,
+           CAST(ceil(nlines / {_LINES_PER_PAGE}.0) AS INT) AS pages,
+           CAST(CASE WHEN doc_id % 2 = 1
+                     THEN 7 + 2 * ceil(nlines / {_LINES_PER_PAGE}.0)
+                     ELSE 5 + 2 * ceil(nlines / {_LINES_PER_PAGE}.0)
+                END AS INT) AS objects,
+           CASE WHEN doc_id % 2 = 1 THEN 'stream' ELSE 'table' END AS xref_kind,
+           FALSE AS encrypted
+    FROM n
+    """,
+)
+def q_multimodal_pdf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF triage probe matrix: version / page count / object count /
+    xref layout / encryption flag, verified against the closed form of
+    the builder's layout (page count from the word-wrap arithmetic the
+    oracle recomputes in SQL; object count = 5+2p classic, 7+2p for
+    the xref-stream layout's extra ObjStm+XRef objects)."""
+    fixtures = _doc_fixture_df(spark, sf_dir, 0, 300, "pdf")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import pdfdoc
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = pdfdoc.pdf_probe(bytes(r["payload"]))
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        p["version"],
+                        p["pages"],
+                        p["objects"],
+                        p["xref_kind"],
+                        p["encrypted"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "version", "pages", "objects", "xref_kind",
+                    "encrypted",
+                ],
+            )
+
+    return fixtures.mapInPandas(
+        probe,
+        schema=(
+            "doc_id long, version string, pages int, objects int, "
+            "xref_kind string, encrypted boolean"
+        ),
+    )
+
+
+@query(
+    "q_ingest_doc_matrix",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(ceil(len(string_split(text, ' ')) / {_WORDS_PER_LINE}.0)
+                  AS BIGINT) AS nlines,
+             CAST(ceil(len(string_split(text, ' ')) / {_DOCX_WORDS_PER_PARA}.0)
+                  AS BIGINT) AS nparas
+      FROM documents WHERE doc_id < 240
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'pdf'
+                WHEN doc_id % 3 = 1 THEN 'docx'
+                ELSE 'epub' END AS fmt,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                WHEN doc_id % 3 = 0
+                  THEN CAST(ceil(nlines / {_LINES_PER_PAGE}.0) AS INT)
+                WHEN doc_id % 3 = 1 THEN CAST(nparas AS INT)
+                ELSE CAST(ceil(nlines / {_EPUB_LINES_PER_CH}.0) AS INT)
+           END AS pages,
+           doc_id % 17 = 0 AS has_err
+    FROM n
+    """,
+)
+def q_ingest_doc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-corpus triage through the sniffing wrapper
+    (multimodal.extract_document_text): PDFs, DOCX, EPUBs and
+    deliberately corrupt payloads in one binary column; per-row typed
+    errors surface in ``err`` instead of failing the job — the
+    one-bad-file-in-100TB contract, hash-pinned including the NULL
+    pattern."""
+    from xetl_spark.operators import multimodal
+
+    fixtures = _doc_fixture_df(spark, sf_dir, 0, 240, "mixed")
+    out = multimodal.extract_document_text(
+        fixtures, media_col="payload", id_col="doc_id"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "fmt",
+        "pages",
+        F.col("err").isNotNull().alias("has_err"),
+    )
