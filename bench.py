@@ -51,6 +51,10 @@ LLM_SUITE = [
     "q_text_span_dedup",
     "q_text_bigram_logprob",
     "q_text_dsir_weights",
+    # round-7 additions: document-format ingestion (constant-size
+    # fixture battery — 200/240 docs regardless of SF, codec-bound)
+    "q_ingest_pdf_text",
+    "q_ingest_doc_matrix",
 ]
 
 

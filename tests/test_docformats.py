@@ -392,3 +392,36 @@ def test_extract_document_text_triage(spark):
     assert got[5]["fmt"] is None and "encrypted" in got[5]["err"]
     # triage never fails the job: every input row survived
     assert len(got) == 5
+
+
+def test_doc_text_builtin_task(spark, tmp_path):
+    """Declarative `doc_text` stage: binary payloads in, triaged text out."""
+    import textwrap
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    rows = [
+        (1, P.build_pdf(["task-level pdf text"])),
+        (2, docmod.build_docx(["task-level docx text"])),
+        (3, b"junk payload"),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, media binary").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    job = Job.from_yaml(
+        textwrap.dedent(
+            f"""
+            name: dt
+            commands:
+              - {{name: docs, task: read_parquet, env: {{PATH: {src}}}}}
+              - {{name: text, task: doc_text, env: {{COLUMN: media}}}}
+            """
+        )
+    )
+    results = run_job(spark, job)
+    got = {r.id: r.asDict() for r in results[-1].output.collect()}
+    assert got[1]["fmt"] == "pdf" and got[1]["text"] == "task-level pdf text"
+    assert got[2]["fmt"] == "docx" and got[2]["text"] == "task-level docx text"
+    assert got[3]["fmt"] is None and got[3]["err"] is not None

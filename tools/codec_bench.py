@@ -105,6 +105,30 @@ def main() -> int:
     ocf = encode_container(schema, recs, codec="null")
     bench("Avro generic", "decode", len(ocf), lambda: parse_container(ocf))
 
+    # --- document formats (throughput against extracted TEXT bytes)
+    from xetl_spark.operators import docx as docmod
+    from xetl_spark.operators import pdfdoc
+
+    vocab = [f"word{i:03d}" for i in range(500)]
+    words = [vocab[int(i)] for i in rng.integers(0, 500, 60_000)]
+    text = " ".join(words)
+    lines_ = [" ".join(words[i : i + 10]) for i in range(0, len(words), 10)]
+    pdf_pages = ["\n".join(lines_[j : j + 40]) for j in range(0, len(lines_), 40)]
+    nbytes = len(text)
+    pdf_doc = pdfdoc.build_pdf(pdf_pages)
+    bench("PDF (flate)", "encode", nbytes, lambda: pdfdoc.build_pdf(pdf_pages))
+    bench("PDF (flate)", "decode", nbytes, lambda: pdfdoc.pdf_text(pdf_doc))
+    pdf_xs = pdfdoc.build_pdf(pdf_pages, xref_stream=True)
+    bench("PDF (xref-stream)", "decode", nbytes, lambda: pdfdoc.pdf_text(pdf_xs))
+    paras = [" ".join(words[i : i + 30]) for i in range(0, len(words), 30)]
+    dx = docmod.build_docx(paras)
+    bench("DOCX", "encode", nbytes, lambda: docmod.build_docx(paras))
+    bench("DOCX", "decode", nbytes, lambda: docmod.docx_text(dx))
+    chapters = [("", "\n".join(lines_[j : j + 60])) for j in range(0, len(lines_), 60)]
+    eb = docmod.build_epub(chapters)
+    bench("EPUB", "encode", nbytes, lambda: docmod.build_epub(chapters))
+    bench("EPUB", "decode", nbytes, lambda: docmod.epub_text(eb))
+
     lines = [
         "# CODECS — measured per-core codec throughput",
         "",
@@ -127,6 +151,13 @@ def main() -> int:
         "spots are inherently bit-serial Python (GIF LZW encode,",
         "lossless JPEG's per-sample Huffman) and are fixture/",
         "compatibility paths, not bulk routes.",
+        "",
+        "Document formats (PDF/DOCX/EPUB, round 7) are measured",
+        "against EXTRACTED TEXT bytes — the unit a corpus pipeline",
+        "prices. PDF decode ~3 MB/s/core x 32 cores ≈ 100 MB/s/node:",
+        "the pure-Python content-stream tokenizer is the cost; at",
+        "cluster scale each document is an independent Arrow-batch",
+        "work item, so the path scales linearly with cores.",
         "",
         "| codec | direction | MB/s (per core) |",
         "|---|---|---|",

@@ -340,6 +340,31 @@ def html_to_text_task(ctx: StageContext):
 
 
 @task(
+    "doc_text",
+    "Extract plain text from PDF / DOCX / EPUB payloads in a binary "
+    "column (pure-Python extractors, Arrow-batched mapInPandas; "
+    "per-row typed errors land in an `err` column, never fail the job)",
+    env={
+        "COLUMN": {"description": "binary payload column", "type": "string"},
+        "ID_COLUMN": {
+            "description": "row-identity column carried through",
+            "type": "string",
+            "default": "doc_id",
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def doc_text_task(ctx: StageContext):
+    from xetl_spark.operators.multimodal import extract_document_text
+
+    return extract_document_text(
+        ctx.input_df(),
+        media_col=str(ctx.env["COLUMN"]),
+        id_col=str(ctx.env["ID_COLUMN"]),
+    )
+
+
+@task(
     "explode_archive",
     "Explode tar / tar.gz / zip shard archives in a binary column into "
     "one row per member file (WebDataset-style shards)",
