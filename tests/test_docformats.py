@@ -425,3 +425,71 @@ def test_doc_text_builtin_task(spark, tmp_path):
     assert got[1]["fmt"] == "pdf" and got[1]["text"] == "task-level pdf text"
     assert got[2]["fmt"] == "docx" and got[2]["text"] == "task-level docx text"
     assert got[3]["fmt"] is None and got[3]["err"] is not None
+
+
+# ---------------------------------------------------------------------------
+# XLSX
+
+
+def test_xlsx_roundtrip_cell_types():
+    rows = [["name", "qty", "ok"], ["alpha", 3, True], ["beta", 2.5, False], [None, 7]]
+    blob = docmod.build_xlsx(rows, sheet_name="Data")
+    cells = docmod.xlsx_cells(blob)
+    assert ("Data", 1, "A", "name", None) in cells
+    assert ("Data", 2, "B", None, 3.0) in cells
+    assert ("Data", 2, "C", None, 1.0) in cells  # True → 1.0
+    assert ("Data", 3, "B", None, 2.5) in cells
+    assert ("Data", 4, "B", None, 7.0) in cells
+    # None cell skipped entirely
+    assert not any(c[1] == 4 and c[2] == "A" for c in cells)
+    probe = docmod.xlsx_probe(blob)
+    assert probe["sheets"] == ["Data"]
+    assert probe["shared_strings"] == 5  # name qty ok alpha beta (deduped)
+
+
+def test_xlsx_shared_string_dedup_and_wide_columns():
+    # same string in many cells → one shared entry; column AA+ names
+    rows = [["dup"] * 30, ["dup"] * 30]
+    blob = docmod.build_xlsx(rows)
+    assert docmod.xlsx_probe(blob)["shared_strings"] == 1
+    cells = docmod.xlsx_cells(blob)
+    cols = {c[2] for c in cells}
+    assert "AA" in cols and "AD" in cols  # 30 columns: A..Z, AA..AD
+    assert docmod._col_name(0) == "A"
+    assert docmod._col_name(25) == "Z"
+    assert docmod._col_name(26) == "AA"
+    assert docmod._col_name(701) == "ZZ"
+    assert docmod._col_name(702) == "AAA"
+
+
+def test_xlsx_typed_errors():
+    with pytest.raises(docmod.XlsxFormatError, match="zip"):
+        docmod.xlsx_cells(b"not zipped")
+    with pytest.raises(docmod.XlsxFormatError, match="workbook"):
+        docmod.xlsx_cells(docmod.build_docx(["x"]))
+    # corrupt shared-string index
+    blob = docmod.build_xlsx([["text"]])
+    import io
+    import zipfile as _zf
+
+    src = _zf.ZipFile(io.BytesIO(blob))
+    members = []
+    for n in src.namelist():
+        data = src.read(n)
+        if n.endswith("sheet1.xml"):
+            data = data.replace(b"<v>0</v>", b"<v>99</v>")
+        members.append((n, data))
+    bad = docmod._zip_bytes(members)
+    with pytest.raises(docmod.XlsxFormatError, match="shared-string"):
+        docmod.xlsx_cells(bad)
+
+
+def test_extract_document_text_xlsx(spark):
+    from xetl_spark.operators.multimodal import extract_document_text
+
+    blob = docmod.build_xlsx([["a", "b"], [1, "c"]], sheet_name="S")
+    df = spark.createDataFrame([(9, blob)], "doc_id long, media binary")
+    row = extract_document_text(df).collect()[0]
+    assert row["fmt"] == "xlsx"
+    assert row["text"] == "a\tb\n1\tc"
+    assert row["pages"] == 1

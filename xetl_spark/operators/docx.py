@@ -411,3 +411,225 @@ def build_epub(
     ).encode("utf-8")
     members.insert(2, ("OEBPS/content.opf", opf))
     return _zip_bytes(members, stored_first=True)
+
+
+# ---------------------------------------------------------------------------
+# XLSX (SpreadsheetML) — spreadsheet → table ingestion
+
+
+class XlsxFormatError(ValueError):
+    """Typed XLSX parse failure — never a silent wrong answer."""
+
+
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_CELLREF = re.compile(r"^([A-Z]{1,3})(\d+)$")
+
+
+def _xlsx_shared_strings(zf: zipfile.ZipFile, names: set[str]) -> list[str]:
+    if "xl/sharedStrings.xml" not in names:
+        return []
+    root = _parse_xml(
+        _read_member(zf, "xl/sharedStrings.xml", XlsxFormatError),
+        XlsxFormatError,
+        "xl/sharedStrings.xml",
+    )
+    out = []
+    for si in root.findall(_S + "si"):
+        out.append("".join(t.text or "" for t in si.iter(_S + "t")))
+    return out
+
+
+def xlsx_cells(payload: bytes) -> list[tuple[str, int, str, str | None, float | None]]:
+    """All cells of all sheets: (sheet, row, col, text, num).
+
+    Shared-string and inline-string cells fill ``text``; numeric and
+    boolean cells fill ``num`` (booleans as 0/1). Formula caches use
+    the stored value. Sheet order follows the workbook declaration."""
+    zf = _open_zip(payload, XlsxFormatError)
+    names = set(zf.namelist())
+    if "xl/workbook.xml" not in names:
+        raise XlsxFormatError("missing xl/workbook.xml (not an XLSX?)")
+    wb = _parse_xml(
+        _read_member(zf, "xl/workbook.xml", XlsxFormatError),
+        XlsxFormatError,
+        "xl/workbook.xml",
+    )
+    rels = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        rroot = _parse_xml(
+            _read_member(zf, "xl/_rels/workbook.xml.rels", XlsxFormatError),
+            XlsxFormatError,
+            "workbook rels",
+        )
+        for rel in rroot.iter(
+            "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+        ):
+            rels[rel.get("Id")] = rel.get("Target")
+    shared = _xlsx_shared_strings(zf, names)
+    out: list[tuple[str, int, str, str | None, float | None]] = []
+    _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    sheets = list(wb.iter(_S + "sheet"))
+    if not sheets:
+        raise XlsxFormatError("workbook declares no sheets")
+    for si, sheet in enumerate(sheets):
+        sname = sheet.get("name") or f"sheet{si + 1}"
+        target = rels.get(sheet.get(_R)) or f"worksheets/sheet{si + 1}.xml"
+        member = target if target.startswith("xl/") else f"xl/{target}"
+        if member not in names:
+            raise XlsxFormatError(f"sheet member {member!r} missing")
+        ws = _parse_xml(
+            _read_member(zf, member, XlsxFormatError), XlsxFormatError, member
+        )
+        for row in ws.iter(_S + "row"):
+            for cell in row.findall(_S + "c"):
+                ref = cell.get("r") or ""
+                m = _CELLREF.match(ref)
+                if not m:
+                    raise XlsxFormatError(f"bad cell reference {ref!r}")
+                col, rnum = m.group(1), int(m.group(2))
+                typ = cell.get("t") or "n"
+                text: str | None = None
+                num: float | None = None
+                if typ == "inlineStr":
+                    is_el = cell.find(_S + "is")
+                    text = (
+                        "".join(t.text or "" for t in is_el.iter(_S + "t"))
+                        if is_el is not None
+                        else ""
+                    )
+                else:
+                    v = cell.find(_S + "v")
+                    raw = v.text if v is not None and v.text is not None else None
+                    if raw is None:
+                        continue
+                    if typ == "s":
+                        try:
+                            text = shared[int(raw)]
+                        except (ValueError, IndexError):
+                            raise XlsxFormatError(
+                                f"bad shared-string index {raw!r}"
+                            ) from None
+                    elif typ == "str":
+                        text = raw
+                    elif typ == "b":
+                        num = 1.0 if raw.strip() == "1" else 0.0
+                    else:  # "n" and formula caches
+                        try:
+                            num = float(raw)
+                        except ValueError:
+                            raise XlsxFormatError(
+                                f"bad numeric cell value {raw!r}"
+                            ) from None
+                out.append((sname, rnum, col, text, num))
+    return out
+
+
+def xlsx_probe(payload: bytes) -> dict:
+    zf = _open_zip(payload, XlsxFormatError)
+    names = set(zf.namelist())
+    if "xl/workbook.xml" not in names:
+        raise XlsxFormatError("missing xl/workbook.xml (not an XLSX?)")
+    wb = _parse_xml(
+        _read_member(zf, "xl/workbook.xml", XlsxFormatError),
+        XlsxFormatError,
+        "xl/workbook.xml",
+    )
+    sheets = [s.get("name") for s in wb.iter(_S + "sheet")]
+    return {
+        "sheets": sheets,
+        "shared_strings": len(_xlsx_shared_strings(zf, names)),
+    }
+
+
+def _col_name(idx: int) -> str:
+    """0-based column index → A, B, …, Z, AA, …"""
+    name = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        name = chr(65 + rem) + name
+    return name
+
+
+_XLSX_CONTENT_TYPES = (
+    b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    b'<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    b'<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    b'<Default Extension="xml" ContentType="application/xml"/>'
+    b'<Override PartName="/xl/workbook.xml" ContentType='
+    b'"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    b'<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+    b'"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    b'<Override PartName="/xl/sharedStrings.xml" ContentType='
+    b'"application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+    b"</Types>"
+)
+_XLSX_RELS = (
+    b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    b'<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    b'<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    b'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    b"</Relationships>"
+)
+_XLSX_WB_RELS = (
+    b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    b'<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    b'<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    b'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    b'<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+    b'officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+    b"</Relationships>"
+)
+
+
+def build_xlsx(rows: list[list], sheet_name: str = "Sheet1") -> bytes:
+    """Deterministic one-sheet XLSX. Cell typing mirrors real writers:
+    str → shared-string cell (t="s", deduped), int/float → numeric,
+    bool → boolean, None → skipped."""
+    shared: dict[str, int] = {}
+    cells_xml: list[str] = []
+    for r, row in enumerate(rows, start=1):
+        row_cells: list[str] = []
+        for ci, val in enumerate(row):
+            if val is None:
+                continue
+            ref = f"{_col_name(ci)}{r}"
+            if isinstance(val, bool):
+                row_cells.append(f'<c r="{ref}" t="b"><v>{1 if val else 0}</v></c>')
+            elif isinstance(val, (int, float)):
+                row_cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')
+            else:
+                idx = shared.setdefault(str(val), len(shared))
+                row_cells.append(f'<c r="{ref}" t="s"><v>{idx}</v></c>')
+        cells_xml.append(f'<row r="{r}">{"".join(row_cells)}</row>')
+    ws = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(cells_xml)}</sheetData></worksheet>"
+    ).encode("utf-8")
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        f' count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(
+            f'<si><t xml:space="preserve">{_xml_esc(s)}</t></si>' for s in shared
+        )
+        + "</sst>"
+    ).encode("utf-8")
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{_xml_esc(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    ).encode("utf-8")
+    return _zip_bytes(
+        [
+            ("[Content_Types].xml", _XLSX_CONTENT_TYPES),
+            ("_rels/.rels", _XLSX_RELS),
+            ("xl/workbook.xml", wb),
+            ("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS),
+            ("xl/worksheets/sheet1.xml", ws),
+            ("xl/sharedStrings.xml", sst),
+        ]
+    )

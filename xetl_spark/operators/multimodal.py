@@ -719,13 +719,33 @@ def extract_document_text(
                     text = docmod.epub_text(payload)
                     return ("epub", text, text.count("\f") + 1, None)
                 except docmod.EpubFormatError:
+                    pass
+                try:
                     text = docmod.docx_text(payload)
                     return ("docx", text, text.count("\n") + 1, None)
+                except docmod.DocxFormatError:
+                    # XLSX: flatten cells row-wise — tabs between cells,
+                    # newlines between rows, form-feed between sheets
+                    cells = docmod.xlsx_cells(payload)
+                    sheets: dict[str, dict[int, list[str]]] = {}
+                    for sheet, rr, _cc, text_v, num_v in cells:
+                        val = text_v if text_v is not None else (
+                            "" if num_v is None else f"{num_v:g}"
+                        )
+                        sheets.setdefault(sheet, {}).setdefault(rr, []).append(val)
+                    flat = "\f".join(
+                        "\n".join(
+                            "\t".join(rows[rr]) for rr in sorted(rows)
+                        )
+                        for _s, rows in sheets.items()
+                    )
+                    return ("xlsx", flat, len(sheets), None)
             return (None, None, None, "unrecognized document container")
         except (
             pdfdoc.PdfFormatError,
             docmod.DocxFormatError,
             docmod.EpubFormatError,
+            docmod.XlsxFormatError,
         ) as e:
             return (None, None, None, str(e))
 

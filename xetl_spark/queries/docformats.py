@@ -314,3 +314,60 @@ def q_ingest_doc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pages",
         F.col("err").isNotNull().alias("has_err"),
     )
+
+
+@query(
+    "q_ingest_xlsx_cells",
+    oracle="""
+    SELECT doc_id,
+           CAST((i - 1) // 4 + 1 AS INT) AS cell_row,
+           chr(65 + CAST((i - 1) % 4 AS INT)) AS cell_col,
+           CASE WHEN (i - 1) % 7 = 3 THEN NULL ELSE w END AS text,
+           CASE WHEN (i - 1) % 7 = 3 THEN CAST(length(w) AS DOUBLE) END AS num
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      FROM documents WHERE doc_id < 150
+    )
+    """,
+)
+def q_ingest_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX round-trip: build a real SpreadsheetML workbook per doc
+    (words in rows of 4 cells; every 7th-offset cell written as a
+    NUMERIC cell holding the word length — exercising shared-string,
+    dedup, and numeric cell types), re-extract with xlsx_cells, explode
+    to one row per cell. The oracle recomputes the whole grid in SQL
+    from the untouched source text."""
+    (docs,) = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xetl_spark.operators import docx as docmod
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                words = str(r["text"]).split(" ")
+                grid = []
+                for base in range(0, len(words), 4):
+                    grid.append(
+                        [
+                            len(w) if i % 7 == 3 else w
+                            for i, w in enumerate(
+                                words[base : base + 4], start=base
+                            )
+                        ]
+                    )
+                blob = docmod.build_xlsx(grid)
+                for _sheet, rr, cc, text, num in docmod.xlsx_cells(blob):
+                    rows.append((did, rr, cc, text, num))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "cell_row", "cell_col", "text", "num"]
+            )
+
+    return src.mapInPandas(
+        roundtrip,
+        schema="doc_id long, cell_row int, cell_col string, text string, num double",
+    )
