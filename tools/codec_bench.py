@@ -154,7 +154,7 @@ def main() -> int:
         "",
         "Document formats (PDF/DOCX/EPUB, round 7) are measured",
         "against EXTRACTED TEXT bytes — the unit a corpus pipeline",
-        "prices. PDF decode ~3 MB/s/core x 32 cores ≈ 100 MB/s/node:",
+        "prices. PDF decode ~9 MB/s/core x 32 cores ≈ 290 MB/s/node:",
         "the pure-Python content-stream tokenizer is the cost; at",
         "cluster scale each document is an independent Arrow-batch",
         "work item, so the path scales linearly with cores.",

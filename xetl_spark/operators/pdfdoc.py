@@ -140,7 +140,17 @@ def _parse_name(d: bytes, p: int) -> tuple[Name, int]:
     return Name(raw.decode("latin-1")), p
 
 
+_LIT_SPECIAL = re.compile(rb"[\\()\r]")
+
+
 def _parse_literal_string(d: bytes, p: int) -> tuple[bytes, int]:
+    # fast path: no escape / nesting / CR before the closing paren —
+    # the overwhelmingly common case in real content streams
+    m = _LIT_SPECIAL.search(d, p + 1)
+    if m is None:
+        raise PdfFormatError("unterminated PDF literal string")
+    if d[m.start()] == 0x29:  # ')'
+        return d[p + 1 : m.start()], m.start() + 1
     p += 1  # '('
     n = len(d)
     out = bytearray()
@@ -1048,7 +1058,16 @@ class _FontDec:
                     if 0 <= code < 256:
                         table[code] = _glyph_char(str(item))
                     code += 1
+        if self.cmap:  # single-byte ToUnicode overrides the encoding
+            for code, s in self.cmap.items():
+                if 0 <= code < 256:
+                    table[code] = s
         self.table = table
+        # C-speed decode: latin-1 maps byte i → chr(i), then one
+        # str.translate applies the whole 256-entry table
+        self._tr = str.maketrans(
+            {chr(i): table[i] for i in range(256) if table[i] != chr(i)}
+        )
 
     def __call__(self, raw: bytes) -> str:
         if self.code_bytes > 1:
@@ -1058,15 +1077,7 @@ class _FontDec:
                 cmap.get(int.from_bytes(raw[i : i + cb], "big"), "�")
                 for i in range(0, len(raw) - cb + 1, cb)
             )
-        if self.cmap:
-            t = self.table
-            return "".join(
-                self.cmap.get(b, t[b] if t else "�") for b in raw
-            )
-        if self.table is not None:
-            t = self.table
-            return "".join(t[b] for b in raw)
-        return raw.decode("latin-1")
+        return raw.decode("latin-1").translate(self._tr)
 
 
 _LATIN1 = lambda raw: raw.decode("latin-1")  # noqa: E731
@@ -1192,6 +1203,9 @@ def pdf_page_texts(payload: bytes) -> list[str]:
     """Extract text per page (list of strings, lines joined with \\n)."""
     doc = _PdfDoc(payload)
     out: list[str] = []
+    # font decoders are immutable per font object; _PdfDoc caches
+    # resolved objects, so id() is a stable key across pages
+    dec_cache: dict[int, _FontDec] = {}
     for page in _walk_pages(doc):
         contents = doc.resolve(page.get("Contents"))
         parts: list[bytes] = []
@@ -1211,7 +1225,10 @@ def pdf_page_texts(payload: bytes) -> list[str]:
                 if isinstance(fobj, Stream):
                     fobj = fobj.dict
                 if isinstance(fobj, dict):
-                    fonts[str(fname)] = _FontDec(doc, fobj)
+                    dec = dec_cache.get(id(fobj))
+                    if dec is None:
+                        dec = dec_cache[id(fobj)] = _FontDec(doc, fobj)
+                    fonts[str(fname)] = dec
         out.append(_extract_text_ops(b"\n".join(parts), fonts))
     return out
 
