@@ -851,3 +851,34 @@ def test_incremental_minhash_dedup(spark):
     )
     batch_pairs = {(r.doc_a, r.doc_b) for r in allp.collect()}
     assert (1, 10) in batch_pairs and (11, 12) in batch_pairs
+
+
+def test_url_normalize_rules(spark):
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.text import url_normalize, url_registered_domain
+
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Example.COM:443/Path/X?id=1#frag", "https://www.example.com/Path/X?id=1"),
+        ("http://host.org:80/a", "http://host.org/a"),
+        ("http://host.org:8080/a", "http://host.org:8080/a"),
+        ("https://h.io/p?utm_source=x&utm_campaign=y", "https://h.io/p"),
+        ("https://h.io/p?a=1&fbclid=zz&b=2", "https://h.io/p?a=1&b=2"),
+        ("https://h.io", "https://h.io"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_normalize("url")).collect()]
+    assert got == [c for _, c in cases]
+
+    hosts = [
+        ("www.example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.c.example.com.au", "example.com.au"),
+        ("example.org", "example.org"),
+        ("localhost", "localhost"),
+        ("Deep.Sub.Host.NET", "host.net"),
+    ]
+    df2 = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got2 = [r[0] for r in df2.select(url_registered_domain("host")).collect()]
+    assert got2 == [d for _, d in hosts]

@@ -322,6 +322,75 @@ def html_to_text(html: Column | str) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+# multi-label public suffixes the registered-domain heuristic knows;
+# a real deployment swaps in the full Mozilla PSL (a broadcast table),
+# but the grouping LOGIC — last label group before the suffix — is
+# what the operator pins
+_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "co.in", "co.kr", "com.cn",
+    "com.mx", "co.za", "com.sg", "com.tw",
+)
+
+_TRACKING_PARAM = r"^(utm_[a-zA-Z]+|fbclid|gclid|msclkid|mc_eid|igshid)="
+
+
+def url_normalize(url: Column | str) -> Column:
+    """Canonicalize a URL for corpus-level URL dedup (the C4/CommonCrawl
+    recipe): lowercase scheme and host, drop default ports (http:80 /
+    https:443), strip the fragment, and remove tracking query params
+    (utm_*, fbclid, gclid, …) while preserving the rest of the query
+    and the path's case. Pure Catalyst (parse_url + higher-order
+    filter) — whole-stage codegen, no UDF. Userinfo is out of scope
+    (crawl URLs don't carry credentials)."""
+    c = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    authority = F.parse_url(c, F.lit("AUTHORITY"))
+    host = F.lower(F.regexp_extract(authority, r"^([^:]+)", 1))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = (
+        (port == "")
+        | ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    kept_q = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: (kv != "") & ~kv.rlike(_TRACKING_PARAM),
+        ),
+        "&",
+    )
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(kept_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept_q)),
+    )
+
+
+def url_registered_domain(host: Column | str) -> Column:
+    """Registered (pay-level) domain of a hostname: the label group a
+    per-domain crawl quota or blocklist keys on. Last two labels,
+    extended to three when the final two are a known multi-label
+    public suffix (co.uk, com.au, …)."""
+    h = F.lower(F.col(host) if isinstance(host, str) else host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(n <= 2, h)
+        .when(last2.isin(*_MULTI_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
 def remove_boilerplate(
     df,
     text_col: str,

@@ -2375,3 +2375,74 @@ def q_multimodal_flac_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ms long, crc_failures int, matches_streaminfo boolean"
         ),
     )
+
+
+@query(
+    "q_url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           concat(CASE WHEN doc_id % 3 = 2 THEN 'http' ELSE 'https' END,
+                  '://',
+                  CASE WHEN doc_id % 2 = 0 THEN 'www.example.com'
+                       ELSE 'news.bbc.co.uk' END,
+                  CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
+                  '/Docs/', doc_id, '?id=', doc_id) AS canon,
+           CASE WHEN doc_id % 2 = 0 THEN 'example.com'
+                ELSE 'bbc.co.uk' END AS domain
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation (the C4/CommonCrawl corpus recipe): canonicalize
+    deliberately messy URLs — mixed-case scheme/host, default and
+    explicit ports, tracking params (utm_*), fragments — with the pure
+    Catalyst ``url_normalize`` chain, and key each to its registered
+    domain (``url_registered_domain``, multi-label public-suffix
+    aware). The oracle constructs the expected canonical form from
+    first principles, so a hash match pins every normalization rule.
+
+    Scale: whole-stage-codegen string expressions in the scan stage —
+    no UDF, no shuffle; URL-level dedup afterwards is one groupBy on
+    the canon column."""
+    from xetl_spark.operators.text import url_normalize, url_registered_domain
+
+    (docs,) = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS"))
+        .when(did % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("Http")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("WWW.Example.COM")).otherwise(
+            F.lit("News.BBC.co.uk")
+        ),
+        F.when(
+            did % 4 == 0,
+            F.when(did % 3 == 2, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(did % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        did.cast("string"),
+        F.lit("?"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("utm_source=feed&id="),
+                did.cast("string"),
+                F.lit("&utm_campaign=Spring"),
+            ),
+        ).otherwise(F.concat(F.lit("id="), did.cast("string"))),
+        F.when(did % 7 == 0, F.lit("#Section2")).otherwise(F.lit("")),
+    )
+    canon = url_normalize(messy)
+    return (
+        docs.where(did < 400)
+        .select(
+            "doc_id",
+            canon.alias("canon"),
+            url_registered_domain(F.parse_url(canon, F.lit("HOST"))).alias(
+                "domain"
+            ),
+        )
+    )
