@@ -493,3 +493,43 @@ def test_extract_document_text_xlsx(spark):
     assert row["fmt"] == "xlsx"
     assert row["text"] == "a\tb\n1\tc"
     assert row["pages"] == 1
+
+
+def test_document_ingest_example_job(spark, tmp_path):
+    """examples/document_ingest.yml end-to-end on a planted folder of
+    mixed documents + one corrupt file: extraction succeeds, the
+    corrupt file survives as an err row, sink partitions by format."""
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.pdf").write_bytes(
+        P.build_pdf(["pdf corpus text body words here"], xref_stream=True)
+    )
+    (docs / "b.docx").write_bytes(docmod.build_docx(["docx corpus text body"]))
+    (docs / "c.epub").write_bytes(
+        docmod.build_epub([("", "epub corpus text body")])
+    )
+    (docs / "d.xlsx").write_bytes(
+        docmod.build_xlsx([["cell one text", "cell two more"]])
+    )
+    (docs / "broken.pdf").write_bytes(b"%PDF-1.4 truncated garbage")
+
+    manifest = tmp_path / "job.yml"
+    text = open("/root/repo/examples/document_ingest.yml").read()
+    text = text.replace("DOCS_DIR: ./data/docs", f"DOCS_DIR: {docs}")
+    text = text.replace(
+        "OUT_DIR: /tmp/xetl_document_ingest_out", f"OUT_DIR: {tmp_path}/out"
+    )
+    manifest.write_text(text)
+    results = run_job(spark, Job.from_file(str(manifest)))
+    assert all(r.status == "success" for r in results)
+    triage = {r.fmt: r.asDict() for r in results[2].output.collect()}
+    assert triage["failed"]["n_errors"] == 1
+    assert set(triage) == {"pdf", "docx", "epub", "xlsx", "failed"}
+    out = spark.read.parquet(f"{tmp_path}/out")
+    got = {r.fmt: r.text for r in out.collect()}
+    assert got["pdf"] == "pdf corpus text body words here"
+    assert got["xlsx"] == "cell one text\tcell two more"
+    assert len(got) == 4
