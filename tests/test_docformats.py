@@ -533,3 +533,69 @@ def test_document_ingest_example_job(spark, tmp_path):
     assert got["pdf"] == "pdf corpus text body words here"
     assert got["xlsx"] == "cell one text\tcell two more"
     assert len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# PDF embedded images
+
+
+def test_pdf_images_raw_and_jpeg_roundtrip():
+    import numpy as np
+
+    from xetl_spark.operators import jpeg
+
+    rgb = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    gray = ((np.arange(64).reshape(8, 8) * 3) % 256).astype(np.uint8)
+    for xs in (False, True):
+        pdf = P.build_pdf(
+            ["text with figure", "page2"],
+            xref_stream=xs,
+            images=[(0, rgb), (1, gray)],
+            image_format="raw",
+        )
+        # text extraction unaffected by Do operators / XObject resources
+        assert P.pdf_text(pdf) == "text with figure\fpage2"
+        imgs = {i["page"]: i for i in P.pdf_images(pdf)}
+        assert imgs[0]["colorspace"] == "DeviceRGB" and imgs[0]["kind"] == "raw"
+        assert np.array_equal(
+            np.frombuffer(imgs[0]["data"], np.uint8).reshape(16, 16, 3), rgb
+        )
+        assert imgs[1]["colorspace"] == "DeviceGray"
+        assert np.array_equal(
+            np.frombuffer(imgs[1]["data"], np.uint8).reshape(8, 8), gray
+        )
+    jp = P.build_pdf(["jpeg fig"], images=[(0, rgb)], image_format="jpeg")
+    (img,) = P.pdf_images(jp)
+    assert img["kind"] == "jpeg"
+    dec = jpeg.jpeg_decode(img["data"])
+    assert dec.shape == (16, 16, 3)
+    assert abs(dec.astype(int) - rgb.astype(int)).mean() < 20
+
+
+def test_pdf_images_guards():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="uint8"):
+        P.build_pdf(["x"], images=[(0, np.zeros((4, 4), np.int16))])
+    with pytest.raises(ValueError, match="page index"):
+        P.build_pdf(["x"], images=[(5, np.zeros((4, 4), np.uint8))])
+    # no images → no XObject entries, empty result
+    assert P.pdf_images(P.build_pdf(["plain"])) == []
+    # truncated raw sample buffer → typed error
+    arr = np.zeros((8, 8, 3), np.uint8)
+    pdf = P.build_pdf(["x"], images=[(0, arr)])
+    import re as _re
+    import zlib as _z
+
+    full = _z.compress(arr.tobytes(), 6)
+    short = _z.compress(arr.tobytes()[:100], 6)
+    assert full in pdf
+    bad = pdf.replace(full, short)
+    m = _re.search(rb"/Width 8 /Height 8[^>]*", bad)
+    assert m
+    # fix the stream /Length for the shorter payload, then force sweep
+    bad = _re.sub(
+        rb"/Length %d " % len(full), rb"/Length %d " % len(short), bad
+    ).replace(b"startxref", b"stARtxref")
+    with pytest.raises(P.PdfFormatError, match="sample buffer short"):
+        P.pdf_images(bad)

@@ -1264,6 +1264,81 @@ def pdf_probe(payload: bytes) -> dict:
     return out
 
 
+_CS_COMPS = {"DeviceRGB": 3, "DeviceGray": 1, "DeviceCMYK": 4}
+
+
+def pdf_images(payload: bytes) -> list[dict]:
+    """Embedded-image (figure) extraction — the multimodal side of PDF
+    ingestion a VLM training pipeline needs. Walks each page's
+    ``/Resources /XObject`` dict for ``/Subtype /Image`` entries.
+
+    Per image: ``kind="raw"`` (decodable filter chain; ``data`` is the
+    defiltered sample buffer, length-checked against width x height x
+    components), ``kind="jpeg"`` (DCTDecode; ``data`` is the embedded
+    JFIF stream, decodable by operators/jpeg.py), ``kind="jpx"`` /
+    ``kind="unsupported"`` (payload passed through undecoded for
+    downstream routing — triage, not failure). Inline images (BI..EI)
+    are out of scope, as in text extraction."""
+    doc = _PdfDoc(payload)
+    out: list[dict] = []
+    seen: set[int] = set()
+    for pno, page in enumerate(_walk_pages(doc)):
+        res = doc.resolve(page.get("Resources")) or {}
+        xo = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        if not isinstance(xo, dict):
+            continue
+        for name, ref in xo.items():
+            obj = doc.resolve(ref)
+            if not isinstance(obj, Stream) or obj.dict.get("Subtype") != "Image":
+                continue
+            if isinstance(ref, Ref):
+                if ref.num in seen:  # shared XObject reused across pages
+                    continue
+                seen.add(ref.num)
+            sd = obj.dict
+            w = int(doc.resolve(sd.get("Width")) or 0)
+            h = int(doc.resolve(sd.get("Height")) or 0)
+            bpc = int(doc.resolve(sd.get("BitsPerComponent")) or 8)
+            cs = doc.resolve(sd.get("ColorSpace"))
+            if isinstance(cs, list) and cs:
+                cs = str(cs[0])
+            cs = str(cs) if cs is not None else None
+            comps = _CS_COMPS.get(cs or "")
+            filt = doc.resolve(sd.get("Filter"))
+            filts = [
+                str(f)
+                for f in (filt if isinstance(filt, list) else [filt])
+                if f is not None
+            ]
+            if filts == ["DCTDecode"] or filts == ["DCT"]:
+                kind, data = "jpeg", obj.raw
+            elif filts == ["JPXDecode"]:
+                kind, data = "jpx", obj.raw
+            elif all(f in _FILTERS for f in filts):
+                kind = "raw"
+                data = doc._decode_stream(obj)
+                if comps is not None and bpc == 8 and len(data) < w * h * comps:
+                    raise PdfFormatError(
+                        f"image {name} sample buffer short: "
+                        f"{len(data)} < {w * h * comps}"
+                    )
+            else:
+                kind, data = "unsupported", obj.raw
+            out.append(
+                {
+                    "page": pno,
+                    "name": str(name),
+                    "width": w,
+                    "height": h,
+                    "colorspace": cs,
+                    "bits": bpc,
+                    "kind": kind,
+                    "data": data,
+                }
+            )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # builder
 
@@ -1316,13 +1391,21 @@ def build_pdf(
     content_filter: str = "flate",
     producer: str = "xetl-spark pdfdoc",
     title: str | None = None,
+    images: list[tuple[int, "object"]] | None = None,
+    image_format: str = "raw",
 ) -> bytes:
     """Deterministic single-font PDF. ``pages``: one string per page
     (lines split on \\n) or an explicit list of lines per page.
     ``xref_stream=True`` emits the PDF 1.5 layout — cross-reference
     stream (W [1 4 2], PNG up-predictor) with the catalog/pages/font/
     info objects packed into an ObjStm — so both parser paths are
-    exercised by the same fixture generator."""
+    exercised by the same fixture generator.
+
+    ``images``: optional ``(page_index, uint8 ndarray)`` pairs embedded
+    as Image XObjects and drawn via ``Do``. ``image_format="raw"``
+    stores Flate-compressed raw samples (pixel-exact round trip);
+    ``"jpeg"`` routes through operators/jpeg.py's baseline encoder
+    (DCTDecode payload, decodable by any reader)."""
     if content_filter not in _ENCODERS:
         raise ValueError(f"unknown content_filter {content_filter!r}")
     filt_decl, enc = _ENCODERS[content_filter]
@@ -1334,11 +1417,15 @@ def build_pdf(
 
     npages = len(norm_pages)
     # object numbering: 1=Catalog 2=Pages 3=Font 4=Info,
-    # then per page i: 5+2i = Page dict, 6+2i = content stream
+    # then per page i: 5+2i = Page dict, 6+2i = content stream;
+    # image XObjects follow after all page objects
     font_obj, info_obj = 3, 4
     page_obj = lambda i: 5 + 2 * i  # noqa: E731
     cont_obj = lambda i: 6 + 2 * i  # noqa: E731
     last_obj = 4 + 2 * npages
+    images = images or []
+    img_obj = lambda k: 5 + 2 * npages + k  # noqa: E731
+    last_obj += len(images)
 
     def d(**kw) -> bytes:
         return (
@@ -1367,17 +1454,60 @@ def build_pdf(
         ),
     }
     streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict_extra, data)
+    page_images: dict[int, list[int]] = {}  # page idx -> image ks
+    for k, (pidx, arr) in enumerate(images):
+        if not (0 <= pidx < npages):
+            raise ValueError(f"image page index {pidx} out of range")
+        page_images.setdefault(pidx, []).append(k)
+        shape = getattr(arr, "shape", ())
+        if getattr(arr, "dtype", None) is not None and str(arr.dtype) != "uint8":
+            raise ValueError(f"image dtype must be uint8, got {arr.dtype}")
+        if len(shape) == 3 and shape[2] == 3:
+            cspace, ih, iw = b"/DeviceRGB", shape[0], shape[1]
+        elif len(shape) == 2:
+            cspace, ih, iw = b"/DeviceGray", shape[0], shape[1]
+        else:
+            raise ValueError("image must be HxW or HxWx3 uint8")
+        if image_format == "jpeg":
+            from xetl_spark.operators import jpeg as _jpeg
+
+            data = _jpeg.jpeg_encode(arr, 90)
+            ifilt = b"/Filter /DCTDecode"
+        elif image_format == "raw":
+            data = zlib.compress(bytes(arr.tobytes()), 6)
+            ifilt = b"/Filter /FlateDecode"
+        else:
+            raise ValueError(f"unknown image_format {image_format!r}")
+        streams[img_obj(k)] = (
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace %s /BitsPerComponent 8 %s" % (iw, ih, cspace, ifilt),
+            data,
+        )
     for i, lines in enumerate(norm_pages):
+        res = b"<< /Font << /F1 %d 0 R >> >>" % font_obj
+        content = _content_stream(lines)
+        ks = page_images.get(i)
+        if ks:
+            xobjs = b" ".join(b"/Im%d %d 0 R" % (k, img_obj(k)) for k in ks)
+            res = (
+                b"<< /Font << /F1 %d 0 R >> /XObject << %s >> >>"
+                % (font_obj, xobjs)
+            )
+            draws = b" ".join(
+                b"q 128 0 0 128 72 %d cm /Im%d Do Q" % (500 - 20 * j, k)
+                for j, k in enumerate(ks)
+            )
+            content = content + b" " + draws
         objs[page_obj(i)] = d(
             **{
                 "/Type": b"/Page",
                 "/Parent": b"2 0 R",
                 "/MediaBox": b"[0 0 612 792]",
-                "/Resources": b"<< /Font << /F1 %d 0 R >> >>" % font_obj,
+                "/Resources": res,
                 "/Contents": b"%d 0 R" % cont_obj(i),
             }
         )
-        streams[cont_obj(i)] = (filt_decl, enc(_content_stream(lines)))
+        streams[cont_obj(i)] = (filt_decl, enc(content))
 
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if xref_stream else b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}

@@ -371,3 +371,82 @@ def q_ingest_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         schema="doc_id long, cell_row int, cell_col string, text string, num double",
     )
+
+
+@query(
+    "q_multimodal_pdf_figures",
+    oracle="""
+    SELECT doc_id,
+           16 AS width, 16 AS height, 'raw' AS kind,
+           256 * (doc_id % 200) + 1920 AS sum_r,
+           256 * ((doc_id * 7) % 200) + 1920 AS sum_g,
+           256 * ((doc_id * 13) % 200) + 1920 AS sum_b
+    FROM documents WHERE doc_id < 160
+    """,
+)
+def q_multimodal_pdf_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF figure extraction (the VLM-corpus path): embed a
+    deterministic 16x16 RGB image per document as a Flate raw-sample
+    XObject (R = id%200+x, G = id*7%200+y, B = id*13%200+(x+y)%16 —
+    the _synth_images closed form), alongside real page text, in
+    alternating classic/xref-stream layouts; extract with pdf_images
+    and report integer-exact channel sums the oracle recomputes in
+    closed form (sum over x,y of id-term + coordinate term =
+    256*term + 1920)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "text").where(F.col("doc_id") < 160)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import pdfdoc
+
+        x = np.arange(16)[None, :]
+        y = np.arange(16)[:, None]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                arr = np.stack(
+                    [
+                        np.broadcast_to(did % 200 + x, (16, 16)),
+                        np.broadcast_to(did * 7 % 200 + y, (16, 16)),
+                        (did * 13 % 200 + (x + y) % 16),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                blob = pdfdoc.build_pdf(
+                    _pdf_pages(str(r["text"])),
+                    xref_stream=bool(did % 2),
+                    images=[(0, arr)],
+                    image_format="raw",
+                )
+                (img,) = pdfdoc.pdf_images(blob)
+                px = np.frombuffer(img["data"], np.uint8).reshape(16, 16, 3)
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        did,
+                        img["width"],
+                        img["height"],
+                        img["kind"],
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "kind", "sum_r", "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, kind string, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )
