@@ -599,3 +599,35 @@ def test_pdf_images_guards():
     ).replace(b"startxref", b"stARtxref")
     with pytest.raises(P.PdfFormatError, match="sample buffer short"):
         P.pdf_images(bad)
+
+
+def test_streaming_document_ingest(spark, tmp_path):
+    """doc_text works as a Structured Streaming transform: a binaryFile
+    readStream of mixed documents flows through the same Arrow-batched
+    mapInPandas (streaming ingest-on-arrival of a document drop)."""
+    from xetl_spark.operators.multimodal import extract_document_text
+    from xetl_spark.streaming.windows import run_stream_to_memory
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.pdf").write_bytes(P.build_pdf(["streamed pdf text"]))
+    (drop / "b.docx").write_bytes(docmod.build_docx(["streamed docx text"]))
+    (drop / "c.bin").write_bytes(b"\x01\x02 not a doc")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .load(str(drop))
+    )
+    extracted = extract_document_text(stream, media_col="content", id_col="path")
+    got = {
+        r["id"].rsplit("/", 1)[-1]: r.asDict()
+        for r in run_stream_to_memory(extracted, mode="append").collect()
+    }
+    assert got["a.pdf"]["fmt"] == "pdf" and got["a.pdf"]["text"] == "streamed pdf text"
+    assert got["b.docx"]["fmt"] == "docx"
+    assert got["c.bin"]["fmt"] is None and got["c.bin"]["err"] is not None
