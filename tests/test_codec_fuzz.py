@@ -232,3 +232,24 @@ def test_jpeg_upsample2_matches_spec_reference():
                 b = (int(p[ry2, rx]) + int(p[ry2, rx2]) + 1) // 2 if x % 2 else int(p[ry2, rx])
                 want = (a + b + 1) // 2 if y % 2 else a
                 assert up[y, x] == want, (y, x)
+
+
+def test_fuzz_document_formats():
+    """PDF/DOCX/EPUB/XLSX extractors under bit flips and truncation:
+    typed format errors only (zipfile internals surface BadZipFile /
+    zlib.error — wrapped; anything else would fail a Spark stage)."""
+    from xetl_spark.operators import docx as docmod
+    from xetl_spark.operators import pdfdoc
+
+    pdf = pdfdoc.build_pdf(
+        ["fuzz body text\nline two", "page 2"], xref_stream=True
+    )
+    _check(pdfdoc.pdf_text, _mutations(pdf), (pdfdoc.PdfFormatError,))
+    _check(pdfdoc.pdf_probe, _mutations(pdf), (pdfdoc.PdfFormatError,))
+    _check(pdfdoc.pdf_images, _mutations(pdf), (pdfdoc.PdfFormatError,))
+    dx = docmod.build_docx(["alpha", "beta\tgamma"])
+    _check(docmod.docx_text, _mutations(dx), (docmod.DocxFormatError,))
+    eb = docmod.build_epub([("t", "chapter body")])
+    _check(docmod.epub_text, _mutations(eb), (docmod.EpubFormatError,))
+    xl = docmod.build_xlsx([["a", 1], [2.5, "b"]])
+    _check(docmod.xlsx_cells, _mutations(xl), (docmod.XlsxFormatError,))

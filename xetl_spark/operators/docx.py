@@ -32,6 +32,7 @@ import html as _html
 import io
 import posixpath
 import re
+import struct
 import zipfile
 import zlib
 from xml.etree import ElementTree
@@ -72,10 +73,16 @@ def _open_zip(payload: bytes, err: type[ValueError]) -> zipfile.ZipFile:
     if not sniff_zip(payload):
         raise err("not a zip container")
     try:
+        # zipfile surfaces corrupt central directories as BadZipFile
+        # but corrupt EOCD offsets as bare ValueError/OSError/EOFError
+        # and malformed extra fields as struct.error — wrap them all
         zf = zipfile.ZipFile(io.BytesIO(payload))
-    except (zipfile.BadZipFile, OSError) as e:
+        infos = zf.infolist()
+    except (
+        zipfile.BadZipFile, OSError, EOFError, ValueError, struct.error,
+        NotImplementedError,  # "zip file version N" on corrupt central dirs
+    ) as e:
         raise err(f"bad zip container: {e}") from None
-    infos = zf.infolist()
     if len(infos) > MAX_MEMBERS:
         raise err(f"zip has {len(infos)} members (cap {MAX_MEMBERS})")
     total = 0
@@ -92,7 +99,10 @@ def _read_member(zf: zipfile.ZipFile, name: str, err: type[ValueError]) -> bytes
     try:
         with zf.open(name) as fh:
             data = fh.read(MAX_MEMBER_BYTES + 1)
-    except (KeyError, zipfile.BadZipFile, zlib.error, OSError) as e:
+    except (
+        KeyError, zipfile.BadZipFile, zlib.error, OSError, EOFError,
+        ValueError, struct.error, NotImplementedError,  # unknown method
+    ) as e:
         raise err(f"cannot read zip member {name!r}: {e}") from None
     if len(data) > MAX_MEMBER_BYTES:
         raise err(f"zip member {name!r} exceeds size cap")
