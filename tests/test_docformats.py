@@ -631,3 +631,33 @@ def test_streaming_document_ingest(spark, tmp_path):
     assert got["a.pdf"]["fmt"] == "pdf" and got["a.pdf"]["text"] == "streamed pdf text"
     assert got["b.docx"]["fmt"] == "docx"
     assert got["c.bin"]["fmt"] is None and got["c.bin"]["err"] is not None
+
+
+def test_probe_media_routes_document_containers(spark):
+    """probe_media names document containers (pdf/docx/epub/xlsx/zip)
+    for mixed-corpus triage; extraction stays extract_document_text's
+    job. PDF page count lands in n_frames (the fan-out unit)."""
+    import io
+    import zipfile
+
+    from xetl_spark.operators.multimodal import probe_media
+
+    plain_zip = io.BytesIO()
+    with zipfile.ZipFile(plain_zip, "w") as zf:
+        zf.writestr("anything.txt", "x")
+    rows = [
+        (1, P.build_pdf(["p1", "p2", "p3"])),
+        (2, docmod.build_docx(["a"])),
+        (3, docmod.build_epub([("", "c")])),
+        (4, docmod.build_xlsx([["v"]])),
+        (5, plain_zip.getvalue()),
+        (6, b"\x00\x01\x02 nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["id"]: r.asDict() for r in probe_media(df).collect()}
+    assert got[1]["container"] == "pdf" and got[1]["n_frames"] == 3
+    assert got[2]["container"] == "docx"
+    assert got[3]["container"] == "epub"
+    assert got[4]["container"] == "xlsx"
+    assert got[5]["container"] == "zip"
+    assert got[6]["container"] == "unknown"

@@ -666,6 +666,26 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
             if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
                 p = mediaprobe.h264_sps_probe(payload)
                 return ("h264", p["width"], p["height"], None, None, None, None, None)
+            # document containers route to extract_document_text for
+            # the real extraction; triage here names them and counts
+            # pages (n_frames column = the fan-out unit, as for GIF)
+            if payload[:1024].find(b"%PDF-") >= 0:
+                from xetl_spark.operators import pdfdoc
+
+                p = pdfdoc.pdf_probe(payload)
+                return ("pdf", None, None, None, None, None, None, p["pages"])
+            if payload[:4] == b"PK\x03\x04":
+                import io as _io
+                import zipfile as _zipfile
+
+                names = set(_zipfile.ZipFile(_io.BytesIO(payload)).namelist())
+                if "word/document.xml" in names:
+                    return ("docx", None, None, None, None, None, None, None)
+                if "xl/workbook.xml" in names:
+                    return ("xlsx", None, None, None, None, None, None, None)
+                if "META-INF/container.xml" in names:
+                    return ("epub", None, None, None, None, None, None, None)
+                return ("zip", None, None, None, None, None, None, None)
         except Exception:  # malformed stream: fall through to unknown
             pass
         return ("unknown", None, None, None, None, None, None, None)
