@@ -244,3 +244,55 @@ def test_flac_frame_walk_32bps():
     every 32-bps frame as a CRC failure."""
     r = mp.flac_frame_walk(mp.flac_build_frames(44100, 1, [192, 192], bps=32))
     assert (r["n_frames"], r["crc_failures"], r["matches_streaminfo"]) == (2, 0, True)
+
+
+def test_id3_tags_roundtrip_versions_and_unsync():
+    from xetl_spark.operators import mediaprobe as mp
+
+    tags = {
+        "title": "Söng Tïtle", "artist": "The Band", "album": "LP",
+        "year": "2024", "track": "3/12", "genre": "rock",
+    }
+    for v in (3, 4):
+        for unsync in (False, True):
+            blob = mp.id3_build(tags, version=v, unsync=unsync)
+            got = mp.id3_tags(blob + b"\xff\xfb\x90\x00" * 4)
+            assert got["version"] == f"2.{v}"
+            assert got["n_frames"] == 6
+            for k, want in tags.items():
+                assert got[k] == want, (v, unsync, k)
+    # sparse tags: absent fields stay None
+    got = mp.id3_tags(mp.id3_build({"title": "only"}))
+    assert got["title"] == "only" and got["artist"] is None
+
+
+def test_id3_tags_typed_errors_and_fuzz():
+    import numpy as np
+    import pytest
+
+    from xetl_spark.operators import mediaprobe as mp
+
+    with pytest.raises(mp.Mp3FormatError, match="ID3"):
+        mp.id3_tags(b"RIFFxxxx")
+    with pytest.raises(mp.Mp3FormatError):
+        mp.id3_tags(mp.id3_build({"title": "x"})[:12])
+    rng = np.random.default_rng(5)
+    base = mp.id3_build({"title": "fuzz", "artist": "a" * 40}, version=4)
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 5)):
+            b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+        try:
+            out = mp.id3_tags(bytes(b))
+            assert isinstance(out, dict)
+        except mp.Mp3FormatError:
+            pass
+
+
+def test_mp3_probe_after_id3_tag():
+    from xetl_spark.operators import mediaprobe as mp
+
+    stream = mp.id3_build({"title": "t"}) + mp.mp3_build(12, 128, 44100)
+    p = mp.mp3_probe(stream)
+    assert p["n_frames"] == 12
+    assert mp.id3_tags(stream)["title"] == "t"

@@ -850,3 +850,120 @@ def ogg_build(
         )
         granule = n_samples
     return page(7, 0, 0, ident, 2) + page(7, 1, granule, b"\x00" * 10, 4)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tags (audio-corpus metadata: title/artist/album/year/track/genre)
+
+_ID3_COMMON = {
+    # v2.3/2.4 id      v2.2 id   field
+    "TIT2": "title", "TT2": "title",
+    "TPE1": "artist", "TP1": "artist",
+    "TALB": "album", "TAL": "album",
+    "TDRC": "year", "TYER": "year", "TYE": "year",
+    "TRCK": "track", "TRK": "track",
+    "TCON": "genre", "TCO": "genre",
+}
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+@_typed(Mp3FormatError)
+def id3_tags(payload: bytes) -> dict:
+    """Parse an ID3v2.2/2.3/2.4 tag's common text frames — the
+    metadata pass an audio-corpus pipeline runs before any decode.
+
+    Returns {version, title, artist, album, year, track, genre,
+    n_frames}; fields absent from the tag are None. Handles syncsafe
+    sizes, the unsynchronisation flag, extended headers, and all four
+    declared text encodings. Typed Mp3FormatError when no ID3v2
+    header is present or the tag is malformed."""
+    b = payload
+    if b[:3] != b"ID3" or len(b) < 10:
+        raise Mp3FormatError("no ID3v2 header")
+    major = b[3]
+    if major not in (2, 3, 4):
+        raise Mp3FormatError(f"ID3v2.{major} unsupported")
+    flags = b[5]
+    size = _syncsafe(b[6:10])
+    body = bytes(b[10 : 10 + size])
+    if len(body) < size:
+        raise Mp3FormatError("truncated ID3v2 tag")
+    if flags & 0x80:  # unsynchronisation: FF 00 -> FF
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40 and major >= 3:  # extended header
+        if major == 3:
+            pos = 4 + int.from_bytes(body[0:4], "big")
+        else:
+            pos = _syncsafe(body[0:4])
+    out = {
+        "version": f"2.{major}",
+        "title": None, "artist": None, "album": None,
+        "year": None, "track": None, "genre": None,
+        "n_frames": 0,
+    }
+    id_len, sz_len = (3, 3) if major == 2 else (4, 4)
+    while pos + id_len + sz_len <= len(body):
+        fid = body[pos : pos + id_len]
+        if fid == b"\x00" * id_len or not fid.strip(b"\x00"):
+            break  # padding
+        raw_sz = body[pos + id_len : pos + id_len + sz_len]
+        if major == 2:
+            fsize = int.from_bytes(raw_sz, "big")
+            hdr = id_len + sz_len
+        else:
+            fsize = _syncsafe(raw_sz) if major == 4 else int.from_bytes(raw_sz, "big")
+            hdr = id_len + sz_len + 2  # frame flags
+        frame = body[pos + hdr : pos + hdr + fsize]
+        if len(frame) < fsize:
+            raise Mp3FormatError("truncated ID3v2 frame")
+        pos += hdr + fsize
+        out["n_frames"] += 1
+        try:
+            fid_s = fid.decode("ascii")
+        except UnicodeDecodeError:
+            raise Mp3FormatError("bad ID3v2 frame id") from None
+        field = _ID3_COMMON.get(fid_s)
+        if field is None or not frame:
+            continue
+        codec = _ID3_ENCODINGS.get(frame[0])
+        if codec is None:
+            raise Mp3FormatError(f"bad ID3v2 text encoding {frame[0]}")
+        text = frame[1:].decode(codec, "replace").split("\x00", 1)[0].strip()
+        if text and out[field] is None:
+            out[field] = text
+    return out
+
+
+def id3_build(tags: dict, version: int = 3, unsync: bool = False) -> bytes:
+    """Deterministic ID3v2.3/2.4 tag builder (fixture generator)."""
+    if version not in (3, 4):
+        raise ValueError("id3_build supports v2.3/2.4")
+    rev = {"title": "TIT2", "artist": "TPE1", "album": "TALB",
+           "year": "TDRC" if version == 4 else "TYER",
+           "track": "TRCK", "genre": "TCON"}
+    frames = bytearray()
+    for field, fid in rev.items():
+        val = tags.get(field)
+        if val is None:
+            continue
+        body = b"\x03" + str(val).encode("utf-8")
+        sz = (
+            bytes([(len(body) >> s) & 0x7F for s in (21, 14, 7, 0)])
+            if version == 4
+            else len(body).to_bytes(4, "big")
+        )
+        frames += fid.encode() + sz + b"\x00\x00" + body
+    payload = bytes(frames)
+    flags = 0
+    if unsync:
+        payload = payload.replace(b"\xff", b"\xff\x00")
+        flags |= 0x80
+    size = len(payload)
+    ss = bytes([(size >> s) & 0x7F for s in (21, 14, 7, 0)])
+    return b"ID3" + bytes([version, 0, flags]) + ss + payload
