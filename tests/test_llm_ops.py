@@ -882,3 +882,24 @@ def test_url_normalize_rules(spark):
     df2 = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
     got2 = [r[0] for r in df2.select(url_registered_domain("host")).collect()]
     assert got2 == [d for _, d in hosts]
+
+
+def test_markdown_to_text_rules(spark):
+    from xetl_spark.operators.text import markdown_to_text
+
+    cases = [
+        ("# Header\nbody", "Header body"),
+        ("## H2 ##\ntext", "H2 ## text"),  # trailing hashes are content
+        ("> quoted line", "quoted line"),
+        ("- item one\n* item two\n3. item three", "item one item two item three"),
+        ("**bold** and _ital_ and `code`", "bold and ital and code"),
+        ("[anchor](http://x/y?z=1)", "anchor"),
+        ("![alt text](img.png) after", "alt text after"),
+        ("```python\nx = 1\n```\ndone", "x = 1 done"),  # fence dropped, code kept
+        ("above\n---\nbelow", "above below"),
+        ("snake_case stays", "snake_case stays"),  # unpaired _ untouched
+        ("a * b times", "a * b times"),  # unpaired * untouched
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "md string")
+    got = [r[0] for r in df.select(markdown_to_text("md")).collect()]
+    assert got == [p for _, p in cases]

@@ -322,6 +322,30 @@ def html_to_text(html: Column | str) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def markdown_to_text(md: Column | str) -> Column:
+    """Strip Markdown markup to plain text — the README/forum-corpus
+    analog of ``html_to_text``, and like it a pure Catalyst regexp
+    chain (whole-stage codegen, no UDF).
+
+    Rules (deterministic, documented): fence lines dropped (code
+    CONTENT kept — it's training signal), images → alt text, links →
+    anchor text, ATX headers / blockquote markers / list markers
+    stripped, paired ** __ * _ ` emphasis unwrapped, horizontal rules
+    dropped, whitespace collapsed."""
+    c = F.col(md) if isinstance(md, str) else md
+    out = F.regexp_replace(c, r"(?m)^```[^\n]*$", " ")
+    out = F.regexp_replace(out, r"!\[([^\]]*)\]\([^)]*\)", r"$1")
+    out = F.regexp_replace(out, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    out = F.regexp_replace(out, r"(?m)^\s*([-*_][ \t]*){3,}$", " ")
+    out = F.regexp_replace(out, r"(?m)^#{1,6}[ \t]+", "")
+    out = F.regexp_replace(out, r"(?m)^>[ \t]?", "")
+    out = F.regexp_replace(out, r"(?m)^([ \t]*)([-*+]|\d+\.)[ \t]+", r"$1")
+    out = F.regexp_replace(out, r"(\*\*|__)([^*_]+)\1", r"$2")
+    out = F.regexp_replace(out, r"(\*|_)([^*_]+)\1", r"$2")
+    out = F.regexp_replace(out, r"`([^`]*)`", r"$1")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 # multi-label public suffixes the registered-domain heuristic knows;
 # a real deployment swaps in the full Mozilla PSL (a broadcast table),
 # but the grouping LOGIC — last label group before the suffix — is

@@ -2446,3 +2446,39 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_text_markdown_strip",
+    oracle="""
+    SELECT doc_id, text AS plain
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def q_text_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → plain text (README/forum corpora): each document is
+    rendered INTO markdown in pure SQL — header, blockquote, bold list
+    item, link, inline code, image — then stripped back with the
+    Catalyst ``markdown_to_text`` chain. A hash match against the
+    untouched source text pins every stripping rule. No UDF, no
+    shuffle."""
+    from xetl_spark.operators.text import markdown_to_text
+
+    (docs,) = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    md = F.concat(
+        F.lit("## "), F.element_at(w, 1), F.lit("\n\n"),
+        F.lit("> "), F.element_at(w, 2), F.lit("\n"),
+        F.lit("- **"), F.element_at(w, 3), F.lit("**\n"),
+        F.lit("1. _"), F.element_at(w, 4), F.lit("_\n"),
+        F.lit("["), F.element_at(w, 5), F.lit("](https://ex.com/a?b=1)\n"),
+        F.lit("`"), F.element_at(w, 6), F.lit("`\n"),
+        F.lit("!["), F.element_at(w, 7), F.lit("](img.png)\n"),
+        F.lit("```python\n"), F.element_at(w, 8), F.lit("\n```\n"),
+        F.lit("---\n"),
+        F.array_join(F.slice(w, 9, F.size(w)), " "),
+    )
+    return (
+        docs.where(F.col("doc_id") < 400)
+        .select("doc_id", markdown_to_text(md).alias("plain"))
+    )
