@@ -220,6 +220,7 @@ def _parse_hex_string(d: bytes, p: int) -> tuple[bytes, int]:
 
 
 _NUM = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_INT = re.compile(rb"\d+")  # object numbers / generations / offsets
 
 
 def _parse_object(d: bytes, p: int, depth: int = 0):
@@ -544,7 +545,7 @@ class _PdfDoc:
         if at < 0:
             self._reconstruct()
             return
-        m = _NUM.search(tail, at + 9)
+        m = _INT.search(tail, at + 9)
         if not m:
             self._reconstruct()
             return
@@ -594,12 +595,12 @@ class _PdfDoc:
                 if not isinstance(tr, dict):
                     raise PdfFormatError("PDF trailer is not a dictionary")
                 return tr
-            m = _NUM.match(d, p)
+            m = _INT.match(d, p)
             if not m:
                 raise PdfFormatError("bad xref subsection header")
             start = int(m.group())
             p = _skip_ws(d, m.end())
-            m = _NUM.match(d, p)
+            m = _INT.match(d, p)
             if not m:
                 raise PdfFormatError("bad xref subsection header")
             count = int(m.group())
@@ -706,12 +707,12 @@ class _PdfDoc:
     def _object_header(self, p: int) -> tuple[int, int, int]:
         d = self.data
         p = _skip_ws(d, p)
-        m = _NUM.match(d, p)
+        m = _INT.match(d, p)
         if not m:
             raise PdfFormatError("bad object header")
         num = int(m.group())
         p = _skip_ws(d, m.end())
-        m2 = _NUM.match(d, p)
+        m2 = _INT.match(d, p)
         if not m2:
             raise PdfFormatError("bad object header")
         gen = int(m2.group())
@@ -806,11 +807,11 @@ class _PdfDoc:
             offsets: dict[int, int] = {}
             p = 0
             for i in range(min(n, MAX_OBJECTS)):
-                m = _NUM.match(data, _skip_ws(data, p))
+                m = _INT.match(data, _skip_ws(data, p))
                 if not m:
                     raise PdfFormatError("bad ObjStm header")
                 onum = int(m.group())
-                m2 = _NUM.match(data, _skip_ws(data, m.end()))
+                m2 = _INT.match(data, _skip_ws(data, m.end()))
                 if not m2:
                     raise PdfFormatError("bad ObjStm header")
                 offsets[i] = first + int(m2.group())
