@@ -2482,3 +2482,46 @@ def q_text_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") < 400)
         .select("doc_id", markdown_to_text(md).alias("plain"))
     )
+
+
+@query("q_text_quality_classifier")  # P: learned weights, no SQL oracle
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet/fastText recipe):
+    plant a quality signal — docs with even doc_id get 'insightful
+    rigorous' markers appended, odd get 'clickbait spammy' — train the
+    distributed hashed-n-gram logistic regression
+    (operators/classifier.py: full-batch GD, per-iteration collect
+    bounded by num_features) on doc_id < 300, score the held-out rest,
+    and report each held-out doc's label guess. Property-tested in
+    tests/test_classifier.py (exact numpy-reference equivalence +
+    planted-signal accuracy); here the driver checks rows-only."""
+    from xetl_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" insightful rigorous detailed"),
+            ).otherwise(F.lit(" clickbait spammy garbled")),
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("label"),
+    )
+    model = train_quality_classifier(
+        marked.where(F.col("doc_id") < 300),
+        "text",
+        "label",
+        "doc_id",
+        num_features=1 << 12,
+        iters=5,  # signal is strong; keeps the driver battery fast
+    )
+    held = marked.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    return score_quality(held, model, "text", "doc_id").select(
+        F.col("id").alias("doc_id"),
+        (F.col("quality_prob") >= 0.5).cast("int").alias("pred"),
+    )
