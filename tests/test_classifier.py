@@ -69,7 +69,7 @@ def test_classifier_learns_planted_signal(spark):
     held = [r for r in rows if r[0] % 3 == 0]
     tdf = spark.createDataFrame(train, "doc_id long, text string, label int")
     model = train_quality_classifier(
-        tdf, "text", "label", "doc_id", num_features=1 << 12, iters=40
+        tdf, "text", "label", "doc_id", num_features=1 << 12, iters=20
     )
     hdf = spark.createDataFrame(held, "doc_id long, text string, label int")
     scored = score_quality(hdf, model, "text", "doc_id")
@@ -87,3 +87,39 @@ def test_empty_training_set_raises(spark):
     df = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="empty"):
         train_quality_classifier(df, "text", "label", "doc_id", iters=1)
+
+
+def test_quality_filter_builtin_task(spark, tmp_path):
+    """Declarative corpus filter: train on a labeled stage, keep only
+    high-scoring rows of the main stage."""
+    import textwrap
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    rows = _corpus(n=90)
+    train = [r for r in rows if r[0] < 60]
+    corpus = [(i, t) for i, t, _l in rows if i >= 60]
+    tdir, cdir = tmp_path / "train", tmp_path / "corpus"
+    spark.createDataFrame(train, "doc_id long, text string, label int").write.parquet(str(tdir))
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(str(cdir))
+    job = Job.from_yaml(
+        textwrap.dedent(
+            f"""
+            name: qf
+            commands:
+              - {{name: labeled, task: read_parquet, env: {{PATH: {tdir}}}}}
+              - {{name: corpus, task: read_parquet, env: {{PATH: {cdir}}}}}
+              - name: kept
+                task: quality_filter
+                env: {{TRAIN: labeled, INPUT: corpus, ITERS: 10, FEATURES: 4096}}
+            """
+        )
+    )
+    results = run_job(spark, job)
+    kept = {r.doc_id for r in results[-1].output.collect()}
+    want_good = {i for i, _t, lab in rows if i >= 60 and lab == 1}
+    # planted signal is strong: the filter keeps (almost exactly) the good half
+    assert len(kept ^ want_good) <= 2
+    # score column survives for downstream band selection
+    assert "quality_prob" in results[-1].output.columns

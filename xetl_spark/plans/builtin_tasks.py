@@ -365,6 +365,51 @@ def doc_text_task(ctx: StageContext):
 
 
 @task(
+    "quality_filter",
+    "Model-based corpus filter (CCNet/fastText recipe): train the "
+    "distributed hashed-n-gram logistic regression on a labeled stage, "
+    "score this stage, keep rows at/above THRESHOLD (score kept in "
+    "quality_prob)",
+    env={
+        "TRAIN": {"description": "labeled training stage name", "type": "string"},
+        "COLUMN": {"description": "text column", "type": "string", "default": "text"},
+        "LABEL": {"description": "0/1 label column in TRAIN", "type": "string", "default": "label"},
+        "ID_COLUMN": {"description": "row-identity column", "type": "string", "default": "doc_id"},
+        "THRESHOLD": {"description": "keep rows with prob >= this", "type": "decimal", "default": 0.5},
+        "ITERS": {"description": "GD iterations", "type": "integer", "default": 20},
+        "FEATURES": {"description": "hash buckets", "type": "integer", "default": 1 << 15},
+        "INPUT": {"description": "corpus stage to filter", "type": "string", "required": False},
+    },
+)
+def quality_filter_task(ctx: StageContext):
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    text_col = str(ctx.env["COLUMN"])
+    id_col = str(ctx.env["ID_COLUMN"])
+    model = train_quality_classifier(
+        ctx.input_df("TRAIN"),
+        text_col,
+        str(ctx.env["LABEL"]),
+        id_col,
+        num_features=int(ctx.env["FEATURES"]),  # type: ignore[arg-type]
+        iters=int(ctx.env["ITERS"]),  # type: ignore[arg-type]
+    )
+    corpus = ctx.input_df()
+    scored = score_quality(corpus, model, text_col, id_col).withColumnRenamed(
+        "id", id_col
+    )
+    return corpus.join(
+        scored.where(F.col("quality_prob") >= float(ctx.env["THRESHOLD"])),  # type: ignore[arg-type]
+        id_col,
+    )
+
+
+@task(
     "explode_archive",
     "Explode tar / tar.gz / zip shard archives in a binary column into "
     "one row per member file (WebDataset-style shards)",
