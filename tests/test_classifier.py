@@ -83,6 +83,48 @@ def test_classifier_learns_planted_signal(spark):
     assert got == again
 
 
+def test_features_no_null_padding_artifact(spark):
+    """Bigrams come from aligned slices, so no zip_with null padding:
+    no spurious constant xxhash64(NULL)=seed feature, and a k-token doc
+    yields exactly k unigrams + (k-1) bigrams."""
+    df = spark.createDataFrame(
+        [("hello world foo",), ("single",), ("",), (None,)], "text string"
+    )
+    rows = df.select(hashed_text_features("text", 1 << 10).alias("f")).collect()
+    assert [len(r["f"]) for r in rows] == [5, 1, 0, 0]
+    for r in rows:
+        assert all(v is not None for v in r["f"])
+
+
+def test_null_text_rows_survive_train_and_score(spark):
+    """NULL text is the empty document — it must not crash training or
+    scoring (corpora carry NULL text from failed extractions)."""
+    rows = _corpus(n=40)
+    rows = rows + [(1000, None, 0), (1001, None, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_quality_classifier(
+        df, "text", "label", "doc_id", num_features=1 << 10, iters=3
+    )
+    scored = score_quality(df, model, "text", "doc_id").collect()
+    assert len(scored) == len(rows)
+    probs = {r["id"]: r["quality_prob"] for r in scored}
+    # both NULL docs score identically (bias-only margin)
+    assert probs[1000] == probs[1001]
+
+
+def test_string_id_column(spark):
+    """The quality_filter surface exposes ID_COLUMN generically — string
+    ids (e.g. file paths) must work end-to-end."""
+    rows = [(f"path/{i}.txt", t, lab) for i, t, lab in _corpus(n=40)]
+    df = spark.createDataFrame(rows, "path string, text string, label int")
+    model = train_quality_classifier(
+        df, "text", "label", "path", num_features=1 << 10, iters=3
+    )
+    scored = score_quality(df, model, "text", "path").collect()
+    assert len(scored) == len(rows)
+    assert all(isinstance(r["id"], str) for r in scored)
+
+
 def test_empty_training_set_raises(spark):
     df = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="empty"):

@@ -423,3 +423,38 @@ def test_builtin_task_surface_hygiene():
         inp = spec.env.get("INPUT")
         if inp is not None:
             assert not inp.required, name
+        # Every declared default must satisfy its own declared type —
+        # catches e.g. an int default on a float input at authoring time.
+        defaults = {
+            env_name: inp.default
+            for env_name, inp in spec.env.items()
+            if inp.default is not None
+        }
+        for env_name, value in defaults.items():
+            spec.env[env_name].check(env_name, value)
+
+
+def test_task_input_type_aliases_normalized():
+    """Reference alias spellings (str/integer/boolean/decimal,
+    task.py:139-158 + task_input_details.py:36) are accepted in manifests
+    and normalized to the canonical surface types."""
+    from xetl_spark.plans.models import TaskInput
+
+    for alias, canonical in [
+        ("str", "string"),
+        ("string", "string"),
+        ("integer", "int"),
+        ("int", "int"),
+        ("decimal", "float"),
+        ("float", "float"),
+        ("boolean", "bool"),
+        ("bool", "bool"),
+        ("DECIMAL", "float"),
+    ]:
+        assert TaskInput(type=alias).type == canonical, alias
+
+    import pytest as _pytest
+
+    # pydantic wraps the field-validator's ManifestError
+    with _pytest.raises(Exception, match="unknown input type"):
+        TaskInput(type="varchar")

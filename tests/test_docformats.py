@@ -309,6 +309,78 @@ def test_docx_typed_errors():
         docmod.docx_text(bad)
 
 
+def test_pdf_malformed_int_fields_typed():
+    """A /Name (or other non-number) where the spec wants an integer —
+    e.g. /DecodeParms << /Predictor /Ten >> — must raise PdfFormatError,
+    not a plain ValueError/TypeError that escapes the per-row triage."""
+    with pytest.raises(P.PdfFormatError, match="integer"):
+        P._undo_predictor(b"\x00\x01", {"Predictor": P.Name("Ten")})
+    with pytest.raises(P.PdfFormatError, match="integer"):
+        P._undo_predictor(
+            b"\x00\x01", {"Predictor": 10, "Columns": P.Name("Wide")}
+        )
+    # _as_int unit contract
+    assert P._as_int(7) == 7 and P._as_int(3.9) == 3
+    for bad in (P.Name("Ten"), [1, 2], b"5", True, None):
+        with pytest.raises(P.PdfFormatError):
+            P._as_int(bad)
+
+
+def test_docx_nesting_depth_cap_typed():
+    """A crafted deeply-nested document.xml raises DocxFormatError (the
+    typed triage class), never RecursionError."""
+    depth = 2000
+    nested = (
+        "<w:tbl>" * depth
+        + "<w:p><w:r><w:t>deep</w:t></w:r></w:p>"
+        + "</w:tbl>" * depth
+    )
+    blob = _patch_docx_xml(
+        docmod.build_docx(["ok"]),
+        lambda xml: xml.replace("<w:sectPr/>", nested + "<w:sectPr/>"),
+    )
+    with pytest.raises(docmod.DocxFormatError, match="depth"):
+        docmod.docx_text(blob)
+    # the run-level walk is capped too
+    runs = (
+        "<w:p>" + "<w:smartTag>" * depth
+        + "<w:r><w:t>x</w:t></w:r>"
+        + "</w:smartTag>" * depth + "</w:p>"
+    )
+    blob2 = _patch_docx_xml(
+        docmod.build_docx(["ok"]),
+        lambda xml: xml.replace("<w:sectPr/>", runs + "<w:sectPr/>"),
+    )
+    with pytest.raises(docmod.DocxFormatError, match="depth"):
+        docmod.docx_text(blob2)
+
+
+def test_extract_document_text_survives_hostile_rows(spark):
+    """End-to-end per-row contract: hostile payloads (deep nesting,
+    malformed int fields, fuzz) land in err; healthy rows still parse."""
+    from xetl_spark.operators.multimodal import extract_document_text
+
+    depth = 2000
+    nested = (
+        "<w:tbl>" * depth + "<w:p/>" + "</w:tbl>" * depth
+    )
+    deep_docx = _patch_docx_xml(
+        docmod.build_docx(["ok"]),
+        lambda xml: xml.replace("<w:sectPr/>", nested + "<w:sectPr/>"),
+    )
+    rows = [
+        (1, P.build_pdf(["healthy pdf"])),
+        (2, deep_docx),
+        (3, docmod.build_docx(["healthy docx"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["id"]: r.asDict() for r in extract_document_text(df).collect()}
+    assert len(got) == 3
+    assert got[1]["text"] == "healthy pdf" and got[1]["err"] is None
+    assert got[2]["text"] is None and "depth" in got[2]["err"]
+    assert got[3]["text"] == "healthy docx" and got[3]["err"] is None
+
+
 def test_zip_bomb_guards(monkeypatch):
     blob = docmod.build_docx(["regular sized"])
     monkeypatch.setattr(docmod, "MAX_MEMBERS", 2)

@@ -39,13 +39,22 @@ __all__ = ["QualityModel", "hashed_text_features", "train_quality_classifier", "
 
 
 def hashed_text_features(text: Column | str, num_features: int = 1 << 15) -> Column:
-    """array<int> of hashed unigram + bigram buckets (pure Catalyst)."""
+    """array<int> of hashed unigram + bigram buckets (pure Catalyst).
+
+    NULL text is treated as the empty document (empty feature array, only
+    the bias bucket fires downstream) — corpora routinely carry NULL text
+    rows (e.g. failed extractions) and one of them must not kill a job.
+    Bigrams are built from two aligned length-(n-1) slices so there is no
+    zip_with null padding: every feature is a real n-gram hash.
+    """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.filter(
-        F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
     )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
-        toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
         lambda a, b: F.concat(a, F.lit("_"), b),
     )
     return F.transform(
@@ -70,6 +79,15 @@ def _feats_with_bias(text_col: str, num_features: int) -> Column:
     )
 
 
+def _margin_schema(df: DataFrame, id_col: str) -> str:
+    """mapInPandas output schema with ``id`` keeping the SOURCE id
+    column's type — ids may be longs or strings (e.g. file paths from
+    binaryFile ingestion); a hardcoded ``id long`` fails deep inside
+    Arrow on string keys (same contract as multimodal._id_typed)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    return f"id {id_type}, label double, margin double"
+
+
 def _margin_udf(weights: np.ndarray):
     w = weights  # closure-captured; shipped once per task via pickle
 
@@ -77,7 +95,8 @@ def _margin_udf(weights: np.ndarray):
         for pdf in batches:
             margins = np.empty(len(pdf))
             for i, idxs in enumerate(pdf["feats"]):
-                a = np.asarray(idxs, dtype=np.int64)
+                # defensive: a NULL feature array scores as the empty doc
+                a = np.asarray(idxs if idxs is not None else (), dtype=np.int64)
                 margins[i] = w[a].sum()
             out = pdf.drop(columns=["feats"]).copy()
             out["margin"] = margins
@@ -108,7 +127,7 @@ def train_quality_classifier(
         if n == 0:
             raise ValueError("empty training set")
         w = np.zeros(num_features + 1)
-        schema = "id long, label double, margin double"
+        schema = _margin_schema(df, id_col)
         for _ in range(iters):
             scored = feats.mapInPandas(_margin_udf(w), schema=schema)
             err = scored.select(
@@ -149,7 +168,7 @@ def score_quality(
         _feats_with_bias(text_col, model.num_features).alias("feats"),
     )
     scored = feats.mapInPandas(
-        _margin_udf(model.weights), schema="id long, label double, margin double"
+        _margin_udf(model.weights), schema=_margin_schema(df, id_col)
     )
     return scored.select(
         "id",

@@ -120,8 +120,20 @@ def _parse_xml(data: bytes, err: type[ValueError], what: str) -> ElementTree.Ele
         raise err(f"malformed XML in {what}: {e}") from None
 
 
-def _docx_block_text(elem: ElementTree.Element, out: list[str]) -> None:
+# Depth cap on our own recursive XML walks: a crafted deeply-nested
+# document.xml would otherwise raise RecursionError, which is not a
+# DocxFormatError and escapes the per-row typed-error triage in
+# multimodal.extract_document_text (pdfdoc caps parse depth at 48 for
+# the same reason). Real documents nest tables a handful of levels.
+_MAX_XML_DEPTH = 128
+
+
+def _docx_block_text(
+    elem: ElementTree.Element, out: list[str], depth: int = 0
+) -> None:
     """Collect text from one block-level element in document order."""
+    if depth > _MAX_XML_DEPTH:
+        raise DocxFormatError("document.xml nesting exceeds depth cap")
     tag = elem.tag
     if tag == _W + "t":
         out.append(elem.text or "")
@@ -133,7 +145,7 @@ def _docx_block_text(elem: ElementTree.Element, out: list[str]) -> None:
         out.append("\n")
         return
     for child in elem:
-        _docx_block_text(child, out)
+        _docx_block_text(child, out, depth + 1)
 
 
 def docx_text(payload: bytes) -> str:
@@ -152,7 +164,9 @@ def docx_text(payload: bytes) -> str:
         raise DocxFormatError("document.xml has no w:body")
     paras: list[str] = []
 
-    def walk(container: ElementTree.Element) -> None:
+    def walk(container: ElementTree.Element, depth: int = 0) -> None:
+        if depth > _MAX_XML_DEPTH:
+            raise DocxFormatError("document.xml nesting exceeds depth cap")
         for child in container:
             tag = child.tag
             if tag == _W + "p":
@@ -160,11 +174,11 @@ def docx_text(payload: bytes) -> str:
                 _docx_block_text(child, run)
                 paras.append("".join(run))
             elif tag in (_W + "tbl", _W + "tr", _W + "tc"):
-                walk(child)
+                walk(child, depth + 1)
             elif tag == _W + "sectPr":
                 continue
             else:
-                walk(child)
+                walk(child, depth + 1)
 
     walk(body)
     return "\n".join(paras)

@@ -735,15 +735,19 @@ def extract_document_text(
                 pages = pdfdoc.pdf_page_texts(payload)
                 return ("pdf", "\f".join(pages), len(pages), None)
             if docmod.sniff_zip(payload):
-                try:
+                # Route by signature member, not try-each-format: a
+                # malformed DOCX must report its own parse error, not the
+                # downstream "missing xl/workbook.xml" of the next guess
+                # (and each payload is parsed once, not up to three times).
+                zf = docmod._open_zip(payload, docmod.DocxFormatError)
+                names = set(zf.namelist())
+                if "META-INF/container.xml" in names:
                     text = docmod.epub_text(payload)
                     return ("epub", text, text.count("\f") + 1, None)
-                except docmod.EpubFormatError:
-                    pass
-                try:
+                if "word/document.xml" in names:
                     text = docmod.docx_text(payload)
                     return ("docx", text, text.count("\n") + 1, None)
-                except docmod.DocxFormatError:
+                if "xl/workbook.xml" in names:
                     # XLSX: flatten cells row-wise — tabs between cells,
                     # newlines between rows, form-feed between sheets
                     cells = docmod.xlsx_cells(payload)
@@ -768,6 +772,13 @@ def extract_document_text(
             docmod.XlsxFormatError,
         ) as e:
             return (None, None, None, str(e))
+        except Exception as e:  # noqa: BLE001 — per-row triage backstop
+            # Defense in depth: the extractors' error taxonomy is typed,
+            # but a malformed input reaching an untyped ValueError /
+            # TypeError / RecursionError deep in a parser must still cost
+            # one row, never the job. Keep the type name so untyped
+            # escapes stay visible and can be promoted to typed errors.
+            return (None, None, None, f"{type(e).__name__}: {e}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -72,6 +72,22 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 
+def _as_int(v) -> int:
+    """Coerce a parsed PDF value to int, raising PdfFormatError on a
+    malformed type (e.g. a /Name or array where a number belongs, as in
+    ``/DecodeParms << /Predictor /Ten >>``) instead of the plain
+    ValueError/TypeError ``int()`` raises — those escape the typed-error
+    triage contract in multimodal.extract_document_text and would kill
+    the whole job for one corrupt file."""
+    if isinstance(v, bool) or isinstance(v, Name):
+        raise PdfFormatError(f"expected integer, got {v!r}")
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return int(v)
+    raise PdfFormatError(f"expected integer, got {v!r}")
+
+
 def sniff_pdf(payload: bytes) -> bool:
     return payload[:1024].find(b"%PDF-") >= 0
 
@@ -445,12 +461,12 @@ def _runlength(data: bytes) -> bytes:
 
 
 def _undo_predictor(data: bytes, parms: dict) -> bytes:
-    pred = int(parms.get("Predictor", 1) or 1)
+    pred = _as_int(parms.get("Predictor", 1) or 1)
     if pred <= 1:
         return data
-    colors = int(parms.get("Colors", 1) or 1)
-    bpc = int(parms.get("BitsPerComponent", 8) or 8)
-    columns = int(parms.get("Columns", 1) or 1)
+    colors = _as_int(parms.get("Colors", 1) or 1)
+    bpc = _as_int(parms.get("BitsPerComponent", 8) or 8)
+    columns = _as_int(parms.get("Columns", 1) or 1)
     if bpc != 8:
         raise PdfFormatError(f"predictor BitsPerComponent {bpc} unsupported")
     bpp = max(1, colors)
@@ -501,10 +517,10 @@ _FILTERS: dict[str, Callable[..., bytes]] = {
     "FlateDecode": lambda d, pm: _undo_predictor(_flate(d), pm),
     "Fl": lambda d, pm: _undo_predictor(_flate(d), pm),
     "LZWDecode": lambda d, pm: _undo_predictor(
-        _lzw_decode(d, int(pm.get("EarlyChange", 1) or 1)), pm
+        _lzw_decode(d, _as_int(pm.get("EarlyChange", 1) or 1)), pm
     ),
     "LZW": lambda d, pm: _undo_predictor(
-        _lzw_decode(d, int(pm.get("EarlyChange", 1) or 1)), pm
+        _lzw_decode(d, _as_int(pm.get("EarlyChange", 1) or 1)), pm
     ),
     "ASCIIHexDecode": lambda d, pm: _ascii_hex(d),
     "AHx": lambda d, pm: _ascii_hex(d),
@@ -637,13 +653,13 @@ class _PdfDoc:
         w = sd.get("W")
         if not (isinstance(w, list) and len(w) >= 3):
             raise PdfFormatError("xref stream missing W")
-        w1, w2, w3 = (int(x) for x in w[:3])
+        w1, w2, w3 = (_as_int(x) for x in w[:3])
         rowlen = w1 + w2 + w3
         if rowlen <= 0 or rowlen > 32:
             raise PdfFormatError("bad xref stream W widths")
-        index = sd.get("Index") or [0, int(sd.get("Size", 0))]
+        index = sd.get("Index") or [0, _as_int(sd.get("Size", 0) or 0)]
         pairs = [
-            (int(index[i]), int(index[i + 1])) for i in range(0, len(index) - 1, 2)
+            (_as_int(index[i]), _as_int(index[i + 1])) for i in range(0, len(index) - 1, 2)
         ]
         pos = 0
         for start, count in pairs:
@@ -802,8 +818,8 @@ class _PdfDoc:
             if not isinstance(stm, Stream) or stm.dict.get("Type") != "ObjStm":
                 raise PdfFormatError("compressed object's container is not ObjStm")
             data = self._decode_stream(stm)
-            n = int(self.resolve(stm.dict.get("N")) or 0)
-            first = int(self.resolve(stm.dict.get("First")) or 0)
+            n = _as_int(self.resolve(stm.dict.get("N")) or 0)
+            first = _as_int(self.resolve(stm.dict.get("First")) or 0)
             offsets: dict[int, int] = {}
             p = 0
             for i in range(min(n, MAX_OBJECTS)):
@@ -1297,9 +1313,9 @@ def pdf_images(payload: bytes) -> list[dict]:
                     continue
                 seen.add(ref.num)
             sd = obj.dict
-            w = int(doc.resolve(sd.get("Width")) or 0)
-            h = int(doc.resolve(sd.get("Height")) or 0)
-            bpc = int(doc.resolve(sd.get("BitsPerComponent")) or 8)
+            w = _as_int(doc.resolve(sd.get("Width")) or 0)
+            h = _as_int(doc.resolve(sd.get("Height")) or 0)
+            bpc = _as_int(doc.resolve(sd.get("BitsPerComponent")) or 8)
             cs = doc.resolve(sd.get("ColorSpace"))
             if isinstance(cs, list) and cs:
                 cs = str(cs[0])

@@ -375,9 +375,9 @@ def doc_text_task(ctx: StageContext):
         "COLUMN": {"description": "text column", "type": "string", "default": "text"},
         "LABEL": {"description": "0/1 label column in TRAIN", "type": "string", "default": "label"},
         "ID_COLUMN": {"description": "row-identity column", "type": "string", "default": "doc_id"},
-        "THRESHOLD": {"description": "keep rows with prob >= this", "type": "decimal", "default": 0.5},
-        "ITERS": {"description": "GD iterations", "type": "integer", "default": 20},
-        "FEATURES": {"description": "hash buckets", "type": "integer", "default": 1 << 15},
+        "THRESHOLD": {"description": "keep rows with prob >= this", "type": "float", "default": 0.5},
+        "ITERS": {"description": "GD iterations", "type": "int", "default": 20},
+        "FEATURES": {"description": "hash buckets", "type": "int", "default": 1 << 15},
         "INPUT": {"description": "corpus stage to filter", "type": "string", "required": False},
     },
 )

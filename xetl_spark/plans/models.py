@@ -91,6 +91,19 @@ _TYPE_MAP: dict[str, type] = {
     "bool": bool,
 }
 
+# Alias spelling -> the canonical name the task surface exposes everywhere
+# (error messages, --list-tasks, hygiene contract).
+_CANONICAL_TYPE: dict[str, str] = {
+    "string": "string",
+    "str": "string",
+    "integer": "int",
+    "int": "int",
+    "decimal": "float",
+    "float": "float",
+    "boolean": "bool",
+    "bool": "bool",
+}
+
 
 class TaskInput(BaseModel):
     """Per-input spec (reference task_input_details.py:8-42)."""
@@ -117,11 +130,16 @@ class TaskInput(BaseModel):
     @field_validator("type")
     @classmethod
     def _known_type(cls, v: str | None) -> str | None:
-        if v is not None and v.lower() not in _TYPE_MAP:
+        if v is None:
+            return v
+        if v.lower() not in _TYPE_MAP:
             raise ManifestError(
                 f"unknown input type {v!r}; one of {sorted(set(_TYPE_MAP))}"
             )
-        return v.lower() if v else v
+        # Normalize reference alias spellings (str/integer/boolean/decimal,
+        # reference task.py:139-158 + task_input_details.py:36) to the
+        # canonical {string,int,float,bool} the task surface exposes.
+        return _CANONICAL_TYPE[v.lower()]
 
     def python_type(self) -> type | None:
         return _TYPE_MAP.get(self.type) if self.type else None
