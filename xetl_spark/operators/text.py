@@ -122,31 +122,30 @@ def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
     """Smoothed TF-IDF per (doc, term): tf * (ln((N+1)/(df+1)) + 1).
 
     Pure DataFrame composition (explode → per-(doc,term) aggregation →
-    term-partitioned window for document frequency): unlike HashingTF
-    there are no hash collisions, and every step is a keyed shuffle
-    that scales linearly with the corpus. Returns
-    (doc, term, tf, df, tfidf).
+    per-term aggregation joined back): unlike HashingTF there are no
+    hash collisions, and every step is a keyed shuffle that scales
+    linearly with the corpus. Returns (doc, term, tf, df, tfidf).
+
+    Document frequency is a ``groupBy(term)`` AGGREGATION joined back
+    on term, deliberately not a term-partitioned window: a window does
+    no partial aggregation and AQE skew-split does not apply to
+    windows, so at 100 TB a stopword's partition (~one row per
+    document) lands on ONE task — an unsplittable straggler. The
+    aggregation collapses hot terms map-side and the join back is
+    AQE-skew-splittable; the df table (vocabulary-sized, unbounded)
+    is never broadcast, and Catalyst reuses the tf exchange for both
+    consumers (ReusedExchange), so tokenization still runs once.
     """
-    from pyspark.sql import DataFrame, Window  # noqa: F401
     from xetl_spark.operators.util import ensure_parallelism
 
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    # document frequency as a term-partitioned window over the tf table:
-    # one reshuffle by term, tf computed ONCE (a groupBy(term) +
-    # join-back would recompute the whole tokenize/explode/agg chain for
-    # the build side — Spark does not reuse that exchange across the two
-    # consumers), and — decisive at scale — no broadcast of the
-    # document-frequency table, whose size is the VOCABULARY (unbounded
-    # on a 100 TB corpus). Skewed stopword terms are bounded by the
-    # per-term partial aggregation having already collapsed each doc to
-    # one row.
-    dfreq = F.count("*").over(Window.partitionBy("term"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     return (
-        tf.withColumn("df", dfreq)
+        tf.join(dfreq, "term")
         .filter(F.col("df") >= min_df)
         .crossJoin(F.broadcast(total))
         .select(
@@ -171,16 +170,15 @@ def unigram_logprob(df, text_col: str, id_col: str):
 
     Same scale discipline as tf_idf: per-(doc,term) counts first (one
     keyed shuffle that collapses each doc's repeats), corpus term
-    counts as a term-partitioned WINDOW over that table (no
-    vocabulary-sized broadcast, no exchange-recompute join-back), and
-    the corpus token total computed row-wise from the source scan
-    (size(filter(tokens))) — no second explode. Stopword skew is
-    bounded because the window input is already one row per
-    (doc,term). Returns (doc, n_tokens, avg_nll) with avg_nll in
-    nats, unrounded.
+    counts as a ``groupBy(term)`` aggregation joined back on term
+    (map-side partials collapse stopwords; the join is
+    AQE-skew-splittable — a term-partitioned window would pin each hot
+    term's ~one-row-per-document partition on a single unsplittable
+    task at 100 TB), no vocabulary-sized broadcast, and the corpus
+    token total computed row-wise from the source scan
+    (size(filter(tokens))) — no second explode. Returns
+    (doc, n_tokens, avg_nll) with avg_nll in nats, unrounded.
     """
-    from pyspark.sql import Window
-
     from xetl_spark.operators.util import ensure_parallelism
 
     toks = (
@@ -189,12 +187,12 @@ def unigram_logprob(df, text_col: str, id_col: str):
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    corpus_c = F.sum("tf").over(Window.partitionBy("term"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     total = df.select(
         F.sum(F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))).alias("__n")
     )
     return (
-        tf.withColumn("c", corpus_c)
+        tf.join(corpus, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc")
         .agg(
@@ -619,16 +617,17 @@ def remove_duplicate_spans(
 
     Plan shape, 100 TB-safe: one narrow windowing pass (sequence →
     explode, window hashes via structural xxhash64 on the token slice —
-    no string materialization), one hash-keyed shuffle for the
-    first-occurrence window function, one doc-keyed shuffle to collect
-    cut ranges, and one doc-keyed broadcast-free join back. No driver
-    state, no collects.
+    no string materialization), first occurrences via a min-struct
+    AGGREGATION on the span hash (map-side partials collapse hot
+    boilerplate spans; the join back is AQE-skew-splittable — a
+    hash-partitioned window would pin a corpus-wide boilerplate span's
+    occurrences on one unsplittable task), one doc-keyed shuffle to
+    collect cut ranges, and one doc-keyed broadcast-free join back.
+    No driver state, no collects.
 
     Returns (doc id, n_tokens, kept_tokens, new_text), one row per
     input document.
     """
-    from pyspark.sql import Window
-
     toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
     base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
     n = F.size("__toks")
@@ -649,17 +648,15 @@ def remove_duplicate_spans(
             F.xxhash64(F.slice("__toks", F.col("__s") + 1, k_tokens)).alias("__h"),
         )
     )
-    part = Window.partitionBy("__h")
-    order = part.orderBy("__doc", "__s")
-    marked = wins.select(
-        "__doc",
-        "__s",
-        (
-            (F.count("*").over(part) > 1) & (F.row_number().over(order) > 1)
-        ).alias("__cut"),
+    # lexicographic struct min == first occurrence by (doc, start);
+    # every other occurrence of the same span hash is cut (a group of
+    # size 1 is its own min, so it never matches the cut filter)
+    firsts = wins.groupBy("__h").agg(
+        F.min(F.struct("__doc", "__s")).alias("__f")
     )
     cuts = (
-        marked.filter("__cut")
+        wins.join(firsts, "__h")
+        .filter(F.struct("__doc", "__s") != F.col("__f"))
         .groupBy("__doc")
         .agg(F.collect_list("__s").alias("__cuts"))
     )
@@ -697,13 +694,14 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     w1 as a bigram head and V is the corpus unigram vocabulary.
 
     Scale shape mirrors unigram_logprob: per-(doc,bigram) counts first
-    (one keyed shuffle collapsing repeats), corpus counts as WINDOWS
-    over that table (partitionBy(w1,w2) and partitionBy(w1) — no
-    vocabulary-sized broadcast), V as a one-row broadcast. Returns
-    (doc, n_bigrams, avg_nll) for documents with ≥1 bigram.
+    (one keyed shuffle collapsing repeats), corpus counts C(w1,w2) and
+    C(w1·) as ``groupBy`` aggregations joined back (map-side partials
+    collapse hot heads like "the"; the joins are AQE-skew-splittable —
+    windows over (w1,w2)/(w1) would pin each hot head's rows on one
+    unsplittable task at 100 TB), no vocabulary-sized broadcast, V as
+    a one-row broadcast. Returns (doc, n_bigrams, avg_nll) for
+    documents with ≥1 bigram.
     """
-    from pyspark.sql import Window
-
     from xetl_spark.operators.util import ensure_parallelism
 
     arr = F.filter(tokens(text_col), lambda x: x != F.lit(""))
@@ -722,8 +720,8 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
         ).alias("__b"),
     ).select("doc", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
     bf = big.groupBy("doc", "w1", "w2").agg(F.count("*").alias("bf"))
-    c12 = F.sum("bf").over(Window.partitionBy("w1", "w2"))
-    c1 = F.sum("bf").over(Window.partitionBy("w1"))
+    g12 = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    g1 = bf.groupBy("w1").agg(F.sum("bf").alias("c1"))
     vocab = (
         ensure_parallelism(df)
         .select(F.explode(arr).alias("__w"))
@@ -731,8 +729,8 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     )
     k = F.lit(float(k_smooth))
     return (
-        bf.withColumn("c12", c12)
-        .withColumn("c1", c1)
+        bf.join(g12, ["w1", "w2"])
+        .join(g1, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc")
         .agg(
