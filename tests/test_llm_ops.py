@@ -129,6 +129,28 @@ def test_simhash_properties(spark, docs):
     assert ham_near < ham_far  # near-dup closer than unrelated
 
 
+def test_simhash_rowwise_bit_identical(spark, docs):
+    """The shuffle-free rowwise fold must emit exactly the fingerprints
+    of the explode+groupBy reference form — including repeated-token
+    weighting, single-token docs, and zero-token docs (dropped by both)."""
+    from xetl_spark.operators.dedup import simhash_rowwise
+
+    extra = spark.createDataFrame(
+        [
+            (100, "repeat repeat repeat distinct words matter here"),
+            (101, "solo"),
+            (102, "   .,;!   "),  # zero tokens after the split filter
+            (103, "Case INSENSITIVE case insensitive 42 42 42"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.union(extra)
+    ref = {r.doc: r.simhash for r in simhash(both, "text", "doc_id").collect()}
+    row = {r.doc: r.simhash for r in simhash_rowwise(both, "text", "doc_id").collect()}
+    assert ref == row
+    assert 102 not in row  # zero-token doc dropped by both forms
+
+
 def test_hamming_blocking_recall_at_query_radius(spark):
     """Planted-pair recall for hamming_near_pairs at q_dedup_simhash's
     exact operating point (max_hamming=3, chunks=4): the pigeonhole

@@ -457,7 +457,11 @@ def contamination_check(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64s.
+    """64-bit SimHash per document from token xxhash64s — the
+    explode+groupBy reference form, kept as the documented fallback
+    and parity oracle for ``simhash_rowwise`` (which computes
+    bit-identical fingerprints with NO shuffle and is what the
+    pipeline entry points use).
 
     Per-token hash once, then 64 conditional-sum aggregates (one per
     bit) — all map-side partials, one shuffled row per doc. The final
@@ -482,6 +486,64 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
         )
         fp = term if fp is None else fp + term
     return bit_sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_rowwise(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document WITHOUT the explode+shuffle: the
+    mirror of minhash_signatures_rowwise. A document's tokens are
+    already co-located in its own row, so one higher-order
+    ``aggregate`` folds each token hash into a ``bits``-wide running
+    bit-sum vector — a pure map stage. At 100 TB this removes the
+    shuffle of the exploded token table (~100× the corpus row count;
+    the explode form ships one 64-column partial-agg row per doc)
+    entirely: the first exchange in the pipeline becomes the tiny
+    blocked fingerprint table.
+
+    Bit-identical to ``simhash`` (same xxhash64 token hashes, same
+    sign(sum) bit rule, same two's-complement top-bit assembly); docs
+    with zero tokens are dropped, matching the explode form where no
+    rows survive the explode. The token-hash array is materialized in
+    its own projection so the fold walks it once per document
+    (CollapseProject declines to inline a non-cheap alias; see
+    minhash_signatures_rowwise for the measured rationale).
+    """
+    hs = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc"), hs.alias("__hs"))
+        .filter(F.size("__hs") > 0)
+    )
+    seeds = F.sequence(F.lit(0), F.lit(bits - 1))
+    sums = F.aggregate(
+        "__hs",
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            seeds,
+            # getbit(h, i) == (h >> i) & 1 (two's-complement), and unlike
+            # shiftright it takes the bit position as a COLUMN
+            lambda a, i: a + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+        ),
+    )
+    weights = F.array(
+        *[
+            F.lit(2**i if i < 63 else -(2**63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    folded = base.select("doc", sums.alias("__sums"))
+    fp = F.aggregate(
+        F.zip_with(
+            "__sums",
+            weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return folded.select("doc", fp.alias("simhash"))
 
 
 def hamming_near_pairs(
@@ -569,8 +631,9 @@ def simhash_near_duplicates(
     chunks: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius (see
-    hamming_near_pairs for the blocking strategy)."""
-    fps = simhash(df, text_col, id_col)
+    hamming_near_pairs for the blocking strategy). Fingerprints come
+    from the shuffle-free rowwise fold."""
+    fps = simhash_rowwise(df, text_col, id_col)
     return hamming_near_pairs(
         fps, fp_col="simhash", id_col="doc",
         max_hamming=max_hamming, chunks=chunks,
