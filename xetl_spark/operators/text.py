@@ -768,6 +768,7 @@ def dsir_logweights(
     text_col: str,
     id_col: str,
     num_buckets: int = 10_000,
+    materialize: bool = False,
 ):
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -790,27 +791,33 @@ def dsir_logweights(
     measured 2.2× SLOWER at sf0.1 — lambda HOFs run interpreted,
     outside whole-stage codegen, so the vectorized explode+join wins.)
 
-    The raw corpus is tokenized+hashed ONCE: the per-doc bucket array
-    is materialized eagerly (localCheckpoint — one row per doc) and
-    both the histogram job and the scoring pass read the materialized
-    blocks — the r6 plan audit found the double tokenize pass was the
-    single heaviest CPU term in the LLM suite. localCheckpoint rather
-    than persist(): the blocks are freed when the returned plan is
-    garbage-collected, so repeated calls in a long-lived session don't
-    accumulate registered cache entries no caller can safely unpersist
-    (the incremental-dedup lesson from the r6 advice).
+    The per-doc bucket array feeds two consumers (the histogram job
+    and the scoring pass). By default (``materialize=False``) it is
+    simply recomputed by each — tokenize+hash is a map-only stage, so
+    the second pass costs CPU but no shuffle, no state, and nothing
+    that breaks on executor loss. ``materialize=True`` instead pins
+    the bucket table with ``localCheckpoint(eager=True)``: tokenize
+    runs once (the r6 plan audit found the double tokenize was the
+    heaviest CPU term in the LLM suite), which wins at single-node /
+    bounded SF — but the checkpoint is a corpus-sized second copy on
+    executor LOCAL disks, non-replicated and lineage-breaking: an
+    executor loss fails the job instead of recomputing, and at 100 TB
+    the copy itself is prohibitive. Leave it off on large clusters.
+    (localCheckpoint rather than persist(): the blocks are freed when
+    the returned plan is garbage-collected, so repeated calls in a
+    long-lived session don't accumulate registered cache entries no
+    caller can safely unpersist — the incremental-dedup lesson from
+    the r6 advice.)
     Returns (doc, n_features, logweight).
     """
     from xetl_spark.operators.util import ensure_parallelism
 
-    raw_b = (
-        ensure_parallelism(raw)
-        .select(
-            F.col(id_col).alias("doc"),
-            _hashed_ngram_buckets(text_col, num_buckets).alias("bs"),
-        )
-        .localCheckpoint(eager=True)
+    raw_b = ensure_parallelism(raw).select(
+        F.col(id_col).alias("doc"),
+        _hashed_ngram_buckets(text_col, num_buckets).alias("bs"),
     )
+    if materialize:
+        raw_b = raw_b.localCheckpoint(eager=True)
     hist = (
         ensure_parallelism(target)
         .select(F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b"))

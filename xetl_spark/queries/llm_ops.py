@@ -1179,7 +1179,12 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
-    out = dsir_logweights(docs, target, "text", "doc_id")
+    # materialize=True is the bounded-SF opt-in: at bench scale the
+    # localCheckpoint'd bucket table is small and saves the second
+    # tokenize pass (~1.8x here); a 100 TB deployment keeps the default
+    # (recompute the map-only stage — no corpus-sized executor-local
+    # copy, no lineage break on executor loss).
+    out = dsir_logweights(docs, target, "text", "doc_id", materialize=True)
     return out.select(
         F.col("doc").alias("doc_id"),
         "n_features",
