@@ -4,8 +4,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is timed end-to-end (plan + execute + collect count via a
-cheap aggregate action) after a one-query JVM warmup. ``value`` is the
-total wall time of the headline set.
+cheap aggregate action) after a one-query JVM warmup, and the
+REPORTED time is the best of ``SPARK_GRAFT_BENCH_REPS`` runs (default
+3): identical code has measured 9.3s and 42.9s within two hours under
+shared-host load, so a single sample is noise — min-of-N plus the
+recorded load averages make a slow number diagnosable as contention
+vs regression. ``value`` is the total wall time of the headline set.
 """
 
 from __future__ import annotations
@@ -57,9 +61,23 @@ LLM_SUITE = [
     "q_ingest_doc_matrix",
 ]
 
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _best_of(run, reps: int = REPS) -> float:
+    """Best (min) wall time of ``reps`` executions of run()."""
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = os.getloadavg()
     import xetl_spark.queries as Q
     from xetl_spark.session import get_session
 
@@ -97,17 +115,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = Q.REGISTRY[name]
-        t0 = time.time()
         try:
-            df = q.fn(spark, sf_dir)
-            # force full materialization of every row without driver transfer
-            n = df.count()
+            # force full materialization of every row without driver
+            # transfer; best-of-REPS so one noisy sample can't masquerade
+            # as a regression
+            timings[name] = _best_of(lambda: q.fn(spark, sf_dir).count())
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     # auxiliary suite: all 22 classic TPC-H plan shapes (pricing summary
     # is the Q1 shape). Reported under its own key so the headline
@@ -116,14 +133,12 @@ def main() -> None:
     aux_errors: dict[str, str] = {}
     tpch_timings: dict[str, float] = {}
     for name in tpch:
-        t0 = time.time()
+        q = Q.REGISTRY[name]
         try:
-            Q.REGISTRY[name].fn(spark, sf_dir).count()
+            tpch_timings[name] = _best_of(lambda: q.fn(spark, sf_dir).count())
         except Exception as e:  # noqa: BLE001
             aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
-            continue
-        tpch_timings[name] = round(time.time() - t0, 3)
 
     # auxiliary suite: the LLM-data-pipeline operator battery (dedup
     # variants beyond the headline LSH, similarity search, text
@@ -131,21 +146,20 @@ def main() -> None:
     # key for the same comparability reason as the TPC-H suite.
     llm_timings: dict[str, float] = {}
     for name in LLM_SUITE:
-        t0 = time.time()
+        q = Q.REGISTRY[name]
         try:
-            Q.REGISTRY[name].fn(spark, sf_dir).count()
+            llm_timings[name] = _best_of(lambda: q.fn(spark, sf_dir).count())
         except Exception as e:  # noqa: BLE001
             aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
             continue
-        llm_timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {llm_timings[name]}s", file=sys.stderr)
 
     # streaming throughput: drive the tumbling-window aggregation as a
     # REAL Structured Streaming query over the events table and report
     # events/sec end-to-end (source → watermark → stateful agg → sink).
-    # Reported under its own key; failures recorded without nulling the
-    # headline total.
+    # Best-of-REPS wall → max eps. Reported under its own key; failures
+    # recorded without nulling the headline total.
     stream_eps = None
     try:
         import duckdb
@@ -153,9 +167,9 @@ def main() -> None:
         n_events = duckdb.sql(
             f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
         ).fetchone()[0]
-        t0 = time.time()
-        Q.REGISTRY["q_stream_tumbling"].fn(spark, sf_dir).count()
-        stream_wall = time.time() - t0
+        stream_wall = _best_of(
+            lambda: Q.REGISTRY["q_stream_tumbling"].fn(spark, sf_dir).count()
+        )
         stream_eps = round(n_events / stream_wall)
     except Exception as e:  # noqa: BLE001
         # kept out of `errors`: a streaming hiccup must not null the
@@ -163,6 +177,7 @@ def main() -> None:
         print(f"# streaming_throughput: FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_end = os.getloadavg()
     out = {
         "metric": "headline_query_wall_seconds",
         # a failed query drops out of `timings`, which would make the
@@ -171,12 +186,18 @@ def main() -> None:
         "value": round(sum(timings.values()), 3) if not errors else None,
         "unit": "sec",
         "complete": not errors,
+        "reps": REPS,
         "queries": timings,
         "tpch_suite_wall_seconds": round(sum(tpch_timings.values()), 3),
         "tpch_queries": tpch_timings,
         "llm_suite_wall_seconds": round(sum(llm_timings.values()), 3),
         "llm_queries": llm_timings,
         "streaming_events_per_sec": stream_eps,
+        # host contention telemetry: this container runs on a shared
+        # host; identical code has benched 9.3s vs 42.9s under load.
+        # loadavg >> bench's own parallelism means distrust the numbers.
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

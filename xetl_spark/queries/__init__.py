@@ -176,23 +176,36 @@ def _rotation_step(n_families: int) -> int:
 
 
 def _driver_sampled() -> frozenset[str]:
-    """Query names that have EVER appeared in a driver correctness
-    window (``CORRECTNESS_r*.json`` at the repo root — one key per
-    sampled query). Used to front-load never-sampled queries so the
-    driver's ~50-entry window drains the unverified tail first."""
+    """Query names whose LATEST driver correctness sample was clean
+    (``CORRECTNESS_r*.json`` at the repo root — one key per sampled
+    query). Used to front-load the others so the driver's ~50-entry
+    window drains the unverified tail first. A query whose most recent
+    sample carries an ``err`` (e.g. a harness canonicalization failure)
+    counts as UNSAMPLED again: its green status is stale-broken until a
+    later window re-samples it clean."""
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, clean)
     for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            seen |= set(data)
-    return frozenset(seen)
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            # "clean" = the Spark side actually produced rows; P-class
+            # rows-only records (err == "no_oracle", spark_rows set)
+            # count, a harness/query failure (spark_rows null) does not
+            clean = not isinstance(rec, dict) or rec.get("spark_rows") is not None
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, clean)
+    return frozenset(n for n, (_r, clean) in latest.items() if clean)
 
 
 def _interleave_registry(
