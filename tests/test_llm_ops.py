@@ -372,6 +372,73 @@ def test_repetition_and_redaction(spark):
     assert rows[3][1] == "mail me at <EMAIL> or <PHONE> from <IP>"
 
 
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition signals against hand-computed expectations,
+    including the documented edge semantics: strict n-grams (short doc
+    → zero), overlap-naive dup coverage (can exceed total_chars), and
+    empty documents yielding all-zero rows."""
+    from xetl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat\nthe cat sat\nhello world\n\n  "),
+            (2, "a b a b a b a b"),
+            (3, ""),
+            (4, "unique words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(df, "text", "doc_id").collect()
+    }
+    d1 = got[1]
+    assert (d1["n_tokens"], d1["total_chars"]) == (8, 35)
+    assert (d1["n_lines"], d1["dup_line_count"]) == (3, 1)
+    assert (d1["line_chars"], d1["dup_line_chars"]) == (33, 22)
+    # "the cat" x2 (14) / "the cat sat" x2 (22) / best distinct 4-gram
+    assert d1["top_2gram_chars"] == 14
+    assert d1["top_3gram_chars"] == 22
+    assert d1["top_4gram_chars"] == 19
+    assert d1["dup_5gram_chars"] == 0
+    d2 = got[2]
+    # "a b" x4 = 12; "a b a" x3 = 15; "a b a b" x3 = 21 (> total 15,
+    # overlap-naive by documented definition); 5-grams: two distinct
+    # grams x2 each, 9 chars -> 36
+    assert d2["top_2gram_chars"] == 12
+    assert d2["top_3gram_chars"] == 15
+    assert d2["top_4gram_chars"] == 21
+    assert d2["dup_5gram_chars"] == 36
+    assert d2["dup_6gram_chars"] == 22
+    assert d2["dup_7gram_chars"] == 0
+    assert d2["dup_5gram_char_frac"] == 36 / 15
+    d3 = got[3]
+    assert all(
+        d3[k] == 0
+        for k in d3
+        if k != "doc_id" and not k.endswith("_frac")
+    )
+    assert d3["dup_line_frac"] == 0.0
+    d4 = got[4]
+    assert d4["dup_line_count"] == 0 and d4["dup_5gram_chars"] == 0
+    assert d4["top_2gram_chars"] == 12  # "unique words"
+
+
+def test_repetition_signals_shuffle_free(spark):
+    """The 100 TB contract: the whole operator is one map stage — the
+    executed plan must contain NO exchange."""
+    from xetl_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i} w{i+1}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = repetition_signals(df, "text", "doc_id")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_chunk_text_properties(spark):
     """Property: for random token counts, chunk windows (a) cover every
     token, (b) reconstruct the document exactly from stride-sized chunk

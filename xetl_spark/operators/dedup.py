@@ -73,7 +73,7 @@ def _tokens(text_col: str):
     )
 
 
-def _ngram_array(toks, n: int):
+def _ngram_array(toks, n: int, short_doc_fallback: bool = True):
     """Word n-grams via a zip_with chain over shifted views.
 
     Deliberately NOT transform(sequence(...), i -> slice(toks, i+1, n)):
@@ -82,6 +82,11 @@ def _ngram_array(toks, n: int):
     whole regexp tokenizer once per index — O(L²) regex work per
     document (observed 20×+ slowdown). The zip_with chain references
     the token array only n times total.
+
+    ``short_doc_fallback=True`` (the shingling convention) makes a
+    doc with fewer than n tokens contribute its full text as one
+    shingle; ``False`` gives the strict definition (such docs have
+    zero n-grams — what counting/repetition signals want).
     """
     g = toks
     for j in range(1, n):
@@ -94,6 +99,8 @@ def _ngram_array(toks, n: int):
             ),
         )
     grams = F.filter(g, lambda x: x.isNotNull())
+    if not short_doc_fallback:
+        return grams
     # short docs (< n tokens) still contribute their full text as one shingle
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
 

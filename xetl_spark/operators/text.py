@@ -241,6 +241,195 @@ def repetition_score(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _sorted_run_covers(arr_col: str, char_len) -> Column:
+    """Run-length encode a SORTED array column into (cover, cnt)
+    structs — one per distinct element, where ``cover`` = occurrence
+    count × char_len(element). Pure higher-order expressions: runs of
+    equal elements are contiguous under any total order, so no
+    per-element histogram (and no shuffle) is ever needed.
+
+    ``arr_col`` must name a MATERIALIZED column (its own projection
+    alias): element_at references inside the lambdas then read a bound
+    attribute instead of re-evaluating the sort per element (the same
+    CollapseProject discipline as minhash_signatures_rowwise)."""
+    c = F.col(arr_col)
+    n = F.size(c)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    starts = F.filter(
+        idx,
+        lambda i: (i == F.lit(0))
+        | (F.element_at(c, i + 1) != F.element_at(c, i)),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n),
+    )
+    return F.zip_with(
+        starts,
+        ends,
+        lambda st, en: F.struct(
+            ((en - st).cast("long") * char_len(F.element_at(c, st + 1))).alias(
+                "cover"
+            ),
+            (en - st).alias("cnt"),
+        ),
+    )
+
+
+def _cover_scalars(covers_col: str) -> tuple[Column, Column]:
+    """(top_cover, dup_cover) longs from a materialized covers array:
+    char coverage of the single most-covering distinct element, and of
+    every element occurring more than once."""
+    c = F.col(covers_col)
+    top = F.coalesce(
+        F.array_max(F.transform(c, lambda x: x["cover"])), F.lit(0).cast("long")
+    )
+    dup = F.aggregate(
+        F.filter(c, lambda x: x["cnt"] > 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["cover"],
+    )
+    return top, dup
+
+
+def repetition_signals(
+    df,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8),
+):
+    """Gopher-style per-document repetition signals (Rae et al. 2021
+    "Scaling Language Models" Table A1 — the filter family FineWeb,
+    Dolma and RefinedWeb all reuse): duplicate-line fractions plus
+    top-/duplicated-n-gram character coverage, the strongest cheap
+    predictors of templated, looping, or boilerplate text.
+
+    Exact definitions (documented because implementations vary):
+
+    - lines: raw text split on ``\\n``, trimmed, empties dropped;
+      ``dup_line_count`` counts occurrences beyond the first of each
+      repeated line; ``dup_line_chars`` counts bytes (octet_length —
+      engine-portable for non-ASCII) of ALL occurrences of lines that
+      appear more than once; ``line_chars`` is total line bytes.
+    - n-grams: over the lowercased alphanumeric token stream (module
+      tokenizer), strict — a doc with fewer than n tokens has zero
+      n-grams. Gram char length = length of the space-joined gram;
+      ``total_chars`` = length of the space-joined token stream.
+    - ``top_{n}gram_chars`` (n in top_ns): cnt x len of the single
+      distinct n-gram maximizing that product (deterministic, unlike
+      "most frequent" which needs a tiebreak).
+    - ``dup_{n}gram_chars`` (n in dup_ns): sum of cnt x len over
+      distinct n-grams with cnt > 1 (overlap-naive: overlapping
+      occurrences each count, so the ratio to total_chars can exceed
+      1 for degenerate docs — cap downstream if a true fraction is
+      needed).
+
+    Returns integer coverage columns plus convenience ``*_frac``
+    doubles (0.0 on empty denominators). Integers hash exactly across
+    engines; fractions are derived, never the comparison surface.
+
+    100 TB plan shape: ZERO shuffles. Each document's signals are
+    computed inside its own row via array_sort + run-length-encoding
+    higher-order expressions (runs of equal elements are contiguous
+    under any order, so no per-(doc,gram) keyed aggregation is
+    needed) — the whole operator is one map stage that streams at
+    scan speed; cost per doc is O(tokens x |top_ns + dup_ns| log)
+    with no skew surface at all (hot grams are per-document, never
+    cross-partition keys).
+    """
+    from xetl_spark.operators.dedup import _ngram_array
+
+    raw = F.col(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    ns = tuple(dict.fromkeys(tuple(top_ns) + tuple(dup_ns)))  # ordered dedup
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__t"),
+        lines.alias("__lines"),
+    )
+    sorted_cols = base.select(
+        "__id",
+        F.size("__t").alias("n_tokens"),
+        F.length(F.concat_ws(" ", "__t")).cast("long").alias("total_chars"),
+        F.size("__lines").alias("n_lines"),
+        (F.size("__lines") - F.size(F.array_distinct("__lines"))).alias(
+            "dup_line_count"
+        ),
+        F.aggregate(
+            "__lines",
+            F.lit(0).cast("long"),
+            lambda acc, l: acc + F.octet_length(l),
+        ).alias("line_chars"),
+        F.array_sort("__lines").alias("__ls"),
+        *[
+            F.array_sort(
+                _ngram_array(F.col("__t"), n, short_doc_fallback=False)
+            ).alias(f"__g{n}")
+            for n in ns
+        ],
+    )
+    covers = sorted_cols.select(
+        "__id",
+        "n_tokens",
+        "total_chars",
+        "n_lines",
+        "dup_line_count",
+        "line_chars",
+        _sorted_run_covers("__ls", F.octet_length).alias("__lc"),
+        *[
+            _sorted_run_covers(f"__g{n}", F.length).alias(f"__c{n}")
+            for n in ns
+        ],
+    )
+    _top, line_dup = _cover_scalars("__lc")
+    out_cols = [
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "total_chars",
+        "n_lines",
+        "dup_line_count",
+        "line_chars",
+        line_dup.alias("dup_line_chars"),
+    ]
+    for n in top_ns:
+        top, _dup = _cover_scalars(f"__c{n}")
+        out_cols.append(top.alias(f"top_{n}gram_chars"))
+    for n in dup_ns:
+        _top2, dup = _cover_scalars(f"__c{n}")
+        out_cols.append(dup.alias(f"dup_{n}gram_chars"))
+    ints = covers.select(*out_cols)
+
+    def _frac(num: str, den: str) -> Column:
+        return F.when(
+            F.col(den) > 0, F.col(num) / F.col(den)
+        ).otherwise(F.lit(0.0))
+
+    frac_cols = [
+        _frac("dup_line_count", "n_lines").alias("dup_line_frac"),
+        _frac("dup_line_chars", "line_chars").alias("dup_line_char_frac"),
+        *[
+            _frac(f"top_{n}gram_chars", "total_chars").alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            _frac(f"dup_{n}gram_chars", "total_chars").alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
+    ]
+    return ints.select("*", *frac_cols)
+
+
 # deliberately simple, cross-engine-portable patterns (no lookbehind):
 # the point is the redaction *pipeline shape*; production swaps in its
 # own pattern pack / NER model via the same expression slot

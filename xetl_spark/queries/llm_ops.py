@@ -245,6 +245,91 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_DD_TOKENS}, x -> x <> '') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, t, len(t) AS n_tokens,
+             length(array_to_string(t, ' ')) AS total_chars
+      FROM toks),
+    lns AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM documents)
+      WHERE trim(l) <> ''),
+    lc AS (
+      SELECT doc_id, line, count(*) AS c, strlen(line) AS bl
+      FROM lns GROUP BY doc_id, line),
+    lagg AS (
+      SELECT doc_id,
+             sum(c) AS n_lines,
+             sum(c) - count(*) AS dup_line_count,
+             sum(c * bl) AS line_chars,
+             coalesce(sum(CASE WHEN c > 1 THEN c * bl END), 0) AS dup_line_chars
+      FROM lc GROUP BY doc_id),
+    g AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, greatest(len(t) - n + 2, 1)),
+                                   i -> array_to_string(t[i:i+n-1], ' '))) AS gram
+      FROM base CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8)) v(n)),
+    gc AS (
+      SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl
+      FROM g GROUP BY doc_id, n, gram),
+    gagg AS (
+      SELECT doc_id, n,
+             max(c * gl) AS topc,
+             coalesce(sum(CASE WHEN c > 1 THEN c * gl END), 0) AS dupc
+      FROM gc GROUP BY doc_id, n),
+    gp AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN n = 2 THEN topc END), 0) AS top_2gram_chars,
+             coalesce(max(CASE WHEN n = 3 THEN topc END), 0) AS top_3gram_chars,
+             coalesce(max(CASE WHEN n = 4 THEN topc END), 0) AS top_4gram_chars,
+             coalesce(max(CASE WHEN n = 5 THEN dupc END), 0) AS dup_5gram_chars,
+             coalesce(max(CASE WHEN n = 6 THEN dupc END), 0) AS dup_6gram_chars,
+             coalesce(max(CASE WHEN n = 7 THEN dupc END), 0) AS dup_7gram_chars,
+             coalesce(max(CASE WHEN n = 8 THEN dupc END), 0) AS dup_8gram_chars
+      FROM gagg GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.total_chars AS BIGINT) AS total_chars,
+           CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(l.dup_line_count, 0) AS BIGINT) AS dup_line_count,
+           CAST(coalesce(l.line_chars, 0) AS BIGINT) AS line_chars,
+           CAST(coalesce(l.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+           CAST(coalesce(gp.top_2gram_chars, 0) AS BIGINT) AS top_2gram_chars,
+           CAST(coalesce(gp.top_3gram_chars, 0) AS BIGINT) AS top_3gram_chars,
+           CAST(coalesce(gp.top_4gram_chars, 0) AS BIGINT) AS top_4gram_chars,
+           CAST(coalesce(gp.dup_5gram_chars, 0) AS BIGINT) AS dup_5gram_chars,
+           CAST(coalesce(gp.dup_6gram_chars, 0) AS BIGINT) AS dup_6gram_chars,
+           CAST(coalesce(gp.dup_7gram_chars, 0) AS BIGINT) AS dup_7gram_chars,
+           CAST(coalesce(gp.dup_8gram_chars, 0) AS BIGINT) AS dup_8gram_chars
+    FROM base b
+    LEFT JOIN lagg l USING (doc_id)
+    LEFT JOIN gp USING (doc_id)
+    """,
+)
+def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals (operators/text.py
+    repetition_signals): duplicate-line count/char coverage plus
+    top-{2,3,4}-gram and duplicated-{5..8}-gram character coverage per
+    document — shuffle-free (per-doc sorted run-length HOFs), integer
+    outputs for exact cross-engine hashing."""
+    (docs,) = load(spark, sf_dir, "documents")
+    out = text.repetition_signals(docs, "text", "doc_id")
+    ints = [
+        "n_tokens", "total_chars", "n_lines", "dup_line_count",
+        "line_chars", "dup_line_chars",
+        "top_2gram_chars", "top_3gram_chars", "top_4gram_chars",
+        "dup_5gram_chars", "dup_6gram_chars", "dup_7gram_chars",
+        "dup_8gram_chars",
+    ]
+    return out.select("doc_id", *[F.col(c).cast("long").alias(c) for c in ints])
+
+
+@query(
     "q_text_quality",
     oracle=f"""
     WITH t AS (
