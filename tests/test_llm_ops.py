@@ -439,6 +439,54 @@ def test_repetition_signals_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule in isolation: terminal punctuation, min words,
+    javascript, lorem ipsum, brace, min sentences."""
+    from xetl_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "This is a fine sentence.\nno terminal punct\nok line two!"),
+            (2, "Too short.\nenable JavaScript to continue browsing now.\n"
+                "One good line survives here. It has. Five dots. In it. Yes."),
+            (3, "lorem ipsum dolor sit amet consectetur.\nA good line here."),
+            (4, "function f() { return 1; } is code.\nA good line here."),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_filter(df, "text", "doc_id").collect()
+    }
+    # doc 1: two kept lines (middle has no terminal punct), 2 sentences
+    assert got[1]["n_lines"] == 3 and got[1]["kept_lines"] == 2
+    assert got[1]["clean_text"] == "This is a fine sentence.\nok line two!"
+    assert not got[1]["keep_doc"]  # only 2 sentences < 5
+    # doc 2: "Too short." <3 words dropped, javascript dropped, long
+    # line kept with 5 sentences -> keep_doc
+    assert got[2]["kept_lines"] == 1 and got[2]["n_sentences"] == 5
+    assert got[2]["keep_doc"]
+    # docs 3/4: page markers kill the doc even with kept lines
+    assert got[3]["has_lorem"] and not got[3]["keep_doc"]
+    assert got[4]["has_brace"] and not got[4]["keep_doc"]
+    # doc 5: empty
+    assert got[5]["n_lines"] == 0 and got[5]["clean_text"] == ""
+    assert not got[5]["keep_doc"]
+
+
+def test_c4_line_filter_shuffle_free(spark):
+    from xetl_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(i, "A fine sentence here.\nshort.") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = c4_line_filter(df, "text", "doc_id")
+    out.collect()
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_chunk_text_properties(spark):
     """Property: for random token counts, chunk windows (a) cover every
     token, (b) reconstruct the document exactly from stride-sized chunk

@@ -430,6 +430,82 @@ def repetition_signals(
     return ints.select("*", *frac_cols)
 
 
+def c4_line_filter(df, text_col: str, id_col: str, min_sentences: int = 5):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the line- and
+    page-level rules the original Colossal Clean Crawled Corpus was
+    built with, still the baseline web-text scrub):
+
+    Line rules (a line = ``\\n``-split, trimmed, non-empty): kept iff
+    it (a) ends in terminal punctuation (``. ! ?`` or a closing
+    quote), (b) has at least 3 whitespace-separated words, and (c)
+    does not contain the word "javascript" (case-insensitive).
+
+    Page rules: ``has_lorem`` (contains "lorem ipsum",
+    case-insensitive), ``has_brace`` (contains ``{`` — code page
+    marker), ``n_sentences`` = count of ``. ! ?`` characters in the
+    cleaned text; ``keep_doc`` = some line survived AND no page marker
+    fired AND n_sentences >= ``min_sentences``.
+
+    Returns (id, n_lines, kept_lines, n_sentences, has_lorem,
+    has_brace, keep_doc, clean_text) — one row per input document,
+    ``clean_text`` = surviving lines joined with ``\\n``.
+
+    100 TB plan shape: zero shuffles — every rule is a higher-order
+    expression over the document's own line array; the operator is
+    one map stage at scan speed.
+    """
+    raw = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    kept = F.filter(
+        lines,
+        lambda s: s.rlike('[.!?"’”\']$')
+        & (F.size(F.split(s, r"\s+")) >= 3)
+        & ~F.lower(s).contains("javascript"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.lower(raw).contains("lorem ipsum").alias("has_lorem"),
+        raw.contains("{").alias("has_brace"),
+        lines.alias("__lines"),
+        kept.alias("__kept"),
+    )
+    clean = F.concat_ws("\n", "__kept")
+    staged = base.select(
+        "__id",
+        "has_lorem",
+        "has_brace",
+        F.size("__lines").alias("n_lines"),
+        F.size("__kept").alias("kept_lines"),
+        clean.alias("clean_text"),
+    )
+    n_sent = (
+        F.length("clean_text")
+        - F.length(F.translate("clean_text", ".!?", ""))
+    ).alias("n_sentences")
+    return staged.select(
+        F.col("__id").alias(id_col),
+        "n_lines",
+        "kept_lines",
+        n_sent,
+        "has_lorem",
+        "has_brace",
+        (
+            (F.col("kept_lines") > 0)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & (
+                F.length("clean_text")
+                - F.length(F.translate("clean_text", ".!?", ""))
+                >= min_sentences
+            )
+        ).alias("keep_doc"),
+        "clean_text",
+    )
+
+
 # deliberately simple, cross-engine-portable patterns (no lookbehind):
 # the point is the redaction *pipeline shape*; production swaps in its
 # own pattern pack / NER model via the same expression slot

@@ -330,6 +330,99 @@ def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_c4_rules",
+    # the fixture's documents are punctuation-free word bags, on which
+    # every C4 rule is vacuously false — so the query first builds a
+    # deterministic multi-line page per doc (same expression in both
+    # engines) that exercises every rule with variance: kept lines,
+    # the <3-words and javascript line drops, lorem-ipsum and brace
+    # page markers, and a doc_id-dependent sentence count.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' sentence one.' || chr(10)
+             || 'short.' || chr(10)
+             || 'please enable javascript to view this.' || chr(10)
+             || substr(text, 41, 40) || ' two more words!' || chr(10)
+             || repeat('more words here. ', doc_id % 4) || chr(10)
+             || CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit.'
+                     ELSE 'regular closing line here?' END || chr(10)
+             || CASE WHEN doc_id % 11 = 0 THEN 'var x = { a: 1 };'
+                     ELSE '' END
+             AS text
+      FROM documents),
+    t AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS lines
+      FROM aug),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines,
+                 x -> regexp_matches(x, '[.!?"’”'']$')
+                  AND len(string_split_regex(x, '\\s+')) >= 3
+                  AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM t),
+    s AS (
+      SELECT doc_id, text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS kept_lines,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM k)
+    SELECT doc_id, n_lines, kept_lines,
+           CAST(length(clean_text)
+              - length(replace(replace(replace(clean_text, '.', ''),
+                                       '!', ''), '?', '')) AS BIGINT)
+             AS n_sentences,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace,
+           (kept_lines > 0
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND length(clean_text)
+              - length(replace(replace(replace(clean_text, '.', ''),
+                                       '!', ''), '?', '')) >= 5)
+             AS keep_doc,
+           clean_text
+    FROM s
+    """,
+)
+def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (operators/text.py c4_line_filter —
+    Raffel et al. 2020 §2.2): terminal-punctuation / min-words /
+    javascript line rules plus lorem-ipsum / brace / min-sentences
+    page rules, over a deterministic multi-line page built per doc (the
+    fixture text is punctuation-free, which would make every rule
+    vacuous). Shuffle-free map stage."""
+    (docs,) = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    aug = F.concat(
+        F.substring("text", 1, 40), F.lit(" sentence one."), nl,
+        F.lit("short."), nl,
+        F.lit("please enable javascript to view this."), nl,
+        F.substring("text", 41, 40), F.lit(" two more words!"), nl,
+        F.repeat(F.lit("more words here. "), (F.col("doc_id") % 4).cast("int")), nl,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit."))
+        .otherwise(F.lit("regular closing line here?")), nl,
+        F.when(F.col("doc_id") % 11 == 0, F.lit("var x = { a: 1 };"))
+        .otherwise(F.lit("")),
+    )
+    out = text.c4_line_filter(
+        docs.select("doc_id", aug.alias("text")), "text", "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("kept_lines").cast("long").alias("kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        "keep_doc",
+        "clean_text",
+    )
+
+
+@query(
     "q_text_quality",
     oracle=f"""
     WITH t AS (
