@@ -264,6 +264,26 @@ def test_default_values_injected(spark, tmp_path):
     assert res.output.count() == 5
 
 
+def test_example_corpus_curation_manifest(spark, tmp_path, monkeypatch):
+    """examples/corpus_curation.yml (C4 + Gopher recipe) runs end-to-end:
+    every stage succeeds, the signal/flag columns flow through the SQL
+    gate, and the partitioned output survives with rows."""
+    monkeypatch.setenv("OUT_DIR", str(tmp_path / "cur_out"))
+    job = Job.from_file("/root/repo/examples/corpus_curation.yml")
+    results = run_job(spark, job)
+    assert all(r.status == "success" for r in results)
+    out = spark.read.parquet(str(tmp_path / "cur_out"))
+    n_in = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < out.count() <= n_in
+    assert {"dup_line_frac", "top_2gram_char_frac"} <= set(out.columns)
+    # the gate's thresholds actually hold in the output
+    import pyspark.sql.functions as F
+
+    assert out.filter(
+        (F.col("dup_line_frac") > 0.3) | (F.col("top_2gram_char_frac") > 0.5)
+    ).count() == 0
+
+
 def test_example_llm_prep_manifest(spark, tmp_path, monkeypatch):
     """The shipped example manifest runs end-to-end and its partitioned
     output matches the oracle-computable dedup semantics."""

@@ -340,6 +340,60 @@ def html_to_text_task(ctx: StageContext):
 
 
 @task(
+    "c4_filter",
+    "C4 cleaning heuristics (Raffel et al. 2020): keep lines ending in "
+    "terminal punctuation with >=3 words and no 'javascript'; flag "
+    "lorem-ipsum/brace pages and a min-sentence gate. Adds counters, "
+    "keep_doc, and clean_text; KEEP_ONLY=true drops rejected docs",
+    env={
+        "COLUMN": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COLUMN": {"description": "row-identity column", "type": "string", "default": "doc_id"},
+        "MIN_SENTENCES": {"description": "page-level sentence floor", "type": "int", "default": 5},
+        "KEEP_ONLY": {"description": "drop docs failing the page rules", "type": "bool", "default": False},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def c4_filter_task(ctx: StageContext):
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators.text import c4_line_filter
+
+    df = ctx.input_df()
+    id_col = str(ctx.env["ID_COLUMN"])
+    out = c4_line_filter(
+        df,
+        str(ctx.env["COLUMN"]),
+        id_col,
+        min_sentences=int(ctx.env["MIN_SENTENCES"]),  # type: ignore[arg-type]
+    )
+    joined = df.join(out, id_col)
+    if bool(ctx.env["KEEP_ONLY"]):
+        joined = joined.filter(F.col("keep_doc"))
+    return joined
+
+
+@task(
+    "repetition_signals",
+    "Gopher-style repetition quality signals (Rae et al. 2021): "
+    "duplicate-line count/char coverage and top-/duplicated-n-gram "
+    "char coverage per document, joined onto the input (shuffle-free "
+    "map stage)",
+    env={
+        "COLUMN": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COLUMN": {"description": "row-identity column", "type": "string", "default": "doc_id"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def repetition_signals_task(ctx: StageContext):
+    from xetl_spark.operators.text import repetition_signals
+
+    df = ctx.input_df()
+    id_col = str(ctx.env["ID_COLUMN"])
+    sig = repetition_signals(df, str(ctx.env["COLUMN"]), id_col)
+    return df.join(sig, id_col)
+
+
+@task(
     "doc_text",
     "Extract plain text from PDF / DOCX / EPUB payloads in a binary "
     "column (pure-Python extractors, Arrow-batched mapInPandas; "
