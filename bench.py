@@ -59,6 +59,9 @@ LLM_SUITE = [
     # fixture battery — 200/240 docs regardless of SF, codec-bound)
     "q_ingest_pdf_text",
     "q_ingest_doc_matrix",
+    # round-8 additions: shuffle-free corpus-filter passes
+    "q_text_repetition_signals",
+    "q_text_c4_rules",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
