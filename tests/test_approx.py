@@ -155,3 +155,64 @@ def test_hll_union_equals_direct_sketch(spark):
         .first().e
     )
     assert abs(merged - direct) <= 0.02 * direct + 2
+
+
+def test_semdedup_planted_groups(spark):
+    """SemDeDup (similarity.semdedup): planted near-copy triplets each
+    collapse to exactly one keeper; distinct vectors all survive; the
+    keeper is the group member FARTHEST from its centroid (lowest
+    centroid cosine, min-id tiebreak)."""
+    import numpy as np
+
+    from xetl_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(10):
+        base = rng.standard_normal(16)
+        for j in range(3):
+            v = base + rng.standard_normal(16) * 0.01
+            rows.append((g * 10 + j, [float(x) for x in v]))
+    for i in range(20):
+        rows.append((1000 + i, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "doc_id long, emb array<float>")
+    out = semdedup(df, "emb", "doc_id", threshold=0.95, n_clusters=4).collect()
+    assert len(out) == 50
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(r)
+    multi = [m for m in by_group.values() if len(m) > 1]
+    # all 10 planted triplets collapse, singletons self-keep
+    assert len(multi) == 10
+    assert sum(1 for r in out if r["keep"]) == 30
+    for m in multi:
+        keepers = [r for r in m if r["keep"]]
+        assert len(keepers) == 1
+        k = keepers[0]
+        lo = min(r["centroid_sim"] for r in m)
+        assert k["centroid_sim"] == lo  # farthest-from-centroid policy
+    # determinism: same seed, same decisions
+    again = semdedup(df, "emb", "doc_id", threshold=0.95, n_clusters=4).collect()
+    assert {(r["id"], r["keep"]) for r in again} == {
+        (r["id"], r["keep"]) for r in out
+    }
+
+
+def test_semdedup_cluster_locality_and_threshold(spark):
+    """Dissimilar vectors never pair even inside one cluster (threshold
+    respected), and an over-cap cluster is skipped, not exploded."""
+    import numpy as np
+
+    from xetl_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<float>")
+    out = semdedup(df, "emb", "doc_id", threshold=0.999, n_clusters=2).collect()
+    # random gaussians virtually never reach cos >= 0.999
+    assert all(r["keep"] for r in out)
+    # cap guard: with max_cluster_size=1 every cluster is skipped
+    out2 = semdedup(
+        df, "emb", "doc_id", threshold=0.0, n_clusters=2, max_cluster_size=1
+    ).collect()
+    assert all(r["keep"] for r in out2)

@@ -522,6 +522,119 @@ def lsh_ann_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_cluster_size: int | None = 5000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): drop documents whose
+    EMBEDDINGS nearly coincide — paraphrases and templated rewrites
+    that no lexical dedup (MinHash/SimHash) can see.
+
+    Exactly the paper's recipe:
+
+    1. k-means cluster the unit embeddings (``ivf_fit_centroids`` —
+       fit is memoized per corpus plan); assign each doc its nearest
+       cell and its cosine to that centroid.
+    2. Within each cluster only, emit candidate pairs and keep those
+       with cosine >= ``threshold``. Pair generation is cluster-local
+       (one groupBy shuffle + streamed posexplode — the
+       lsh_candidate_pairs shape), so cost is Σ|cell|², never corpus².
+       The paper keeps cells small by using large k; ``max_cluster_
+       size`` is the quadratic guard for degenerate clusterings —
+       oversized cells are skipped (their members remain candidates
+       through exact dedup upstream).
+    3. Connected components over the pair graph → duplicate groups;
+       per group KEEP the member FARTHEST from its centroid (lowest
+       centroid cosine — the paper's diversity-preserving choice),
+       ties broken by min id.
+
+    Returns (id, cell, centroid_sim, group, keep) — one row per input
+    doc; singletons keep themselves. 100 TB shape: ids-only banding
+    (vectors re-attached by id-keyed joins, as in
+    cosine_near_duplicates), bounded CC rounds on the pair graph only
+    (pairs ≪ corpus), centroids plan-shipped.
+    """
+    from xetl_spark.operators.graph import connected_components
+
+    # persisted with no unpersist, matching cosine_near_duplicates: the
+    # KMeans fit materializes it NOW and the returned lazy plan reads it
+    # again — unpersisting before execution would recompute everything
+    c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u").persist()
+    centroids = ivf_fit_centroids(c, "__u", n_clusters=n_clusters, seed=seed)
+    assigned = c.select(
+        F.col(id_col).alias("id"),
+        F.element_at(_nearest_cells("__u", centroids, 1), 1).alias("cell"),
+        "__u",
+    ).withColumn(
+        "centroid_sim",
+        F.element_at(
+            F.array(
+                *[
+                    _dot(F.col("__u"), F.array(*[F.lit(float(x)) for x in ctr]))
+                    for ctr in centroids
+                ]
+            ),
+            F.col("cell") + 1,
+        ),
+    )
+    units = assigned.select("id", "__u")
+    buckets = (
+        assigned.groupBy("cell")
+        .agg(F.array_sort(F.collect_list("id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_cluster_size is not None:
+        buckets = buckets.filter(F.size("ds") <= max_cluster_size)
+    cand = (
+        buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias(
+                "id_b"
+            ),
+        )
+    )
+    pairs = (
+        cand.join(
+            units.select(F.col("id").alias("id_a"), F.col("__u").alias("__ua")),
+            "id_a",
+        )
+        .join(
+            units.select(F.col("id").alias("id_b"), F.col("__u").alias("__ub")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", _dot(F.col("__ua"), F.col("__ub")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    meta = assigned.select("id", "cell", "centroid_sim")
+    grouped = meta.join(comp, meta.id == comp.node, "left").select(
+        "id", "cell", "centroid_sim", F.coalesce("comp", "id").alias("group")
+    )
+    # keeper per group: farthest from centroid (min cosine), then min id
+    keepers = grouped.groupBy("group").agg(
+        F.min(F.struct("centroid_sim", "id")).alias("__k")
+    )
+    return (
+        grouped.join(keepers, "group")
+        .select(
+            "id",
+            "cell",
+            "centroid_sim",
+            "group",
+            (F.col("id") == F.col("__k.id")).alias("keep"),
+        )
+    )
+
+
 def random_project(
     df: DataFrame,
     vec_col: str,

@@ -733,6 +733,32 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query("q_dedup_semantic", oracle=None)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semdedup — Abbas et al. 2023):
+    k-means cluster the embeddings, pair within clusters at cosine >=
+    0.95, keep one representative per duplicate group (farthest from
+    centroid). The fixture embeddings are near-random, so the query
+    plants deterministic near-copies (scaled duplicates of the first
+    20 vectors, the q_dedup_embedding_cosine pattern) — exactly those
+    20 groups must collapse to one keeper each. P-class (KMeans is
+    seeded but not SQL-replicable); planted-group semantics and the
+    keep policy are pinned in tests/test_approx.py."""
+    from xetl_spark.operators.similarity import semdedup
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    out = semdedup(corpus, "embedding", "vec_id", threshold=0.95, n_clusters=8)
+    return out.select(
+        "id", "cell", F.round("centroid_sim", 4).alias("centroid_sim"),
+        "group", "keep",
+    )
+
+
 @query("q_sim_lsh_ann", oracle=None)
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via random-hyperplane LSH (the scale
