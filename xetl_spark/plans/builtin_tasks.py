@@ -575,6 +575,35 @@ def near_dedup(ctx: StageContext):
 
 
 @task(
+    "semantic_dedup",
+    "Drop semantic near-duplicates over an embedding column (SemDeDup: "
+    "k-means cells, within-cluster cosine pairs, keep the group member "
+    "farthest from its centroid)",
+    env={
+        "EMBEDDING_COL": {"description": "array<float> embedding column", "type": "string", "default": "embedding"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "THRESHOLD": {"description": "cosine threshold", "type": "float", "default": 0.95},
+        "CLUSTERS": {"description": "k-means cells", "type": "int", "default": 16},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def semantic_dedup_task(ctx: StageContext):
+    from xetl_spark.operators.similarity import semdedup
+
+    df = ctx.input_df()
+    id_col = str(ctx.env["ID_COL"])
+    decision = semdedup(
+        df,
+        str(ctx.env["EMBEDDING_COL"]),
+        id_col,
+        threshold=float(ctx.env["THRESHOLD"]),  # type: ignore[arg-type]
+        n_clusters=int(ctx.env["CLUSTERS"]),  # type: ignore[arg-type]
+    )
+    keep = decision.filter(F.col("keep")).select(F.col("id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+@task(
     "line_dedup",
     "Corpus-level exact line dedup (C4/RefinedWeb recipe): fixed-token "
     "lines, globally-first occurrence survives, text rewritten in place",
