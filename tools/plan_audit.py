@@ -67,7 +67,14 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # the per-plan exchange count here is the demo composition, not the
 # steady-state cost; every exchange carries one row per group or per
 # batch row.
+# q_text_bigram_logprob — round-8 de-skew rewrite: the corpus counts
+# C(w1,w2) and C(w1.) are groupBy aggregations JOINED BACK instead of
+# windows (windows do no partial aggregation and AQE cannot skew-split
+# them — a hot head like "the" would pin ~one row per document on one
+# task). The two extra joins cost 2 exchanges of distinct-bigram-sized
+# tables; the skew safety is worth the count.
 EXCHANGE_ALLOWANCE = {
+    "q_text_bigram_logprob": 8,
     "q_dedup_minhash_lsh": 7,
     "q_graph_triangles": 21,
     "q_fuzzy_name_join": 10,
