@@ -986,7 +986,12 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     ).select("doc", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
     bf = big.groupBy("doc", "w1", "w2").agg(F.count("*").alias("bf"))
     g12 = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
-    g1 = bf.groupBy("w1").agg(F.sum("bf").alias("c1"))
+    # c1 derives from g12 (vocabulary-sized), and is attached to g12
+    # BEFORE the corpus-side join: the per-(doc,bigram) table then
+    # shuffles once on (w1,w2) instead of twice ((w1,w2) then again on
+    # the skewed w1) — one full corpus exchange saved, same values
+    g1 = g12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    ratios = g12.join(g1, "w1")
     vocab = (
         ensure_parallelism(df)
         .select(F.explode(arr).alias("__w"))
@@ -994,8 +999,7 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     )
     k = F.lit(float(k_smooth))
     return (
-        bf.join(g12, ["w1", "w2"])
-        .join(g1, "w1")
+        bf.join(ratios, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc")
         .agg(
