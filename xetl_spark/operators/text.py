@@ -354,7 +354,30 @@ def repetition_signals(
         toks.alias("__t"),
         lines.alias("__lines"),
     )
-    sorted_cols = base.select(
+    # n-gram chains built INCREMENTALLY across materialized projections:
+    # the raw n-gram array extends the (n-1)-gram array by one zip_with,
+    # so max_n-1 array walks total instead of sum(n-1) per independent
+    # _ngram_array calls (7 vs 28 at the default ns) — each __r{n} is a
+    # real column, so the next step reads an attribute, never re-derives
+    # the whole prefix chain (the CollapseProject discipline again).
+    # Raw chains carry the zip_with null padding; the per-n filter below
+    # reproduces _ngram_array(short_doc_fallback=False) exactly.
+    max_n = max(ns)
+    chained = base
+    prev = "__t"
+    for n in range(2, max_n + 1):
+        chained = chained.withColumn(
+            f"__r{n}",
+            F.zip_with(
+                F.col(prev),
+                F.slice("__t", n, 2_000_000),
+                lambda a, b: F.when(
+                    a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+                ),
+            ),
+        )
+        prev = f"__r{n}"
+    sorted_cols = chained.select(
         "__id",
         F.size("__t").alias("n_tokens"),
         F.length(F.concat_ws(" ", "__t")).cast("long").alias("total_chars"),
@@ -370,7 +393,7 @@ def repetition_signals(
         F.array_sort("__lines").alias("__ls"),
         *[
             F.array_sort(
-                _ngram_array(F.col("__t"), n, short_doc_fallback=False)
+                F.filter(F.col(f"__r{n}"), lambda x: x.isNotNull())
             ).alias(f"__g{n}")
             for n in ns
         ],
