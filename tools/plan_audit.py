@@ -71,10 +71,13 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # C(w1,w2) and C(w1.) are groupBy aggregations JOINED BACK instead of
 # windows (windows do no partial aggregation and AQE cannot skew-split
 # them — a hot head like "the" would pin ~one row per document on one
-# task). The two extra joins cost 2 exchanges of distinct-bigram-sized
-# tables; the skew safety is worth the count.
+# task). Exchange COUNT rose, but all the added exchanges carry
+# VOCABULARY-sized tables (distinct bigrams / heads); the corpus-sized
+# per-(doc,bigram) table exchanges exactly once on (w1,w2) — the
+# ratios table is pre-joined so the skewed w1 key never re-shuffles
+# corpus rows. Skew safety + lower corpus-bytes beat the raw count.
 EXCHANGE_ALLOWANCE = {
-    "q_text_bigram_logprob": 8,
+    "q_text_bigram_logprob": 9,
     "q_dedup_minhash_lsh": 7,
     "q_graph_triangles": 21,
     "q_fuzzy_name_join": 10,
