@@ -381,6 +381,40 @@ def test_extract_document_text_survives_hostile_rows(spark):
     assert got[3]["text"] == "healthy docx" and got[3]["err"] is None
 
 
+def test_extract_document_text_fuzz_never_kills_job(spark):
+    """The per-row triage backstop under fuzz: random truncations and
+    bit flips of real PDF/DOCX/EPUB/XLSX payloads must all come back as
+    rows (text or err), never as a job failure."""
+    import random
+
+    rng = random.Random(77)
+    from xetl_spark.operators.multimodal import extract_document_text
+
+    bases = [
+        P.build_pdf(["fuzz page one", "page two"], xref_stream=True),
+        docmod.build_docx(["alpha", "beta"]),
+        docmod.build_epub([("t", "chapter body")]),
+        docmod.build_xlsx([["a", 1.5], ["b", 2]]),
+    ]
+    rows = []
+    rid = 0
+    for base in bases:
+        for k in range(1, 6):
+            rows.append((rid, base[: len(base) * k // 6]))
+            rid += 1
+        for _ in range(10):
+            mutated = bytearray(base)
+            for _k in range(rng.randrange(1, 5)):
+                mutated[rng.randrange(len(mutated))] ^= 1 << rng.randrange(8)
+            rows.append((rid, bytes(mutated)))
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = extract_document_text(df).collect()
+    assert len(got) == len(rows)  # every row survived
+    for r in got:
+        assert (r["text"] is not None) or (r["err"] is not None)
+
+
 def test_zip_bomb_guards(monkeypatch):
     blob = docmod.build_docx(["regular sized"])
     monkeypatch.setattr(docmod, "MAX_MEMBERS", 2)

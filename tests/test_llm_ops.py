@@ -439,6 +439,65 @@ def test_repetition_signals_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_repetition_signals_matches_python_reference(spark):
+    """Property: on randomized multi-line docs (repeats planted), every
+    integer signal matches an independent pure-Python reference."""
+    import random
+    import re as _re
+    from collections import Counter
+
+    from xetl_spark.operators.text import repetition_signals
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)] + ["the", "and"]
+    docs = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randrange(0, 8)):
+            line = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))
+            lines.append(line)
+            if rng.random() < 0.4:
+                lines.append(line)  # planted duplicate line
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(df, "text", "doc_id").collect()
+    }
+
+    def ref(textv: str) -> dict:
+        toks = [t for t in _re.split(r"[^a-z0-9]+", textv.lower()) if t]
+        lines = [l.strip() for l in textv.split("\n") if l.strip()]
+        lc = Counter(lines)
+        out = {
+            "n_tokens": len(toks),
+            "total_chars": len(" ".join(toks)),
+            "n_lines": len(lines),
+            "dup_line_count": len(lines) - len(lc),
+            "line_chars": sum(len(l.encode()) for l in lines),
+            "dup_line_chars": sum(
+                c * len(l.encode()) for l, c in lc.items() if c > 1
+            ),
+        }
+        for n in (2, 3, 4, 5, 6, 7, 8):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            gc = Counter(grams)
+            top = max((c * len(g) for g, c in gc.items()), default=0)
+            dup = sum(c * len(g) for g, c in gc.items() if c > 1)
+            if n in (2, 3, 4):
+                out[f"top_{n}gram_chars"] = top
+            if n in (5, 6, 7, 8):
+                out[f"dup_{n}gram_chars"] = dup
+        return out
+
+    for i, textv in docs:
+        expect = ref(textv)
+        for k, v in expect.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
 def test_c4_line_filter_rules(spark):
     """Each C4 rule in isolation: terminal punctuation, min words,
     javascript, lorem ipsum, brace, min sentences."""
