@@ -372,6 +372,56 @@ def test_repetition_and_redaction(spark):
     assert rows[3][1] == "mail me at <EMAIL> or <PHONE> from <IP>"
 
 
+def test_natural_boundary_dedup_line_and_paragraph(spark):
+    """Exact natural-boundary dedup: globally-first occurrence keeps,
+    in-document repeats dedup too, reassembly preserves order; the
+    paragraph mode splits on blank lines."""
+    from xetl_spark.operators.text import natural_boundary_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha line\nshared footer\nbeta line"),
+            (2, "gamma line\nshared footer\ngamma line"),
+            (3, "   \n\nshared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in natural_boundary_dedup(df, "text", "doc_id").collect()
+    }
+    assert got[1]["n_units"] == 3 and got[1]["kept_units"] == 3
+    assert got[1]["new_text"] == "alpha line\nshared footer\nbeta line"
+    # doc 2: footer lost to doc 1; its own repeated line kept once
+    assert got[2]["n_units"] == 3 and got[2]["kept_units"] == 1
+    assert got[2]["new_text"] == "gamma line"
+    # doc 3: whitespace-only units dropped; footer already taken
+    assert got[3]["n_units"] == 1 and got[3]["kept_units"] == 0
+    assert got[3]["new_text"] == ""
+
+    pdf = spark.createDataFrame(
+        [
+            (1, "para one\nstill para one\n\npara two"),
+            (2, "para one\nstill para one\n\nunique para"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r.asDict()
+        for r in natural_boundary_dedup(
+            pdf, "text", "doc_id", granularity="paragraph"
+        ).collect()
+    }
+    assert got2[1]["n_units"] == 2 and got2[1]["kept_units"] == 2
+    assert got2[2]["kept_units"] == 1
+    assert got2[2]["new_text"] == "unique para"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="granularity"):
+        natural_boundary_dedup(df, "text", "doc_id", granularity="word")
+
+
 def test_repetition_signals_hand_computed(spark):
     """Gopher repetition signals against hand-computed expectations,
     including the documented edge semantics: strict n-grams (short doc

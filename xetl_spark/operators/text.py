@@ -884,6 +884,79 @@ def line_dedup(df, text_col: str, id_col: str, line_tokens: int = 16):
     )
 
 
+def natural_boundary_dedup(
+    df,
+    text_col: str,
+    id_col: str,
+    granularity: str = "line",
+):
+    """Corpus-level exact dedup on NATURAL text boundaries — the
+    RefinedWeb / Dolma recipe (exact line or paragraph dedup), the
+    natural-boundary complement to ``line_dedup``'s fixed-token lines:
+    split each document on newlines (``granularity="line"``) or blank
+    lines (``"paragraph"``), trim, drop empties, keep only the
+    globally FIRST occurrence of each distinct unit (ordered by
+    (doc id, position)), and reassemble survivors in document order.
+
+    Same 100 TB plan shape as line_dedup: duplicate units collapse
+    MAP-SIDE under a unit-keyed min(struct(doc,pos)) hash aggregation
+    (only ~distinct units shuffle; a hot boilerplate unit costs one
+    partial-agg cell per task, never an unsplittable window
+    partition), then one doc-keyed reassembly. Nothing touches the
+    driver.
+
+    Returns (id, n_units, kept_units, new_text), one row per input
+    document (documents whose every unit lost keep a row with
+    kept_units = 0 and new_text = '').
+    """
+    if granularity == "line":
+        split_pat, joiner = r"\n", "\n"
+    elif granularity == "paragraph":
+        split_pat, joiner = r"\n{2,}", "\n\n"
+    else:
+        raise ValueError("granularity must be 'line' or 'paragraph'")
+    raw_units = F.split(F.col(text_col), split_pat)
+    units = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.transform(raw_units, lambda u: F.trim(u))).alias(
+            "__pos", "__u"
+        ),
+    ).filter(F.col("__u") != "")
+    doc_stats = units.groupBy("__doc").agg(
+        F.count("*").cast("long").alias("n_units")
+    )
+    firsts = (
+        units.groupBy("__u")
+        .agg(F.min(F.struct("__doc", "__pos")).alias("__f"))
+        .select(
+            F.col("__f.__doc").alias("__doc"),
+            F.col("__f.__pos").alias("__pos"),
+            "__u",
+        )
+    )
+    kept = firsts.groupBy("__doc").agg(
+        F.count("*").cast("long").alias("kept_units"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__u"))),
+                lambda x: x["__u"],
+            ),
+        ).alias("new_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(doc_stats, "__doc", "left")
+        .join(kept, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce("n_units", F.lit(0).cast("long")).alias("n_units"),
+            F.coalesce("kept_units", F.lit(0).cast("long")).alias("kept_units"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df,
     text_col: str,

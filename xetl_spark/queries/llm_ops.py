@@ -330,6 +330,66 @@ def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_natural_line_dedup",
+    # fixture docs are single-line word bags — synthesize deterministic
+    # multi-line pages with planted cross-doc duplicates (a footer on
+    # every doc, a promo line on every third) so the dedup semantics
+    # are exercised non-vacuously; same expression both engines.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 50) || chr(10)
+             || 'common footer line here' || chr(10)
+             || substr(text, 51, 50) || chr(10)
+             || CASE WHEN doc_id % 3 = 0 THEN 'promo line repeated often'
+                     ELSE substr(text, 101, 30) END
+             AS text
+      FROM documents),
+    ex AS (
+      SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+             trim(unnest(parts)) AS unit
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug)),
+    u AS (SELECT * FROM ex WHERE unit <> ''),
+    stats AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id),
+    k AS (
+      SELECT doc_id, pos, unit,
+             row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+      FROM u),
+    kept AS (
+      SELECT doc_id, count(*) AS kept_units,
+             string_agg(unit, chr(10) ORDER BY pos) AS new_text
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_units, 0) AS BIGINT) AS n_units,
+           CAST(coalesce(kk.kept_units, 0) AS BIGINT) AS kept_units,
+           coalesce(kk.new_text, '') AS new_text
+    FROM documents d
+    LEFT JOIN stats s USING (doc_id)
+    LEFT JOIN kept kk USING (doc_id)
+    """,
+)
+def q_text_natural_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-boundary exact line dedup (operators/text.py
+    natural_boundary_dedup — the RefinedWeb/Dolma recipe): globally
+    first occurrence of each distinct trimmed line survives; min-struct
+    hash aggregation, no window over the hot line key."""
+    from xetl_spark.operators.text import natural_boundary_dedup
+
+    (docs,) = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    aug = F.concat(
+        F.substring("text", 1, 50), nl,
+        F.lit("common footer line here"), nl,
+        F.substring("text", 51, 50), nl,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("promo line repeated often"))
+        .otherwise(F.substring("text", 101, 30)),
+    )
+    return natural_boundary_dedup(
+        docs.select("doc_id", aug.alias("text")), "text", "doc_id"
+    )
+
+
+@query(
     "q_text_c4_rules",
     # the fixture's documents are punctuation-free word bags, on which
     # every C4 rule is vacuously false — so the query first builds a
