@@ -1065,21 +1065,33 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     """
     from xetl_spark.operators.util import ensure_parallelism
 
-    arr = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    # Lambda-free adjacent pairing: arrays_zip each token with its
+    # successor (null-padded on the last token) and explode — HOF
+    # lambdas (zip_with + struct) evaluate interpreted per element,
+    # outside whole-stage codegen, and were the hottest term in this
+    # query's profile. Empty tokens cannot appear mid-array (tokens()
+    # trims before splitting on whitespace), and the lone [""] of a
+    # whitespace-only document is excluded by the size >= 2 filter,
+    # so the old pre-filter lambda is unnecessary.
+    t = tokens(text_col)
     base = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), arr.alias("__t")
+        F.col(id_col).alias("doc"),
+        t.alias("__t"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("__t2"),
     )
-    n = F.size("__t")
-    big = base.filter(n >= 2).select(
-        "doc",
-        F.explode(
-            F.zip_with(
-                F.slice("__t", 1, n - 1),
-                F.slice("__t", 2, n - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("__b"),
-    ).select("doc", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    big = (
+        base.filter(F.size("__t") >= 2)
+        .select(
+            "doc",
+            F.explode(F.arrays_zip(F.col("__t"), F.col("__t2"))).alias("__b"),
+        )
+        .filter(F.col("__b.__t2").isNotNull())
+        .select(
+            "doc",
+            F.col("__b.__t").alias("w1"),
+            F.col("__b.__t2").alias("w2"),
+        )
+    )
     bf = big.groupBy("doc", "w1", "w2").agg(F.count("*").alias("bf"))
     g12 = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
     # c1 derives from g12 (vocabulary-sized), and is attached to g12
@@ -1090,7 +1102,8 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     ratios = g12.join(g1, "w1")
     vocab = (
         ensure_parallelism(df)
-        .select(F.explode(arr).alias("__w"))
+        .select(F.explode(tokens(text_col)).alias("__w"))
+        .filter(F.col("__w") != "")
         .agg(F.countDistinct("__w").alias("__v"))
     )
     k = F.lit(float(k_smooth))
@@ -1113,18 +1126,51 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     )
 
 
-def _hashed_ngram_buckets(text: Column | str, num_buckets: int) -> Column:
-    """Hashed uni+bigram feature buckets per document (the DSIR
-    feature map): array<int> of pmod(xxhash64(feature), B)."""
-    t = F.filter(tokens(text), lambda x: x != F.lit(""))
-    n = F.size(t)
-    bigrams = F.zip_with(
-        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+def _hashed_feature_rows(df, text_col: str, id_col: str | None, num_buckets: int):
+    """(doc, bucket) rows of hashed uni+bigram features — the DSIR
+    feature map, bucket = pmod(xxhash64(feature), B).
+
+    Deliberately lambda-free: an earlier form built a per-doc bucket
+    array with filter/zip_with/transform and exploded it, but Catalyst
+    higher-order functions evaluate their lambdas interpreted (outside
+    whole-stage codegen), and the per-feature xxhash64+pmod inside a
+    ``transform`` dominated the whole DSIR wall time. This shape —
+    tokenize once, ``arrays_zip`` each token with its successor
+    (null-padded), explode, then derive the unigram and bigram feature
+    strings and hash them in codegen — produces bit-identical
+    (doc, bucket) multisets ~3× faster at sf0.1.
+
+    Empty tokens cannot appear mid-array (``tokens`` trims before
+    splitting on whitespace); the only empty token is the lone [""]
+    of a whitespace-only document, dropped by the post-explode filter
+    exactly as the old pre-filter did.
+    """
+    t = tokens(text_col)
+    doc = F.col(id_col) if id_col is not None else F.lit(0)
+    base = df.select(
+        doc.alias("doc"),
+        t.alias("__t"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("__t2"),
     )
-    feats = F.concat(t, bigrams)
-    return F.transform(feats, lambda x: F.pmod(F.xxhash64(x), F.lit(num_buckets)))
+    z = base.select(
+        "doc", F.explode(F.arrays_zip(F.col("__t"), F.col("__t2"))).alias("__z")
+    )
+    w1, w2 = F.col("__z.__t"), F.col("__z.__t2")
+    feats = z.select(
+        "doc",
+        F.explode(
+            F.array(
+                w1,
+                F.when(
+                    w2.isNotNull() & (w2 != ""),
+                    F.concat(w1, F.lit(" "), w2),
+                ),
+            )
+        ).alias("__f"),
+    ).filter(F.col("__f").isNotNull() & (F.col("__f") != ""))
+    return feats.select(
+        "doc", F.pmod(F.xxhash64("__f"), F.lit(num_buckets)).alias("b")
+    )
 
 
 def dsir_logweights(
@@ -1154,14 +1200,16 @@ def dsir_logweights(
     join-free variant scoring each doc's bucket array with a
     higher-order aggregate over a broadcast dense ratio array was
     measured 2.2× SLOWER at sf0.1 — lambda HOFs run interpreted,
-    outside whole-stage codegen, so the vectorized explode+join wins.)
+    outside whole-stage codegen, so the vectorized explode+join wins;
+    the feature map itself is likewise lambda-free, see
+    ``_hashed_feature_rows``.)
 
-    The per-doc bucket array feeds two consumers (the histogram job
-    and the scoring pass). By default (``materialize=False``) it is
+    The per-doc feature rows feed two consumers (the histogram job
+    and the scoring pass). By default (``materialize=False``) they are
     simply recomputed by each — tokenize+hash is a map-only stage, so
     the second pass costs CPU but no shuffle, no state, and nothing
     that breaks on executor loss. ``materialize=True`` instead pins
-    the bucket table with ``localCheckpoint(eager=True)``: tokenize
+    the feature table with ``localCheckpoint(eager=True)``: tokenize
     runs once (the r6 plan audit found the double tokenize was the
     heaviest CPU term in the LLM suite), which wins at single-node /
     bounded SF — but the checkpoint is a corpus-sized second copy on
@@ -1177,19 +1225,18 @@ def dsir_logweights(
     """
     from xetl_spark.operators.util import ensure_parallelism
 
-    raw_b = ensure_parallelism(raw).select(
-        F.col(id_col).alias("doc"),
-        _hashed_ngram_buckets(text_col, num_buckets).alias("bs"),
+    raw_feats = _hashed_feature_rows(
+        ensure_parallelism(raw), text_col, id_col, num_buckets
     )
     if materialize:
-        raw_b = raw_b.localCheckpoint(eager=True)
+        raw_feats = raw_feats.localCheckpoint(eager=True)
     hist = (
-        ensure_parallelism(target)
-        .select(F.explode(_hashed_ngram_buckets(text_col, num_buckets)).alias("b"))
-        .withColumn("__t", F.lit(1))
-        .unionByName(
-            raw_b.select(F.explode("bs").alias("b")).withColumn("__t", F.lit(0))
+        _hashed_feature_rows(
+            ensure_parallelism(target), text_col, None, num_buckets
         )
+        .select("b")
+        .withColumn("__t", F.lit(1))
+        .unionByName(raw_feats.select("b").withColumn("__t", F.lit(0)))
         .groupBy("b")
         .agg(
             F.sum("__t").alias("p_cnt"),
@@ -1207,9 +1254,8 @@ def dsir_logweights(
             - F.log((F.col("q_cnt") + 1.0) / (F.col("q_tot") + B))
         ).alias("log_ratio"),
     )
-    doc_feats = raw_b.select("doc", F.explode("bs").alias("b"))
     return (
-        doc_feats.join(F.broadcast(ratio), "b")
+        raw_feats.join(F.broadcast(ratio), "b")
         .groupBy("doc")
         .agg(
             F.count("*").alias("n_features"),
