@@ -394,6 +394,37 @@ def repetition_signals_task(ctx: StageContext):
 
 
 @task(
+    "normalize_text",
+    "Encoding repair + Unicode normalization (ftfy/CCNet-style): fix "
+    "UTF-8-as-latin-1/cp1252 mojibake, apply NFC/NFKC, strip control "
+    "characters and canonicalize whitespace, optionally fold "
+    "typographic punctuation to ASCII. Map-only (zero shuffles); "
+    "rewrites COLUMN in place",
+    env={
+        "COLUMN": {"description": "text column", "type": "string", "default": "text"},
+        "FORM": {"description": "NFC | NFKC | none", "type": "string", "default": "NFC"},
+        "FIX_ENCODING": {"description": "repair mojibake first", "type": "bool", "default": True},
+        "FOLD_PUNCT": {"description": "fold curly quotes/dashes/spaces to ASCII", "type": "bool", "default": False},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def normalize_text_task(ctx: StageContext):
+    from xetl_spark.operators.encoding import normalized_text_column
+
+    df = ctx.input_df()
+    col = str(ctx.env["COLUMN"])
+    return df.withColumn(
+        col,
+        normalized_text_column(
+            col,
+            form=str(ctx.env["FORM"]),
+            repair_encoding=bool(ctx.env["FIX_ENCODING"]),
+            fold_punct=bool(ctx.env["FOLD_PUNCT"]),
+        ),
+    )
+
+
+@task(
     "doc_text",
     "Extract plain text from PDF / DOCX / EPUB payloads in a binary "
     "column (pure-Python extractors, Arrow-batched mapInPandas; "

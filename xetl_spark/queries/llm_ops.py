@@ -2794,3 +2794,143 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         (F.col("quality_prob") >= 0.5).cast("int").alias("pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair + Unicode normalization (operators/encoding.py)
+# ---------------------------------------------------------------------------
+
+# Mojibake digraphs as Python escapes (single source of truth for the
+# Spark corruption and the oracle SQL): a UTF-8-encoded char read as
+# sloppy-cp1252. 'a' -> 'á' (C3 A1) and 'e' -> '€' (E2 82 AC; 0x82 is
+# cp1252 U+201A).
+_MOJI_A = "Ã¡"  # what a latin-1 reader shows for 'á' (C3 A1)
+_MOJI_E = "â‚¬"  # what a cp1252 reader shows for '€' (E2 82 AC)
+
+
+@query(
+    "q_text_fix_mojibake",
+    oracle=f"""
+    WITH corrupt AS (
+        SELECT doc_id,
+               replace(replace(text, 'a', '{_MOJI_A}'), 'e', '{_MOJI_E}') AS c,
+               replace(replace(text, 'a', chr(225)), 'e', chr(8364)) AS expected
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id, expected AS fixed, (c <> expected) AS was_fixed
+    FROM corrupt
+    """,
+)
+def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (ftfy-style): every document is corrupted IN
+    SQL the way a wrong-codec reader would ('a'→'á' then UTF-8 bytes
+    re-read as sloppy-cp1252, same for '€'), then repaired with the
+    Arrow-batched fix_mojibake. The oracle states the clean text
+    directly — a hash match proves the fixer inverts the corruption
+    exactly and (via was_fixed) touches every corrupted row and no
+    clean row. Map-only at any scale (operators/encoding.py)."""
+    from xetl_spark.operators.encoding import fix_mojibake
+
+    (docs,) = load(spark, sf_dir, "documents")
+    corrupt = F.replace(
+        F.replace(F.col("text"), F.lit("a"), F.lit(_MOJI_A)),
+        F.lit("e"),
+        F.lit(_MOJI_E),
+    )
+    c = docs.where(F.col("doc_id") < 400).select(
+        "doc_id", corrupt.alias("c")
+    )
+    return c.select(
+        "doc_id", "c", fix_mojibake(F.col("c")).alias("fixed")
+    ).select(
+        "doc_id",
+        "fixed",
+        (~F.col("c").eqNullSafe(F.col("fixed"))).alias("was_fixed"),
+    )
+
+
+@query(
+    "q_text_nfc_normalize",
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(
+               text || ' cafe' || chr(769) || ' man' || chr(771) ||
+               'ana A' || chr(778) || 'ngstro' || chr(776) || 'm ' || chr(64257) || 'n'
+           ) AS norm,
+           length(nfc_normalize(
+               text || ' cafe' || chr(769) || ' man' || chr(771) ||
+               'ana A' || chr(778) || 'ngstro' || chr(776) || 'm ' || chr(64257) || 'n'
+           )) AS n_chars
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization: decomposed sequences (combining
+    acute/tilde/ring/diaeresis) are appended to each document in SQL,
+    then composed with the Arrow-batched nfc_text (Spark SQL has no
+    normalizer expression). DuckDB's independent ICU ``nfc_normalize``
+    is the oracle — an exact hash match cross-validates the two
+    implementations, and the U+FB01 ligature is the negative control
+    (NFC must leave it alone; NFKC would fold it). n_chars pins the
+    composed code-point count."""
+    from xetl_spark.operators.encoding import nfc_text
+
+    (docs,) = load(spark, sf_dir, "documents")
+    decomposed = F.concat(
+        F.col("text"),
+        # decomposed sequences (combining acute/tilde/ring/diaeresis
+        # as explicit escapes) + the U+FB01 ligature negative control
+        F.lit(
+            " cafe\u0301 man\u0303ana A\u030angstro\u0308m \ufb01n"
+        ),
+    )
+    return (
+        docs.where(F.col("doc_id") < 400)
+        .select("doc_id", nfc_text(decomposed).alias("norm"))
+        .select("doc_id", "norm", F.length("norm").alias("n_chars"))
+    )
+
+
+@query(
+    "q_text_clean_punct",
+    oracle="""
+    WITH messy AS (
+        SELECT doc_id,
+               chr(8220) || 'Q' || chr(8221) || '  ' || chr(9) || ' x' ||
+               chr(160) || 'y ' || chr(13) || chr(10) || 'l2' || chr(7) ||
+               'end ' || chr(8211) || ' ' || chr(8230) || ' ' || text AS m
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(
+               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   m, '\\r\\n?', chr(10), 'g'),
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                   '[ \\t]+', ' ', 'g'),
+                   ' +\\n', chr(10), 'g')),
+               chr(8220), '"'), chr(8221), '"'),
+               chr(8211), '-'), chr(160), ' '), chr(8230), '...') AS cleaned
+    FROM messy
+    """,
+)
+def q_text_clean_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-side text cleanup: each document is dirtied in SQL
+    (curly quotes, tab runs, NBSP, CRLF, a C0 control, en dash,
+    ellipsis) and pushed through clean_text + fold_punctuation — all
+    whole-stage codegen, zero Python. The oracle mirrors the spec
+    rule-for-rule in DuckDB (RE2 'g' flags vs Spark's global-default
+    regexp_replace), so a hash match pins every cleanup rule. The
+    ellipsis fold ('…' -> '...') is covered by both sides' replace
+    chains."""
+    from xetl_spark.operators.encoding import clean_text, fold_punctuation
+
+    (docs,) = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit(
+            "\u201cQ\u201d  \t x\u00a0y \r\nl2\x07end \u2013 \u2026 "
+        ),
+        F.col("text"),
+    )
+    return docs.where(F.col("doc_id") < 400).select(
+        "doc_id", fold_punctuation(clean_text(messy)).alias("cleaned")
+    )
