@@ -1149,3 +1149,58 @@ def test_markdown_to_text_rules(spark):
     df = spark.createDataFrame([(m,) for m, _ in cases], "md string")
     got = [r[0] for r in df.select(markdown_to_text("md")).collect()]
     assert got == [p for _, p in cases]
+
+
+def test_kn_bigram_logprob_reference_parity(spark):
+    """Interpolated Kneser-Ney: Spark must match an independent
+    single-process reference implementation exactly (same discount),
+    and common-phrase docs must score lower NLL than rare-phrase
+    docs."""
+    import math
+    from collections import Counter
+
+    from xetl_spark.operators.text import kn_bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the dog sat on the mat"),
+        (4, "zyx wvu tsr qpo nml"),
+        (5, "single"),  # < 2 tokens: no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc: (r.n_bigrams, r.avg_nll)
+        for r in kn_bigram_logprob(df, "text", "doc_id").collect()
+    }
+    assert 5 not in got
+
+    # reference
+    d = 0.75
+    doc_bigrams = {}
+    for i, t in rows:
+        toks = t.split()
+        if len(toks) >= 2:
+            doc_bigrams[i] = list(zip(toks, toks[1:]))
+    c12 = Counter(b for bs in doc_bigrams.values() for b in bs)
+    c1 = Counter()
+    n1p_head = Counter()
+    n1p_tail = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p_head[w1] += 1
+        n1p_tail[w2] += 1
+    n1p_total = len(c12)
+
+    def p(w1, w2):
+        return max(c12[(w1, w2)] - d, 0) / c1[w1] + (
+            d * n1p_head[w1] / c1[w1]
+        ) * (n1p_tail[w2] / n1p_total)
+
+    for i, bs in doc_bigrams.items():
+        want = sum(-math.log(p(*b)) for b in bs) / len(bs)
+        assert got[i][0] == len(bs)
+        assert abs(got[i][1] - want) < 1e-9, (i, got[i][1], want)
+
+    # common phrasing scores lower NLL than the rare-token doc
+    assert got[1][1] < got[4][1]

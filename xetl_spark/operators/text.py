@@ -1045,6 +1045,42 @@ def remove_duplicate_spans(
     return rebuilt
 
 
+def _doc_bigram_counts(df, text_col: str, id_col: str):
+    """(doc, w1, w2, bf) — per-document adjacent-bigram counts.
+
+    Lambda-free adjacent pairing: arrays_zip each token with its
+    successor (null-padded on the last token) and explode — HOF
+    lambdas (zip_with + struct) evaluate interpreted per element,
+    outside whole-stage codegen, and were the hottest term in the
+    bigram-LM profile. Empty tokens cannot appear mid-array (tokens()
+    trims before splitting on whitespace), and the lone [""] of a
+    whitespace-only document is excluded by the size >= 2 filter, so
+    no pre-filter lambda is needed. One keyed shuffle (collapsing each
+    document's repeats map-side)."""
+    from xetl_spark.operators.util import ensure_parallelism
+
+    t = tokens(text_col)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        t.alias("__t"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("__t2"),
+    )
+    big = (
+        base.filter(F.size("__t") >= 2)
+        .select(
+            "doc",
+            F.explode(F.arrays_zip(F.col("__t"), F.col("__t2"))).alias("__b"),
+        )
+        .filter(F.col("__b.__t2").isNotNull())
+        .select(
+            "doc",
+            F.col("__b.__t").alias("w1"),
+            F.col("__b.__t2").alias("w2"),
+        )
+    )
+    return big.groupBy("doc", "w1", "w2").agg(F.count("*").alias("bf"))
+
+
 def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     """Per-document mean negative log-likelihood under a Laplace-
     smoothed corpus bigram model — one rung up the n-gram ladder from
@@ -1065,34 +1101,7 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     """
     from xetl_spark.operators.util import ensure_parallelism
 
-    # Lambda-free adjacent pairing: arrays_zip each token with its
-    # successor (null-padded on the last token) and explode — HOF
-    # lambdas (zip_with + struct) evaluate interpreted per element,
-    # outside whole-stage codegen, and were the hottest term in this
-    # query's profile. Empty tokens cannot appear mid-array (tokens()
-    # trims before splitting on whitespace), and the lone [""] of a
-    # whitespace-only document is excluded by the size >= 2 filter,
-    # so the old pre-filter lambda is unnecessary.
-    t = tokens(text_col)
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        t.alias("__t"),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("__t2"),
-    )
-    big = (
-        base.filter(F.size("__t") >= 2)
-        .select(
-            "doc",
-            F.explode(F.arrays_zip(F.col("__t"), F.col("__t2"))).alias("__b"),
-        )
-        .filter(F.col("__b.__t2").isNotNull())
-        .select(
-            "doc",
-            F.col("__b.__t").alias("w1"),
-            F.col("__b.__t2").alias("w2"),
-        )
-    )
-    bf = big.groupBy("doc", "w1", "w2").agg(F.count("*").alias("bf"))
+    bf = _doc_bigram_counts(df, text_col, id_col)
     g12 = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
     # c1 derives from g12 (vocabulary-sized), and is attached to g12
     # BEFORE the corpus-side join: the per-(doc,bigram) table then
@@ -1122,6 +1131,56 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
                 )
                 / F.sum("bf")
             ).alias("avg_nll"),
+        )
+    )
+
+
+def kn_bigram_logprob(df, text_col: str, id_col: str, discount: float = 0.75):
+    """Per-document mean NLL under an interpolated Kneser-Ney bigram
+    model — the smoothing real n-gram LMs (KenLM) actually use,
+    replacing Laplace's uniform prior with the continuation-count
+    backoff, still exactly SQL-verifiable:
+
+        P(w2|w1) = max(C(w1,w2) − d, 0)/C(w1·)
+                 + d·N1+(w1,·)/C(w1·) · N1+(·,w2)/N1+(··)
+
+    where N1+(w1,·) counts distinct continuations of w1, N1+(·,w2)
+    distinct contexts of w2, and N1+(··) the distinct-bigram total.
+    Scoring the corpus against its own model means every scored bigram
+    is observed (C≥1 > d), so the backoff term interpolates rather
+    than rescues zeros and log P is always finite.
+
+    Scale shape: identical discipline to bigram_logprob — the
+    per-(doc,bigram) table shuffles ONCE on (w1,w2); all corpus
+    statistics are ``groupBy`` aggregations over the vocabulary-sized
+    g12 table (map-side partials collapse hot heads; the join-backs
+    are AQE-skew-splittable; no window functions, no vocabulary-sized
+    broadcast); N1+(··) is a one-row broadcast. The only addition over
+    bigram_logprob is the w2-keyed continuation join — vocabulary-
+    sized, not corpus-sized. Returns (doc, n_bigrams, avg_nll) for
+    documents with ≥1 bigram.
+    """
+    bf = _doc_bigram_counts(df, text_col, id_col)
+    g12 = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    heads = g12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_head")
+    )
+    tails = g12.groupBy("w2").agg(F.count("*").alias("n1p_tail"))
+    totals = g12.agg(F.count("*").alias("n1p_total"))
+    ratios = g12.join(heads, "w1").join(tails, "w2")
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("n1p_head") / F.col("c1"))
+        * (F.col("n1p_tail") / F.col("n1p_total"))
+    )
+    return (
+        bf.join(ratios, ["w1", "w2"])
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc")
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            (F.sum(F.col("bf") * -F.log(p)) / F.sum("bf")).alias("avg_nll"),
         )
     )
 

@@ -2934,3 +2934,49 @@ def q_text_clean_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(F.col("doc_id") < 400).select(
         "doc_id", fold_punctuation(clean_text(messy)).alias("cleaned")
     )
+
+
+@query(
+    "q_text_kn_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({_DD_TOKENS}, x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+      FROM t, LATERAL (
+        SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pair
+      ) p
+      WHERE len(toks) >= 2),
+    bf AS (SELECT doc_id, w1, w2, count(*) AS bf FROM b GROUP BY ALL),
+    g12 AS (SELECT w1, w2, sum(bf) AS c12 FROM bf GROUP BY w1, w2),
+    heads AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_head
+              FROM g12 GROUP BY w1),
+    tails AS (SELECT w2, count(*) AS n1p_tail FROM g12 GROUP BY w2),
+    tot AS (SELECT count(*) AS n1p_total FROM g12)
+    SELECT doc_id,
+           CAST(sum(bf) AS BIGINT) AS n_bigrams,
+           round(sum(bf * -ln(
+               greatest(c12 - 0.75, 0.0) / c1
+               + (0.75 * n1p_head / c1) * (1.0 * n1p_tail / n1p_total)
+           )) / sum(bf), 6) AS avg_nll
+    FROM bf JOIN g12 USING (w1, w2) JOIN heads USING (w1)
+            JOIN tails USING (w2) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/text.py
+    kn_bigram_logprob): the smoothing real n-gram LMs use —
+    absolute discount + continuation-count backoff — as a perplexity
+    filter, exactly mirrored in SQL (same discount 0.75)."""
+    from xetl_spark.operators.text import kn_bigram_logprob
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = kn_bigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+    )
