@@ -76,8 +76,17 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # per-(doc,bigram) table exchanges exactly once on (w1,w2) — the
 # ratios table is pre-joined so the skewed w1 key never re-shuffles
 # corpus rows. Skew safety + lower corpus-bytes beat the raw count.
+# q_text_kn_bigram_logprob — same de-skew discipline as
+# q_text_bigram_logprob with ONE extra vocabulary-keyed join: the
+# Kneser-Ney continuation counts N1+(·,w2) join back on w2 in
+# addition to the head stats on w1 (absolute discount needs both).
+# All added exchanges carry the vocabulary-sized distinct-bigram
+# table or its w1/w2 rollups; the corpus-sized per-(doc,bigram)
+# table still exchanges exactly once on (w1,w2) plus the final
+# per-doc aggregation.
 EXCHANGE_ALLOWANCE = {
     "q_text_bigram_logprob": 9,
+    "q_text_kn_bigram_logprob": 11,
     "q_dedup_minhash_lsh": 7,
     "q_graph_triangles": 21,
     "q_fuzzy_name_join": 10,
