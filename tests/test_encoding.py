@@ -166,3 +166,32 @@ def test_column_expression_rejects_bad_form():
 
     with pytest.raises(ValueError, match="NFC"):
         normalized_text_column("t", form="NFD")
+
+
+def test_fix_mojibake_fuzz_arbitrary_unicode():
+    """Arbitrary Unicode garbage (surrogate-free): the fixer must
+    never raise, never grow the string, and reach a fixpoint within
+    its round budget + 1 (conservative: anything it can't losslessly
+    shrink passes through untouched)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFFF
+            ),
+            max_size=60,
+        )
+    )
+    def prop(s):
+        out = fix_mojibake_str(s)
+        assert out is not None
+        assert len(out) <= len(s)
+        again = fix_mojibake_str(out)
+        # one extra application may unwind a 4th encoding layer past
+        # max_rounds; it must itself then be stable
+        assert fix_mojibake_str(again) == fix_mojibake_str(fix_mojibake_str(again))
+
+    prop()
