@@ -1204,3 +1204,32 @@ def test_kn_bigram_logprob_reference_parity(spark):
 
     # common phrasing scores lower NLL than the rare-token doc
     assert got[1][1] < got[4][1]
+
+
+def test_script_char_counts_known_values(spark):
+    from xetl_spark.operators.text import script_char_counts
+
+    df = spark.createDataFrame(
+        [(1, "Hello Привет 你好 مرحبا 123 é")], "id long, t string"
+    )
+    r = df.select(script_char_counts("t").alias("s")).select("s.*").collect()[0]
+    assert r.latin_chars == 6  # Hello + é
+    assert r.cyrillic_chars == 6
+    assert r.han_chars == 2
+    assert r.arabic_chars == 5
+    assert r.digit_chars == 3
+    assert r.nonspace_chars == 6 + 6 + 2 + 5 + 3
+
+
+def test_flesch_reading_ease_reference(spark):
+    from xetl_spark.operators.text import flesch_reading_ease
+
+    text = "The cat sat. The dog ran! Did it rain?"
+    # words=10 (the cat sat the dog ran did it rain -> 10? ->
+    # the,cat,sat,the,dog,ran,did,it,rain = 9), sentences=3,
+    # vowel groups: e,a,a,e,o,a,i,i,ai = 9
+    df = spark.createDataFrame([(1, text)], "id long, t string")
+    got = df.select(flesch_reading_ease("t").alias("f")).collect()[0].f
+    words, sentences, syl = 9, 3, 9
+    want = 206.835 - 1.015 * (words / sentences) - 84.6 * (syl / words)
+    assert abs(got - want) < 1e-9

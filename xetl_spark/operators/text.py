@@ -87,6 +87,56 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+_SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic")
+
+
+def script_char_counts(text: Column | str) -> Column:
+    """Per-document Unicode script profile: struct of character counts
+    per major script (Latin/Cyrillic/Han/Arabic) plus digits and total
+    non-whitespace — the routing signal multilingual corpus pipelines
+    use BEFORE n-gram language ID (the trigram heuristic in
+    ``language_id`` only separates Latin-script languages; script
+    mixing also flags spam/obfuscation). Pure whole-stage-codegen
+    regexp counts; Java's ``\\p{IsScript}`` and RE2's ``\\p{Script}``
+    agree on these major scripts, which is what makes the
+    q_text_script_profile oracle an exact integer hash match."""
+    c = F.col(text) if isinstance(text, str) else text
+    fields = [
+        F.length(F.regexp_replace(c, rf"[^\p{{Is{s}}}]", "")).alias(
+            s.lower() + "_chars"
+        )
+        for s in _SCRIPTS
+    ]
+    fields.append(
+        F.length(F.regexp_replace(c, r"[^0-9]", "")).alias("digit_chars")
+    )
+    fields.append(
+        F.length(F.regexp_replace(c, r"\s", "")).alias("nonspace_chars")
+    )
+    return F.struct(*fields)
+
+
+def flesch_reading_ease(text: Column | str) -> Column:
+    """Flesch reading-ease with an exactly-reproducible syllable
+    heuristic: syllables ≈ vowel groups ``[aeiouy]+`` counted over the
+    lowercased text (vowel groups never span the non-letter chars that
+    separate words, so this equals the per-word sum without a per-word
+    loop); sentences ≈ runs of ``[.!?]``; words = module tokens. All
+    three counts are integers, so the score is one exact float
+    expression mirrored in the oracle — the standard formula
+    206.835 − 1.015·(W/S) − 84.6·(syllables/W), floors at 1 for empty
+    denominators. Whole-stage codegen, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.greatest(token_count(text), F.lit(1))
+    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(c), F.lit("[aeiouy]+"))
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words)
+    )
+
+
 def language_id(text: Column | str) -> Column:
     """N-gram/stopword-vote language guess over the seed lists.
 

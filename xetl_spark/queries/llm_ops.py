@@ -2980,3 +2980,113 @@ def q_text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("avg_nll", 6).alias("avg_nll"),
     )
+
+
+@query(
+    "q_text_script_profile",
+    oracle="""
+    WITH mixed AS (
+        SELECT doc_id,
+               text || repeat(' ' || chr(1055) || chr(1088) || chr(1080) ||
+                              chr(1074) || chr(1077) || chr(1090),
+                              CAST(doc_id % 3 AS INT))
+                    || repeat(' ' || chr(20320) || chr(22909),
+                              CAST(doc_id % 4 AS INT))
+                    || CASE WHEN doc_id % 5 = 0
+                            THEN ' ' || chr(1605) || chr(1585) || chr(1581) ||
+                                 chr(1576) || chr(1575) || ' 42'
+                            ELSE '' END AS t
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           CAST(length(regexp_replace(t, '[^\\p{Latin}]', '', 'g')) AS INT) AS latin_chars,
+           CAST(length(regexp_replace(t, '[^\\p{Cyrillic}]', '', 'g')) AS INT) AS cyrillic_chars,
+           CAST(length(regexp_replace(t, '[^\\p{Han}]', '', 'g')) AS INT) AS han_chars,
+           CAST(length(regexp_replace(t, '[^\\p{Arabic}]', '', 'g')) AS INT) AS arabic_chars,
+           CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS INT) AS digit_chars,
+           CAST(length(regexp_replace(t, '\\s', '', 'g')) AS INT) AS nonspace_chars
+    FROM mixed
+    """,
+)
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script routing profile (operators/text.py
+    script_char_counts): per-doc character counts for Latin /
+    Cyrillic / Han / Arabic scripts + digits over documents made
+    multilingual IN SQL (per-doc-varying Russian/Chinese/Arabic
+    snippets). Java \\p{IsScript} vs RE2 \\p{Script} cross-engine
+    agreement is exactly what the integer hash match certifies.
+    Whole-stage codegen, zero shuffles."""
+    from xetl_spark.operators.text import script_char_counts
+
+    (docs,) = load(spark, sf_dir, "documents")
+    mixed = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.lit(" Привет"),
+            (F.col("doc_id") % 3).cast("int"),
+        ),
+        F.repeat(
+            F.lit(" 你好"), (F.col("doc_id") % 4).cast("int")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(" مرحبا 42"),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.where(F.col("doc_id") < 400)
+        .select("doc_id", script_char_counts(mixed).alias("s"))
+        .select("doc_id", "s.*")
+    )
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(greatest(len(list_filter(
+               string_split_regex(trim(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '')), 1)
+               AS INT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+               AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+               AS vowel_groups,
+           round(206.835::DOUBLE
+                 - 1.015::DOUBLE * (CAST(greatest(len(list_filter(
+                       string_split_regex(trim(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       x -> x <> '')), 1) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                 - 84.6::DOUBLE * (CAST(len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')) AS DOUBLE)
+                     / greatest(len(list_filter(
+                       string_split_regex(trim(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       x -> x <> '')), 1)), 4) AS flesch
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease (operators/text.py flesch_reading_ease)
+    with the exactly-reproducible vowel-group syllable heuristic —
+    integer word/sentence/syllable counts plus the standard formula,
+    mirrored term-for-term in the oracle. Whole-stage codegen, no
+    UDF, zero shuffles."""
+    from xetl_spark.operators.text import (
+        flesch_reading_ease,
+        token_count,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.greatest(token_count("text"), F.lit(1)).alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).alias(
+            "vowel_groups"
+        ),
+        F.round(flesch_reading_ease("text"), 4).alias("flesch"),
+    )
