@@ -1233,3 +1233,17 @@ def test_flesch_reading_ease_reference(spark):
     words, sentences, syl = 9, 3, 9
     want = 206.835 - 1.015 * (words / sentences) - 84.6 * (syl / words)
     assert abs(got - want) < 1e-9
+
+
+def test_char_entropy_reference(spark):
+    import math
+
+    from xetl_spark.operators.text import char_entropy
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: (r.n_chars, r.entropy) for r in char_entropy(df, "text", "doc_id").collect()}
+    assert got[1] == (4, 0.0)  # single repeated char
+    assert abs(got[2][1] - math.log(2)) < 1e-12  # two equiprobable chars
+    assert abs(got[3][1] - math.log(4)) < 1e-12  # uniform over 4
+    assert got[4] == (1, 0.0)  # '' splits to [''] — one "char", H=0

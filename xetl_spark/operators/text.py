@@ -137,6 +137,47 @@ def flesch_reading_ease(text: Column | str) -> Column:
     )
 
 
+def char_entropy(df, text_col: str, id_col: str):
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the classic garbled-text gate (near-zero for repeated-char
+    junk, anomalously high for random bytes; RedPajama/Dolma-style
+    pipelines bound it from both sides). Returns (doc, n_chars,
+    entropy), entropy 0.0 for empty text.
+
+    H = ln N − (Σᵢ nᵢ·ln nᵢ)/N over per-char run counts nᵢ, computed
+    SHUFFLE-FREE: sort the doc's char array, run-length-encode it with
+    the `_sorted_run_covers` machinery (runs of equal elements are
+    contiguous under any order — no per-(doc,char) keyed histogram),
+    and fold the run counts in one ``aggregate``. One map stage at any
+    corpus size. Characters are JVM UTF-16 code units (= code points
+    for everything below the astral planes); an astral-heavy corpus
+    should normalize first (operators/encoding.py)."""
+    from xetl_spark.operators.util import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(F.split(F.col(text_col), "")).alias("__cs"),
+    )
+    runs = base.select(
+        "doc",
+        F.size("__cs").alias("n_chars"),
+        _sorted_run_covers("__cs", lambda _x: F.lit(1)).alias("__r"),
+    )
+    sum_nlogn = F.aggregate(
+        "__r",
+        F.lit(0.0),
+        lambda acc, x: acc + x["cnt"].cast("double") * F.log(x["cnt"].cast("double")),
+    )
+    n = F.col("n_chars")
+    return runs.select(
+        "doc",
+        "n_chars",
+        F.when(n > 0, F.log(n.cast("double")) - sum_nlogn / n)
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )
+
+
 def language_id(text: Column | str) -> Column:
     """N-gram/stopword-vote language guess over the seed lists.
 

@@ -3090,3 +3090,34 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(flesch_reading_ease("text"), 4).alias("flesch"),
     )
+
+
+@query(
+    "q_text_char_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE doc_id < 400
+    ),
+    h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY ALL)
+    SELECT doc_id,
+           CAST(sum(cnt) AS INT) AS n_chars,
+           round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy
+    FROM h GROUP BY doc_id
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy (operators/text.py
+    char_entropy): the garbled-text gate, computed shuffle-free via
+    sorted run-length encoding inside each document's row; the oracle
+    recomputes it the histogram way (unnest + GROUP BY) — agreement
+    certifies the run-length identity Σ nᵢ over runs ≡ histogram."""
+    from xetl_spark.operators.text import char_entropy
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = char_entropy(docs.where(F.col("doc_id") < 400), "text", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_chars",
+        F.round("entropy", 6).alias("entropy"),
+    )
