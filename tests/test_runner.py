@@ -999,3 +999,58 @@ def test_ivm_refresh_task_incremental_runs(spark, tmp_path):
         for r in want_df.collect()
     }
     assert got == want
+
+
+def test_text_signals_task(spark, tmp_path):
+    """text_signals attaches the sig_* gate columns + script counts and
+    rejects unknown SIGNALS with the valid list."""
+    job = _job(
+        f"""
+        name: signals
+        data: {tmp_path}
+        env:
+          SF_DIR: {SF}
+        commands:
+          - name: docs
+            task: read_parquet
+            env: {{PATH: "${{SF_DIR}}/documents.parquet"}}
+          - name: sig
+            task: text_signals
+            env: {{INPUT: docs}}
+          - name: gated
+            task: sql
+            env:
+              QUERY: >
+                SELECT doc_id, sig_quality, sig_lang, sig_tokens,
+                       sig_flesch, latin_chars, sig_entropy
+                FROM sig
+                WHERE sig_entropy > 0 AND sig_tokens >= 1
+        """
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success"] * 3
+    out = results[-1].output
+    assert out.count() > 0
+    row = out.first()
+    assert row.sig_entropy > 0 and row.latin_chars >= 0
+
+    # unknown signal name: helpful error listing the valid set
+    # (direct task call — the run_job plumbing is covered above)
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("text_signals")
+
+    class _Ctx:
+        env = {
+            "COLUMN": "text",
+            "ID_COLUMN": "doc_id",
+            "SIGNALS": "quality,bogus",
+        }
+
+        def input_df(self):
+            return spark.read.parquet(f"{SF}/documents.parquet")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bogus"):
+        fn(_Ctx())

@@ -145,34 +145,54 @@ def char_entropy(df, text_col: str, id_col: str):
     entropy), entropy 0.0 for empty text.
 
     H = ln N − (Σᵢ nᵢ·ln nᵢ)/N over per-char run counts nᵢ, computed
-    SHUFFLE-FREE: sort the doc's char array, run-length-encode it with
-    the `_sorted_run_covers` machinery (runs of equal elements are
-    contiguous under any order — no per-(doc,char) keyed histogram),
-    and fold the run counts in one ``aggregate``. One map stage at any
-    corpus size. Characters are JVM UTF-16 code units (= code points
-    for everything below the astral planes); an astral-heavy corpus
-    should normalize first (operators/encoding.py)."""
+    SHUFFLE-FREE: sort the doc's char array (runs of equal elements
+    are contiguous under any order — no per-(doc,char) keyed
+    histogram) and fold it in ONE ``aggregate`` pass carrying
+    (prev, run_len, acc) state. Deliberately NOT an
+    indexed run-length encoding: element_at lambdas reference
+    the sorted-array alias O(L) times, and view re-analysis
+    (createOrReplaceTempView → spark.sql, the `sql` builtin task's
+    path) re-inlines the alias into every reference — re-running
+    split+sort per ELEMENT, O(L²) per document (measured 120× on the
+    task surface). The fold references its input array exactly once,
+    so even fully inlined the tokenize+sort costs one evaluation per
+    row under any analyzer. One map stage at any corpus size.
+    Characters are JVM UTF-16 code units (= code points below the
+    astral planes); astral-heavy corpora should normalize first
+    (operators/encoding.py)."""
     from xetl_spark.operators.util import ensure_parallelism
 
+    def _st(prev, cnt, acc):
+        return F.struct(prev.alias("prev"), cnt.alias("cnt"), acc.alias("acc"))
+
+    def _nlogn(cnt):
+        d = cnt.cast("double")
+        return d * F.log(d)
+
+    cs = F.array_sort(F.split(F.col(text_col), ""))
+    sum_nlogn = F.aggregate(
+        cs,
+        _st(F.lit(""), F.lit(0).cast("long"), F.lit(0.0)),
+        lambda st, ch: F.when(
+            st["cnt"] == 0, _st(ch, F.lit(1).cast("long"), F.lit(0.0))
+        )
+        .when(ch == st["prev"], _st(ch, st["cnt"] + 1, st["acc"]))
+        .otherwise(
+            _st(ch, F.lit(1).cast("long"), st["acc"] + _nlogn(st["cnt"]))
+        ),
+        lambda st: st["acc"]
+        + F.when(st["cnt"] > 0, _nlogn(st["cnt"])).otherwise(F.lit(0.0)),
+    )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        F.array_sort(F.split(F.col(text_col), "")).alias("__cs"),
-    )
-    runs = base.select(
-        "doc",
-        F.size("__cs").alias("n_chars"),
-        _sorted_run_covers("__cs", lambda _x: F.lit(1)).alias("__r"),
-    )
-    sum_nlogn = F.aggregate(
-        "__r",
-        F.lit(0.0),
-        lambda acc, x: acc + x["cnt"].cast("double") * F.log(x["cnt"].cast("double")),
+        F.size(cs).alias("n_chars"),
+        sum_nlogn.alias("__s"),
     )
     n = F.col("n_chars")
-    return runs.select(
+    return base.select(
         "doc",
         "n_chars",
-        F.when(n > 0, F.log(n.cast("double")) - sum_nlogn / n)
+        F.when(n > 0, F.log(n.cast("double")) - F.col("__s") / n)
         .otherwise(F.lit(0.0))
         .alias("entropy"),
     )
@@ -332,57 +352,60 @@ def repetition_score(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def _sorted_run_covers(arr_col: str, char_len) -> Column:
-    """Run-length encode a SORTED array column into (cover, cnt)
-    structs — one per distinct element, where ``cover`` = occurrence
-    count × char_len(element). Pure higher-order expressions: runs of
-    equal elements are contiguous under any total order, so no
+def _sorted_run_scalars(arr: Column | str, char_len) -> Column:
+    """struct(top, dup) over a SORTED array: ``top`` = the largest
+    cover (occurrence count × char_len(element)) of any distinct
+    element, ``dup`` = Σ cover over elements occurring more than once.
+    Runs of equal elements are contiguous under any total order, so no
     per-element histogram (and no shuffle) is ever needed.
 
-    ``arr_col`` must name a MATERIALIZED column (its own projection
-    alias): element_at references inside the lambdas then read a bound
-    attribute instead of re-evaluating the sort per element (the same
-    CollapseProject discipline as minhash_signatures_rowwise)."""
-    c = F.col(arr_col)
-    n = F.size(c)
-    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    starts = F.filter(
-        idx,
-        lambda i: (i == F.lit(0))
-        | (F.element_at(c, i + 1) != F.element_at(c, i)),
-    )
-    ends = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(n),
-    )
-    return F.zip_with(
-        starts,
-        ends,
-        lambda st, en: F.struct(
-            ((en - st).cast("long") * char_len(F.element_at(c, st + 1))).alias(
-                "cover"
-            ),
-            (en - st).alias("cnt"),
-        ),
-    )
+    ONE ``aggregate`` pass carrying (prev, cnt, top, dup) state — the
+    input array is referenced exactly once. An earlier form
+    run-length-encoded via index arrays whose lambdas read the array
+    through ``element_at`` O(L) times behind a materialized alias;
+    that survives one analysis pass (CollapseProject declines to
+    inline a non-cheap alias referenced more than once) but NOT view
+    re-analysis (createOrReplaceTempView → spark.sql, the `sql`
+    builtin task's path), which re-inlines the alias into every
+    element_at — re-deriving the whole upstream chain per ELEMENT,
+    O(L²) per document (measured 60×+ on the declarative surface).
+    The fold is immune: fully inlined, the chain still evaluates once
+    per row under any analyzer."""
+    c = F.col(arr) if isinstance(arr, str) else arr
+    zero = F.lit(0).cast("long")
 
+    def _st(prev, cnt, top, dup):
+        return F.struct(
+            prev.alias("prev"),
+            cnt.alias("cnt"),
+            top.alias("top"),
+            dup.alias("dup"),
+        )
 
-def _cover_scalars(covers_col: str) -> tuple[Column, Column]:
-    """(top_cover, dup_cover) longs from a materialized covers array:
-    char coverage of the single most-covering distinct element, and of
-    every element occurring more than once."""
-    c = F.col(covers_col)
-    top = F.coalesce(
-        F.array_max(F.transform(c, lambda x: x["cover"])), F.lit(0).cast("long")
-    )
-    dup = F.aggregate(
-        F.filter(c, lambda x: x["cnt"] > 1),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x["cover"],
-    )
-    return top, dup
+    def _close(st):
+        # fold the finished run (prev × cnt) into the running scalars
+        cover = st["cnt"] * char_len(st["prev"]).cast("long")
+        return (
+            F.greatest(st["top"], cover),
+            st["dup"] + F.when(st["cnt"] > 1, cover).otherwise(zero),
+        )
+
+    def _merge(st, x):
+        top2, dup2 = _close(st)
+        return (
+            F.when(st["cnt"] == 0, _st(x, F.lit(1).cast("long"), zero, zero))
+            .when(x == st["prev"], _st(x, st["cnt"] + 1, st["top"], st["dup"]))
+            .otherwise(_st(x, F.lit(1).cast("long"), top2, dup2))
+        )
+
+    def _finish(st):
+        top2, dup2 = _close(st)
+        return F.struct(
+            F.when(st["cnt"] > 0, top2).otherwise(zero).alias("top"),
+            F.when(st["cnt"] > 0, dup2).otherwise(zero).alias("dup"),
+        )
+
+    return F.aggregate(c, _st(F.lit(""), zero, zero, zero), _merge, _finish)
 
 
 def repetition_signals(
@@ -496,13 +519,12 @@ def repetition_signals(
         "n_lines",
         "dup_line_count",
         "line_chars",
-        _sorted_run_covers("__ls", F.octet_length).alias("__lc"),
+        _sorted_run_scalars("__ls", F.octet_length).alias("__lc"),
         *[
-            _sorted_run_covers(f"__g{n}", F.length).alias(f"__c{n}")
+            _sorted_run_scalars(f"__g{n}", F.length).alias(f"__c{n}")
             for n in ns
         ],
     )
-    _top, line_dup = _cover_scalars("__lc")
     out_cols = [
         F.col("__id").alias(id_col),
         "n_tokens",
@@ -510,14 +532,12 @@ def repetition_signals(
         "n_lines",
         "dup_line_count",
         "line_chars",
-        line_dup.alias("dup_line_chars"),
+        F.col("__lc.dup").alias("dup_line_chars"),
     ]
     for n in top_ns:
-        top, _dup = _cover_scalars(f"__c{n}")
-        out_cols.append(top.alias(f"top_{n}gram_chars"))
+        out_cols.append(F.col(f"__c{n}.top").alias(f"top_{n}gram_chars"))
     for n in dup_ns:
-        _top2, dup = _cover_scalars(f"__c{n}")
-        out_cols.append(dup.alias(f"dup_{n}gram_chars"))
+        out_cols.append(F.col(f"__c{n}.dup").alias(f"dup_{n}gram_chars"))
     ints = covers.select(*out_cols)
 
     def _frac(num: str, den: str) -> Column:

@@ -394,6 +394,61 @@ def repetition_signals_task(ctx: StageContext):
 
 
 @task(
+    "text_signals",
+    "Attach corpus-quality signal columns: heuristic quality score, "
+    "language guess, token count, Flesch readability, Unicode script "
+    "counts, char entropy — the gate inputs for threshold filtering "
+    "(pair with the sql task). All shuffle-free map work except "
+    "entropy (one id-keyed join)",
+    env={
+        "COLUMN": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COLUMN": {"description": "row-identity column", "type": "string", "default": "doc_id"},
+        "SIGNALS": {
+            "description": "comma list from quality,langid,tokens,readability,script,entropy",
+            "type": "string",
+            "default": "quality,langid,tokens,readability,script,entropy",
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def text_signals_task(ctx: StageContext):
+    from pyspark.sql import functions as F
+
+    from xetl_spark.operators import text as T
+
+    df = ctx.input_df()
+    col = str(ctx.env["COLUMN"])
+    id_col = str(ctx.env["ID_COLUMN"])
+    known = {"quality", "langid", "tokens", "readability", "script", "entropy"}
+    sigs = {s.strip() for s in str(ctx.env["SIGNALS"]).split(",") if s.strip()}
+    unknown = sigs - known
+    if unknown:
+        raise ValueError(
+            f"text_signals: unknown SIGNALS {sorted(unknown)}; valid: {sorted(known)}"
+        )
+    # sig_-prefixed names so corpus columns (lang, n_tokens, ...) are
+    # never silently clobbered
+    if "quality" in sigs:
+        df = df.withColumn("sig_quality", T.quality_score(col))
+    if "langid" in sigs:
+        df = df.withColumn("sig_lang", T.language_id(col))
+    if "tokens" in sigs:
+        df = df.withColumn("sig_tokens", T.token_count(col))
+    if "readability" in sigs:
+        df = df.withColumn("sig_flesch", F.round(T.flesch_reading_ease(col), 4))
+    if "script" in sigs:
+        df = df.withColumn("__s", T.script_char_counts(col))
+        df = df.select("*", "__s.*").drop("__s")
+    if "entropy" in sigs:
+        ent = T.char_entropy(df, col, id_col).select(
+            F.col("doc").alias(id_col),
+            F.round("entropy", 6).alias("sig_entropy"),
+        )
+        df = df.join(ent, id_col)
+    return df
+
+
+@task(
     "normalize_text",
     "Encoding repair + Unicode normalization (ftfy/CCNet-style): fix "
     "UTF-8-as-latin-1/cp1252 mojibake, apply NFC/NFKC, strip control "
