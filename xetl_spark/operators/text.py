@@ -325,11 +325,22 @@ def chunk_text(df, text_col: str, id_col: str, chunk_tokens: int = 64, overlap: 
     step = chunk_tokens - overlap
     if step <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = tokens(text_col)
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
-    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
-    return df.select(
-        F.col(id_col).alias("doc"),
+    # The token array MUST be materialized in its own projection: a
+    # raw `tokens(text_col)` expression inside the transform lambda is
+    # re-evaluated per ELEMENT (one full regex tokenize per chunk —
+    # measured 430 s for 100×20k-token docs, ~L²/step). Referencing
+    # the bound attribute is O(1) per element, and the Generate
+    # (posexplode) boundary keeps view re-analysis from re-inlining
+    # the alias (unlike plain Project chains — see _sorted_run_scalars).
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: F.slice("__t", s + 1, chunk_tokens))
+    return base.select(
+        "doc",
         F.posexplode(chunks).alias("chunk_id", "__c"),
     ).select(
         "doc",
@@ -953,18 +964,24 @@ def line_dedup(df, text_col: str, id_col: str, line_tokens: int = 16):
     input document (documents whose every line lost dedup keep a row
     with kept_lines = 0 and new_text = '').
     """
-    toks = tokens(text_col)
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(line_tokens)
+    # tokens materialized in their own projection: a raw expression
+    # inside the transform lambda re-tokenizes per ELEMENT (~L²/k per
+    # doc — see chunk_text); the bound attribute is O(1) per element
+    # and the Generate boundary survives view re-analysis.
+    base = df.select(
+        F.col(id_col).alias("__doc"), tokens(text_col).alias("__t")
     )
-    doc_stats = df.select(
-        F.col(id_col).alias("__doc"),
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__t") - 1, F.lit(0)), F.lit(line_tokens)
+    )
+    doc_stats = base.select(
+        "__doc",
         F.size(starts).cast("long").alias("n_lines"),
     )
-    lines = df.select(
-        F.col(id_col).alias("__doc"),
+    lines = base.select(
+        "__doc",
         F.posexplode(
-            F.transform(starts, lambda s: F.slice(toks, s + 1, line_tokens))
+            F.transform(starts, lambda s: F.slice("__t", s + 1, line_tokens))
         ).alias("__pos", "__lt"),
     ).select("__doc", "__pos", F.concat_ws(" ", "__lt").alias("__line"))
     # lexicographic struct min == first occurrence by (doc, pos)
