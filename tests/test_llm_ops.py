@@ -1247,3 +1247,41 @@ def test_char_entropy_reference(spark):
     assert abs(got[2][1] - math.log(2)) < 1e-12  # two equiprobable chars
     assert abs(got[3][1] - math.log(4)) < 1e-12  # uniform over 4
     assert got[4] == (1, 0.0)  # '' splits to [''] — one "char", H=0
+
+
+def test_view_reanalysis_does_not_explode_signal_plans(spark):
+    """Regression guard for the O(L^2) view re-analysis blowup: when
+    repetition_signals / char_entropy flow through a temp view and a
+    spark.sql select+filter (the `sql` builtin task's path), the
+    optimized plan must stay linear — the tokenizer/sort chain may be
+    duplicated a small constant number of times (one per referencing
+    column), never once per ELEMENT. The broken indexed form put a
+    regexp_replace inside every element_at reference, exploding the
+    plan text by orders of magnitude."""
+    from xetl_spark.operators.text import char_entropy, repetition_signals
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    rep = repetition_signals(docs, "text", "doc_id")
+    rep.createOrReplaceTempView("__rep_guard")
+    plan = (
+        spark.sql(
+            "select doc_id, dup_line_frac, top_2gram_char_frac "
+            "from __rep_guard "
+            "where dup_line_frac <= 0.3 and top_2gram_char_frac <= 0.5"
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_replace") < 40, plan.count("regexp_replace")
+
+    ent = char_entropy(docs, "text", "doc_id")
+    ent.createOrReplaceTempView("__ent_guard")
+    plan2 = (
+        spark.sql("select * from __ent_guard where entropy > 0")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan2.count("array_sort") < 10, plan2.count("array_sort")
