@@ -1285,3 +1285,39 @@ def test_view_reanalysis_does_not_explode_signal_plans(spark):
         .toString()
     )
     assert plan2.count("array_sort") < 10, plan2.count("array_sort")
+
+
+def test_fuzzy_decontaminate_planted(spark):
+    """Planted eval near-dups are flagged with the right match; clean
+    docs are not; a disjoint eval set flags nothing."""
+    from xetl_spark.operators.dedup import fuzzy_decontaminate
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    corpus_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(60))) for i in range(30)
+    ]
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    # eval = 5 corpus docs with a couple of words appended
+    eval_rows = [
+        (100 + i, corpus_rows[i][1] + " extra holdout words")
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r.doc: (r.eval_doc, r.jaccard)
+        for r in fuzzy_decontaminate(df, ev, "text", "doc_id").collect()
+    }
+    for i in range(5):
+        assert i in got, f"planted doc {i} not flagged"
+        assert got[i][0] == 100 + i
+        assert got[i][1] >= 0.8
+    assert all(k < 5 for k in got), got  # no clean doc flagged
+
+    disjoint = spark.createDataFrame(
+        [(200, " ".join(f"z{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    assert fuzzy_decontaminate(df, disjoint, "text", "doc_id").count() == 0

@@ -751,3 +751,98 @@ def incremental_minhash_dedup(
     sig_new.unpersist()
     new_store = fresh_sigs if store is None else store.unionByName(fresh_sigs)
     return fresh, new_store
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    n: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag every corpus document
+    that is a verified MinHash near-duplicate (jaccard ≥ threshold)
+    of ANY eval-set document — the paraphrase-robust complement of
+    the exact n-gram-overlap decontamination (text.decontaminate /
+    q_text_decontaminate), the same two-sided recipe GPT-3/Llama
+    report for benchmark hygiene.
+
+    Returns (doc, eval_doc, jaccard) — one row per flagged corpus doc
+    with its best-matching eval doc (ties broken by greatest eval id,
+    a total order for any orderable id type).
+    Dropping flagged docs is a left_anti join on ``doc``.
+
+    Scale shape: both sides get shuffle-free row-wise signatures;
+    candidate generation is the banded equi-join of CORPUS bands
+    against EVAL bands — corpus × eval only, NEVER corpus × corpus,
+    so cost is |corpus| × eval-collision-rate. The eval side is a
+    benchmark set (thousands of rows, not billions) — its banding
+    and signature tables are broadcast, so the corpus table never
+    shuffles at all: signatures, band join, and verification all
+    pipeline map-side; the only exchange is the final per-doc argmin
+    aggregation over the (small) flagged set.
+    """
+    etc = eval_text_col or text_col
+    eic = eval_id_col or id_col
+    sig_c = minhash_signatures_rowwise(corpus, text_col, id_col, num_hashes, n)
+    sig_e = minhash_signatures_rowwise(
+        eval_df.select(F.col(eic).alias(id_col), F.col(etc).alias(text_col)),
+        text_col,
+        id_col,
+        num_hashes,
+        n,
+    )
+    bc = _band_keys(sig_c, num_hashes, bands)
+    be = _band_keys(sig_e, num_hashes, bands)
+    cand = (
+        bc.alias("c")
+        .join(
+            F.broadcast(be.alias("e")),
+            on=[
+                F.col("c.band") == F.col("e.band"),
+                F.col("c.bkey") == F.col("e.bkey"),
+            ],
+        )
+        .select(F.col("c.doc").alias("doc_a"), F.col("e.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    se = F.broadcast(
+        sig_e.select(
+            F.col("doc").alias("doc_b"),
+            F.col("hset").alias("__hb"),
+            F.col("sz").alias("sz_b"),
+        )
+    )
+    sc = sig_c.select(
+        F.col("doc").alias("doc_a"),
+        F.col("hset").alias("__ha"),
+        F.col("sz").alias("sz_a"),
+    )
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    verified = (
+        cand.join(sc, "doc_a")
+        .join(se, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.col("sz_a") + F.col("sz_b") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # best eval match per corpus doc: max jaccard, then greatest eval
+    # id (struct ordering is lexicographic — deterministic for any
+    # orderable id type)
+    return (
+        verified.groupBy("doc_a")
+        .agg(F.max(F.struct("jaccard", "doc_b")).alias("__m"))
+        .select(
+            F.col("doc_a").alias("doc"),
+            F.col("__m.doc_b").alias("eval_doc"),
+            F.col("__m.jaccard").alias("jaccard"),
+        )
+    )

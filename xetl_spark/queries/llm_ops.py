@@ -3121,3 +3121,32 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round("entropy", 6).alias("entropy"),
     )
+
+
+@query("q_text_fuzzy_decontaminate")  # P: MinHash/xxhash — no SQL oracle
+def q_text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (operators/dedup.py
+    fuzzy_decontaminate): an eval set is planted IN SQL as light
+    mutations of every 10th document (a few appended tokens — above
+    the 0.8 jaccard bar by construction), then every corpus document
+    near-duplicating ANY eval row is flagged via the banded
+    corpus×eval MinHash join (eval side broadcast; the corpus never
+    self-joins and never shuffles). Planted recall and clean-doc
+    precision are property-tested in tests/test_llm_ops.py; the
+    driver checks rows-only here (hash universe is xxhash64)."""
+    from xetl_spark.operators.dedup import fuzzy_decontaminate
+
+    (docs,) = load(spark, sf_dir, "documents")
+    evalset = (
+        docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 200))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" benchmark eval suffix marker")
+            ).alias("text"),
+        )
+    )
+    out = fuzzy_decontaminate(docs, evalset, "text", "doc_id")
+    return out.select(
+        "doc", "eval_doc", F.round("jaccard", 4).alias("jaccard")
+    )
