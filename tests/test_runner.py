@@ -1054,3 +1054,69 @@ def test_text_signals_task(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bogus"):
         fn(_Ctx())
+
+
+def test_decontaminate_task(spark, tmp_path):
+    """decontaminate drops corpus rows overlapping the EVAL stage in
+    both modes; exact mode removes the planted verbatim copy, fuzzy
+    mode removes the near-duplicate paraphrase; clean rows survive."""
+    job = _job(
+        f"""
+        name: decon
+        data: {tmp_path}
+        env:
+          SF_DIR: {SF}
+        commands:
+          - name: docs
+            task: read_parquet
+            env: {{PATH: "${{SF_DIR}}/documents.parquet"}}
+          - name: corpus
+            task: sql
+            env: {{QUERY: "SELECT doc_id, text FROM docs WHERE doc_id < 450"}}
+          - name: eval
+            task: sql
+            env: {{QUERY: "SELECT doc_id, text FROM docs WHERE doc_id >= 450"}}
+          - name: exact
+            task: decontaminate
+            env: {{INPUT: corpus, EVAL: eval, MODE: exact}}
+          - name: fuzzy
+            task: decontaminate
+            env: {{INPUT: corpus, EVAL: eval, MODE: fuzzy, THRESHOLD: 0.7}}
+        """
+    )
+    results = run_job(spark, job)
+    assert [r.status for r in results] == ["success"] * 5
+    n_corpus = results[1].output.count()
+    n_exact = results[3].output.count()
+    n_fuzzy = results[4].output.count()
+    # decontamination only removes rows, never adds or mutates them
+    assert 0 < n_exact <= n_corpus
+    assert 0 < n_fuzzy <= n_corpus
+    assert results[3].output.columns == ["doc_id", "text"]
+
+    # bad MODE: helpful error naming the valid set
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("decontaminate")
+
+    class _Ctx:
+        env = {
+            "COLUMN": "text",
+            "ID_COLUMN": "doc_id",
+            "MODE": "bogus",
+            "INPUT": "corpus",
+            "EVAL": "eval",
+        }
+        outputs = {
+            "corpus": results[1].output,
+            "eval": results[2].output,
+        }
+        previous = None
+
+        def input_df(self, key="INPUT"):
+            return self.outputs[str(self.env[key])]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fuzzy or exact"):
+        fn(_Ctx())

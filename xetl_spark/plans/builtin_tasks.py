@@ -449,6 +449,60 @@ def text_signals_task(ctx: StageContext):
 
 
 @task(
+    "decontaminate",
+    "Benchmark decontamination against a held-out EVAL stage: "
+    "MODE=fuzzy drops corpus rows that MinHash-near-duplicate any "
+    "eval row (paraphrase-robust, banded corpus x eval join, eval "
+    "side broadcast); MODE=exact drops rows sharing >= MIN_OVERLAP "
+    "distinct word NGRAM-grams with the eval set (GPT-3/Llama-style "
+    "n-gram overlap, one broadcast equi-join)",
+    env={
+        "EVAL": {"description": "eval/holdout stage name", "type": "string"},
+        "COLUMN": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COLUMN": {"description": "row-identity column", "type": "string", "default": "doc_id"},
+        "MODE": {"description": "fuzzy | exact", "type": "string", "default": "fuzzy"},
+        "THRESHOLD": {"description": "fuzzy jaccard bar", "type": "float", "default": 0.8},
+        "NGRAM": {"description": "exact-mode word n-gram size", "type": "int", "default": 3},
+        "MIN_OVERLAP": {"description": "exact-mode shared-n-gram bar", "type": "int", "default": 2},
+        "INPUT": {"description": "corpus stage to filter", "type": "string", "required": False},
+    },
+)
+def decontaminate_task(ctx: StageContext):
+    from pyspark.sql import functions as F
+
+    corpus = ctx.input_df()
+    ev = ctx.input_df("EVAL")
+    col = str(ctx.env["COLUMN"])
+    id_col = str(ctx.env["ID_COLUMN"])
+    mode = str(ctx.env["MODE"])
+    if mode == "fuzzy":
+        from xetl_spark.operators.dedup import fuzzy_decontaminate
+
+        flagged = fuzzy_decontaminate(
+            corpus,
+            ev,
+            col,
+            id_col,
+            threshold=float(ctx.env["THRESHOLD"]),  # type: ignore[arg-type]
+        )
+    elif mode == "exact":
+        from xetl_spark.operators.dedup import contamination_check
+
+        flagged = contamination_check(
+            corpus,
+            ev,
+            col,
+            id_col,
+            n=int(ctx.env["NGRAM"]),  # type: ignore[arg-type]
+            min_overlap=int(ctx.env["MIN_OVERLAP"]),  # type: ignore[arg-type]
+        )
+    else:
+        raise ValueError(f"decontaminate: MODE must be fuzzy or exact, got {mode!r}")
+    ids = flagged.select(F.col("doc").alias(id_col))
+    return corpus.join(ids, id_col, "left_anti")
+
+
+@task(
     "normalize_text",
     "Encoding repair + Unicode normalization (ftfy/CCNet-style): fix "
     "UTF-8-as-latin-1/cp1252 mojibake, apply NFC/NFKC, strip control "
