@@ -1240,13 +1240,16 @@ def test_char_entropy_reference(spark):
 
     from xetl_spark.operators.text import char_entropy
 
-    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")]
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc: (r.n_chars, r.entropy) for r in char_entropy(df, "text", "doc_id").collect()}
     assert got[1] == (4, 0.0)  # single repeated char
     assert abs(got[2][1] - math.log(2)) < 1e-12  # two equiprobable chars
     assert abs(got[3][1] - math.log(4)) < 1e-12  # uniform over 4
-    assert got[4] == (1, 0.0)  # '' splits to [''] — one "char", H=0
+    # '' splits to [''] in both Spark and DuckDB — the phantom-char
+    # guard must report a true zero instead, null text likewise
+    assert got[4] == (0, 0.0)
+    assert got[5] == (0, 0.0)
 
 
 def test_view_reanalysis_does_not_explode_signal_plans(spark):
@@ -1321,3 +1324,25 @@ def test_fuzzy_decontaminate_planted(spark):
         "doc_id long, text string",
     )
     assert fuzzy_decontaminate(df, disjoint, "text", "doc_id").count() == 0
+
+
+def test_fuzzy_decontaminate_empty_docs_never_flagged(spark):
+    """Zero-shingle documents (empty / whitespace / no-alnum) carry
+    all-sentinel signatures; without the sz>0 pre-filter every such
+    corpus doc would band-collide with every such eval doc and emit a
+    NULL 0/0 jaccard. They must simply never be flagged."""
+    from xetl_spark.operators.dedup import fuzzy_decontaminate
+
+    shared = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!! ---"), (4, shared)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, ""), (101, "???"), (102, shared + " tail")],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_decontaminate(df, ev, "text", "doc_id").collect()
+    assert all(r.jaccard is not None for r in rows)
+    flagged = {r.doc for r in rows}
+    assert flagged == {4}, flagged

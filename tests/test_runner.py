@@ -1022,7 +1022,7 @@ def test_text_signals_task(spark, tmp_path):
             env:
               QUERY: >
                 SELECT doc_id, sig_quality, sig_lang, sig_tokens,
-                       sig_flesch, latin_chars, sig_entropy
+                       sig_flesch, sig_latin_chars, sig_entropy
                 FROM sig
                 WHERE sig_entropy > 0 AND sig_tokens >= 1
         """
@@ -1032,7 +1032,7 @@ def test_text_signals_task(spark, tmp_path):
     out = results[-1].output
     assert out.count() > 0
     row = out.first()
-    assert row.sig_entropy > 0 and row.latin_chars >= 0
+    assert row.sig_entropy > 0 and row.sig_latin_chars >= 0
 
     # unknown signal name: helpful error listing the valid set
     # (direct task call — the run_job plumbing is covered above)
@@ -1054,6 +1054,27 @@ def test_text_signals_task(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bogus"):
         fn(_Ctx())
+
+    # script counts expand under the sig_ prefix too — a corpus that
+    # already carries a latin_chars column must not be clobbered or
+    # made ambiguous
+    class _Ctx2:
+        env = {
+            "COLUMN": "text",
+            "ID_COLUMN": "doc_id",
+            "SIGNALS": "script",
+        }
+
+        def input_df(self):
+            return spark.createDataFrame(
+                [(1, "Hello", 999)],
+                "doc_id long, text string, latin_chars long",
+            )
+
+    out = fn(_Ctx2())
+    row = out.first()
+    assert row.latin_chars == 999  # corpus column untouched
+    assert row.sig_latin_chars == 5
 
 
 def test_decontaminate_task(spark, tmp_path):

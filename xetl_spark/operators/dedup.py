@@ -782,20 +782,46 @@ def fuzzy_decontaminate(
     against EVAL bands — corpus × eval only, NEVER corpus × corpus,
     so cost is |corpus| × eval-collision-rate. The eval side is a
     benchmark set (thousands of rows, not billions) — its banding
-    and signature tables are broadcast, so the corpus table never
-    shuffles at all: signatures, band join, and verification all
-    pipeline map-side; the only exchange is the final per-doc argmin
-    aggregation over the (small) flagged set.
+    and signature tables are broadcast, and the candidate set (also
+    small: |corpus| × collision-rate) is broadcast back into the
+    verification join, so the corpus *text* never shuffles and its
+    signature table exchanges zero times: signatures, band join, and
+    verification all pipeline map-side; the only exchange is the
+    final per-doc argmin aggregation over the (small) flagged set.
+
+    Token-free documents (empty / whitespace / no alphanumerics) are
+    never flagged: the short-doc shingling fallback gives every such
+    doc the single phantom shingle ``""``, so they would all band-
+    collide with every token-free eval doc (and verify at jaccard
+    1.0) despite sharing no content. Both signature tables drop that
+    phantom signature — sz==1 with the ``xxhash64('')`` hash, which
+    no tokenized document can produce — before banding.
     """
+
+    def _drop_phantom(sig: DataFrame) -> DataFrame:
+        return sig.filter(
+            (F.col("sz") > 0)
+            & ~(
+                (F.col("sz") == 1)
+                & (F.element_at("hset", 1) == F.xxhash64(F.lit("")))
+            )
+        )
+
     etc = eval_text_col or text_col
     eic = eval_id_col or id_col
-    sig_c = minhash_signatures_rowwise(corpus, text_col, id_col, num_hashes, n)
-    sig_e = minhash_signatures_rowwise(
-        eval_df.select(F.col(eic).alias(id_col), F.col(etc).alias(text_col)),
-        text_col,
-        id_col,
-        num_hashes,
-        n,
+    sig_c = _drop_phantom(
+        minhash_signatures_rowwise(corpus, text_col, id_col, num_hashes, n)
+    )
+    sig_e = _drop_phantom(
+        minhash_signatures_rowwise(
+            eval_df.select(
+                F.col(eic).alias(id_col), F.col(etc).alias(text_col)
+            ),
+            text_col,
+            id_col,
+            num_hashes,
+            n,
+        )
     )
     bc = _band_keys(sig_c, num_hashes, bands)
     be = _band_keys(sig_e, num_hashes, bands)
@@ -824,8 +850,11 @@ def fuzzy_decontaminate(
         F.col("sz").alias("sz_a"),
     )
     inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    # broadcast the candidate pairs so the corpus-sized signature
+    # table streams map-side through the verification join instead of
+    # sort-merge exchanging on doc_a
     verified = (
-        cand.join(sc, "doc_a")
+        F.broadcast(cand).join(sc, "doc_a")
         .join(se, "doc_b")
         .select(
             "doc_a",

@@ -148,7 +148,10 @@ def char_entropy(df, text_col: str, id_col: str):
     SHUFFLE-FREE: sort the doc's char array (runs of equal elements
     are contiguous under any order — no per-(doc,char) keyed
     histogram) and fold it in ONE ``aggregate`` pass carrying
-    (prev, run_len, acc) state. Deliberately NOT an
+    (prev, run_len, acc) state. Empty/null text is guarded to a true
+    empty array — ``split('', '')`` yields ``['']`` (one phantom
+    char) in both Spark and DuckDB, which would report n_chars=1 for
+    an empty document. Deliberately NOT an
     indexed run-length encoding: element_at lambdas reference
     the sorted-array alias O(L) times, and view re-analysis
     (createOrReplaceTempView → spark.sql, the `sql` builtin task's
@@ -169,7 +172,10 @@ def char_entropy(df, text_col: str, id_col: str):
         d = cnt.cast("double")
         return d * F.log(d)
 
-    cs = F.array_sort(F.split(F.col(text_col), ""))
+    cs = F.when(
+        F.length(F.col(text_col)) > 0,
+        F.array_sort(F.split(F.col(text_col), "")),
+    ).otherwise(F.array().cast("array<string>"))
     sum_nlogn = F.aggregate(
         cs,
         _st(F.lit(""), F.lit(0).cast("long"), F.lit(0.0)),

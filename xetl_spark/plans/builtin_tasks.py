@@ -437,8 +437,18 @@ def text_signals_task(ctx: StageContext):
     if "readability" in sigs:
         df = df.withColumn("sig_flesch", F.round(T.flesch_reading_ease(col), 4))
     if "script" in sigs:
+        # expand the struct under the same sig_ prefix — a bare
+        # select("*", "__s.*") would emit latin_chars/digit_chars/...
+        # unprefixed and collide with same-named corpus columns
         df = df.withColumn("__s", T.script_char_counts(col))
-        df = df.select("*", "__s.*").drop("__s")
+        script_fields = df.schema["__s"].dataType.fieldNames()
+        df = df.select(
+            "*",
+            *[
+                F.col(f"__s.{name}").alias(f"sig_{name}")
+                for name in script_fields
+            ],
+        ).drop("__s")
     if "entropy" in sigs:
         ent = T.char_entropy(df, col, id_col).select(
             F.col("doc").alias(id_col),

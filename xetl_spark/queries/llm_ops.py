@@ -3095,15 +3095,21 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_char_entropy",
     oracle="""
-    WITH c AS (
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    c AS (
         SELECT doc_id, unnest(string_split(text, '')) AS ch
-        FROM documents WHERE doc_id < 400
+        FROM d WHERE length(text) > 0
     ),
-    h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY ALL)
-    SELECT doc_id,
-           CAST(sum(cnt) AS INT) AS n_chars,
-           round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS entropy
-    FROM h GROUP BY doc_id
+    h AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY ALL),
+    e AS (SELECT doc_id,
+                 CAST(sum(cnt) AS INT) AS n_chars,
+                 round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
+                     AS entropy
+          FROM h GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(e.n_chars, 0) AS n_chars,
+           coalesce(e.entropy, 0.0) AS entropy
+    FROM d LEFT JOIN e ON d.doc_id = e.doc_id
     """,
 )
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
