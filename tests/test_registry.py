@@ -93,6 +93,91 @@ def test_round_number_reads_progress_log(tmp_path, monkeypatch):
     assert isinstance(Q._round_number(), int)
 
 
+def test_source_hashes_cover_registry_and_track_operator_modules():
+    """Every registered query has a stable fingerprint, and the
+    fingerprint of a query that body-imports an operator module folds
+    that module's file content in (so an operator rewrite invalidates
+    exactly its callers' samples)."""
+    h1 = Q.source_hashes()
+    assert set(h1) == set(Q.REGISTRY)
+    assert Q.source_hashes() == h1  # deterministic
+    # q_text_char_entropy body-imports operators.text: its fingerprint
+    # must differ from a same-source query that doesn't (i.e. hashes
+    # are not just fn-source hashes — collision across names is fine,
+    # but a dependency-free recompute must not equal it)
+    import hashlib
+    import inspect
+
+    q = Q.REGISTRY["q_text_char_entropy"]
+    bare = hashlib.sha256()
+    bare.update(inspect.getsource(q.fn).encode())
+    bare.update((q.oracle or "").encode())
+    assert h1["q_text_char_entropy"] != bare.hexdigest()
+
+
+def test_rewritten_queries_treated_as_unsampled(tmp_path):
+    """Re-sample-on-rewrite (VERDICT r8 item 5): a clean sample is
+    invalidated by (a) a manual `rewritten` round newer than the
+    sample, or (b) a recorded snapshot fingerprint that disagrees
+    with the current source hash; an agreeing snapshot keeps it."""
+    import json
+
+    names = list(Q.REGISTRY)[:3]
+    a, b, c = names
+    latest = {a: (5, True), b: (5, True), c: (5, True)}
+    cur = Q.source_hashes()
+    side = tmp_path / "h.json"
+    side.write_text(
+        json.dumps(
+            {
+                "rewritten": {a: 6},
+                "snapshots": [
+                    # round-5 snapshot: b drifted, c matches current
+                    {"round": 5, "hashes": {b: "stale-fingerprint", c: cur[c]}},
+                    # newer snapshot must NOT apply to round-5 samples
+                    {"round": 7, "hashes": {b: cur[b], c: "x"}},
+                ],
+            }
+        )
+    )
+    stale = Q._stale_rewrites(latest, sidecar_path=side)
+    assert stale == {a, b}
+    # no sidecar -> nothing stale (legacy behavior)
+    assert Q._stale_rewrites(latest, sidecar_path=tmp_path / "nope.json") == set()
+
+
+def test_record_query_hashes_tool_roundtrip(tmp_path, monkeypatch):
+    """The recorder writes a snapshot for the requested round that the
+    registry then reads back as in-sync (nothing stale)."""
+    import importlib.util
+    import json
+    import sys
+    from pathlib import Path
+
+    # exercise main() in-process against a scratch sidecar (tools/ is
+    # not a package — load the module by path)
+    spec = importlib.util.spec_from_file_location(
+        "record_query_hashes",
+        Path(__file__).resolve().parents[1] / "tools" / "record_query_hashes.py",
+    )
+    rec = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rec)
+
+    monkeypatch.setattr(rec, "REPO", tmp_path)
+    monkeypatch.setattr(sys, "argv", ["rec", "--round", "5"])
+    rec.main()
+    data = json.loads((tmp_path / "QUERY_SOURCE_HASHES.json").read_text())
+    assert data["snapshots"][-1]["round"] == 5
+    assert set(data["snapshots"][-1]["hashes"]) == set(Q.REGISTRY)
+    latest = {n: (5, True) for n in list(Q.REGISTRY)[:5]}
+    assert (
+        Q._stale_rewrites(
+            latest, sidecar_path=tmp_path / "QUERY_SOURCE_HASHES.json"
+        )
+        == set()
+    )
+
+
 def test_table_cache_evicts_oldest_scope(spark, tmp_path):
     import pyspark.sql.functions as F
 

@@ -175,14 +175,150 @@ def _rotation_step(n_families: int) -> int:
     return max(1, 50 // max(1, n_families))
 
 
+def source_hashes() -> dict[str, str]:
+    """Per-query implementation fingerprint: sha256 over the query
+    fn's own source + its oracle SQL + the FILE contents of every
+    ``xetl_spark`` module the fn's body locally imports from (the
+    repo convention — query fns import operators inside the body, so
+    an operator rewrite changes the fingerprint of exactly the
+    queries that call it, at module granularity).
+
+    Used by the re-sample-on-rewrite front-loading: a query whose
+    fingerprint changed since its last driver sample is treated as
+    never-sampled again, so a rewrite can't coast indefinitely on a
+    stale green row (VERDICT r8 item 5). Limitation, documented: a
+    dependency reached only through a module-TOP import of the
+    query's own module is not tracked — keep operator imports inside
+    query bodies."""
+    import hashlib
+    import importlib
+    import inspect
+    import re
+
+    mod_file_hash: dict[str, str | None] = {}
+
+    def _file_hash(modname: str) -> str | None:
+        if modname not in mod_file_hash:
+            try:
+                mod = importlib.import_module(modname)
+                src = inspect.getsource(mod)
+                mod_file_hash[modname] = hashlib.sha256(
+                    src.encode()
+                ).hexdigest()
+            except (ImportError, OSError, TypeError):
+                mod_file_hash[modname] = None
+        return mod_file_hash[modname]
+
+    imp_re = re.compile(
+        r"^\s*from\s+(xetl_spark(?:\.\w+)*)\s+import\s+\(?([\w,\s]+)\)?",
+        re.M,
+    )
+    out: dict[str, str] = {}
+    for name, q in REGISTRY.items():
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            src = name
+        h = hashlib.sha256()
+        h.update(src.encode())
+        h.update((q.oracle or "").encode())
+        deps: set[str] = set()
+        for m in imp_re.finditer(src):
+            modname, symbols = m.group(1), m.group(2)
+            try:
+                mod = importlib.import_module(modname)
+            except ImportError:
+                deps.add(modname)
+                continue
+            for sym in (s.strip() for s in symbols.split(",") if s.strip()):
+                # a submodule import resolves to the submodule itself
+                # (probed by import, not getattr — getattr's result
+                # depends on what happens to be loaded already);
+                # re-exported functions resolve to their defining module
+                try:
+                    importlib.import_module(f"{modname}.{sym}")
+                    deps.add(f"{modname}.{sym}")
+                    continue
+                except ImportError:
+                    pass
+                obj = getattr(mod, sym, None)
+                deps.add(getattr(obj, "__module__", None) or modname)
+        for dep in sorted(deps):
+            fh = _file_hash(dep)
+            h.update(f"{dep}={fh}".encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _stale_rewrites(
+    latest: dict[str, tuple[int, bool]], sidecar_path=None
+) -> set[str]:
+    """Queries whose implementation changed AFTER their latest clean
+    driver sample, per the ``QUERY_SOURCE_HASHES.json`` sidecar:
+
+    - ``rewritten`` — manual {name: round} seed: samples from rounds
+      strictly before the rewrite round are stale (bootstraps rounds
+      that predate snapshot recording).
+    - ``snapshots`` — [{"round": N, "hashes": {...}}] recorded by
+      ``tools/record_query_hashes.py`` at each round end (the code
+      state ``CORRECTNESS_rN.json`` is computed from). A sample at
+      round R is stale when the newest snapshot with round ≤ R
+      disagrees with the current ``source_hashes()`` fingerprint.
+    """
+    import json
+    from pathlib import Path
+
+    path = Path(
+        sidecar_path
+        or Path(__file__).resolve().parents[2] / "QUERY_SOURCE_HASHES.json"
+    )
+    try:
+        sidecar = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return set()
+    if not isinstance(sidecar, dict):
+        return set()
+    rewritten = sidecar.get("rewritten") or {}
+    snapshots = [
+        s
+        for s in (sidecar.get("snapshots") or [])
+        if isinstance(s, dict) and isinstance(s.get("hashes"), dict)
+    ]
+    stale: set[str] = set()
+    current: dict[str, str] | None = None  # computed lazily, once
+    for name, (rnd, clean) in latest.items():
+        if not clean or name not in REGISTRY:
+            continue
+        try:
+            if int(rewritten.get(name, -1)) > rnd:
+                stale.add(name)
+                continue
+        except (TypeError, ValueError):
+            pass
+        eligible = [s for s in snapshots if int(s.get("round", -1)) <= rnd]
+        if not eligible:
+            continue
+        snap = max(eligible, key=lambda s: int(s.get("round", -1)))
+        recorded = snap["hashes"].get(name)
+        if recorded is None:
+            continue
+        if current is None:
+            current = source_hashes()
+        if recorded != current.get(name, recorded):
+            stale.add(name)
+    return stale
+
+
 def _driver_sampled() -> frozenset[str]:
     """Query names whose LATEST driver correctness sample was clean
     (``CORRECTNESS_r*.json`` at the repo root — one key per sampled
-    query). Used to front-load the others so the driver's ~50-entry
-    window drains the unverified tail first. A query whose most recent
-    sample carries an ``err`` (e.g. a harness canonicalization failure)
-    counts as UNSAMPLED again: its green status is stale-broken until a
-    later window re-samples it clean."""
+    query) AND whose implementation is unchanged since that sample
+    (per _stale_rewrites). Used to front-load the others so the
+    driver's ~50-entry window drains the unverified tail first. A
+    query whose most recent sample carries an ``err`` (e.g. a harness
+    canonicalization failure) counts as UNSAMPLED again: its green
+    status is stale-broken until a later window re-samples it clean;
+    likewise a query rewritten after its last sample."""
     import json
     import re
     from pathlib import Path
@@ -205,7 +341,10 @@ def _driver_sampled() -> frozenset[str]:
             clean = not isinstance(rec, dict) or rec.get("spark_rows") is not None
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, clean)
-    return frozenset(n for n, (_r, clean) in latest.items() if clean)
+    stale = _stale_rewrites(latest)
+    return frozenset(
+        n for n, (_r, clean) in latest.items() if clean and n not in stale
+    )
 
 
 def _interleave_registry(
