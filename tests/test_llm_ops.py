@@ -1062,6 +1062,116 @@ def test_remove_duplicate_spans_random_differential(spark):
         assert got == want, trial
 
 
+def test_remove_duplicate_spans_exact_extents(spark):
+    """Planted passages straddling k_tokens: a 12-token passage
+    (k=8) at MISALIGNED offsets is cut exactly — all 12 tokens, no
+    stride-edge leftovers — while the stride variant misses it
+    entirely (offsets 10 vs 3 disagree mod stride); a 7-token dup
+    (< k) stays below the minimum match length and is kept; an
+    exactly-k dup is cut whole."""
+    from xetl_spark.operators.text import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_exact,
+    )
+
+    own = lambda d, m: [f"t{d}x{j}" for j in range(m)]
+    P = [f"p{j}" for j in range(12)]  # 12 tokens > k
+    S = [f"q{j}" for j in range(7)]  # 7 tokens < k
+    E = [f"e{j}" for j in range(8)]  # exactly k
+    rows = [
+        (0, " ".join(own(0, 10) + P + own(0, 24)[10:] + S + E)),
+        (1, " ".join(own(1, 3) + P + own(1, 24)[3:] + S)),  # offset 3
+        (2, " ".join(own(2, 5) + E + own(2, 24)[5:])),  # exactly-k dup
+        (3, " ".join(own(3, 24))),  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.new_text)
+        for r in remove_duplicate_spans_exact(
+            df, "text", "doc_id", k_tokens=8
+        ).collect()
+    }
+    # doc 0 holds every first occurrence: intact
+    assert exact[0] == (51, 51, rows[0][1])
+    # doc 1: the 12 passage tokens cut exactly; short dup kept
+    assert exact[1] == (43, 31, " ".join(own(1, 24) + S))
+    # doc 2: the exactly-k dup cut whole
+    assert exact[2] == (32, 24, " ".join(own(2, 24)))
+    assert exact[3] == (24, 24, rows[3][1])
+
+    # the stride variant cannot see the misaligned passage in doc 1
+    stride = {
+        r.doc_id: r.kept_tokens
+        for r in remove_duplicate_spans(
+            df, "text", "doc_id", k_tokens=8, stride=4
+        ).collect()
+    }
+    assert stride[1] == 43  # missed: offsets 10 and 3 disagree mod 4
+
+
+def test_remove_duplicate_spans_exact_random_differential(spark):
+    """Randomized differential for the exact-extent pass: must agree
+    with an independent single-process reference implementing the
+    every-offset window semantics on corpora with shared passages at
+    random (unaligned) offsets."""
+    import random
+    import re
+    from collections import defaultdict
+
+    K = 6
+
+    def ref_exact(rows):
+        def toks(t):
+            return [
+                w
+                for w in re.sub(r"[^a-z0-9\s]", " ", t.lower()).strip().split()
+                if w
+            ]
+
+        docs = {i: toks(t) for i, t in rows}
+        by_key = defaultdict(list)
+        for i in sorted(docs):
+            T = docs[i]
+            for s in range(0, len(T) - K + 1):
+                by_key[tuple(T[s : s + K])].append((i, s))
+        cuts = defaultdict(set)
+        for occ in by_key.values():
+            if len(occ) < 2:
+                continue
+            occ.sort()
+            for d, s in occ[1:]:
+                cuts[d].update(range(s, s + K))
+        return {
+            i: (len(T), len(T) - len(cuts[i]), " ".join(t for j, t in enumerate(T) if j not in cuts[i]))
+            for i, T in docs.items()
+        }
+
+    from xetl_spark.operators.text import remove_duplicate_spans_exact
+
+    rng_ = random.Random(99)
+    for trial in range(3):
+        passages = [
+            [f"p{trial}x{k}w{j}" for j in range(rng_.randint(4, 14))]
+            for k in range(3)
+        ]
+        rows = []
+        for i in range(25):
+            words = [f"d{i}w{j}" for j in range(rng_.randint(0, 30))]
+            if rng_.random() < 0.6:
+                p = rng_.choice(passages)
+                pos = rng_.randint(0, len(words))
+                words = words[:pos] + p + words[pos:]
+            rows.append((i, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.kept_tokens, r.new_text)
+            for r in remove_duplicate_spans_exact(
+                df, "text", "doc_id", k_tokens=K
+            ).collect()
+        }
+        assert got == ref_exact(rows), trial
+
+
 def test_incremental_minhash_dedup(spark):
     """Cross-run near-dup ingestion: batch 2 drops near-dups of batch
     1's STORE and of lower-id in-batch partners; only fresh rows'

@@ -1077,6 +1077,51 @@ def test_text_signals_task(spark, tmp_path):
     assert row.sig_latin_chars == 5
 
 
+def test_span_dedup_task(spark, tmp_path):
+    """span_dedup rewrites text in place: exact mode cuts a planted
+    misaligned duplicate passage that stride mode cannot see."""
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("span_dedup")
+    own = lambda d, m: [f"t{d}x{j}" for j in range(m)]
+    P = [f"p{j}" for j in range(12)]
+    rows = [
+        (0, " ".join(own(0, 10) + P + own(0, 24)[10:]), "a"),
+        (1, " ".join(own(1, 3) + P + own(1, 24)[3:]), "b"),  # misaligned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, meta string")
+
+    def ctx(mode):
+        class _Ctx:
+            env = {
+                "TEXT_COL": "text",
+                "ID_COL": "doc_id",
+                "MODE": mode,
+                "K_TOKENS": 8,
+                "STRIDE": 4,
+                "DROP_EMPTY": True,
+            }
+
+            def input_df(self):
+                return df
+
+        return _Ctx()
+
+    exact = {r.doc_id: r for r in fn(ctx("exact")).collect()}
+    assert exact[0].kept_tokens == 36  # first occurrence intact
+    assert exact[1].kept_tokens == 24  # passage cut exactly
+    assert exact[1].text == " ".join(own(1, 24))
+    assert exact[1].meta == "b"  # non-text columns survive the join
+
+    stride = {r.doc_id: r for r in fn(ctx("stride")).collect()}
+    assert stride[1].kept_tokens == 36  # misaligned: stride misses it
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MODE"):
+        fn(ctx("bogus"))
+
+
 def test_decontaminate_task(spark, tmp_path):
     """decontaminate drops corpus rows overlapping the EVAL stage in
     both modes; exact mode removes the planted verbatim copy, fuzzy

@@ -1091,6 +1091,86 @@ def natural_boundary_dedup(
     )
 
 
+def _merged_keep_intervals(sorted_cuts, n, k_tokens: int):
+    """Complement of the union of ``[s, s+k_tokens)`` over the sorted
+    cut starts, as an array of (s, l) kept token intervals — ONE
+    O(cuts) ``aggregate`` pass carrying (pos, intervals) state.
+
+    This replaces the per-token ``exists`` rebuild (O(tokens × cuts)
+    per document — quadratic for a pathological highly-self-duplicated
+    long doc): the fold walks the cut list once, and the caller
+    gathers kept tokens with one O(tokens) slice-and-flatten.
+    """
+
+    def _st(pos, ivs):
+        return F.struct(pos.alias("pos"), ivs.alias("ivs"))
+
+    empty = F.array().cast("array<struct<s:int,l:int>>")
+    return F.aggregate(
+        sorted_cuts,
+        _st(F.lit(0), empty),
+        lambda st, s: F.when(
+            s > st["pos"],
+            _st(
+                s + F.lit(k_tokens),
+                F.concat(
+                    st["ivs"],
+                    F.array(
+                        F.struct(
+                            st["pos"].alias("s"),
+                            (s - st["pos"]).alias("l"),
+                        )
+                    ),
+                ),
+            ),
+        ).otherwise(_st(F.greatest(st["pos"], s + F.lit(k_tokens)), st["ivs"])),
+        lambda st: F.when(
+            n > st["pos"],
+            F.concat(
+                st["ivs"],
+                F.array(
+                    F.struct(
+                        st["pos"].alias("s"), (n - st["pos"]).alias("l")
+                    )
+                ),
+            ),
+        ).otherwise(st["ivs"]),
+    )
+
+
+def _rebuild_from_cuts(base, cuts, id_col: str, k_tokens: int):
+    """Join per-doc cut starts back to the token table and reassemble
+    each document from its kept intervals. Shared by the stride and
+    exact-extent span dedup passes. O(tokens + cuts) per document."""
+    n = F.size("__toks")
+    return (
+        base.join(cuts, "__doc", "left")
+        .withColumn("__cuts", F.coalesce("__cuts", F.array()))
+        .withColumn(
+            "__ivs",
+            _merged_keep_intervals(F.array_sort("__cuts"), n, k_tokens),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            n.alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    "__ivs",
+                    lambda iv: F.slice(
+                        F.col("__toks"), iv["s"] + 1, iv["l"]
+                    ),
+                )
+            ).alias("__kept"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.size("__kept").alias("kept_tokens"),
+            F.concat_ws(" ", "__kept").alias("new_text"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df,
     text_col: str,
@@ -1107,8 +1187,14 @@ def remove_duplicate_spans(
     and cut every other occurrence's token range out of its document.
     A repeated passage longer than ``k_tokens`` is covered by its
     overlapping matched windows; the approximation can leave up to
-    ``stride - 1`` edge tokens per passage and cannot see duplicates
-    shorter than ``k_tokens`` — the standard stride-window trade-off.
+    ``stride - 1`` edge tokens per passage, cannot see duplicates
+    shorter than ``k_tokens``, and — the sharpest caveat — only
+    matches occurrences whose start offsets agree modulo ``stride``
+    (both occurrences must sample the same window contents), so an
+    interior passage duplicated at misaligned offsets is invisible.
+    ``remove_duplicate_spans_exact`` closes all three gaps at the
+    cost of one window row per token instead of per ``stride``
+    tokens.
 
     Plan shape, 100 TB-safe: one narrow windowing pass (sequence →
     explode, window hashes via structural xxhash64 on the token slice —
@@ -1155,28 +1241,77 @@ def remove_duplicate_spans(
         .groupBy("__doc")
         .agg(F.collect_list("__s").alias("__cuts"))
     )
-    rebuilt = (
-        base.join(cuts, "__doc", "left")
-        .withColumn("__cuts", F.coalesce("__cuts", F.array()))
+    return _rebuild_from_cuts(base, cuts, id_col, k_tokens)
+
+
+def remove_duplicate_spans_exact(
+    df,
+    text_col: str,
+    id_col: str,
+    k_tokens: int = 32,
+):
+    """Corpus-level duplicated-substring removal with EXACT maximal
+    extents (the full Lee et al. 2022 ExactSubstr semantics for
+    duplicates of length ≥ ``k_tokens``): hash the ``k_tokens``-token
+    window at EVERY offset, keep the globally first occurrence of
+    each repeated window (ordered by (doc id, start)), and cut every
+    other occurrence's range. A maximal duplicated passage of length
+    m ≥ k contributes all m−k+1 of its windows, so the union of the
+    cut ranges is exactly the passage — no ``stride−1`` edge-token
+    leftovers, no alignment misses (the stride variant only matches
+    occurrences whose offsets agree mod stride). Duplicates shorter
+    than ``k_tokens`` are below the minimum-match length and are kept
+    by definition, exactly as in the reference recipe (Lee et al.
+    use 50 BPE tokens).
+
+    Cost, stated honestly — exactness is paid for in two places, the
+    same places a distributed suffix array pays: per-token hash work
+    is O(k) (each window hashes a k-token slice; embarrassingly
+    parallel, zero extra passes over the corpus), and candidate
+    aggregation shuffles ONE narrow (doc, start, hash) row per token
+    (~20 bytes — ≈ the token bytes themselves) instead of one per
+    ``stride`` tokens. Map-side partial aggregation collapses
+    repeated windows (boilerplate) before the exchange; singleton
+    window groups — the overwhelming majority — are dropped at the
+    aggregate, so the join-back and the per-doc cut collection see
+    only genuinely duplicated windows. First-occurrence selection is
+    a min-struct aggregation (AQE-skew-splittable), never a window
+    over the span hash. The rebuild is the shared O(tokens + cuts)
+    merged-interval pass.
+
+    Returns (doc id, n_tokens, kept_tokens, new_text), one row per
+    input document (docs shorter than ``k_tokens`` pass through
+    unchanged).
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+    n = F.size("__toks")
+    wins = (
+        base.filter(n >= k_tokens)
         .select(
             "__doc",
-            F.size("__toks").alias("n_tokens"),
-            F.filter(
-                "__toks",
-                lambda t, i: ~F.exists(
-                    F.col("__cuts"),
-                    lambda s: (i >= s) & (i < s + k_tokens),
-                ),
-            ).alias("__kept"),
+            F.explode(F.sequence(F.lit(0), n - k_tokens)).alias("__s"),
+            F.col("__toks"),
         )
         .select(
-            F.col("__doc").alias(id_col),
-            "n_tokens",
-            F.size("__kept").alias("kept_tokens"),
-            F.concat_ws(" ", "__kept").alias("new_text"),
+            "__doc",
+            "__s",
+            F.xxhash64(
+                F.slice("__toks", F.col("__s") + 1, k_tokens)
+            ).alias("__h"),
         )
     )
-    return rebuilt
+    firsts = wins.groupBy("__h").agg(
+        F.min(F.struct("__doc", "__s")).alias("__f"),
+        F.count("*").alias("__nocc"),
+    )
+    cuts = (
+        wins.join(firsts.filter(F.col("__nocc") > 1).drop("__nocc"), "__h")
+        .filter(F.struct("__doc", "__s") != F.col("__f"))
+        .groupBy("__doc")
+        .agg(F.collect_list("__s").alias("__cuts"))
+    )
+    return _rebuild_from_cuts(base, cuts, id_col, k_tokens)
 
 
 def _doc_bigram_counts(df, text_col: str, id_col: str):

@@ -787,6 +787,58 @@ def line_dedup_task(ctx: StageContext):
 
 
 @task(
+    "span_dedup",
+    "Corpus-level duplicated-substring removal (Lee et al. 2022): "
+    "MODE=exact hashes the K_TOKENS window at every offset and cuts "
+    "maximal duplicate extents exactly; MODE=stride samples windows "
+    "every STRIDE tokens (cheaper; misses offset-misaligned and "
+    "edge tokens). Globally-first occurrence survives, text "
+    "rewritten in place",
+    env={
+        "TEXT_COL": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "MODE": {"description": "exact | stride", "type": "string", "default": "exact"},
+        "K_TOKENS": {"description": "minimum duplicate length in tokens", "type": "int", "default": 32},
+        "STRIDE": {"description": "stride-mode window step", "type": "int", "default": 16},
+        "DROP_EMPTY": {
+            "description": "drop docs that lost every token",
+            "type": "bool",
+            "default": True,
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def span_dedup_task(ctx: StageContext):
+    from xetl_spark.operators.text import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_exact,
+    )
+
+    df = ctx.input_df()
+    text_col = str(ctx.env["TEXT_COL"])
+    id_col = str(ctx.env["ID_COL"])
+    k = int(ctx.env["K_TOKENS"])  # type: ignore[arg-type]
+    mode = str(ctx.env["MODE"]).lower()
+    if mode == "exact":
+        deduped = remove_duplicate_spans_exact(df, text_col, id_col, k_tokens=k)
+    elif mode == "stride":
+        deduped = remove_duplicate_spans(
+            df, text_col, id_col, k_tokens=k, stride=int(ctx.env["STRIDE"])  # type: ignore[arg-type]
+        )
+    else:
+        raise ValueError(f"span_dedup: unknown MODE {mode!r}; valid: exact, stride")
+    if ctx.env["DROP_EMPTY"]:
+        deduped = deduped.filter(F.col("kept_tokens") > 0)
+    return df.drop(text_col).join(
+        deduped.select(
+            id_col, F.col("new_text").alias(text_col), "kept_tokens"
+        ),
+        on=id_col,
+        how="inner",
+    )
+
+
+@task(
     "redact",
     "Redact PII (emails / phone numbers / IPv4) in a text column",
     env={

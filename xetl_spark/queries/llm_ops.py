@@ -1431,6 +1431,77 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "kept_tokens", "new_text")
 
 
+@query(
+    "q_text_exact_span_dedup",
+    oracle="""
+    SELECT doc_id,
+           24 + CASE WHEN doc_id % 10 = 0 THEN 12
+                     WHEN doc_id % 10 = 5 THEN 7 ELSE 0 END AS n_tokens,
+           CASE WHEN doc_id = 0 THEN 36
+                WHEN doc_id % 10 = 5 THEN 31 ELSE 24 END AS kept_tokens,
+           CASE WHEN doc_id = 0 THEN
+                  array_to_string(own[1:10], ' ')
+                  || ' p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 '
+                  || array_to_string(own[11:24], ' ')
+                WHEN doc_id % 10 = 5 THEN
+                  array_to_string(own, ' ') || ' q0 q1 q2 q3 q4 q5 q6'
+                ELSE array_to_string(own, ' ') END AS new_text
+    FROM (SELECT doc_id,
+                 list_transform(generate_series(0, 23),
+                                j -> 't' || doc_id || 'x' || j) AS own
+          FROM documents WHERE doc_id < 200)
+    """,
+)
+def q_text_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-extent duplicated-substring removal (operators/text.py
+    remove_duplicate_spans_exact — every-offset windows, maximal
+    extents): a synthetic corpus plants one shared 12-token passage
+    (k_tokens=8) on every 10th document at an offset that VARIES per
+    document (10 + doc_id//10 % 5 — deliberately misaligned, which
+    the stride variant cannot match), plus a shared 7-token tail
+    (< k_tokens — below the minimum match length) on every 10th+5
+    document. The globally-first passage occurrence (doc 0) must
+    survive intact, every later occurrence must be cut EXACTLY (all
+    12 tokens, no stride−1 edge leftovers), and the short tail must
+    be kept everywhere. The oracle states the expected output
+    closed-form."""
+    from xetl_spark.operators.text import remove_duplicate_spans_exact
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    own = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda j: F.concat(F.lit("t"), F.col("doc_id"), F.lit("x"), j),
+    )
+    passage = F.split(
+        F.lit("p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"), " "
+    )
+    tail = F.split(F.lit("q0 q1 q2 q3 q4 q5 q6"), " ")
+    off = F.lit(10) + ((F.col("doc_id") / 10).cast("int") % 5)
+    corpus = ids.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.slice(own, F.lit(1), off),
+                    passage,
+                    F.slice(own, off + 1, F.lit(24) - off),
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat_ws(" ", F.concat(own, tail)),
+        )
+        .otherwise(F.concat_ws(" ", own))
+        .alias("text"),
+    )
+    out = remove_duplicate_spans_exact(corpus, "text", "doc_id", k_tokens=8)
+    return out.select("doc_id", "n_tokens", "kept_tokens", "new_text")
+
+
 @query("q_text_dsir_weights", oracle=None)
 def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/text.py dsir_logweights —
