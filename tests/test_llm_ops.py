@@ -1062,6 +1062,45 @@ def test_remove_duplicate_spans_random_differential(spark):
         assert got == want, trial
 
 
+def test_perplexity_buckets(spark):
+    """CCNet split: corpus-typical docs land in head, rare-token docs
+    in tail; bucket sizes follow the 1/3 order statistics; thresholds
+    are actual data values (no interpolation); the approx path agrees
+    on this small corpus; sub-2-token docs are unscored."""
+    from xetl_spark.operators.text import perplexity_buckets
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    # each doc appends a different number of corpus-common bigrams so
+    # every scored value is distinct (ties would legitimately widen
+    # the head bucket past n/3)
+    rows = [(i, common + " " + "the cat " * (i + 1)) for i in range(12)]
+    rows += [(100 + i, f"zq{i}a wv{i}b xk{i}c yj{i}d hf{i}e gd{i}f") for i in range(6)]
+    rows += [(200, "single"), (201, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df, "text", "doc_id").collect()
+    got = {r.doc: r for r in out}
+    assert 200 not in got and 201 not in got  # unscored
+    assert len(out) == 18
+    # rare-token docs are strictly less fluent than the common docs
+    common_max = max(got[i].avg_nll for i in range(12))
+    rare_min = min(got[100 + i].avg_nll for i in range(6))
+    assert common_max < rare_min
+    for i in range(6):
+        assert got[100 + i].bucket == "tail", got[100 + i]
+    sizes = {b: sum(1 for r in out if r.bucket == b) for b in ("head", "middle", "tail")}
+    assert sizes["head"] == 6 and sizes["head"] + sizes["middle"] + sizes["tail"] == 18
+    # thresholds are order statistics — bucket boundaries are data values
+    nlls = sorted(r.avg_nll for r in out)
+    t1 = nlls[5]  # ceil(18/3) = 6th smallest
+    assert all((r.avg_nll <= t1) == (r.bucket == "head") for r in out)
+
+    approx = {
+        r.doc: r.bucket
+        for r in perplexity_buckets(df, "text", "doc_id", exact=False).collect()
+    }
+    assert all(approx[100 + i] == "tail" for i in range(6))
+
+
 def test_remove_duplicate_spans_exact_extents(spark):
     """Planted passages straddling k_tokens: a 12-token passage
     (k=8) at MISALIGNED offsets is cut exactly — all 12 tokens, no

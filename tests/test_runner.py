@@ -282,6 +282,12 @@ def test_example_corpus_curation_manifest(spark, tmp_path, monkeypatch):
     assert out.filter(
         (F.col("dup_line_frac") > 0.3) | (F.col("top_2gram_char_frac") > 0.5)
     ).count() == 0
+    # the CCNet split dropped the tail bucket and kept the scores
+    assert {"ppl_bucket", "ppl_avg_nll"} <= set(out.columns)
+    assert out.filter(F.col("ppl_bucket") == "tail").count() == 0
+    assert set(
+        r.ppl_bucket for r in out.select("ppl_bucket").distinct().collect()
+    ) <= {"head", "middle"}
 
 
 def test_example_llm_prep_manifest(spark, tmp_path, monkeypatch):
@@ -1120,6 +1126,47 @@ def test_span_dedup_task(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="MODE"):
         fn(ctx("bogus"))
+
+
+def test_perplexity_filter_task_keep_all_and_errors(spark):
+    """KEEP=all annotates without dropping (unscored docs keep a null
+    bucket); unknown buckets raise with the valid list."""
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("perplexity_filter")
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat " + "the cat " * i) for i in range(6)]
+        + [(100, "single")],
+        "doc_id long, text string",
+    )
+
+    def ctx(keep):
+        class _Ctx:
+            env = {
+                "TEXT_COL": "text",
+                "ID_COL": "doc_id",
+                "KEEP": keep,
+                "EXACT": True,
+            }
+
+            def input_df(self):
+                return df
+
+        return _Ctx()
+
+    out = fn(ctx("all")).collect()
+    assert len(out) == 7  # nothing dropped
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[100].ppl_bucket is None  # unscored, annotated null
+    assert sum(1 for r in out if r.ppl_bucket == "tail") == 2
+
+    kept = fn(ctx("head")).collect()
+    assert len(kept) == 2 and all(r.ppl_bucket == "head" for r in kept)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bogus"):
+        fn(ctx("head,bogus"))
 
 
 def test_decontaminate_task(spark, tmp_path):

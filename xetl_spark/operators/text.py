@@ -1454,6 +1454,86 @@ def kn_bigram_logprob(df, text_col: str, id_col: str, discount: float = 0.75):
     )
 
 
+def perplexity_buckets(
+    df,
+    text_col: str,
+    id_col: str,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    exact: bool = True,
+    discount: float = 0.75,
+    round_dp: int | None = None,
+    materialize: bool = True,
+):
+    """CCNet-style perplexity bucketing: score every document with the
+    interpolated Kneser-Ney bigram model (``kn_bigram_logprob``) and
+    split the corpus into head / middle / tail at the ``cuts``
+    percentiles of per-doc avg_nll — head = lowest NLL = most
+    corpus-fluent, the split CCNet keeps/downsamples/drops.
+
+    Thresholds are DISCRETE order statistics (the ⌈q·n⌉-th smallest
+    scored value), never interpolated: an interpolated quantile mixes
+    two neighboring doubles and its last ulp depends on the engine's
+    expression order, which would make bucket membership of
+    threshold-adjacent docs engine-dependent — the order statistic is
+    an actual data value, so any engine that agrees on the scores
+    agrees on the buckets. ``round_dp`` optionally rounds scores
+    before bucketing for cross-engine determinism (the driver oracle
+    uses 6dp, the grid the KN hash row already proved stable).
+
+    Scale shape: scoring is the KN pipeline (one (doc,bigram) keyed
+    shuffle + vocabulary-sized joins); the scored table is one row
+    per document. ``exact=True`` sorts all n scores inside ONE
+    aggregation buffer — 8 bytes × n_docs on a single task, fine to
+    ~10^8 docs; at web scale flip ``exact=False`` for
+    percentile_approx (bounded-memory mergeable sketch; thresholds
+    then carry rank error ≤ 1/accuracy and are not bit-reproducible
+    across partitionings). ``materialize=True`` persists the scored
+    table so the threshold pass does not recompute the KN pipeline.
+    Returns (doc, n_bigrams, avg_nll, bucket); docs with <2 tokens
+    are unscored, as in kn_bigram_logprob.
+    """
+    scored = kn_bigram_logprob(df, text_col, id_col, discount)
+    nll = (
+        F.round("avg_nll", round_dp) if round_dp is not None else F.col("avg_nll")
+    )
+    scored = scored.withColumn("__nll", nll)
+    if materialize:
+        scored = scored.persist()
+    q1, q2 = cuts
+    if exact:
+        th = scored.agg(
+            F.sort_array(F.collect_list("__nll")).alias("__v")
+        ).select(
+            F.element_at(
+                "__v",
+                F.greatest(
+                    F.ceil(F.size("__v") * F.lit(q1)).cast("int"), F.lit(1)
+                ),
+            ).alias("__t1"),
+            F.element_at(
+                "__v",
+                F.greatest(
+                    F.ceil(F.size("__v") * F.lit(q2)).cast("int"), F.lit(1)
+                ),
+            ).alias("__t2"),
+        )
+    else:
+        th = scored.agg(
+            F.percentile_approx("__nll", q1, 10_000).alias("__t1"),
+            F.percentile_approx("__nll", q2, 10_000).alias("__t2"),
+        )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn(
+            "bucket",
+            F.when(F.col("__nll") <= F.col("__t1"), F.lit("head"))
+            .when(F.col("__nll") <= F.col("__t2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select("doc", "n_bigrams", "avg_nll", "bucket")
+    )
+
+
 def _hashed_feature_rows(df, text_col: str, id_col: str | None, num_buckets: int):
     """(doc, bucket) rows of hashed uni+bigram features — the DSIR
     feature map, bucket = pmod(xxhash64(feature), B).

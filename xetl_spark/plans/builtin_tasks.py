@@ -614,6 +614,58 @@ def quality_filter_task(ctx: StageContext):
 
 
 @task(
+    "perplexity_filter",
+    "CCNet perplexity split: score docs with the corpus's own "
+    "Kneser-Ney bigram LM, bucket head/middle/tail at the 1/3 and "
+    "2/3 order statistics of avg_nll (head = most fluent), and keep "
+    "only the KEEP buckets (KEEP=all annotates without dropping). "
+    "Adds ppl_bucket and ppl_avg_nll columns; docs with <2 tokens "
+    "are unscored and dropped unless KEEP=all",
+    env={
+        "TEXT_COL": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "KEEP": {
+            "description": "comma list from head,middle,tail — or all",
+            "type": "string",
+            "default": "head,middle",
+        },
+        "EXACT": {
+            "description": "exact order-statistic thresholds (False = percentile_approx for web-scale corpora)",
+            "type": "bool",
+            "default": True,
+        },
+        "INPUT": {"description": "corpus stage to filter", "type": "string", "required": False},
+    },
+)
+def perplexity_filter_task(ctx: StageContext):
+    from xetl_spark.operators.text import perplexity_buckets
+
+    df = ctx.input_df()
+    text_col = str(ctx.env["TEXT_COL"])
+    id_col = str(ctx.env["ID_COL"])
+    keep_raw = str(ctx.env["KEEP"]).lower()
+    valid = {"head", "middle", "tail"}
+    keep = {s.strip() for s in keep_raw.split(",") if s.strip()}
+    if keep != {"all"} and not keep <= valid:
+        raise ValueError(
+            f"perplexity_filter: unknown KEEP buckets {sorted(keep - valid)}; "
+            f"valid: head,middle,tail or all"
+        )
+    scored = perplexity_buckets(
+        df, text_col, id_col, exact=bool(ctx.env["EXACT"])
+    ).select(
+        F.col("doc").alias(id_col),
+        F.col("bucket").alias("ppl_bucket"),
+        F.col("avg_nll").alias("ppl_avg_nll"),
+    )
+    if keep == {"all"}:
+        return df.join(scored, id_col, "left")
+    return df.join(
+        scored.filter(F.col("ppl_bucket").isin(*sorted(keep))), id_col, "inner"
+    )
+
+
+@task(
     "explode_archive",
     "Explode tar / tar.gz / zip shard archives in a binary column into "
     "one row per member file (WebDataset-style shards)",

@@ -3054,6 +3054,66 @@ def q_text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({_DD_TOKENS}, x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+      FROM t, LATERAL (
+        SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pair
+      ) p
+      WHERE len(toks) >= 2),
+    bf AS (SELECT doc_id, w1, w2, count(*) AS bf FROM b GROUP BY ALL),
+    g12 AS (SELECT w1, w2, sum(bf) AS c12 FROM bf GROUP BY w1, w2),
+    heads AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_head
+              FROM g12 GROUP BY w1),
+    tails AS (SELECT w2, count(*) AS n1p_tail FROM g12 GROUP BY w2),
+    tot AS (SELECT count(*) AS n1p_total FROM g12),
+    scored AS (
+      SELECT doc_id,
+             CAST(sum(bf) AS BIGINT) AS n_bigrams,
+             round(sum(bf * -ln(
+                 greatest(c12 - 0.75, 0.0) / c1
+                 + (0.75 * n1p_head / c1) * (1.0 * n1p_tail / n1p_total)
+             )) / sum(bf), 6) AS avg_nll
+      FROM bf JOIN g12 USING (w1, w2) JOIN heads USING (w1)
+              JOIN tails USING (w2) CROSS JOIN tot
+      GROUP BY doc_id),
+    th AS (
+      SELECT (array_agg(avg_nll ORDER BY avg_nll))
+                 [greatest(CAST(ceil(count(*) / 3.0) AS INT), 1)] AS t1,
+             (array_agg(avg_nll ORDER BY avg_nll))
+                 [greatest(CAST(ceil(count(*) * 2.0 / 3.0) AS INT), 1)] AS t2
+      FROM scored)
+    SELECT doc_id, n_bigrams, avg_nll,
+           CASE WHEN avg_nll <= t1 THEN 'head'
+                WHEN avg_nll <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN th
+    """,
+)
+def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity split (operators/text.py perplexity_buckets):
+    Kneser-Ney-scored docs bucketed head/middle/tail at the 1/3 and
+    2/3 DISCRETE order statistics of 6dp-rounded avg_nll — no
+    quantile interpolation, so both engines bucket off the identical
+    data value and the assignment hash-matches exactly."""
+    from xetl_spark.operators.text import perplexity_buckets
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs, "text", "doc_id", round_dp=6)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        "bucket",
+    )
+
+
+@query(
     "q_text_script_profile",
     oracle="""
     WITH mixed AS (
