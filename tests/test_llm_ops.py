@@ -251,6 +251,54 @@ def test_language_id_and_quality(spark):
     assert 0.0 <= out[3].q <= out[1].q <= 1.0
 
 
+def test_quality_score_multilang_routes_by_language(spark):
+    """The routed profile scores a fluent non-English doc with its own
+    language's stopword table: the German/Turkish docs must gain
+    exactly the fluency term the en-only score denies them; 'und'
+    falls back to the English profile."""
+    from xetl_spark.operators import text as T
+
+    rows = [
+        (1, "der hund und die katze und das haus und der garten"),
+        (2, "bu ev ve bir bahce ve bu kedi ve bir kopek"),
+        (3, "the cat and the dog of the house and the garden"),
+        (4, "xyzzy plugh qwfp zxcv"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            T.language_id("text").alias("lang"),
+            T.quality_score("text").alias("q_en"),
+            T.quality_score_multilang("text").alias("q_ml"),
+        ).collect()
+    }
+    assert out[1].lang == "de" and out[2].lang == "tr"
+    # non-English fluent docs: routed score strictly above the en-only
+    # score (they have zero en-stopword hits)
+    assert out[1].q_ml > out[1].q_en
+    assert out[2].q_ml > out[2].q_en
+    # English and unknown docs: identical to the en profile
+    assert out[3].q_ml == out[3].q_en
+    assert out[4].lang == "und" and out[4].q_ml == out[4].q_en
+
+    # routed fluency term matches a hand computation for the German doc
+    import math  # noqa: F401  (symmetry with sibling tests)
+
+    toks = rows[0][1].split()
+    sw_hits = sum(1 for t in toks if t in {"der", "die", "und", "das", "ein"})
+    want = round(
+        0.3 * min(len(toks) / 100.0, 1.0)
+        + 0.3 * 1.0
+        + 0.2 * (len(set(toks)) / len(toks))
+        + 0.2 * min(5.0 * sw_hits / len(toks), 1.0)
+        + 1e-7,
+        4,
+    )
+    assert abs(out[1].q_ml - want) < 1e-9
+
+
 def test_cosine_near_dup_recall_and_precision(spark):
     """Plant exact/near/far duplicate vectors; LSH+verify must find the
     planted near-dups and never emit a below-threshold pair."""

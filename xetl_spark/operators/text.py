@@ -9,11 +9,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # tiny public stopword seed lists (heuristic language ID, not a model)
+# Seed stopword tables for the stopword-vote language ID and the
+# language-routed quality profile — top Latin-script web languages,
+# ASCII-only words (tokens() strips accented characters, so accented
+# stopwords would never match; non-Latin scripts route through
+# script_char_counts before any of this). Oracle SQL for queries that
+# mirror these rules is GENERATED from this dict (queries/llm_ops.py)
+# so the lists can never drift out of sync with their oracles.
 _LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "a"],
     "de": ["der", "die", "und", "das", "ein"],
     "es": ["el", "la", "de", "que", "los"],
     "fr": ["le", "la", "et", "les", "des"],
+    "id": ["yang", "dan", "ini", "itu", "untuk"],
+    "it": ["il", "che", "di", "non", "per"],
+    "nl": ["het", "een", "van", "niet", "ik"],
+    "pl": ["nie", "na", "jest", "czy", "sie"],
+    "pt": ["o", "da", "em", "uma", "para"],
+    "sv": ["och", "att", "det", "som", "av"],
+    "tr": ["ve", "bir", "bu", "icin", "ama"],
 }
 
 
@@ -67,10 +81,7 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return hits / F.greatest(F.size(t), F.lit(1))
 
 
-def quality_score(text: Column | str) -> Column:
-    """Heuristic doc-quality in [0,1]: rewards moderate length, low
-    punctuation noise, lexical diversity, and some stopword presence
-    (fluency proxy). Deterministic, expression-only."""
+def _quality_from_stopword_ratio(text: Column | str, swr: Column) -> Column:
     length_score = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
     # +1e-7 half-grid epsilon: the weighted ratio sum can land exactly
     # on a 4dp rounding midpoint (e.g. 0.71925), where cross-engine ulp
@@ -81,10 +92,40 @@ def quality_score(text: Column | str) -> Column:
         0.3 * length_score
         + 0.3 * (1 - punct_ratio(text))
         + 0.2 * unique_token_ratio(text)
-        + 0.2 * F.least(stopword_ratio(text) * 5, F.lit(1.0))
+        + 0.2 * F.least(swr * 5, F.lit(1.0))
         + 1e-7,
         4,
     )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic doc-quality in [0,1]: rewards moderate length, low
+    punctuation noise, lexical diversity, and some stopword presence
+    (fluency proxy). Deterministic, expression-only. English stopword
+    profile — use ``quality_score_multilang`` for mixed corpora."""
+    return _quality_from_stopword_ratio(text, stopword_ratio(text))
+
+
+def quality_score_multilang(
+    text: Column | str, lang: Column | None = None
+) -> Column:
+    """``quality_score`` with the stopword fluency term routed by
+    language: the ratio is computed against the document's OWN
+    language's stopword table (per ``language_id``'s vote, or an
+    explicit ``lang`` column), so a fluent German or Turkish document
+    is no longer punished for lacking English function words — the
+    standard failing of an en-only quality gate on multilingual
+    corpora. Unknown languages ('und' or any label outside the seed
+    tables) fall back to the English profile. Deterministic,
+    expression-only: one CASE over the ~10 seed languages, each
+    branch a filtered-token count — still zero-shuffle map work."""
+    lang_col = language_id(text) if lang is None else lang
+    swr = stopword_ratio(text, "en")  # fallback, incl. 'und'
+    for code in _LANG_STOPWORDS:
+        if code == "en":
+            continue
+        swr = F.when(lang_col == code, stopword_ratio(text, code)).otherwise(swr)
+    return _quality_from_stopword_ratio(text, swr)
 
 
 _SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic")

@@ -507,6 +507,31 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.quality_score("text").alias("quality"))
 
 
+# Language-vote SQL fragments GENERATED from the operator's seed
+# stopword tables (operators/text.py _LANG_STOPWORDS) so list edits
+# can never drift out of sync with the oracles that mirror them.
+def _dd_strlist(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_LANG_HITS_SQL = ",\n        ".join(
+    f"len(list_filter(toks, x -> list_contains({_dd_strlist(ws)}, x))) AS h_{l}"
+    for l, ws in text._LANG_STOPWORDS.items()
+)
+_LANG_GREATEST = (
+    "greatest(" + ", ".join(f"h_{l}" for l in text._LANG_STOPWORDS) + ")"
+)
+# ties break reverse-alphabetically, matching array_max struct ordering
+_LANG_VOTE_CASE = (
+    f"CASE WHEN {_LANG_GREATEST} = 0 THEN 'und'\n"
+    + "".join(
+        f"             WHEN h_{l} = {_LANG_GREATEST} THEN '{l}'\n"
+        for l in sorted(text._LANG_STOPWORDS, reverse=True)[:-1]
+    )
+    + f"             ELSE '{sorted(text._LANG_STOPWORDS)[0]}' END"
+)
+
+
 @query(
     "q_text_langid",
     oracle=f"""
@@ -514,25 +539,106 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DD_TOKENS} AS toks FROM documents),
     h AS (
       SELECT doc_id,
-        len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x)))      AS h_en,
-        len(list_filter(toks, x -> list_contains(['der','die','und','das','ein'], x)))  AS h_de,
-        len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x)))     AS h_es,
-        len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x)))     AS h_fr
+        {_LANG_HITS_SQL}
       FROM t)
     SELECT doc_id,
-           CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
-                WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
-                WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
-                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-                ELSE 'de' END AS lang_guess
+           {_LANG_VOTE_CASE} AS lang_guess
     FROM h
     """,
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID (ties break reverse-alphabetically,
-    matching array_max struct ordering)."""
+    """Stopword-vote language ID over the ~10 Latin-script seed
+    tables (ties break reverse-alphabetically, matching array_max
+    struct ordering). The oracle's hit/vote SQL is generated from the
+    same _LANG_STOPWORDS dict the operator votes over."""
     (docs,) = load(spark, sf_dir, "documents")
     return docs.select("doc_id", text.language_id("text").alias("lang_guess"))
+
+
+_ML_LANGS = list(text._LANG_STOPWORDS)
+_ML_PHRASES = {
+    l: " ".join(ws) + " " + " ".join(ws) + " " + " ".join(ws)
+    for l, ws in text._LANG_STOPWORDS.items()
+}
+_ML_PHRASE_CASE = (
+    "CASE CAST(doc_id % 11 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{_ML_PHRASES[l]}'" for i, l in enumerate(_ML_LANGS)
+    )
+    + " END"
+)
+_ML_SWR_CASE = (
+    "CASE lg "
+    + " ".join(
+        f"WHEN '{l}' THEN len(list_filter(toks, x -> list_contains({_dd_strlist(ws)}, x)))"
+        for l, ws in text._LANG_STOPWORDS.items()
+    )
+    + f" ELSE len(list_filter(toks, x -> list_contains({_dd_strlist(text._LANG_STOPWORDS['en'])}, x))) END"
+)
+
+
+@query(
+    "q_text_quality_multilang",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_to_string(list_transform(generate_series(0, 7),
+                                            j -> 'd' || doc_id || 'x' || j), ' ')
+             || ' the and ' || {_ML_PHRASE_CASE} AS text
+      FROM documents WHERE doc_id < 440),
+    t AS (
+      SELECT doc_id, text, {_DD_TOKENS} AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS npunct
+      FROM d),
+    h AS (
+      SELECT doc_id, text, toks, nc, npunct,
+        {_LANG_HITS_SQL}
+      FROM t),
+    v AS (
+      SELECT *, {_LANG_VOTE_CASE} AS lg FROM h)
+    SELECT doc_id, lg AS lang_guess,
+           round(0.3 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (1 - npunct / greatest(nc, 1))
+               + 0.2 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+               + 0.2 * least(5.0 * ({_ML_SWR_CASE})
+                       / greatest(len(toks), 1), 1.0)
+               + 1e-7, 4) AS quality
+    FROM v
+    """,
+)
+def q_text_quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-routed quality profile (operators/text.py
+    quality_score_multilang): a synthetic corpus cycles a stopword
+    block from each of the ~10 seed languages through otherwise
+    doc-unique tokens, so every language's routing branch is
+    exercised; the oracle recomputes the vote AND the per-language
+    stopword fluency term rule-for-rule from SQL generated off the
+    same _LANG_STOPWORDS dict. A fluent non-English doc must score
+    with its own language's table, not be punished by the English
+    list."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 440)
+    own = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.concat(F.lit("d"), F.col("doc_id"), F.lit("x"), j),
+        ),
+    )
+    phrase = F.element_at(
+        F.array(*[F.lit(_ML_PHRASES[l]) for l in _ML_LANGS]),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+    )
+    corpus = ids.select(
+        "doc_id",
+        F.concat(own, F.lit(" the and "), phrase).alias("text"),
+    )
+    return corpus.select(
+        "doc_id",
+        text.language_id("text").alias("lang_guess"),
+        text.quality_score_multilang("text").alias("quality"),
+    )
 
 
 @query(
