@@ -216,3 +216,101 @@ def test_semdedup_cluster_locality_and_threshold(spark):
         df, "emb", "doc_id", threshold=0.0, n_clusters=2, max_cluster_size=1
     ).collect()
     assert all(r["keep"] for r in out2)
+
+
+def test_incremental_semdedup_screen_and_store_roundtrip(spark, tmp_path):
+    """Cross-run semantic ingestion (similarity.incremental_semdedup):
+    batch 1 drops its in-batch near-copy and seeds the store + fitted
+    centroids; batch 2 — screened against the PARQUET-round-tripped
+    store with the reused centroids — drops near-copies of stored
+    vectors and of lower-id in-batch partners, keeps genuinely new
+    ones, and never re-emits old rows."""
+    import numpy as np
+
+    from xetl_spark.operators.similarity import (
+        incremental_semdedup,
+        semdedup_load_store,
+        semdedup_save_store,
+    )
+
+    rng = np.random.default_rng(11)
+    v1, v2, v3 = (rng.standard_normal(16) for _ in range(3))
+
+    def jitter(v):
+        return [float(x) for x in (v + rng.standard_normal(16) * 0.001)]
+
+    b1 = spark.createDataFrame(
+        [(1, jitter(v1)), (2, jitter(v1)), (3, jitter(v2))],
+        "vec_id long, emb array<float>",
+    )
+    fresh1, store1, ctr1 = incremental_semdedup(
+        b1, None, None, "emb", "vec_id", n_clusters=2
+    )
+    assert sorted(r.vec_id for r in fresh1.collect()) == [1, 3]
+    assert sorted(r.id for r in store1.collect()) == [1, 3]
+
+    path = str(tmp_path / "sem_store")
+    semdedup_save_store(store1, ctr1, path)
+    store_l, ctr_l = semdedup_load_store(spark, path)
+    assert sorted(r.cell for r in ctr_l.collect()) == sorted(
+        r.cell for r in ctr1.collect()
+    )
+
+    # batch 2: 10 dups v1-store, 20 new v3, 21 dups 20 in-batch
+    b2 = spark.createDataFrame(
+        [(10, jitter(v1)), (20, jitter(v3)), (21, jitter(v3))],
+        "vec_id long, emb array<float>",
+    )
+    fresh2, store2, ctr2 = incremental_semdedup(
+        b2, store_l, ctr_l, "emb", "vec_id", n_clusters=2
+    )
+    assert sorted(r.vec_id for r in fresh2.collect()) == [20]
+    assert sorted(r.id for r in store2.collect()) == [1, 3, 20]
+    # centroids reused verbatim, not refitted
+    got = {r.cell: list(r.centroid) for r in ctr2.collect()}
+    want = {r.cell: list(r.centroid) for r in ctr_l.collect()}
+    assert got == want
+
+    # quadratic guard: cap of 1 skips every cell -> nothing dropped
+    fresh_cap, _s, _c = incremental_semdedup(
+        b2, store_l, ctr_l, "emb", "vec_id", n_clusters=2, max_bucket_size=1
+    )
+    assert fresh_cap.count() == 3
+
+
+def test_fuzzy_decontaminate_persisted_eval_signatures(spark, tmp_path):
+    """decontamination_signatures round-trips through parquet and
+    screening against the persisted table flags exactly what the
+    recompute-from-eval_df path flags."""
+    from xetl_spark.operators.dedup import (
+        decontamination_signatures,
+        fuzzy_decontaminate,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, shared), (2, "totally different text " + " ".join(f"z{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, shared + " tail")], "doc_id long, text string"
+    )
+    direct = sorted(
+        (r.doc, r.eval_doc)
+        for r in fuzzy_decontaminate(corpus, ev, "text", "doc_id").collect()
+    )
+    path = str(tmp_path / "eval_sigs")
+    decontamination_signatures(ev, "text", "doc_id").write.parquet(path)
+    sigs = spark.read.parquet(path)
+    via_store = sorted(
+        (r.doc, r.eval_doc)
+        for r in fuzzy_decontaminate(
+            corpus, None, "text", "doc_id", eval_signatures=sigs
+        ).collect()
+    )
+    assert direct == via_store == [(1, 100)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eval_df or eval_signatures"):
+        fuzzy_decontaminate(corpus, None, "text", "doc_id")

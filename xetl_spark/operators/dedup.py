@@ -753,9 +753,41 @@ def incremental_minhash_dedup(
     return fresh, new_store
 
 
+def _drop_phantom_signature(sig: DataFrame) -> DataFrame:
+    """Drop the phantom all-empty-shingle signature token-free docs
+    carry (sz==1 with the xxhash64('') hash, which no tokenized
+    document can produce) — see fuzzy_decontaminate."""
+    return sig.filter(
+        (F.col("sz") > 0)
+        & ~(
+            (F.col("sz") == 1)
+            & (F.element_at("hset", 1) == F.xxhash64(F.lit("")))
+        )
+    )
+
+
+def decontamination_signatures(
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 24,
+) -> DataFrame:
+    """The eval-set signature table fuzzy_decontaminate screens
+    against, precomputed for REUSE across runs: persist it once
+    (plain parquet — (doc, mh_*, hset, sz) are all storable types)
+    and pass it back via ``eval_signatures`` so each new corpus shard
+    screens against the same benchmark set without re-signaturing it
+    — the incremental_exact_dedup store discipline applied to the
+    decontamination side."""
+    return _drop_phantom_signature(
+        minhash_signatures_rowwise(eval_df, text_col, id_col, num_hashes, n)
+    )
+
+
 def fuzzy_decontaminate(
     corpus: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     text_col: str,
     id_col: str,
     eval_text_col: str | None = None,
@@ -764,6 +796,7 @@ def fuzzy_decontaminate(
     num_hashes: int = 24,
     bands: int = 8,
     threshold: float = 0.8,
+    eval_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: flag every corpus document
     that is a verified MinHash near-duplicate (jaccard ≥ threshold)
@@ -796,33 +829,33 @@ def fuzzy_decontaminate(
     1.0) despite sharing no content. Both signature tables drop that
     phantom signature — sz==1 with the ``xxhash64('')`` hash, which
     no tokenized document can produce — before banding.
+
+    Pass ``eval_signatures`` (from ``decontamination_signatures``,
+    typically read back from parquet) to screen against a PERSISTED
+    benchmark signature table instead of re-signaturing ``eval_df``
+    every run; ``eval_df`` may then be None.
     """
-
-    def _drop_phantom(sig: DataFrame) -> DataFrame:
-        return sig.filter(
-            (F.col("sz") > 0)
-            & ~(
-                (F.col("sz") == 1)
-                & (F.element_at("hset", 1) == F.xxhash64(F.lit("")))
-            )
-        )
-
-    etc = eval_text_col or text_col
-    eic = eval_id_col or id_col
-    sig_c = _drop_phantom(
+    sig_c = _drop_phantom_signature(
         minhash_signatures_rowwise(corpus, text_col, id_col, num_hashes, n)
     )
-    sig_e = _drop_phantom(
-        minhash_signatures_rowwise(
+    if eval_signatures is not None:
+        sig_e = eval_signatures
+    else:
+        if eval_df is None:
+            raise ValueError(
+                "fuzzy_decontaminate: provide eval_df or eval_signatures"
+            )
+        etc = eval_text_col or text_col
+        eic = eval_id_col or id_col
+        sig_e = decontamination_signatures(
             eval_df.select(
                 F.col(eic).alias(id_col), F.col(etc).alias(text_col)
             ),
             text_col,
             id_col,
-            num_hashes,
             n,
+            num_hashes,
         )
-    )
     bc = _band_keys(sig_c, num_hashes, bands)
     be = _band_keys(sig_e, num_hashes, bands)
     cand = (

@@ -635,6 +635,121 @@ def semdedup(
     )
 
 
+def incremental_semdedup(
+    new_df: DataFrame,
+    store: DataFrame | None,
+    centroids_df: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_bucket_size: int | None = 5000,
+):
+    """Cross-run SEMANTIC dedup ingestion — the SemDeDup twin of
+    incremental_minhash_dedup (operators/dedup.py): drop rows of
+    ``new_df`` whose embedding near-coincides (cosine ≥ threshold)
+    with the historical ``store`` or with a lower-id row in the same
+    batch, and return the updated store.
+
+    The k-means centroids are fitted ONCE (on the first batch, when
+    ``centroids_df`` is None) and reused verbatim for every later
+    increment — new shards screen without refitting, so cell
+    assignments stay stable across runs and old docs never need
+    re-clustering. ``store`` is the persisted (id, cell, unit) table;
+    only FRESH rows join it, so dropped duplicates never pollute
+    future comparisons. Doc ids must be globally unique across runs.
+
+    Scale shape mirrors dedup.py's new×all discipline: candidates are
+    the cell-equi-join of the NEW assignments against store∪new —
+    new×all, never old×old — so a small daily increment against a
+    huge store costs |increment| × cell-collision-rate, not |store|².
+    ``max_bucket_size`` caps the combined cell population (the
+    semdedup quadratic guard); oversized cells are skipped. The
+    centroid table is bounded by n_clusters (one tiny collect, the
+    persisted-IVF pattern).
+
+    Returns (fresh_rows, new_store, centroids_df).
+    """
+    spark = new_df.sparkSession
+    nu = with_unit_vectors(ensure_parallelism(new_df), vec_col, "__u").persist()
+    if centroids_df is None:
+        ctr = ivf_fit_centroids(nu, "__u", n_clusters=n_clusters, seed=seed)
+        centroids_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(ctr)],
+            "cell int, centroid array<double>",
+        )
+    else:
+        ctr = [
+            list(r.centroid)
+            for r in centroids_df.orderBy("cell").collect()
+        ]
+    new_a = nu.select(
+        F.col(id_col).alias("id"),
+        F.element_at(_nearest_cells("__u", ctr, 1), 1).alias("cell"),
+        F.col("__u").alias("unit"),
+    )
+    old_a = (
+        store.select("id", "cell", "unit")
+        if store is not None
+        else None
+    )
+    tagged_new = new_a.withColumn("__is_new", F.lit(True))
+    all_side = (
+        tagged_new
+        if old_a is None
+        else old_a.withColumn("__is_new", F.lit(False)).unionByName(tagged_new)
+    )
+    if max_bucket_size is not None:
+        ok = (
+            all_side.groupBy("cell")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("cell")
+        )
+        all_side = all_side.join(ok, "cell")
+    dup_ids = (
+        new_a.alias("n")
+        .join(all_side.alias("o"), "cell")
+        .where(
+            (~F.col("o.__is_new")) | (F.col("o.id") < F.col("n.id"))
+        )
+        .where(_dot(F.col("n.unit"), F.col("o.unit")) >= threshold)
+        .select(F.col("n.id").alias("id"))
+        .distinct()
+    )
+    fresh = new_df.join(
+        dup_ids.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    fresh_assigned = new_a.join(dup_ids, "id", "left_anti")
+    new_store = (
+        fresh_assigned
+        if old_a is None
+        else old_a.unionByName(fresh_assigned)
+    )
+    return fresh, new_store, centroids_df
+
+
+def semdedup_save_store(store: DataFrame, centroids_df: DataFrame, path: str) -> None:
+    """Persist an incremental_semdedup store: the (id, cell, unit)
+    table partitioned by cell (the IVF layout — a later screen of one
+    cell reads one directory) with the centroid table tucked under
+    ``_centroids`` (underscore-prefixed → invisible to the store
+    scan, the ivf_build_index trick)."""
+    store.write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids_df.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_centroids"
+    )
+
+
+def semdedup_load_store(spark, path: str):
+    """(store, centroids_df) back from semdedup_save_store."""
+    return (
+        spark.read.parquet(path),
+        spark.read.parquet(f"{path}/_centroids"),
+    )
+
+
 def random_project(
     df: DataFrame,
     vec_col: str,

@@ -925,6 +925,39 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_incremental_semantic", oracle=None)  # P: seeded KMeans
+def q_dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run semantic dedup ingestion (operators/similarity.py
+    incremental_semdedup): batch 1 (vec_id < 300) builds the store
+    and fits the centroids ONCE; batch 2 mixes 80 genuinely new
+    embeddings with planted scaled copies of 20 stored vectors — the
+    copies must be dropped against the store (new×all, never
+    old×old, centroids reused without refitting) and the new rows
+    survive. Returns the surviving batch-2 rows; store round-trip
+    and in-batch lower-id discipline are pinned in
+    tests/test_approx.py."""
+    from xetl_spark.operators.similarity import incremental_semdedup
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    _fresh1, store, ctr = incremental_semdedup(
+        b1, None, None, "embedding", "vec_id", n_clusters=8
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    b2 = (
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 380))
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    fresh2, _store2, _ctr2 = incremental_semdedup(
+        b2, store, ctr, "embedding", "vec_id", n_clusters=8
+    )
+    return fresh2.select("vec_id")
+
+
 @query("q_sim_lsh_ann", oracle=None)
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via random-hyperplane LSH (the scale
