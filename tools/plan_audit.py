@@ -84,6 +84,23 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # table or its w1/w2 rollups; the corpus-sized per-(doc,bigram)
 # table still exchanges exactly once on (w1,w2) plus the final
 # per-doc aggregation.
+# q_text_perplexity_buckets — the Kneser-Ney scoring pipeline (11
+# exchanges, justified at q_text_kn_bigram_logprob) is persisted and
+# feeds TWO consumers (the global order-statistic threshold agg and
+# the bucket labeling), so the static plan text repeats the cached
+# subtree under each — the textual count roughly doubles work that
+# executes once (the q_graph_triangles pattern). Live exchanges:
+# the KN pipeline once (11), one single-partition global agg over the
+# doc-count-sized scored table (1), threshold broadcast (0 shuffles).
+# q_dedup_incremental_semantic — deliberately chains TWO full
+# incremental_semdedup invocations (store build from batch 1 +
+# screen of batch 2) into one plan so the driver verifies the
+# cross-run lifecycle end to end, the q_ivm_rollup_maintenance demo
+# pattern. Live exchanges per increment: cell-size guard agg (1),
+# cell equi-join (2 sides), dup-id distinct (1), anti-joins (2) —
+# all over per-doc (id, cell, unit) rows, never pairwise tables; in
+# production each increment is a separate job against the persisted
+# store.
 EXCHANGE_ALLOWANCE = {
     "q_text_bigram_logprob": 9,
     "q_text_kn_bigram_logprob": 11,
@@ -92,6 +109,8 @@ EXCHANGE_ALLOWANCE = {
     "q_fuzzy_name_join": 10,
     "q_join_effective_dated": 7,
     "q_ivm_rollup_maintenance": 24,
+    "q_text_perplexity_buckets": 24,
+    "q_dedup_incremental_semantic": 19,
 }
 
 
