@@ -1128,6 +1128,50 @@ def test_span_dedup_task(spark, tmp_path):
         fn(ctx("bogus"))
 
 
+def test_semantic_dedup_task_incremental_store(spark, tmp_path):
+    """semantic_dedup with STORE: first run fits centroids and seeds
+    the store (in-batch dup dropped); second run drops near-dups of
+    the persisted store and appends only survivors."""
+    import numpy as np
+
+    from xetl_spark.plans.registry import BUILTINS
+    from xetl_spark.operators.similarity import semdedup_load_store
+
+    _spec, fn = BUILTINS.get("semantic_dedup")
+    rng = np.random.default_rng(3)
+    v1, v2, v3 = (rng.standard_normal(16) for _ in range(3))
+
+    def jit(v):
+        return [float(x) for x in (v + rng.standard_normal(16) * 0.001)]
+
+    store = str(tmp_path / "sem_store")
+
+    def ctx(rows):
+        df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+
+        class _Ctx:
+            env = {
+                "EMBEDDING_COL": "embedding",
+                "ID_COL": "doc_id",
+                "THRESHOLD": 0.95,
+                "CLUSTERS": 2,
+                "STORE": store,
+            }
+
+            def input_df(self):
+                return df
+
+        return _Ctx()
+
+    out1 = fn(ctx([(1, jit(v1)), (2, jit(v1)), (3, jit(v2))]))
+    assert sorted(r.doc_id for r in out1.collect()) == [1, 3]
+    out2 = fn(ctx([(10, jit(v1)), (20, jit(v3))]))
+    assert sorted(r.doc_id for r in out2.collect()) == [20]
+    st, ctr = semdedup_load_store(spark, store)
+    assert sorted(r.id for r in st.collect()) == [1, 3, 20]
+    assert ctr.count() == 2
+
+
 def test_perplexity_filter_task_keep_all_and_errors(spark):
     """KEEP=all annotates without dropping (unscored docs keep a null
     bucket); unknown buckets raise with the valid list."""

@@ -780,26 +780,69 @@ def near_dedup(ctx: StageContext):
     "semantic_dedup",
     "Drop semantic near-duplicates over an embedding column (SemDeDup: "
     "k-means cells, within-cluster cosine pairs, keep the group member "
-    "farthest from its centroid)",
+    "farthest from its centroid). Set STORE to a path for CROSS-RUN "
+    "mode: rows near-duplicating the persisted store (or a lower-id "
+    "in-batch row) are dropped, survivors join the store, centroids "
+    "are fitted once on the first run and reused (new x all, never "
+    "old x old)",
     env={
         "EMBEDDING_COL": {"description": "array<float> embedding column", "type": "string", "default": "embedding"},
         "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
         "THRESHOLD": {"description": "cosine threshold", "type": "float", "default": 0.95},
         "CLUSTERS": {"description": "k-means cells", "type": "int", "default": 16},
+        "STORE": {
+            "description": "persisted signature-store path for incremental mode",
+            "type": "string",
+            "required": False,
+        },
         "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
     },
 )
 def semantic_dedup_task(ctx: StageContext):
-    from xetl_spark.operators.similarity import semdedup
-
     df = ctx.input_df()
     id_col = str(ctx.env["ID_COL"])
+    vec_col = str(ctx.env["EMBEDDING_COL"])
+    threshold = float(ctx.env["THRESHOLD"])  # type: ignore[arg-type]
+    n_clusters = int(ctx.env["CLUSTERS"])  # type: ignore[arg-type]
+    store_path = ctx.env.get("STORE")
+    if store_path:
+        import os
+
+        from xetl_spark.operators.similarity import (
+            incremental_semdedup,
+            semdedup_load_store,
+            semdedup_save_store,
+        )
+
+        store_s = str(store_path)
+        if os.path.isdir(store_s):
+            store, centroids = semdedup_load_store(df.sparkSession, store_s)
+        else:
+            store, centroids = None, None
+        fresh, new_store, centroids = incremental_semdedup(
+            df, store, centroids, vec_col, id_col,
+            threshold=threshold, n_clusters=n_clusters,
+        )
+        # write the updated store to a sibling temp dir, then swap —
+        # overwriting in place would clobber the very files the
+        # new_store/fresh plans still read
+        import shutil
+
+        tmp = store_s.rstrip("/") + ".tmp"
+        semdedup_save_store(new_store, centroids, tmp)
+        # fresh is returned lazily to downstream stages; its plan must
+        # not reference the store path being swapped underneath it
+        fresh = fresh.persist()
+        fresh.count()
+        if os.path.isdir(store_s):
+            shutil.rmtree(store_s)
+        os.replace(tmp, store_s)
+        return fresh
+
+    from xetl_spark.operators.similarity import semdedup
+
     decision = semdedup(
-        df,
-        str(ctx.env["EMBEDDING_COL"]),
-        id_col,
-        threshold=float(ctx.env["THRESHOLD"]),  # type: ignore[arg-type]
-        n_clusters=int(ctx.env["CLUSTERS"]),  # type: ignore[arg-type]
+        df, vec_col, id_col, threshold=threshold, n_clusters=n_clusters
     )
     keep = decision.filter(F.col("keep")).select(F.col("id").alias(id_col))
     return df.join(keep, on=id_col, how="left_semi")
