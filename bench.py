@@ -62,6 +62,12 @@ LLM_SUITE = [
     # round-8 additions: shuffle-free corpus-filter passes
     "q_text_repetition_signals",
     "q_text_c4_rules",
+    # round-9 additions: exact-extent span dedup (every-offset
+    # windows — the per-token shuffle is the cost being measured) and
+    # the CCNet perplexity split (KN pipeline + order-statistic
+    # thresholds over the full documents table)
+    "q_text_exact_span_dedup",
+    "q_text_perplexity_buckets",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
