@@ -1128,6 +1128,69 @@ def test_span_dedup_task(spark, tmp_path):
         fn(ctx("bogus"))
 
 
+def test_example_incremental_ingest_two_runs(spark, tmp_path, monkeypatch):
+    """examples/incremental_ingest.yml: the first run seeds the digest
+    and signature stores and writes the shard's unique rows; the
+    SECOND run of the same shard is screened entirely by the stores
+    and writes nothing new."""
+    monkeypatch.setenv("STORE_DIR", str(tmp_path / "stores"))
+    monkeypatch.setenv("OUT_DIR", str(tmp_path / "out1"))
+    job = Job.from_file("/root/repo/examples/incremental_ingest.yml")
+    results = run_job(spark, job)
+    assert all(r.status == "success" for r in results)
+    n1 = spark.read.parquet(str(tmp_path / "out1")).count()
+    n_in = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < n1 <= n_in
+
+    monkeypatch.setenv("OUT_DIR", str(tmp_path / "out2"))
+    job2 = Job.from_file("/root/repo/examples/incremental_ingest.yml")
+    results2 = run_job(spark, job2)
+    assert all(r.status == "success" for r in results2)
+    assert spark.read.parquet(str(tmp_path / "out2")).count() == 0
+
+    # the stores did not double up: digests stayed at first-run size
+    digests = spark.read.parquet(str(tmp_path / "stores" / "digests"))
+    assert digests.count() == digests.distinct().count()
+
+
+def test_incremental_dedup_task_minhash_mode(spark, tmp_path):
+    """MODE=minhash drops near-duplicates of the persisted store and
+    of lower-id in-batch rows; unknown MODE raises."""
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("incremental_dedup")
+    store = str(tmp_path / "sigs")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def ctx(rows, mode="minhash"):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        class _Ctx:
+            env = {
+                "TEXT_COL": "text",
+                "ID_COL": "doc_id",
+                "MODE": mode,
+                "THRESHOLD": 0.8,
+                "STORE": store,
+            }
+
+            def input_df(self):
+                return df
+
+        return _Ctx()
+
+    out1 = fn(ctx([(1, base), (2, base + " extra"), (3, "totally different words about spark pipelines and parquet files")]))
+    assert sorted(r.doc_id for r in out1.collect()) == [1, 3]
+    # second batch: near-dup of stored doc 1 + genuinely new row
+    out2 = fn(ctx([(10, base + " tail"), (11, "brand new content with many unique tokens nobody has seen before")]))
+    assert sorted(r.doc_id for r in out2.collect()) == [11]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MODE"):
+        fn(ctx([(99, "x y z")], mode="bogus"))
+
+
 def test_semantic_dedup_task_incremental_store(spark, tmp_path):
     """semantic_dedup with STORE: first run fits centroids and seeds
     the store (in-batch dup dropped); second run drops near-dups of

@@ -777,6 +777,70 @@ def near_dedup(ctx: StageContext):
 
 
 @task(
+    "incremental_dedup",
+    "Cross-run ingestion dedup against a persisted STORE: MODE=exact "
+    "drops rows whose content digest already exists in the store "
+    "(sha2-256 anti-join); MODE=minhash drops verified MinHash "
+    "near-duplicates (jaccard >= THRESHOLD) of the store or of a "
+    "lower-id in-batch row. Survivors' digests/signatures join the "
+    "store (new x all, never old x old), so repeated runs of the "
+    "same shard drop everything. Ids must be globally unique across "
+    "runs in minhash mode",
+    env={
+        "TEXT_COL": {"description": "text column", "type": "string", "default": "text"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "MODE": {"description": "exact | minhash", "type": "string", "default": "exact"},
+        "THRESHOLD": {"description": "minhash-mode jaccard bar", "type": "float", "default": 0.8},
+        "STORE": {"description": "persisted digest/signature store path", "type": "string"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def incremental_dedup_task(ctx: StageContext):
+    import os
+    import shutil
+
+    from xetl_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
+
+    df = ctx.input_df()
+    text_col = str(ctx.env["TEXT_COL"])
+    id_col = str(ctx.env["ID_COL"])
+    mode = str(ctx.env["MODE"]).lower()
+    store_s = str(ctx.env["STORE"])
+    spark = df.sparkSession
+    store = spark.read.parquet(store_s) if os.path.isdir(store_s) else None
+    if mode == "exact":
+        # incremental_exact_dedup returns only THIS batch's new digests
+        # (append semantics); the persisted store is the union
+        fresh, new_digests = incremental_exact_dedup(df, store, text_col, id_col)
+        new_store = (
+            new_digests if store is None else store.unionByName(new_digests)
+        )
+    elif mode == "minhash":
+        fresh, new_store = incremental_minhash_dedup(
+            df, store, text_col, id_col,
+            threshold=float(ctx.env["THRESHOLD"]),  # type: ignore[arg-type]
+        )
+    else:
+        raise ValueError(
+            f"incremental_dedup: unknown MODE {mode!r}; valid: exact, minhash"
+        )
+    # temp-dir swap (the semantic_dedup STORE pattern): the lazily
+    # returned fresh frame and the new store both read the current
+    # store files — never overwrite them in place
+    tmp = store_s.rstrip("/") + ".tmp"
+    new_store.write.mode("overwrite").parquet(tmp)
+    fresh = fresh.persist()
+    fresh.count()
+    if os.path.isdir(store_s):
+        shutil.rmtree(store_s)
+    os.replace(tmp, store_s)
+    return fresh
+
+
+@task(
     "semantic_dedup",
     "Drop semantic near-duplicates over an embedding column (SemDeDup: "
     "k-means cells, within-cluster cosine pairs, keep the group member "
