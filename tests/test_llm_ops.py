@@ -1259,6 +1259,47 @@ def test_remove_duplicate_spans_exact_random_differential(spark):
         assert got == ref_exact(rows), trial
 
 
+def test_remove_duplicate_spans_exact_arrow_engine_parity(spark):
+    """The Arrow rolling-hash window stage must produce exactly the
+    same final output as the Catalyst slice-hash stage on random
+    corpora with planted shared passages (hash VALUES differ; kept
+    text may not)."""
+    import random
+
+    from xetl_spark.operators.text import remove_duplicate_spans_exact
+
+    rng = random.Random(5)
+    passages = [
+        [f"p{k}w{j}" for j in range(rng.randint(8, 30))] for k in range(4)
+    ]
+    rows = []
+    for i in range(60):
+        words = [f"d{i}w{j}" for j in range(rng.randint(0, 80))]
+        if rng.random() < 0.7:
+            p = rng.choice(passages)
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + p + words[pos:]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(engine):
+        return sorted(
+            (r.doc_id, r.n_tokens, r.kept_tokens, r.new_text)
+            for r in remove_duplicate_spans_exact(
+                df, "text", "doc_id", k_tokens=8, hash_engine=engine
+            ).collect()
+        )
+
+    assert run("catalyst") == run("arrow")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_engine"):
+        remove_duplicate_spans_exact(
+            df, "text", "doc_id", hash_engine="bogus"
+        )
+
+
 def test_incremental_minhash_dedup(spark):
     """Cross-run near-dup ingestion: batch 2 drops near-dups of batch
     1's STORE and of lower-id in-batch partners; only fresh rows'

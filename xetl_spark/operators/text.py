@@ -1285,11 +1285,78 @@ def remove_duplicate_spans(
     return _rebuild_from_cuts(base, cuts, id_col, k_tokens)
 
 
+def _window_hash_rows_arrow(base, k_tokens: int):
+    """(doc, start, hash) rows for every k-token window — the Arrow
+    fast path for remove_duplicate_spans_exact's dominant stage.
+
+    The Catalyst path hashes a k-token slice per offset: O(k) combine
+    work per token. This path moves ONLY the hashing into one
+    Arrow-batched pass (tokenization stays in Catalyst, so token
+    parity is structural): per-token 64-bit hashes come from pandas'
+    vectorized hash_array, and every window hash is derived in O(1)
+    via a rolling polynomial over uint64 wraparound arithmetic — an
+    ODD base is invertible mod 2^64, so window(i) =
+    (S[i+k] − S[i])·B^i with S the cumsum of v_j·B^(−j), all
+    vectorized numpy. O(tokens) total instead of O(tokens × k); same
+    downstream plan (the hash VALUES differ from the Catalyst
+    engine's, but both are content-determined 64-bit window keys, so
+    the final output is identical up to hash collisions).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd -> invertible mod 2^64
+    B_INV = np.uint64(pow(int(B), -1, 1 << 64))
+
+    def gen(batches):
+        err = np.seterr(over="ignore")  # uint64 wraparound is the point
+        try:
+            for pdf in batches:
+                out_doc, out_s, out_h = [], [], []
+                for doc, toks in zip(pdf["__doc"], pdf["__toks"]):
+                    n = len(toks)
+                    if n < k_tokens:
+                        continue
+                    v = pd.util.hash_array(np.asarray(toks, dtype=object))
+                    m = n - k_tokens + 1
+                    # S[i] = sum_{j<i} v[j] * B^-j ; win(i) = (S[i+k]-S[i]) * B^i
+                    binv = np.empty(n, dtype=np.uint64)
+                    binv[0] = np.uint64(1)
+                    if n > 1:
+                        np.multiply.accumulate(
+                            np.full(n - 1, B_INV, dtype=np.uint64),
+                            out=binv[1:],
+                        )
+                    s = np.zeros(n + 1, dtype=np.uint64)
+                    np.cumsum(v * binv, out=s[1:])
+                    bpow = np.empty(m, dtype=np.uint64)
+                    bpow[0] = np.uint64(1)
+                    if m > 1:
+                        np.multiply.accumulate(
+                            np.full(m - 1, B, dtype=np.uint64), out=bpow[1:]
+                        )
+                    win = (s[k_tokens : k_tokens + m] - s[:m]) * bpow
+                    out_doc.extend([doc] * m)
+                    out_s.extend(range(m))
+                    out_h.extend(win.view(np.int64))
+                yield pd.DataFrame(
+                    {"__doc": out_doc, "__s": out_s, "__h": out_h}
+                )
+        finally:
+            np.seterr(**err)
+
+    doc_type = base.schema["__doc"].dataType.simpleString()
+    return base.mapInPandas(
+        gen, schema=f"__doc {doc_type}, __s int, __h long"
+    )
+
+
 def remove_duplicate_spans_exact(
     df,
     text_col: str,
     id_col: str,
     k_tokens: int = 32,
+    hash_engine: str = "catalyst",
 ):
     """Corpus-level duplicated-substring removal with EXACT maximal
     extents (the full Lee et al. 2022 ExactSubstr semantics for
@@ -1320,6 +1387,14 @@ def remove_duplicate_spans_exact(
     over the span hash. The rebuild is the shared O(tokens + cuts)
     merged-interval pass.
 
+    ``hash_engine="arrow"`` swaps the dominant window-hash stage for
+    an Arrow-batched rolling polynomial (O(tokens) instead of
+    O(tokens × k); _window_hash_rows_arrow) — tokenization and every
+    downstream join stay identical, and the two engines produce the
+    same final output (differential-tested), so pick by profile:
+    catalyst keeps everything JVM-side, arrow wins on large
+    ``k_tokens``.
+
     Returns (doc id, n_tokens, kept_tokens, new_text), one row per
     input document (docs shorter than ``k_tokens`` pass through
     unchanged).
@@ -1327,21 +1402,31 @@ def remove_duplicate_spans_exact(
     toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
     base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
     n = F.size("__toks")
-    wins = (
-        base.filter(n >= k_tokens)
-        .select(
-            "__doc",
-            F.explode(F.sequence(F.lit(0), n - k_tokens)).alias("__s"),
-            F.col("__toks"),
+    if hash_engine == "catalyst":
+        wins = (
+            base.filter(n >= k_tokens)
+            .select(
+                "__doc",
+                F.explode(F.sequence(F.lit(0), n - k_tokens)).alias("__s"),
+                F.col("__toks"),
+            )
+            .select(
+                "__doc",
+                "__s",
+                F.xxhash64(
+                    F.slice("__toks", F.col("__s") + 1, k_tokens)
+                ).alias("__h"),
+            )
         )
-        .select(
-            "__doc",
-            "__s",
-            F.xxhash64(
-                F.slice("__toks", F.col("__s") + 1, k_tokens)
-            ).alias("__h"),
+    elif hash_engine == "arrow":
+        # O(tokens) rolling-hash window stage instead of O(tokens x k)
+        # slice hashing — tokenization stays in Catalyst so parity is
+        # structural; see _window_hash_rows_arrow
+        wins = _window_hash_rows_arrow(base.filter(n >= k_tokens), k_tokens)
+    else:
+        raise ValueError(
+            f"hash_engine must be 'catalyst' or 'arrow', got {hash_engine!r}"
         )
-    )
     firsts = wins.groupBy("__h").agg(
         F.min(F.struct("__doc", "__s")).alias("__f"),
         F.count("*").alias("__nocc"),
