@@ -1641,6 +1641,73 @@ def q_text_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "kept_tokens", "new_text")
 
 
+@query(
+    "q_text_exact_span_dedup_arrow",
+    oracle="""
+    SELECT doc_id,
+           24 + CASE WHEN doc_id % 10 = 0 THEN 12
+                     WHEN doc_id % 10 = 5 THEN 7 ELSE 0 END AS n_tokens,
+           CASE WHEN doc_id = 0 THEN 36
+                WHEN doc_id % 10 = 5 THEN 31 ELSE 24 END AS kept_tokens,
+           CASE WHEN doc_id = 0 THEN
+                  array_to_string(own[1:10], ' ')
+                  || ' p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 '
+                  || array_to_string(own[11:24], ' ')
+                WHEN doc_id % 10 = 5 THEN
+                  array_to_string(own, ' ') || ' q0 q1 q2 q3 q4 q5 q6'
+                ELSE array_to_string(own, ' ') END AS new_text
+    FROM (SELECT doc_id,
+                 list_transform(generate_series(0, 23),
+                                j -> 't' || doc_id || 'x' || j) AS own
+          FROM documents WHERE doc_id < 200)
+    """,
+)
+def q_text_exact_span_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_text_exact_span_dedup's planted corpus through the ARROW
+    rolling-hash window engine (operators/text.py
+    _window_hash_rows_arrow — O(tokens) window hashing instead of
+    O(tokens × k)): the hash values differ from the Catalyst engine's
+    but the kept text may not, so the same closed-form oracle
+    hash-verifies the fast path end to end."""
+    from xetl_spark.operators.text import remove_duplicate_spans_exact
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    own = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda j: F.concat(F.lit("t"), F.col("doc_id"), F.lit("x"), j),
+    )
+    passage = F.split(
+        F.lit("p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11"), " "
+    )
+    tail = F.split(F.lit("q0 q1 q2 q3 q4 q5 q6"), " ")
+    off = F.lit(10) + ((F.col("doc_id") / 10).cast("int") % 5)
+    corpus = ids.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.slice(own, F.lit(1), off),
+                    passage,
+                    F.slice(own, off + 1, F.lit(24) - off),
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat_ws(" ", F.concat(own, tail)),
+        )
+        .otherwise(F.concat_ws(" ", own))
+        .alias("text"),
+    )
+    out = remove_duplicate_spans_exact(
+        corpus, "text", "doc_id", k_tokens=8, hash_engine="arrow"
+    )
+    return out.select("doc_id", "n_tokens", "kept_tokens", "new_text")
+
+
 @query("q_text_dsir_weights", oracle=None)
 def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/text.py dsir_logweights —
