@@ -173,6 +173,11 @@ def test_fuzz_jpeg():
         jpeg.jpeg_lossless_encode(a),
         jpeg.jpeg_encode(a, 90, bits=12) if a.dtype == np.uint8 else None,
         jpeg.jpeg_encode_hierarchical(a, levels=2, quality=90),
+        # arithmetic scans: corrupt QM streams must coast/raise typed,
+        # never hang or escape (the decoder feeds zeros past markers;
+        # magnitude overflows surface as UnsupportedImageError)
+        jpeg.jpeg_encode(a, 90, arithmetic=True),
+        jpeg.jpeg_encode(a, 90, bits=12, arithmetic=True),
     ):
         if payload is None:
             continue

@@ -413,7 +413,14 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0xF, tq))
+                hs, vs = samp >> 4, samp & 0xF
+                # T.81 B.2.2: sampling factors are 1..4 — a zero (seen
+                # in fuzzed streams) would divide the MCU geometry by 0
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise UnsupportedImageError(
+                        f"invalid JPEG sampling factor {hs}x{vs}"
+                    )
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -1423,7 +1430,14 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0xF, tq))
+                hs, vs = samp >> 4, samp & 0xF
+                # T.81 B.2.2: sampling factors are 1..4 — a zero (seen
+                # in fuzzed streams) would divide the MCU geometry by 0
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise UnsupportedImageError(
+                        f"invalid JPEG sampling factor {hs}x{vs}"
+                    )
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
