@@ -1,10 +1,11 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "action": "noop_write", "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect count via a
-cheap aggregate action) after a one-query JVM warmup, and the
+Each query is timed end-to-end (plan + execute + full materialization
+through the noop sink — a bare count() lets Catalyst prune the very
+work being measured) after a one-query JVM warmup, and the
 REPORTED time is the best of ``SPARK_GRAFT_BENCH_REPS`` runs (default
 3): identical code has measured 9.3s and 42.9s within two hours under
 shared-host load, so a single sample is noise — min-of-N plus the
@@ -84,6 +85,18 @@ def _best_of(run, reps: int = REPS) -> float:
     return round(best, 3)
 
 
+def _materialize(df) -> None:
+    """Force full materialization of every row and column WITHOUT
+    driver transfer: write to the noop sink. Deliberately NOT
+    ``df.count()`` — Catalyst prunes unreferenced work under a bare
+    count (a map-only projection collapses to a parquet row count,
+    and a unique-key left join is eliminated outright), so count-based
+    timings measured the SCAN, not the operator, for every shuffle-
+    free query (found in round 9; the noop write executes the full
+    plan exactly as a real sink would)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_start = os.getloadavg()
@@ -117,7 +130,7 @@ def main() -> None:
         for _ in range(2):
             for name in HEADLINE + tpch[1:] + LLM_SUITE:
                 try:
-                    Q.REGISTRY[name].fn(spark, warm_dir).count()
+                    _materialize(Q.REGISTRY[name].fn(spark, warm_dir))
                 except Exception as e:  # noqa: BLE001
                     print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
@@ -128,7 +141,7 @@ def main() -> None:
             # force full materialization of every row without driver
             # transfer; best-of-REPS so one noisy sample can't masquerade
             # as a regression
-            timings[name] = _best_of(lambda: q.fn(spark, sf_dir).count())
+            timings[name] = _best_of(lambda: _materialize(q.fn(spark, sf_dir)))
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
@@ -144,7 +157,7 @@ def main() -> None:
     for name in tpch:
         q = Q.REGISTRY[name]
         try:
-            tpch_timings[name] = _best_of(lambda: q.fn(spark, sf_dir).count())
+            tpch_timings[name] = _best_of(lambda: _materialize(q.fn(spark, sf_dir)))
         except Exception as e:  # noqa: BLE001
             aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
@@ -157,7 +170,7 @@ def main() -> None:
     for name in LLM_SUITE:
         q = Q.REGISTRY[name]
         try:
-            llm_timings[name] = _best_of(lambda: q.fn(spark, sf_dir).count())
+            llm_timings[name] = _best_of(lambda: _materialize(q.fn(spark, sf_dir)))
         except Exception as e:  # noqa: BLE001
             aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
@@ -207,7 +220,7 @@ def main() -> None:
         # loadavg >> bench's own parallelism means distrust the numbers.
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "action": "noop_write", "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors

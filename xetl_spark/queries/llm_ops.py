@@ -1708,6 +1708,23 @@ def q_text_exact_span_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("doc_id", "n_tokens", "kept_tokens", "new_text")
 
 
+@query("q_text_exact_span_dedup_corpus", oracle=None)  # P: output depends
+# on whatever k-token repeats the regenerated fixture happens to carry
+def q_text_exact_span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-extent span dedup over the REAL documents corpus
+    (sf-proportional, unlike the planted-oracle fixture rows): the
+    scaling/shuffle measurement surface for the every-offset window
+    table — one narrow (doc, start, hash) row per token. Rows-only in
+    the driver (the fixture's incidental k-token repeats change per
+    regeneration); the algorithm's exact semantics are hash-verified
+    by q_text_exact_span_dedup(_arrow) and the differential tests."""
+    from xetl_spark.operators.text import remove_duplicate_spans_exact
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = remove_duplicate_spans_exact(docs, "text", "doc_id", k_tokens=16)
+    return out.select("doc_id", "n_tokens", "kept_tokens")
+
+
 @query("q_text_dsir_weights", oracle=None)
 def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/text.py dsir_logweights —
