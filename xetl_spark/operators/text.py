@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from xetl_spark.operators.util import ensure_parallelism
+
 # tiny public stopword seed lists (heuristic language ID, not a model)
 # Seed stopword tables for the stopword-vote language ID and the
 # language-routed quality profile — top Latin-script web languages,
@@ -379,7 +381,7 @@ def chunk_text(df, text_col: str, id_col: str, chunk_tokens: int = 64, overlap: 
     # the bound attribute is O(1) per element, and the Generate
     # (posexplode) boundary keeps view re-analysis from re-inlining
     # the alias (unlike plain Project chains — see _sorted_run_scalars).
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("__t")
     )
     starts = F.sequence(
@@ -521,7 +523,7 @@ def repetition_signals(
         lambda s: s != F.lit(""),
     )
     ns = tuple(dict.fromkeys(tuple(top_ns) + tuple(dup_ns)))  # ordered dedup
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         toks.alias("__t"),
         lines.alias("__lines"),
@@ -657,7 +659,7 @@ def c4_line_filter(df, text_col: str, id_col: str, min_sentences: int = 5):
         & (F.size(F.split(s, r"\s+")) >= 3)
         & ~F.lower(s).contains("javascript"),
     )
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.lower(raw).contains("lorem ipsum").alias("has_lorem"),
         raw.contains("{").alias("has_brace"),
@@ -745,7 +747,7 @@ def hashing_tfidf(df, text_col: str, id_col: str, num_features: int = 1024):
         inputCol=text_col, outputCol="__toks", pattern=r"[^a-z0-9]+", toLowercase=True
     )
     tf = HashingTF(inputCol="__toks", outputCol="__tf", numFeatures=num_features)
-    with_tf = tf.transform(tok.transform(df))
+    with_tf = tf.transform(tok.transform(ensure_parallelism(df)))
     idf = IDF(inputCol="__tf", outputCol="tfidf_vec").fit(with_tf)
     return idf.transform(with_tf).select(F.col(id_col).alias("doc"), "tfidf_vec")
 
@@ -891,7 +893,7 @@ def remove_boilerplate(
 
     Returns (doc, clean_text).
     """
-    lines = df.select(
+    lines = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
     )
@@ -1015,7 +1017,7 @@ def line_dedup(df, text_col: str, id_col: str, line_tokens: int = 16):
     # inside the transform lambda re-tokenizes per ELEMENT (~L²/k per
     # doc — see chunk_text); the bound attribute is O(1) per element
     # and the Generate boundary survives view re-analysis.
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("__doc"), tokens(text_col).alias("__t")
     )
     starts = F.sequence(
@@ -1091,7 +1093,7 @@ def natural_boundary_dedup(
     else:
         raise ValueError("granularity must be 'line' or 'paragraph'")
     raw_units = F.split(F.col(text_col), split_pat)
-    units = df.select(
+    units = ensure_parallelism(df).select(
         F.col(id_col).alias("__doc"),
         F.posexplode(F.transform(raw_units, lambda u: F.trim(u))).alias(
             "__pos", "__u"
@@ -1251,7 +1253,9 @@ def remove_duplicate_spans(
     input document.
     """
     toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
-    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__doc"), toks.alias("__toks")
+    )
     n = F.size("__toks")
     starts = F.array_union(
         F.sequence(F.lit(0), F.greatest(n - k_tokens, F.lit(0)), F.lit(stride)),
@@ -1400,7 +1404,9 @@ def remove_duplicate_spans_exact(
     unchanged).
     """
     toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
-    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__doc"), toks.alias("__toks")
+    )
     n = F.size("__toks")
     if hash_engine == "catalyst":
         wins = (
@@ -1681,7 +1687,7 @@ def _hashed_feature_rows(df, text_col: str, id_col: str | None, num_buckets: int
     """
     t = tokens(text_col)
     doc = F.col(id_col) if id_col is not None else F.lit(0)
-    base = df.select(
+    base = ensure_parallelism(df).select(
         doc.alias("doc"),
         t.alias("__t"),
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("__t2"),
