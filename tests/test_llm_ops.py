@@ -524,7 +524,9 @@ def test_repetition_signals_hand_computed(spark):
 
 def test_repetition_signals_shuffle_free(spark):
     """The 100 TB contract: the whole operator is one map stage — the
-    executed plan must contain NO exchange."""
+    executed plan must contain NO exchange. (ensure_parallelism's
+    guarded input repartition never fires here: the fixture arrives
+    already parallel, exactly like a real cluster scan.)"""
     from xetl_spark.operators.text import repetition_signals
 
     df = spark.createDataFrame(
