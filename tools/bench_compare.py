@@ -45,6 +45,19 @@ def main() -> int:
         return 2
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    # measurement-action provenance: runs before round 9 used count()
+    # (absent field), which let Catalyst prune map-only projections
+    # and unique-key left joins — those timings under-measure and are
+    # NOT comparable with noop_write runs
+    act_old = old.get("action", "count")
+    act_new = new.get("action", "count")
+    comparable = act_old == act_new
+    if not comparable:
+        print(
+            f"WARNING: measurement actions differ ({act_old} vs {act_new}) — "
+            "count()-era timings under-measure pruned plans; per-query "
+            "ratios below are shown for reference but do NOT gate"
+        )
     rows = []
     # every per-query dict the bench emits gets its own diff section:
     # headline battery, TPC-H suite, LLM-ops suite (round 5+)
@@ -98,7 +111,7 @@ def main() -> int:
         and nv is not None
         and (nv / ov if ov else float("inf") if nv else 1.0) >= ratio
     )
-    return 1 if (regressed and headline_bad) else 0
+    return 1 if (comparable and regressed and headline_bad) else 0
 
 
 if __name__ == "__main__":
