@@ -1151,6 +1151,65 @@ def test_perplexity_buckets(spark):
     assert all(approx[100 + i] == "tail" for i in range(6))
 
 
+def test_natural_boundary_dedup_sentence_granularity(spark):
+    """Sentence mode: terminal-punctuation segmentation keeps the
+    punctuation with its sentence, newlines also terminate, the
+    globally-first copy of a repeated sentence survives, and unknown
+    granularities raise."""
+    import pytest as _pytest
+
+    from xetl_spark.operators.text import natural_boundary_dedup
+
+    rows = [
+        (1, "First point. Shared promo here! Unique tail?"),
+        (2, "Other start. Shared promo here! Second tail.\nA newline one."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in natural_boundary_dedup(
+            df, "text", "doc_id", granularity="sentence"
+        ).collect()
+    }
+    assert got[1].n_units == 3 and got[1].kept_units == 3
+    assert got[1].new_text == "First point. Shared promo here! Unique tail?"
+    assert got[2].n_units == 4 and got[2].kept_units == 3
+    assert got[2].new_text == "Other start. Second tail. A newline one."
+
+    with _pytest.raises(ValueError, match="granularity"):
+        natural_boundary_dedup(df, "text", "doc_id", granularity="bogus")
+
+
+def test_ngram_novelty(spark):
+    """Planted semantics: a fully-unique doc scores 1.0, a mirrored
+    pair scores 0.0, a half-boilerplate doc lands in between; short
+    docs fall back to their full text as one shingle; token-free docs
+    produce no row."""
+    from xetl_spark.operators.text import ngram_novelty
+
+    boiler = " ".join(f"b{j}" for j in range(10))
+    rows = [
+        (1, " ".join(f"u{j}" for j in range(10))),  # unique
+        (2, boiler),  # mirrored with 3
+        (3, boiler),
+        (4, " ".join(f"m{j}" for j in range(8)) + " " + boiler),  # mixed
+        (5, "tiny doc"),  # < 3 tokens: full-text shingle, unique
+        (6, "tiny doc"),  # same shingle as 5 -> both non-novel
+        (7, "!!!"),  # token-free: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc: r for r in ngram_novelty(df, "text", "doc_id").collect()}
+    assert 7 not in got and len(got) == 6
+    assert got[1].novelty == 1.0 and got[1].n_grams == 8
+    assert got[2].novelty == 0.0 and got[3].novelty == 0.0
+    assert 0.0 < got[4].novelty < 1.0
+    # doc 4's own m-grams (+ the m/boiler seam grams) are novel, the
+    # interior boiler grams are shared with docs 2/3
+    assert got[4].novel_grams == got[4].n_grams - 8  # 8 interior boiler tri-grams
+    assert got[5].n_grams == 1 and got[5].novelty == 0.0
+    assert got[6].novelty == 0.0
+
+
 def test_remove_duplicate_spans_exact_extents(spark):
     """Planted passages straddling k_tokens: a 12-token passage
     (k=8) at MISALIGNED offsets is cut exactly — all 12 tokens, no

@@ -1090,8 +1090,16 @@ def natural_boundary_dedup(
         split_pat, joiner = r"\n", "\n"
     elif granularity == "paragraph":
         split_pat, joiner = r"\n{2,}", "\n\n"
+    elif granularity == "sentence":
+        # split after terminal punctuation runs (lookbehind keeps the
+        # punctuation with its sentence); newlines also terminate —
+        # the cheap regex segmentation quality-filter pipelines use
+        # (abbreviation-aware segmentation is a model's job)
+        split_pat, joiner = r"(?<=[.!?])\s+|\n", " "
     else:
-        raise ValueError("granularity must be 'line' or 'paragraph'")
+        raise ValueError(
+            "granularity must be 'line', 'paragraph', or 'sentence'"
+        )
     raw_units = F.split(F.col(text_col), split_pat)
     units = ensure_parallelism(df).select(
         F.col(id_col).alias("__doc"),
@@ -1663,6 +1671,56 @@ def perplexity_buckets(
             .otherwise(F.lit("tail")),
         )
         .select("doc", "n_bigrams", "avg_nll", "bucket")
+    )
+
+
+def ngram_novelty(df, text_col: str, id_col: str, n: int = 3):
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that appear in no other document — the
+    memorization/duplication-pressure signal (a doc whose n-grams are
+    all corpus-shared contributes nothing new to training; near-zero
+    novelty flags boilerplate and mirrors, near-one flags unique
+    content). The complement of the shared-n-gram mass the exact
+    decontamination/jaccard family measures.
+
+    Scale shape: one distinct-(doc, gram) explode (map-side distinct
+    within each doc's row via array_distinct BEFORE the explode),
+    corpus document-frequency as a groupBy(gram) aggregation joined
+    back (map-side partials collapse boilerplate grams; the join is
+    AQE-skew-splittable — the same de-skew discipline as tf_idf),
+    then one per-doc aggregation. No vocabulary broadcast, no
+    windows. Returns (doc, n_grams, novel_grams, novelty) for docs
+    with ≥1 n-gram; short docs fall back to their full text as one
+    shingle (the shingling convention).
+    """
+    from xetl_spark.operators.dedup import _ngram_array, _tokens
+
+    grams = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(_ngram_array(_tokens(text_col), n))
+            ).alias("gram"),
+        )
+        .filter(F.col("gram") != "")  # token-free docs have no grams
+    )
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).alias(
+                "novel_grams"
+            ),
+        )
+        .select(
+            "doc",
+            "n_grams",
+            "novel_grams",
+            (F.col("novel_grams") / F.col("n_grams")).alias("novelty"),
+        )
     )
 
 

@@ -1725,6 +1725,116 @@ def q_text_exact_span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select("doc_id", "n_tokens", "kept_tokens")
 
 
+@query(
+    "q_text_sentence_dedup",
+    # DuckDB's RE2 has no lookbehind, so the oracle emulates the
+    # operator's sentence split by inserting a newline after terminal
+    # punctuation and splitting on it — equivalent on this corpus
+    # (single-space separators, no raw newlines)
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             'alpha' || doc_id || ' one. beta' || doc_id
+             || ' two! common promo sentence here. gamma' || doc_id
+             || ' three?' AS text
+      FROM documents WHERE doc_id < 300),
+    ex AS (
+      SELECT doc_id, generate_subscripts(parts, 1) AS pos,
+             trim(unnest(parts)) AS unit
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(text, '([.!?]) ',
+                                               '\\1' || chr(10), 'g'),
+                                chr(10)) AS parts
+            FROM aug)),
+    u AS (SELECT * FROM ex WHERE unit <> ''),
+    stats AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id),
+    k AS (
+      SELECT doc_id, pos, unit,
+             row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+      FROM u),
+    kept AS (
+      SELECT doc_id, count(*) AS kept_units,
+             string_agg(unit, ' ' ORDER BY pos) AS new_text
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(coalesce(s.n_units, 0) AS BIGINT) AS n_units,
+           CAST(coalesce(kk.kept_units, 0) AS BIGINT) AS kept_units,
+           coalesce(kk.new_text, '') AS new_text
+    FROM aug a
+    LEFT JOIN stats s USING (doc_id)
+    LEFT JOIN kept kk USING (doc_id)
+    """,
+)
+def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity natural-boundary dedup (operators/text.py
+    natural_boundary_dedup(granularity='sentence') — terminal-
+    punctuation segmentation): a promo sentence planted in every doc
+    survives only in doc 0; each doc's own sentences survive
+    everywhere. The driver hash certifies the lookbehind split
+    against DuckDB's replace-then-split emulation."""
+    from xetl_spark.operators.text import natural_boundary_dedup
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+    corpus = ids.select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha"), F.col("doc_id"), F.lit(" one. beta"),
+            F.col("doc_id"),
+            F.lit(" two! common promo sentence here. gamma"),
+            F.col("doc_id"), F.lit(" three?"),
+        ).alias("text"),
+    )
+    out = natural_boundary_dedup(corpus, "text", "doc_id", granularity="sentence")
+    return out.select("doc_id", "n_units", "kept_units", "new_text")
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({_DD_TOKENS}, x -> x <> '') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               END)) AS gram
+      FROM t),
+    g2 AS (SELECT doc_id, gram FROM g WHERE gram <> ''),
+    dfreq AS (SELECT gram, count(*) AS gdf FROM g2 GROUP BY gram)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           round(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS novelty
+    FROM g2 JOIN dfreq USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (operators/text.py ngram_novelty):
+    the fraction of a doc's distinct trigrams appearing in no other
+    document — the memorization/duplication-pressure signal. Same
+    de-skew shape as tf_idf (distinct-gram explode, groupBy document
+    frequency joined back, per-doc aggregate); oracle recomputes the
+    document-frequency join in SQL including the short-doc full-text
+    shingle fallback."""
+    from xetl_spark.operators.text import ngram_novelty
+
+    (docs,) = load(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_grams",
+        "novel_grams",
+        F.round("novelty", 6).alias("novelty"),
+    )
+
+
 @query("q_text_dsir_weights", oracle=None)
 def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/text.py dsir_logweights —
