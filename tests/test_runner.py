@@ -1128,6 +1128,66 @@ def test_span_dedup_task(spark, tmp_path):
         fn(ctx("bogus"))
 
 
+def test_span_dedup_task_chained_passes(spark):
+    """Chaining a stride pass into an exact pass (documented use) must
+    not produce a duplicate kept_tokens column: the second pass drops
+    the first pass's column and every output column stays unambiguous.
+    Same contract for chained line_dedup (kept_lines)."""
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("span_dedup")
+    own = lambda d, m: [f"t{d}x{j}" for j in range(m)]
+    P = [f"p{j}" for j in range(12)]
+    rows = [
+        (0, " ".join(own(0, 10) + P + own(0, 24)[10:]), "a"),
+        (1, " ".join(own(1, 3) + P + own(1, 24)[3:]), "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, meta string")
+
+    def ctx(mode, src):
+        class _Ctx:
+            env = {
+                "TEXT_COL": "text",
+                "ID_COL": "doc_id",
+                "MODE": mode,
+                "K_TOKENS": 8,
+                "STRIDE": 4,
+                "DROP_EMPTY": True,
+            }
+
+            def input_df(self):
+                return src
+
+        return _Ctx()
+
+    first = fn(ctx("stride", df))
+    second = fn(ctx("exact", first))
+    assert second.columns.count("kept_tokens") == 1
+    got = {r.doc_id: r for r in second.collect()}  # ambiguity would throw
+    assert got[1].kept_tokens == 24  # exact pass still cuts the passage
+    assert got[1].meta == "b"
+
+    _spec, line_fn = BUILTINS.get("line_dedup")
+
+    def lctx(src):
+        class _Ctx:
+            env = {
+                "TEXT_COL": "text",
+                "ID_COL": "doc_id",
+                "LINE_TOKENS": 4,
+                "DROP_EMPTY": True,
+            }
+
+            def input_df(self):
+                return src
+
+        return _Ctx()
+
+    twice = line_fn(lctx(line_fn(lctx(df))))
+    assert twice.columns.count("kept_lines") == 1
+    twice.collect()
+
+
 def test_example_incremental_ingest_two_runs(spark, tmp_path, monkeypatch):
     """examples/incremental_ingest.yml: the first run seeds the digest
     and signature stores and writes the shard's unique rows; the

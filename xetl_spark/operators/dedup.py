@@ -797,6 +797,7 @@ def fuzzy_decontaminate(
     bands: int = 8,
     threshold: float = 0.8,
     eval_signatures: DataFrame | None = None,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: flag every corpus document
     that is a verified MinHash near-duplicate (jaccard ≥ threshold)
@@ -815,12 +816,19 @@ def fuzzy_decontaminate(
     against EVAL bands — corpus × eval only, NEVER corpus × corpus,
     so cost is |corpus| × eval-collision-rate. The eval side is a
     benchmark set (thousands of rows, not billions) — its banding
-    and signature tables are broadcast, and the candidate set (also
-    small: |corpus| × collision-rate) is broadcast back into the
-    verification join, so the corpus *text* never shuffles and its
-    signature table exchanges zero times: signatures, band join, and
-    verification all pipeline map-side; the only exchange is the
-    final per-doc argmin aggregation over the (small) flagged set.
+    and signature tables are broadcast. The candidate set's size is
+    |corpus| × eval-collision-rate — small in the common case but
+    corpus-proportional exactly in the heavy-contamination scenario
+    this operator targets (crawls of benchmark mirrors), so it is NOT
+    unconditionally broadcast: ``broadcast_candidates=None`` (default)
+    leaves the verification join unhinted and lets AQE size the
+    materialized candidate table at runtime — it becomes a broadcast
+    join when it fits under ``spark.sql.autoBroadcastJoinThreshold``
+    (the corpus signature table then streams map-side) and an
+    AQE-optimized shuffle join when it doesn't (no driver OOM).
+    ``True`` forces the broadcast hint (the pre-round-10 behavior,
+    for when the caller KNOWS contamination is sparse); ``False``
+    forces the shuffle join.
 
     Token-free documents (empty / whitespace / no alphanumerics) are
     never flagged: the short-doc shingling fallback gives every such
@@ -883,11 +891,16 @@ def fuzzy_decontaminate(
         F.col("sz").alias("sz_a"),
     )
     inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
-    # broadcast the candidate pairs so the corpus-sized signature
-    # table streams map-side through the verification join instead of
-    # sort-merge exchanging on doc_a
+    # candidate side of the verification join: broadcast only when the
+    # caller forces it — by default leave it to AQE's runtime sizing
+    # (see docstring; an unconditional hint OOMs the driver exactly in
+    # the heavy-contamination case this operator exists for)
+    if broadcast_candidates is True:
+        cand = F.broadcast(cand)
+    elif broadcast_candidates is False:
+        cand = cand.hint("shuffle_hash")
     verified = (
-        F.broadcast(cand).join(sc, "doc_a")
+        cand.join(sc, "doc_a")
         .join(se, "doc_b")
         .select(
             "doc_a",

@@ -1627,8 +1627,13 @@ def perplexity_buckets(
     ~10^8 docs; at web scale flip ``exact=False`` for
     percentile_approx (bounded-memory mergeable sketch; thresholds
     then carry rank error ≤ 1/accuracy and are not bit-reproducible
-    across partitionings). ``materialize=True`` persists the scored
-    table so the threshold pass does not recompute the KN pipeline.
+    across partitionings). ``materialize=True`` eagerly
+    local-checkpoints the scored table so the threshold pass does not
+    recompute the KN pipeline — a checkpoint, not ``persist()``,
+    because a CacheManager entry outlives the call (every invocation
+    would leak a session-lifetime cached DataFrame), whereas
+    checkpoint blocks are released by the ContextCleaner as soon as
+    the returned frame is no longer referenced.
     Returns (doc, n_bigrams, avg_nll, bucket); docs with <2 tokens
     are unscored, as in kn_bigram_logprob.
     """
@@ -1638,7 +1643,7 @@ def perplexity_buckets(
     )
     scored = scored.withColumn("__nll", nll)
     if materialize:
-        scored = scored.persist()
+        scored = scored.localCheckpoint(eager=True)
     q1, q2 = cuts
     if exact:
         th = scored.agg(

@@ -832,8 +832,14 @@ def incremental_dedup_task(ctx: StageContext):
     # store files — never overwrite them in place
     tmp = store_s.rstrip("/") + ".tmp"
     new_store.write.mode("overwrite").parquet(tmp)
-    fresh = fresh.persist()
-    fresh.count()
+    # localCheckpoint, not persist(): a persisted plan is still lazy
+    # lineage — cache eviction under memory pressure (or executor
+    # loss) after the swap would recompute it from the now-deleted
+    # store files, silently mis-deduping. An eager local checkpoint
+    # truncates the lineage, so nothing downstream can ever re-read
+    # the swapped path (executor loss becomes a loud job failure,
+    # never a wrong answer).
+    fresh = fresh.localCheckpoint(eager=True)
     if os.path.isdir(store_s):
         shutil.rmtree(store_s)
     os.replace(tmp, store_s)
@@ -894,10 +900,11 @@ def semantic_dedup_task(ctx: StageContext):
 
         tmp = store_s.rstrip("/") + ".tmp"
         semdedup_save_store(new_store, centroids, tmp)
-        # fresh is returned lazily to downstream stages; its plan must
-        # not reference the store path being swapped underneath it
-        fresh = fresh.persist()
-        fresh.count()
+        # fresh is returned to downstream stages; its plan must not
+        # reference the store path being swapped underneath it. An
+        # eager localCheckpoint truncates the lineage (persist() would
+        # not: eviction/executor loss recomputes from deleted files)
+        fresh = fresh.localCheckpoint(eager=True)
         if os.path.isdir(store_s):
             shutil.rmtree(store_s)
         os.replace(tmp, store_s)
@@ -937,7 +944,8 @@ def line_dedup_task(ctx: StageContext):
     deduped = line_dedup(df, text_col, id_col, line_tokens=int(ctx.env["LINE_TOKENS"]))  # type: ignore[arg-type]
     if ctx.env["DROP_EMPTY"]:
         deduped = deduped.filter(F.col("kept_lines") > 0)
-    out = df.drop(text_col).join(
+    # drop any pre-existing kept_lines (chained line-dedup passes)
+    out = df.drop(text_col, "kept_lines").join(
         deduped.select(id_col, F.col("new_text").alias(text_col), "kept_lines"),
         on=id_col,
         how="inner",
@@ -988,7 +996,10 @@ def span_dedup_task(ctx: StageContext):
         raise ValueError(f"span_dedup: unknown MODE {mode!r}; valid: exact, stride")
     if ctx.env["DROP_EMPTY"]:
         deduped = deduped.filter(F.col("kept_tokens") > 0)
-    return df.drop(text_col).join(
+    # drop any pre-existing kept_tokens too: chaining a stride pass
+    # into an exact pass (a documented use) would otherwise emit two
+    # kept_tokens columns and break every downstream reference
+    return df.drop(text_col, "kept_tokens").join(
         deduped.select(
             id_col, F.col("new_text").alias(text_col), "kept_tokens"
         ),
