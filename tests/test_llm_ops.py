@@ -1361,6 +1361,45 @@ def test_remove_duplicate_spans_exact_arrow_engine_parity(spark):
         )
 
 
+def test_remove_duplicate_spans_exact_auto_engine(spark):
+    """'auto' (the default) picks catalyst below _AUTO_ARROW_MIN_K and
+    arrow at/above it, and parity holds ACROSS the switch point: the
+    same corpus deduped at k just under and just over the threshold
+    agrees with both explicit engines at that k."""
+    import random
+
+    from xetl_spark.operators.text import (
+        _AUTO_ARROW_MIN_K,
+        remove_duplicate_spans_exact,
+    )
+
+    rng = random.Random(11)
+    # docs long enough to carry windows of k ~ _AUTO_ARROW_MIN_K
+    passage = [f"pw{j}" for j in range(_AUTO_ARROW_MIN_K + 20)]
+    rows = []
+    for i in range(24):
+        words = [f"d{i}w{j}" for j in range(rng.randint(0, 120))]
+        if i % 2:
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + passage + words[pos:]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(k, engine):
+        return sorted(
+            (r.doc_id, r.n_tokens, r.kept_tokens, r.new_text)
+            for r in remove_duplicate_spans_exact(
+                df, "text", "doc_id", k_tokens=k, hash_engine=engine
+            ).collect()
+        )
+
+    for k in (_AUTO_ARROW_MIN_K - 1, _AUTO_ARROW_MIN_K):
+        auto = run(k, "auto")
+        assert auto == run(k, "catalyst") == run(k, "arrow"), k
+        # the k-straddling corpus must actually exercise the dedup
+        assert any(r[2] < r[1] for r in auto), k
+
+
 def test_incremental_minhash_dedup(spark):
     """Cross-run near-dup ingestion: batch 2 drops near-dups of batch
     1's STORE and of lower-id in-batch partners; only fresh rows'

@@ -1363,12 +1363,20 @@ def _window_hash_rows_arrow(base, k_tokens: int):
     )
 
 
+# Measured hash-stage-only crossover (3000 docs x 1500 tokens,
+# local[32], round 10): catalyst 0.51s/1.20s/3.01s vs arrow
+# 0.93s/0.92s/0.75s at k = 32/128/512 — the JVM slice hash is
+# O(tokens x k), the Arrow rolling polynomial O(tokens) + a fixed
+# serialization toll, crossing between k=64 and k=128.
+_AUTO_ARROW_MIN_K = 96
+
+
 def remove_duplicate_spans_exact(
     df,
     text_col: str,
     id_col: str,
     k_tokens: int = 32,
-    hash_engine: str = "catalyst",
+    hash_engine: str = "auto",
 ):
     """Corpus-level duplicated-substring removal with EXACT maximal
     extents (the full Lee et al. 2022 ExactSubstr semantics for
@@ -1403,14 +1411,19 @@ def remove_duplicate_spans_exact(
     an Arrow-batched rolling polynomial (O(tokens) instead of
     O(tokens × k); _window_hash_rows_arrow) — tokenization and every
     downstream join stay identical, and the two engines produce the
-    same final output (differential-tested), so pick by profile:
-    catalyst keeps everything JVM-side, arrow wins on large
-    ``k_tokens``.
+    same final output (differential-tested). The default ``"auto"``
+    picks by the measured crossover: catalyst (all-JVM, whole-stage
+    codegen) below ``_AUTO_ARROW_MIN_K`` tokens, arrow at or above
+    it, where the O(tokens × k) slice-hash term overtakes Arrow's
+    fixed serialization toll (4× faster by k=512; see the
+    measurement note on the constant).
 
     Returns (doc id, n_tokens, kept_tokens, new_text), one row per
     input document (docs shorter than ``k_tokens`` pass through
     unchanged).
     """
+    if hash_engine == "auto":
+        hash_engine = "arrow" if k_tokens >= _AUTO_ARROW_MIN_K else "catalyst"
     toks = F.filter(tokens(text_col), lambda x: x != F.lit(""))
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__doc"), toks.alias("__toks")
@@ -1439,7 +1452,7 @@ def remove_duplicate_spans_exact(
         wins = _window_hash_rows_arrow(base.filter(n >= k_tokens), k_tokens)
     else:
         raise ValueError(
-            f"hash_engine must be 'catalyst' or 'arrow', got {hash_engine!r}"
+            f"hash_engine must be 'auto', 'catalyst' or 'arrow', got {hash_engine!r}"
         )
     firsts = wins.groupBy("__h").agg(
         F.min(F.struct("__doc", "__s")).alias("__f"),
