@@ -222,17 +222,57 @@ def test_progressive_encode_decodes_bit_identical_to_baseline():
     )
 
 
-def test_arithmetic_progressive_rejected_with_typed_error():
-    """SOF10 (arithmetic progressive) stays a typed boundary; SOF9 is
-    now a real decode path (see the arithmetic tests below)."""
+def test_arithmetic_progressive_sof10_roundtrip():
+    """SOF10 (arithmetic progressive — round 10) decodes pixel-
+    identically to its SOF9 sequential-arithmetic, SOF2 Huffman-
+    progressive, and baseline twins: the 4-scan successive-
+    approximation script (DC first Al=1 / DC refine / AC first Al=1 /
+    AC refine per component) reconstructs every quantized coefficient
+    bit-exactly. Color + grayscale, odd sizes, 8- and 12-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(10)
+    for shape, bits in [
+        ((40, 56, 3), 8), ((33, 29), 8), ((24, 24, 3), 12), ((16, 9), 12),
+    ]:
+        maxv = (1 << bits) - 1
+        img = rng.integers(0, maxv + 1, shape).astype(
+            np.uint8 if bits == 8 else np.uint16
+        )
+        pb = jpeg.jpeg_encode(
+            img, quality=85, bits=bits, arithmetic=True, progressive=True
+        )
+        assert b"\xff\xca" in pb  # really SOF10
+        ncomp = 1 if len(shape) == 2 else 3
+        assert pb.count(b"\xff\xda") == 2 + 2 * ncomp  # the scan script
+        got = jpeg.jpeg_decode(pb)
+        for twin in (
+            jpeg.jpeg_encode(img, quality=85, bits=bits, arithmetic=True),
+            jpeg.jpeg_encode(img, quality=85, bits=bits, progressive=True),
+            jpeg.jpeg_encode(img, quality=85, bits=bits),
+        ):
+            assert np.array_equal(got, jpeg.jpeg_decode(twin)), (shape, bits)
+    # DC-exact closed-form case (the driver-oracle pattern)
+    flat = np.full((11, 13), 3000, dtype=np.uint16)
+    out = jpeg.jpeg_decode(
+        jpeg.jpeg_encode(
+            flat, quality=100, bits=12, arithmetic=True, progressive=True
+        )
+    )
+    assert (out[:, :, 0] == flat).all()
+
+
+def test_sof10_malformed_dc_scan_typed_error():
+    """A progressive-arithmetic stream whose 'DC' scan claims
+    Se=63 (a baseline SOS inside a SOF10 frame — the hand-patched
+    fuzz shape) fails with the typed error, not junk output."""
     img = _gradient(16, 16)
-    payload = bytearray(jpeg.jpeg_encode(img, quality=90))
-    i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xCA
-    with pytest.raises(UnsupportedImageError, match="non-baseline"):
+    payload = bytearray(jpeg.jpeg_encode(img, quality=90, arithmetic=True))
+    i = payload.find(b"\xff\xc9")
+    assert i > 0
+    payload[i + 1] = 0xCA  # SOF9 -> SOF10; SOS still Ss=0..Se=63
+    with pytest.raises(UnsupportedImageError, match="progressive DC scan"):
         jpeg.jpeg_decode(bytes(payload))
-    with pytest.raises(UnsupportedImageError, match="progressive"):
-        jpeg.jpeg_encode(img, quality=90, arithmetic=True, progressive=True)
 
 
 def test_qm_coder_roundtrip_random_decisions():

@@ -69,6 +69,10 @@ def main() -> int:
     bench("JPEG 12-bit", "decode", raw * 2, lambda: jpeg.jpeg_decode(j12))
     jh = jpeg.jpeg_encode_hierarchical(img, levels=3, quality=85)
     bench("JPEG hierarchical", "decode", raw, lambda: jpeg.jpeg_decode(jh))
+    ja = jpeg.jpeg_encode(img, 85, arithmetic=True)
+    bench("JPEG arithmetic (SOF9)", "decode", raw, lambda: jpeg.jpeg_decode(ja))
+    jap = jpeg.jpeg_encode(img, 85, arithmetic=True, progressive=True)
+    bench("JPEG arith progressive (SOF10)", "decode", raw, lambda: jpeg.jpeg_decode(jap))
     pal_idx = (img[:, :, 0] >> 5).astype(np.uint8)
     pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
     gf = gif.gif_encode([pal[pal_idx]], delays_cs=[4])

@@ -38,15 +38,19 @@ plus the J.1.1.2 integer upsampling filter; the encoder
 mirror-decodes each frame so residuals are coded against the
 decoder's true reference.
 
-Arithmetic coding (SOF9, extended sequential, 8/12-bit) decodes AND
-encodes via the T.81 Annex D QM-coder (operators/jpeg_arith.py: the
-113-state probability machine, DC diff-category conditioning, AC
-Kx-split contexts, DAC parsing, restart segments). Round-trip is
-bit-exact on every quantized coefficient; see jpeg_arith's
-conformance note for the third-party-stream caveat. Still out of
-scope (typed ``UnsupportedImageError``): arithmetic progressive /
-lossless / hierarchical (SOF10/13/14) — each composes the QM-coder
-with a different conditioning layer that would need its own
+Arithmetic coding decodes AND encodes via the T.81 Annex D QM-coder
+(operators/jpeg_arith.py: the 113-state probability machine, DC
+diff-category conditioning, AC Kx-split contexts, DAC parsing,
+restart segments): SOF9 (extended sequential, 8/12-bit) and — round
+10 — SOF10 (progressive: Annex G.2 successive approximation, the
+four scan kinds DC first/refine + AC first/refine over the same
+statistics areas). Round-trip is bit-exact on every quantized
+coefficient and SOF10 output decodes pixel-identically to its
+SOF9/Huffman twins; see jpeg_arith's conformance note for the
+third-party-stream caveat. Still out of scope (typed
+``UnsupportedImageError``): arithmetic lossless / arithmetic
+hierarchical (SOF13/14) — each composes the QM-coder with a
+different sample-domain conditioning layer that would need its own
 verification story.
 
 Scale note: like the PNG codec, every image decodes independently
@@ -401,10 +405,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
             _parse_dht(seg, huff)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # baseline / ext seq /
-            # progressive / arithmetic ext seq
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # baseline / ext seq /
+            # progressive / arithmetic ext seq / arithmetic progressive
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec not in (8, 12):
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
@@ -437,7 +441,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             return _lossless_decode(payload)
         elif marker == 0xDE:  # DHP: hierarchical stream
             return _hierarchical_decode(payload)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )
@@ -468,7 +472,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             segments, pos = _entropy_segments(payload, pos)
             if arith:
                 _decode_sos_arith(
-                    segments, scan, frame, coefs, geom, restart_interval, dac
+                    segments, scan, frame, coefs, geom, restart_interval,
+                    dac, ss, se, ah, al, progressive,
                 )
             else:
                 _decode_sos(
@@ -642,21 +647,28 @@ def _decode_sos(
 
 
 def _decode_sos_arith(
-    segments, scan, frame, coefs, geom, restart_interval, dac
+    segments, scan, frame, coefs, geom, restart_interval, dac,
+    ss=0, se=63, ah=0, al=0, progressive=False,
 ) -> None:
-    """Decode one ARITHMETIC (SOF9) sequential scan into the
-    coefficient planes — the QM-coder twin of the Huffman
-    _decode_sos. Same MCU/block walk and restart discipline; each
-    restart segment gets a fresh QMDecoder and a fully reset
-    statistics area + DC conditioning state (T.81 F.2.1.3). ``dac``
-    maps (class, table_id) -> conditioning: (L, U) for DC (diff
-    category thresholds, default (0, 1)), Kx for AC (low/high
-    spectral split, default 5) — T.81 B.2.4.3 defaults."""
+    """Decode one ARITHMETIC scan into the coefficient planes — the
+    QM-coder twin of the Huffman _decode_sos, covering SOF9
+    (sequential) and SOF10 (progressive: T.81 Annex G.2 successive
+    approximation, the four scan kinds dispatched on (Ss, Ah)). Same
+    MCU/block walk and restart discipline; each restart segment gets
+    a fresh QMDecoder and a fully reset statistics area + DC
+    conditioning state (T.81 F.2.1.3). ``dac`` maps
+    (class, table_id) -> conditioning: (L, U) for DC (diff category
+    thresholds, default (0, 1)), Kx for AC (low/high spectral split,
+    default 5) — T.81 B.2.4.3 defaults."""
     from xetl_spark.operators.jpeg_arith import (
         ArithState,
         QMDecoder,
         decode_ac,
+        decode_ac_first,
+        decode_ac_refine,
         decode_dc,
+        decode_dc_first,
+        decode_dc_refine,
     )
 
     h, w, comps = frame
@@ -689,11 +701,28 @@ def _decode_sos_arith(
         low, up = dac.get((0, dc_id), (0, 1))
         kx = dac.get((1, ac_id), 5)
         try:
-            zz[0] = decode_dc(dec, ast, ci_of[cid], dc_id, low, up)
-            decode_ac(dec, ast, ac_id, kx, zz)
+            if not progressive:
+                zz[0] = decode_dc(dec, ast, ci_of[cid], dc_id, low, up)
+                decode_ac(dec, ast, ac_id, kx, zz)
+            elif ss == 0 and ah == 0:  # DC first
+                zz[0] = decode_dc_first(
+                    dec, ast, ci_of[cid], dc_id, low, up, al
+                )
+            elif ss == 0:  # DC refinement
+                if decode_dc_refine(dec, ast):
+                    zz[0] |= 1 << al
+            elif ah == 0:  # AC first
+                decode_ac_first(dec, ast, ac_id, kx, zz, ss, se, al)
+            else:  # AC refinement
+                decode_ac_refine(dec, ast, ac_id, zz, ss, se, al)
         except ValueError as exc:
             raise UnsupportedImageError(f"corrupt arithmetic scan: {exc}")
 
+    if progressive and ss != 0 and len(scan) > 1:
+        raise UnsupportedImageError("interleaved progressive AC scan")
+    if progressive and ss == 0 and se != 0:
+        # T.81 B.2.3: a progressive DC scan is exactly Ss=Se=0
+        raise UnsupportedImageError("malformed progressive DC scan (Se != 0)")
     if len(scan) > 1:  # interleaved MCU order
         for my in range(mcuy):
             for mx in range(mcux):
@@ -933,8 +962,6 @@ def jpeg_encode(
     typically ~10-40% smaller files; sequential only."""
     if bits not in (8, 12):
         raise UnsupportedImageError(f"{bits}-bit JPEG encode unsupported")
-    if arithmetic and progressive:
-        raise UnsupportedImageError("arithmetic progressive encode unsupported")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
@@ -1002,7 +1029,7 @@ def jpeg_encode(
         sof += bytes([ci + 1, 0x11, qsel[ci]])
     # 12-bit sequential must use SOF1 (extended); baseline SOF0 is 8-bit-only
     if arithmetic:
-        sof_marker = 0xC9
+        sof_marker = 0xCA if progressive else 0xC9
     else:
         sof_marker = 0xC2 if progressive else (0xC1 if bits == 12 else 0xC0)
     out += seg(sof_marker, sof)
@@ -1013,6 +1040,69 @@ def jpeg_encode(
             dac_body += bytes([0x00 | ti, 0x10])  # DC: L=0, U=1
             dac_body += bytes([0x10 | ti, 5])  # AC: Kx=5
         out += seg(0xCC, bytes(dac_body))
+
+        from xetl_spark.operators.jpeg_arith import (
+            ArithState,
+            QMEncoder,
+            encode_ac,
+            encode_ac_first,
+            encode_ac_refine,
+            encode_dc,
+            encode_dc_first,
+            encode_dc_refine,
+        )
+
+        if progressive:
+            # SOF10 scan script with real successive approximation
+            # (T.81 Annex G.2), so every scan kind — DC first/refine,
+            # AC first/refine — is exercised and the reconstructed
+            # coefficients are bit-exact (DC: arithmetic-shift split;
+            # AC: magnitude-split + correction bit):
+            #   1. interleaved DC first   Ss=0 Se=0  Ah=0 Al=1
+            #   2. interleaved DC refine  Ss=0 Se=0  Ah=1 Al=0
+            #   3. per comp: AC first     Ss=1 Se=63 Ah=0 Al=1
+            #   4. per comp: AC refine    Ss=1 Se=63 Ah=1 Al=0
+            sos = bytes([ncomp])
+            for ci in range(ncomp):
+                sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+            out += seg(0xDA, sos + bytes([0, 0, 0x01]))  # DC first, Al=1
+            enc = QMEncoder()
+            ast = ArithState(ncomp)
+            for bi in range(bh * bw):
+                for ci in range(ncomp):
+                    encode_dc_first(
+                        enc, ast, ci, qsel[ci], 0, 1,
+                        int(zz_blocks[ci][bi, 0]), 1,
+                    )
+            out += enc.flush()
+            out += seg(0xDA, sos + bytes([0, 0, 0x10]))  # DC refine, Ah=1
+            enc = QMEncoder()
+            ast = ArithState(ncomp)
+            for bi in range(bh * bw):
+                for ci in range(ncomp):
+                    encode_dc_refine(enc, ast, int(zz_blocks[ci][bi, 0]), 0)
+            out += enc.flush()
+            for ci in range(ncomp):  # 4:4:4: comp grid == MCU grid
+                csos = bytes([1, ci + 1, (qsel[ci] << 4) | qsel[ci]])
+                out += seg(0xDA, csos + bytes([1, 63, 0x01]))  # AC first
+                enc = QMEncoder()
+                ast = ArithState(1)
+                for bi in range(bh * bw):
+                    encode_ac_first(
+                        enc, ast, qsel[ci], 5, zz_blocks[ci][bi], 1, 63, 1
+                    )
+                out += enc.flush()
+                out += seg(0xDA, csos + bytes([1, 63, 0x10]))  # AC refine
+                enc = QMEncoder()
+                ast = ArithState(1)
+                for bi in range(bh * bw):
+                    encode_ac_refine(
+                        enc, ast, qsel[ci], zz_blocks[ci][bi], 1, 63, 0
+                    )
+                out += enc.flush()
+            out += b"\xff\xd9"
+            return bytes(out)
+
         if restart_interval:
             out += seg(0xDD, struct.pack(">H", restart_interval))
         sos = bytes([ncomp])
@@ -1020,13 +1110,6 @@ def jpeg_encode(
             sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
         sos += bytes([0, 63, 0])
         out += seg(0xDA, sos)
-
-        from xetl_spark.operators.jpeg_arith import (
-            ArithState,
-            QMEncoder,
-            encode_ac,
-            encode_dc,
-        )
 
         enc = QMEncoder()
         ast = ArithState(ncomp)

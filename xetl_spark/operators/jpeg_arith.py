@@ -503,3 +503,206 @@ def encode_ac(enc: QMEncoder, state: ArithState, tbl: int, kx: int,
         k += 1
     if ke < 63:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+# ------------------------------------------------ progressive (Annex G.2)
+#
+# The four successive-approximation scan kinds of SOF10, with the
+# jdarith.c/jcarith.c procedure structure over the same statistics
+# areas as the sequential flows above. Point transform: DC uses an
+# arithmetic right shift by Al (T.81 G.1.2.1); AC divides toward zero
+# (abs-then-shift, G.1.2.2). Coefficient arrays are in ZIGZAG index
+# space (position k indexes zz directly), matching operators/jpeg.py.
+
+
+def decode_dc_first(dec: QMDecoder, state: ArithState, ci: int, tbl: int,
+                    dc_l: int, dc_u: int, al: int) -> int:
+    """G.2: DC first scan (Ss=0, Ah=0) — the sequential DC-difference
+    flow in the point-transformed domain; returns the value for
+    zz[0] (last_dc << Al)."""
+    return decode_dc(dec, state, ci, tbl, dc_l, dc_u) << al
+
+
+def encode_dc_first(enc: QMEncoder, state: ArithState, ci: int, tbl: int,
+                    dc_l: int, dc_u: int, dc: int, al: int) -> None:
+    """Mirror of decode_dc_first: arithmetic right shift (rounds
+    toward -inf — Python's >> on ints) then the sequential diff flow."""
+    encode_dc(enc, state, ci, tbl, dc_l, dc_u, dc >> al)
+
+
+def decode_dc_refine(dec: QMDecoder, state: ArithState) -> int:
+    """G.2: DC refinement (Ss=0, Ah>0) — one fixed-estimate decision
+    per block; caller ORs (bit << Al) into zz[0]."""
+    return dec.decode(state.fixed, 0)
+
+
+def encode_dc_refine(enc: QMEncoder, state: ArithState, dc: int,
+                     al: int) -> None:
+    """Mirror of decode_dc_refine: emit the Al-th bit of zz[0]."""
+    enc.encode(state.fixed, 0, (dc >> al) & 1)
+
+
+def decode_ac_first(dec: QMDecoder, state: ArithState, tbl: int, kx: int,
+                    zz, ss: int, se_idx: int, al: int) -> None:
+    """G.2: AC first scan (Ss..Se, Ah=0) — the sequential AC flow
+    restricted to the band, decoded values stored at scale 2^Al."""
+    st = state.ac(tbl)
+    k = ss
+    while k <= se_idx:
+        se = 3 * (k - 1)
+        if dec.decode(st, se):
+            return  # EOB
+        while dec.decode(st, se + 1) == 0:
+            se += 3
+            k += 1
+            if k > se_idx:
+                raise ValueError("arithmetic AC run overflow")
+        sign = dec.decode(state.fixed, 0)
+        sp = se + 2
+        m = dec.decode(st, sp)
+        base = sp
+        if m != 0:
+            if dec.decode(st, sp):
+                m <<= 1
+                x = 189 if k <= kx else 217
+                while dec.decode(st, x):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    x += 1
+                base = x
+        v = m
+        mb = base + 14
+        mm = m
+        while mm := mm >> 1:
+            if dec.decode(st, mb):
+                v |= mm
+        v += 1
+        zz[k] = (-v if sign else v) << al
+        k += 1
+
+
+def encode_ac_first(enc: QMEncoder, state: ArithState, tbl: int, kx: int,
+                    zz, ss: int, se_idx: int, al: int) -> None:
+    """Mirror of decode_ac_first (T.81 Figure G.4). The band's EOB
+    index is established in the point-transformed domain."""
+    st = state.ac(tbl)
+    ke = se_idx
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        se = 3 * (k - 1)
+        enc.encode(st, se, 0)  # not EOB
+        while (abs(int(zz[k])) >> al) == 0:
+            enc.encode(st, se + 1, 0)
+            se += 3
+            k += 1
+        enc.encode(st, se + 1, 1)
+        v = int(zz[k])
+        if v >= 0:
+            sign = 0
+            v >>= al
+        else:
+            sign = 1
+            v = (-v) >> al
+        enc.encode(state.fixed, 0, sign)
+        sp = se + 2
+        m = 0
+        v -= 1
+        base = sp
+        if v:
+            enc.encode(st, sp, 1)
+            m = 1
+            v2 = v
+            if v2 := v2 >> 1:
+                enc.encode(st, sp, 1)
+                m <<= 1
+                x = 189 if k <= kx else 217
+                while v2 := v2 >> 1:
+                    enc.encode(st, x, 1)
+                    m <<= 1
+                    x += 1
+                enc.encode(st, x, 0)
+                base = x
+            else:
+                enc.encode(st, sp, 0)
+                base = sp
+        else:
+            enc.encode(st, sp, 0)
+        mb = base + 14
+        mm = m
+        while mm := mm >> 1:
+            enc.encode(st, mb, 1 if (v & mm) else 0)
+        k += 1
+    if ke < se_idx:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def decode_ac_refine(dec: QMDecoder, state: ArithState, tbl: int,
+                     zz, ss: int, se_idx: int, al: int) -> None:
+    """G.2: AC refinement scan (Ss..Se, Ah = Al+1) — correction bits
+    for history-nonzero positions (st+2), newly-significant decisions
+    (st+1) with fixed-estimate signs, EOB decisions once past the
+    previous-stage EOB index."""
+    st = state.ac(tbl)
+    p1 = 1 << al
+    m1 = -p1
+    kex = se_idx
+    while kex > 0 and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se_idx:
+        se = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, se):
+                return  # EOB
+        while True:
+            coef = int(zz[k])
+            if coef != 0:  # history-nonzero: correction bit
+                if dec.decode(st, se + 2):
+                    zz[k] = coef + (m1 if coef < 0 else p1)
+                break
+            if dec.decode(st, se + 1):  # newly nonzero
+                zz[k] = m1 if dec.decode(state.fixed, 0) else p1
+                break
+            se += 3
+            k += 1
+            if k > se_idx:
+                raise ValueError("arithmetic AC refinement run overflow")
+        k += 1
+
+
+def encode_ac_refine(enc: QMEncoder, state: ArithState, tbl: int,
+                     zz, ss: int, se_idx: int, al: int) -> None:
+    """Mirror of decode_ac_refine (T.81 Figure G.10). ``ke`` is this
+    scan's EOB index (point transform by Al), ``kex`` the previous
+    stage's (point transform by Ah = Al+1)."""
+    st = state.ac(tbl)
+    ke = se_idx
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex > 0 and (abs(int(zz[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        se = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, se, 0)  # not EOB yet
+        while True:
+            v = int(zz[k])
+            mag = (v if v >= 0 else -v) >> al
+            if mag:
+                if mag >> 1:  # history-nonzero: emit correction bit
+                    enc.encode(st, se + 2, mag & 1)
+                else:  # newly nonzero: significance + fixed sign
+                    enc.encode(st, se + 1, 1)
+                    enc.encode(state.fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, se + 1, 0)
+            se += 3
+            k += 1
+        k += 1
+    if k <= se_idx:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB

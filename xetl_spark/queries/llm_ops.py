@@ -3043,6 +3043,90 @@ def q_multimodal_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg_arith_progressive",
+    oracle="""
+    SELECT doc_id,
+           CAST(15 + doc_id % 5 AS INT) AS width,
+           CAST(9 + doc_id % 7 AS INT) AS height,
+           CAST((doc_id * 37) % 4096 AS BIGINT) AS gray,
+           CAST(4 AS INT) AS n_scans
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_jpeg_arith_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL arithmetic-coded PROGRESSIVE JPEG decode (T.81 SOF10:
+    Annex G.2 successive approximation over the Annex D QM-coder —
+    operators/jpeg_arith.py decode_dc_first/decode_dc_refine/
+    decode_ac_first/decode_ac_refine). The encoder emits a 4-scan
+    script for grayscale (DC first Al=1, DC refine, AC first Al=1, AC
+    refine), so every progressive-arithmetic scan kind is on the
+    decode path. Uniform 12-bit gray at quality 100 is DC-exact, so
+    the oracle states the sample closed-form; the per-doc check
+    additionally decodes a textured image (nonzero AC spectrum) and
+    pins pixel identity against the SOF9 sequential-arithmetic and
+    SOF2 Huffman-progressive twins — any refinement-scan drift
+    raises. n_scans counts the actual SOS markers in the SOF10 file."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 15 + did % 5, 9 + did % 7
+                v = (did * 37) % 4096
+                flat = np.full((h, w), v, dtype=np.uint16)
+                pb = jpeg.jpeg_encode(
+                    flat, quality=100, bits=12, arithmetic=True,
+                    progressive=True,
+                )
+                if b"\xff\xca" not in pb:
+                    raise ValueError(f"not SOF10 doc {did}")
+                n_scans = pb.count(b"\xff\xda")
+                px = jpeg.jpeg_decode(pb)
+                # textured twin: deterministic per-doc noise exercises
+                # the AC first + refinement scans
+                rng = np.random.default_rng(did)
+                tex = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                tp = jpeg.jpeg_encode(
+                    tex, quality=85, arithmetic=True, progressive=True
+                )
+                ts = jpeg.jpeg_encode(tex, quality=85, arithmetic=True)
+                th = jpeg.jpeg_encode(tex, quality=85, progressive=True)
+                if (
+                    px.dtype != np.uint16
+                    or px.shape != (h, w, 1)
+                    or not (px[:, :, 0] == flat).all()
+                    or not np.array_equal(
+                        jpeg.jpeg_decode(tp), jpeg.jpeg_decode(ts)
+                    )
+                    or not np.array_equal(
+                        jpeg.jpeg_decode(tp), jpeg.jpeg_decode(th)
+                    )
+                ):
+                    raise ValueError(f"SOF10 roundtrip drift doc {did}")
+                rows.append((did, w, h, int(px[0, 0, 0]), n_scans))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "gray", "n_scans"],
+            )
+
+    return ids.mapInPandas(
+        gen_and_check,
+        schema="doc_id long, width int, height int, gray long, n_scans int",
+    )
+
+
+@query(
     "q_multimodal_flac_frames",
     oracle="""
     WITH p AS (
