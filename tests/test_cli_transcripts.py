@@ -261,3 +261,108 @@ def test_missing_manifest_golden_transcript(tmp_path):
     assert res.returncode == 1
     got = _normalize(res.stdout.decode(), str(tmp_path))
     assert got == "error: manifest not found: {TMP}/absent.yml", got
+
+
+def test_perplexity_keep_head_golden_transcript(tmp_path):
+    """CCNet KEEP=head end-to-end through the CLI, transcript pinned
+    (VERDICT r9 item 6): a planted corpus whose four repeated fluent
+    docs form the head bucket and two gibberish docs the tail; the
+    perplexity_filter stage keeps only head, and an expect gate FAILS
+    the job if any surviving row is non-head or a gibberish doc — so
+    a green transcript pins both the stage flow and the split's data
+    semantics."""
+    (tmp_path / "data").mkdir()
+    manifest = tmp_path / "ppl.yml"
+    manifest.write_text(
+        textwrap.dedent(
+            f"""
+            name: ppl-head
+            description: CCNet perplexity split, keep only the head bucket
+            data: {tmp_path}/data
+            commands:
+              - name: corpus
+                task: sql
+                env:
+                  QUERY: >
+                    SELECT * FROM VALUES
+                      (0, 'the cat sat on the mat and the cat sat again'),
+                      (1, 'the cat sat on the mat and the cat sat again'),
+                      (2, 'the cat sat on the mat and the cat sat again'),
+                      (3, 'the cat sat on the mat and the cat sat again'),
+                      (4, 'zq xv prw lkj mnb qaz wsx edc rfv tgb yhn ujm'),
+                      (5, 'plo okm ijn uhb ygv tfc rdx esz wam qpl zoe ktr')
+                    AS t(doc_id, text)
+              - name: heads
+                task: perplexity_filter
+                env:
+                  INPUT: corpus
+                  KEEP: head
+              - name: gate
+                task: expect
+                env:
+                  INPUT: heads
+                  VIOLATION_WHERE: "ppl_bucket <> 'head' OR doc_id > 3"
+                  NOT_NULL: ppl_avg_nll
+            """
+        )
+    )
+    res = _run_cli(str(manifest))
+    out = res.stdout.decode()
+    assert res.returncode == 0, out
+    got = _normalize(out, str(tmp_path))
+    expected = textwrap.dedent(
+        """\
+        ╭──╴Executing job: ppl-head ╶╴╴╶ ╶
+        ┏━━╸Executing command: corpus (1 of 3) ━╴╴╶ ╶
+        ┃   name: corpus
+        ┃   description: null
+        ┃   task: sql
+        ┃   env:
+        ┃     QUERY: SELECT * FROM VALUES
+          (0, 'the cat sat on the mat and the cat sat again'),
+          (1, 'the cat sat on the mat and the cat sat again'),
+          (2, 'the cat sat on the mat and the cat sat again'),
+          (3, 'the cat sat on the mat and the cat sat again'),
+          (4, 'zq xv prw lkj mnb qaz wsx edc rfv tgb yhn ujm'),
+          (5, 'plo okm ijn uhb ygv tfc rdx esz wam qpl zoe ktr')
+        AS t(doc_id, text)
+        ┃   skip: false
+        ┃╭──╴Executing task: sql ─╴╴╶ ╶
+        ┃│{TS}┊ Running command corpus (task=sql)
+        ┃╰──╴Return code: 0 ─╴╴╶ ╶
+        ┏━━╸Executing command: heads (2 of 3) ━╴╴╶ ╶
+        ┃   name: heads
+        ┃   description: null
+        ┃   task: perplexity_filter
+        ┃   env:
+        ┃     INPUT: corpus
+        ┃     KEEP: head
+        ┃     TEXT_COL: text
+        ┃     ID_COL: doc_id
+        ┃     EXACT: True
+        ┃   skip: false
+        ┃╭──╴Executing task: perplexity_filter ─╴╴╶ ╶
+        ┃│{TS}┊ Running command heads (task=perplexity_filter)
+        ┃╰──╴Return code: 0 ─╴╴╶ ╶
+        ┏━━╸Executing command: gate (3 of 3) ━╴╴╶ ╶
+        ┃   name: gate
+        ┃   description: null
+        ┃   task: expect
+        ┃   env:
+        ┃     INPUT: heads
+        ┃     VIOLATION_WHERE: ppl_bucket <> 'head' OR doc_id > 3
+        ┃     NOT_NULL: ppl_avg_nll
+        ┃     UNIQUE:
+        ┃     RANGE:
+        ┃     MATCHES:
+        ┃     MODE: fail
+        ┃   skip: false
+        ┃╭──╴Executing task: expect ─╴╴╶ ╶
+        ┃│{TS}┊ Running command gate (task=expect)
+        ┃╰──╴Return code: 0 ─╴╴╶ ╶
+        │ Done! \\o/
+        corpus: success
+        heads: success
+        gate: success"""
+    ).strip()
+    assert got == expected, f"--- got ---\n{got}\n--- want ---\n{expected}"
