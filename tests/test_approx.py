@@ -314,3 +314,32 @@ def test_fuzzy_decontaminate_persisted_eval_signatures(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="eval_df or eval_signatures"):
         fuzzy_decontaminate(corpus, None, "text", "doc_id")
+
+
+def test_ivfpq_recall_at_10_bound(spark):
+    """IVF-PQ recall@10 floor on the sf0.001 embeddings with the
+    ANN.md dials (probe 8/16, shortlist 400): deterministic seeds, so
+    this pins the post-store-layout recall (measured 0.82 at sf0.1,
+    round 10) instead of letting an encode/centroid regression coast.
+    Ground truth is exact L2 in numpy."""
+    import numpy as np
+
+    from xetl_spark.operators.pq import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    truth = {}
+    for qr in queries.select("vec_id", "embedding").collect():
+        d = ((x - np.asarray(qr.embedding)) ** 2).sum(1)
+        truth[qr.vec_id] = {ids[i] for i in np.argsort(d, kind="stable")[:10]}
+    got = {}
+    res = ivfpq_topk(
+        emb, queries, "embedding", n_cells=16, n_probe=8, k=10, shortlist=400
+    ).collect()
+    for r in res:
+        got.setdefault(r[0], set()).add(r[1])
+    recall = sum(len(truth[q] & got.get(q, set())) / 10 for q in truth) / len(truth)
+    assert recall >= 0.7, f"IVF-PQ recall@10 regressed: {recall:.2f}"
