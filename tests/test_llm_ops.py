@@ -1573,6 +1573,45 @@ def test_flesch_reading_ease_reference(spark):
     assert abs(got - want) < 1e-9
 
 
+def test_flesch_multilang_routing(spark):
+    """flesch_multilang scores each document with ITS language's
+    published adaptation: a German text routed by the stopword vote
+    gets Amstad's 180 − W/S − 58.5·syl/W (independently recomputed
+    here), and differs from the English-formula score; an unknown
+    language falls back to the English row exactly."""
+    from xetl_spark.operators.text import (
+        _LANG_FLESCH,
+        flesch_multilang,
+        flesch_reading_ease,
+    )
+
+    de = "der hund lief. die katze und das kind ein haus."
+    und = "zz qq kk. vv ww xx."
+    df = spark.createDataFrame(
+        [(1, de), (2, und)], "id long, t string"
+    )
+    got = {
+        r.id: (r.ml, r.en)
+        for r in df.select(
+            "id",
+            flesch_multilang("t").alias("ml"),
+            flesch_reading_ease("t").alias("en"),
+        ).collect()
+    }
+    # independent Amstad recompute: 10 words, 2 sentences, vowel
+    # groups of [aeiouyäöü]+ over the lowercased text
+    import re
+
+    words = len(re.sub(r"[^a-z0-9\s]", " ", de.lower()).split())
+    sents = len(re.findall(r"[.!?]+", de))
+    syl = len(re.findall(r"[aeiouyäöü]+", de.lower()))
+    _, a, b, c = _LANG_FLESCH["de"]
+    want = a - b * (words / sents) - c * (syl / words)
+    assert abs(got[1][0] - want) < 1e-9
+    assert abs(got[1][0] - got[1][1]) > 1.0  # routing actually changed it
+    assert abs(got[2][0] - got[2][1]) < 1e-12  # und -> English fallback
+
+
 def test_char_entropy_reference(spark):
     import math
 

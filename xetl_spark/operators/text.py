@@ -159,6 +159,36 @@ def script_char_counts(text: Column | str) -> Column:
     return F.struct(*fields)
 
 
+# per-language Flesch adaptations: lang -> (vowel class for the
+# syllable heuristic, A, B, C) with score = A − B·(W/S) − C·(syl/W).
+# Constants are the published language adaptations (en: Flesch 1948;
+# de: Amstad 1978; es: Fernández-Huerta 1959; fr: Kandel–Moles 1958;
+# it: Franchina–Vacca 1972; nl: Douma 1960; pt: Martins et al. 1996).
+# Languages without a classic adaptation (and 'und') fall back to the
+# English row. Oracle SQL for queries mirroring these rules is
+# GENERATED from this dict (queries/llm_ops.py), like _LANG_STOPWORDS.
+_LANG_FLESCH = {
+    "en": ("[aeiouy]", 206.835, 1.015, 84.6),
+    "de": ("[aeiouyäöü]", 180.0, 1.0, 58.5),
+    "es": ("[aeiouáéíóúü]", 206.84, 1.02, 60.0),
+    "fr": ("[aeiouyàâéèêëîïôûù]", 209.0, 1.15, 68.0),
+    "it": ("[aeiouàèéìòù]", 217.0, 1.3, 60.0),
+    "nl": ("[aeiouy]", 206.84, 0.93, 77.0),
+    "pt": ("[aeiouáéíóúâêôãõ]", 248.835, 1.015, 84.6),
+}
+
+
+def _flesch_expr(c: Column, vowels: str, a: float, b: float, cc: float) -> Column:
+    words = F.greatest(token_count(c), F.lit(1))
+    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(c), F.lit(vowels + "+"))
+    return (
+        F.lit(a)
+        - F.lit(b) * (words.cast("double") / sentences)
+        - F.lit(cc) * (syllables.cast("double") / words)
+    )
+
+
 def flesch_reading_ease(text: Column | str) -> Column:
     """Flesch reading-ease with an exactly-reproducible syllable
     heuristic: syllables ≈ vowel groups ``[aeiouy]+`` counted over the
@@ -170,14 +200,32 @@ def flesch_reading_ease(text: Column | str) -> Column:
     206.835 − 1.015·(W/S) − 84.6·(syllables/W), floors at 1 for empty
     denominators. Whole-stage codegen, no UDF."""
     c = F.col(text) if isinstance(text, str) else text
-    words = F.greatest(token_count(text), F.lit(1))
-    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
-    syllables = F.regexp_count(F.lower(c), F.lit("[aeiouy]+"))
-    return (
-        F.lit(206.835)
-        - F.lit(1.015) * (words.cast("double") / sentences)
-        - F.lit(84.6) * (syllables.cast("double") / words)
-    )
+    return _flesch_expr(c, *_LANG_FLESCH["en"])
+
+
+def flesch_multilang(
+    text: Column | str, lang: Column | None = None
+) -> Column:
+    """``flesch_reading_ease`` routed by language: each document is
+    scored with ITS language's published Flesch adaptation — both the
+    constants (German Amstad subtracts 58.5·syl/W, Portuguese starts
+    at 248.835, etc.) and the vowel class driving the syllable
+    heuristic (es/fr/it/pt count their accented vowels) — per
+    ``language_id``'s stopword vote or an explicit ``lang`` column.
+    Applying the English formula to German famously under-scores it
+    (German words carry more syllables); the per-language constants
+    exist precisely to re-center the 0–100 scale. Unknown languages
+    fall back to the English row. One CASE over the seed table,
+    expression-only, zero shuffle — the quality_score_multilang
+    routing shape applied to readability."""
+    c = F.col(text) if isinstance(text, str) else text
+    lang_col = language_id(text) if lang is None else lang
+    score = _flesch_expr(c, *_LANG_FLESCH["en"])  # fallback, incl. 'und'
+    for code, rule in _LANG_FLESCH.items():
+        if code == "en":
+            continue
+        score = F.when(lang_col == code, _flesch_expr(c, *rule)).otherwise(score)
+    return score
 
 
 def char_entropy(df, text_col: str, id_col: str):

@@ -641,6 +641,88 @@ def q_text_quality_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_flesch(vowels: str, a: float, b: float, c: float) -> str:
+    w = "greatest(len(toks), 1)"
+    s = "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+    sy = f"len(regexp_extract_all(lower(text), '{vowels}+'))"
+    return (
+        f"{a}::DOUBLE - {b}::DOUBLE * (CAST({w} AS DOUBLE) / {s}) "
+        f"- {c}::DOUBLE * (CAST({sy} AS DOUBLE) / {w})"
+    )
+
+
+_ML_FLESCH_CASE = (
+    "CASE lg "
+    + " ".join(
+        f"WHEN '{l}' THEN round({_dd_flesch(*rule)}, 4)"
+        for l, rule in text._LANG_FLESCH.items()
+        if l != "en"
+    )
+    + f" ELSE round({_dd_flesch(*text._LANG_FLESCH['en'])}, 4) END"
+)
+
+
+@query(
+    "q_text_flesch_multilang",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             array_to_string(list_transform(generate_series(0, 7),
+                                            j -> 'd' || doc_id || 'x' || j), ' ')
+             || ' the and ' || {_ML_PHRASE_CASE}
+             || repeat('. stop', CAST(doc_id % 3 AS INT) + 1) AS text
+      FROM documents WHERE doc_id < 440),
+    t AS (
+      SELECT doc_id, text, {_DD_TOKENS} AS toks FROM d),
+    h AS (
+      SELECT doc_id, text, toks,
+        {_LANG_HITS_SQL}
+      FROM t),
+    v AS (
+      SELECT *, {_LANG_VOTE_CASE} AS lg FROM h)
+    SELECT doc_id, lg AS lang_guess,
+           {_ML_FLESCH_CASE} AS flesch
+    FROM v
+    """,
+)
+def q_text_flesch_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-routed Flesch readability (operators/text.py
+    flesch_multilang): the multilang synthetic corpus (a stopword
+    phrase block per seed language, routed by the stopword vote) with
+    per-doc sentence tails, scored with each language's PUBLISHED
+    Flesch adaptation — Amstad for de, Fernández-Huerta for es,
+    Kandel–Moles for fr, Franchina–Vacca for it, Douma for nl,
+    Martins for pt, the 1948 original elsewhere. The oracle's CASE
+    over constants and vowel classes is generated from the operator's
+    own _LANG_FLESCH dict, so the rule table cannot drift from its
+    oracle. Expression-only, zero shuffle."""
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 440)
+    own = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.concat(F.lit("d"), F.col("doc_id"), F.lit("x"), j),
+        ),
+    )
+    phrase = F.element_at(
+        F.array(*[F.lit(_ML_PHRASES[l]) for l in _ML_LANGS]),
+        (F.col("doc_id") % 11 + 1).cast("int"),
+    )
+    tail = F.repeat(
+        F.lit(". stop"), ((F.col("doc_id") % 3) + 1).cast("int")
+    )
+    corpus = ids.select(
+        "doc_id",
+        F.concat(own, F.lit(" the and "), phrase, tail).alias("text"),
+    )
+    return corpus.select(
+        "doc_id",
+        text.language_id("text").alias("lang_guess"),
+        F.round(text.flesch_multilang("text"), 4).alias("flesch"),
+    )
+
+
 @query(
     "q_text_fingerprint",
     oracle=f"""
