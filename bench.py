@@ -69,6 +69,11 @@ LLM_SUITE = [
     # thresholds over the full documents table)
     "q_text_exact_span_dedup",
     "q_text_perplexity_buckets",
+    # round-10 additions: language-routed Flesch (pure-Catalyst CASE
+    # routing over the 440-doc multilang fixture) and the SOF10
+    # arithmetic-progressive codec battery (constant-size, codec-bound)
+    "q_text_flesch_multilang",
+    "q_multimodal_jpeg_arith_progressive",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
