@@ -182,3 +182,99 @@ def test_streaming_minhash_dedup_across_microbatches(spark, tmp_path):
     assert (12, 11) in pairs  # in-batch, lower id is the partner
     assert all(d not in (2, 11) or p not in (2, 11) for d, p in pairs if d != 12)
     assert not any(d == 2 or d == 11 for d, _ in pairs)
+
+
+def test_streaming_dedup_to_store_exact_two_runs(spark, tmp_path):
+    """Store-backed streaming dedup (foreachBatch + persisted digest
+    store): within a run, later micro-batches are screened against
+    earlier ones through the on-disk store; a SECOND run over the same
+    input admits nothing (the store survives the stream), and the
+    __batch_id dynamic-overwrite discipline leaves the first run's
+    output intact."""
+    from xetl_spark.streaming.stateful import streaming_dedup_to_store
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "in"
+    store = tmp_path / "store"
+    out = tmp_path / "out"
+    batches = [
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta"), (1000, "alpha beta gamma")],
+        [(5, "alpha beta gamma"), (6, "delta epsilon zeta"), (7, "eta theta iota")],
+        [(8, "eta theta iota"), (9, "alpha beta gamma")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    n_batches = streaming_dedup_to_store(
+        stream, "text", "doc_id", str(store), str(out), mode="exact"
+    )
+    assert n_batches >= 3
+    got = spark.read.parquet(str(out))
+    texts = [r.text for r in got.collect()]
+    # one survivor per distinct content, regardless of file pickup order
+    assert sorted(texts) == sorted(
+        {"alpha beta gamma", "delta epsilon zeta", "eta theta iota"}
+    )
+    assert spark.read.parquet(str(store)).distinct().count() == 3
+
+    # second run over the SAME input: everything screens out against
+    # the persisted store; output and store are unchanged
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    streaming_dedup_to_store(
+        stream2, "text", "doc_id", str(store), str(out), mode="exact"
+    )
+    assert spark.read.parquet(str(out)).count() == 3
+    assert spark.read.parquet(str(store)).distinct().count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        streaming_dedup_to_store(
+            stream2, "text", "doc_id", str(store), str(out), mode="bogus"
+        )
+
+
+def test_streaming_dedup_to_store_minhash(spark, tmp_path):
+    """MinHash mode: a near-duplicate arriving in a LATER micro-batch
+    is screened by the persisted signature store; the store append is
+    delta-only (one signature row per admitted doc)."""
+    from xetl_spark.streaming.stateful import streaming_dedup_to_store
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    schema = "doc_id long, text string"
+    src = tmp_path / "in"
+    store = tmp_path / "store"
+    out = tmp_path / "out"
+    batches = [
+        [(1, base), (2, "completely different text about spark engines and pipelines")],
+        [(10, base.replace("today", "tonight")),  # near-dup of 1
+         (11, "novel words describing benchmarks and parquet files here")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    streaming_dedup_to_store(
+        stream, "text", "doc_id", str(store), str(out),
+        mode="minhash", threshold=0.4,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1, 2, 11}  # 10 screened by the cross-batch store
+    sig_store = spark.read.parquet(str(store))
+    assert {r.doc for r in sig_store.select("doc").collect()} == {1, 2, 11}
+    assert sig_store.count() == 3  # delta-only appends, no row inflation

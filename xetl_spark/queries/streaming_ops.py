@@ -159,6 +159,54 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup_store",
+    oracle="""
+    SELECT DISTINCT sha256(text) AS digest FROM documents
+    """,
+)
+def q_stream_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed streaming dedup (streaming/stateful.py
+    streaming_dedup_to_store): the documents table replayed as a REAL
+    file-source stream through a foreachBatch sink that screens each
+    micro-batch against a persisted sha2 digest store, appends
+    survivors to a parquet output partitioned by __batch_id (dynamic
+    overwrite = replay-idempotent), and appends the batch's new
+    digests to the store. The result is the distinct digest set of
+    the admitted rows — batch-order independent (which survivor ID
+    wins depends on file pickup order; which CONTENT survives does
+    not), and equal to the corpus's distinct digest set exactly when
+    the screen admits each content once. Cross-RUN durability (second
+    run admits nothing) is pinned in tests/test_stateful_streaming.py."""
+    import shutil
+    import tempfile
+
+    (docs,) = load(spark, sf_dir, "documents")
+    schema = docs.select("doc_id", "text").schema
+    work = tempfile.mkdtemp(prefix="xetl_stream_dedup_")
+    try:
+        from xetl_spark.streaming.stateful import streaming_dedup_to_store
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+        )
+        streaming_dedup_to_store(
+            stream, "text", "doc_id", f"{work}/store", f"{work}/out",
+            mode="exact",
+        )
+        return (
+            spark.read.parquet(f"{work}/out")
+            .select(F.sha2("text", 256).alias("digest"))
+            .distinct()
+            .localCheckpoint(eager=True)  # outlives the rmtree below
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "q_stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,

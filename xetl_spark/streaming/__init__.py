@@ -13,4 +13,6 @@ from xetl_spark.streaming.stateful import (  # noqa: F401
     run_with_foreach_batch,
     running_totals_stateful,
     running_totals_tws,
+    streaming_dedup_to_store,
+    streaming_minhash_dedup,
 )

@@ -222,3 +222,101 @@ def streaming_minhash_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_to_store(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    out_path: str,
+    mode: str = "exact",
+    **dedup_kwargs: Any,
+) -> int:
+    """Continuous corpus ingestion with a PERSISTED dedup store — the
+    streaming twin of the `incremental_dedup` builtin task: every
+    micro-batch is screened against the on-disk store (exact sha2
+    digests, or MinHash signatures for near-dup), surviving rows land
+    in ``out_path``, and the batch's new digests/signatures are
+    appended to ``store_path`` so later batches — and later RUNS —
+    never re-admit the same content. Returns the number of
+    micro-batches processed.
+
+    Exactly-once discipline (the foreachBatch recipe):
+
+    - the output write is partitioned by ``__batch_id`` with DYNAMIC
+      partition overwrite, so a replayed batch rewrites its own
+      partition instead of duplicating rows;
+    - the store append happens AFTER the output write. A crash
+      between the two replays the batch against the pre-append store
+      and overwrites the same output partition — idempotent. (The
+      reverse order would lose output rows: an appended-then-replayed
+      batch screens itself out.) Duplicate digests from an
+      append-after-crash are harmless — the screen is an anti-join.
+    - each batch's fresh rows are eagerly local-checkpointed before
+      either write, cutting the plan's lineage over the store files
+      being appended to (same discipline as the batch task's swap).
+
+    Scale shape per batch: |batch| signature work (map-only) + an
+    anti-join / band-join against the store — new×store, never
+    store×store; a small continuous increment against a huge store
+    costs |increment| × collision-rate. The store directory is
+    append-only parquet (no compaction needed at screening time: the
+    anti-join reads it as one table).
+    """
+    import os
+
+    from pyspark.sql import functions as SF
+
+    if mode not in ("exact", "minhash"):
+        raise ValueError(
+            f"streaming_dedup_to_store: unknown mode {mode!r}; valid: exact, minhash"
+        )
+    spark = stream_df.sparkSession
+    batches: list[int] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from xetl_spark.operators.dedup import (
+            incremental_exact_dedup,
+            incremental_minhash_dedup,
+        )
+
+        batches.append(batch_id)
+        store = (
+            spark.read.parquet(store_path) if os.path.isdir(store_path) else None
+        )
+        if mode == "exact":
+            fresh, new_store = incremental_exact_dedup(
+                batch_df, store, text_col, id_col
+            )
+        else:
+            fresh, new_store = incremental_minhash_dedup(
+                batch_df, store, text_col, id_col, **dedup_kwargs
+            )
+            if store is not None:
+                # incremental_minhash returns the FULL combined store;
+                # append only this batch's delta (store is append-only)
+                new_store = new_store.join(
+                    store.select("doc"), "doc", "left_anti"
+                )
+        fresh = fresh.localCheckpoint(eager=True)
+        new_store = new_store.localCheckpoint(eager=True)
+        (
+            fresh.withColumn("__batch_id", SF.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
+        new_store.write.mode("append").parquet(store_path)
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return len(batches)
