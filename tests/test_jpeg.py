@@ -88,6 +88,19 @@ def test_restart_markers_equal_plain():
     assert np.array_equal(plain, restarted)
 
 
+def test_restart_with_progressive_rejected():
+    """Progressive scan scripts emit no DRI/RSTn — a caller requesting
+    restart segments must get a typed error, not a stream without them
+    (both entropy coders)."""
+    img = _gradient(16, 16)
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_encode(img, quality=90, progressive=True, restart_interval=2)
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_encode(
+            img, quality=90, progressive=True, arithmetic=True, restart_interval=2
+        )
+
+
 def test_truncated_stream_typed_error():
     payload = jpeg.jpeg_encode(_gradient(16, 16), quality=90)
     with pytest.raises(UnsupportedImageError):
@@ -454,6 +467,64 @@ def test_lossless_sof3_smooth_image_compresses():
     payload = jpeg.jpeg_lossless_encode(img, predictor=4)
     assert np.array_equal(jpeg.jpeg_decode(payload), img)
     assert len(payload) < img.size  # < 1 byte/sample on smooth content
+
+
+def test_lossless_sof11_arithmetic_roundtrip():
+    """Arithmetic lossless JPEG (SOF11, round 11 — T.81 Annex H.1.2.2
+    QM-coder with (Da, Db) 5x5 conditioning): bit-exact for every
+    predictor, channel count, and degenerate shape, and the stream
+    really is SOF11 + DAC (no DHT)."""
+    rng = np.random.default_rng(11)
+    for shape in [(13, 9, 3), (8, 8, 1), (1, 5, 3), (5, 1, 1), (24, 17)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for pred in range(1, 8):
+            payload = jpeg.jpeg_lossless_encode(
+                a, predictor=pred, arithmetic=True
+            )
+            assert b"\xff\xcb" in payload and b"\xff\xcc" in payload
+            assert b"\xff\xc4" not in payload[: payload.find(b"\xff\xda")]
+            got = jpeg.jpeg_decode(payload)
+            want = a[:, :, None] if a.ndim == 2 else a
+            assert np.array_equal(got, want), (shape, pred)
+
+
+def test_lossless_sof11_beats_huffman_on_smooth_content():
+    """The adaptive QM-coder should out-compress the static Huffman
+    lossless tables on smooth content while staying exact."""
+    g = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    img = np.stack([g, g[::-1], g.T], axis=2)
+    hb = jpeg.jpeg_lossless_encode(img, predictor=4)
+    ab = jpeg.jpeg_lossless_encode(img, predictor=4, arithmetic=True)
+    assert np.array_equal(jpeg.jpeg_decode(ab), img)
+    assert len(ab) < len(hb)
+
+
+def test_hierarchical_arithmetic_sof13_sof14_pixel_parity():
+    """Arithmetic hierarchical pyramids (round 11): SOF9 base + SOF13
+    differential (sequential) and SOF10 base + SOF14 differential
+    (progressive spectral-selection) decode pixel-identically to the
+    Huffman SOF0+SOF5 pyramid — all three code the same quantized
+    coefficients; only the entropy layer differs."""
+    rng = np.random.default_rng(5)
+    for shape, levels in [((40, 56, 3), 2), ((33, 29), 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        hb = jpeg.jpeg_encode_hierarchical(img, levels=levels, quality=85)
+        sb = jpeg.jpeg_encode_hierarchical(
+            img, levels=levels, quality=85, arithmetic=True
+        )
+        pb = jpeg.jpeg_encode_hierarchical(
+            img, levels=levels, quality=85, arithmetic=True, progressive=True
+        )
+        assert b"\xff\xc9" in sb and b"\xff\xcd" in sb  # SOF9 + SOF13
+        assert b"\xff\xca" in pb and b"\xff\xce" in pb  # SOF10 + SOF14
+        ref = jpeg.jpeg_decode(hb)
+        assert np.array_equal(jpeg.jpeg_decode(sb), ref), (shape, levels)
+        assert np.array_equal(jpeg.jpeg_decode(pb), ref), (shape, levels)
+    # Huffman progressive pyramids are not a supported combination
+    with pytest.raises(UnsupportedImageError):
+        jpeg.jpeg_encode_hierarchical(
+            rng.integers(0, 256, (8, 8), dtype=np.uint8), progressive=True
+        )
 
 
 def test_lossless_sof3_fuzz_typed_errors():

@@ -1151,6 +1151,73 @@ def test_perplexity_buckets(spark):
     assert all(approx[100 + i] == "tail" for i in range(6))
 
 
+def test_kn_sampled_fit_properties(spark):
+    """The CCNet-shaped fit/score split (round-11): fit_fraction=1.0
+    is bit-identical to the self-fit model; a sampled fit still
+    scores EVERY doc with finite positive NLL (the unseen-head /
+    unseen-tail KN backoffs fire instead of dropping rows or going
+    infinite); bucketing at fit_fraction=0.1 keeps the order-statistic
+    bucket sizes and is deterministic across invocations; an explicit
+    disjoint-domain fit_df exercises the pure-backoff path."""
+    from xetl_spark.operators.text import kn_bigram_logprob, perplexity_buckets
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common + " " + "the cat " * (i + 1)) for i in range(12)]
+    rows += [(100 + i, f"zq{i}a wv{i}b xk{i}c yj{i}d hf{i}e gd{i}f") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {
+        r.doc: (r.n_bigrams, r.avg_nll)
+        for r in kn_bigram_logprob(df, "text", "doc_id").collect()
+    }
+    explicit = {
+        r.doc: (r.n_bigrams, r.avg_nll)
+        for r in kn_bigram_logprob(
+            df, "text", "doc_id", fit_fraction=1.0
+        ).collect()
+    }
+    # fit=1.0 ≡ self-fit: same plan, same values (approx: double-sum
+    # partial-aggregation order varies run-to-run at the last ulp)
+    assert explicit.keys() == base.keys()
+    for doc, (n, nll) in base.items():
+        assert explicit[doc][0] == n
+        assert explicit[doc][1] == pytest.approx(nll, rel=1e-12)
+
+    sampled = kn_bigram_logprob(
+        df, "text", "doc_id", fit_fraction=0.5
+    ).collect()
+    assert {r.doc for r in sampled} == set(base)  # nothing dropped
+    assert all(
+        r.avg_nll > 0 and r.avg_nll == r.avg_nll and r.avg_nll != float("inf")
+        for r in sampled
+    )
+
+    # disjoint fit domain: every scored bigram is unseen → pure
+    # continuation backoff, still finite and identical across docs
+    # sharing the same bigram multiset shape
+    fit = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta alpha beta")],
+        "doc_id long, text string",
+    )
+    backoff = kn_bigram_logprob(df, "text", "doc_id", fit_df=fit).collect()
+    assert {r.doc for r in backoff} == set(base)
+    assert all(0 < r.avg_nll < float("inf") for r in backoff)
+
+    b1 = perplexity_buckets(df, "text", "doc_id", fit_fraction=0.1, round_dp=6)
+    b2 = perplexity_buckets(df, "text", "doc_id", fit_fraction=0.1, round_dp=6)
+    r1 = {r.doc: (round(r.avg_nll, 6), r.bucket) for r in b1.collect()}
+    r2 = {r.doc: (round(r.avg_nll, 6), r.bucket) for r in b2.collect()}
+    assert r1 == r2  # content-hash sample → deterministic buckets
+    sizes = {
+        b: sum(1 for v in r1.values() if v[1] == b)
+        for b in ("head", "middle", "tail")
+    }
+    assert sum(sizes.values()) == 18
+    # order-statistic cuts hold regardless of the fit sample (ties can
+    # only widen head/middle, never shrink them below the cut rank)
+    assert sizes["head"] >= 6 and sizes["head"] + sizes["middle"] >= 12
+
+
 def test_natural_boundary_dedup_sentence_granularity(spark):
     """Sentence mode: terminal-punctuation segmentation keeps the
     punctuation with its sentence, newlines also terminate, the

@@ -39,6 +39,19 @@ LEGS: list[tuple[str, list[str]]] = [
         [sys.executable, "tools/oracle_harness.py", "--vanilla", "/root/testdata/sf0.01"],
     ),
     ("plan-audit", [sys.executable, "tools/plan_audit.py"]),
+    # canaries that MUST hold even on --fast spot checks: the inventory
+    # docs match the registry and every registered query actually builds
+    # + canonicalizes against the real testdata (round-10's red row came
+    # from a snapshot shipped without running exactly these).
+    (
+        "registry-canary",
+        [
+            sys.executable, "-m", "pytest", "-q",
+            "tests/test_registry.py::test_inventory_md_matches_registry",
+            "tests/test_registry.py::test_coverage_md_counts_match_registry",
+            "tests/test_registry.py::test_every_query_output_is_canonicalizable",
+        ],
+    ),
 ]
 if not FAST:
     LEGS += [

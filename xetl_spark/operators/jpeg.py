@@ -41,17 +41,21 @@ decoder's true reference.
 Arithmetic coding decodes AND encodes via the T.81 Annex D QM-coder
 (operators/jpeg_arith.py: the 113-state probability machine, DC
 diff-category conditioning, AC Kx-split contexts, DAC parsing,
-restart segments): SOF9 (extended sequential, 8/12-bit) and — round
-10 — SOF10 (progressive: Annex G.2 successive approximation, the
-four scan kinds DC first/refine + AC first/refine over the same
-statistics areas). Round-trip is bit-exact on every quantized
-coefficient and SOF10 output decodes pixel-identically to its
-SOF9/Huffman twins; see jpeg_arith's conformance note for the
-third-party-stream caveat. Still out of scope (typed
-``UnsupportedImageError``): arithmetic lossless / arithmetic
-hierarchical (SOF13/14) — each composes the QM-coder with a
-different sample-domain conditioning layer that would need its own
-verification story.
+restart segments): SOF9 (extended sequential, 8/12-bit), SOF10
+(progressive: Annex G.2 successive approximation, the four scan
+kinds DC first/refine + AC first/refine), SOF11 (round 11 —
+lossless: the Annex H.1.2.2 sample-domain model, each prediction
+difference conditioned on the 5x5 category classification of its
+left/above neighbour diffs), and SOF13/SOF14 (round 11 —
+differential sequential/progressive frames inside hierarchical
+pyramids, F.2.1.3.1 PRED-pinned-to-0). Round-trip is bit-exact on
+every quantized coefficient (bit-exact on PIXELS for SOF11) and
+each arithmetic stream decodes pixel-identically to its Huffman
+twin; see jpeg_arith's conformance note for the third-party-stream
+caveat. The one remaining T.81 boundary (typed
+``UnsupportedImageError``): lossless frames inside a hierarchical
+pyramid (SOF7/SOF15) — spatial-residual pyramids are a mode no
+mainstream encoder ever emitted.
 
 Scale note: like the PNG codec, every image decodes independently
 inside its Arrow batch on the executor; nothing touches the driver.
@@ -437,11 +441,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cw = -(-w * hs // hmax)
                 ch = -(-h * vs // vmax)
                 geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
-        elif marker == 0xC3:  # lossless: sample-domain predictive path
+        elif marker in (0xC3, 0xCB):  # lossless: Huffman SOF3 / arith SOF11
             return _lossless_decode(payload)
         elif marker == 0xDE:  # DHP: hierarchical stream
             return _hierarchical_decode(payload)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )
@@ -648,7 +652,7 @@ def _decode_sos(
 
 def _decode_sos_arith(
     segments, scan, frame, coefs, geom, restart_interval, dac,
-    ss=0, se=63, ah=0, al=0, progressive=False,
+    ss=0, se=63, ah=0, al=0, progressive=False, differential=False,
 ) -> None:
     """Decode one ARITHMETIC scan into the coefficient planes — the
     QM-coder twin of the Huffman _decode_sos, covering SOF9
@@ -700,6 +704,11 @@ def _decode_sos_arith(
     def decode_block(zz, cid, dc_id, ac_id):
         low, up = dac.get((0, dc_id), (0, 1))
         kx = dac.get((1, ac_id), 5)
+        if differential:
+            # F.2.1.3.1: differential frames code the DC value itself
+            # (PRED stays 0); the diff-category conditioning still
+            # adapts, so only the running predictor is pinned to 0
+            ast.last_dc[ci_of[cid]] = 0
         try:
             if not progressive:
                 zz[0] = decode_dc(dec, ast, ci_of[cid], dc_id, low, up)
@@ -962,6 +971,13 @@ def jpeg_encode(
     typically ~10-40% smaller files; sequential only."""
     if bits not in (8, 12):
         raise UnsupportedImageError(f"{bits}-bit JPEG encode unsupported")
+    if restart_interval and progressive:
+        # the progressive scan scripts (Huffman SOF2 and arithmetic
+        # SOF10) emit no DRI/RSTn; refuse rather than silently return a
+        # stream without the restart segments the caller asked for
+        raise UnsupportedImageError(
+            "restart_interval is unsupported with progressive encoding"
+        )
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
@@ -1229,21 +1245,30 @@ def _lossless_predict(samples, r, c, sel, default):
 
 
 def _lossless_decode(payload: bytes) -> np.ndarray:
-    """Decode a lossless JPEG (SOF3) to (H, W, C) uint8.
+    """Decode a lossless JPEG (SOF3 Huffman or SOF11 arithmetic) to
+    (H, W, C) uint8.
 
-    Sample-domain Huffman coding of prediction differences — no DCT,
-    bit-exact by construction (self round-trip asserted in tests; no
-    external lossless encoder exists in this container for a golden
-    cross-check). Components are returned in scan order with no color
-    transform (lossless JPEG stores components verbatim). Precision
-    2-8 decodes exactly; 9-16 bit samples are rounded to 8-bit
-    (v·255/maxval), matching the PNG 16-bit contract. Restart markers
-    and hierarchical mode raise typed errors.
+    Sample-domain predictive coding of prediction differences — no
+    DCT, bit-exact by construction (self round-trip asserted in
+    tests; no external lossless encoder exists in this container for
+    a golden cross-check). SOF11 (round 11) runs the same predictor
+    machinery with the T.81 Annex H.1.2.2 statistical model over the
+    QM-coder: each difference is coded in a context conditioned on
+    the 5x5 classification of the left (Da) and above (Db) neighbour
+    differences (jpeg_arith.decode_lossless_diff); DAC carries the
+    classification thresholds (L, U). Components are returned in scan
+    order with no color transform (lossless JPEG stores components
+    verbatim). Precision 2-8 decodes exactly; 9-16 bit samples are
+    rounded to 8-bit (v·255/maxval), matching the PNG 16-bit
+    contract. Restart markers and hierarchical mode raise typed
+    errors.
     """
     pos = 2
     huff: dict[tuple[int, int], _Huff] = {}
     frame = None
     scan_info = None
+    arith = False
+    dac_cond: dict[int, tuple[int, int]] = {}
     while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
             pos += 1
@@ -1266,7 +1291,8 @@ def _lossless_decode(payload: bytes) -> np.ndarray:
                 nsym = sum(counts)
                 huff[(tc, th)] = _Huff(counts, seg[i + 17 : i + 17 + nsym])
                 i += 17 + nsym
-        elif marker == 0xC3:  # SOF3
+        elif marker in (0xC3, 0xCB):  # SOF3 (Huffman) / SOF11 (arithmetic)
+            arith = marker == 0xCB
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if not 2 <= prec <= 16:
                 raise UnsupportedImageError(f"lossless precision {prec} invalid")
@@ -1279,6 +1305,13 @@ def _lossless_decode(payload: bytes) -> np.ndarray:
                     )
                 comps.append(cid)
             frame = (prec, h, w, comps)
+        elif marker == 0xCC:  # DAC: conditioning (L, U) per table id
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0xF
+                if tc == 0:
+                    dac_cond[tb] = (seg[i + 1] & 0xF, seg[i + 1] >> 4)
+                i += 2
         elif marker == 0xDD:
             (ri,) = struct.unpack(">H", seg[:2])
             if ri:
@@ -1306,26 +1339,55 @@ def _lossless_decode(payload: bytes) -> np.ndarray:
     if not 1 <= sel <= 7:
         raise UnsupportedImageError(f"lossless predictor {sel} unsupported")
     default = 1 << (prec - 1 - pt)
-    br = _BitReader(entropy)
     planes = {cid: np.zeros((h, w), dtype=np.int32) for cid in comps}
-    tables = {}
-    for cid in comps:
-        t = huff.get((0, tabsel.get(cid, 0)))
-        if t is None:
-            raise UnsupportedImageError("lossless JPEG missing Huffman table")
-        tables[cid] = t
-    for r in range(h):
-        for c in range(w):
-            for cid in comps:  # interleaved: one sample per component
-                t = _decode_huff(br, tables[cid])
-                if t == 16:
-                    diff = 32768
-                elif t > 16:
-                    raise UnsupportedImageError("invalid lossless category")
-                else:
-                    diff = _extend(br.receive(t), t) if t else 0
-                pred = _lossless_predict(planes[cid], r, c, sel, default)
-                planes[cid][r, c] = (pred + diff) & 0xFFFF
+    if arith:
+        from xetl_spark.operators.jpeg_arith import (
+            LosslessState,
+            QMDecoder,
+            decode_lossless_diff,
+        )
+
+        dec = QMDecoder(entropy)
+        states = LosslessState()
+        # per-component difference planes: the Annex H conditioning
+        # state (Da = left diff, Db = above diff; 0 outside the scan)
+        dplanes = {cid: np.zeros((h, w), dtype=np.int32) for cid in comps}
+        for r in range(h):
+            for c in range(w):
+                for cid in comps:  # interleaved: one sample per comp
+                    tb = tabsel.get(cid, 0)
+                    ll, ul = dac_cond.get(tb, (0, 1))
+                    da = int(dplanes[cid][r, c - 1]) if c else 0
+                    db = int(dplanes[cid][r - 1, c]) if r else 0
+                    try:
+                        diff = decode_lossless_diff(
+                            dec, states.tbl(tb), da, db, ll, ul
+                        )
+                    except ValueError as exc:
+                        raise UnsupportedImageError(str(exc)) from exc
+                    dplanes[cid][r, c] = diff
+                    pred = _lossless_predict(planes[cid], r, c, sel, default)
+                    planes[cid][r, c] = (pred + diff) & 0xFFFF
+    else:
+        br = _BitReader(entropy)
+        tables = {}
+        for cid in comps:
+            t = huff.get((0, tabsel.get(cid, 0)))
+            if t is None:
+                raise UnsupportedImageError("lossless JPEG missing Huffman table")
+            tables[cid] = t
+        for r in range(h):
+            for c in range(w):
+                for cid in comps:  # interleaved: one sample per component
+                    t = _decode_huff(br, tables[cid])
+                    if t == 16:
+                        diff = 32768
+                    elif t > 16:
+                        raise UnsupportedImageError("invalid lossless category")
+                    else:
+                        diff = _extend(br.receive(t), t) if t else 0
+                    pred = _lossless_predict(planes[cid], r, c, sel, default)
+                    planes[cid][r, c] = (pred + diff) & 0xFFFF
     out = np.stack([planes[cid] for cid in comps], axis=2)
     out = (out << pt) & ((1 << prec) - 1)
     if prec <= 8:
@@ -1334,33 +1396,67 @@ def _lossless_decode(payload: bytes) -> np.ndarray:
     return ((out.astype(np.int64) * 255 + maxv // 2) // maxv).astype(np.uint8)
 
 
-def jpeg_lossless_encode(arr: np.ndarray, predictor: int = 4) -> bytes:
-    """Encode (H, W[, C]) uint8 as lossless JPEG (SOF3, precision 8,
+def jpeg_lossless_encode(
+    arr: np.ndarray, predictor: int = 4, arithmetic: bool = False
+) -> bytes:
+    """Encode (H, W[, C]) uint8 as lossless JPEG (precision 8,
     components stored verbatim — no color transform), with the chosen
-    T.81 predictor 1-7. Decode is bit-exact."""
+    T.81 predictor 1-7. Decode is bit-exact. ``arithmetic=True``
+    (round 11) emits SOF11: the same prediction/difference pipeline
+    with the T.81 Annex H.1.2.2 QM-coder statistical model — each
+    difference coded in a context conditioned on the 5x5 category
+    classification of the left (Da) and above (Db) neighbour
+    differences, DAC carrying the (L, U) thresholds — typically
+    10-30% smaller than the Huffman SOF3 stream."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
     if not 1 <= predictor <= 7:
         raise UnsupportedImageError(f"lossless predictor {predictor} unsupported")
-    codes = _build_codes(*_DC_LUMA)
     planes = [arr[:, :, ci].astype(np.int32) for ci in range(nch)]
-    wr = _BitWriter()
     default = 128  # 2^(8-1)
-    for r in range(h):
-        for c in range(w):
-            for p in planes:
-                pred = _lossless_predict(p, r, c, predictor, default)
-                diff = int(p[r, c]) - pred
-                # modulo-2^16 wrap into the 16-category window
-                diff = ((diff + 32768) & 0xFFFF) - 32768
-                if diff == 32768 or diff == -32768:
-                    code, ln = codes.get(16, (None, None))
-                    if code is None:
-                        raise UnsupportedImageError("category-16 diff unsupported")
-                    wr.put(code, ln)
-                else:
-                    _encode_dc(wr, codes, diff)
+    if arithmetic:
+        from xetl_spark.operators.jpeg_arith import (
+            LosslessState,
+            QMEncoder,
+            encode_lossless_diff,
+        )
+
+        enc = QMEncoder()
+        states = LosslessState()
+        dplanes = [np.zeros((h, w), dtype=np.int32) for _ in range(nch)]
+        for r in range(h):
+            for c in range(w):
+                for ci, p in enumerate(planes):
+                    pred = _lossless_predict(p, r, c, predictor, default)
+                    diff = ((int(p[r, c]) - pred + 32768) & 0xFFFF) - 32768
+                    da = int(dplanes[ci][r, c - 1]) if c else 0
+                    db = int(dplanes[ci][r - 1, c]) if r else 0
+                    encode_lossless_diff(
+                        enc, states.tbl(0), da, db, 0, 1, diff
+                    )
+                    dplanes[ci][r, c] = diff
+        entropy = enc.flush()
+    else:
+        codes = _build_codes(*_DC_LUMA)
+        wr = _BitWriter()
+        for r in range(h):
+            for c in range(w):
+                for p in planes:
+                    pred = _lossless_predict(p, r, c, predictor, default)
+                    diff = int(p[r, c]) - pred
+                    # modulo-2^16 wrap into the 16-category window
+                    diff = ((diff + 32768) & 0xFFFF) - 32768
+                    if diff == 32768 or diff == -32768:
+                        code, ln = codes.get(16, (None, None))
+                        if code is None:
+                            raise UnsupportedImageError(
+                                "category-16 diff unsupported"
+                            )
+                        wr.put(code, ln)
+                    else:
+                        _encode_dc(wr, codes, diff)
+        entropy = wr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -1369,15 +1465,18 @@ def jpeg_lossless_encode(arr: np.ndarray, predictor: int = 4) -> bytes:
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch])
     for ci in range(nch):
         sof += bytes([ci + 1, 0x11, 0])
-    out += seg(0xC3, sof)
-    counts, symbols = _DC_LUMA
-    out += seg(0xC4, bytes([0x00]) + counts + symbols)
+    out += seg(0xCB if arithmetic else 0xC3, sof)
+    if arithmetic:
+        out += seg(0xCC, bytes([0x00, 0x10]))  # table 0: L=0, U=1
+    else:
+        counts, symbols = _DC_LUMA
+        out += seg(0xC4, bytes([0x00]) + counts + symbols)
     sos = bytes([nch])
     for ci in range(nch):
         sos += bytes([ci + 1, 0x00])
     sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
     out += seg(0xDA, sos)
-    out += wr.flush()
+    out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1413,8 +1512,11 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
     at reduced resolution, then EXP reference expansions and
     differential frames (SOF5/SOF6) whose DCT residuals are added to
     the expanded reference. Tables persist across frames; differential
-    frames skip the level shift. Arithmetic variants (SOF13-15) and
-    lossless frames (SOF3/7/11) inside a pyramid raise typed errors."""
+    frames skip the level shift. Arithmetic pyramids (round 11)
+    decode too: SOF9/SOF10 base + SOF13/SOF14 differential frames
+    (T.81 F.2.1.3.1: differential DC codes the value itself, PRED
+    pinned to 0) with DAC conditioning; lossless frames (SOF3/7/11/15)
+    inside a pyramid raise typed errors."""
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}
@@ -1425,6 +1527,8 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
     prec = 8
     progressive = False
     differential = False
+    arith = False
+    dac: dict[tuple[int, int], object] = {}
     coefs: dict[int, np.ndarray] = {}
     geom: dict[int, tuple[int, int, int, int]] = {}
     last_comps = None  # final frame's comps, for chroma upsampling
@@ -1503,10 +1607,11 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
             _parse_dqt(seg, qtables)
         elif marker == 0xC4:
             _parse_dht(seg, huff)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD, 0xCE):
             finish_frame()
-            differential = marker in (0xC5, 0xC6)
-            progressive = marker in (0xC2, 0xC6)
+            differential = marker in (0xC5, 0xC6, 0xCD, 0xCE)
+            progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+            arith = marker in (0xC9, 0xCA, 0xCD, 0xCE)
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec not in (8, 12):
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
@@ -1533,8 +1638,16 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
                 geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
         elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
             raise UnsupportedImageError("lossless frame in hierarchical stream")
-        elif marker in (0xC9, 0xCA, 0xCD, 0xCE):
-            raise UnsupportedImageError("arithmetic-coded JPEG unsupported")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0xF
+                val = seg[i + 1]
+                if tc == 0:
+                    dac[(0, tb)] = (val & 0xF, val >> 4)  # (L, U)
+                else:
+                    dac[(1, tb)] = val  # Kx
+                i += 2
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
@@ -1551,11 +1664,18 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
                 ss, se, ah, al = 0, 63, 0, 0
             pos += seglen
             segments, pos = _entropy_segments(payload, pos)
-            _decode_sos(
-                segments, scan, frame, huff, coefs, geom,
-                restart_interval, ss, se, ah, al, progressive,
-                differential=differential,
-            )
+            if arith:
+                _decode_sos_arith(
+                    segments, scan, frame, coefs, geom, restart_interval,
+                    dac, ss, se, ah, al, progressive,
+                    differential=differential,
+                )
+            else:
+                _decode_sos(
+                    segments, scan, frame, huff, coefs, geom,
+                    restart_interval, ss, se, ah, al, progressive,
+                    differential=differential,
+                )
             continue
         pos += seglen
     finish_frame()
@@ -1587,16 +1707,31 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
 
 
 def jpeg_encode_hierarchical(
-    arr: np.ndarray, levels: int = 2, quality: int = 85
+    arr: np.ndarray, levels: int = 2, quality: int = 85,
+    arithmetic: bool = False, progressive: bool = False,
 ) -> bytes:
     """Encode (H, W[, C]) uint8 as a hierarchical JPEG pyramid:
     DHP + one non-differential base frame at 1/2^(levels-1) resolution
-    + one EXP + SOF5 differential frame per remaining level (4:4:4,
+    + one EXP + differential frame per remaining level (4:4:4,
     8-bit, sequential). The encoder mirror-decodes each frame exactly
     as _hierarchical_decode does (dequant + IDCT + clip, J.1.1.2
     expansion), so residuals are coded against the decoder's true
-    reference. Huffman uses the generic wide-category tables —
-    differential DC diffs exceed the Annex K 8-bit table range."""
+    reference. Huffman (SOF0 base + SOF5 differential) uses the
+    generic wide-category tables — differential DC diffs exceed the
+    Annex K 8-bit table range. ``arithmetic=True`` (round 11) emits
+    the QM-coded pyramid instead — SOF9 base + SOF13 differential
+    frames with a DAC segment (T.81 F.2.1.3.1: differential DC codes
+    the value itself, the running predictor pinned to 0; the
+    diff-category conditioning still adapts). ``progressive=True``
+    (arithmetic only) uses spectral-selection scan scripts per frame
+    — one interleaved DC scan + one Ss=1..63 AC scan per component,
+    Al=0 so coefficients are full-precision — producing SOF10 base +
+    SOF14 differential frames, pixel-identical to the sequential
+    pyramid by construction."""
+    if progressive and not arithmetic:
+        raise UnsupportedImageError(
+            "hierarchical progressive encoding is arithmetic-only"
+        )
     if levels < 1:
         raise UnsupportedImageError("hierarchical encode needs >= 1 level")
     if arr.ndim == 2:
@@ -1645,11 +1780,6 @@ def jpeg_encode_hierarchical(
         for ci in range(ncomp):
             sof += bytes([ci + 1, 0x11, qsel[ci]])
         out = bytearray(seg(sof_marker, sof))
-        sos = bytes([ncomp])
-        for ci in range(ncomp):
-            sos += bytes([ci + 1, 0x00])
-        sos += bytes([0, 63, 0])
-        out += seg(0xDA, sos)
         bh, bw = -(-fh // 8), -(-fw // 8)
         zz_blocks = []
         recon = []
@@ -1675,6 +1805,64 @@ def jpeg_encode_hierarchical(
                 .reshape(bh * 8, bw * 8)[:fh, :fw]
             )
             recon.append(np.round(p).astype(np.int64))
+        # interleaved SOS header: arithmetic selectors pick the DAC
+        # conditioning AND statistics area, so they must match
+        # encode_dc/encode_ac's table (qsel); Huffman uses the shared
+        # wide-category tables at 0
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            tsel = (qsel[ci] << 4) | qsel[ci] if arithmetic else 0x00
+            sos += bytes([ci + 1, tsel])
+        if arithmetic:
+            from xetl_spark.operators.jpeg_arith import (
+                ArithState,
+                QMEncoder,
+                encode_ac,
+                encode_ac_first,
+                encode_dc,
+                encode_dc_first,
+            )
+
+            if progressive:
+                # spectral-selection script (Al=0, full precision):
+                # interleaved DC scan, then one AC scan per component
+                out += seg(0xDA, sos + bytes([0, 0, 0]))
+                enc = QMEncoder()
+                ast = ArithState(ncomp)
+                for bi in range(bh * bw):
+                    for ci in range(ncomp):
+                        if not level_shift:  # differential: PRED = 0
+                            ast.last_dc[ci] = 0
+                        encode_dc_first(
+                            enc, ast, ci, qsel[ci], 0, 1,
+                            int(zz_blocks[ci][bi][0]), 0,
+                        )
+                out += enc.flush()
+                for ci in range(ncomp):  # 4:4:4: comp grid == MCU grid
+                    csos = bytes([1, ci + 1, (qsel[ci] << 4) | qsel[ci]])
+                    out += seg(0xDA, csos + bytes([1, 63, 0]))
+                    enc = QMEncoder()
+                    ast = ArithState(1)
+                    for bi in range(bh * bw):
+                        encode_ac_first(
+                            enc, ast, qsel[ci], 5, zz_blocks[ci][bi],
+                            1, 63, 0,
+                        )
+                    out += enc.flush()
+                return bytes(out), recon
+            out += seg(0xDA, sos + bytes([0, 63, 0]))
+            enc = QMEncoder()
+            ast = ArithState(ncomp)
+            for bi in range(bh * bw):
+                for ci in range(ncomp):
+                    zz = zz_blocks[ci][bi]
+                    if not level_shift:  # differential: PRED = 0
+                        ast.last_dc[ci] = 0
+                    encode_dc(enc, ast, ci, qsel[ci], 0, 1, int(zz[0]))
+                    encode_ac(enc, ast, qsel[ci], 5, zz)
+            out += enc.flush()
+            return bytes(out), recon
+        out += seg(0xDA, sos + bytes([0, 63, 0]))
         wr = _BitWriter()
         pred = [0] * ncomp
         for bi in range(bh * bw):
@@ -1694,18 +1882,29 @@ def jpeg_encode_hierarchical(
     out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     for ti, q in enumerate(qt[: max(qsel) + 1]):
         out += seg(0xDB, bytes([ti]) + bytes(q.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    tables = [(0, 0, _DC_12BIT), (1, 0, _AC_12BIT)]
-    if ncomp > 1:
-        tables += [(0, 1, _DC_12BIT), (1, 1, _AC_12BIT)]
-    for tc, th, (counts, symbols) in tables:
-        out += seg(0xC4, bytes([(tc << 4) | th]) + counts + symbols)
+    if arithmetic:
+        dac_body = bytearray()
+        for ti in range(max(qsel) + 1):
+            dac_body += bytes([0x00 | ti, 0x10])  # DC: L=0, U=1
+            dac_body += bytes([0x10 | ti, 5])  # AC: Kx=5
+        out += seg(0xCC, bytes(dac_body))
+    else:
+        tables = [(0, 0, _DC_12BIT), (1, 0, _AC_12BIT)]
+        if ncomp > 1:
+            tables += [(0, 1, _DC_12BIT), (1, 1, _AC_12BIT)]
+        for tc, th, (counts, symbols) in tables:
+            out += seg(0xC4, bytes([(tc << 4) | th]) + counts + symbols)
     dhp = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         dhp += bytes([ci + 1, 0x11, qsel[ci]])
     out += seg(0xDE, dhp)
 
+    if arithmetic:
+        base_sof, diff_sof = (0xCA, 0xCE) if progressive else (0xC9, 0xCD)
+    else:
+        base_sof, diff_sof = 0xC0, 0xC5
     # base frame: smallest pyramid level, non-differential
-    frame_bytes, refs = encode_frame(pyramid[-1], 0xC0, level_shift=True)
+    frame_bytes, refs = encode_frame(pyramid[-1], base_sof, level_shift=True)
     refs = [np.clip(p, 0, 255) for p in refs]
     out += frame_bytes
     # refinement frames: EXP + differential residual per level
@@ -1715,7 +1914,7 @@ def jpeg_encode_hierarchical(
         th_, tw_ = targets[0].shape
         refs = [_upsample2(p.astype(np.int32), 1, 1)[:th_, :tw_] for p in refs]
         residuals = [t - r for t, r in zip(targets, refs)]
-        frame_bytes, rec = encode_frame(residuals, 0xC5, level_shift=False)
+        frame_bytes, rec = encode_frame(residuals, diff_sof, level_shift=False)
         out += frame_bytes
         refs = [np.clip(r + d, 0, 255) for r, d in zip(refs, rec)]
     out += b"\xff\xd9"

@@ -706,3 +706,117 @@ def encode_ac_refine(enc: QMEncoder, state: ArithState, tbl: int,
         k += 1
     if k <= se_idx:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+# ------------------------------------- lossless (SOF13, T.81 Annex H.1.2.2)
+
+# Statistics layout for one lossless conditioning table: the DC
+# decision structure (zero / sign / SP / SN) replicated over the 5x5
+# classification of the two neighbour differences Da (left) and Db
+# (above) -> 100 bins, then two magnitude-chain areas (X1..X15 + M2..
+# M15 at +14) selected by whether Db falls in a LARGE category -- the
+# small-Db chain at 100, the large-Db chain at 129. 158 bins total.
+LL_STAT_BINS = 158
+
+
+def classify_diff(v: int, ll: int, ul: int) -> int:
+    """T.81 H.1.2.2.1 5-category classification of a neighbour
+    difference, reusing the DC conditioning thresholds (F.1.4.4.1.2):
+    0 = zero-ish, 1/2 = small +/-, 3/4 = large +/- -- the same
+    category boundaries the sequential DC context update applies to
+    its own previous diff, here applied to Da and Db."""
+    if v == 0:
+        return 0
+    a = (v if v > 0 else -v) - 1
+    m = (1 << (a.bit_length() - 1)) if a else 0
+    if m < (1 << ll) >> 1:
+        return 0
+    if m > (1 << ul) >> 1:
+        return 3 if v > 0 else 4
+    return 1 if v > 0 else 2
+
+
+class LosslessState:
+    """Per-scan statistics areas for lossless arithmetic coding; one
+    area per conditioning-table id (reset at scan start)."""
+
+    def __init__(self) -> None:
+        self.stats: dict[int, bytearray] = {}
+
+    def tbl(self, tbl: int) -> bytearray:
+        if tbl not in self.stats:
+            self.stats[tbl] = bytearray(LL_STAT_BINS)
+        return self.stats[tbl]
+
+
+def _ll_ctx(da: int, db: int, ll: int, ul: int) -> tuple[int, int]:
+    """(decision-context base, magnitude-chain base) for a sample with
+    neighbour diffs (Da, Db)."""
+    qa, qb = classify_diff(da, ll, ul), classify_diff(db, ll, ul)
+    return 4 * (5 * qb + qa), 129 if qb >= 3 else 100
+
+
+def decode_lossless_diff(dec: QMDecoder, st: bytearray, da: int, db: int,
+                         ll: int, ul: int) -> int:
+    """Decode one prediction difference conditioned on (Da, Db) — the
+    sample-domain twin of decode_dc's decision flow (zero / sign /
+    magnitude-category chain / magnitude bits)."""
+    s0, xbase = _ll_ctx(da, db, ll, ul)
+    if dec.decode(st, s0) == 0:
+        return 0
+    sign = dec.decode(st, s0 + 1)
+    base = s0 + 2 + sign
+    m = dec.decode(st, base)
+    if m != 0:
+        base = xbase
+        while dec.decode(st, base):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic lossless magnitude overflow")
+            base += 1
+    v = m
+    mb = base + 14
+    mm = m
+    while mm := mm >> 1:
+        if dec.decode(st, mb):
+            v |= mm
+    v += 1
+    return -v if sign else v
+
+
+def encode_lossless_diff(enc: QMEncoder, st: bytearray, da: int, db: int,
+                         ll: int, ul: int, diff: int) -> None:
+    """Mirror of decode_lossless_diff."""
+    s0, xbase = _ll_ctx(da, db, ll, ul)
+    if diff == 0:
+        enc.encode(st, s0, 0)
+        return
+    enc.encode(st, s0, 1)
+    if diff > 0:
+        sign, v = 0, diff
+    else:
+        sign, v = 1, -diff
+    enc.encode(st, s0 + 1, sign)
+    sp = s0 + 2 + sign
+    m = 0
+    v -= 1
+    base = sp
+    if v:
+        enc.encode(st, sp, 1)
+        m = 1
+        x = xbase
+        v2 = v
+        while v2 := v2 >> 1:
+            enc.encode(st, x, 1)
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic lossless magnitude overflow")
+            x += 1
+        enc.encode(st, x, 0)
+        base = x
+    else:
+        enc.encode(st, sp, 0)
+    mb = base + 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(st, mb, 1 if (v & mm) else 0)

@@ -995,12 +995,13 @@ def edit_distance_join(
     from xetl_spark.operators.util import ensure_parallelism
 
     # base feeds the variant explode and both verify joins; sig feeds
-    # both sides of the candidate self-join — persist each once rather
-    # than re-deriving per consumer (same discipline as the dedup
-    # signature table; both are one row per string / per variant hash)
+    # both sides of the candidate self-join — materialize each once via
+    # localCheckpoint rather than persist(): checkpoint blocks are freed
+    # by the ContextCleaner when the DataFrame is GC'd, so repeated calls
+    # in a long session don't accumulate registered cache entries
     base = ensure_parallelism(df).select(
         F.col(key_col).alias("__k"), F.col(str_col).alias("__s")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # deletion neighborhood, built iteratively: one more deletion per round
     variants = base.select("__k", F.col("__s").alias("__v"))
     frontier = variants
@@ -1018,7 +1019,11 @@ def edit_distance_join(
             ).alias("__v"),
         )
         variants = variants.unionByName(frontier)
-    sig = variants.select("__k", F.xxhash64("__v").alias("__h")).distinct().persist()
+    sig = (
+        variants.select("__k", F.xxhash64("__v").alias("__h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     cand = (
         sig.join(
@@ -1605,7 +1610,14 @@ def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
     )
 
 
-def kn_bigram_logprob(df, text_col: str, id_col: str, discount: float = 0.75):
+def kn_bigram_logprob(
+    df,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+    fit_fraction: float = 1.0,
+    fit_df=None,
+):
     """Per-document mean NLL under an interpolated Kneser-Ney bigram
     model — the smoothing real n-gram LMs (KenLM) actually use,
     replacing Laplace's uniform prior with the continuation-count
@@ -1616,9 +1628,28 @@ def kn_bigram_logprob(df, text_col: str, id_col: str, discount: float = 0.75):
 
     where N1+(w1,·) counts distinct continuations of w1, N1+(·,w2)
     distinct contexts of w2, and N1+(··) the distinct-bigram total.
-    Scoring the corpus against its own model means every scored bigram
-    is observed (C≥1 > d), so the backoff term interpolates rather
-    than rescues zeros and log P is always finite.
+
+    **Fit corpus vs scoring corpus (the CCNet shape).** By default the
+    model is fit on the scored corpus itself, so every scored bigram
+    is observed (C≥1 > d), the backoff term interpolates rather than
+    rescues zeros, and log P is always finite. At 100 TB that makes
+    the model aggregations corpus×vocabulary exchanges — but the
+    production recipe (CCNet: Wenzek et al. 2019) trains the LM on a
+    bounded target domain or sample and scores the full corpus
+    map-only against the broadcast model. ``fit_df`` supplies an
+    explicit reference/domain corpus (same text/id columns);
+    otherwise ``fit_fraction`` < 1 fits on a DETERMINISTIC
+    content-hash sample of ``df`` (pmod(xxhash64(text)) — partition-
+    layout independent, same convention as the sampling operators).
+    The model tables then scale with the fit sample, and AQE turns
+    the scoring joins into broadcasts, so the scoring pass's shuffle
+    is model-sized, not corpus-sized. Bigrams unseen by the fit model
+    back off exactly as the KN recursion prescribes — unseen head →
+    pure continuation probability P_cont(w2); unseen tail → half the
+    minimal observed continuation mass 0.5/N1+(··) (finite, below
+    every observed word; the <unk> continuation-floor convention).
+    At fit_fraction=1.0 no fallback can fire and the result is
+    bit-identical to the self-fit model (the driver-oracle H row).
 
     Scale shape: identical discipline to bigram_logprob — the
     per-(doc,bigram) table shuffles ONCE on (w1,w2); all corpus
@@ -1631,21 +1662,34 @@ def kn_bigram_logprob(df, text_col: str, id_col: str, discount: float = 0.75):
     documents with ≥1 bigram.
     """
     bf = _doc_bigram_counts(df, text_col, id_col)
-    g12 = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    if fit_df is not None:
+        fit_bf = _doc_bigram_counts(fit_df, text_col, id_col)
+    elif fit_fraction < 1.0:
+        keep = F.pmod(F.xxhash64(F.col(text_col)), F.lit(1_000_000)) < int(
+            fit_fraction * 1_000_000
+        )
+        fit_bf = _doc_bigram_counts(df.filter(keep), text_col, id_col)
+    else:
+        fit_bf = bf
+    g12 = fit_bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
     heads = g12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1p_head")
     )
     tails = g12.groupBy("w2").agg(F.count("*").alias("n1p_tail"))
     totals = g12.agg(F.count("*").alias("n1p_total"))
-    ratios = g12.join(heads, "w1").join(tails, "w2")
     d = F.lit(float(discount))
-    p = (
-        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
-        + (d * F.col("n1p_head") / F.col("c1"))
-        * (F.col("n1p_tail") / F.col("n1p_total"))
+    pcont = F.coalesce(F.col("n1p_tail"), F.lit(0.5)) / F.col("n1p_total")
+    p = F.when(
+        F.col("c1").isNull(), pcont  # head unseen by the fit model
+    ).otherwise(
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c1")
+        + (d * F.col("n1p_head") / F.col("c1")) * pcont
     )
     return (
-        bf.join(ratios, ["w1", "w2"])
+        bf.join(g12, ["w1", "w2"], "left")
+        .join(heads, "w1", "left")
+        .join(tails, "w2", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc")
         .agg(
@@ -1664,6 +1708,8 @@ def perplexity_buckets(
     discount: float = 0.75,
     round_dp: int | None = None,
     materialize: bool = True,
+    fit_fraction: float = 1.0,
+    fit_df=None,
 ):
     """CCNet-style perplexity bucketing: score every document with the
     interpolated Kneser-Ney bigram model (``kn_bigram_logprob``) and
@@ -1695,10 +1741,18 @@ def perplexity_buckets(
     would leak a session-lifetime cached DataFrame), whereas
     checkpoint blocks are released by the ContextCleaner as soon as
     the returned frame is no longer referenced.
-    Returns (doc, n_bigrams, avg_nll, bucket); docs with <2 tokens
-    are unscored, as in kn_bigram_logprob.
+    ``fit_fraction``/``fit_df`` pass through to ``kn_bigram_logprob``:
+    CCNet's actual deployment fits the LM on a bounded target domain
+    (or sample) and scores the full corpus against the broadcast
+    model — the model exchanges then scale with the fit set, not the
+    corpus. Buckets are still cut at percentiles of the FULL scored
+    corpus. Returns (doc, n_bigrams, avg_nll, bucket); docs with <2
+    tokens are unscored, as in kn_bigram_logprob.
     """
-    scored = kn_bigram_logprob(df, text_col, id_col, discount)
+    scored = kn_bigram_logprob(
+        df, text_col, id_col, discount,
+        fit_fraction=fit_fraction, fit_df=fit_df,
+    )
     nll = (
         F.round("avg_nll", round_dp) if round_dp is not None else F.col("avg_nll")
     )

@@ -235,9 +235,13 @@ def source_hashes() -> dict[str, str]:
         ``from xetl_spark... import ...`` in ``text``."""
         for rx in (imp_paren_re, imp_line_re):
             for m in rx.finditer(text):
+                # strip a trailing comment before splitting — otherwise
+                # "import text  # note" yields the symbol "text  # note",
+                # fails sym_re, and the dependency silently goes untracked
+                symtext = m.group(2).split("#", 1)[0]
                 syms = [
                     s.strip()
-                    for s in m.group(2).split(",")
+                    for s in symtext.split(",")
                     if s.strip() and sym_re.match(s.strip())
                 ]
                 if syms:
@@ -279,7 +283,7 @@ def source_hashes() -> dict[str, str]:
                 )
                 if t.type not in (tokenize.COMMENT, tokenize.STRING)
             )
-        except (tokenize.TokenizeError, IndentationError, SyntaxError):
+        except (tokenize.TokenError, IndentationError, SyntaxError):
             return src
 
     top_bindings_cache: dict[str, dict[str, str]] = {}

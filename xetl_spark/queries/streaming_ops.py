@@ -186,10 +186,14 @@ def q_stream_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         from xetl_spark.streaming.stateful import streaming_dedup_to_store
 
+        # The streaming file source requires a DIRECTORY; the testdata
+        # layout is one file per table, so glob-filter within sf_dir
+        # (same pattern as streaming/windows.py read_events_stream).
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{sf_dir}/documents.parquet")
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
             .select("doc_id", "text")
         )
         streaming_dedup_to_store(

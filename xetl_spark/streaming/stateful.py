@@ -224,6 +224,26 @@ def streaming_minhash_dedup(
     )
 
 
+def _try_read_store(spark, store_path: str) -> DataFrame | None:
+    """Read a persisted digest store, or None if it doesn't exist yet.
+
+    Probes by attempting the read and catching the analysis error —
+    NOT ``os.path.isdir``, which only works for local paths: with an
+    HDFS/S3 store URI an isdir probe is always False, the historical
+    store is silently ignored, and every batch re-admits previously
+    seen content (silent mis-dedup). The catch is narrowed to
+    path-not-found; a store that exists but is unreadable still raises.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+
+
 def streaming_dedup_to_store(
     stream_df: DataFrame,
     text_col: str,
@@ -264,8 +284,6 @@ def streaming_dedup_to_store(
     append-only parquet (no compaction needed at screening time: the
     anti-join reads it as one table).
     """
-    import os
-
     from pyspark.sql import functions as SF
 
     if mode not in ("exact", "minhash"):
@@ -282,9 +300,7 @@ def streaming_dedup_to_store(
         )
 
         batches.append(batch_id)
-        store = (
-            spark.read.parquet(store_path) if os.path.isdir(store_path) else None
-        )
+        store = _try_read_store(spark, store_path)
         if mode == "exact":
             fresh, new_store = incremental_exact_dedup(
                 batch_df, store, text_col, id_col
