@@ -366,3 +366,151 @@ def test_perplexity_keep_head_golden_transcript(tmp_path):
         gate: success"""
     ).strip()
     assert got == expected, f"--- got ---\n{got}\n--- want ---\n{expected}"
+
+
+def test_incremental_minhash_store_two_run_golden_transcript(tmp_path):
+    """Cross-run MinHash store screening end-to-end through the CLI,
+    two runs pinned (VERDICT r10 item 8): run 1 collapses the in-batch
+    near-twin (lower id survives) and seeds the persisted signature
+    store; run 2 ingests a new shard — fresh ids (the operator's
+    documented cross-run contract), lightly perturbed near-duplicate
+    content — against the now-populated store, and an expect gate
+    FAILS the job if ANY row survives — so two green transcripts pin
+    the new x all store discipline, not just the stage flow."""
+    (tmp_path / "data").mkdir()
+
+    Q1 = """SELECT * FROM VALUES
+  (0, 'the quick brown fox jumps over the lazy dog again and again today'),
+  (1, 'the quick brown fox jumps over the lazy dog again and again now'),
+  (2, 'completely different text about spark partitions and shuffle exchanges'),
+  (3, 'a third unrelated document mentioning parquet column pruning instead')
+AS t(doc_id, text)"""
+    Q2 = """SELECT * FROM VALUES
+  (10, 'the quick brown fox jumps over the lazy dog again and again tonight'),
+  (12, 'completely different text about spark partitions and shuffle exchange'),
+  (13, 'the third unrelated document mentioning parquet column pruning instead')
+AS t(doc_id, text)"""
+
+    def manifest(n: int, violation: str, query: str) -> str:
+        p = tmp_path / f"incr{n}.yml"
+        indented_query = textwrap.indent(query, " " * 24)
+        p.write_text(
+            textwrap.dedent(
+                f"""
+                name: incr-minhash
+                description: cross-run MinHash store screening
+                data: {tmp_path}/data
+                commands:
+                  - name: shard
+                    task: sql
+                    env:
+                      QUERY: >
+{indented_query}
+                  - name: screened
+                    task: incremental_dedup
+                    env:
+                      INPUT: shard
+                      MODE: minhash
+                      THRESHOLD: 0.5
+                      STORE: {tmp_path}/stores/minhash_sigs
+                  - name: gate
+                    task: expect
+                    env:
+                      INPUT: screened
+                      VIOLATION_WHERE: "{violation}"
+                  - name: sink
+                    task: write_parquet
+                    env:
+                      INPUT: screened
+                      PATH: {tmp_path}/out{n}
+                """
+            )
+        )
+        return str(p)
+
+    def transcript(n: int, violation: str, query: str) -> str:
+        # the CLI echoes QUERY with continuation lines unprefixed; the
+        # template below is dedent-ed by 12, so re-indent continuation
+        # lines by 12 to survive the dedent with their own offsets
+        qlines = query.splitlines()
+        q_echo = "┃     QUERY: " + qlines[0] + "".join(
+            "\n" + " " * 12 + ln for ln in qlines[1:]
+        )
+        return textwrap.dedent(
+            f"""\
+            ╭──╴Executing job: incr-minhash ╶╴╴╶ ╶
+            ┏━━╸Executing command: shard (1 of 4) ━╴╴╶ ╶
+            ┃   name: shard
+            ┃   description: null
+            ┃   task: sql
+            ┃   env:
+            {q_echo}
+            ┃   skip: false
+            ┃╭──╴Executing task: sql ─╴╴╶ ╶
+            ┃│{{TS}}┊ Running command shard (task=sql)
+            ┃╰──╴Return code: 0 ─╴╴╶ ╶
+            ┏━━╸Executing command: screened (2 of 4) ━╴╴╶ ╶
+            ┃   name: screened
+            ┃   description: null
+            ┃   task: incremental_dedup
+            ┃   env:
+            ┃     INPUT: shard
+            ┃     MODE: minhash
+            ┃     THRESHOLD: 0.5
+            ┃     STORE: {{TMP}}/stores/minhash_sigs
+            ┃     TEXT_COL: text
+            ┃     ID_COL: doc_id
+            ┃   skip: false
+            ┃╭──╴Executing task: incremental_dedup ─╴╴╶ ╶
+            ┃│{{TS}}┊ Running command screened (task=incremental_dedup)
+            ┃╰──╴Return code: 0 ─╴╴╶ ╶
+            ┏━━╸Executing command: gate (3 of 4) ━╴╴╶ ╶
+            ┃   name: gate
+            ┃   description: null
+            ┃   task: expect
+            ┃   env:
+            ┃     INPUT: screened
+            ┃     VIOLATION_WHERE: {violation}
+            ┃     NOT_NULL:
+            ┃     UNIQUE:
+            ┃     RANGE:
+            ┃     MATCHES:
+            ┃     MODE: fail
+            ┃   skip: false
+            ┃╭──╴Executing task: expect ─╴╴╶ ╶
+            ┃│{{TS}}┊ Running command gate (task=expect)
+            ┃╰──╴Return code: 0 ─╴╴╶ ╶
+            ┏━━╸Executing command: sink (4 of 4) ━╴╴╶ ╶
+            ┃   name: sink
+            ┃   description: null
+            ┃   task: write_parquet
+            ┃   env:
+            ┃     INPUT: screened
+            ┃     PATH: {{TMP}}/out{n}
+            ┃     MODE: overwrite
+            ┃   skip: false
+            ┃╭──╴Executing task: write_parquet ─╴╴╶ ╶
+            ┃│{{TS}}┊ Running command sink (task=write_parquet)
+            ┃╰──╴Return code: 0 ─╴╴╶ ╶
+            │ Done! \\o/
+            shard: success
+            screened: success
+            gate: success
+            sink: success"""
+        ).strip()
+
+    # run 1: near-twin 1 collapses onto 0; distinct docs survive
+    v1 = "doc_id = 1"
+    res1 = _run_cli(manifest(1, v1, Q1))
+    out1 = res1.stdout.decode()
+    assert res1.returncode == 0, out1
+    got1 = _normalize(out1, str(tmp_path))
+    assert got1 == transcript(1, v1, Q1), f"--- got ---\n{got1}"
+
+    # run 2: fresh ids, near-dup content — the STORE screens every row
+    v2 = "true"
+    res2 = _run_cli(manifest(2, v2, Q2))
+    out2 = res2.stdout.decode()
+    assert res2.returncode == 0, out2
+    got2 = _normalize(out2, str(tmp_path))
+    assert got2 == transcript(2, v2, Q2), f"--- got ---\n{got2}"

@@ -850,6 +850,61 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     assert b1 == b2
 
 
+def test_opq_rotation_beats_plain_pq_on_correlated_dims(spark):
+    """OPQ (round 11, Ge et al. 2013): on vectors whose variance is
+    deliberately smeared ACROSS the subspace boundaries (a dense
+    orthogonal mixing of unevenly-scaled latents — the worst case for
+    a fixed subspace split), the learned rotation recovers shortlist
+    recall that plain PQ loses. The rotation is orthonormal and the
+    exact rerank still reports true unrotated distances."""
+    import numpy as np
+    from collections import defaultdict
+
+    from xetl_spark.operators.pq import opq_fit, pq_topk
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 1500
+    # latents with steeply uneven scales, mixed by a dense rotation so
+    # every PQ subspace sees a blend of high- and low-variance axes
+    scales = np.geomspace(8.0, 0.05, d)
+    q_mix, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    x = (rng.normal(size=(n, d)) * scales) @ q_mix
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 12)
+
+    # learned rotation is orthonormal
+    rot, _books = opq_fit(emb, "embedding", m=4, k=16, iters=6)
+    r = np.asarray(rot)
+    assert np.allclose(r @ r.T, np.eye(d), atol=1e-8)
+
+    def recall(opq_iters):
+        got = pq_topk(
+            emb, queries, "embedding", m=4, k_codes=16, k=10,
+            shortlist=40, opq_iters=opq_iters,
+        ).collect()
+        by_q = defaultdict(set)
+        dists = {}
+        for rr in got:
+            by_q[rr.query_id].add(rr.corpus_id)
+            dists[(rr.query_id, rr.corpus_id)] = rr.dist
+        recs = []
+        for qi in range(12):
+            dd = ((x - x[qi]) ** 2).sum(1)
+            true10 = {int(i) for i in np.argsort(dd, kind="stable")[:10]}
+            recs.append(len(true10 & by_q[qi]) / 10)
+            # reported distances are TRUE unrotated L2
+            for cid in by_q[qi]:
+                assert abs(dists[(qi, cid)] - np.sqrt(dd[cid])) < 1e-6
+        return sum(recs) / len(recs)
+
+    r_pq, r_opq = recall(0), recall(6)
+    assert r_opq >= r_pq - 0.02, (r_pq, r_opq)  # never meaningfully worse
+    assert r_opq >= 0.8, (r_pq, r_opq)
+    # the engineered misalignment leaves plain PQ a real gap to close
+    assert r_opq - r_pq >= 0.05, (r_pq, r_opq)
+
+
 def test_pq_encode_shapes_and_code_range(spark, sf_dir):
     from xetl_spark.operators.pq import pq_encode, pq_fit
 
@@ -1216,6 +1271,59 @@ def test_kn_sampled_fit_properties(spark):
     # order-statistic cuts hold regardless of the fit sample (ties can
     # only widen head/middle, never shrink them below the cut rank)
     assert sizes["head"] >= 6 and sizes["head"] + sizes["middle"] >= 12
+
+
+def test_kn_sampled_fit_scoring_joins_broadcast(spark):
+    """The CCNet fit/score split's scale claim, plan-locked: with a
+    small fit corpus, ALL THREE model joins in the scoring pass
+    resolve to BroadcastHashJoin (AQE) — no SortMergeJoin re-keys the
+    corpus-sized bigram-instance table on (w1,w2)/w1/w2."""
+    from xetl_spark.operators.text import kn_bigram_logprob
+
+    rows = [(i, f"alpha beta gamma doc{i} delta epsilon zeta") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = kn_bigram_logprob(df, "text", "doc_id", fit_fraction=0.1)
+    out.collect()  # drive AQE to the final plan on THIS DataFrame
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    # AQE's toString appends the pre-adaptive "== Initial Plan ==" —
+    # assert on the FINAL section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 3, final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
+
+
+def test_edit_distance_join_no_cache_growth(spark):
+    """edit_distance_join materializes its base/signature tables via
+    localCheckpoint, not persist(): repeated invocations in a
+    long-lived session must not accumulate registered cache entries
+    (the round-10 verdict's session-lifetime leak class)."""
+    from xetl_spark.operators.text import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "customer one"), (2, "custmer one"), (3, "supplier two")],
+        "k long, name string",
+    )
+    import gc
+    import time
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(3):
+        out = edit_distance_join(df, "name", "k", max_distance=1).collect()
+        assert {(r.key_a, r.key_b) for r in out} == {(1, 2)}
+    # persist() entries would stay registered forever; localCheckpoint
+    # blocks are released by the ContextCleaner once the DataFrames are
+    # unreferenced — force the GC chain (Python -> py4j detach -> JVM)
+    # and poll for the count to return to baseline
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if len(spark.sparkContext._jsc.getPersistentRDDs()) <= before:
+            break
+        time.sleep(0.5)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before  # no registered-cache growth across calls
 
 
 def test_natural_boundary_dedup_sentence_granularity(spark):

@@ -113,6 +113,12 @@ def main() -> None:
             1,
         ),
         run(
+            "OPQ iters 6 shortlist 100 + rerank (L2)",
+            lambda: pq_topk(emb, queries, "embedding", k=K, opq_iters=6),
+            truth_l2,
+            1,
+        ),
+        run(
             "IVF-PQ probe 8/16 shortlist 400 (L2)",
             lambda: ivfpq_topk(emb, queries, "embedding", n_cells=16, n_probe=8, k=K, shortlist=400),
             truth_l2,

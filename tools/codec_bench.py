@@ -73,6 +73,11 @@ def main() -> int:
     bench("JPEG arithmetic (SOF9)", "decode", raw, lambda: jpeg.jpeg_decode(ja))
     jap = jpeg.jpeg_encode(img, 85, arithmetic=True, progressive=True)
     bench("JPEG arith progressive (SOF10)", "decode", raw, lambda: jpeg.jpeg_decode(jap))
+    jal = jpeg.jpeg_lossless_encode(img, arithmetic=True)
+    bench("JPEG arith lossless (SOF11)", "decode", raw, lambda: jpeg.jpeg_decode(jal))
+    jah = jpeg.jpeg_encode_hierarchical(img, levels=3, quality=85, arithmetic=True)
+    bench("JPEG arith hierarchical (SOF9+SOF13)", "decode", raw,
+          lambda: jpeg.jpeg_decode(jah))
     pal_idx = (img[:, :, 0] >> 5).astype(np.uint8)
     pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
     gf = gif.gif_encode([pal[pal_idx]], delays_cs=[4])

@@ -92,6 +92,15 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # executes once (the q_graph_triangles pattern). Live exchanges:
 # the KN pipeline once (11), one single-partition global agg over the
 # doc-count-sized scored table (1), threshold broadcast (0 shuffles).
+# q_text_kn_sampled_fit — the CCNet fit/score split: the fit-side
+# model aggregations run over the 10% subset (bf groupBy, g12, heads,
+# tails, totals = 5 small exchanges + their partial/final pairs in the
+# static text), while the SCORING side is exchange-free by design —
+# raw exploded bigram instances flow through three BROADCAST joins
+# (plan-asserted: zero SortMergeJoin) into the per-doc aggregation,
+# whose exchange carries one partial row per (doc, partition). The
+# count is fit-side bookkeeping over 10% of the corpus; the corpus
+# itself is never re-keyed. SHUFFLE.md: 2.28 MB vs 12.86 self-fit.
 # q_dedup_incremental_semantic — deliberately chains TWO full
 # incremental_semdedup invocations (store build from batch 1 +
 # screen of batch 2) into one plan so the driver verifies the
@@ -110,6 +119,7 @@ EXCHANGE_ALLOWANCE = {
     "q_join_effective_dated": 7,
     "q_ivm_rollup_maintenance": 24,
     "q_text_perplexity_buckets": 24,
+    "q_text_kn_sampled_fit": 11,
     "q_dedup_incremental_semantic": 19,
 }
 

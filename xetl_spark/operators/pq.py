@@ -50,6 +50,19 @@ def _kmeans_np(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     return centers
 
 
+def _fit_sample(corpus: DataFrame, vec_col: str) -> np.ndarray:
+    """Bounded, deterministic fit sample: the first _MAX_FIT_SAMPLE
+    rows under md5(content) ordering — partitioning-independent, so
+    refits on a repartitioned corpus give identical codebooks."""
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("v").cast("string")))
+        .limit(_MAX_FIT_SAMPLE)
+        .collect()
+    )
+    return np.asarray([r.v for r in sample], dtype=np.float64)
+
+
 def pq_fit(
     corpus: DataFrame,
     vec_col: str,
@@ -60,17 +73,8 @@ def pq_fit(
     """Fit per-subspace codebooks on a bounded, deterministic sample.
 
     Returns ``m`` codebooks of ``k`` sub-centroids each (plain lists).
-    The sample is the first _MAX_FIT_SAMPLE rows under md5(id-ish
-    content) ordering — partitioning-independent, so refits on a
-    repartitioned corpus give identical codebooks.
     """
-    sample = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("v").cast("string")))
-        .limit(_MAX_FIT_SAMPLE)
-        .collect()
-    )
-    x = np.asarray([r.v for r in sample], dtype=np.float64)
+    x = _fit_sample(corpus, vec_col)
     d = x.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -81,15 +85,78 @@ def pq_fit(
     ]
 
 
+def _pq_reconstruct(
+    x: np.ndarray, books: list[np.ndarray], dsub: int
+) -> np.ndarray:
+    """Quantize-then-decode x against per-subspace codebooks."""
+    y = np.empty_like(x)
+    for i, b in enumerate(books):
+        sub = x[:, i * dsub : (i + 1) * dsub]
+        codes = ((b * b).sum(1)[None, :] - 2.0 * (sub @ b.T)).argmin(1)
+        y[:, i * dsub : (i + 1) * dsub] = b[codes]
+    return y
+
+
+def opq_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    iters: int = 8,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized Product Quantization (Ge et al., CVPR 2013, OPQ-NP):
+    learn an orthonormal rotation R that redistributes variance and
+    decorrelates the subspaces BEFORE product quantization, then fit
+    the codebooks in the rotated space. Returns (R as d x d lists,
+    codebooks) — apply ``x @ R`` before encoding; L2 distances are
+    rotation-invariant, so exact reranks still use original vectors.
+
+    The non-parametric alternation, all driver-side on the bounded
+    sample (d x d SVD on 64-dim embeddings is microseconds):
+      1. rotate the sample, 2. fit per-subspace k-means, 3. decode the
+      codes back to vectors Y, 4. solve the orthogonal Procrustes
+      problem min_R ||X R - Y||_F (SVD of X^T Y), repeat.
+    PQ's quantization error depends on how variance lands across
+    subspaces; on embeddings with correlated/unevenly-scaled
+    dimensions the learned R recovers most of the accuracy a plain
+    subspace split loses (recall gap pinned in tests/test_llm_ops.py).
+    """
+    x = _fit_sample(corpus, vec_col)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    r = np.eye(d)
+    for it in range(max(1, int(iters))):
+        xr = x @ r
+        books = [
+            _kmeans_np(xr[:, i * dsub : (i + 1) * dsub], k, seed + i, iters=10)
+            for i in range(m)
+        ]
+        y = _pq_reconstruct(xr, books, dsub)
+        u, _s, vt = np.linalg.svd(x.T @ y)
+        r = u @ vt
+    xr = x @ r
+    books = [
+        _kmeans_np(xr[:, i * dsub : (i + 1) * dsub], k, seed + i)
+        for i in range(m)
+    ]
+    return r.tolist(), [b.tolist() for b in books]
+
+
 def pq_encode(
     df: DataFrame,
     vec_col: str,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """(id, codes): per-subspace nearest-codeword indices. One
-    Arrow-batched pass; codebooks ride the closure (tiny)."""
+    Arrow-batched pass; codebooks (and the optional OPQ rotation)
+    ride the closure (tiny)."""
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     m = len(books)
     dsub = books[0].shape[1]
     id_type = df.schema[id_col].dataType.simpleString()
@@ -99,6 +166,8 @@ def pq_encode(
 
         for pdf in batches:
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if rot is not None:
+                x = x @ rot
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for i, b in enumerate(books):
                 sub = x[:, i * dsub : (i + 1) * dsub]
@@ -126,6 +195,7 @@ def pq_topk(
     q_id_col: str = "vec_id",
     seed: int = 42,
     max_queries: int = 65536,
+    opq_iters: int = 0,
 ) -> DataFrame:
     """ADC shortlist + exact rerank: (query_id, corpus_id, dist, rank).
 
@@ -133,19 +203,32 @@ def pq_topk(
     cosine_topk_bruteforce); the corpus is scanned once in the
     compressed domain, then only shortlisted (query, corpus-id) pairs
     fetch true vectors for the exact rerank join.
+
+    ``opq_iters`` > 0 switches the fit to OPQ (opq_fit): corpus codes
+    and query ADC tables are built in the learned rotated space, while
+    the exact rerank stays on ORIGINAL vectors — rotation preserves
+    L2, so only the shortlist quality (recall) changes, never the
+    reported distances.
     """
     from pyspark.sql import Window
 
-    codebooks = pq_fit(corpus, vec_col, m, k_codes, seed)
+    if opq_iters > 0:
+        rotation, codebooks = opq_fit(
+            corpus, vec_col, m, k_codes, seed, iters=opq_iters
+        )
+    else:
+        rotation, codebooks = None, pq_fit(corpus, vec_col, m, k_codes, seed)
     books = [np.asarray(b) for b in codebooks]
     dsub = books[0].shape[1]
-    encoded = pq_encode(corpus, vec_col, codebooks, id_col)
+    encoded = pq_encode(corpus, vec_col, codebooks, id_col, rotation=rotation)
 
     q_rows = bounded_query_collect(
         queries, [q_id_col, vec_col], max_queries, "pq_topk"
     )
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    if rotation is not None:
+        q_mat = q_mat @ np.asarray(rotation, dtype=np.float64)
     # per-query ADC tables: (n_q, m, k) — tiny, rides the closure
     tables = np.stack(
         [

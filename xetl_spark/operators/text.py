@@ -1520,8 +1520,9 @@ def remove_duplicate_spans_exact(
     return _rebuild_from_cuts(base, cuts, id_col, k_tokens)
 
 
-def _doc_bigram_counts(df, text_col: str, id_col: str):
-    """(doc, w1, w2, bf) — per-document adjacent-bigram counts.
+def _doc_bigram_pairs(df, text_col: str, id_col: str):
+    """(doc, w1, w2) — one row per adjacent-bigram INSTANCE, shuffle-
+    free (explode is map-side).
 
     Lambda-free adjacent pairing: arrays_zip each token with its
     successor (null-padded on the last token) and explode — HOF
@@ -1530,8 +1531,7 @@ def _doc_bigram_counts(df, text_col: str, id_col: str):
     bigram-LM profile. Empty tokens cannot appear mid-array (tokens()
     trims before splitting on whitespace), and the lone [""] of a
     whitespace-only document is excluded by the size >= 2 filter, so
-    no pre-filter lambda is needed. One keyed shuffle (collapsing each
-    document's repeats map-side)."""
+    no pre-filter lambda is needed."""
     from xetl_spark.operators.util import ensure_parallelism
 
     t = tokens(text_col)
@@ -1540,7 +1540,7 @@ def _doc_bigram_counts(df, text_col: str, id_col: str):
         t.alias("__t"),
         F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("__t2"),
     )
-    big = (
+    return (
         base.filter(F.size("__t") >= 2)
         .select(
             "doc",
@@ -1553,7 +1553,16 @@ def _doc_bigram_counts(df, text_col: str, id_col: str):
             F.col("__b.__t2").alias("w2"),
         )
     )
-    return big.groupBy("doc", "w1", "w2").agg(F.count("*").alias("bf"))
+
+
+def _doc_bigram_counts(df, text_col: str, id_col: str):
+    """(doc, w1, w2, bf) — per-document adjacent-bigram counts. One
+    keyed shuffle (collapsing each document's repeats map-side)."""
+    return (
+        _doc_bigram_pairs(df, text_col, id_col)
+        .groupBy("doc", "w1", "w2")
+        .agg(F.count("*").alias("bf"))
+    )
 
 
 def bigram_logprob(df, text_col: str, id_col: str, k_smooth: float = 1.0):
@@ -1641,9 +1650,13 @@ def kn_bigram_logprob(
     otherwise ``fit_fraction`` < 1 fits on a DETERMINISTIC
     content-hash sample of ``df`` (pmod(xxhash64(text)) — partition-
     layout independent, same convention as the sampling operators).
-    The model tables then scale with the fit sample, and AQE turns
-    the scoring joins into broadcasts, so the scoring pass's shuffle
-    is model-sized, not corpus-sized. Bigrams unseen by the fit model
+    The model tables then scale with the fit sample, AQE turns the
+    scoring joins into broadcasts, and the scoring side skips the
+    (doc, bigram) pre-aggregation entirely — raw exploded instances
+    flow map-only through the broadcast joins into per-doc partial
+    aggregates, so the scoring pass's only exchange is one row per
+    doc per partition (measured: SHUFFLE.md q_text_kn_sampled_fit).
+    Bigrams unseen by the fit model
     back off exactly as the KN recursion prescribes — unseen head →
     pure continuation probability P_cont(w2); unseen tail → half the
     minimal observed continuation mass 0.5/N1+(··) (finite, below
@@ -1661,16 +1674,16 @@ def kn_bigram_logprob(
     sized, not corpus-sized. Returns (doc, n_bigrams, avg_nll) for
     documents with ≥1 bigram.
     """
-    bf = _doc_bigram_counts(df, text_col, id_col)
+    self_fit = fit_df is None and fit_fraction >= 1.0
     if fit_df is not None:
         fit_bf = _doc_bigram_counts(fit_df, text_col, id_col)
-    elif fit_fraction < 1.0:
+    elif not self_fit:
         keep = F.pmod(F.xxhash64(F.col(text_col)), F.lit(1_000_000)) < int(
             fit_fraction * 1_000_000
         )
         fit_bf = _doc_bigram_counts(df.filter(keep), text_col, id_col)
     else:
-        fit_bf = bf
+        fit_bf = _doc_bigram_counts(df, text_col, id_col)
     g12 = fit_bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
     heads = g12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1p_head")
@@ -1686,15 +1699,29 @@ def kn_bigram_logprob(
         / F.col("c1")
         + (d * F.col("n1p_head") / F.col("c1")) * pcont
     )
+    if self_fit:
+        # the (doc, bigram) counts are already materialized for the
+        # model — reuse them; sum is bf-weighted
+        scored = fit_bf
+        n = F.sum("bf")
+        nll_sum = F.sum(F.col("bf") * -F.log(p))
+    else:
+        # map-only scoring pass (the 100 TB shape): raw bigram
+        # instances broadcast-join the fit-sized model tables with NO
+        # corpus-keyed exchange — the only shuffle left is the per-doc
+        # partial aggregation (one row per doc per partition)
+        scored = _doc_bigram_pairs(df, text_col, id_col)
+        n = F.count(F.lit(1))
+        nll_sum = F.sum(-F.log(p))
     return (
-        bf.join(g12, ["w1", "w2"], "left")
+        scored.join(g12, ["w1", "w2"], "left")
         .join(heads, "w1", "left")
         .join(tails, "w2", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy("doc")
         .agg(
-            F.sum("bf").alias("n_bigrams"),
-            (F.sum(F.col("bf") * -F.log(p)) / F.sum("bf")).alias("avg_nll"),
+            n.alias("n_bigrams"),
+            (nll_sum / n).alias("avg_nll"),
         )
     )
 

@@ -791,7 +791,7 @@ def near_dedup(ctx: StageContext):
         "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
         "MODE": {"description": "exact | minhash", "type": "string", "default": "exact"},
         "THRESHOLD": {"description": "minhash-mode jaccard bar", "type": "float", "default": 0.8},
-        "STORE": {"description": "persisted digest/signature store path", "type": "string"},
+        "STORE": {"description": "persisted digest/signature store path (LOCAL filesystem: the atomic temp-dir swap uses shutil)", "type": "string"},
         "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
     },
 )
@@ -861,7 +861,7 @@ def incremental_dedup_task(ctx: StageContext):
         "THRESHOLD": {"description": "cosine threshold", "type": "float", "default": 0.95},
         "CLUSTERS": {"description": "k-means cells", "type": "int", "default": 16},
         "STORE": {
-            "description": "persisted signature-store path for incremental mode",
+            "description": "persisted signature-store path for incremental mode (LOCAL filesystem: the atomic temp-dir swap uses shutil)",
             "type": "string",
             "required": False,
         },

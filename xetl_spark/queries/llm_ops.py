@@ -2765,6 +2765,24 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, "embedding", k=10)
 
 
+@query("q_sim_opq_topk", oracle=None)
+def q_sim_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized Product Quantization ANN (round 11, operators/pq.py
+    opq_fit — Ge et al. CVPR 2013): a learned orthonormal rotation
+    decorrelates the subspaces before PQ, so quantization error (and
+    shortlist recall) stops depending on how variance happens to land
+    across the fixed subspace split; codes + ADC tables live in the
+    rotated space while the exact rerank reports true unrotated L2.
+    The recall gap over plain PQ on adversarially-mixed dimensions is
+    property-tested in tests/test_llm_ops.py; ANN.md carries the
+    measured recall row on the fixture embeddings."""
+    from xetl_spark.operators.pq import pq_topk
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, "embedding", k=10, opq_iters=6)
+
+
 @query("q_sim_ivfpq_topk", oracle=None)
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (operators/pq.py ivfpq_topk): coarse cells prune the
@@ -3668,6 +3686,65 @@ def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("avg_nll", 6).alias("avg_nll"),
         "bucket",
+    )
+
+
+@query(
+    "q_text_kn_sampled_fit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({_DD_TOKENS}, x -> x <> '') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2
+      FROM t, LATERAL (
+        SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pair
+      ) p
+      WHERE len(toks) >= 2),
+    bf AS (SELECT doc_id, w1, w2, count(*) AS bf FROM b GROUP BY ALL),
+    fit AS (SELECT * FROM bf WHERE doc_id % 10 = 0),
+    g12 AS (SELECT w1, w2, sum(bf) AS c12 FROM fit GROUP BY w1, w2),
+    heads AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_head
+              FROM g12 GROUP BY w1),
+    tails AS (SELECT w2, count(*) AS n1p_tail FROM g12 GROUP BY w2),
+    tot AS (SELECT count(*) AS n1p_total FROM g12)
+    SELECT doc_id,
+           CAST(sum(bf) AS BIGINT) AS n_bigrams,
+           round(sum(bf * -ln(
+               CASE WHEN c1 IS NULL
+                    THEN coalesce(n1p_tail, 0.5) / n1p_total
+                    ELSE greatest(coalesce(c12, 0) - 0.75, 0.0) / c1
+                         + (0.75 * n1p_head / c1)
+                           * (coalesce(n1p_tail, 0.5) / n1p_total)
+               END
+           )) / sum(bf), 6) AS avg_nll
+    FROM bf LEFT JOIN g12 USING (w1, w2) LEFT JOIN heads USING (w1)
+            LEFT JOIN tails USING (w2) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_kn_sampled_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's ACTUAL fit/score split (round 11, operators/text.py
+    kn_bigram_logprob fit_df): the Kneser-Ney model is fit on a
+    bounded reference subset (here doc_id % 10 = 0, 10% of the
+    corpus, SQL-expressible so the oracle replays it exactly) while
+    EVERY document is scored against the broadcast-sized model —
+    unseen heads back off to the continuation probability, unseen
+    tails to half the minimal continuation mass, both replicated in
+    the DuckDB oracle via LEFT JOIN + the same CASE. At 100 TB this
+    is the shape that matters: the model aggregations scale with the
+    fit sample, the scoring joins broadcast, and the corpus-sized
+    exchange is only the per-doc aggregation."""
+    from xetl_spark.operators.text import kn_bigram_logprob
+
+    (docs,) = load(spark, sf_dir, "documents")
+    fit = docs.filter(F.col("doc_id") % 10 == 0)
+    out = kn_bigram_logprob(docs, "text", "doc_id", fit_df=fit)
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
     )
 
 
