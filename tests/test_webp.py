@@ -1,0 +1,325 @@
+"""WebP (VP8L lossless) codec: roundtrips across every encoder path,
+hand-built streams for decode-only features (meta-prefix groups), an
+independent wire-format golden, container probes (VP8 lossy / VP8X),
+and hostile-byte triage."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xetl_spark.operators.imaging import (
+    UnsupportedImageError,
+    decode_image,
+    sniff_format,
+)
+from xetl_spark.operators.webp import (
+    _BitWriter,
+    _encode_image_stream,
+    _package_merge,
+    webp_decode,
+    webp_encode,
+    webp_probe,
+)
+
+
+def _expect_rgba(img: np.ndarray) -> np.ndarray:
+    if img.shape[2] == 4:
+        return img
+    h, w = img.shape[:2]
+    return np.dstack([img, np.full((h, w), 255, np.uint8)])
+
+
+def _images():
+    rng = np.random.RandomState(42)
+    yield rng.randint(0, 256, (7, 11, 3), np.uint8)  # noise
+    yield rng.randint(0, 256, (5, 9, 4), np.uint8)  # noise + alpha
+    two = np.zeros((6, 10, 3), np.uint8)
+    two[:, 5:] = (200, 30, 90)
+    yield two  # two-tone (palette-able, LZ77-able)
+    gy = np.linspace(0, 255, 8)[:, None] + np.linspace(0, 99, 13)[None, :]
+    yield np.stack([(gy % 256)] * 3, axis=2).astype(np.uint8)  # gradient
+    yield np.tile(rng.randint(0, 256, (1, 17, 4), np.uint8), (9, 1, 1))
+    yield np.zeros((1, 1, 3), np.uint8)  # minimal
+    yield rng.randint(0, 256, (1, 40, 3), np.uint8)  # single row
+    yield rng.randint(0, 256, (40, 1, 4), np.uint8)  # single column
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        {},
+        {"use_lz77": False},
+        {"subtract_green": True},
+        {"cache_bits": 4},
+        {"cache_bits": 8, "use_lz77": False},
+        {"cache_bits": 11},
+    ],
+    ids=lambda o: "+".join(f"{k}={v}" for k, v in o.items()) or "plain",
+)
+def test_roundtrip_matrix(opts):
+    for img in _images():
+        dec = webp_decode(webp_encode(img, **opts))
+        assert np.array_equal(dec, _expect_rgba(img))
+
+
+def test_roundtrip_palette():
+    rng = np.random.RandomState(3)
+    # palette sizes straddling every bundling width: 2 (8px/byte),
+    # 3-4 (4px/byte), 5-16 (2px/byte), 17+ (unbundled)
+    for ncolors in (1, 2, 3, 4, 5, 16, 17, 40, 256):
+        pal = rng.randint(0, 256, (ncolors, 3), np.uint8)
+        img = pal[rng.randint(0, ncolors, (9, 13))]
+        dec = webp_decode(webp_encode(img, palette=True))
+        assert np.array_equal(dec, _expect_rgba(img)), ncolors
+    big = rng.randint(0, 256, (20, 20, 3), np.uint8)  # >256 colors likely
+    if len(np.unique(big.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(UnsupportedImageError):
+            webp_encode(big, palette=True)
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_roundtrip_predictor_modes(mode):
+    rng = np.random.RandomState(mode)
+    for img in (
+        rng.randint(0, 256, (6, 9, 3), np.uint8),
+        rng.randint(0, 256, (17, 20, 4), np.uint8),  # multiple 16px blocks
+        np.tile(np.arange(25, dtype=np.uint8)[None, :, None], (4, 1, 3)),
+    ):
+        dec = webp_decode(webp_encode(img, predictor=mode))
+        assert np.array_equal(dec, _expect_rgba(img))
+
+
+def test_roundtrip_color_transform():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (8, 18, 3), np.uint8)
+    for deltas in ((0, 0, 0), (3, -5, 17), (-128, 127, 1), (127, -128, -1)):
+        dec = webp_decode(webp_encode(img, color_deltas=deltas))
+        assert np.array_equal(dec, _expect_rgba(img))
+
+
+def test_one_transform_at_a_time():
+    img = np.zeros((2, 2, 3), np.uint8)
+    with pytest.raises(UnsupportedImageError):
+        webp_encode(img, palette=True, subtract_green=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    opt=st.sampled_from(
+        ["plain", "sg", "cache", "pal", "pred7", "pred11", "pred13", "color"]
+    ),
+)
+def test_roundtrip_fuzz(h, w, ch, seed, opt):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, ch), np.uint8)
+    kw = {
+        "plain": {},
+        "sg": {"subtract_green": True},
+        "cache": {"cache_bits": 6},
+        "pal": {"palette": True},
+        "pred7": {"predictor": 7},
+        "pred11": {"predictor": 11},
+        "pred13": {"predictor": 13},
+        "color": {"color_deltas": (11, -22, 33)},
+    }[opt]
+    assert np.array_equal(
+        webp_decode(webp_encode(img, **kw)), _expect_rgba(img)
+    )
+
+
+def test_meta_prefix_groups_decode():
+    """Decode-only path: an entropy image routes the two 4x4 blocks of
+    an 8x4 image to different prefix-code groups. Hand-built stream —
+    the encoder never emits meta-prefix codes."""
+    bw = _BitWriter()
+    w, h = 8, 4
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta-prefix present
+    bw.write(0, 3)  # meta_bits = 2 -> 4x4 blocks -> entropy image 2x1
+    # entropy pixels: meta_index = (r << 8) | g -> indices 0 and 1
+    _encode_image_stream(
+        bw,
+        np.array([0xFF000000, 0xFF000100], np.uint32),
+        2, 0, False, level0=False,
+    )
+
+    def simple1(sym):  # 1-symbol simple code (0 bits on the wire)
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(sym, 8)
+
+    def simple2(a, b):  # 2-symbol simple code (1 bit per symbol)
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(a, 8)
+        bw.write(b, 8)
+
+    # group 0: green in {100 -> bit 0, 200 -> bit 1}; r/b/a fixed
+    simple2(100, 200)
+    simple1(10)  # red
+    simple1(20)  # blue
+    simple1(255)  # alpha
+    simple1(0)  # distance (unused)
+    # group 1: everything fixed
+    simple1(50)
+    simple1(60)
+    simple1(70)
+    simple1(255)
+    simple1(0)
+    # pixels, row-major: x<4 -> group 0 (green alternates), x>=4 -> group 1
+    for _y in range(h):
+        for x in range(4):
+            bw.write(x & 1, 1)
+    payload = b"\x2f" + bw.done()
+    if len(payload) & 1:
+        payload += b"\x00"
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    dec = webp_decode(data)
+    assert dec.shape == (4, 8, 4)
+    left_even = dec[:, 0:4:2]
+    left_odd = dec[:, 1:4:2]
+    assert (left_even == np.array([10, 100, 20, 255], np.uint8)).all()
+    assert (left_odd == np.array([10, 200, 20, 255], np.uint8)).all()
+    assert (dec[:, 4:] == np.array([60, 50, 70, 255], np.uint8)).all()
+
+
+def test_wire_format_golden_1x1():
+    """Pin the exact bytes of a 1x1 encode against an independent
+    bit-builder so encoder and decoder can't co-drift off-spec."""
+    enc = webp_encode(np.array([[[255, 0, 0]]], np.uint8))
+
+    bits: list[int] = []
+
+    def put(value, n):
+        bits.extend((value >> i) & 1 for i in range(n))
+
+    put(0, 14)  # width - 1
+    put(0, 14)  # height - 1
+    put(0, 1)  # no alpha
+    put(0, 3)  # version
+    put(0, 1)  # no transforms
+    put(0, 1)  # no color cache
+    put(0, 1)  # no meta-prefix
+    for sym, wide in ((0, False), (255, True), (0, False), (255, True),
+                      (0, False)):  # green, red, blue, alpha, distance
+        put(1, 1)  # simple
+        put(0, 1)  # one symbol
+        put(1 if wide else 0, 1)
+        put(sym, 8 if wide else 1)
+    # all trees are single-symbol -> zero pixel bits
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        raw.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    payload = b"\x2f" + bytes(raw)
+    if len(payload) & 1:
+        payload += b"\x00"
+    riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    assert enc == b"RIFF" + struct.pack("<I", len(riff)) + riff
+    assert np.array_equal(
+        webp_decode(enc), np.array([[[255, 0, 0, 255]]], np.uint8)
+    )
+
+
+def test_package_merge_kraft_and_optimality():
+    rng = np.random.RandomState(5)
+    for _ in range(60):
+        n = rng.randint(2, 300)
+        freqs = [int(f) for f in rng.randint(0, 50, n)]
+        if sum(1 for f in freqs if f) < 2:
+            freqs[0] = freqs[1] = 1
+        for max_len in (7, 15):
+            if sum(1 for f in freqs if f) > (1 << max_len):
+                continue
+            lengths = _package_merge(freqs, max_len)
+            nz = [ln for ln in lengths if ln]
+            assert max(nz) <= max_len
+            assert sum(2 ** (max_len - ln) for ln in nz) == 2**max_len
+    # unlimited-depth case matches textbook huffman cost on a known input
+    lengths = _package_merge([1, 1, 2, 4], 15)
+    assert sorted(lengths) == [1, 2, 3, 3]
+
+
+def test_probe_vp8_lossy_header():
+    # minimal lossy container: frame tag + sync code + dims, no coeffs
+    frame = bytes([0x10, 0x00, 0x00]) + b"\x9d\x01\x2a" + struct.pack(
+        "<HH", 320, 240
+    )
+    riff = b"WEBP" + b"VP8 " + struct.pack("<I", len(frame)) + frame
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    info = webp_probe(data)
+    assert (info["variant"], info["width"], info["height"]) == ("vp8", 320, 240)
+    with pytest.raises(UnsupportedImageError, match="lossy"):
+        webp_decode(data)
+
+
+def test_probe_vp8x_wrapped_lossless_still_decodes():
+    inner = webp_encode(np.full((3, 5, 4), 9, np.uint8))
+    vp8l_chunk = inner[12:]  # VP8L tag + size + payload
+    vp8x = bytes([0x10, 0, 0, 0]) + (4).to_bytes(3, "little") + (2).to_bytes(
+        3, "little"
+    )
+    body = b"WEBP" + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x + vp8l_chunk
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    info = webp_probe(data)
+    assert info["variant"] == "vp8l" and info["extended"]
+    assert (info["width"], info["height"]) == (5, 3)  # VP8X canvas dims
+    assert info["alpha"]
+    assert webp_decode(data).shape == (3, 5, 4)
+
+
+def test_sniff_and_decode_image_dispatch():
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    enc = webp_encode(img)
+    assert sniff_format(enc) == "webp"
+    assert np.array_equal(decode_image(enc)[:, :, :3], img)
+
+
+def test_hostile_bytes_are_typed():
+    enc = webp_encode(np.zeros((4, 6, 3), np.uint8), cache_bits=3)
+    for cut in (3, 11, 13, 20, len(enc) - 1):
+        with pytest.raises(UnsupportedImageError):
+            webp_decode(enc[:cut] + b"\x00")
+    for blob in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"\x2f" * 30):
+        with pytest.raises(UnsupportedImageError):
+            webp_probe(blob)
+    bad_sig = bytearray(enc)
+    bad_sig[20] = 0x30  # corrupt the VP8L signature byte
+    with pytest.raises(UnsupportedImageError):
+        webp_decode(bytes(bad_sig))
+    rng = np.random.RandomState(1)
+    for _ in range(40):  # random tail corruption never escapes untyped
+        blob = bytearray(enc)
+        i = rng.randint(21, len(blob))
+        blob[i] = rng.randint(0, 256)
+        try:
+            webp_decode(bytes(blob))
+        except UnsupportedImageError:
+            pass
+
+
+def test_grayscale_input_and_dimension_guards():
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    dec = webp_decode(webp_encode(g))
+    assert np.array_equal(dec[:, :, 0], g)
+    assert np.array_equal(dec[:, :, 1], g)
+    with pytest.raises(UnsupportedImageError):
+        webp_encode(np.zeros((0, 4, 3), np.uint8))
+    with pytest.raises(UnsupportedImageError):
+        webp_encode(np.zeros((4, (1 << 14) + 1, 3), np.uint8))

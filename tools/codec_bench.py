@@ -78,6 +78,13 @@ def main() -> int:
     jah = jpeg.jpeg_encode_hierarchical(img, levels=3, quality=85, arithmetic=True)
     bench("JPEG arith hierarchical (SOF9+SOF13)", "decode", raw,
           lambda: jpeg.jpeg_decode(jah))
+    from xetl_spark.operators.webp import webp_decode, webp_encode
+
+    wb = webp_encode(img)
+    bench("WebP lossless (VP8L)", "encode", raw, lambda: webp_encode(img))
+    bench("WebP lossless (VP8L)", "decode", raw, lambda: webp_decode(wb))
+    wp = webp_encode(img, predictor=7, cache_bits=8)
+    bench("WebP VP8L predictor+cache", "decode", raw, lambda: webp_decode(wp))
     pal_idx = (img[:, :, 0] >> 5).astype(np.uint8)
     pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
     gf = gif.gif_encode([pal[pal_idx]], delays_cs=[4])
@@ -160,6 +167,12 @@ def main() -> int:
         "spots are inherently bit-serial Python (GIF LZW encode,",
         "lossless JPEG's per-sample Huffman) and are fixture/",
         "compatibility paths, not bulk routes.",
+        "",
+        "Round-11 note: WebP VP8L (operators/webp.py) decodes with a",
+        "one-shot 2^maxlen prefix LUT over a windowed LSB-first",
+        "reader (the round-7 JPEG lesson applied from the start);",
+        "the remaining cost is the per-pixel Python literal loop,",
+        "same class as the JPEG rows. Lossy VP8 is probe-only.",
         "",
         "Document formats (PDF/DOCX/EPUB, round 7) are measured",
         "against EXTRACTED TEXT bytes — the unit a corpus pipeline",

@@ -55,8 +55,8 @@ def _typed(fn):
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return 'png', 'ppm', 'pgm', 'jpeg', 'gif', 'bmp', or None for
-    unrecognized bytes."""
+    """Return 'png', 'ppm', 'pgm', 'jpeg', 'gif', 'bmp', 'tiff',
+    'webp', or None for unrecognized bytes."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:2] == b"P6":
@@ -71,6 +71,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return "tiff"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -386,6 +388,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from xetl_spark.operators.tiff import tiff_decode
 
         return tiff_decode(payload)
+    if fmt == "webp":
+        from xetl_spark.operators.webp import webp_decode
+
+        return webp_decode(payload)
     raise UnsupportedImageError("unrecognized image payload")
 
 

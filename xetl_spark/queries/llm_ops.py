@@ -2070,6 +2070,106 @@ def q_multimodal_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_webp",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'plain' WHEN 1 THEN 'subtract_green'
+                WHEN 2 THEN 'palette' WHEN 3 THEN 'predictor'
+                ELSE 'color_transform' END AS variant,
+           CAST(5 + doc_id % 8 AS INT) AS width,
+           CAST(4 + doc_id % 6 AS INT) AS height,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * (doc_id % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 3) % 256)
+           ) AS sum_r,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 5) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 7) % 256)
+           ) AS sum_g,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 11) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 13) % 256)
+           ) AS sum_b
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-exact WebP (VP8L lossless) coverage under the driver's
+    hash gate: the same closed-form two-tone images as the decode
+    matrix, encoded through a rotating VP8L feature set — plain
+    prefix-coded, SUBTRACT_GREEN + color cache, COLOR_INDEXING
+    (two-color palette -> 8-pixels-per-byte bundling), PREDICTOR
+    (mode rotates over all 14), and the COLOR cross-channel transform
+    — then decoded back via imaging.decode_image. Lossless, so the
+    SQL oracle recomputes every per-channel pixel sum exactly.
+    Completes the web-image container family (operators/webp.py; the
+    reference's image pipeline is the grayscale task at README.md:50-95)."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    variants = ("plain", "subtract_green", "palette", "predictor",
+                "color_transform")
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+        from xetl_spark.operators.webp import webp_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 8, 4 + did % 6
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, : w // 2] = (did % 256, (did * 5) % 256,
+                                    (did * 11) % 256)
+                img[:, w // 2 :] = ((did * 3) % 256, (did * 7) % 256,
+                                    (did * 13) % 256)
+                kind = did % 5
+                if kind == 0:
+                    payload = webp_encode(img)
+                elif kind == 1:
+                    payload = webp_encode(
+                        img, subtract_green=True, cache_bits=6
+                    )
+                elif kind == 2:
+                    payload = webp_encode(img, palette=True)
+                elif kind == 3:
+                    payload = webp_encode(img, predictor=did % 14)
+                else:
+                    payload = webp_encode(
+                        img, color_deltas=(did % 256 - 128, 23, -64)
+                    )
+                assert imaging.sniff_format(payload) == "webp"
+                dec = imaging.decode_image(payload)[:, :, :3].astype(np.int64)
+                rows.append(
+                    (
+                        did, variants[kind], dec.shape[1], dec.shape[0],
+                        int(dec[:, :, 0].sum()),
+                        int(dec[:, :, 1].sum()),
+                        int(dec[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, variant string, width int, height int, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_av_probe",
     oracle="""
     SELECT doc_id,
