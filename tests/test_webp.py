@@ -314,6 +314,65 @@ def test_hostile_bytes_are_typed():
             pass
 
 
+def test_animation_roundtrip_and_probe():
+    """ANIM/ANMF: probe walks frames without decoding; decode renders
+    the FIRST frame onto the canvas over the background color (the
+    gif_decode first-frame contract)."""
+    from xetl_spark.operators.webp import webp_encode_anim
+
+    rng = np.random.RandomState(8)
+    f1 = rng.randint(0, 256, (6, 8, 4), np.uint8)
+    f2 = rng.randint(0, 256, (4, 6, 4), np.uint8)
+    anim = webp_encode_anim(
+        [f1, f2], [40, 60], offsets=[(0, 0), (2, 2)], loop=3,
+        bgcolor=(10, 20, 30, 255),
+    )
+    info = webp_probe(anim)
+    assert info["animation"] and info["extended"]
+    assert (info["n_frames"], info["duration_ms"], info["loop_count"]) == (2, 100, 3)
+    assert info["bgcolor"] == (10, 20, 30, 255)
+    assert (info["width"], info["height"]) == (8, 6)
+    assert np.array_equal(webp_decode(anim), f1)  # frame 1 fills canvas
+
+    # smaller first frame at an offset -> background shows around it
+    anim2 = webp_encode_anim(
+        [f2, f1], [10, 10], offsets=[(2, 2), (0, 0)], bgcolor=(9, 8, 7, 6)
+    )
+    dec = webp_decode(anim2)
+    assert dec.shape == (6, 8, 4)
+    assert np.array_equal(dec[2:6, 2:8], f2)
+    assert tuple(dec[0, 0]) == (9, 8, 7, 6)
+
+    with pytest.raises(UnsupportedImageError):
+        webp_encode_anim([f1], offsets=[(1, 0)])  # odd offset
+    with pytest.raises(UnsupportedImageError):
+        webp_encode_anim([])
+
+
+def test_probe_media_webp(spark):
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import probe_media
+    from xetl_spark.operators.webp import webp_encode_anim
+
+    frames = [np.zeros((4, 6, 3), np.uint8), np.ones((4, 6, 3), np.uint8)]
+    payloads = {
+        1: webp_encode(frames[0]),
+        2: webp_encode_anim(frames, [25, 25]),
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "media": [payloads[k] for k in payloads]}
+    )
+    rows = {
+        r.id: r
+        for r in probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
+    }
+    assert rows[1].container == "webp" and rows[1].n_frames == 1
+    assert (rows[1].width, rows[1].height) == (6, 4)
+    assert rows[2].container == "webp" and rows[2].n_frames == 2
+    assert rows[2].duration_ms == 50
+
+
 def test_grayscale_input_and_dimension_guards():
     g = np.arange(20, dtype=np.uint8).reshape(4, 5)
     dec = webp_decode(webp_encode(g))

@@ -615,6 +615,14 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
                     "wav", None, None, sr, 1,
                     samples.shape[0] * 1000 // sr, None, None,
                 )
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                from xetl_spark.operators import webp as webpmod
+
+                p = webpmod.webp_probe(payload)  # chunk walk, no decode
+                return (
+                    "webp", p["width"], p["height"], None, None,
+                    p["duration_ms"] or None, None, p["n_frames"],
+                )
             if payload[:9] == b"YUV4MPEG2":
                 frames, fps = video.y4m_decode(payload)
                 return (

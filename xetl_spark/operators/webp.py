@@ -982,17 +982,8 @@ def webp_encode(
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def webp_decode(payload: bytes) -> np.ndarray:
-    """Decode a lossless (VP8L) WebP -> (H, W, 4) uint8 RGBA. Lossy
-    VP8 and VP8X-wrapped lossy payloads raise the typed boundary error
-    (a full VP8 intra decoder needs a DCT + boolean-coder stack; use
-    webp_probe for their metadata)."""
-    info = webp_probe(payload)
-    if info["variant"] != "vp8l":
-        raise UnsupportedImageError(
-            f"webp: {info['variant']} (lossy) decode not supported"
-        )
-    data = info["_vp8l_data"]
+def _decode_vp8l_payload(data: bytes) -> np.ndarray:
+    """VP8L chunk body -> (H, W, 4) uint8 RGBA."""
     if not data or data[0] != 0x2F:
         raise UnsupportedImageError("VP8L: bad signature byte")
     br = _BitReader(data[1:])
@@ -1004,6 +995,92 @@ def webp_decode(payload: bytes) -> np.ndarray:
     img = _decode_image_stream(br, w, h, True)
     a, r, g, b = _split(img)
     return np.stack([r, g, b, a], axis=2)
+
+
+def webp_decode(payload: bytes) -> np.ndarray:
+    """Decode a lossless (VP8L) WebP -> (H, W, 4) uint8 RGBA. For an
+    animated file, the FIRST frame is composited onto the canvas at
+    its offset over the ANIM background color (the gif_decode
+    first-frame contract). Lossy VP8 payloads/frames raise the typed
+    boundary error (a full VP8 intra decoder needs a DCT +
+    boolean-coder stack; use webp_probe for their metadata)."""
+    info = webp_probe(payload)
+    if info["animation"]:
+        frames = info["_frames"]
+        if not frames:
+            raise UnsupportedImageError("webp: animation with no frames")
+        fx, fy, _dur, vp8l = frames[0]
+        if vp8l is None:
+            raise UnsupportedImageError("webp: vp8 (lossy) frame decode not supported")
+        fr = _decode_vp8l_payload(vp8l)
+        cw, ch = info["width"], info["height"]
+        canvas = np.empty((ch, cw, 4), dtype=np.uint8)
+        canvas[:, :] = info["bgcolor"]
+        fh = min(fr.shape[0], ch - fy)
+        fw = min(fr.shape[1], cw - fx)
+        if fh < 0 or fw < 0:
+            raise UnsupportedImageError("webp: frame outside canvas")
+        canvas[fy : fy + fh, fx : fx + fw] = fr[:fh, :fw]
+        return canvas
+    if info["variant"] != "vp8l":
+        raise UnsupportedImageError(
+            f"webp: {info['variant']} (lossy) decode not supported"
+        )
+    return _decode_vp8l_payload(info["_vp8l_data"])
+
+
+def webp_encode_anim(
+    frames: list[np.ndarray],
+    durations_ms: list[int] | None = None,
+    *,
+    offsets: list[tuple[int, int]] | None = None,
+    loop: int = 0,
+    bgcolor: tuple[int, int, int, int] = (255, 255, 255, 255),
+) -> bytes:
+    """Animated lossless WebP: VP8X (ANIM flag) + ANIM + one ANMF per
+    frame, each wrapping a VP8L encode. Frame offsets must be even
+    (the wire stores them /2). Canvas = max frame extent."""
+    if not frames:
+        raise UnsupportedImageError("webp: no frames")
+    durations_ms = durations_ms or [100] * len(frames)
+    offsets = offsets or [(0, 0)] * len(frames)
+    if len(durations_ms) != len(frames) or len(offsets) != len(frames):
+        raise UnsupportedImageError("webp: durations/offsets length mismatch")
+    anmfs = []
+    cw = chh = 0
+    for img, dur, (ox, oy) in zip(frames, durations_ms, offsets):
+        if ox % 2 or oy % 2 or ox < 0 or oy < 0:
+            raise UnsupportedImageError("webp: frame offsets must be even >= 0")
+        sub = webp_encode(img)
+        vp8l_chunk = sub[12:]  # VP8L tag + size + payload (even-padded)
+        fh, fw = np.asarray(img).shape[:2]
+        cw, chh = max(cw, ox + fw), max(chh, oy + fh)
+        hdr = (
+            (ox // 2).to_bytes(3, "little")
+            + (oy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([0])  # blend=alpha-blend, dispose=none
+        )
+        body = hdr + vp8l_chunk
+        anmfs.append(
+            b"ANMF" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+        )
+    vp8x = (
+        bytes([0x12, 0, 0, 0])  # alpha + animation flags
+        + (cw - 1).to_bytes(3, "little")
+        + (chh - 1).to_bytes(3, "little")
+    )
+    b_, g_, r_, a_ = bgcolor[2], bgcolor[1], bgcolor[0], bgcolor[3]
+    anim = bytes([b_, g_, r_, a_]) + struct.pack("<H", loop)
+    body = (
+        b"WEBP"
+        + b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        + b"ANIM" + struct.pack("<I", len(anim)) + anim
+        + b"".join(anmfs)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # -------------------------------------------------------------- probe
@@ -1023,7 +1100,12 @@ def webp_probe(payload: bytes) -> dict:
         "height": None,
         "alpha": False,
         "animation": False,
+        "n_frames": 0,
+        "duration_ms": 0,
+        "loop_count": None,
+        "bgcolor": (255, 255, 255, 255),
         "_vp8l_data": None,
+        "_frames": [],
     }
     saw_vp8 = False
     pos = 12
@@ -1031,7 +1113,28 @@ def webp_probe(payload: bytes) -> dict:
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
-        if tag == b"VP8L" and out["_vp8l_data"] is None:
+        if tag == b"ANIM" and len(body) >= 6:
+            bb, gg, rr, aa = body[0], body[1], body[2], body[3]
+            out["bgcolor"] = (rr, gg, bb, aa)  # wire order is BGRA
+            out["loop_count"] = struct.unpack("<H", body[4:6])[0]
+        elif tag == b"ANMF" and len(body) >= 16:
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            vp8l = None
+            ip = 16  # nested frame-data chunks
+            while ip + 8 <= len(body):
+                itag = body[ip : ip + 4]
+                (isz,) = struct.unpack("<I", body[ip + 4 : ip + 8])
+                if itag == b"VP8L" and vp8l is None:
+                    vp8l = body[ip + 8 : ip + 8 + isz]
+                elif itag == b"VP8 " and vp8l is None:
+                    saw_vp8 = True
+                ip += 8 + isz + (isz & 1)
+            out["n_frames"] += 1
+            out["duration_ms"] += dur
+            out["_frames"].append((fx, fy, dur, vp8l))
+        elif tag == b"VP8L" and out["_vp8l_data"] is None:
             out["_vp8l_data"] = body
             if len(body) >= 5 and body[0] == 0x2F:
                 br = _BitReader(body[1:])
@@ -1061,7 +1164,9 @@ def webp_probe(payload: bytes) -> dict:
                 out["width"] = 1 + int.from_bytes(body[4:7], "little")
                 out["height"] = 1 + int.from_bytes(body[7:10], "little")
         pos += 8 + size + (size & 1)  # RIFF chunks are even-aligned
-    if out["_vp8l_data"] is not None:
+    if out["_vp8l_data"] is not None or any(
+        f[3] is not None for f in out["_frames"]
+    ):
         out["variant"] = "vp8l"  # decodable even inside a VP8X wrapper
     elif saw_vp8:
         out["variant"] = "vp8"
@@ -1069,4 +1174,6 @@ def webp_probe(payload: bytes) -> dict:
         out["variant"] = "vp8x"
     else:
         raise UnsupportedImageError("webp: no VP8/VP8L/VP8X chunk")
+    if not out["animation"]:
+        out["n_frames"] = 1  # still image: one frame, like gif_probe
     return out
