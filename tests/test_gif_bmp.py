@@ -110,6 +110,49 @@ def test_dispatch_gif_bmp():
     assert np.array_equal(im.decode_image(im.bmp_encode(a)), a)
 
 
+def test_gif_decode_frames_compositing():
+    """gif_decode_frames: sub-rect placement, transparent-index
+    passthrough, disposal 2 (restore background) and 3 (restore
+    previous), delays in ms."""
+    import numpy as np
+
+    base = np.zeros((6, 8, 3), np.uint8)
+    patch = np.full((2, 3, 3), 200, np.uint8)
+    tcol = (1, 2, 3)
+    patch2 = patch.copy()
+    patch2[0, 0] = tcol
+    g = gif.gif_encode(
+        [base, patch, patch2], delays_cs=[1, 2, 3],
+        offsets=[(0, 0), (2, 2), (4, 2)], disposals=[0, 2, 0],
+        transparent_color=tcol,
+    )
+    frames, delays = gif.gif_decode_frames(g)
+    assert delays == [10, 20, 30]
+    assert (frames[0][:, :, :3] == 0).all() and (frames[0][:, :, 3] == 255).all()
+    assert np.array_equal(frames[1][2:4, 2:5, :3], patch)
+    # disposal 2 restored frame-2's rect before frame 3 (at left=4)
+    assert (frames[2][2:4, 2:4, :3] == 0).all()
+    assert frames[2][2, 4, 0] == 0  # transparent pixel -> restored bg
+    assert (frames[2][2, 5, :3] == 200).all()
+
+    g3 = gif.gif_encode(
+        [base, patch, patch], delays_cs=[1, 1, 1],
+        offsets=[(0, 0), (2, 2), (0, 0)], disposals=[0, 3, 0],
+    )
+    f3, _ = gif.gif_decode_frames(g3)
+    assert np.array_equal(f3[1][2:4, 2:5, :3], patch)
+    assert np.array_equal(f3[2][0:2, 0:3, :3], patch)  # frame 3 at origin
+    assert (f3[2][2:4, 2:5, :3] == 0).all()  # frame 2 undone
+
+    # full-frame animation: every composited frame IS the source frame
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, (5, 3), np.uint8)
+    fr = [pal[rng.randint(0, 5, (6, 8))] for _ in range(3)]
+    frames, _ = gif.gif_decode_frames(gif.gif_encode(fr, delays_cs=[5, 5, 5]))
+    for got, exp in zip(frames, fr):
+        assert np.array_equal(got[:, :, :3], exp)
+
+
 def test_probe_media_gif_bmp(spark):
     import pandas as pd
 

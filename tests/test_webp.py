@@ -373,6 +373,76 @@ def test_probe_media_webp(spark):
     assert rows[2].duration_ms == 50
 
 
+def test_decode_frames_compositing():
+    """webp_decode_frames: alpha-blend vs no-blend, dispose-to-
+    background, per-frame durations, still-image degenerate case."""
+    from xetl_spark.operators.webp import webp_decode_frames, webp_encode_anim
+
+    f1 = np.full((4, 6, 4), 100, np.uint8)
+    f1[:, :, 3] = 255
+    f2 = np.zeros((2, 2, 4), np.uint8)
+    f2[:, :] = (9, 9, 9, 0)  # fully transparent patch
+    f3 = np.full((2, 2, 4), (7, 8, 9, 255), np.uint8)
+    anim = webp_encode_anim(
+        [f1, f2, f3], [10, 20, 30], offsets=[(0, 0), (2, 2), (0, 0)],
+        flags=[0, 0, 2], bgcolor=(0, 0, 0, 255),
+    )
+    frames, durs = webp_decode_frames(anim)
+    assert durs == [10, 20, 30]
+    assert (frames[0][:, :, :3] == 100).all()
+    # transparent patch alpha-blends to nothing: canvas unchanged
+    assert np.array_equal(frames[1], frames[0])
+    # frame 3 is no-blend: its rectangle overwrites incl. alpha
+    assert tuple(frames[2][0, 0]) == (7, 8, 9, 255)
+    assert (frames[2][2:, :, :3] == 100).all()
+
+    # dispose-to-background clears the rect for the NEXT frame
+    anim2 = webp_encode_anim(
+        [f1, f3, f2], [5, 5, 5], offsets=[(0, 0), (2, 2), (0, 0)],
+        flags=[0, 3, 0], bgcolor=(1, 2, 3, 255),  # no-blend + dispose
+    )
+    fr2, _ = webp_decode_frames(anim2)
+    assert tuple(fr2[1][2, 2]) == (7, 8, 9, 255)
+    assert tuple(fr2[2][2, 2]) == (1, 2, 3, 255)  # restored to bg
+
+    still, sd = webp_decode_frames(webp_encode(f1))
+    assert sd == [0] and np.array_equal(still[0], f1)
+
+
+def test_sample_frames_animated_containers(spark):
+    """multimodal.sample_frames real-decode path over animated WebP
+    and GIF: composited frames, true cumulative timestamps, every_ms
+    cadence — the training-pipeline fan-out for animated images."""
+    import pandas as pd
+
+    from xetl_spark.operators import gif, imaging
+    from xetl_spark.operators.multimodal import sample_frames
+    from xetl_spark.operators.webp import webp_encode_anim
+
+    wfs = [np.full((4, 5, 3), 10 * (i + 1), np.uint8) for i in range(4)]
+    gfs = [np.full((3, 4, 3), 20 * (i + 1), np.uint8) for i in range(3)]
+    payloads = {
+        1: webp_encode_anim(wfs, [100] * 4),
+        2: gif.gif_encode(gfs, delays_cs=[10] * 3),  # 100 ms each
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(payloads), "media": [payloads[k] for k in payloads]}
+    )
+    out = sample_frames(
+        spark.createDataFrame(pdf), "media", "doc_id",
+        every_ms=150, max_frames=4, decode_stub=False,
+    ).collect()
+    got = {(r.id, r.frame_idx): r for r in out}
+    # frames start at t=0,100,200,300; every_ms=150 -> emit 0, 2, 3
+    assert sorted(k for k in got if k[0] == 1) == [(1, 0), (1, 2), (1, 3)]
+    assert got[(1, 2)].frame_ts_ms == 200
+    px = imaging.png_decode(bytes(got[(1, 2)].frame))
+    assert (px[:, :, 0] == 30).all()
+    # gif: frames at 0,100,200 -> emit 0, 2
+    assert sorted(k for k in got if k[0] == 2) == [(2, 0), (2, 2)]
+    assert (imaging.png_decode(bytes(got[(2, 2)].frame))[:, :, 1] == 60).all()
+
+
 def test_grayscale_input_and_dimension_guards():
     g = np.arange(20, dtype=np.uint8).reshape(4, 5)
     dec = webp_decode(webp_encode(g))

@@ -291,32 +291,61 @@ def gif_probe(payload: bytes) -> dict:
     }
 
 
-def gif_encode(frames: list[np.ndarray], delays_cs: list[int] | None = None) -> bytes:
+def gif_encode(
+    frames: list[np.ndarray],
+    delays_cs: list[int] | None = None,
+    *,
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent_color: tuple[int, int, int] | None = None,
+) -> bytes:
     """Encode (H, W, 3) uint8 frames as a GIF with one shared 256-color
-    table built from the first frame's distinct colors (≤256 required —
-    a fixture writer, not a general quantizer)."""
+    table built from all frames' distinct colors (≤256 required — a
+    fixture writer, not a general quantizer). Optional per-frame
+    ``offsets`` (left, top) place sub-rectangle frames on the logical
+    screen (= max extent); ``disposals`` (0..3) set the GCE disposal
+    method; pixels equal to ``transparent_color`` are written as the
+    GCE transparent index."""
     if not frames:
         raise GifFormatError("no frames")
-    h, w = frames[0].shape[:2]
-    colors = np.unique(frames[0].reshape(-1, 3), axis=0)
-    for f in frames[1:]:
-        colors = np.unique(np.vstack([colors, f.reshape(-1, 3)]), axis=0)
+    offsets = offsets or [(0, 0)] * len(frames)
+    if len(offsets) != len(frames):
+        raise GifFormatError("offsets length mismatch")
+    w = max(ox + f.shape[1] for f, (ox, oy) in zip(frames, offsets))
+    h = max(oy + f.shape[0] for f, (ox, oy) in zip(frames, offsets))
+    colors = np.unique(
+        np.vstack([f.reshape(-1, 3) for f in frames]), axis=0
+    )
+    if transparent_color is not None:
+        colors = np.unique(
+            np.vstack([colors, np.array([transparent_color], np.uint8)]), axis=0
+        )
     if len(colors) > 256:
         raise GifFormatError("fixture encoder supports <=256 distinct colors")
     depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
     table = np.zeros((2**depth, 3), dtype=np.uint8)
     table[: len(colors)] = colors
     lut = {tuple(c): i for i, c in enumerate(colors)}
+    tidx = lut[transparent_color] if transparent_color is not None else None
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x7), 0, 0)
     out += table.tobytes()
     min_code = max(2, depth)
     for fi, f in enumerate(frames):
-        if delays_cs is not None:
-            out += bytes([0x21, 0xF9, 4, 0])
-            out += struct.pack("<HB", delays_cs[fi], 0)
+        if delays_cs is not None or disposals is not None or tidx is not None:
+            disp = disposals[fi] if disposals is not None else 0
+            gpacked = ((disp & 0x7) << 2) | (1 if tidx is not None else 0)
+            out += bytes([0x21, 0xF9, 4, gpacked])
+            out += struct.pack(
+                "<HB",
+                delays_cs[fi] if delays_cs is not None else 0,
+                tidx or 0,
+            )
             out += b"\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        ox, oy = offsets[fi]
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", ox, oy, f.shape[1], f.shape[0], 0
+        )
         idx = bytes(lut[tuple(px)] for px in f.reshape(-1, 3))
         out.append(min_code)
         data = _lzw_encode(idx, min_code)
@@ -327,3 +356,97 @@ def gif_encode(frames: list[np.ndarray], delays_cs: list[int] | None = None) -> 
         out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+@_typed
+def gif_decode_frames(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Decode EVERY frame, fully composited onto the logical screen:
+    ([frame (H, W, 4) uint8 RGBA, ...], [delay_ms, ...]). Honors the
+    GCE transparent index (transparent pixels leave the canvas — GIF's
+    binary alpha compositing), disposal methods 0/1 (keep), 2 (restore
+    rectangle to background) and 3 (restore previous canvas). The
+    canvas starts as the background color, matching gif_decode's
+    first-frame contract."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GifFormatError("not a GIF (bad signature)")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct, pos = _color_table(payload, pos, packed, 7)
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else (0, 0, 0)
+    canvas = np.empty((sh, sw, 4), dtype=np.uint8)
+    canvas[:, :, :3] = bg_rgb
+    canvas[:, :, 3] = 255
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay_cs = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:
+                n = payload[pos]
+                gpacked, delay_cs, tval = struct.unpack_from(
+                    "<BHB", payload, pos + 1
+                )
+                transparent = tval if gpacked & 1 else None
+                disposal = (gpacked >> 2) & 0x7
+                pos += 1 + n + 1
+            else:
+                pos = _skip_subblocks(payload, pos)
+            continue
+        if block != 0x2C:
+            raise GifFormatError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        lct, pos = _color_table(payload, pos, ipacked, 7)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise GifFormatError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = _read_subblocks(payload, pos)
+        idx = _lzw_decode(data, min_code, w * h)
+        if len(idx) < w * h:
+            raise GifFormatError("LZW data shorter than frame")
+        frame = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8)
+        if int(frame.max(initial=0)) >= len(palette):
+            raise GifFormatError("palette index out of range")
+        if (ipacked >> 6) & 1:
+            rows = frame.reshape(h, w)
+            seq = np.empty_like(rows)
+            src = 0
+            for start, step in _INTERLACE:
+                cnt = len(range(start, h, step))
+                seq[start::step] = rows[src : src + cnt]
+                src += cnt
+            frame = seq.reshape(-1)
+        if top >= sh or left >= sw:
+            raise GifFormatError("frame rectangle outside logical screen")
+        fh, fw = min(h, sh - top), min(w, sw - left)
+        sub = frame.reshape(h, w)[:fh, :fw]
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = sub != transparent
+            region[:, :, :3][mask] = palette[sub[mask]]
+            region[:, :, 3][mask] = 255
+        else:
+            region[:, :, :3] = palette[sub]
+            region[:, :, 3] = 255
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:  # restore rectangle to background
+            region[:, :, :3] = bg_rgb
+            region[:, :, 3] = 255
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        transparent, disposal, delay_cs = None, 0, 0
+    if not frames:
+        raise GifFormatError("GIF contains no image frame")
+    return frames, delays

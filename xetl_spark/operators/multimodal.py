@@ -155,12 +155,14 @@ def sample_frames(
     """Sample frames from video payloads (1 row in → up to max_frames
     rows out).
 
-    ``decode_stub=False``: REAL decode for Y4M payloads
-    (operators/video.py — the uncompressed interchange format needs no
-    codec library): every ``every_ms`` of true media time the nearest
-    frame's actual luma plane is emitted as a grayscale PNG, with its
-    SOURCE frame index and timestamp. Compressed video (h264/vp9)
-    would need ffmpeg and raises UnsupportedVideoError.
+    ``decode_stub=False``: REAL decode for Y4M video (operators/
+    video.py — grayscale luma PNGs), animated GIF (gif_decode_frames)
+    and animated/still WebP (webp_decode_frames) — the two animated-
+    image containers emit fully COMPOSITED RGBA PNGs at their true
+    per-frame timestamps (cumulative durations). Every ``every_ms``
+    of media time the nearest frame is emitted with its SOURCE frame
+    index and timestamp. Compressed video (h264/vp9) would need
+    ffmpeg and raises UnsupportedVideoError.
     ``decode_stub=True``: deterministic sha stand-in for arbitrary
     binary payloads — the 1→N expansion/timing contract without a
     parsable container."""
@@ -185,8 +187,23 @@ def sample_frames(
                         frame = hashlib.sha256(payload + bytes([i])).digest()
                         rows.append((row[id_col], i, i * every_ms, frame))
                     continue
-                frames, fps = video.y4m_decode(payload)
-                times = video.frame_times_ms(frames.shape[0], fps)
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    from xetl_spark.operators import gif
+
+                    frames, durs = gif.gif_decode_frames(payload)
+                    times = [0]
+                    for d in durs[:-1]:
+                        times.append(times[-1] + d)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                    from xetl_spark.operators import webp
+
+                    frames, durs = webp.webp_decode_frames(payload)
+                    times = [0]
+                    for d in durs[:-1]:
+                        times.append(times[-1] + d)
+                else:
+                    frames, fps = video.y4m_decode(payload)
+                    times = video.frame_times_ms(frames.shape[0], fps)
                 emitted = 0
                 target = 0
                 for idx, t in enumerate(times):

@@ -1009,7 +1009,7 @@ def webp_decode(payload: bytes) -> np.ndarray:
         frames = info["_frames"]
         if not frames:
             raise UnsupportedImageError("webp: animation with no frames")
-        fx, fy, _dur, vp8l = frames[0]
+        fx, fy, _dur, _flags, vp8l = frames[0]
         if vp8l is None:
             raise UnsupportedImageError("webp: vp8 (lossy) frame decode not supported")
         fr = _decode_vp8l_payload(vp8l)
@@ -1029,6 +1029,55 @@ def webp_decode(payload: bytes) -> np.ndarray:
     return _decode_vp8l_payload(info["_vp8l_data"])
 
 
+def webp_decode_frames(
+    payload: bytes,
+) -> tuple[list[np.ndarray], list[int]]:
+    """Decode an animated (or still) lossless WebP into fully
+    COMPOSITED canvases: ([frame RGBA (H, W, 4) uint8, ...],
+    [duration_ms, ...]). Honors the ANMF blending method (alpha-blend
+    vs overwrite) and dispose-to-background; a still image returns one
+    frame with duration 0. Lossy frames raise the typed boundary
+    error."""
+    info = webp_probe(payload)
+    if not info["animation"]:
+        return [webp_decode(payload)], [0]
+    cw, ch = info["width"], info["height"]
+    bg = np.array(info["bgcolor"], dtype=np.uint8)
+    canvas = np.empty((ch, cw, 4), dtype=np.uint8)
+    canvas[:, :] = bg
+    frames: list[np.ndarray] = []
+    durations: list[int] = []
+    for fx, fy, dur, flags, vp8l in info["_frames"]:
+        if vp8l is None:
+            raise UnsupportedImageError(
+                "webp: vp8 (lossy) frame decode not supported"
+            )
+        fr = _decode_vp8l_payload(vp8l)
+        fh = min(fr.shape[0], ch - fy)
+        fw = min(fr.shape[1], cw - fx)
+        if fh < 0 or fw < 0:
+            raise UnsupportedImageError("webp: frame outside canvas")
+        src = fr[:fh, :fw].astype(np.uint32)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:  # do-not-blend: overwrite the rectangle
+            region[:] = src.astype(np.uint8)
+        else:  # src-over alpha blend (straight alpha, spec formula)
+            sa = src[:, :, 3:4]
+            da = region[:, :, 3:4].astype(np.uint32)
+            oa = sa + da * (255 - sa) // 255
+            num = src[:, :, :3] * sa + region[:, :, :3].astype(np.uint32) * da * (
+                255 - sa
+            ) // 255
+            rgb = np.where(oa > 0, num // np.maximum(oa, 1), 0)
+            region[:, :, :3] = rgb.astype(np.uint8)
+            region[:, :, 3:4] = oa.astype(np.uint8)
+        frames.append(canvas.copy())
+        durations.append(dur)
+        if flags & 0x01:  # dispose to background
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+    return frames, durations
+
+
 def webp_encode_anim(
     frames: list[np.ndarray],
     durations_ms: list[int] | None = None,
@@ -1036,19 +1085,23 @@ def webp_encode_anim(
     offsets: list[tuple[int, int]] | None = None,
     loop: int = 0,
     bgcolor: tuple[int, int, int, int] = (255, 255, 255, 255),
+    flags: list[int] | None = None,
 ) -> bytes:
     """Animated lossless WebP: VP8X (ANIM flag) + ANIM + one ANMF per
     frame, each wrapping a VP8L encode. Frame offsets must be even
-    (the wire stores them /2). Canvas = max frame extent."""
+    (the wire stores them /2). Canvas = max frame extent. Per-frame
+    ``flags``: bit 1 = do-not-blend (overwrite), bit 0 = dispose to
+    background; default 0 (alpha-blend, keep)."""
     if not frames:
         raise UnsupportedImageError("webp: no frames")
     durations_ms = durations_ms or [100] * len(frames)
     offsets = offsets or [(0, 0)] * len(frames)
-    if len(durations_ms) != len(frames) or len(offsets) != len(frames):
-        raise UnsupportedImageError("webp: durations/offsets length mismatch")
+    flags = flags or [0] * len(frames)
+    if not (len(durations_ms) == len(offsets) == len(flags) == len(frames)):
+        raise UnsupportedImageError("webp: durations/offsets/flags length mismatch")
     anmfs = []
     cw = chh = 0
-    for img, dur, (ox, oy) in zip(frames, durations_ms, offsets):
+    for img, dur, (ox, oy), fl in zip(frames, durations_ms, offsets, flags):
         if ox % 2 or oy % 2 or ox < 0 or oy < 0:
             raise UnsupportedImageError("webp: frame offsets must be even >= 0")
         sub = webp_encode(img)
@@ -1061,7 +1114,7 @@ def webp_encode_anim(
             + (fw - 1).to_bytes(3, "little")
             + (fh - 1).to_bytes(3, "little")
             + int(dur).to_bytes(3, "little")
-            + bytes([0])  # blend=alpha-blend, dispose=none
+            + bytes([fl & 0x03])
         )
         body = hdr + vp8l_chunk
         anmfs.append(
@@ -1121,6 +1174,7 @@ def webp_probe(payload: bytes) -> dict:
             fx = 2 * int.from_bytes(body[0:3], "little")
             fy = 2 * int.from_bytes(body[3:6], "little")
             dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]  # bit1: no-blend, bit0: dispose-to-background
             vp8l = None
             ip = 16  # nested frame-data chunks
             while ip + 8 <= len(body):
@@ -1133,7 +1187,7 @@ def webp_probe(payload: bytes) -> dict:
                 ip += 8 + isz + (isz & 1)
             out["n_frames"] += 1
             out["duration_ms"] += dur
-            out["_frames"].append((fx, fy, dur, vp8l))
+            out["_frames"].append((fx, fy, dur, flags, vp8l))
         elif tag == b"VP8L" and out["_vp8l_data"] is None:
             out["_vp8l_data"] = body
             if len(body) >= 5 and body[0] == 0x2F:

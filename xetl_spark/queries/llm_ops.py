@@ -2659,6 +2659,117 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_anim_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS n,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 128
+    )
+    SELECT p.doc_id,
+           CASE WHEN p.doc_id % 2 = 0 THEN 'webp' ELSE 'gif' END AS container,
+           CAST(s.i AS INT) AS frame_idx,
+           CAST(s.i * 100 AS BIGINT) AS frame_ts_ms,
+           CAST(p.w * p.h * ((p.doc_id * 7 + s.i * 31) % 256) AS BIGINT) AS sum_r,
+           CAST(p.w * p.h * ((p.doc_id * 3 + s.i * 17) % 256) AS BIGINT) AS sum_g,
+           CAST(p.w * p.h * ((p.doc_id * 5 + s.i * 11) % 256) AS BIGINT) AS sum_b
+    FROM p
+    JOIN range(4) s(i)
+      ON s.i = 0 OR (s.i = 2 AND p.n >= 3) OR (s.i = 3 AND p.n >= 4)
+    """,
+)
+def q_multimodal_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-image frame sampling, oracle-verified: synthesizes
+    animated WebP (even doc_id) and GIF (odd) clips of 2-4 solid-color
+    frames (colors closed-form in doc_id and frame index, 100 ms each),
+    runs multimodal.sample_frames(decode_stub=False, every_ms=150) —
+    full VP8L/LZW decode + canvas compositing + cadence sampling — and
+    re-decodes the emitted RGBA PNGs into exact per-channel pixel sums,
+    which the SQL oracle recomputes analytically (cadence over frame
+    starts 0/100/200/300 ms emits source frames 0, 2, 3 as n allows).
+    One wrong pixel, timestamp, or sampled index breaks the hash."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+
+    def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import gif
+        from xetl_spark.operators.webp import webp_encode_anim
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                w, h = 4 + did % 5, 3 + did % 4
+                frames = [
+                    np.full(
+                        (h, w, 3),
+                        (
+                            (did * 7 + f * 31) % 256,
+                            (did * 3 + f * 17) % 256,
+                            (did * 5 + f * 11) % 256,
+                        ),
+                        np.uint8,
+                    )
+                    for f in range(n)
+                ]
+                if did % 2 == 0:
+                    payload = webp_encode_anim(frames, [100] * n)
+                else:
+                    payload = gif.gif_encode(frames, delays_cs=[10] * n)
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    clips = ids.mapInPandas(synth, schema="doc_id long, media binary")
+    frames = multimodal.sample_frames(
+        clips, "media", "doc_id", every_ms=150, max_frames=4, decode_stub=False
+    )
+
+    def sums(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = imaging.png_decode(bytes(row["frame"]))[:, :, :3]
+                px = px.astype(np.int64)
+                rows.append(
+                    (
+                        int(row["id"]),
+                        "webp" if int(row["id"]) % 2 == 0 else "gif",
+                        int(row["frame_idx"]),
+                        int(row["frame_ts_ms"]),
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "frame_idx", "frame_ts_ms",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return frames.mapInPandas(
+        sums,
+        schema=(
+            "doc_id long, container string, frame_idx int, "
+            "frame_ts_ms long, sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_audio_windows",
     oracle="""
     SELECT d.doc_id, w.i AS window_idx,
