@@ -98,6 +98,15 @@ def main() -> int:
     wav = wav_encode(pcm.reshape(-1, 2), 48000)
     bench("WAV PCM16", "encode", pcm.nbytes, lambda: wav_encode(pcm.reshape(-1, 2), 48000))
     bench("WAV PCM16", "decode", pcm.nbytes, lambda: wav_decode(wav))
+    from xetl_spark.operators.flac import flac_decode, flac_encode
+
+    # a tone + noise signal: fixed predictors get real residual work
+    t = np.arange(48000)
+    tonal = (6000 * np.sin(2 * np.pi * 220 * t / 48000) + rng.normal(0, 300, 48000)).astype(np.int32)
+    fl = flac_encode(np.stack([tonal, tonal // 2], axis=1), 48000, mode="fixed2")
+    bench("FLAC fixed2 stereo", "encode", tonal.nbytes // 2,
+          lambda: flac_encode(np.stack([tonal, tonal // 2], axis=1), 48000, mode="fixed2"))
+    bench("FLAC fixed2 stereo", "decode", tonal.nbytes // 2, lambda: flac_decode(fl))
     frames = rng.integers(0, 256, (8, 144, 176), dtype=np.uint8)
     y4 = y4m_encode(frames, fps=(25, 1))
     bench("Y4M mono", "decode", frames.nbytes, lambda: y4m_decode(y4))

@@ -79,6 +79,23 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     return arr[: n * channels].reshape(n, channels), sample_rate
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode any supported audio payload -> ((n, ch) int samples,
+    sample_rate): PCM WAV or FLAC (operators/flac.py). The dispatcher
+    the generic audio ops (windowing, features, silence detection)
+    route through, mirroring imaging.decode_image."""
+    if sniff_wav(payload):
+        return wav_decode(payload)
+    if payload[:4] == b"fLaC":
+        from xetl_spark.operators.flac import FlacDecodeError, flac_decode
+
+        try:
+            return flac_decode(payload)
+        except FlacDecodeError as e:
+            raise UnsupportedAudioError(str(e)) from None
+    raise UnsupportedAudioError("unrecognized audio payload")
+
+
 def duration_ms(payload: bytes) -> int:
     """Integer milliseconds of audio in a PCM WAV (floor)."""
     samples, sr = wav_decode(payload)

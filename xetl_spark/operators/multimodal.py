@@ -264,7 +264,7 @@ def window_audio(
                     )
                     slicer = None
                 else:
-                    samples, sr = audio.wav_decode(payload)
+                    samples, sr = audio.decode_audio(payload)
                     dur_ms = samples.shape[0] * 1000 // sr
 
                     def slicer(start: int, end: int, _s=samples, _sr=sr) -> bytes:
@@ -336,7 +336,7 @@ def audio_feature_windows(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                samples, sr = audio.wav_decode(bytes(row[media_col]))
+                samples, sr = audio.decode_audio(bytes(row[media_col]))
                 dur_ms = samples.shape[0] * 1000 // sr
                 for idx, start in enumerate(range(0, dur_ms, hop_ms)):
                     end = min(start + window_ms, dur_ms)
@@ -501,7 +501,7 @@ def activity_segments(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                samples, rate = audio.wav_decode(bytes(row[media_col]))
+                samples, rate = audio.decode_audio(bytes(row[media_col]))
                 if samples.ndim > 1:  # mixdown for detection
                     samples = samples.mean(axis=1)
                 win = max(1, rate * window_ms // 1000)

@@ -2770,6 +2770,91 @@ def q_multimodal_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_flac",
+    oracle="""
+    SELECT d.doc_id,
+           CASE d.doc_id % 4 WHEN 0 THEN 'verbatim' WHEN 1 THEN 'fixed2'
+                WHEN 2 THEN 'mid_side' ELSE 'stereo' END AS variant,
+           CAST(1000 + (d.doc_id * 7) % 1000 AS BIGINT) AS n_samples,
+           CAST(SUM((d.doc_id * 31 + s.i * 17) % 2003 - 1001) AS BIGINT)
+               AS sum_ch0,
+           CASE WHEN d.doc_id % 4 >= 2
+                THEN CAST(SUM((d.doc_id * 13 + s.i * 29) % 2003 - 1001)
+                          AS BIGINT) END AS sum_ch1
+    FROM documents d
+    JOIN range(2000) s(i) ON s.i < 1000 + (d.doc_id * 7) % 1000
+    WHERE d.doc_id < 128
+    GROUP BY d.doc_id
+    """,
+)
+def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode under the driver's hash gate: synthesizes PCM
+    whose samples are a closed form of doc_id, encodes through a
+    rotating feature set (verbatim mono / fixed-predictor Rice-coded
+    mono / mid-side stereo / independent stereo, multi-frame at
+    blocksize 512 with CRC-8 + CRC-16 computed and re-verified), fully
+    decodes via operators/flac.py, and emits exact per-channel sample
+    sums the SQL oracle recomputes analytically. Lossless end to end —
+    one wrong sample anywhere breaks the hash."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators.flac import flac_decode, flac_encode
+
+        variants = ("verbatim", "fixed2", "mid_side", "stereo")
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1000 + (did * 7) % 1000
+                i = np.arange(n, dtype=np.int64)
+                ch0 = (did * 31 + i * 17) % 2003 - 1001
+                kind = did % 4
+                if kind < 2:
+                    pcm = ch0[:, None].astype(np.int32)
+                else:
+                    ch1 = (did * 13 + i * 29) % 2003 - 1001
+                    pcm = np.stack([ch0, ch1], axis=1).astype(np.int32)
+                payload = flac_encode(
+                    pcm,
+                    16000,
+                    mode="verbatim" if kind == 0 else "fixed2"
+                    if kind != 2 else "fixed1",
+                    stereo="mid_side" if kind == 2 else "independent",
+                    blocksize=512,
+                )
+                dec, rate = flac_decode(payload)
+                assert rate == 16000
+                rows.append(
+                    (
+                        did,
+                        variants[kind],
+                        dec.shape[0],
+                        int(dec[:, 0].astype(np.int64).sum()),
+                        int(dec[:, 1].astype(np.int64).sum())
+                        if dec.shape[1] > 1 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "variant", "n_samples", "sum_ch0", "sum_ch1"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, variant string, n_samples long, "
+            "sum_ch0 long, sum_ch1 long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_audio_windows",
     oracle="""
     SELECT d.doc_id, w.i AS window_idx,
