@@ -673,3 +673,55 @@ def test_hierarchical_error_paths():
     enc3[j + 4] = 0x22
     with pytest.raises(UnsupportedImageError):
         jpeg.jpeg_decode(bytes(enc3))
+
+
+def test_hierarchical_lossless_pyramid_bit_exact():
+    """SOF7/SOF15 (the last T.81 frame family): lossless pyramids
+    reconstruct bit-exact pixels across levels, channels, predictors,
+    and both entropy coders."""
+    import numpy as np
+
+    from xetl_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical_lossless,
+    )
+
+    rng = np.random.RandomState(17)
+    for h, w, nch in ((9, 13, 1), (16, 16, 3), (33, 21, 3)):
+        img = rng.randint(0, 256, (h, w, nch), np.uint8)
+        for levels in (1, 2, 3):
+            for arith in (False, True):
+                enc = jpeg_encode_hierarchical_lossless(
+                    img, levels=levels, predictor=4, arithmetic=arith
+                )
+                dec = jpeg_decode(enc).reshape(h, w, -1)
+                assert np.array_equal(dec, img), (h, w, nch, levels, arith)
+    # every predictor drives the base frame correctly
+    img = rng.randint(0, 256, (12, 15, 3), np.uint8)
+    for pred in range(1, 8):
+        enc = jpeg_encode_hierarchical_lossless(img, levels=2, predictor=pred)
+        assert np.array_equal(jpeg_decode(enc).reshape(12, 15, 3), img), pred
+
+
+def test_hierarchical_mixed_mode_rejected():
+    """A pyramid mixing DCT and lossless frames is a T.81 violation
+    and must raise the typed error, not mis-decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from xetl_spark.operators.imaging import UnsupportedImageError
+    from xetl_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_hierarchical,
+        jpeg_encode_hierarchical_lossless,
+    )
+
+    img = np.full((8, 8, 3), 77, np.uint8)
+    lossless = jpeg_encode_hierarchical_lossless(img, levels=2)
+    dct = jpeg_encode_hierarchical(img, levels=2)
+    # graft the DCT stream's first SOF0 frame header into the lossless
+    # stream right before EOI: frame markers after a lossless frame
+    sof0 = dct[dct.index(b"\xff\xc0") :][:20]
+    hacked = lossless[:-2] + sof0
+    with _pytest.raises(UnsupportedImageError, match="mixed"):
+        jpeg_decode(hacked)

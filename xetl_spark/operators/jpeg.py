@@ -52,10 +52,12 @@ pyramids, F.2.1.3.1 PRED-pinned-to-0). Round-trip is bit-exact on
 every quantized coefficient (bit-exact on PIXELS for SOF11) and
 each arithmetic stream decodes pixel-identically to its Huffman
 twin; see jpeg_arith's conformance note for the third-party-stream
-caveat. The one remaining T.81 boundary (typed
-``UnsupportedImageError``): lossless frames inside a hierarchical
-pyramid (SOF7/SOF15) — spatial-residual pyramids are a mode no
-mainstream encoder ever emitted.
+caveat. Round 11 also closed the LAST T.81 frame family: lossless
+frames inside hierarchical pyramids (SOF7/SOF15 differential over a
+SOF3/SOF11 base, T.81 §16 + Annex H — scan Ss=0, residuals added
+modulo 2^16 per J.4), encoded by jpeg_encode_hierarchical_lossless
+and reconstructing BIT-EXACT pixels at every level. Every SOF0-SOF15
+frame type T.81 defines now decodes.
 
 Scale note: like the PNG codec, every image decodes independently
 inside its Arrow batch on the executor; nothing touches the driver.
@@ -1244,6 +1246,94 @@ def _lossless_predict(samples, r, c, sel, default):
     raise UnsupportedImageError(f"lossless predictor {sel} unsupported")
 
 
+def _decode_lossless_samples(
+    entropy: bytes,
+    comps: list[int],
+    h: int,
+    w: int,
+    tabsel: dict[int, int],
+    sel: int,
+    pt: int,
+    huff: dict,
+    dac_cond: dict[int, tuple[int, int]],
+    arith: bool,
+    *,
+    differential: bool,
+    prec: int,
+) -> dict[int, np.ndarray]:
+    """One lossless scan -> {cid: int32 plane}. Non-differential:
+    reconstructed samples ``(pred + diff) & 0xFFFF`` with the T.81
+    predictor ``sel`` (1..7). Differential (hierarchical SOF7/SOF15,
+    T.81 H.2): the prediction is zero — planes hold the coded signed
+    differences verbatim for the pyramid combiner to add modulo 2^16.
+    Shared by _lossless_decode and _hierarchical_decode so the entropy
+    layer (Huffman categories or the Annex H.1.2.2 QM model) cannot
+    drift between the standalone and pyramid paths."""
+    if differential:
+        if sel != 0:
+            raise UnsupportedImageError(
+                "differential lossless scan must use predictor 0"
+            )
+    elif not 1 <= sel <= 7:
+        raise UnsupportedImageError(f"lossless predictor {sel} unsupported")
+    default = 1 << (prec - 1 - pt)
+    planes = {cid: np.zeros((h, w), dtype=np.int32) for cid in comps}
+
+    def combine(cid: int, r: int, c: int, diff: int) -> int:
+        if differential:
+            return diff
+        pred = _lossless_predict(planes[cid], r, c, sel, default)
+        return (pred + diff) & 0xFFFF
+
+    if arith:
+        from xetl_spark.operators.jpeg_arith import (
+            LosslessState,
+            QMDecoder,
+            decode_lossless_diff,
+        )
+
+        dec = QMDecoder(entropy)
+        states = LosslessState()
+        # per-component difference planes: the Annex H conditioning
+        # state (Da = left diff, Db = above diff; 0 outside the scan)
+        dplanes = {cid: np.zeros((h, w), dtype=np.int32) for cid in comps}
+        for r in range(h):
+            for c in range(w):
+                for cid in comps:  # interleaved: one sample per comp
+                    tb = tabsel.get(cid, 0)
+                    ll, ul = dac_cond.get(tb, (0, 1))
+                    da = int(dplanes[cid][r, c - 1]) if c else 0
+                    db = int(dplanes[cid][r - 1, c]) if r else 0
+                    try:
+                        diff = decode_lossless_diff(
+                            dec, states.tbl(tb), da, db, ll, ul
+                        )
+                    except ValueError as exc:
+                        raise UnsupportedImageError(str(exc)) from exc
+                    dplanes[cid][r, c] = diff
+                    planes[cid][r, c] = combine(cid, r, c, diff)
+    else:
+        br = _BitReader(entropy)
+        tables = {}
+        for cid in comps:
+            t = huff.get((0, tabsel.get(cid, 0)))
+            if t is None:
+                raise UnsupportedImageError("lossless JPEG missing Huffman table")
+            tables[cid] = t
+        for r in range(h):
+            for c in range(w):
+                for cid in comps:  # interleaved: one sample per component
+                    t = _decode_huff(br, tables[cid])
+                    if t == 16:
+                        diff = 32768
+                    elif t > 16:
+                        raise UnsupportedImageError("invalid lossless category")
+                    else:
+                        diff = _extend(br.receive(t), t) if t else 0
+                    planes[cid][r, c] = combine(cid, r, c, diff)
+    return planes
+
+
 def _lossless_decode(payload: bytes) -> np.ndarray:
     """Decode a lossless JPEG (SOF3 Huffman or SOF11 arithmetic) to
     (H, W, C) uint8.
@@ -1336,58 +1426,10 @@ def _lossless_decode(payload: bytes) -> np.ndarray:
         raise UnsupportedImageError("lossless JPEG missing SOF3/SOS")
     prec, h, w, comps = frame
     tabsel, sel, pt, entropy = scan_info
-    if not 1 <= sel <= 7:
-        raise UnsupportedImageError(f"lossless predictor {sel} unsupported")
-    default = 1 << (prec - 1 - pt)
-    planes = {cid: np.zeros((h, w), dtype=np.int32) for cid in comps}
-    if arith:
-        from xetl_spark.operators.jpeg_arith import (
-            LosslessState,
-            QMDecoder,
-            decode_lossless_diff,
-        )
-
-        dec = QMDecoder(entropy)
-        states = LosslessState()
-        # per-component difference planes: the Annex H conditioning
-        # state (Da = left diff, Db = above diff; 0 outside the scan)
-        dplanes = {cid: np.zeros((h, w), dtype=np.int32) for cid in comps}
-        for r in range(h):
-            for c in range(w):
-                for cid in comps:  # interleaved: one sample per comp
-                    tb = tabsel.get(cid, 0)
-                    ll, ul = dac_cond.get(tb, (0, 1))
-                    da = int(dplanes[cid][r, c - 1]) if c else 0
-                    db = int(dplanes[cid][r - 1, c]) if r else 0
-                    try:
-                        diff = decode_lossless_diff(
-                            dec, states.tbl(tb), da, db, ll, ul
-                        )
-                    except ValueError as exc:
-                        raise UnsupportedImageError(str(exc)) from exc
-                    dplanes[cid][r, c] = diff
-                    pred = _lossless_predict(planes[cid], r, c, sel, default)
-                    planes[cid][r, c] = (pred + diff) & 0xFFFF
-    else:
-        br = _BitReader(entropy)
-        tables = {}
-        for cid in comps:
-            t = huff.get((0, tabsel.get(cid, 0)))
-            if t is None:
-                raise UnsupportedImageError("lossless JPEG missing Huffman table")
-            tables[cid] = t
-        for r in range(h):
-            for c in range(w):
-                for cid in comps:  # interleaved: one sample per component
-                    t = _decode_huff(br, tables[cid])
-                    if t == 16:
-                        diff = 32768
-                    elif t > 16:
-                        raise UnsupportedImageError("invalid lossless category")
-                    else:
-                        diff = _extend(br.receive(t), t) if t else 0
-                    pred = _lossless_predict(planes[cid], r, c, sel, default)
-                    planes[cid][r, c] = (pred + diff) & 0xFFFF
+    planes = _decode_lossless_samples(
+        entropy, comps, h, w, tabsel, sel, pt, huff, dac_cond, arith,
+        differential=False, prec=prec,
+    )
     out = np.stack([planes[cid] for cid in comps], axis=2)
     out = (out << pt) & ((1 << prec) - 1)
     if prec <= 8:
@@ -1532,6 +1574,8 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
     coefs: dict[int, np.ndarray] = {}
     geom: dict[int, tuple[int, int, int, int]] = {}
     last_comps = None  # final frame's comps, for chroma upsampling
+    mode = None  # 'dct' | 'lossless' — T.81 §16 forbids mixing
+    lossless_frame = None  # (prec, h, w, [cid, ...]) awaiting its SOS
 
     def finish_frame() -> None:
         nonlocal frame, coefs, geom, last_comps
@@ -1593,7 +1637,9 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
             raise UnsupportedImageError("truncated JPEG segment")
         if marker == 0xDE:  # DHP — full-resolution declaration
             p0, fh, fw = seg[0], *struct.unpack(">HH", seg[1:5])
-            if p0 not in (8, 12):
+            # DCT pyramids are 8/12-bit (checked at each SOF);
+            # lossless pyramids allow the full 2..16 range
+            if not 2 <= p0 <= 16:
                 raise UnsupportedImageError(f"{p0}-bit JPEG unsupported")
             full = (p0, fh, fw)
         elif marker == 0xDF:  # EXP — expand reference components
@@ -1608,6 +1654,11 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:
             _parse_dht(seg, huff)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD, 0xCE):
+            if mode == "lossless":
+                raise UnsupportedImageError(
+                    "mixed DCT/lossless frames in hierarchical stream"
+                )
+            mode = "dct"
             finish_frame()
             differential = marker in (0xC5, 0xC6, 0xCD, 0xCE)
             progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
@@ -1637,7 +1688,28 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
                 ch = -(-h * vs // vmax)
                 geom[cid] = (-(-cw // 8), -(-ch // 8), hs, vs)
         elif marker in (0xC3, 0xC7, 0xCB, 0xCF):
-            raise UnsupportedImageError("lossless frame in hierarchical stream")
+            # lossless pyramid frames: SOF3/SOF11 base, SOF7/SOF15
+            # differential (T.81 §16 + Annex H; spatial residuals,
+            # bit-exact end to end)
+            if mode == "dct":
+                raise UnsupportedImageError(
+                    "mixed DCT/lossless frames in hierarchical stream"
+                )
+            mode = "lossless"
+            differential = marker in (0xC7, 0xCF)
+            arith = marker in (0xCB, 0xCF)
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if not 2 <= prec <= 16:
+                raise UnsupportedImageError(f"lossless precision {prec} invalid")
+            cids = []
+            for c in range(ncomp):
+                cid, samp, _tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11 and ncomp > 1:
+                    raise UnsupportedImageError(
+                        "subsampled lossless JPEG unsupported (1x1 only)"
+                    )
+                cids.append(cid)
+            lossless_frame = (prec, h, w, cids)
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             i = 0
             while i + 1 < len(seg):
@@ -1651,6 +1723,49 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
+            if lossless_frame is not None:
+                lprec, lh, lw, cids = lossless_frame
+                ns = seg[0]
+                tabsel = {
+                    seg[1 + 2 * c]: seg[2 + 2 * c] >> 4 for c in range(ns)
+                }
+                sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 0xF
+                pos += seglen
+                segments, pos = _entropy_segments(payload, pos)
+                planes = _decode_lossless_samples(
+                    b"".join(segments), cids, lh, lw, tabsel, sel, pt,
+                    huff, {tb: v for (tc, tb), v in dac.items() if tc == 0},
+                    arith, differential=differential, prec=lprec,
+                )
+                lmax = (1 << lprec) - 1
+                for cid in cids:
+                    if differential:
+                        ref = refs.get(cid)
+                        if ref is None:
+                            raise UnsupportedImageError(
+                                "differential frame before a reference frame"
+                            )
+                        if ref.shape[0] < lh or ref.shape[1] < lw:
+                            raise UnsupportedImageError(
+                                "differential frame larger than reference"
+                            )
+                        # T.81 J.4: modulo-2^16 addition, no clipping
+                        refs[cid] = (
+                            (
+                                ref[:lh, :lw].astype(np.int64)
+                                + (planes[cid].astype(np.int64) << pt)
+                            )
+                            & 0xFFFF
+                        ).astype(np.int32) & lmax
+                    else:
+                        refs[cid] = (
+                            (planes[cid].astype(np.int64) << pt) & lmax
+                        ).astype(np.int32)
+                last_comps = [(cid, 1, 1, 0) for cid in cids]
+                prec = lprec
+                lossless_frame = None
+                continue
             if frame is None:
                 raise UnsupportedImageError("JPEG SOS before SOF")
             ns = seg[0]
@@ -1694,6 +1809,15 @@ def _hierarchical_decode(payload: bytes) -> np.ndarray:
         p = refs[cid].astype(np.float64)
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out_comps.append(p[:fh, :fw])
+    if mode == "lossless":
+        # lossless pyramids store components verbatim (no color
+        # transform), matching _lossless_decode's contract
+        out = np.stack(out_comps, axis=2).astype(np.int64)
+        if prec_out <= 8:
+            return np.clip(out, 0, maxv).astype(np.uint8)
+        return ((np.clip(out, 0, maxv) * 255 + maxv // 2) // maxv).astype(
+            np.uint8
+        )
     if len(out_comps) == 1:
         return np.clip(out_comps[0], 0, maxv).astype(dtype)[:, :, None]
     if len(out_comps) != 3:
@@ -1917,5 +2041,133 @@ def jpeg_encode_hierarchical(
         frame_bytes, rec = encode_frame(residuals, diff_sof, level_shift=False)
         out += frame_bytes
         refs = [np.clip(r + d, 0, 255) for r, d in zip(refs, rec)]
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_hierarchical_lossless(
+    arr: np.ndarray, levels: int = 2, predictor: int = 4,
+    arithmetic: bool = False,
+) -> bytes:
+    """Encode (H, W[, C]) uint8 as a LOSSLESS hierarchical JPEG
+    pyramid (T.81 §16 + Annex H — the last T.81 frame family):
+    DHP + one non-differential lossless base frame (SOF3 Huffman /
+    SOF11 arithmetic) at 1/2^(levels-1) resolution + one EXP +
+    differential lossless frame (SOF7/SOF15) per remaining level.
+    Components are stored verbatim (no color transform). Differential
+    frames code ``source - J.1.1.2-expanded reference`` with the
+    prediction pinned to zero (scan Ss=0, T.81 H.2), added back
+    modulo 2^16 on decode — so the pyramid reconstructs BIT-EXACT
+    pixels at every level, unlike the DCT pyramid's residual
+    approximation."""
+    if levels < 1:
+        raise UnsupportedImageError("hierarchical encode needs >= 1 level")
+    if not 1 <= predictor <= 7:
+        raise UnsupportedImageError(f"lossless predictor {predictor} unsupported")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    planes = [arr[:, :, ci].astype(np.int64) for ci in range(nch)]
+
+    def down2(p: np.ndarray) -> np.ndarray:
+        ph, pw = p.shape
+        pp = np.pad(p, ((0, ph % 2), (0, pw % 2)), mode="edge")
+        return (
+            pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2] + 2
+        ) >> 2
+
+    pyramid = [planes]
+    for _ in range(levels - 1):
+        pyramid.append([down2(p) for p in pyramid[-1]])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def encode_frame(
+        targets: list[np.ndarray], differential: bool
+    ) -> bytes:
+        """One lossless frame: SOF + SOS + entropy. ``targets`` are
+        sample planes (base) or signed residual planes (differential,
+        coded with prediction 0)."""
+        fh, fw = targets[0].shape
+        if differential:
+            sof_marker = 0xCF if arithmetic else 0xC7
+            sel = 0
+        else:
+            sof_marker = 0xCB if arithmetic else 0xC3
+            sel = predictor
+        sof = bytes([8]) + struct.pack(">HH", fh, fw) + bytes([nch])
+        for ci in range(nch):
+            sof += bytes([ci + 1, 0x11, 0])
+        out = bytearray(seg(sof_marker, sof))
+        sos = bytes([nch])
+        for ci in range(nch):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([sel, 0, 0])  # Ss=predictor (0 for differential)
+        out += seg(0xDA, sos)
+
+        def diff_at(p: np.ndarray, r: int, c: int) -> int:
+            if differential:
+                return int(p[r, c])
+            pred = _lossless_predict(p, r, c, sel, 128)
+            return ((int(p[r, c]) - pred + 32768) & 0xFFFF) - 32768
+
+        if arithmetic:
+            from xetl_spark.operators.jpeg_arith import (
+                LosslessState,
+                QMEncoder,
+                encode_lossless_diff,
+            )
+
+            enc = QMEncoder()
+            states = LosslessState()
+            dplanes = [np.zeros((fh, fw), dtype=np.int32) for _ in range(nch)]
+            for r in range(fh):
+                for c in range(fw):
+                    for ci, p in enumerate(targets):
+                        d = diff_at(p, r, c)
+                        da = int(dplanes[ci][r, c - 1]) if c else 0
+                        db = int(dplanes[ci][r - 1, c]) if r else 0
+                        encode_lossless_diff(
+                            enc, states.tbl(0), da, db, 0, 1, d
+                        )
+                        dplanes[ci][r, c] = d
+            out += enc.flush()
+        else:
+            codes = _build_codes(*_DC_LUMA)
+            wr = _BitWriter()
+            for r in range(fh):
+                for c in range(fw):
+                    for p in targets:
+                        _encode_dc(wr, codes, diff_at(p, r, c))
+            out += wr.flush()
+        return bytes(out)
+
+    out = bytearray(b"\xff\xd8")
+    if arithmetic:
+        out += seg(0xCC, bytes([0x00, 0x10]))  # table 0: L=0, U=1
+    else:
+        counts, symbols = _DC_LUMA
+        out += seg(0xC4, bytes([0x00]) + counts + symbols)
+    dhp = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch])
+    for ci in range(nch):
+        dhp += bytes([ci + 1, 0x11, 0])
+    out += seg(0xDE, dhp)
+
+    # base frame at the smallest level — lossless, so the decoder's
+    # reference IS the level plane (no mirror decode needed)
+    out += encode_frame(pyramid[-1], differential=False)
+    refs = [p.copy() for p in pyramid[-1]]
+    for lvl in range(levels - 2, -1, -1):
+        out += seg(0xDF, bytes([0x11]))  # expand 2x both directions
+        targets = pyramid[lvl]
+        th_, tw_ = targets[0].shape
+        refs = [
+            _upsample2(p.astype(np.int32), 1, 1)[:th_, :tw_].astype(np.int64)
+            for p in refs
+        ]
+        residuals = [t - r for t, r in zip(targets, refs)]
+        out += encode_frame(residuals, differential=True)
+        refs = targets  # modulo-2^16 addition reconstructs exactly
     out += b"\xff\xd9"
     return bytes(out)

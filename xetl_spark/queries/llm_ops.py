@@ -3289,6 +3289,91 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg_hier_lossless",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INT) AS levels,
+           doc_id % 2 = 1 AS arithmetic,
+           CAST(6 + doc_id % 7 AS INT) AS width,
+           CAST(5 + doc_id % 5 AS INT) AS height,
+           (5 + doc_id % 5) * (
+             ((6 + doc_id % 7) // 2) * (doc_id % 256)
+             + ((6 + doc_id % 7) - (6 + doc_id % 7) // 2) * ((doc_id * 3) % 256)
+           ) AS sum_r,
+           (5 + doc_id % 5) * (
+             ((6 + doc_id % 7) // 2) * ((doc_id * 5) % 256)
+             + ((6 + doc_id % 7) - (6 + doc_id % 7) // 2) * ((doc_id * 7) % 256)
+           ) AS sum_g,
+           (5 + doc_id % 5) * (
+             ((6 + doc_id % 7) // 2) * ((doc_id * 11) % 256)
+             + ((6 + doc_id % 7) - (6 + doc_id % 7) // 2) * ((doc_id * 13) % 256)
+           ) AS sum_b
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_jpeg_hier_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS hierarchical JPEG (SOF7/SOF15 — the last T.81 frame
+    family, closed r11): two-tone RGB fixtures encoded as 1-3 level
+    pyramids, Huffman (SOF3 base + SOF7 differential) and arithmetic
+    (SOF11 + SOF15) rotating by parity, predictor rotating over all
+    seven. Unlike the DCT pyramid this mode is bit-exact on PIXELS
+    with components stored verbatim (no color transform), so the SQL
+    oracle recomputes full RGB channel sums exactly — any drift in the
+    Annex H entropy layer, the J.1.1.2 expansion, the modulo-2^16
+    differential add, or the odd-dimension crop breaks the hash."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging, jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 7, 5 + did % 5
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, : w // 2] = (did % 256, (did * 5) % 256,
+                                    (did * 11) % 256)
+                img[:, w // 2 :] = ((did * 3) % 256, (did * 7) % 256,
+                                    (did * 13) % 256)
+                levels = 1 + did % 3
+                arith = did % 2 == 1
+                payload = jpeg.jpeg_encode_hierarchical_lossless(
+                    img, levels=levels, predictor=1 + did % 7,
+                    arithmetic=arith,
+                )
+                dec = imaging.decode_image(payload)[:, :, :3].astype(np.int64)
+                rows.append(
+                    (
+                        did, levels, arith, dec.shape[1], dec.shape[0],
+                        int(dec[:, :, 0].sum()),
+                        int(dec[:, :, 1].sum()),
+                        int(dec[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "levels", "arithmetic", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, levels int, arithmetic boolean, width int, "
+            "height int, sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_jpeg_hierarchical",
     oracle="""
     SELECT doc_id,
