@@ -31,14 +31,15 @@ def test_wav_roundtrip_stereo():
 def test_wav_unsupported_rejected():
     with pytest.raises(audio.UnsupportedAudioError):
         audio.wav_decode(b"OggS not a wav")
-    # 8-bit PCM rejected, not silently garbled
+    # an unknown coding is rejected, not silently garbled (PCM-8 /
+    # G.711 / IMA ADPCM decode since round 11 — see the tests below)
     import struct
 
-    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
-    with pytest.raises(audio.UnsupportedAudioError, match="PCM-16"):
+    with pytest.raises(audio.UnsupportedAudioError, match="unsupported WAV"):
         audio.wav_decode(payload)
 
 
@@ -180,3 +181,91 @@ def test_activity_segments_tone_silence_tone(spark):
     # tone RMS of a full-cycle sine = amplitude/sqrt(2)
     assert abs(segs[0].rms - 10_000 / np.sqrt(2)) < 60
     assert segs[1].rms < 1.0
+
+
+def test_g711_and_pcm8_wav_decode():
+    """G.711 u-law/A-law and PCM-8 WAV codings: exact expansion
+    (known ITU pairs + canonical 16-bit ranges), container roundtrip."""
+    import numpy as np
+
+    from xetl_spark.operators.audio import (
+        _alaw_expand,
+        _mulaw_expand,
+        wav_build_raw,
+        wav_decode,
+    )
+
+    assert _mulaw_expand(np.array([0xFF]))[0] == 0  # u-law +0
+    assert _mulaw_expand(np.array([0x7F]))[0] == 0  # u-law -0
+    assert _alaw_expand(np.array([0x55]))[0] == -8
+    assert _alaw_expand(np.array([0xD5]))[0] == 8
+    mu = _mulaw_expand(np.arange(256))
+    al = _alaw_expand(np.arange(256))
+    assert (int(mu.max()), int(mu.min())) == (32124, -32124)
+    assert (int(al.max()), int(al.min())) == (32256, -32256)
+    # each coding is a bijection on its 256 codewords up to +-0
+    assert len(np.unique(mu)) == 255  # 0x7F and 0xFF both decode to 0
+    assert len(np.unique(al)) == 256
+
+    data = bytes((i * 13 + 7) % 256 for i in range(601))
+    for fmt, table in ((7, mu), (6, al)):
+        s, r = wav_decode(wav_build_raw(fmt, data, 8000))
+        assert r == 8000 and s.shape == (601, 1)
+        assert np.array_equal(s[:, 0], table[np.frombuffer(data, np.uint8)])
+    s, _ = wav_decode(wav_build_raw(1, data, 8000, bits=8))
+    assert np.array_equal(
+        s[:, 0],
+        (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8,
+    )
+
+
+def test_ima_adpcm_wav_decode():
+    """IMA ADPCM blocks: hand-verified first steps (predictor 100,
+    index 10 / step 19, nibble 0x3 -> diff 15), multi-block stereo
+    shape, and typed errors on malformed blocks."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xetl_spark.operators.audio import (
+        UnsupportedAudioError,
+        _ima_decode_block,
+        wav_build_raw,
+        wav_decode,
+    )
+
+    blk = struct.pack("<hBB", 100, 10, 0) + bytes([0x03]) + bytes(3)
+    dec = _ima_decode_block(blk, 1)
+    assert dec[0, 0] == 100 and dec[1, 0] == 115
+    blk2 = (
+        struct.pack("<hBB", 0, 20, 0)
+        + struct.pack("<hBB", 50, 30, 0)
+        + bytes([0x12, 0x34, 0x56, 0x78])
+        + bytes([0x9A, 0xBC, 0xDE, 0xF0])
+    )
+    wav = wav_build_raw(0x11, blk2 * 3, 8000, channels=2, bits=4,
+                        block_align=len(blk2))
+    s, _ = wav_decode(wav)
+    assert s.shape == (27, 2)  # 3 x (1 header sample + 8 nibble samples)
+    assert np.abs(s.astype(np.int64)).max() <= 32767
+    with _pytest.raises(UnsupportedAudioError):
+        _ima_decode_block(struct.pack("<hBB", 0, 89, 0), 1)  # index > 88
+    with _pytest.raises(UnsupportedAudioError):
+        wav_decode(wav_build_raw(0x11, blk2, 8000, channels=2, bits=4,
+                                 block_align=0))
+
+
+def test_unsupported_wav_codings_stay_typed():
+    import pytest as _pytest
+
+    from xetl_spark.operators.audio import (
+        UnsupportedAudioError,
+        wav_build_raw,
+        wav_decode,
+    )
+
+    with _pytest.raises(UnsupportedAudioError, match="unsupported WAV"):
+        wav_decode(wav_build_raw(3, b"\x00" * 64, 8000, bits=32))  # float
+    with _pytest.raises(UnsupportedAudioError, match="unsupported WAV"):
+        wav_decode(wav_build_raw(85, b"\x00" * 64, 8000))  # mp3-in-wav

@@ -41,12 +41,89 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
+# G.711 (ITU-T) expansions — exact table-free integer math, vectorized
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    u = (~u.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_expand(a: np.ndarray) -> np.ndarray:
+    a = a.astype(np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = ((a & 0x0F) << 4) + 8
+    t = np.where(seg > 0, (t + 0x100) << np.maximum(seg - 1, 0), t)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_block(
+    block: bytes, channels: int
+) -> np.ndarray:
+    """One IMA-ADPCM block -> (n, ch) int16. Per channel: 4-byte
+    header (predictor int16, step index, reserved), then nibble data
+    interleaved in 4-byte channel groups (8 samples per group)."""
+    hdr = 4 * channels
+    if len(block) < hdr:
+        raise UnsupportedAudioError("IMA ADPCM block shorter than header")
+    preds = []
+    idxs = []
+    for ch in range(channels):
+        p, i = struct.unpack_from("<hB", block, 4 * ch)
+        if i > 88:
+            raise UnsupportedAudioError("IMA ADPCM step index out of range")
+        preds.append(int(p))
+        idxs.append(int(i))
+    data = block[hdr:]
+    ngroups = len(data) // (4 * channels)
+    out = [[p] for p in preds]  # header predictor IS the first sample
+    for g in range(ngroups):
+        for ch in range(channels):
+            chunk = data[(g * channels + ch) * 4 : (g * channels + ch) * 4 + 4]
+            for byte in chunk:
+                for nib in (byte & 0xF, byte >> 4):
+                    step = int(_IMA_STEPS[idxs[ch]])
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = preds[ch] + (-diff if nib & 8 else diff)
+                    pred = max(-32768, min(32767, pred))
+                    preds[ch] = pred
+                    out[ch].append(pred)
+                    idxs[ch] = max(
+                        0, min(88, idxs[ch] + int(_IMA_INDEX_ADJ[nib & 7]))
+                    )
+    return np.array(out, dtype=np.int16).T
+
+
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV to (samples int16 (n, ch), sample_rate)."""
+    """Decode a WAV to (samples int16 (n, ch), sample_rate). Formats:
+    PCM-16 (1), PCM-8 unsigned (1, rescaled to int16), A-law (6) and
+    u-law (7) via exact G.711 expansion, IMA ADPCM (0x11,
+    block-decoded). Anything else raises the typed error."""
     if not sniff_wav(payload):
         raise UnsupportedAudioError("not a RIFF/WAVE payload")
     pos = 12
     fmt_code = channels = sample_rate = bits = None
+    block_align = 0
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -63,20 +140,70 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             if clen < 16:
                 raise UnsupportedAudioError("WAV fmt chunk shorter than 16 bytes")
-            fmt_code, channels, sample_rate, _br, _ba, bits = struct.unpack(
+            fmt_code, channels, sample_rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
         elif cid == b"data":
             data = body
     if fmt_code is None or data is None:
         raise UnsupportedAudioError("WAV missing fmt/data chunk")
-    if fmt_code != 1 or bits != 16:
+    if not channels:
+        raise UnsupportedAudioError("WAV declares zero channels")
+    if fmt_code == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    elif fmt_code == 1 and bits == 8:  # unsigned PCM-8 -> int16 scale
+        arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif fmt_code == 6 and bits == 8:  # G.711 A-law
+        arr = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif fmt_code == 7 and bits == 8:  # G.711 u-law
+        arr = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif fmt_code == 0x11:  # IMA ADPCM
+        if not block_align:
+            raise UnsupportedAudioError("IMA ADPCM without block alignment")
+        blocks = []
+        for i in range(0, len(data), block_align):
+            chunk = data[i : i + block_align]
+            if len(chunk) < 4 * channels:  # trailing pad, not a block
+                break
+            blocks.append(_ima_decode_block(chunk, channels))
+        if not blocks:
+            raise UnsupportedAudioError("IMA ADPCM without data blocks")
+        return np.vstack(blocks), sample_rate
+    else:
         raise UnsupportedAudioError(
-            f"only PCM-16 supported (format={fmt_code}, bits={bits})"
+            f"unsupported WAV coding (format={fmt_code}, bits={bits})"
         )
-    arr = np.frombuffer(data, dtype="<i2")
     n = len(arr) // channels
     return arr[: n * channels].reshape(n, channels), sample_rate
+
+
+def wav_build_raw(
+    fmt_code: int,
+    data: bytes,
+    sample_rate: int,
+    channels: int = 1,
+    bits: int = 8,
+    block_align: int | None = None,
+) -> bytes:
+    """Wrap pre-encoded sample bytes in a RIFF/WAVE container with the
+    given coding (fixture builder for the non-PCM16 decode paths:
+    G.711 A-law/u-law, PCM-8, IMA ADPCM blocks)."""
+    if block_align is None:
+        block_align = max(1, channels * bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        fmt_code,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:

@@ -2855,6 +2855,94 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_wav_g711",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, i.i,
+             (d.doc_id * 13 + i.i * 7) % 256 AS b
+      FROM documents d
+      JOIN range(1000) i(i) ON i.i < 500 + d.doc_id % 500
+      WHERE d.doc_id < 128
+    ),
+    e AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN  -- u-law (G.711): t-0x84 form
+               CASE WHEN (255 - b) >= 128
+                    THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                                << (((255 - b) // 16) % 8))
+                    ELSE ((((255 - b) % 16) * 8 + 132)
+                          << (((255 - b) // 16) % 8)) - 132
+               END
+             ELSE                            -- A-law: xor 0x55 form
+               CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+               CASE WHEN ((xor(b, 85) // 16) % 8) > 0
+                    THEN ((xor(b, 85) % 16) * 16 + 8 + 256)
+                         << (((xor(b, 85) // 16) % 8) - 1)
+                    ELSE (xor(b, 85) % 16) * 16 + 8
+               END
+             END AS sample
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS coding,
+           CAST(500 + doc_id % 500 AS BIGINT) AS n_samples,
+           CAST(SUM(sample) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS(sample)) AS BIGINT) AS peak
+    FROM e GROUP BY doc_id
+    """,
+)
+def q_multimodal_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony WAV decode (u-law even doc_id / A-law odd):
+    closed-form codeword bytes wrapped in real RIFF containers, pushed
+    through wav_decode's exact integer expansion, and summed — the SQL
+    oracle RE-DERIVES the ITU expansion arithmetic (u-law's
+    (mant*8+132)<<exp - 132 after complement; A-law's xor-0x55
+    segment form), so the two implementations must agree codeword by
+    codeword across all 256 values and both sign conventions."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators.audio import wav_build_raw, wav_decode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 500 + did % 500
+                data = bytes((did * 13 + i * 7) % 256 for i in range(n))
+                fmt = 7 if did % 2 == 0 else 6
+                samples, rate = wav_decode(wav_build_raw(fmt, data, 8000))
+                assert rate == 8000
+                s = samples[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        did,
+                        "mulaw" if did % 2 == 0 else "alaw",
+                        len(s),
+                        int(s.sum()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "coding", "n_samples", "sample_sum", "peak"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, coding string, n_samples long, "
+            "sample_sum long, peak long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_audio_windows",
     oracle="""
     SELECT d.doc_id, w.i AS window_idx,
