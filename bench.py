@@ -74,6 +74,12 @@ LLM_SUITE = [
     # arithmetic-progressive codec battery (constant-size, codec-bound)
     "q_text_flesch_multilang",
     "q_multimodal_jpeg_arith_progressive",
+    # round-11 additions: the new codec flagships (constant-size
+    # fixture batteries, codec-bound — encode-once/decode-once; the
+    # twin-parity verification lives in pytest, not here)
+    "q_multimodal_webp",
+    "q_multimodal_flac",
+    "q_multimodal_anim_frames",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

@@ -78,6 +78,9 @@ def main() -> int:
     jah = jpeg.jpeg_encode_hierarchical(img, levels=3, quality=85, arithmetic=True)
     bench("JPEG arith hierarchical (SOF9+SOF13)", "decode", raw,
           lambda: jpeg.jpeg_decode(jah))
+    jhl = jpeg.jpeg_encode_hierarchical_lossless(img[:64, :96], levels=2)
+    bench("JPEG lossless hierarchical (SOF3+SOF7)", "decode", 64 * 96 * 3,
+          lambda: jpeg.jpeg_decode(jhl))
     from xetl_spark.operators.webp import webp_decode, webp_encode
 
     wb = webp_encode(img)

@@ -18,6 +18,12 @@ branch from a query; it makes no compression-ratio claim. CRC-8
 (header) and CRC-16 (frame) are computed on encode and VERIFIED on
 decode.
 
+Reference parity: the reference delegates per-file transforms to
+arbitrary subprocess tasks (reference README.md:54-77); the engine
+expresses the same capability class as typed operators over binary
+columns, so the audio leg needs a real compressed-format decoder,
+not just probes.
+
 Scale note: one payload decodes per Arrow-batch row inside its
 partition — embarrassingly parallel, nothing touches the driver.
 """

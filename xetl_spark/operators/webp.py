@@ -28,6 +28,12 @@ no rate-optimality claim. Lossy VP8 DECODE is out of scope (typed
 UnsupportedImageError — it needs a full boolean-arithmetic DCT codec);
 `webp_probe` still extracts its dimensions from the frame header.
 
+Reference parity: the reference's image pipeline is an ImageMagick
+subprocess task over a downloaded image (reference README.md:50-95);
+this engine's contract is the same class of per-file media work as a
+first-class binary column, so container coverage must match what a
+web-scraped corpus actually contains.
+
 Scale note: like the other codecs, every (en|de)code runs on one
 payload inside an Arrow batch — embarrassingly parallel, nothing
 touches the driver.
