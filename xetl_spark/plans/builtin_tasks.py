@@ -1009,6 +1009,28 @@ def span_dedup_task(ctx: StageContext):
 
 
 @task(
+    "extract_main",
+    "DOM-aware main-content extraction from an HTML column "
+    "(jusText-class block classifier; id, main_text, n_blocks, n_good)",
+    env={
+        "HTML_COL": {"description": "HTML column", "type": "string", "default": "html"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "LANG": {"description": "stopword language", "type": "string", "default": "en"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def extract_main(ctx: StageContext):
+    from xetl_spark.operators.html import extract_main_content
+
+    return extract_main_content(
+        ctx.input_df(),
+        str(ctx.env["HTML_COL"]),
+        str(ctx.env["ID_COL"]),
+        lang=str(ctx.env["LANG"]),
+    )
+
+
+@task(
     "redact",
     "Redact PII (emails / phone numbers / IPv4) in a text column",
     env={

@@ -2855,6 +2855,75 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_main_content",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(2 + d.doc_id % 4 AS INT) AS n_good,
+           CAST(4 * SUM((d.doc_id * 31 + f.i * 7) % 1000) AS BIGINT)
+               AS num_sum
+    FROM documents d
+    JOIN range(6) f(i) ON f.i < 2 + d.doc_id % 4
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-aware main-content extraction (operators/html.py — the
+    jusText-class boilerplate stage of a web-corpus pipeline):
+    synthesizes pages with nav/banner/aside/footer chrome, a linked
+    promo line, a script block, and 2-5 stopword-dense content
+    paragraphs each embedding a closed-form marker number 4 times.
+    extract_main_content must keep EXACTLY the content paragraphs —
+    the oracle recomputes the surviving block count and the sum of
+    the embedded markers; one leaked nav block or dropped paragraph
+    breaks the hash."""
+    from collections.abc import Iterator as _It
+
+    from xetl_spark.operators.html import extract_main_content
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = 2 + did % 4
+                paras = []
+                for f in range(k):
+                    v = (did * 31 + f * 7) % 1000
+                    sent = (
+                        f"the value {v} of the series and a note to one "
+                        "of the readers in the town "
+                    )
+                    paras.append(f"<p>{sent * 4}</p>")
+                page = (
+                    "<html><head><title>Doc</title><script>var x=1;"
+                    "</script></head><body>"
+                    '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>'
+                    '<div role="banner"><a href="/p">Big promo</a></div>'
+                    + "".join(paras)
+                    + '<aside>Related: <a href="/x">more</a></aside>'
+                    "<footer>&copy; The Site <a href='/t'>Terms</a></footer>"
+                    "</body></html>"
+                )
+                rows.append((did, page))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    pages = ids.mapInPandas(synth, schema="doc_id long, html string")
+    out = extract_main_content(pages, "html", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_good"),
+        F.expr(
+            "aggregate(transform(regexp_extract_all(main_text,"
+            " '([0-9]+)', 1), x -> cast(x as bigint)), 0L, (a, x) -> a + x)"
+        ).alias("num_sum"),
+    )
+
+
+@query(
     "q_multimodal_wav_g711",
     oracle="""
     WITH s AS (
