@@ -1009,6 +1009,28 @@ def span_dedup_task(ctx: StageContext):
 
 
 @task(
+    "subtitles",
+    "Parse an SRT/WebVTT column into one row per timed cue "
+    "(id, cue_idx, start_ms, end_ms, text, fmt, err)",
+    env={
+        "TEXT_COL": {"description": "subtitle document column", "type": "string", "default": "text"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "FORMAT": {"description": "srt | vtt | auto", "type": "string", "default": "auto"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def subtitles_task(ctx: StageContext):
+    from xetl_spark.operators.subtitles import extract_subtitles
+
+    return extract_subtitles(
+        ctx.input_df(),
+        str(ctx.env["TEXT_COL"]),
+        str(ctx.env["ID_COL"]),
+        fmt=str(ctx.env["FORMAT"]),
+    )
+
+
+@task(
     "extract_main",
     "DOM-aware main-content extraction from an HTML column "
     "(jusText-class block classifier; id, main_text, n_blocks, n_good)",

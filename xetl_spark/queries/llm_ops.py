@@ -2855,6 +2855,80 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ingest_subtitles",
+    oracle="""
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+           CAST(i.i AS INT) AS cue_idx,
+           CAST(i.i * 2000 + d.doc_id % 1000 AS BIGINT) AS start_ms,
+           CAST(i.i * 2000 + d.doc_id % 1000 + 1500 AS BIGINT) AS end_ms,
+           CAST((d.doc_id * 17 + i.i * 3) % 1000 AS BIGINT) AS marker
+    FROM documents d
+    JOIN range(8) i(i) ON i.i < 3 + d.doc_id % 5
+    WHERE d.doc_id < 200
+    """,
+)
+def q_ingest_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle ingestion (operators/subtitles.py): synthesizes SRT
+    (even doc_id) and WebVTT (odd — with NOTE blocks, cue settings,
+    and inline markup to strip) transcripts whose cue times and
+    embedded markers are closed-form, parses them into one row per
+    cue, and hash-matches index/start/end/marker against the analytic
+    oracle — the 1-row-per-cue expansion an ASR pipeline aligns on."""
+    from collections.abc import Iterator as _It
+
+    from xetl_spark.operators.subtitles import extract_subtitles
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 5
+                parts = []
+                vtt = did % 2 == 1
+                if vtt:
+                    parts.append("WEBVTT\n\nNOTE generated fixture\n")
+                for i in range(n):
+                    start = i * 2000 + did % 1000
+                    end = start + 1500
+                    v = (did * 17 + i * 3) % 1000
+
+                    def ts(ms: int, sep: str) -> str:
+                        return (
+                            f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:"
+                            f"{ms // 1000 % 60:02d}{sep}{ms % 1000:03d}"
+                        )
+
+                    if vtt:
+                        parts.append(
+                            f"cue-{i}\n{ts(start, '.')} --> {ts(end, '.')}"
+                            f" align:start\n<c.y>cue</c> {v} of the test\n"
+                        )
+                    else:
+                        parts.append(
+                            f"{i + 1}\n{ts(start, ',')} --> {ts(end, ',')}"
+                            f"\ncue <i>{v}</i> of the test\n"
+                        )
+                rows.append((did, "\n".join(parts)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    subs = ids.mapInPandas(synth, schema="doc_id long, text string")
+    out = extract_subtitles(subs, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "fmt",
+        "cue_idx",
+        "start_ms",
+        "end_ms",
+        F.regexp_extract("text", r"(\d+)", 1).cast("long").alias("marker"),
+    )
+
+
+@query(
     "q_text_main_content",
     oracle="""
     SELECT d.doc_id,
