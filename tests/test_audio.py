@@ -269,3 +269,67 @@ def test_unsupported_wav_codings_stay_typed():
         wav_decode(wav_build_raw(3, b"\x00" * 64, 8000, bits=32))  # float
     with _pytest.raises(UnsupportedAudioError, match="unsupported WAV"):
         wav_decode(wav_build_raw(85, b"\x00" * 64, 8000))  # mp3-in-wav
+
+
+def test_resample_linear_grids_and_exactness():
+    """resample_linear: exact verbatim/midpoint behavior on integer
+    ratios, fractional-ratio grid positions, identity, mono/stereo,
+    and guards."""
+    import numpy as np
+
+    from xetl_spark.operators.audio import resample_linear
+
+    s = np.arange(11, dtype=np.int64) * 10
+    down = resample_linear(s, 32000, 16000)
+    assert np.array_equal(down[:, 0], s[::2].astype(float))
+    up = resample_linear(s, 8000, 16000)
+    assert up.shape == (21, 1)
+    assert np.array_equal(up[0::2, 0], s.astype(float))
+    assert np.array_equal(up[1::2, 0], (s[:-1] + s[1:]) / 2)
+    # 3:1 and 4:3 ratios: spot-check the position math
+    third = resample_linear(s, 48000, 16000)
+    assert np.array_equal(third[:, 0], s[::3].astype(float))
+    r43 = resample_linear(np.array([0.0, 3.0, 6.0, 9.0]), 16000, 12000)
+    assert np.allclose(r43[:, 0], [0.0, 4.0, 8.0])  # pos 0, 4/3, 8/3
+    # identity, stereo shape, empty
+    st = np.stack([s, -s], axis=1)
+    assert np.array_equal(resample_linear(st, 9, 9), st.astype(float))
+    assert resample_linear(st, 16000, 8000).shape == (6, 2)
+    assert resample_linear(np.empty((0, 2)), 1, 2).shape == (0, 2)
+    import pytest as _pytest
+
+    from xetl_spark.operators.audio import UnsupportedAudioError
+
+    with _pytest.raises(UnsupportedAudioError):
+        resample_linear(s, 0, 16000)
+
+
+def test_resample_audio_builtin_task(spark, tmp_path):
+    """The `resample_audio` builtin decodes (WAV or FLAC) and
+    resamples to the target rate through a YAML job."""
+    import numpy as np
+
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    s = (np.arange(800, dtype=np.int64) * 7 % 2003 - 1001).astype(np.int16)
+    payload = audio.wav_encode(s, 32000)
+    src = tmp_path / "clips"
+    spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id long, media binary"
+    ).write.parquet(str(src))
+    job = Job(
+        name="rs",
+        data=str(tmp_path),
+        commands=[
+            {"name": "clips", "task": "read_parquet", "env": {"PATH": str(src)}},
+            {"name": "out", "task": "resample_audio",
+             "env": {"TARGET_RATE": 16000}},
+        ],
+    )
+    results = run_job(spark, job)
+    assert all(r.status == "success" for r in results)
+    row = results[-1].output.collect()[0]
+    got = np.frombuffer(bytes(row.pcm), dtype="<i2")
+    assert row.sample_rate == 16000 and row.n_samples == 400
+    assert np.array_equal(got, s[::2])  # 2x down = verbatim every 2nd

@@ -56,7 +56,7 @@ def test_auto_dispatch_and_typed_errors():
     with pytest.raises(SubtitleFormatError, match="timestamps"):
         parse_srt("1\nnot a timestamp line\ntext")
     with pytest.raises(SubtitleFormatError, match="unknown"):
-        parse_subtitles("x", fmt="ass")
+        parse_subtitles("x", fmt="microdvd")
 
 
 def test_extract_subtitles_spark_and_err_rows(spark):
@@ -96,3 +96,31 @@ def test_subtitles_builtin_task(spark, tmp_path):
     row = results[-1].output.collect()[0]
     assert (row.start_ms, row.end_ms, row.fmt) == (1000, 2500, "vtt")
     assert row.text == "from the task"
+
+
+def test_ass_dialogue_parsing():
+    from xetl_spark.operators.subtitles import parse_ass
+
+    ass = """[Script Info]
+Title: demo
+
+[V4+ Styles]
+Format: Name, Fontname
+Style: Default,Arial
+
+[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:01.50,0:00:03.25,Default,,0,0,0,,{\\an8}Top line\\Nsecond part
+Dialogue: 0,1:02:03.04,1:02:04.00,Default,,0,0,0,,Plain, with a comma
+"""
+    cues = parse_ass(ass)
+    assert cues == [
+        (0, 1500, 3250, "Top line second part"),
+        (1, 3723040, 3724000, "Plain, with a comma"),
+    ]
+    # auto-sniff routes it
+    assert parse_subtitles(ass)[1][3] == "Plain, with a comma"
+    with pytest.raises(SubtitleFormatError, match="no ASS"):
+        parse_ass("[Events]\nFormat: Start, End, Text\n")
+    with pytest.raises(SubtitleFormatError, match="timestamp"):
+        parse_ass("[Events]\nDialogue: 0,bad,0:00:01.00,s,,0,0,0,,x")

@@ -177,6 +177,34 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     return arr[: n * channels].reshape(n, channels), sample_rate
 
 
+def resample_linear(
+    samples: np.ndarray, sr_from: int, sr_to: int
+) -> np.ndarray:
+    """Linear-interpolation resampling (the sample-rate normalization
+    an ASR pipeline runs before feature extraction) -> float64
+    (n_out, ch). Output grid: position i maps to source time
+    i * sr_from / sr_to; n_out = floor((n_in-1) * sr_to / sr_from) + 1,
+    so integer rate ratios are EXACT (2x down = every 2nd sample
+    verbatim; 2x up = verbatim + midpoints). Vectorized numpy."""
+    if sr_from <= 0 or sr_to <= 0:
+        raise UnsupportedAudioError("sample rates must be positive")
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_in = s.shape[0]
+    if n_in == 0:
+        return s
+    if sr_from == sr_to:
+        return s.copy()
+    n_out = (n_in - 1) * sr_to // sr_from + 1
+    # exact integer split of i*sr_from/sr_to into floor + fraction
+    num = np.arange(n_out, dtype=np.int64) * sr_from
+    lo = num // sr_to
+    frac = (num - lo * sr_to).astype(np.float64) / sr_to
+    hi = np.minimum(lo + 1, n_in - 1)
+    return s[lo] + frac[:, None] * (s[hi] - s[lo])
+
+
 def wav_build_raw(
     fmt_code: int,
     data: bytes,

@@ -117,15 +117,72 @@ def parse_vtt(text: str) -> list[tuple[int, int, int, str]]:
     return cues
 
 
+_ASS_TS = re.compile(r"^(\d+):(\d{2}):(\d{2})\.(\d{2})$")
+
+
+def parse_ass(text: str) -> list[tuple[int, int, int, str]]:
+    """ASS/SSA ``[Events]`` Dialogue lines ->
+    [(cue_idx, start_ms, end_ms, text), ...]. The Format: line defines
+    the field order (Start/End/Text positions honored); override tags
+    ``{\\...}`` and ``\\N`` line breaks are stripped; timestamps are
+    h:mm:ss.cc (centiseconds)."""
+    fields = ["layer", "start", "end", "style", "name", "marginl",
+              "marginr", "marginv", "effect", "text"]
+    in_events = False
+    cues = []
+    for line in text.splitlines():
+        line = line.strip()
+        low = line.lower()
+        if low.startswith("["):
+            in_events = low.startswith("[events]")
+            continue
+        if not in_events or not line:
+            continue
+        if low.startswith("format:"):
+            fields = [f.strip().lower() for f in line[7:].split(",")]
+            continue
+        if not low.startswith("dialogue:"):
+            continue
+        parts = line[9:].split(",", len(fields) - 1)
+        if len(parts) < len(fields):
+            raise SubtitleFormatError(f"short Dialogue line: {line!r}")
+        row = dict(zip(fields, (p.strip() for p in parts)))
+        times = []
+        for key in ("start", "end"):
+            m = _ASS_TS.match(row.get(key, ""))
+            if not m:
+                raise SubtitleFormatError(f"bad ASS timestamp: {row.get(key)!r}")
+            h, mnt, s, cs = m.groups()
+            times.append(_ms(h, mnt, s, cs + "0"))
+        body = re.sub(r"\{[^}]*\}", "", row.get("text", ""))
+        body = " ".join(body.replace("\\N", " ").replace("\\n", " ").split())
+        cues.append((len(cues), times[0], times[1], body))
+    if not cues:
+        raise SubtitleFormatError("no ASS Dialogue cues")
+    return cues
+
+
+def _sniff(text: str) -> str:
+    stripped = text.lstrip("﻿").lstrip()
+    if stripped.startswith("WEBVTT"):
+        return "vtt"
+    if stripped[:1] == "[" and "[events]" in text.lower():
+        return "ass"
+    return "srt"
+
+
 def parse_subtitles(text: str, fmt: str = "auto") -> list[tuple[int, int, int, str]]:
-    """Dispatch on declared ``fmt`` ('srt' | 'vtt') or sniff ('auto':
-    a WEBVTT header wins, else SRT)."""
+    """Dispatch on declared ``fmt`` ('srt' | 'vtt' | 'ass') or sniff
+    ('auto': a WEBVTT header wins, then an ASS section header, else
+    SRT)."""
     if fmt == "auto":
-        fmt = "vtt" if text.lstrip("﻿").lstrip().startswith("WEBVTT") else "srt"
+        fmt = _sniff(text)
     if fmt == "vtt":
         return parse_vtt(text)
     if fmt == "srt":
         return parse_srt(text)
+    if fmt == "ass":
+        return parse_ass(text)
     raise SubtitleFormatError(f"unknown subtitle format {fmt!r}")
 
 
@@ -145,12 +202,7 @@ def extract_subtitles(
             rows = []
             for _, row in pdf.iterrows():
                 raw = str(row[text_col])
-                kind = (
-                    "vtt"
-                    if fmt == "auto"
-                    and raw.lstrip("﻿").lstrip().startswith("WEBVTT")
-                    else (fmt if fmt != "auto" else "srt")
-                )
+                kind = _sniff(raw) if fmt == "auto" else fmt
                 try:
                     for idx, start, end, text in parse_subtitles(raw, kind):
                         rows.append(

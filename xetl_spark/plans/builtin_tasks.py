@@ -1009,6 +1009,49 @@ def span_dedup_task(ctx: StageContext):
 
 
 @task(
+    "resample_audio",
+    "Resample decoded audio payloads to a target rate "
+    "(linear interpolation; id, sample_rate, n_samples, pcm)",
+    env={
+        "MEDIA_COL": {"description": "audio payload column", "type": "string", "default": "media"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "TARGET_RATE": {"description": "output sample rate (Hz)", "type": "int", "default": 16000},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def resample_audio(ctx: StageContext):
+    import numpy as np
+    import pandas as pd
+
+    media_col = str(ctx.env["MEDIA_COL"])
+    id_col = str(ctx.env["ID_COL"])
+    target = int(ctx.env["TARGET_RATE"])  # type: ignore[arg-type]
+    df = ctx.input_df()
+
+    def run(batches):
+        from xetl_spark.operators.audio import decode_audio, resample_linear
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples, sr = decode_audio(bytes(row[media_col]))
+                out = resample_linear(samples, sr, target)
+                pcm = np.clip(np.rint(out), -32768, 32767).astype("<i2")
+                rows.append(
+                    (row[id_col], target, out.shape[0], pcm.tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "n_samples", "pcm"]
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, media_col).mapInPandas(
+        run,
+        schema=f"id {id_type}, sample_rate int, n_samples long, pcm binary",
+    )
+
+
+@task(
     "subtitles",
     "Parse an SRT/WebVTT column into one row per timed cue "
     "(id, cue_idx, start_ms, end_ms, text, fmt, err)",

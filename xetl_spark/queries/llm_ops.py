@@ -2855,6 +2855,75 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_audio_resample",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, i.i,
+             (d.doc_id * 31 + i.i * 17) % 2003 - 1001 AS v,
+             600 + d.doc_id % 400 AS n
+      FROM documents d
+      JOIN range(1000) i(i) ON i.i < 600 + d.doc_id % 400
+      WHERE d.doc_id < 128
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'down2' ELSE 'up2' END AS direction,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (MAX(n) - 1) // 2 + 1
+                ELSE 2 * MAX(n) - 1 END AS BIGINT) AS n_out,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 2 * SUM(CASE WHEN i % 2 = 0 THEN v ELSE 0 END)
+                ELSE 4 * SUM(v) - MAX(CASE WHEN i = 0 THEN v END)
+                     - MAX(CASE WHEN i = n - 1 THEN v END)
+                END AS BIGINT) AS sum2
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (audio.resample_linear — the
+    16 kHz normalization pass of an ASR pipeline) under the hash gate:
+    closed-form PCM resampled 2x down (32k->16k: every 2nd sample
+    verbatim) for even doc_id and 2x up (8k->16k: verbatim +
+    midpoints) for odd. Midpoints of ints are exact halves in float64,
+    so DOUBLING the output sum is integer-exact on both paths and the
+    SQL oracle states it analytically (up-sum telescopes to
+    4*sum - first - last). Grid or interpolation drift of one sample
+    breaks the hash."""
+    from collections.abc import Iterator as _It
+
+    from xetl_spark.operators.audio import resample_linear
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 600 + did % 400
+                i = np.arange(n, dtype=np.int64)
+                s = (did * 31 + i * 17) % 2003 - 1001
+                if did % 2 == 0:
+                    out = resample_linear(s, 32000, 16000)
+                    direction = "down2"
+                else:
+                    out = resample_linear(s, 8000, 16000)
+                    direction = "up2"
+                sum2 = float((2.0 * out[:, 0]).sum())
+                assert sum2 == int(sum2)  # exact-by-construction
+                rows.append((did, direction, out.shape[0], int(sum2)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "direction", "n_out", "sum2"]
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema="doc_id long, direction string, n_out long, sum2 long",
+    )
+
+
+@query(
     "q_ingest_subtitles",
     oracle="""
     SELECT d.doc_id,
