@@ -112,3 +112,66 @@ def test_extract_exif_operator(spark):
     rows = {r.id: r for r in extract_exif(df, "media", "doc_id").collect()}
     assert rows[1].make == "m1" and rows[1].iso == 400
     assert rows[2].make is None and rows[2].iso is None
+
+
+def test_strip_metadata_removes_all_app_and_com_segments():
+    """strip_metadata: Exif/COM dropped, APP0 kept, structural
+    segments byte-identical, pixels unchanged across baseline /
+    progressive / arithmetic / lossless streams."""
+    import struct
+
+    import numpy as np
+
+    from xetl_spark.operators import exif, jpeg
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    base = jpeg.jpeg_encode(img, 90)
+    tagged = exif.insert_app1(
+        base, exif.exif_build({"make": "Cam", "model": "X1", "iso": 400})
+    )
+    stripped = exif.strip_metadata(tagged)
+    assert exif.exif_parse(stripped) == {}
+    assert stripped == base  # exact round-trip to the untagged stream
+    com = base[:2] + b"\xff\xfe" + struct.pack(">H", 7) + b"hello" + base[2:]
+    assert exif.strip_metadata(com) == base
+    for enc in (
+        jpeg.jpeg_encode(img, 85, progressive=True),
+        jpeg.jpeg_encode(img, 85, arithmetic=True),
+        jpeg.jpeg_lossless_encode(img, predictor=4),
+    ):
+        t = exif.insert_app1(enc, exif.exif_build({"make": "Z"}))
+        s = exif.strip_metadata(t)
+        assert exif.exif_parse(s) == {}
+        assert np.array_equal(jpeg.jpeg_decode(s), jpeg.jpeg_decode(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        exif.strip_metadata(b"not a jpeg")
+
+
+def test_strip_exif_builtin_task(spark, tmp_path):
+    import numpy as np
+
+    from xetl_spark.operators import exif as exif_mod
+    from xetl_spark.operators import jpeg
+    from xetl_spark.plans.models import Job
+    from xetl_spark.plans.runner import run_job
+
+    img = np.full((6, 6, 3), 55, np.uint8)
+    tagged = exif_mod.insert_app1(
+        jpeg.jpeg_encode(img, 90), exif_mod.exif_build({"make": "Leaky"})
+    )
+    src = tmp_path / "imgs"
+    spark.createDataFrame(
+        [(1, bytearray(tagged))], "doc_id long, media binary"
+    ).write.parquet(str(src))
+    job = Job(
+        name="scrub",
+        data=str(tmp_path),
+        commands=[
+            {"name": "imgs", "task": "read_parquet", "env": {"PATH": str(src)}},
+            {"name": "clean", "task": "strip_exif", "env": {}},
+        ],
+    )
+    results = run_job(spark, job)
+    assert all(r.status == "success" for r in results)
+    out = bytes(results[-1].output.collect()[0].media)
+    assert exif_mod.exif_parse(out) == {}

@@ -214,3 +214,44 @@ def insert_app1(jpeg_bytes: bytes, app1_body: bytes) -> bytes:
         ln = int.from_bytes(jpeg_bytes[4:6], "big")
         pos = 4 + ln - 2 + 2
     return jpeg_bytes[:pos] + seg + jpeg_bytes[pos:]
+
+
+def strip_metadata(jpeg_bytes: bytes) -> bytes:
+    """Remove privacy-bearing metadata segments from a JPEG: every
+    APPn except APP0/JFIF (APP1 Exif incl. GPS, APP1 XMP, APP13
+    IPTC/Photoshop, APP2 ICC, ...) and COM comments. The image-side
+    analog of the text `redact` task — entropy-coded data and every
+    structural segment (DQT/DHT/SOF/SOS/DRI/DAC) pass through
+    byte-identical, so decoded pixels cannot change.
+
+    Walks marker segments up to the first SOS, then copies the rest
+    verbatim (scan data may contain 0xFFxx byte pairs that are not
+    markers; only the pre-scan header region carries metadata)."""
+    if jpeg_bytes[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(jpeg_bytes)
+    while pos + 1 < n:
+        if jpeg_bytes[pos] != 0xFF:
+            raise ValueError("malformed JPEG header segment")
+        marker = jpeg_bytes[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            out += jpeg_bytes[pos : pos + 2]
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI in header region (degenerate file)
+            out += jpeg_bytes[pos:]
+            return bytes(out)
+        ln = int.from_bytes(jpeg_bytes[pos + 2 : pos + 4], "big")
+        seg = jpeg_bytes[pos : pos + 2 + ln]
+        if marker == 0xDA:  # SOS: copy the rest of the stream verbatim
+            out += jpeg_bytes[pos:]
+            return bytes(out)
+        drop = marker == 0xFE or (  # COM
+            0xE1 <= marker <= 0xEF  # APP1..APP15 (APP0/JFIF kept)
+        )
+        if not drop:
+            out += seg
+        pos += 2 + ln
+    return bytes(out)

@@ -1009,6 +1009,33 @@ def span_dedup_task(ctx: StageContext):
 
 
 @task(
+    "strip_exif",
+    "Remove privacy-bearing JPEG metadata (Exif/XMP/IPTC/ICC/COM) "
+    "from a binary media column; pixels pass through byte-identical",
+    env={
+        "MEDIA_COL": {"description": "JPEG payload column", "type": "string", "default": "media"},
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def strip_exif(ctx: StageContext):
+    import pandas as pd
+
+    media_col = str(ctx.env["MEDIA_COL"])
+    df = ctx.input_df()
+
+    def run(batches):
+        from xetl_spark.operators.exif import strip_metadata
+
+        for pdf in batches:
+            pdf[media_col] = pdf[media_col].map(
+                lambda b: strip_metadata(bytes(b))
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+@task(
     "resample_audio",
     "Resample decoded audio payloads to a target rate "
     "(linear interpolation; id, sample_rate, n_samples, pcm)",

@@ -2855,6 +2855,93 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_exif_strip",
+    oracle="""
+    SELECT doc_id,
+           'cam-' || CAST(doc_id % 10 AS VARCHAR) AS make_before,
+           CAST(100 + doc_id % 800 AS BIGINT) AS iso_before,
+           CAST(0 AS INT) AS fields_after,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * (doc_id % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 3) % 256)
+           ) AS sum_r,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 5) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 7) % 256)
+           ) AS sum_g,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 11) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 13) % 256)
+           ) AS sum_b
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image privacy scrub (exif.strip_metadata — the image-side
+    analog of the text `redact` task): lossless-JPEG fixtures carry a
+    closed-form Exif APP1 (make/iso); stripping must remove EVERY
+    metadata field while the decoded pixels stay bit-identical —
+    the oracle pins the before-fields, the zero after-count, and the
+    exact per-channel pixel sums of the stripped stream."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import exif, imaging, jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 8, 4 + did % 6
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, : w // 2] = (did % 256, (did * 5) % 256,
+                                    (did * 11) % 256)
+                img[:, w // 2 :] = ((did * 3) % 256, (did * 7) % 256,
+                                    (did * 13) % 256)
+                payload = exif.insert_app1(
+                    jpeg.jpeg_lossless_encode(img, predictor=1 + did % 7),
+                    exif.exif_build(
+                        {"make": f"cam-{did % 10}", "iso": 100 + did % 800}
+                    ),
+                )
+                before = exif.exif_parse(payload)
+                stripped = exif.strip_metadata(payload)
+                after = exif.exif_parse(stripped)
+                dec = imaging.decode_image(stripped)[:, :, :3].astype(np.int64)
+                rows.append(
+                    (
+                        did,
+                        str(before.get("make")),
+                        int(before.get("iso")),
+                        len(after),
+                        int(dec[:, :, 0].sum()),
+                        int(dec[:, :, 1].sum()),
+                        int(dec[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "make_before", "iso_before", "fields_after",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, make_before string, iso_before long, "
+            "fields_after int, sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_audio_resample",
     oracle="""
     WITH s AS (
