@@ -175,3 +175,40 @@ def test_strip_exif_builtin_task(spark, tmp_path):
     assert all(r.status == "success" for r in results)
     out = bytes(results[-1].output.collect()[0].media)
     assert exif_mod.exif_parse(out) == {}
+
+
+def test_strip_metadata_any_png_webp_dispatch():
+    """Format-dispatching scrub: PNG text/metadata chunks and WebP
+    EXIF/XMP chunks (incl. VP8X flag bits) dropped, pixels identical;
+    unknown containers are a typed failure, not a silent pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from xetl_spark.operators import exif, imaging
+    from xetl_spark.operators.webp import webp_decode, webp_encode
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    png = imaging.png_encode(img)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    tainted = png[:33] + chunk(b"tEXt", b"Author\x00Someone") + png[33:]
+    clean = exif.strip_metadata_any(tainted)
+    assert b"Someone" not in clean
+    assert np.array_equal(imaging.png_decode(clean), imaging.png_decode(png))
+
+    wp = webp_encode(img)
+    body = wp[8:] + b"EXIF" + struct.pack("<I", 6) + b"gps!!\x00"
+    tainted_wp = b"RIFF" + struct.pack("<I", len(body)) + body
+    clean_wp = exif.strip_metadata_any(tainted_wp)
+    assert b"EXIF" not in clean_wp[12:]
+    assert np.array_equal(webp_decode(clean_wp), webp_decode(wp))
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        exif.strip_metadata_any(b"GIF89a not handled")

@@ -255,3 +255,44 @@ def strip_metadata(jpeg_bytes: bytes) -> bytes:
             out += seg
         pos += 2 + ln
     return bytes(out)
+
+
+def strip_metadata_any(payload: bytes) -> bytes:
+    """Format-dispatching metadata scrub: JPEG (strip_metadata), PNG
+    (drop ancillary text/metadata chunks — tEXt/zTXt/iTXt/eXIf/tIME;
+    pixel-affecting chunks incl. tRNS/gAMA/PLTE pass through), WebP
+    (drop EXIF/XMP chunks and clear their VP8X flags). Unknown
+    formats raise ValueError — a scrub that silently passes
+    unscrubbed bytes is worse than a failure."""
+    if payload[:2] == b"\xff\xd8":
+        return strip_metadata(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        drop = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+        out = bytearray(payload[:8])
+        pos = 8
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            ctype = payload[pos + 4 : pos + 8]
+            chunk = payload[pos : pos + 12 + ln]
+            if ctype not in drop:
+                out += chunk
+            pos += 12 + ln
+            if ctype == b"IEND":
+                break
+        return bytes(out)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        body = bytearray(b"WEBP")
+        pos = 12
+        while pos + 8 <= len(payload):
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            tag = payload[pos : pos + 4]
+            chunk = payload[pos : pos + 8 + size + (size & 1)]
+            if tag not in (b"EXIF", b"XMP "):
+                if tag == b"VP8X" and size >= 1:
+                    chunk = bytearray(chunk)
+                    chunk[8] &= ~0x0C  # clear EXIF (0x08) + XMP (0x04)
+                    chunk = bytes(chunk)
+                body += chunk
+            pos += 8 + size + (size & 1)
+        return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+    raise ValueError("unrecognized image container for metadata scrub")

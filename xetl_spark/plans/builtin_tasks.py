@@ -1010,8 +1010,8 @@ def span_dedup_task(ctx: StageContext):
 
 @task(
     "strip_exif",
-    "Remove privacy-bearing JPEG metadata (Exif/XMP/IPTC/ICC/COM) "
-    "from a binary media column; pixels pass through byte-identical",
+    "Remove privacy-bearing metadata from JPEG/PNG/WebP payloads "
+    "(Exif/GPS/XMP/IPTC/ICC/COM/tEXt); pixels pass through byte-identical",
     env={
         "MEDIA_COL": {"description": "JPEG payload column", "type": "string", "default": "media"},
         "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
@@ -1024,11 +1024,11 @@ def strip_exif(ctx: StageContext):
     df = ctx.input_df()
 
     def run(batches):
-        from xetl_spark.operators.exif import strip_metadata
+        from xetl_spark.operators.exif import strip_metadata_any
 
         for pdf in batches:
             pdf[media_col] = pdf[media_col].map(
-                lambda b: strip_metadata(bytes(b))
+                lambda b: strip_metadata_any(bytes(b))
             )
             yield pdf
 
