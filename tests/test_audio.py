@@ -333,3 +333,23 @@ def test_resample_audio_builtin_task(spark, tmp_path):
     got = np.frombuffer(bytes(row.pcm), dtype="<i2")
     assert row.sample_rate == 16000 and row.n_samples == 400
     assert np.array_equal(got, s[::2])  # 2x down = verbatim every 2nd
+
+
+def test_probe_media_wav_reports_true_channel_count(spark):
+    """probe_media's WAV branch reports the fmt-chunk channel count
+    (it used to hardcode mono)."""
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import probe_media
+
+    stereo = audio.wav_encode(
+        np.zeros((800, 2), dtype=np.int16), 16000
+    )
+    mono = audio.wav_encode(np.zeros(800, dtype=np.int16), 16000)
+    pdf = pd.DataFrame({"doc_id": [1, 2], "media": [stereo, mono]})
+    rows = {
+        r.id: r
+        for r in probe_media(spark.createDataFrame(pdf), "media", "doc_id").collect()
+    }
+    assert rows[1].container == "wav" and rows[1].channels == 2
+    assert rows[2].channels == 1

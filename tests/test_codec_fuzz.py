@@ -258,3 +258,43 @@ def test_fuzz_document_formats():
     _check(docmod.epub_text, _mutations(eb), (docmod.EpubFormatError,))
     xl = docmod.build_xlsx([["a", 1], [2.5, "b"]])
     _check(docmod.xlsx_cells, _mutations(xl), (docmod.XlsxFormatError,))
+
+
+def test_fuzz_webp():
+    from xetl_spark.operators.webp import webp_decode, webp_encode, webp_probe
+
+    img = rng.integers(0, 256, (7, 9, 4), dtype=np.uint8)
+    for payload in (
+        webp_encode(img),
+        webp_encode(img, palette=False, cache_bits=5),
+        webp_encode(img[:, :, :3], predictor=7),
+    ):
+        _check(webp_decode, _mutations(payload), (im.UnsupportedImageError,))
+        _check(webp_probe, _mutations(payload), (im.UnsupportedImageError,))
+
+
+def test_fuzz_flac():
+    from xetl_spark.operators.flac import FlacDecodeError, flac_decode, flac_encode
+
+    pcm = rng.integers(-3000, 3000, (2000, 2)).astype(np.int32)
+    for mode in ("verbatim", "fixed2"):
+        payload = flac_encode(pcm, 16000, mode=mode, blocksize=512)
+        _check(flac_decode, _mutations(payload), (FlacDecodeError,))
+
+
+def test_fuzz_subtitles_and_scrub():
+    from xetl_spark.operators.exif import strip_metadata_any
+    from xetl_spark.operators.jpeg import jpeg_encode
+    from xetl_spark.operators.subtitles import SubtitleFormatError, parse_subtitles
+
+    srt = "1\n00:00:01,000 --> 00:00:02,000\nhello\n\n2\n00:00:03,000 --> 00:00:04,000\nworld\n"
+    for p in _mutations(srt.encode()):
+        try:
+            parse_subtitles(p.decode("utf-8", "replace"))
+        except SubtitleFormatError:
+            pass
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    payload = jpeg_encode(img, 85)
+    _check(
+        strip_metadata_any, _mutations(payload), (ValueError,)
+    )  # UnsupportedImageError subclasses ValueError; scrub raises ValueError

@@ -629,7 +629,7 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 samples, sr = audio.wav_decode(payload)
                 return (
-                    "wav", None, None, sr, 1,
+                    "wav", None, None, sr, samples.shape[1],
                     samples.shape[0] * 1000 // sr, None, None,
                 )
             if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
