@@ -73,6 +73,11 @@ def sniff_format(payload: bytes) -> str | None:
         return "tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from xetl_spark.operators.ico import sniff_ico
+
+        if sniff_ico(payload):
+            return "ico"
     return None
 
 
@@ -392,6 +397,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from xetl_spark.operators.webp import webp_decode
 
         return webp_decode(payload)
+    if fmt == "ico":
+        from xetl_spark.operators.ico import ico_decode
+
+        return ico_decode(payload)
     raise UnsupportedImageError("unrecognized image payload")
 
 

@@ -2855,6 +2855,93 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_ico",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'dib' WHEN 1 THEN 'png'
+                ELSE 'multi' END AS variant,
+           CAST(5 + doc_id % 8 AS INT) AS width,
+           CAST(4 + doc_id % 6 AS INT) AS height,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * (doc_id % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 3) % 256)
+           ) AS sum_r,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 5) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 7) % 256)
+           ) AS sum_g,
+           (4 + doc_id % 6) * (
+             ((5 + doc_id % 8) // 2) * ((doc_id * 11) % 256)
+             + ((5 + doc_id % 8) - (5 + doc_id % 8) // 2) * ((doc_id * 13) % 256)
+           ) AS sum_b
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO (favicon) decode under the hash gate: the decode-matrix
+    two-tone fixtures wrapped as 32-bit DIB entries, PNG entries, or
+    a multi-entry icon where a smaller decoy precedes the real image
+    (best-entry selection must pick by area) — all lossless, so the
+    closed-form pixel-sum oracle is exact. Completes the web-image
+    dispatch (every site's favicon.ico)."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    variants = ("dib", "png", "multi")
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import imaging
+        from xetl_spark.operators.ico import ico_build
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 8, 4 + did % 6
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, : w // 2] = (did % 256, (did * 5) % 256,
+                                    (did * 11) % 256)
+                img[:, w // 2 :] = ((did * 3) % 256, (did * 7) % 256,
+                                    (did * 13) % 256)
+                kind = did % 3
+                if kind == 0:
+                    payload = ico_build([img])
+                elif kind == 1:
+                    payload = ico_build([img], as_png=True)
+                else:  # smaller decoy first: selection must skip it
+                    decoy = np.zeros((2, 2, 3), np.uint8)
+                    payload = ico_build([decoy, img])
+                assert imaging.sniff_format(payload) == "ico"
+                dec = imaging.decode_image(payload)[:, :, :3].astype(np.int64)
+                rows.append(
+                    (
+                        did, variants[kind], dec.shape[1], dec.shape[0],
+                        int(dec[:, :, 0].sum()),
+                        int(dec[:, :, 1].sum()),
+                        int(dec[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, variant string, width int, height int, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+@query(
     "q_multimodal_exif_strip",
     oracle="""
     SELECT doc_id,
