@@ -212,3 +212,28 @@ def test_strip_metadata_any_png_webp_dispatch():
 
     with pytest.raises(ValueError, match="unrecognized"):
         exif.strip_metadata_any(b"GIF89a not handled")
+
+
+def test_strip_metadata_keeps_app14_adobe():
+    """APP14 (Adobe) carries the color-transform flag libjpeg-family
+    decoders use to pick YCbCr/RGB/YCCK — scrubbing it could change
+    decoded pixels elsewhere, so it survives the scrub while EXIF
+    (APP1) and COM are still dropped."""
+    import struct
+
+    import numpy as np
+
+    from xetl_spark.operators import exif, jpeg
+
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    base = jpeg.jpeg_encode(img, 90)
+    adobe = b"Adobe\x00d\x00\x00\x00\x00\x00\x01"  # transform=1 (YCbCr)
+    app14 = b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
+    tagged = exif.insert_app1(
+        base[:2] + app14 + base[2:],
+        exif.exif_build({"make": "Cam", "iso": 200}),
+    )
+    stripped = exif.strip_metadata(tagged)
+    assert exif.exif_parse(stripped) == {}
+    assert app14 in stripped  # Adobe marker preserved verbatim
+    assert np.array_equal(jpeg.jpeg_decode(stripped), jpeg.jpeg_decode(base))

@@ -222,3 +222,20 @@ def test_audio_features_over_flac(spark):
     assert rows, "no feature windows emitted"
     # a 440 Hz tone's dominant frequency lands on 440 +- bin width
     assert any(abs(r.dom_hz - 440) < 20 for r in rows)
+
+
+def test_roundtrip_high_sample_rates():
+    """Rates >= 65536 Hz use frame-header sr code 14 (rate/10): a
+    16-bit Hz field (code 13) would wrap 96000 -> 30464 in every
+    frame header while STREAMINFO carried the true rate."""
+    pcm = _pcm(600, 2, 7)
+    for rate in (88200, 96000, 176400, 192000):
+        out, got_rate = flac_decode(flac_encode(pcm, rate))
+        assert got_rate == rate
+        assert np.array_equal(out, pcm)
+    # sub-65536 path unchanged
+    out, got_rate = flac_decode(flac_encode(pcm, 44100))
+    assert got_rate == 44100
+    # un-encodable: >= 65536 and not a multiple of 10
+    with pytest.raises(FlacDecodeError, match="multiple of 10"):
+        flac_encode(pcm, 96001)

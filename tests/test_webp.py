@@ -452,3 +452,44 @@ def test_grayscale_input_and_dimension_guards():
         webp_encode(np.zeros((0, 4, 3), np.uint8))
     with pytest.raises(UnsupportedImageError):
         webp_encode(np.zeros((4, (1 << 14) + 1, 3), np.uint8))
+
+
+def test_probe_variant_all_lossy_animation():
+    """An animated WebP whose every ANMF frame carries a lossy 'VP8 '
+    payload (no VP8L anywhere) must probe as variant 'vp8', not
+    'vp8l' — the frame tuple's flags byte is always an int and must
+    not be mistaken for the VP8L payload slot."""
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    vp8_payload = b"\x00" * 10  # probe keys off the tag, not the bits
+    anmf = (
+        b"\x00\x00\x00"  # fx
+        + b"\x00\x00\x00"  # fy
+        + b"\x07\x00\x00"  # frame width - 1
+        + b"\x05\x00\x00"  # frame height - 1
+        + b"\x28\x00\x00"  # duration 40 ms
+        + b"\x00"  # flags: blend, dispose-none
+        + chunk(b"VP8 ", vp8_payload)
+    )
+    body = (
+        chunk(
+            b"VP8X",
+            b"\x02" + b"\x00" * 3 + b"\x07\x00\x00" + b"\x05\x00\x00",
+        )
+        + chunk(b"ANIM", b"\xff\xff\xff\xff\x00\x00")
+        + chunk(b"ANMF", anmf)
+        + chunk(b"ANMF", anmf)
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    info = webp_probe(payload)
+    assert info["variant"] == "vp8"
+    assert info["animation"] and info["n_frames"] == 2
+    with pytest.raises(UnsupportedImageError):
+        webp_decode(payload)
+    # a VP8L frame anywhere flips the variant back to decodable
+    anmf_l = anmf[:16] + chunk(b"VP8L", b"\x2f" + b"\x00" * 8)
+    body2 = body + chunk(b"ANMF", anmf_l)
+    payload2 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WEBP" + body2
+    assert webp_probe(payload2)["variant"] == "vp8l"

@@ -249,7 +249,11 @@ def strip_metadata(jpeg_bytes: bytes) -> bytes:
             out += jpeg_bytes[pos:]
             return bytes(out)
         drop = marker == 0xFE or (  # COM
-            0xE1 <= marker <= 0xEF  # APP1..APP15 (APP0/JFIF kept)
+            # APP1..APP15 minus APP14 (Adobe): the APP14 color-transform
+            # flag steers YCbCr/RGB/YCCK interpretation in libjpeg-family
+            # decoders, so scrubbing it could change decoded pixels.
+            0xE1 <= marker <= 0xEF
+            and marker != 0xEE
         )
         if not drop:
             out += seg

@@ -481,7 +481,18 @@ def flac_encode(
         bw.write(0, 1)
         bw.write(0, 1)  # fixed blocksize strategy
         bw.write(7, 4)  # 16-bit blocksize follows the coded number
-        bw.write(13, 4)  # 16-bit sample rate in Hz follows
+        # Sample-rate code: 13 = 16-bit Hz (rates < 65536); 14 = 16-bit
+        # rate/10 (covers 88.2/96/176.4/192 kHz). Code 13 alone would
+        # silently wrap high rates mod 65536 in every frame header.
+        if sample_rate < 65536:
+            sr_code, sr_field = 13, sample_rate
+        elif sample_rate % 10 == 0 and sample_rate // 10 < 65536:
+            sr_code, sr_field = 14, sample_rate // 10
+        else:
+            raise FlacDecodeError(
+                "flac: sample_rate >= 65536 must be a multiple of 10"
+            )
+        bw.write(sr_code, 4)
         ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bps)
         if ss_code is None:
             raise FlacDecodeError("flac: unsupported bits_per_sample")
@@ -495,7 +506,7 @@ def flac_encode(
             raise FlacDecodeError("flac: fixture encoder caps at 128 frames")
         bw.write(fi, 8)  # UTF-8 single byte frame number
         bw.write(bs - 1, 16)
-        bw.write(sample_rate, 16)
+        bw.write(sr_field, 16)
         # header so far is 14+1+1+4+4+4+3+1+8+16+16 = 72 bits = 9 bytes
         hdr_bytes = bytes(bw.buf)
         bw.write(_crc8(hdr_bytes), 8)

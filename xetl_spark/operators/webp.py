@@ -1225,7 +1225,7 @@ def webp_probe(payload: bytes) -> dict:
                 out["height"] = 1 + int.from_bytes(body[7:10], "little")
         pos += 8 + size + (size & 1)  # RIFF chunks are even-aligned
     if out["_vp8l_data"] is not None or any(
-        f[3] is not None for f in out["_frames"]
+        f[4] is not None for f in out["_frames"]
     ):
         out["variant"] = "vp8l"  # decodable even inside a VP8X wrapper
     elif saw_vp8:
