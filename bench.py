@@ -145,7 +145,13 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # per-leg 1-minute load: contention can arrive mid-run (BENCH_r11's
+    # phantom 1.64x "regression" was loadavg 8.18 at start), so each
+    # suite leg records the load it actually ran under — bench_compare
+    # gates on the max across legs, not just the pre-warmup snapshot
+    load_legs: dict[str, float] = {}
     timings: dict[str, float] = {}
+    load_legs["headline"] = round(os.getloadavg()[0], 2)
     for name in HEADLINE:
         q = Q.REGISTRY[name]
         try:
@@ -165,6 +171,7 @@ def main() -> None:
     # recorded but don't null the headline total.
     aux_errors: dict[str, str] = {}
     tpch_timings: dict[str, float] = {}
+    load_legs["tpch"] = round(os.getloadavg()[0], 2)
     for name in tpch:
         q = Q.REGISTRY[name]
         try:
@@ -178,6 +185,7 @@ def main() -> None:
     # analysis, training-data assembly, multimodal featurize) — its own
     # key for the same comparability reason as the TPC-H suite.
     llm_timings: dict[str, float] = {}
+    load_legs["llm"] = round(os.getloadavg()[0], 2)
     for name in LLM_SUITE:
         q = Q.REGISTRY[name]
         try:
@@ -194,6 +202,7 @@ def main() -> None:
     # Best-of-REPS wall → max eps. Reported under its own key; failures
     # recorded without nulling the headline total.
     stream_eps = None
+    load_legs["streaming"] = round(os.getloadavg()[0], 2)
     try:
         import duckdb
 
@@ -231,6 +240,7 @@ def main() -> None:
         # loadavg >> bench's own parallelism means distrust the numbers.
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
+        "loadavg_legs": load_legs,
         "action": "noop_write", "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -1898,3 +1898,24 @@ def test_fuzzy_decontaminate_empty_docs_never_flagged(spark):
     assert all(r.jaccard is not None for r in rows)
     flagged = {r.doc for r in rows}
     assert flagged == {4}, flagged
+
+
+def test_kn_empty_fit_model_guard(spark):
+    """A fit sample (or fit_df) containing zero docs with >= 2 tokens
+    must raise the typed empty-fit-model message, not an opaque ANSI
+    DIVIDE_BY_ZERO from the pcont division (n1p_total = 0)."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from xetl_spark.operators.text import kn_bigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    empty_fit = spark.createDataFrame(
+        [(1, "single"), (2, "")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="empty fit model"):
+        kn_bigram_logprob(df, "text", "doc_id", fit_df=empty_fit).collect()
+    # a non-degenerate fit still works
+    assert kn_bigram_logprob(df, "text", "doc_id", fit_fraction=1.0).count() == 8

@@ -1400,3 +1400,76 @@ def test_decontaminate_task(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="fuzzy or exact"):
         fn(_Ctx())
+
+
+def test_perplexity_filter_auto_fit_fraction(spark, monkeypatch):
+    """FIT_FRACTION=auto (the default): corpora at or under
+    PPL_AUTO_FIT_TARGET docs get the exact full self-fit; beyond it
+    the KN fit set is capped at ~target docs so the model exchanges
+    scale with the sample, not the corpus (the CCNet deployment
+    shape; SHUFFLE.md: sampled-fit scoring shuffles 2.3 MB vs
+    12.9 MB full-fit at sf0.1). Explicit FIT_FRACTION=1.0 is the
+    full-fit opt-in; out-of-range values raise."""
+    from xetl_spark.operators import text as text_ops
+    from xetl_spark.plans import builtin_tasks
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("perplexity_filter")
+    # 12 DISTINCT texts: the fit sample is a content-hash cut, and at
+    # fraction 4/12 this fixture deterministically selects 3 docs (a
+    # corpus of repeated texts can select zero -> the empty-fit guard)
+    df = spark.createDataFrame(
+        [
+            (i, f"doc {i} the cat sat on the mat " + "the cat " * (i % 5))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+
+    seen: list[float] = []
+    real = text_ops.perplexity_buckets
+
+    def spy(df_, text_col, id_col, **kw):
+        seen.append(kw.get("fit_fraction"))
+        return real(df_, text_col, id_col, **kw)
+
+    monkeypatch.setattr(text_ops, "perplexity_buckets", spy)
+
+    def ctx(**env):
+        base = {"TEXT_COL": "text", "ID_COL": "doc_id", "KEEP": "all", "EXACT": True}
+        base.update(env)
+
+        class _Ctx:
+            def input_df(self):
+                return df
+
+        c = _Ctx()
+        c.env = base
+        return c
+
+    # small corpus (12 <= 100_000): auto = exact full fit
+    out_auto = fn(ctx()).collect()
+    assert seen[-1] == 1.0
+    # corpus larger than the (pinned-low) target: fit set capped
+    monkeypatch.setattr(builtin_tasks, "PPL_AUTO_FIT_TARGET", 4)
+    out_sampled = fn(ctx())
+    assert seen[-1] == pytest.approx(4 / 12)
+    assert out_sampled.count() == 12  # scoring still covers the corpus
+    # explicit opt-ins override auto in both directions
+    fn(ctx(FIT_FRACTION="1.0"))
+    assert seen[-1] == 1.0
+    fn(ctx(FIT_FRACTION="0.25"))
+    assert seen[-1] == 0.25
+    with pytest.raises(ValueError, match="FIT_FRACTION"):
+        fn(ctx(FIT_FRACTION="0"))
+    with pytest.raises(ValueError, match="FIT_FRACTION"):
+        fn(ctx(FIT_FRACTION="1.5"))
+    # auto full-fit scores == explicit full-fit scores at 6dp (the
+    # driver-oracle rounding: raw doubles carry last-ulp aggregation-
+    # order noise between runs, so bit parity is not a valid claim)
+    out_full = fn(ctx(FIT_FRACTION="1.0")).collect()
+    ra = {r.doc_id: round(r.ppl_avg_nll, 6) if r.ppl_avg_nll is not None else None
+          for r in out_auto}
+    rf = {r.doc_id: round(r.ppl_avg_nll, 6) if r.ppl_avg_nll is not None else None
+          for r in out_full}
+    assert ra == rf

@@ -9,6 +9,16 @@ Exit code 1 if any regression crosses the threshold AND the headline
 total also regressed by the same ratio — single-query noise on a
 shared host doesn't fail the gate by itself (see ROADMAP.md's
 measured host-variance caveat).
+
+Load gating: this container shares a host, and external contention has
+produced phantom regressions (BENCH_r11 read 1.64x worse at
+loadavg_start 8.18; an idle re-run reversed every per-query
+"regression"). ``loadavg_start`` is sampled before the bench spawns
+any work, so it is a clean external-load reading. When either run
+started above LOAD_SOFT (4.0) the regression ratio is widened 1.5x
+and the verdict says so; above LOAD_HARD (8.0) the gate refuses
+entirely (report-only, exit 0) — a number measured under that much
+contention cannot distinguish code from neighbors.
 """
 
 from __future__ import annotations
@@ -39,12 +49,51 @@ def _load(path: str) -> dict:
     return d
 
 
+LOAD_SOFT = 4.0  # widen the gate: contention is inflating timings
+LOAD_HARD = 8.0  # refuse the gate: the measurement is not code signal
+
+
+def _start_load(d: dict) -> float | None:
+    """1-min loadavg sampled before the bench spawned any work."""
+    la = d.get("loadavg_start")
+    if isinstance(la, (list, tuple)) and la:
+        try:
+            return float(la[0])
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    lo, ln = _start_load(old), _start_load(new)
+    worst_load = max(x for x in (lo, ln, 0.0) if x is not None)
+    load_note = ""
+    gate_enabled = True
+    if worst_load > LOAD_HARD:
+        gate_enabled = False
+        load_note = (
+            f"LOAD GATE REFUSED: loadavg_start old={lo} new={ln} "
+            f"(worst {worst_load} > {LOAD_HARD}) — report-only; re-run "
+            "on an idle host before trusting any regression below"
+        )
+    elif worst_load > LOAD_SOFT:
+        ratio *= 1.5
+        load_note = (
+            f"LOAD GATE WIDENED: loadavg_start old={lo} new={ln} "
+            f"(worst {worst_load} > {LOAD_SOFT}) — regression threshold "
+            f"widened to {ratio:.2f}x"
+        )
+    if load_note:
+        print(load_note)
+    legs_old, legs_new = old.get("loadavg_legs"), new.get("loadavg_legs")
+    if legs_old or legs_new:
+        print(f"per-leg load: old={legs_old} new={legs_new} "
+              "(includes the bench's own load — diagnostic only)")
     # measurement-action provenance: runs before round 9 used count()
     # (absent field), which let Catalyst prune map-only projections
     # and unique-key left joins — those timings under-measure and are
@@ -111,7 +160,10 @@ def main() -> int:
         and nv is not None
         and (nv / ov if ov else float("inf") if nv else 1.0) >= ratio
     )
-    return 1 if (comparable and regressed and headline_bad) else 0
+    if not gate_enabled and (regressed or headline_bad):
+        print("verdict withheld: measured under loadavg "
+              f"{worst_load} (> {LOAD_HARD}) — not gating")
+    return 1 if (comparable and gate_enabled and regressed and headline_bad) else 0
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ Exit code = number of failed legs.
 
 from __future__ import annotations
 
+import json
 import re
 import subprocess
 import sys
@@ -84,6 +85,23 @@ def main() -> int:
             ok = bool(re.search(r"--- findings ---\s*\n\s*none", full))
         if name == "bench" and ok:
             ok = '"complete": true' in full
+            # surface value + load together: a slow headline measured
+            # under host contention is noise, not regression (r11)
+            for ln in reversed(lines):
+                if ln.startswith("{"):
+                    try:
+                        b = json.loads(ln)
+                        tail = [
+                            f"headline={b.get('value')}s "
+                            f"llm={b.get('llm_suite_wall_seconds')}s "
+                            f"tpch={b.get('tpch_suite_wall_seconds')}s "
+                            f"stream={b.get('streaming_events_per_sec')}ev/s "
+                            f"loadavg_start={b.get('loadavg_start')} "
+                            f"legs={b.get('loadavg_legs')}"
+                        ]
+                    except json.JSONDecodeError:
+                        pass
+                    break
         results.append((name, ok, wall, tail))
         status = "ok" if ok else "FAILED"
         print(f"[{status:>6}] {name} ({wall:.0f}s)")

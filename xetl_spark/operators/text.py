@@ -1691,7 +1691,26 @@ def kn_bigram_logprob(
     tails = g12.groupBy("w2").agg(F.count("*").alias("n1p_tail"))
     totals = g12.agg(F.count("*").alias("n1p_total"))
     d = F.lit(float(discount))
-    pcont = F.coalesce(F.col("n1p_tail"), F.lit(0.5)) / F.col("n1p_total")
+    # Empty-fit-model guard: a content-hash sample of a tiny corpus (or
+    # a degenerate fit_df) can contain zero documents with >= 2 tokens,
+    # making n1p_total 0 — under ANSI mode the pcont division then dies
+    # with an opaque DIVIDE_BY_ZERO mid-stage. assert_true returns NULL
+    # when the model is non-empty, so the coalesce falls through to the
+    # real pcont; an empty model raises this message instead. Coalesce
+    # evaluates its arguments in order, so the assertion always fires
+    # before the division can.
+    total_ok = F.assert_true(
+        F.col("n1p_total") > 0,
+        F.lit(
+            "kn_bigram_logprob: empty fit model — no document in the "
+            "fit sample/fit_df has >= 2 tokens; raise fit_fraction or "
+            "supply a non-empty fit_df"
+        ),
+    )
+    pcont = F.coalesce(
+        total_ok.cast("double"),
+        F.coalesce(F.col("n1p_tail"), F.lit(0.5)) / F.col("n1p_total"),
+    )
     p = F.when(
         F.col("c1").isNull(), pcont  # head unseen by the fit model
     ).otherwise(

@@ -21,6 +21,12 @@ from xetl_spark.sources.io import read_any, write_any
 
 _PATH = {"PATH": {"description": "file/directory URI", "type": "string"}}
 
+# perplexity_filter FIT_FRACTION=auto: corpora up to this many docs get
+# the exact full self-fit; beyond it the KN fit set is capped at ~this
+# many docs (content-hash sample) so the model exchanges scale with the
+# sample, not the corpus. Module-level so tests can pin it low.
+PPL_AUTO_FIT_TARGET = 100_000
+
 
 @task(
     "read_parquet",
@@ -634,6 +640,17 @@ def quality_filter_task(ctx: StageContext):
             "type": "bool",
             "default": True,
         },
+        "FIT_FRACTION": {
+            "description": (
+                "KN-LM fit set: 'auto' (default) fits on the full corpus "
+                "up to 100k docs, else on a deterministic content-hash "
+                "sample of ~100k docs so the model exchanges scale with "
+                "the sample, not the corpus; a float (e.g. 1.0) pins it "
+                "explicitly — full fit at scale is an opt-in"
+            ),
+            "type": "string",
+            "default": "auto",
+        },
         "INPUT": {"description": "corpus stage to filter", "type": "string", "required": False},
     },
 )
@@ -651,8 +668,33 @@ def perplexity_filter_task(ctx: StageContext):
             f"perplexity_filter: unknown KEEP buckets {sorted(keep - valid)}; "
             f"valid: head,middle,tail or all"
         )
+    # Fit-set sizing. The full-fit KN model shuffles corpus×expansion
+    # (measured 20x input at sf0.1 — SHUFFLE.md), so the DEFAULT follows
+    # CCNet's deployment: fit the LM on a bounded sample, score the
+    # corpus map-only against the broadcast model. 'auto' keeps the
+    # exact full fit for small corpora (≤ AUTO_FIT_TARGET docs, where
+    # bit-parity with the self-fit oracle matters and the exchange is
+    # cheap) and caps the fit set at ~AUTO_FIT_TARGET docs beyond that.
+    fit_raw = str(ctx.env.get("FIT_FRACTION", "auto")).strip().lower()
+    if fit_raw == "auto":
+        # one scan-only count against the corpus-size threshold; trivial
+        # next to the KN pipeline it sizes
+        n_docs = df.count()
+        fit_fraction = (
+            1.0
+            if n_docs <= PPL_AUTO_FIT_TARGET
+            else PPL_AUTO_FIT_TARGET / n_docs
+        )
+    else:
+        fit_fraction = float(fit_raw)
+        if not 0.0 < fit_fraction <= 1.0:
+            raise ValueError(
+                f"perplexity_filter: FIT_FRACTION must be in (0, 1] or "
+                f"'auto', got {fit_raw}"
+            )
     scored = perplexity_buckets(
-        df, text_col, id_col, exact=bool(ctx.env["EXACT"])
+        df, text_col, id_col, exact=bool(ctx.env["EXACT"]),
+        fit_fraction=fit_fraction,
     ).select(
         F.col("doc").alias(id_col),
         F.col("bucket").alias("ppl_bucket"),
