@@ -298,3 +298,23 @@ def test_fuzz_subtitles_and_scrub():
     _check(
         strip_metadata_any, _mutations(payload), (ValueError,)
     )  # UnsupportedImageError subclasses ValueError; scrub raises ValueError
+
+
+def test_fuzz_mp4_samples():
+    payload = mp.mp4_build_tracks(
+        [
+            {
+                "handler": "vide", "codec": "mp4v", "timescale": 600,
+                "samples": [bytes(range(10 + i)) for i in range(6)],
+                "deltas": [20] * 6, "ctts": [0, 10, 0, 10, 0, 10],
+                "sync": [1, 4], "width": 8, "height": 6,
+            },
+            {
+                "handler": "soun", "codec": "mp4a", "timescale": 8000,
+                "samples": [bytes(range(4 + i)) for i in range(4)],
+                "deltas": [256] * 4,
+            },
+        ]
+    )
+    _check(mp.mp4_samples, _mutations(payload), (mp.Mp4FormatError,))
+    _check(mp.mp4_probe, _mutations(payload), (mp.Mp4FormatError,))

@@ -296,3 +296,76 @@ def test_mp3_probe_after_id3_tag():
     p = mp.mp3_probe(stream)
     assert p["n_frames"] == 12
     assert mp.id3_tags(stream)["title"] == "t"
+
+
+def test_mp4_sample_tables_roundtrip():
+    """mp4_build_tracks -> mp4_samples: byte-exact sample recovery
+    across interleaved chunks, stsc 2/3 runs, run-length stts, ctts
+    composition offsets, and the stss sync table; all-sync when stss
+    is absent; metadata-only mode skips payload slices."""
+    vid = [bytes([(i * 7 + j) % 251 for j in range(10 + i * 3)]) for i in range(7)]
+    aud = [bytes([(i * 11 + j) % 251 for j in range(5 + i)]) for i in range(5)]
+    payload = mp.mp4_build_tracks(
+        [
+            {
+                "handler": "vide", "codec": "mp4v", "timescale": 600,
+                "samples": vid, "deltas": [20, 20, 25, 20, 20, 25, 20],
+                "ctts": [0, 10, 0, 20, 0, 10, 0], "sync": [1, 5],
+                "width": 64, "height": 48,
+            },
+            {
+                "handler": "soun", "codec": "mp4a", "timescale": 16000,
+                "samples": aud, "deltas": [1024] * 5,
+            },
+        ]
+    )
+    info = mp.mp4_samples(payload)
+    assert info["n_tracks"] == 2
+    vids = [s for s in info["samples"] if s["handler"] == "vide"]
+    auds = [s for s in info["samples"] if s["handler"] == "soun"]
+    assert [s["data"] for s in vids] == vid
+    assert [s["data"] for s in auds] == aud
+    assert [s["dts"] for s in vids] == [0, 20, 40, 65, 85, 105, 130]
+    assert [s["pts"] for s in vids] == [0, 30, 40, 85, 85, 115, 130]
+    assert [s["sync"] for s in vids] == [True, False, False, False, True, False, False]
+    assert all(s["sync"] for s in auds)  # no stss -> all sync
+    assert {s["codec"] for s in vids} == {"mp4v"}
+    assert auds[0]["timescale"] == 16000
+    # interleaving is real: the second video chunk sits after the
+    # first audio chunk in the file
+    assert auds[0]["offset"] < vids[2]["offset"]
+    lean = mp.mp4_samples(payload, with_data=False)["samples"]
+    assert len(lean) == 12 and all("data" not in s for s in lean)
+    # the plain probe still reads the same container
+    p = mp.mp4_probe(payload)
+    assert p["n_tracks"] == 2 and (p["width"], p["height"]) == (64, 48)
+
+
+def test_mp4_samples_hostile_tables():
+    """Forged/truncated sample tables raise Mp4FormatError with the
+    violated invariant, never a wrong slice or raw struct error."""
+    import struct
+
+    base = mp.mp4_build_tracks(
+        [{"handler": "soun", "codec": "mp4a", "timescale": 8000,
+          "samples": [b"abc", b"defg", b"hi"], "deltas": [10, 10, 10]}]
+    )
+    assert [s["data"] for s in mp.mp4_samples(base)["samples"]] == [
+        b"abc", b"defg", b"hi"
+    ]
+
+    def forge(tag, field_off, value):
+        b = bytearray(base)
+        i = base.find(tag)
+        struct.pack_into(">I", b, i + field_off, value)
+        return bytes(b)
+
+    for bad in (
+        forge(b"stsz", 8, 1 << 30),      # huge fixed sample size
+        forge(b"stsz", 12, 2_000_000),   # sample count above cap
+        forge(b"stts", 8, 99),           # stts entry count overruns box
+        forge(b"stco", 12, 1 << 30),     # chunk offset beyond file
+        forge(b"stsc", 12, 7),           # stsc first_chunk != 1
+    ):
+        with pytest.raises(mp.Mp4FormatError):
+            mp.mp4_samples(bad)

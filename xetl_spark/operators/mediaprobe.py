@@ -496,6 +496,392 @@ def mp4_build(
     return ftyp + moov + box(b"mdat", b"")
 
 
+# ------------------------------------------- mp4 sample tables (stbl)
+#
+# ISO 14496-12 §8.5-8.7: per-track sample metadata lives in five
+# interlocking tables — stsd (codec entry), stts (decode-time deltas,
+# run-length), ctts (composition offsets, optional), stsz (sizes),
+# stsc (samples-per-chunk runs), stco/co64 (chunk offsets into the
+# FILE), stss (sync samples; absent = every sample is sync). Sample N's
+# byte extent is: its chunk's stco offset + the sizes of the samples
+# before it in that chunk. mp4_samples() walks exactly this arithmetic;
+# mp4_build_tracks() writes it, so encode→extract is closed under test.
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, body: bytes, version: int = 0) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+def _runlength(values: list[int]) -> list[tuple[int, int]]:
+    runs: list[tuple[int, int]] = []
+    for v in values:
+        if runs and runs[-1][1] == v:
+            runs[-1] = (runs[-1][0] + 1, v)
+        else:
+            runs.append((1, v))
+    return runs
+
+
+def mp4_build_tracks(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
+    """Structurally-complete ISO-BMFF writer with REAL sample tables —
+    the fixture generator for ``mp4_samples``.
+
+    Each track dict: ``handler`` ('vide'|'soun'), ``codec`` (4-char
+    fourcc), ``timescale``, ``samples`` (list[bytes]), ``deltas``
+    (per-sample decode deltas, len == samples), optional ``ctts``
+    (per-sample composition offsets), optional ``sync`` (1-based sync
+    sample numbers → stss; omit for all-sync), optional
+    ``width``/``height`` for video.
+
+    Chunking is deliberately non-trivial to exercise the stsc walk:
+    the first chunk holds 2 samples, later chunks 3; chunks from all
+    tracks are round-robin interleaved in mdat (the layout a real
+    muxer produces), so per-sample offsets cannot be computed from any
+    single track's tables alone.
+    """
+    # ftyp is fixed-size → mdat payload base offset is known up front
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+
+    # -- chunk layout: split each track's samples 2,3,3,...; interleave
+    per_track_chunks: list[list[list[bytes]]] = []
+    for t in tracks:
+        samples = list(t["samples"])
+        chunks, pos, size = [], 0, 2
+        while pos < len(samples):
+            chunks.append(samples[pos : pos + size])
+            pos += size
+            size = 3
+        per_track_chunks.append(chunks)
+    order: list[tuple[int, int]] = []  # (track_idx, chunk_idx) in mdat order
+    for ci in range(max((len(c) for c in per_track_chunks), default=0)):
+        for ti in range(len(tracks)):
+            if ci < len(per_track_chunks[ti]):
+                order.append((ti, ci))
+    mdat_body = bytearray()
+    chunk_offsets: list[dict[int, int]] = [dict() for _ in tracks]
+    base = len(ftyp) + 8  # mdat body starts after its own box header
+    for ti, ci in order:
+        chunk_offsets[ti][ci] = base + len(mdat_body)
+        for s in per_track_chunks[ti][ci]:
+            mdat_body += s
+    mdat = _box(b"mdat", bytes(mdat_body))
+
+    def _stbl(t: dict, chunks: list[list[bytes]], offs: dict[int, int]) -> bytes:
+        fourcc = t["codec"].encode("ascii")
+        if t["handler"] == "vide":
+            body = (
+                b"\x00" * 6 + struct.pack(">H", 1)  # data_ref_index
+                + b"\x00" * 16
+                + struct.pack(">HH", t.get("width", 0), t.get("height", 0))
+                + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+                + b"\x00" * 4
+                + struct.pack(">H", 1)  # frame_count
+                + b"\x00" * 32  # compressorname
+                + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+            )
+        else:
+            body = (
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 8
+                + struct.pack(">HH", t.get("channels", 1), 16)
+                + b"\x00" * 4
+                + struct.pack(">I", t["timescale"] << 16)
+            )
+        stsd = _full(b"stsd", struct.pack(">I", 1) + _box(fourcc, body))
+        stts_runs = _runlength(list(t["deltas"]))
+        stts = _full(
+            b"stts",
+            struct.pack(">I", len(stts_runs))
+            + b"".join(struct.pack(">II", n, d) for n, d in stts_runs),
+        )
+        out = stsd + stts
+        if t.get("ctts") is not None:
+            cruns = _runlength(list(t["ctts"]))
+            out += _full(
+                b"ctts",
+                struct.pack(">I", len(cruns))
+                + b"".join(struct.pack(">II", n, o) for n, o in cruns),
+            )
+        # stsc: first chunk = 2 samples, rest = 3 (only emit the second
+        # run when a second chunk exists)
+        entries = [(1, len(chunks[0]) if chunks else 0, 1)]
+        if len(chunks) > 1:
+            entries.append((2, 3, 1))
+        out += _full(
+            b"stsc",
+            struct.pack(">I", len(entries))
+            + b"".join(struct.pack(">III", f, s, d) for f, s, d in entries),
+        )
+        sizes = [len(s) for s in t["samples"]]
+        out += _full(
+            b"stsz",
+            struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        out += _full(
+            b"stco",
+            struct.pack(">I", len(chunks))
+            + b"".join(struct.pack(">I", offs[i]) for i in range(len(chunks))),
+        )
+        if t.get("sync") is not None:
+            sync = sorted(t["sync"])
+            out += _full(
+                b"stss",
+                struct.pack(">I", len(sync))
+                + b"".join(struct.pack(">I", s) for s in sync),
+            )
+        return _box(b"stbl", out)
+
+    traks = b""
+    max_dur_movie = 0
+    for ti, t in enumerate(tracks):
+        dur_track = sum(t["deltas"])
+        dur_movie = dur_track * movie_timescale // max(t["timescale"], 1)
+        max_dur_movie = max(max_dur_movie, dur_movie)
+        w, h = t.get("width", 0), t.get("height", 0)
+        tkhd = _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", ti + 1)
+            + b"\x00" * 4
+            + struct.pack(">I", dur_movie)
+            + b"\x00" * 8
+            + b"\x00\x00" * 2
+            + b"\x00\x00" + b"\x00" * 2
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _full(
+            b"mdhd",
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", t["timescale"], dur_track)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _full(
+            b"hdlr",
+            struct.pack(">I", 0)
+            + t["handler"].encode("ascii")
+            + b"\x00" * 12
+            + b"xetl\x00",
+        )
+        mhd = (
+            _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), version=0)
+            if t["handler"] == "vide"
+            else _full(b"smhd", struct.pack(">HH", 0, 0))
+        )
+        # self-contained data reference (flags bit 1)
+        dinf = _box(
+            b"dinf",
+            _full(b"dref", struct.pack(">I", 1)
+                  + struct.pack(">I", 12) + b"url " + b"\x00\x00\x00\x01"),
+        )
+        minf = _box(
+            b"minf", mhd + dinf + _stbl(t, per_track_chunks[ti], chunk_offsets[ti])
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks += _box(b"trak", tkhd + mdia)
+
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", movie_timescale, max_dur_movie)
+        + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + mdat + moov
+
+
+@_typed(Mp4FormatError)
+def mp4_samples(
+    payload: bytes, with_data: bool = True, max_samples: int = 1_000_000
+) -> dict:
+    """Per-sample extraction from the ISO-BMFF sample tables: walks
+    moov→trak→mdia→minf→stbl, expands stts/ctts/stsz/stsc/stco(/co64)
+    and stss, and computes each sample's absolute byte extent in the
+    file (chunk offset + preceding sample sizes within the chunk).
+    Returns {"n_tracks", "samples": [{track_id, handler, codec, index,
+    dts, pts, size, offset, sync, data?}]}. ``with_data=False`` skips
+    the payload slices (metadata-only triage: O(tables), not O(mdat)).
+
+    Every table cross-check is validated (counts agree, stsc runs
+    monotonic, extents inside the file) — hostile bytes raise
+    Mp4FormatError, never a silent wrong slice. Declared entry counts
+    are bounded by ``max_samples`` BEFORE allocation, so a forged
+    count field cannot balloon memory.
+    """
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        raise Mp4FormatError("no ftyp box (not ISO-BMFF)")
+    out: list[dict] = []
+    n_tracks = 0
+    for btype, b0, b1 in _walk_boxes(payload, 0, n):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
+            if ctype != b"trak":
+                continue
+            n_tracks += 1
+            track_id = n_tracks
+            handler = codec = None
+            timescale = 1
+            stts = ctts = stsz = stsc = stco = stss = None
+            for ttype, t0, t1 in _walk_boxes(payload, c0, c1):
+                if ttype == b"tkhd" and t1 - t0 >= 16:
+                    ver = payload[t0]
+                    track_id = struct.unpack_from(
+                        ">I", payload, t0 + (28 if ver == 1 else 12)
+                    )[0]
+                elif ttype == b"mdia":
+                    for mtype, m0, m1 in _walk_boxes(payload, t0, t1):
+                        if mtype == b"mdhd":
+                            ver = payload[m0]
+                            timescale = struct.unpack_from(
+                                ">I", payload, m0 + (20 if ver == 1 else 12)
+                            )[0]
+                        elif mtype == b"hdlr":
+                            handler = payload[m0 + 8 : m0 + 12].decode(
+                                "ascii", "replace"
+                            )
+                        elif mtype == b"minf":
+                            for xtype, x0, x1 in _walk_boxes(payload, m0, m1):
+                                if xtype != b"stbl":
+                                    continue
+                                for st, s0, s1 in _walk_boxes(payload, x0, x1):
+                                    if st == b"stsd" and s1 - s0 >= 16:
+                                        codec = payload[s0 + 12 : s0 + 16].decode(
+                                            "ascii", "replace"
+                                        )
+                                    elif st == b"stts":
+                                        stts = (s0, s1)
+                                    elif st == b"ctts":
+                                        ctts = (s0, s1)
+                                    elif st == b"stsz":
+                                        stsz = (s0, s1)
+                                    elif st == b"stsc":
+                                        stsc = (s0, s1)
+                                    elif st in (b"stco", b"co64"):
+                                        stco = (st, s0, s1)
+                                    elif st == b"stss":
+                                        stss = (s0, s1)
+            if stsz is None or stsc is None or stco is None or stts is None:
+                continue  # hint-only or empty track (no sample tables)
+
+            def _entries(extent, fmt, width, cap, skip=4):
+                s0, s1 = extent
+                (cnt,) = struct.unpack_from(">I", payload, s0 + skip)
+                if cnt > cap:
+                    raise Mp4FormatError(f"table declares {cnt} entries")
+                need = s0 + skip + 4 + cnt * width
+                if need > s1:
+                    raise Mp4FormatError("sample table truncated")
+                return [
+                    struct.unpack_from(fmt, payload, s0 + skip + 4 + i * width)
+                    for i in range(cnt)
+                ]
+
+            # sizes
+            s0, s1 = stsz
+            fixed, count = struct.unpack_from(">II", payload, s0 + 4)
+            if count > max_samples:
+                raise Mp4FormatError(f"stsz declares {count} samples")
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                if s0 + 12 + 4 * count > s1:
+                    raise Mp4FormatError("stsz truncated")
+                sizes = [
+                    struct.unpack_from(">I", payload, s0 + 12 + 4 * i)[0]
+                    for i in range(count)
+                ]
+            # decode deltas -> dts
+            deltas: list[int] = []
+            for cnt, delta in _entries(stts, ">II", 8, max_samples):
+                if len(deltas) + cnt > count:
+                    raise Mp4FormatError("stts covers more samples than stsz")
+                deltas.extend([delta] * cnt)
+            if len(deltas) != count:
+                raise Mp4FormatError("stts covers fewer samples than stsz")
+            dts = [0] * count
+            for i in range(1, count):
+                dts[i] = dts[i - 1] + deltas[i - 1]
+            # composition offsets -> pts
+            offsets_ct = [0] * count
+            if ctts is not None:
+                pos = 0
+                for cnt, off in _entries(ctts, ">Ii", 8, max_samples):
+                    if pos + cnt > count:
+                        raise Mp4FormatError("ctts overruns sample count")
+                    for _ in range(cnt):
+                        offsets_ct[pos] = off
+                        pos += 1
+                if pos != count:
+                    raise Mp4FormatError("ctts covers fewer samples than stsz")
+            # chunk offsets
+            ckind, s0, s1 = stco
+            if ckind == b"stco":
+                chunk_offs = [v for (v,) in _entries((s0, s1), ">I", 4, max_samples)]
+            else:
+                chunk_offs = [v for (v,) in _entries((s0, s1), ">Q", 8, max_samples)]
+            # samples-per-chunk runs
+            runs = _entries(stsc, ">III", 12, max_samples)
+            if not runs or runs[0][0] != 1:
+                raise Mp4FormatError("stsc must start at chunk 1")
+            for (f1, _, _), (f2, _, _) in zip(runs, runs[1:]):
+                if f2 <= f1:
+                    raise Mp4FormatError("stsc first_chunk not increasing")
+            # sync table
+            sync_set = None
+            if stss is not None:
+                sync_set = {v for (v,) in _entries(stss, ">I", 4, max_samples)}
+            # walk chunks, assigning samples
+            si = 0
+            for ci, coff in enumerate(chunk_offs, start=1):
+                spc = 0
+                for f, s, _ in runs:
+                    if f <= ci:
+                        spc = s
+                    else:
+                        break
+                pos = coff
+                for _ in range(spc):
+                    if si >= count:
+                        break
+                    size = sizes[si]
+                    if pos + size > n:
+                        raise Mp4FormatError("sample extent beyond file end")
+                    rec = {
+                        "track_id": track_id,
+                        "handler": handler,
+                        "codec": codec,
+                        "index": si,
+                        "dts": dts[si],
+                        "pts": dts[si] + offsets_ct[si],
+                        "timescale": timescale,
+                        "size": size,
+                        "offset": pos,
+                        "sync": sync_set is None or (si + 1) in sync_set,
+                    }
+                    if with_data:
+                        rec["data"] = payload[pos : pos + size]
+                    out.append(rec)
+                    pos += size
+                    si += 1
+            if si != count:
+                raise Mp4FormatError(
+                    f"chunk layout covers {si} of {count} samples"
+                )
+    return {"n_tracks": n_tracks, "samples": out}
+
+
 # ---------------------------------------------------------------- flac
 
 

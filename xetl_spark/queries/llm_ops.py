@@ -4777,3 +4777,147 @@ def q_text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc", "eval_doc", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+@query(
+    "q_multimodal_mp4_samples",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS did,
+             3 + doc_id % 5 AS nv,
+             2 + doc_id % 4 AS na
+      FROM documents WHERE doc_id < 160),
+    vid_i AS (
+      SELECT did, nv, i.i AS i,
+             10 + (did * 3 + i.i * 7) % 40 AS size,
+             20 + (did + i.i) % 10       AS delta,
+             (i.i % 3) * 10              AS cof
+      FROM p JOIN range(7) i(i) ON i.i < nv),
+    vid_bytes AS (
+      SELECT did, i, SUM((did * 31 + i * 17 + j.j * 13) % 251) AS bsum
+      FROM vid_i JOIN range(50) j(j) ON j.j < size GROUP BY did, i),
+    vid_dts AS (
+      SELECT a.did, a.i, COALESCE(SUM(b.delta), 0) AS dts
+      FROM vid_i a LEFT JOIN vid_i b ON b.did = a.did AND b.i < a.i
+      GROUP BY a.did, a.i),
+    video AS (
+      SELECT v.did AS doc_id, 'vide' AS handler,
+             CAST(MAX(v.nv) AS BIGINT)                 AS n_samples,
+             CAST(SUM(v.size) AS BIGINT)               AS total_bytes,
+             CAST(SUM(vb.bsum) AS BIGINT)              AS payload_sum,
+             CAST(SUM(vd.dts) AS BIGINT)               AS dts_sum,
+             CAST(SUM(vd.dts + v.cof) AS BIGINT)       AS pts_sum,
+             CAST(SUM(CASE WHEN v.i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_sync
+      FROM vid_i v
+      JOIN vid_bytes vb ON vb.did = v.did AND vb.i = v.i
+      JOIN vid_dts  vd ON vd.did = v.did AND vd.i = v.i
+      GROUP BY v.did),
+    aud_i AS (
+      SELECT did, na, i.i AS i,
+             6 + (did + i.i * 5) % 20 AS size
+      FROM p JOIN range(5) i(i) ON i.i < na),
+    aud_bytes AS (
+      SELECT did, i, SUM((did * 7 + i * 29 + j.j * 3) % 251) AS bsum
+      FROM aud_i JOIN range(26) j(j) ON j.j < size GROUP BY did, i),
+    audio AS (
+      SELECT a.did AS doc_id, 'soun' AS handler,
+             CAST(MAX(a.na) AS BIGINT)            AS n_samples,
+             CAST(SUM(a.size) AS BIGINT)          AS total_bytes,
+             CAST(SUM(ab.bsum) AS BIGINT)         AS payload_sum,
+             CAST(SUM(a.i * 1024) AS BIGINT)      AS dts_sum,
+             CAST(SUM(a.i * 1024) AS BIGINT)      AS pts_sum,
+             CAST(MAX(a.na) AS BIGINT)            AS n_sync
+      FROM aud_i a
+      JOIN aud_bytes ab ON ab.did = a.did AND ab.i = a.i
+      GROUP BY a.did)
+    SELECT * FROM video UNION ALL SELECT * FROM audio
+    """,
+)
+def q_multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF demux under the driver's hash gate: synthesizes a
+    two-track MP4 per document (interleaved video+audio chunks, stsc
+    2-then-3 chunk runs, stts run-length deltas, ctts composition
+    offsets, stss sync table), re-extracts every sample byte-exactly
+    via operators/mediaprobe.mp4_samples — the stbl walk a 100 TB
+    video-curation pass runs before any codec work — and emits
+    per-track aggregates (sample count, byte totals, payload sums,
+    DTS/PTS sums, sync count) that the SQL oracle recomputes
+    analytically. One wrong chunk offset, stsc run, or ctts expansion
+    anywhere breaks the hash. Scale shape: map-only per document
+    (Arrow-batched mapInPandas), O(sample tables) metadata walk +
+    O(mdat) slicing, no shuffle beyond the final per-doc rows."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 160)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.mediaprobe import (
+            mp4_build_tracks,
+            mp4_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nv, na = 3 + did % 5, 2 + did % 4
+                vid = [
+                    bytes(
+                        (did * 31 + i * 17 + j * 13) % 251
+                        for j in range(10 + (did * 3 + i * 7) % 40)
+                    )
+                    for i in range(nv)
+                ]
+                aud = [
+                    bytes(
+                        (did * 7 + i * 29 + j * 3) % 251
+                        for j in range(6 + (did + i * 5) % 20)
+                    )
+                    for i in range(na)
+                ]
+                payload = mp4_build_tracks(
+                    [
+                        {
+                            "handler": "vide", "codec": "mp4v",
+                            "timescale": 600, "samples": vid,
+                            "deltas": [20 + (did + i) % 10 for i in range(nv)],
+                            "ctts": [(i % 3) * 10 for i in range(nv)],
+                            "sync": [i + 1 for i in range(nv) if i % 3 == 0],
+                            "width": 64, "height": 48,
+                        },
+                        {
+                            "handler": "soun", "codec": "mp4a",
+                            "timescale": 16000, "samples": aud,
+                            "deltas": [1024] * na,
+                        },
+                    ]
+                )
+                agg: dict[str, list] = {}
+                for s in mp4_samples(payload)["samples"]:
+                    a = agg.setdefault(s["handler"], [0, 0, 0, 0, 0, 0])
+                    a[0] += 1
+                    a[1] += s["size"]
+                    a[2] += sum(s["data"])
+                    a[3] += s["dts"]
+                    a[4] += s["pts"]
+                    a[5] += 1 if s["sync"] else 0
+                for handler, a in agg.items():
+                    rows.append((did, handler, *a))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "handler", "n_samples", "total_bytes",
+                    "payload_sum", "dts_sum", "pts_sum", "n_sync",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, handler string, n_samples long, "
+            "total_bytes long, payload_sum long, dts_sum long, "
+            "pts_sum long, n_sync long"
+        ),
+    )
