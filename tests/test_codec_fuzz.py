@@ -318,3 +318,20 @@ def test_fuzz_mp4_samples():
     )
     _check(mp.mp4_samples, _mutations(payload), (mp.Mp4FormatError,))
     _check(mp.mp4_probe, _mutations(payload), (mp.Mp4FormatError,))
+
+
+def test_fuzz_vp8_header():
+    from xetl_spark.operators.vp8 import vp8_header_build, vp8_header_probe
+    from xetl_spark.operators.webp import webp_lossy_header, webp_wrap_vp8
+
+    raw = vp8_header_build(
+        40, 30, y_ac_qi=77, segments=[3, None, -9, 12],
+        n_token_partitions=4, token_data=bytes(range(64)),
+        quant_deltas={"uv_ac_delta": -3},
+    )
+    _check(vp8_header_probe, _mutations(raw), (im.UnsupportedImageError,))
+    _check(
+        webp_lossy_header,
+        _mutations(webp_wrap_vp8(raw)),
+        (im.UnsupportedImageError,),
+    )

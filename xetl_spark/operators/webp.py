@@ -24,9 +24,12 @@ The encoder emits valid VP8L streams built from real frequency-derived
 length-limited (package-merge) prefix codes with greedy LZ77 and an
 optional color cache, plus the SUBTRACT_GREEN and COLOR_INDEXING
 transforms — enough to synthesize every decode path in-query; it makes
-no rate-optimality claim. Lossy VP8 DECODE is out of scope (typed
-UnsupportedImageError — it needs a full boolean-arithmetic DCT codec);
-`webp_probe` still extracts its dimensions from the frame header.
+no rate-optimality claim. Lossy VP8 pixel DECODE is out of scope
+(typed UnsupportedImageError — it needs RFC 6386's default probability
+and dequantization tables; see operators/vp8.py for the boundary
+rationale), but `webp_lossy_header` parses the complete VP8 frame
+header (quantizer/segmentation/filter/partitions) via operators/vp8.py
+for quality-signal curation, and `webp_probe` extracts dimensions.
 
 Reference parity: the reference's image pipeline is an ImageMagick
 subprocess task over a downloaded image (reference README.md:50-95);
@@ -1237,3 +1240,42 @@ def webp_probe(payload: bytes) -> dict:
     if not out["animation"]:
         out["n_frames"] = 1  # still image: one frame, like gif_probe
     return out
+
+
+def webp_wrap_vp8(vp8_payload: bytes) -> bytes:
+    """Wrap a raw VP8 key-frame bitstream in a minimal still-image
+    WebP container (RIFF/WEBP + 'VP8 ' chunk, even-aligned)."""
+    pad = b"\x00" if len(vp8_payload) & 1 else b""
+    chunk = b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_lossy_header(payload: bytes) -> dict:
+    """Deep-probe a LOSSY (VP8) WebP: locate the first 'VP8 ' chunk —
+    top-level for still images, nested in the first ANMF for
+    animations — and parse its complete RFC 6386 frame header via
+    operators/vp8.vp8_header_probe (quantizer indices, segmentation,
+    loop filter, token partition layout). This is the quality signal
+    for curating lossy WebPs without macroblock decode; see vp8.py's
+    module docstring for the pixel-decode boundary."""
+    from xetl_spark.operators.vp8 import Vp8FormatError, vp8_header_probe
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise UnsupportedImageError("webp: bad RIFF header")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8 ":
+            return vp8_header_probe(body)
+        if tag == b"ANMF" and len(body) >= 16:
+            ip = 16
+            while ip + 8 <= len(body):
+                itag = body[ip : ip + 4]
+                (isz,) = struct.unpack("<I", body[ip + 4 : ip + 8])
+                if itag == b"VP8 ":
+                    return vp8_header_probe(body[ip + 8 : ip + 8 + isz])
+                ip += 8 + isz + (isz & 1)
+        pos += 8 + size + (size & 1)
+    raise Vp8FormatError("webp: no 'VP8 ' (lossy) chunk found")

@@ -4921,3 +4921,102 @@ def q_multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pts_sum long, n_sync long"
         ),
     )
+
+
+@query(
+    "q_multimodal_vp8_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INT)                    AS width,
+           CAST(16 + (doc_id * 3) % 32 AS INT)              AS height,
+           CAST(doc_id % 128 AS INT)                        AS y_ac_qi,
+           CAST(round(100 - (doc_id % 128) * 100.0 / 127) AS INT) AS quality,
+           CAST((doc_id * 3) % 64 AS INT)                   AS filter_level,
+           CAST(doc_id % 8 AS INT)                          AS sharpness,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                WHEN 2 THEN 4 ELSE 8 END AS INT)            AS n_token_partitions,
+           CAST(doc_id % 50 AS BIGINT)                      AS token_bytes,
+           doc_id % 3 = 0                                   AS segmented,
+           CASE WHEN doc_id % 3 = 0
+                THEN CAST((doc_id % 16) - 8 AS INT) END     AS seg_q0
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_vp8_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP quality curation under the driver's hash gate: wraps
+    a spec-exact RFC 6386 VP8 key-frame header (real boolean-coder
+    output — segmentation, loop filter, token partition table, full
+    quantizer block) per document in a WebP container, deep-probes it
+    back through webp_lossy_header/vp8_header_probe, and emits the
+    quantizer-derived quality signal a Common Crawl image sweep would
+    rank and threshold on — all without macroblock decode (the honest
+    pixel-decode boundary is documented in operators/vp8.py). One
+    wrong boolean-coder bit or mis-ordered header field anywhere
+    breaks the hash. Scale shape: map-only per document, O(header
+    bytes) per image."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.vp8 import (
+            vp8_header_build,
+            vp8_quality_estimate,
+        )
+        from xetl_spark.operators.webp import webp_lossy_header, webp_wrap_vp8
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                segs = (
+                    [(did % 16) - 8, None, 5, -5] if did % 3 == 0 else None
+                )
+                payload = webp_wrap_vp8(
+                    vp8_header_build(
+                        16 + did % 48,
+                        16 + (did * 3) % 32,
+                        y_ac_qi=did % 128,
+                        filter_level=(did * 3) % 64,
+                        sharpness=did % 8,
+                        segments=segs,
+                        n_token_partitions=(1, 2, 4, 8)[did % 4],
+                        token_data=bytes((did + j) % 251 for j in range(did % 50)),
+                    )
+                )
+                h = webp_lossy_header(payload)
+                seg = h["segmentation"]
+                rows.append(
+                    (
+                        did,
+                        h["width"],
+                        h["height"],
+                        h["quant"]["y_ac_qi"],
+                        vp8_quality_estimate(h),
+                        h["loop_filter"]["level"],
+                        h["loop_filter"]["sharpness"],
+                        h["n_token_partitions"],
+                        sum(h["token_partition_sizes"]),
+                        seg["enabled"],
+                        seg["quantizer_deltas"][0] if seg["enabled"] else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "y_ac_qi", "quality",
+                    "filter_level", "sharpness", "n_token_partitions",
+                    "token_bytes", "segmented", "seg_q0",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width int, height int, y_ac_qi int, "
+            "quality int, filter_level int, sharpness int, "
+            "n_token_partitions int, token_bytes long, "
+            "segmented boolean, seg_q0 int"
+        ),
+    )
