@@ -369,3 +369,108 @@ def test_mp4_samples_hostile_tables():
     ):
         with pytest.raises(mp.Mp4FormatError):
             mp.mp4_samples(bad)
+
+
+def test_decode_audio_mp4_tracks():
+    """decode_audio reaches into ISO-BMFF: QuickTime G.711 ulaw/alaw
+    raw-byte tracks (exact ITU expansion, channel-aware) and
+    FLAC-in-MP4 encapsulation (dfLa STREAMINFO + frame samples,
+    reassembled through the full FLAC decoder)."""
+    import struct as _st
+
+    from xetl_spark.operators.audio import (
+        UnsupportedAudioError,
+        _alaw_expand,
+        _mulaw_expand,
+        decode_audio,
+    )
+    from xetl_spark.operators.flac import flac_encode
+
+    raw = bytes((i * 7) % 256 for i in range(4000))
+    for codec, expand in (("ulaw", _mulaw_expand), ("alaw", _alaw_expand)):
+        m = mp.mp4_build_tracks(
+            [{"handler": "soun", "codec": codec, "timescale": 8000,
+              "samples": [raw[i * 500 : (i + 1) * 500] for i in range(8)],
+              "deltas": [500] * 8, "channels": 1}]
+        )
+        pcm_out, rate = decode_audio(m)
+        assert rate == 8000 and pcm_out.shape == (4000, 1)
+        assert np.array_equal(
+            pcm_out[:, 0], expand(np.frombuffer(raw, np.uint8))
+        )
+    # 2-channel interleaved ulaw
+    m2 = mp.mp4_build_tracks(
+        [{"handler": "soun", "codec": "ulaw", "timescale": 8000,
+          "samples": [raw], "deltas": [2000], "channels": 2}]
+    )
+    pcm2, _ = decode_audio(m2)
+    assert pcm2.shape == (2000, 2)
+    # FLAC-in-MP4: dfLa carries STREAMINFO; sample = frame region
+    pcm_in = np.random.RandomState(3).randint(-2000, 2000, (2048, 2)).astype(np.int32)
+    stream = flac_encode(pcm_in, 16000, blocksize=512)
+    pos = 4
+    while True:
+        hdr = stream[pos]
+        ln = int.from_bytes(stream[pos + 1 : pos + 4], "big")
+        if hdr & 0x7F == 0:
+            streaminfo = bytes([hdr & 0x7F]) + stream[pos + 1 : pos + 4 + ln]
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    dfla = b"\x00\x00\x00\x00" + streaminfo
+    cfg = _st.pack(">I", 8 + len(dfla)) + b"dfLa" + dfla
+    m3 = mp.mp4_build_tracks(
+        [{"handler": "soun", "codec": "fLaC", "timescale": 16000,
+          "samples": [stream[pos:]], "deltas": [2048],
+          "channels": 2, "codec_config": cfg}]
+    )
+    out, rate3 = decode_audio(m3)
+    assert rate3 == 16000 and np.array_equal(out, pcm_in)
+    # typed boundaries: no audio track / unsupported codec / no dfLa
+    vid = mp.mp4_build_tracks(
+        [{"handler": "vide", "codec": "jpeg", "timescale": 600,
+          "samples": [b"x"], "deltas": [1], "width": 8, "height": 8}]
+    )
+    with pytest.raises(UnsupportedAudioError, match="no audio track"):
+        decode_audio(vid)
+    aac = mp.mp4_build_tracks(
+        [{"handler": "soun", "codec": "mp4a", "timescale": 44100,
+          "samples": [b"x"], "deltas": [1024]}]
+    )
+    with pytest.raises(UnsupportedAudioError, match="unsupported audio codec"):
+        decode_audio(aac)
+    nofla = mp.mp4_build_tracks(
+        [{"handler": "soun", "codec": "fLaC", "timescale": 16000,
+          "samples": [b"x"], "deltas": [16]}]
+    )
+    with pytest.raises(UnsupportedAudioError, match="dfLa"):
+        decode_audio(nofla)
+
+
+def test_sample_frames_mjpeg_mp4(spark):
+    """sample_frames (decode_stub=False) demuxes an MJPEG MP4 and
+    emits exact frames at stts timestamps; an MP4 without an MJPEG
+    video track raises the typed video error."""
+    import pandas as pd
+
+    from xetl_spark.operators import jpeg
+    from xetl_spark.operators.imaging import png_decode
+    from xetl_spark.operators.multimodal import sample_frames
+
+    imgs = [np.full((8, 8, 3), 10 * (i + 1), np.uint8) for i in range(5)]
+    m = mp.mp4_build_tracks(
+        [{"handler": "vide", "codec": "jpeg", "timescale": 1000,
+          "samples": [jpeg.jpeg_lossless_encode(im) for im in imgs],
+          "deltas": [400] * 5, "width": 8, "height": 8}]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [m]}))
+    rows = sorted(
+        sample_frames(df, decode_stub=False, every_ms=800, max_frames=8).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, r.frame_ts_ms) for r in rows] == [
+        (0, 0), (2, 800), (4, 1600)
+    ]
+    for r in rows:
+        px = png_decode(bytes(r.frame))
+        assert int(px[0, 0, 0]) == 10 * (r.frame_idx + 1)

@@ -236,9 +236,13 @@ def wav_build_raw(
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode any supported audio payload -> ((n, ch) int samples,
-    sample_rate): PCM WAV or FLAC (operators/flac.py). The dispatcher
-    the generic audio ops (windowing, features, silence detection)
-    route through, mirroring imaging.decode_image."""
+    sample_rate): PCM WAV, FLAC (operators/flac.py), or an ISO-BMFF
+    (MP4/MOV) audio track — QuickTime G.711 ('ulaw'/'alaw' raw
+    sample bytes) and FLAC-in-MP4 encapsulation ('fLaC' entry with a
+    dfLa STREAMINFO box, samples = FLAC frames, reassembled and fed
+    through the full FLAC decoder). The dispatcher the generic audio
+    ops (windowing, features, silence detection) route through,
+    mirroring imaging.decode_image."""
     if sniff_wav(payload):
         return wav_decode(payload)
     if payload[:4] == b"fLaC":
@@ -248,7 +252,70 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             return flac_decode(payload)
         except FlacDecodeError as e:
             raise UnsupportedAudioError(str(e)) from None
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _mp4_audio_decode(payload)
     raise UnsupportedAudioError("unrecognized audio payload")
+
+
+def _mp4_audio_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode the first audio track of an ISO-BMFF container via the
+    sample-table walk (mediaprobe.mp4_samples)."""
+    from xetl_spark.operators.mediaprobe import Mp4FormatError, mp4_samples
+
+    try:
+        info = mp4_samples(payload)
+    except Mp4FormatError as e:
+        raise UnsupportedAudioError(str(e)) from None
+    track = next(
+        (t for t in info["tracks"].values() if t["handler"] == "soun"), None
+    )
+    if track is None:
+        raise UnsupportedAudioError("mp4: no audio track")
+    tid = next(k for k, t in info["tracks"].items() if t is track)
+    data = b"".join(
+        s["data"]
+        for s in sorted(
+            (s for s in info["samples"] if s["track_id"] == tid),
+            key=lambda s: s["index"],
+        )
+    )
+    codec = track["codec"]
+    rate = track["timescale"]
+    if codec in ("ulaw", "alaw"):
+        raw = np.frombuffer(data, dtype=np.uint8)
+        pcm = _mulaw_expand(raw) if codec == "ulaw" else _alaw_expand(raw)
+        # channel count from the AudioSampleEntry (body offset 16)
+        body = track["stsd_body"]
+        ch = (
+            int.from_bytes(body[16:18], "big") if len(body) >= 18 else 1
+        ) or 1
+        if pcm.shape[0] % ch:
+            raise UnsupportedAudioError("mp4: G.711 bytes not channel-aligned")
+        return pcm.reshape(-1, ch), rate
+    if codec == "fLaC":
+        from xetl_spark.operators.flac import FlacDecodeError, flac_decode
+
+        # dfLa (FLAC-in-ISO-BMFF): version/flags + METADATA_BLOCKs,
+        # STREAMINFO first. Reassemble a native stream: the dfLa
+        # STREAMINFO block header's last-block flag may be clear (more
+        # blocks could follow in dfLa) — force it set so the decoder
+        # sees a complete metadata region before the frames.
+        body = track["stsd_body"]
+        pos, dfla = 28, None  # fixed AudioSampleEntry body is 28 bytes
+        while pos + 8 <= len(body):
+            (bsz,) = struct.unpack_from(">I", body, pos)
+            if body[pos + 4 : pos + 8] == b"dfLa" and bsz >= 12:
+                dfla = body[pos + 12 : pos + bsz]  # skip version/flags
+                break
+            pos += max(bsz, 8)
+        if dfla is None or len(dfla) < 38 or (dfla[0] & 0x7F) != 0:
+            raise UnsupportedAudioError("mp4: fLaC entry without dfLa STREAMINFO")
+        streaminfo = bytes([dfla[0] | 0x80]) + dfla[1:38]
+        try:
+            return flac_decode(b"fLaC" + streaminfo + data)
+        except FlacDecodeError as e:
+            raise UnsupportedAudioError(f"mp4/fLaC: {e}") from None
+    raise UnsupportedAudioError(f"mp4: unsupported audio codec {codec!r}")
 
 
 def duration_ms(payload: bytes) -> int:

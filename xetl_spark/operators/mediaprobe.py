@@ -591,6 +591,9 @@ def mp4_build_tracks(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
                 + b"\x00" * 4
                 + struct.pack(">I", t["timescale"] << 16)
             )
+        # codec-specific config boxes appended to the sample entry
+        # (e.g. dfLa for FLAC-in-ISO-BMFF encapsulation)
+        body += t.get("codec_config", b"")
         stsd = _full(b"stsd", struct.pack(">I", 1) + _box(fourcc, body))
         stts_runs = _runlength(list(t["deltas"]))
         stts = _full(
@@ -709,8 +712,11 @@ def mp4_samples(
     and stss, and computes each sample's absolute byte extent in the
     file (chunk offset + preceding sample sizes within the chunk).
     Returns {"n_tracks", "samples": [{track_id, handler, codec, index,
-    dts, pts, size, offset, sync, data?}]}. ``with_data=False`` skips
-    the payload slices (metadata-only triage: O(tables), not O(mdat)).
+    dts, pts, size, offset, sync, data?}], "tracks": {track_id:
+    {handler, codec, timescale, n_samples, stsd_body}}} — stsd_body is
+    the first sample entry's raw body (codec config boxes like dfLa
+    live there). ``with_data=False`` skips the payload slices
+    (metadata-only triage: O(tables), not O(mdat)).
 
     Every table cross-check is validated (counts agree, stsc runs
     monotonic, extents inside the file) — hostile bytes raise
@@ -722,6 +728,7 @@ def mp4_samples(
     if n < 12 or payload[4:8] != b"ftyp":
         raise Mp4FormatError("no ftyp box (not ISO-BMFF)")
     out: list[dict] = []
+    tracks: dict[int, dict] = {}
     n_tracks = 0
     for btype, b0, b1 in _walk_boxes(payload, 0, n):
         if btype != b"moov":
@@ -732,6 +739,7 @@ def mp4_samples(
             n_tracks += 1
             track_id = n_tracks
             handler = codec = None
+            stsd_body = b""
             timescale = 1
             stts = ctts = stsz = stsc = stco = stss = None
             for ttype, t0, t1 in _walk_boxes(payload, c0, c1):
@@ -760,6 +768,14 @@ def mp4_samples(
                                         codec = payload[s0 + 12 : s0 + 16].decode(
                                             "ascii", "replace"
                                         )
+                                        # first entry body (after its
+                                        # own 8-byte box header)
+                                        (esz,) = struct.unpack_from(
+                                            ">I", payload, s0 + 8
+                                        )
+                                        stsd_body = payload[
+                                            s0 + 16 : min(s0 + 8 + esz, s1)
+                                        ]
                                     elif st == b"stts":
                                         stts = (s0, s1)
                                     elif st == b"ctts":
@@ -879,7 +895,14 @@ def mp4_samples(
                 raise Mp4FormatError(
                     f"chunk layout covers {si} of {count} samples"
                 )
-    return {"n_tracks": n_tracks, "samples": out}
+            tracks[track_id] = {
+                "handler": handler,
+                "codec": codec,
+                "timescale": timescale,
+                "n_samples": count,
+                "stsd_body": stsd_body,
+            }
+    return {"n_tracks": n_tracks, "samples": out, "tracks": tracks}
 
 
 # ---------------------------------------------------------------- flac

@@ -156,13 +156,16 @@ def sample_frames(
     rows out).
 
     ``decode_stub=False``: REAL decode for Y4M video (operators/
-    video.py — grayscale luma PNGs), animated GIF (gif_decode_frames)
-    and animated/still WebP (webp_decode_frames) — the two animated-
-    image containers emit fully COMPOSITED RGBA PNGs at their true
-    per-frame timestamps (cumulative durations). Every ``every_ms``
-    of media time the nearest frame is emitted with its SOURCE frame
-    index and timestamp. Compressed video (h264/vp9) would need
-    ffmpeg and raises UnsupportedVideoError.
+    video.py — grayscale luma PNGs), animated GIF (gif_decode_frames),
+    animated/still WebP (webp_decode_frames), and Motion-JPEG in an
+    ISO-BMFF container ('jpeg' video track: each sample is a complete
+    JPEG, timestamps from the stts/mdhd tables — the camera/QuickTime
+    MJPEG layout, via mediaprobe.mp4_samples + jpeg_decode). The
+    animated-image containers emit fully COMPOSITED RGBA PNGs at
+    their true per-frame timestamps (cumulative durations). Every
+    ``every_ms`` of media time the nearest frame is emitted with its
+    SOURCE frame index and timestamp. Compressed video (h264/vp9)
+    would need ffmpeg and raises UnsupportedVideoError.
     ``decode_stub=True``: deterministic sha stand-in for arbitrary
     binary payloads — the 1→N expansion/timing contract without a
     parsable container."""
@@ -201,6 +204,29 @@ def sample_frames(
                     times = [0]
                     for d in durs[:-1]:
                         times.append(times[-1] + d)
+                elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    from xetl_spark.operators import jpeg, mediaprobe
+
+                    info = mediaprobe.mp4_samples(payload)
+                    tid = next(
+                        (
+                            k
+                            for k, t in info["tracks"].items()
+                            if t["handler"] == "vide" and t["codec"] in ("jpeg", "mjpa")
+                        ),
+                        None,
+                    )
+                    if tid is None:
+                        raise video.UnsupportedVideoError(
+                            "mp4: no MJPEG video track"
+                        )
+                    ts = info["tracks"][tid]["timescale"]
+                    samps = sorted(
+                        (s for s in info["samples"] if s["track_id"] == tid),
+                        key=lambda s: s["index"],
+                    )
+                    frames = [jpeg.jpeg_decode(s["data"]) for s in samps]
+                    times = [s["pts"] * 1000 // ts for s in samps]
                 else:
                     frames, fps = video.y4m_decode(payload)
                     times = video.frame_times_ms(frames.shape[0], fps)

@@ -5020,3 +5020,170 @@ def q_multimodal_vp8_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segmented boolean, seg_q0 int"
         ),
     )
+
+
+@query(
+    "q_multimodal_mp4_mjpeg_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS did, 2 + doc_id % 4 AS nv
+      FROM documents WHERE doc_id < 120)
+    SELECT did AS doc_id,
+           CAST(i.i AS INT)                         AS frame_idx,
+           CAST(i.i * 100 AS BIGINT)                AS frame_ts_ms,
+           CAST((did * 5 + i.i * 40) % 256 AS INT)  AS val
+    FROM p JOIN range(6) i(i) ON i.i < nv
+    """,
+)
+def q_multimodal_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG-in-MP4 end to end under the driver's hash gate:
+    builds a per-document ISO-BMFF container whose video track is
+    'jpeg' (each sample a complete LOSSLESS JPEG — exact pixels, so
+    the oracle is analytic), drives the generic sample_frames operator
+    (decode_stub=False) through the stbl walk + per-sample jpeg_decode
+    + PNG frame emission at stts-derived timestamps, then reads each
+    frame's pixel value back out of the PNG. Exercises the full
+    demux→decode→frame-sampling pipeline a video-curation pass runs.
+    Scale: two Arrow-batched map stages, no shuffle."""
+    from collections.abc import Iterator as _It
+
+    from xetl_spark.operators.multimodal import sample_frames
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 120)
+
+    def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import jpeg
+        from xetl_spark.operators.mediaprobe import mp4_build_tracks
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nv = 2 + did % 4
+                samples = [
+                    jpeg.jpeg_lossless_encode(
+                        np.full((8, 8, 3), (did * 5 + i * 40) % 256, np.uint8)
+                    )
+                    for i in range(nv)
+                ]
+                rows.append(
+                    (
+                        did,
+                        mp4_build_tracks(
+                            [
+                                {
+                                    "handler": "vide", "codec": "jpeg",
+                                    "timescale": 1000, "samples": samples,
+                                    "deltas": [100] * nv,
+                                    "width": 8, "height": 8,
+                                }
+                            ]
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    frames = sample_frames(
+        media, every_ms=100, max_frames=8, decode_stub=False
+    )
+
+    def vals(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.imaging import png_decode
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                px = png_decode(bytes(row["frame"]))
+                rows.append(
+                    (
+                        int(row["id"]),
+                        int(row["frame_idx"]),
+                        int(row["frame_ts_ms"]),
+                        int(px[0, 0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms", "val"]
+            )
+
+    return frames.mapInPandas(
+        vals,
+        schema="doc_id long, frame_idx int, frame_ts_ms long, val int",
+    )
+
+
+@query(
+    "q_multimodal_mp4_audio",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS did, 800 + doc_id % 200 AS n
+      FROM documents WHERE doc_id < 120),
+    b AS (
+      SELECT did, n, xor((did * 13 + j.j * 7) % 256, 255) AS x
+      FROM p JOIN range(1000) j(j) ON j.j < n),
+    v AS (
+      SELECT did, n,
+             CASE WHEN (x & 128) > 0
+                  THEN 132 - ((((x & 15) << 3) + 132) << ((x & 112) >> 4))
+                  ELSE ((((x & 15) << 3) + 132) << ((x & 112) >> 4)) - 132
+             END AS s
+      FROM b)
+    SELECT did AS doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(8000 AS INT)      AS sample_rate,
+           CAST(SUM(s) AS BIGINT) AS pcm_sum
+    FROM v GROUP BY did
+    """,
+)
+def q_multimodal_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuickTime G.711 audio in MP4 under the driver's hash gate: a
+    'ulaw' audio track whose sample bytes are a closed form of doc_id,
+    chunk-split across the stbl layout, decoded back through the
+    generic decode_audio dispatcher (container walk + exact ITU G.711
+    expansion). The SQL oracle replays the same mu-law expansion in
+    integer bit arithmetic. Scale: map-only per document."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 120)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators.audio import decode_audio
+        from xetl_spark.operators.mediaprobe import mp4_build_tracks
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 800 + did % 200
+                raw = bytes((did * 13 + j * 7) % 256 for j in range(n))
+                chunk = 250
+                samples = [raw[i : i + chunk] for i in range(0, n, chunk)]
+                payload = mp4_build_tracks(
+                    [
+                        {
+                            "handler": "soun", "codec": "ulaw",
+                            "timescale": 8000, "samples": samples,
+                            "deltas": [len(s) for s in samples],
+                            "channels": 1,
+                        }
+                    ]
+                )
+                pcm, rate = decode_audio(payload)
+                rows.append(
+                    (did, pcm.shape[0], rate, int(pcm.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sample_rate", "pcm_sum"]
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema="doc_id long, n_samples long, sample_rate int, pcm_sum long",
+    )
