@@ -571,3 +571,35 @@ def test_observe_metrics_api(spark, sf_dir):
     n = out.count()
     assert obs.get["rows"] == df.count() and obs.get["rows"] >= n
     assert obs.get["total"] > 0
+
+
+def test_rocksdb_state_store_equivalence(spark, sf_dir):
+    """The same stateful query under RocksDBStateStoreProvider (the
+    production backend once state outgrows executor heap) produces
+    exactly the default-provider results; the provider override is
+    scoped to the query and the session conf is restored."""
+    from xetl_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_window_agg,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+
+    def rows(**kw):
+        out = run_stream_to_memory(
+            tumbling_window_agg(read_events_stream(spark, sf_dir)),
+            mode="complete",
+            **kw,
+        )
+        return sorted(map(tuple, out.collect()))
+
+    default = rows(state_partitions=4)
+    rocks = rows(state_partitions=4, state_store="rocksdb")
+    assert rocks == default and len(rocks) > 0
+    assert spark.conf.get(key, None) == before
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="state_store"):
+        rows(state_store="bogus")

@@ -138,6 +138,7 @@ def run_stream_to_memory(
     mode: str = "complete",
     drain_state: bool = False,
     state_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drive a (finite-source) streaming DataFrame to completion through
     a memory sink; returns the materialized result as a batch DataFrame.
@@ -166,15 +167,43 @@ def run_stream_to_memory(
     The session conf is snapshotted and restored after .start(), which
     is safe because the value is read once at query planning.
 
+    ``state_store`` selects the state-store backend for this query:
+    'rocksdb' (RocksDBStateStoreProvider — state lives off-heap on
+    local disk with changelog checkpointing, the production choice
+    once per-partition state outgrows executor memory; the
+    HDFS-backed default holds every key in the JVM heap) or 'hdfs'
+    (the default provider, explicit). Like the partition count, the
+    provider is pinned at query start and frozen into the checkpoint.
+
     This is the local test harness path — real deployments use
     writeStream with checkpointLocation to durable sinks.
     """
     spark = stream_df.sparkSession
     name = f"xetl_mem_{uuid.uuid4().hex[:8]}"
-    conf_key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(conf_key) if state_partitions is not None else None
+    _PROVIDERS = {
+        "rocksdb": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "hdfs": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+    }
+    overrides: dict[str, str] = {}
     if state_partitions is not None:
-        spark.conf.set(conf_key, str(int(state_partitions)))
+        overrides["spark.sql.shuffle.partitions"] = str(int(state_partitions))
+    if state_store is not None:
+        if state_store not in _PROVIDERS:
+            raise ValueError(
+                f"state_store must be one of {sorted(_PROVIDERS)}"
+            )
+        overrides["spark.sql.streaming.stateStore.providerClass"] = _PROVIDERS[
+            state_store
+        ]
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
@@ -183,8 +212,11 @@ def run_stream_to_memory(
             .start()
         )
     finally:
-        if saved is not None:
-            spark.conf.set(conf_key, saved)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     try:
         q.processAllAvailable()
         if drain_state:
