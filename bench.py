@@ -80,6 +80,12 @@ LLM_SUITE = [
     "q_multimodal_webp",
     "q_multimodal_flac",
     "q_multimodal_anim_frames",
+    # round-12 additions: ISO-BMFF demux + MJPEG/G.711 decode through
+    # the sample-table walk, and the VP8 header/quality probe (all
+    # constant-size fixture batteries, codec-bound)
+    "q_multimodal_mp4_samples",
+    "q_multimodal_mp4_mjpeg_frames",
+    "q_multimodal_vp8_quality",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

@@ -335,3 +335,29 @@ def test_fuzz_vp8_header():
         _mutations(webp_wrap_vp8(raw)),
         (im.UnsupportedImageError,),
     )
+
+
+def test_fuzz_mp4_audio_decode():
+    """decode_audio over a mutated G.711/FLAC MP4 must degrade to the
+    typed audio/container errors, never a raw struct/index escape."""
+    from xetl_spark.operators.audio import UnsupportedAudioError, decode_audio
+
+    raw = bytes((i * 7) % 256 for i in range(800))
+    payload = mp.mp4_build_tracks(
+        [{"handler": "soun", "codec": "ulaw", "timescale": 8000,
+          "samples": [raw[i * 200 : (i + 1) * 200] for i in range(4)],
+          "deltas": [200] * 4, "channels": 1}]
+    )
+    _check(
+        decode_audio,
+        _mutations(payload),
+        (UnsupportedAudioError, mp.Mp4FormatError),
+    )
+
+
+def test_fuzz_webp_alpha():
+    from xetl_spark.operators.webp import webp_alpha_plane, webp_build_lossy_alpha
+
+    a = rng.integers(0, 256, (8, 10), dtype=np.uint8)
+    payload = webp_build_lossy_alpha(a, method=2, compression=1, y_ac_qi=30)
+    _check(webp_alpha_plane, _mutations(payload), (im.UnsupportedImageError,))

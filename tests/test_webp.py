@@ -493,3 +493,41 @@ def test_probe_variant_all_lossy_animation():
     body2 = body + chunk(b"ANMF", anmf_l)
     payload2 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WEBP" + body2
     assert webp_probe(payload2)["variant"] == "vp8l"
+
+
+def test_alpha_plane_roundtrip_matrix():
+    """ALPH encode/decode across every filter (none/horizontal/
+    vertical/gradient) x compression (raw / headerless VP8L stream);
+    container-level extraction via webp_alpha_plane with the VP8X
+    alpha flag and a VP8 frame header present."""
+    from xetl_spark.operators.webp import (
+        alph_decode,
+        alph_encode,
+        webp_alpha_plane,
+        webp_build_lossy_alpha,
+        webp_lossy_header,
+    )
+
+    rng = np.random.RandomState(5)
+    for method in range(4):
+        for comp in (0, 1):
+            a = rng.randint(0, 256, (9, 13), np.uint8)
+            assert np.array_equal(
+                alph_decode(alph_encode(a, method, comp), 13, 9), a
+            ), (method, comp)
+    # gradient filter on a smooth ramp (the case it was designed for)
+    y, x = np.mgrid[0:12, 0:20]
+    ramp = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    payload = webp_build_lossy_alpha(ramp, method=3, compression=1, y_ac_qi=55)
+    assert np.array_equal(webp_alpha_plane(payload), ramp)
+    info = webp_probe(payload)
+    assert info["alpha"] and info["variant"] == "vp8"
+    assert webp_lossy_header(payload)["quant"]["y_ac_qi"] == 55
+    # a lossless webp has no ALPH chunk -> typed error
+    solid = webp_encode(np.full((4, 4, 3), 9, np.uint8))
+    with pytest.raises(UnsupportedImageError, match="no ALPH"):
+        webp_alpha_plane(solid)
+    with pytest.raises(UnsupportedImageError):
+        alph_decode(b"", 4, 4)
+    with pytest.raises(UnsupportedImageError, match="truncated"):
+        alph_decode(b"\x00" + b"x" * 5, 4, 4)  # raw plane too short

@@ -1279,3 +1279,178 @@ def webp_lossy_header(payload: bytes) -> dict:
                 ip += 8 + isz + (isz & 1)
         pos += 8 + size + (size & 1)
     raise Vp8FormatError("webp: no 'VP8 ' (lossy) chunk found")
+
+
+# ---------------------------------------------------- ALPH (lossy+alpha)
+#
+# A lossy (VP8) WebP carries transparency in a separate ALPH chunk
+# (VP8X files; also per-ANMF-frame). Header byte, MSB->LSB:
+# reserved(2) preprocessing(2) filtering(2) compression(2).
+# compression 0 = raw width*height bytes, 1 = a HEADERLESS VP8L
+# image-stream of implicit dimension width x height whose GREEN
+# channel carries the alpha values. Filtering (none/horizontal/
+# vertical/gradient) is applied to the alpha plane before compression
+# and inverted after decode: top-left predicts 0, the rest of the top
+# row predicts left, the rest of the left column predicts above, and
+# interior pixels predict per the method (gradient = clip(L + T - TL)).
+# Preprocessing (level reduction) is an encoder-side quantization the
+# decoder ignores.
+
+
+def _alpha_unfilter(arr: np.ndarray, method: int) -> np.ndarray:
+    if method == 0:
+        return arr
+    a = arr.astype(np.int64)
+    h, w = a.shape
+    out = np.zeros_like(a)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                p = 0
+            elif y == 0:
+                p = out[0, x - 1]
+            elif x == 0:
+                p = out[y - 1, 0]
+            elif method == 1:
+                p = out[y, x - 1]
+            elif method == 2:
+                p = out[y - 1, x]
+            else:
+                p = min(
+                    255, max(0, out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1])
+                )
+            out[y, x] = (a[y, x] + p) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _alpha_filter(arr: np.ndarray, method: int) -> np.ndarray:
+    """Forward filter (encoder side): residual = value - prediction,
+    where predictions come from the ORIGINAL plane (the decoder
+    reconstructs the same neighbors by induction)."""
+    if method == 0:
+        return arr
+    a = arr.astype(np.int64)
+    h, w = a.shape
+    out = np.zeros_like(a)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                p = 0
+            elif y == 0:
+                p = a[0, x - 1]
+            elif x == 0:
+                p = a[y - 1, 0]
+            elif method == 1:
+                p = a[y, x - 1]
+            elif method == 2:
+                p = a[y - 1, x]
+            else:
+                p = min(255, max(0, a[y, x - 1] + a[y - 1, x] - a[y - 1, x - 1]))
+            out[y, x] = (a[y, x] - p) & 0xFF
+    return out.astype(np.uint8)
+
+
+def alph_encode(
+    alpha: np.ndarray, method: int = 0, compression: int = 0
+) -> bytes:
+    """(H, W) uint8 alpha plane -> ALPH chunk body."""
+    if not 0 <= method <= 3:
+        raise UnsupportedImageError("webp alpha: filter method 0..3")
+    if compression not in (0, 1):
+        raise UnsupportedImageError("webp alpha: compression 0 (raw) or 1 (VP8L)")
+    alpha = np.asarray(alpha, dtype=np.uint8)
+    h, w = alpha.shape
+    filtered = _alpha_filter(alpha, method)
+    head = bytes([(method << 2) | compression])
+    if compression == 0:
+        return head + filtered.tobytes()
+    # headerless VP8L image-stream; alpha rides the GREEN channel
+    img = (np.uint32(0xFF) << 24) | (filtered.astype(np.uint32) << 8)
+    bw = _BitWriter()
+    bw.write(0, 1)  # no transforms
+    _encode_image_stream(bw, img.reshape(h, w), w, 0, True)
+    return head + bw.done()
+
+
+def alph_decode(body: bytes, width: int, height: int) -> np.ndarray:
+    """ALPH chunk body -> (H, W) uint8 alpha plane."""
+    if not body:
+        raise UnsupportedImageError("webp alpha: empty ALPH chunk")
+    compression = body[0] & 3
+    method = (body[0] >> 2) & 3
+    data = body[1:]
+    if compression == 0:
+        if len(data) < width * height:
+            raise UnsupportedImageError("webp alpha: raw plane truncated")
+        plane = np.frombuffer(
+            data[: width * height], dtype=np.uint8
+        ).reshape(height, width)
+    elif compression == 1:
+        img = _decode_image_stream(_BitReader(data), width, height, True)
+        plane = ((img >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise UnsupportedImageError("webp alpha: reserved compression method")
+    return _alpha_unfilter(plane, method)
+
+
+def webp_build_lossy_alpha(
+    alpha: np.ndarray,
+    *,
+    method: int = 0,
+    compression: int = 0,
+    **vp8_kwargs,
+) -> bytes:
+    """Fixture writer: a VP8X WebP with an ALPH chunk and a VP8
+    key-frame header (operators/vp8.vp8_header_build) — the layout of
+    a real lossy-with-transparency WebP."""
+    from xetl_spark.operators.vp8 import vp8_header_build
+
+    alpha = np.asarray(alpha, dtype=np.uint8)
+    h, w = alpha.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    vp8x = chunk(
+        b"VP8X",
+        bytes([0x10]) + b"\x00" * 3
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"),
+    )
+    alph = chunk(b"ALPH", alph_encode(alpha, method, compression))
+    vp8 = chunk(b"VP8 ", vp8_header_build(w, h, **vp8_kwargs))
+    body = vp8x + alph + vp8
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def webp_alpha_plane(payload: bytes) -> np.ndarray:
+    """Extract and decode the alpha plane of a lossy-with-alpha WebP
+    (top-level ALPH, or the first ANMF frame's). Dimensions come from
+    the VP8X canvas (still images) or the frame rectangle. The RGB
+    macroblocks stay behind the VP8 pixel-decode boundary
+    (operators/vp8.py) — transparency statistics don't need them."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise UnsupportedImageError("webp: bad RIFF header")
+    info = webp_probe(payload)
+    w, hgt = info["width"], info["height"]
+    if w is None or hgt is None:
+        raise UnsupportedImageError("webp alpha: no canvas dimensions")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"ALPH":
+            return alph_decode(body, w, hgt)
+        if tag == b"ANMF" and len(body) >= 16:
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            ip = 16
+            while ip + 8 <= len(body):
+                itag = body[ip : ip + 4]
+                (isz,) = struct.unpack("<I", body[ip + 4 : ip + 8])
+                if itag == b"ALPH":
+                    return alph_decode(body[ip + 8 : ip + 8 + isz], fw, fh)
+                ip += 8 + isz + (isz & 1)
+        pos += 8 + size + (size & 1)
+    raise UnsupportedImageError("webp alpha: no ALPH chunk")

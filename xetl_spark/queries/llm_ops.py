@@ -5187,3 +5187,92 @@ def q_multimodal_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         schema="doc_id long, n_samples long, sample_rate int, pcm_sum long",
     )
+
+
+@query(
+    "q_multimodal_webp_alpha",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS did,
+             5 + doc_id % 6 AS w,
+             4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 160)
+    SELECT did AS doc_id,
+           CAST(MAX(w) AS INT)                  AS width,
+           CAST(MAX(h) AS INT)                  AS height,
+           CAST(did % 4 AS INT)                 AS filter_method,
+           CAST(did % 2 AS INT)                 AS compression,
+           CAST((did * 7) % 128 AS INT)         AS y_ac_qi,
+           CAST(SUM((did * 3 + x.x * 5 + y.y * 11) % 256) AS BIGINT)
+                                                AS alpha_sum
+    FROM p
+    JOIN range(11) x(x) ON x.x < w
+    JOIN range(9)  y(y) ON y.y < h
+    GROUP BY did
+    """,
+)
+def q_multimodal_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP TRANSPARENCY decode under the driver's hash gate:
+    builds a VP8X container per document (ALPH chunk cycling all four
+    alpha filters x raw/VP8L compression, plus a spec-exact VP8 frame
+    header), decodes the alpha plane back through webp_alpha_plane —
+    headerless VP8L image-stream or raw bytes, then the inverse filter
+    pass — and emits exact plane sums. Transparency statistics are a
+    standard image-curation signal (icon/overlay detection) and don't
+    need the RGB macroblocks (the documented VP8 pixel boundary).
+    Scale: map-only per document."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 160)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators.webp import (
+            webp_alpha_plane,
+            webp_build_lossy_alpha,
+            webp_lossy_header,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 6, 4 + did % 5
+                y, x = np.mgrid[0:h, 0:w]
+                alpha = ((did * 3 + x * 5 + y * 11) % 256).astype(np.uint8)
+                payload = webp_build_lossy_alpha(
+                    alpha,
+                    method=did % 4,
+                    compression=did % 2,
+                    y_ac_qi=(did * 7) % 128,
+                )
+                plane = webp_alpha_plane(payload)
+                hdr = webp_lossy_header(payload)
+                rows.append(
+                    (
+                        did,
+                        plane.shape[1],
+                        plane.shape[0],
+                        did % 4,
+                        did % 2,
+                        hdr["quant"]["y_ac_qi"],
+                        int(plane.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "filter_method",
+                    "compression", "y_ac_qi", "alpha_sum",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width int, height int, filter_method int, "
+            "compression int, y_ac_qi int, alpha_sum long"
+        ),
+    )
