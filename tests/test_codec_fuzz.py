@@ -361,3 +361,13 @@ def test_fuzz_webp_alpha():
     a = rng.integers(0, 256, (8, 10), dtype=np.uint8)
     payload = webp_build_lossy_alpha(a, method=2, compression=1, y_ac_qi=30)
     _check(webp_alpha_plane, _mutations(payload), (im.UnsupportedImageError,))
+
+
+def test_fuzz_ivf():
+    from xetl_spark.operators.vp8 import vp8_header_build
+
+    ivf = mp.ivf_build(
+        [vp8_header_build(16, 12, y_ac_qi=33), bytes(range(40))],
+        "VP80", 16, 12,
+    )
+    _check(mp.ivf_probe, _mutations(ivf), (mp.IvfFormatError,))

@@ -474,3 +474,42 @@ def test_sample_frames_mjpeg_mp4(spark):
     for r in rows:
         px = png_decode(bytes(r.frame))
         assert int(px[0, 0, 0]) == 10 * (r.frame_idx + 1)
+
+
+def test_ivf_probe_and_vp8_quality():
+    """IVF (DKIF) frame walk: codec/dims/timebase/frame extents, the
+    first VP8 key frame's full header (quantizer signal) surfaced,
+    trailing partial frames rejected, non-VP8 codecs passed through."""
+    from xetl_spark.operators.vp8 import vp8_header_build
+
+    frames = [vp8_header_build(64, 48, y_ac_qi=70), b"\x01" * 20, b"\x02" * 9]
+    ivf = mp.ivf_build(frames, "VP80", 64, 48, (30, 1))
+    p = mp.ivf_probe(ivf)
+    assert p["codec"] == "VP80" and p["n_frames"] == 3
+    assert (p["width"], p["height"]) == (64, 48)
+    assert p["duration_ms"] == 100  # last pts 2 -> (2+1)/30 s
+    assert p["vp8_header"]["quant"]["y_ac_qi"] == 70
+    assert p["_frames"][1][1] == 20  # second frame size
+    p9 = mp.ivf_probe(mp.ivf_build([b"\x00" * 5], "VP90", 8, 8))
+    assert p9["codec"] == "VP90" and "vp8_header" not in p9
+    # interframe-first VP8 stream: header slot present but None
+    pif = mp.ivf_probe(mp.ivf_build([b"\x01" * 10], "VP80", 8, 8))
+    assert pif["vp8_header"] is None
+    for bad in (b"", b"DKIF", ivf[:30], ivf[:40], ivf[: len(ivf) - 3]):
+        with pytest.raises(mp.IvfFormatError):
+            mp.ivf_probe(bad)
+
+
+def test_probe_media_ivf(spark):
+    import pandas as pd
+
+    from xetl_spark.operators.multimodal import probe_media
+    from xetl_spark.operators.vp8 import vp8_header_build
+
+    ivf = mp.ivf_build(
+        [vp8_header_build(32, 24), b"\x00" * 7], "VP80", 32, 24, (10, 1)
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [ivf]}))
+    row = probe_media(df).collect()[0]
+    assert row.container == "ivf"
+    assert (row.width, row.height, row.n_frames) == (32, 24, 2)

@@ -1376,3 +1376,84 @@ def id3_build(tags: dict, version: int = 3, unsync: bool = False) -> bytes:
     size = len(payload)
     ss = bytes([(size >> s) & 0x7F for s in (21, 14, 7, 0)])
     return b"ID3" + bytes([version, 0, flags]) + ss + payload
+
+
+# ---------------------------------------------------------------- ivf
+
+
+class IvfFormatError(ValueError):
+    """Payload is not an IVF (DKIF) stream this probe reads."""
+
+
+def ivf_build(
+    frames: list[bytes],
+    codec: str = "VP80",
+    width: int = 0,
+    height: int = 0,
+    timebase: tuple[int, int] = (30, 1),
+    pts: list[int] | None = None,
+) -> bytes:
+    """IVF container writer (the raw VP8/VP9/AV1 stream format used by
+    encoder test vectors): 32-byte DKIF header + per-frame 12-byte
+    (size, pts) headers."""
+    rate, scale = timebase
+    out = bytearray(
+        b"DKIF"
+        + struct.pack("<HH", 0, 32)
+        + codec.encode("ascii")
+        + struct.pack("<HH", width, height)
+        + struct.pack("<IIII", rate, scale, len(frames), 0)
+    )
+    for i, f in enumerate(frames):
+        t = pts[i] if pts is not None else i
+        out += struct.pack("<IQ", len(f), t) + f
+    return bytes(out)
+
+
+@_typed(IvfFormatError)
+def ivf_probe(payload: bytes, max_frames: int = 1_000_000) -> dict:
+    """IVF triage: codec fourcc, declared dimensions, timebase, and a
+    frame walk (count, byte extents, pts). For VP8 payloads the first
+    key frame's full header is parsed via operators/vp8.py, surfacing
+    the quantizer/quality signal for raw-stream corpora. O(frame
+    headers) — payload bytes are skipped by declared size."""
+    if payload[:4] != b"DKIF":
+        raise IvfFormatError("no DKIF magic")
+    if len(payload) < 32:
+        raise IvfFormatError("truncated IVF header")
+    version, hdr_size = struct.unpack_from("<HH", payload, 4)
+    codec = payload[8:12].decode("ascii", "replace")
+    width, height = struct.unpack_from("<HH", payload, 12)
+    rate, scale, declared, _ = struct.unpack_from("<IIII", payload, 16)
+    pos = hdr_size
+    frames = []
+    while pos + 12 <= len(payload) and len(frames) < max_frames:
+        size, t = struct.unpack_from("<IQ", payload, pos)
+        if pos + 12 + size > len(payload):
+            raise IvfFormatError("frame extent beyond payload")
+        frames.append((pos + 12, size, t))
+        pos += 12 + size
+    if pos != len(payload) and len(frames) < max_frames:
+        raise IvfFormatError("trailing bytes are not a complete frame header")
+    out = {
+        "container": "ivf",
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "timebase": (rate, scale),
+        "declared_frames": declared,
+        "n_frames": len(frames),
+        "duration_ms": (
+            (frames[-1][2] + 1) * scale * 1000 // rate if frames and rate else None
+        ),
+        "_frames": frames,
+    }
+    if codec == "VP80" and frames:
+        from xetl_spark.operators.vp8 import Vp8FormatError, vp8_header_probe
+
+        off, size, _t = frames[0]
+        try:
+            out["vp8_header"] = vp8_header_probe(payload[off : off + size])
+        except Vp8FormatError:
+            out["vp8_header"] = None  # interframe-first or damaged stream
+    return out

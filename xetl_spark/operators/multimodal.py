@@ -702,6 +702,12 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
                     "mp4", p["width"], p["height"], None, None,
                     p["duration_ms"], None, p["n_tracks"],
                 )
+            if payload[:4] == b"DKIF":
+                p = mediaprobe.ivf_probe(payload)  # frame headers only
+                return (
+                    "ivf", p["width"] or None, p["height"] or None, None,
+                    None, p["duration_ms"], None, p["n_frames"],
+                )
             if payload[:4] == b"OggS":
                 p = mediaprobe.ogg_probe(payload)  # page headers only
                 return (
