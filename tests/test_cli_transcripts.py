@@ -340,6 +340,7 @@ def test_perplexity_keep_head_golden_transcript(tmp_path):
         ┃     TEXT_COL: text
         ┃     ID_COL: doc_id
         ┃     EXACT: True
+        ┃     FIT_FRACTION: auto
         ┃   skip: false
         ┃╭──╴Executing task: perplexity_filter ─╴╴╶ ╶
         ┃│{TS}┊ Running command heads (task=perplexity_filter)
