@@ -371,3 +371,18 @@ def test_fuzz_ivf():
         "VP80", 16, 12,
     )
     _check(mp.ivf_probe, _mutations(ivf), (mp.IvfFormatError,))
+
+
+def test_fuzz_mp4_fragmented():
+    payload = mp.mp4_build_fragmented(
+        [
+            {"handler": "vide", "codec": "avc1", "timescale": 600,
+             "width": 8, "height": 6,
+             "fragments": [
+                 {"samples": [bytes(range(12)), bytes(range(7))],
+                  "durations": [40, 40], "ctts": [0, 5], "sync": {1}},
+                 {"samples": [bytes(range(9))], "durations": [40]},
+             ]},
+        ]
+    )
+    _check(mp.mp4_samples, _mutations(payload), (mp.Mp4FormatError,))

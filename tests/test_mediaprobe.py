@@ -513,3 +513,64 @@ def test_probe_media_ivf(spark):
     row = probe_media(df).collect()[0]
     assert row.container == "ivf"
     assert (row.width, row.height, row.n_frames) == (32, 24, 2)
+
+
+def test_mp4_fragmented_layout():
+    """fMP4/CMAF: moov is metadata-only (empty stbl + mvex/trex
+    defaults); samples come from moof[tfhd/tfdt/trun]+mdat fragments
+    with moof-relative offsets, per-sample durations/sizes/flags and
+    signed ctts; dts accumulates across fragments via tfdt; indices
+    continue globally; decode_audio works transparently over a
+    fragmented G.711 track."""
+    from xetl_spark.operators.audio import _mulaw_expand, decode_audio
+
+    raw = bytes((j * 7) % 256 for j in range(600))
+    payload = mp.mp4_build_fragmented(
+        [
+            {
+                "handler": "vide", "codec": "avc1", "timescale": 600,
+                "width": 64, "height": 48,
+                "fragments": [
+                    {"samples": [b"AAAA", b"BBBBB", b"CC"],
+                     "durations": [100, 100, 120],
+                     "ctts": [0, 10, 0], "sync": {1}},
+                    {"samples": [b"DDD", b"EEEEEE"],
+                     "durations": [100, 100], "sync": {1, 2}},
+                ],
+            },
+            {
+                "handler": "soun", "codec": "ulaw", "timescale": 8000,
+                "channels": 1,
+                "fragments": [
+                    {"samples": [raw[:300]], "durations": [300]},
+                    {"samples": [raw[300:]], "durations": [300]},
+                ],
+            },
+        ]
+    )
+    info = mp.mp4_samples(payload)
+    vids = sorted(
+        (s for s in info["samples"] if s["handler"] == "vide"),
+        key=lambda s: s["index"],
+    )
+    assert [s["data"] for s in vids] == [b"AAAA", b"BBBBB", b"CC", b"DDD", b"EEEEEE"]
+    assert [s["dts"] for s in vids] == [0, 100, 200, 320, 420]
+    assert [s["pts"] for s in vids] == [0, 110, 200, 320, 420]
+    assert [s["sync"] for s in vids] == [True, False, False, True, True]
+    assert info["tracks"][1]["n_samples"] == 5
+    auds = [s for s in info["samples"] if s["handler"] == "soun"]
+    assert all(s["sync"] for s in auds)  # trex default flags = sync
+    pcm, rate = decode_audio(payload)
+    assert rate == 8000 and pcm.shape == (600, 1)
+    assert np.array_equal(pcm[:, 0], _mulaw_expand(np.frombuffer(raw, np.uint8)))
+    # hostile: truncated final mdat -> typed error, not a bad slice
+    with pytest.raises(mp.Mp4FormatError):
+        mp.mp4_samples(payload[:-4])
+    # moof referencing an unknown track id
+    import struct as _st
+
+    i = payload.find(b"tfhd")
+    bad = bytearray(payload)
+    _st.pack_into(">I", bad, i + 8, 99)
+    with pytest.raises(mp.Mp4FormatError, match="unknown track"):
+        mp.mp4_samples(bytes(bad))

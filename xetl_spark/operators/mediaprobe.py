@@ -703,6 +703,162 @@ def mp4_build_tracks(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
     return ftyp + mdat + moov
 
 
+def mp4_build_fragmented(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
+    """Fragmented ISO-BMFF (fMP4/CMAF — the DASH/HLS streaming layout)
+    writer: moov carries only track metadata plus mvex/trex defaults;
+    samples live in moof[mfhd, traf[tfhd(default-base-is-moof), tfdt,
+    trun]] + mdat fragments, all tracks interleaved per fragment.
+
+    Track dict: ``handler``, ``codec``, ``timescale``, optional
+    ``width``/``height``/``channels``/``codec_config``, and
+    ``fragments`` — a list of {samples: [bytes], durations: [int],
+    optional ctts: [int], optional sync: {1-based local sample numbers}
+    (absent = all sync)}. Every track must declare the same number of
+    fragments (pad with empty ones)."""
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5iso6cmfc"
+    )
+    n_frags = max((len(t.get("fragments", [])) for t in tracks), default=0)
+
+    traks = b""
+    mvex = b""
+    for ti, t in enumerate(tracks):
+        tid = ti + 1
+        fourcc = t["codec"].encode("ascii")
+        if t["handler"] == "vide":
+            body = (
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 16
+                + struct.pack(">HH", t.get("width", 0), t.get("height", 0))
+                + struct.pack(">II", 0x480000, 0x480000)
+                + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+                + struct.pack(">Hh", 24, -1)
+            )
+            mhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0))
+        else:
+            body = (
+                b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+                + struct.pack(">HH", t.get("channels", 1), 16)
+                + b"\x00" * 4 + struct.pack(">I", t["timescale"] << 16)
+            )
+            mhd = _full(b"smhd", struct.pack(">HH", 0, 0))
+        body += t.get("codec_config", b"")
+        stbl = _box(
+            b"stbl",
+            _full(b"stsd", struct.pack(">I", 1) + _box(fourcc, body))
+            + _full(b"stts", struct.pack(">I", 0))
+            + _full(b"stsc", struct.pack(">I", 0))
+            + _full(b"stsz", struct.pack(">II", 0, 0))
+            + _full(b"stco", struct.pack(">I", 0)),
+        )
+        dinf = _box(
+            b"dinf",
+            _full(b"dref", struct.pack(">I", 1)
+                  + struct.pack(">I", 12) + b"url " + b"\x00\x00\x00\x01"),
+        )
+        mdhd = _full(
+            b"mdhd",
+            struct.pack(">II", 0, 0)
+            + struct.pack(">II", t["timescale"], 0)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _full(
+            b"hdlr",
+            struct.pack(">I", 0) + t["handler"].encode("ascii")
+            + b"\x00" * 12 + b"xetl\x00",
+        )
+        tkhd = _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+            + struct.pack(">I", tid) + b"\x00" * 4 + struct.pack(">I", 0)
+            + b"\x00" * 8 + b"\x00\x00" * 2 + b"\x00\x00" + b"\x00" * 2
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", t.get("width", 0) << 16, t.get("height", 0) << 16),
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", mhd + dinf + stbl))
+        traks += _box(b"trak", tkhd + mdia)
+        # default sample flags 0 = sync (audio-style); video fragments
+        # carry explicit per-sample/first-sample flags in their truns
+        mvex += _full(b"trex", struct.pack(">IIIII", tid, 1, 0, 0, 0))
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", movie_timescale, 0)
+        + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1),
+    )
+    moov = _box(b"moov", mvhd + traks + _box(b"mvex", mvex))
+
+    def trun_box(frag: dict, data_offset: int) -> bytes:
+        samples = frag["samples"]
+        durs = frag["durations"]
+        ctts = frag.get("ctts")
+        sync = frag.get("sync")
+        flags = 0x01 | 0x100 | 0x200  # data-offset + duration + size
+        if ctts is not None:
+            flags |= 0x800
+        if sync is not None:
+            flags |= 0x400
+        body = struct.pack(">I", len(samples)) + struct.pack(">i", data_offset)
+        for i, s in enumerate(samples):
+            body += struct.pack(">I", durs[i])
+            body += struct.pack(">I", len(s))
+            if sync is not None:
+                body += struct.pack(
+                    ">I", 0 if (i + 1) in sync else 0x10000
+                )
+            if ctts is not None:
+                body += struct.pack(">i", ctts[i])
+        # trun version 1 (signed composition offsets)
+        return _box(b"trun", bytes([1, 0, (flags >> 8) & 0xFF, flags & 0xFF]) + body)
+
+    out = ftyp + moov
+    dts_cursor = [0] * len(tracks)
+    for fi in range(n_frags):
+        frags = [
+            (ti, t["fragments"][fi])
+            for ti, t in enumerate(tracks)
+            if fi < len(t.get("fragments", [])) and t["fragments"][fi]["samples"]
+        ]
+        mfhd = _full(b"mfhd", struct.pack(">I", fi + 1))
+        # two passes: sizes of the traf boxes depend only on entry
+        # counts, so build with a placeholder offset, then rebuild with
+        # the real moof-relative data offsets
+        for offsets in (None, "real"):
+            pos_in_mdat = 0
+            trafs = b""
+            for ti, frag in frags:
+                tfhd = _full(
+                    b"tfhd",
+                    struct.pack(">I", ti + 1),
+                    version=0,
+                )
+                # flags live in bytes 1-3 of the FullBox header: set
+                # default-base-is-moof (0x20000)
+                tfhd = tfhd[:8] + bytes([0, 2, 0]) + tfhd[11:]
+                tfdt = _box(
+                    b"tfdt",
+                    bytes([1, 0, 0, 0]) + struct.pack(">Q", dts_cursor[ti]),
+                )
+                doff = (
+                    0
+                    if offsets is None
+                    else moof_size + 8 + pos_in_mdat  # noqa: F821
+                )
+                trafs += _box(b"traf", tfhd + tfdt + trun_box(frag, doff))
+                pos_in_mdat += sum(len(s) for s in frag["samples"])
+            moof = _box(b"moof", mfhd + trafs)
+            moof_size = len(moof)
+        mdat_body = b"".join(
+            s for _ti, frag in frags for s in frag["samples"]
+        )
+        out += moof + _box(b"mdat", mdat_body)
+        for ti, frag in frags:
+            dts_cursor[ti] += sum(frag["durations"])
+    return out
+
+
 @_typed(Mp4FormatError)
 def mp4_samples(
     payload: bytes, with_data: bool = True, max_samples: int = 1_000_000
@@ -729,11 +885,22 @@ def mp4_samples(
         raise Mp4FormatError("no ftyp box (not ISO-BMFF)")
     out: list[dict] = []
     tracks: dict[int, dict] = {}
+    trex: dict[int, dict] = {}  # mvex defaults for fragmented tracks
     n_tracks = 0
     for btype, b0, b1 in _walk_boxes(payload, 0, n):
         if btype != b"moov":
             continue
         for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
+            if ctype == b"mvex":
+                for xtype, x0, x1 in _walk_boxes(payload, c0, c1):
+                    if xtype == b"trex" and x1 - x0 >= 24:
+                        tid, _sdi, ddur, dsize, dflags = struct.unpack_from(
+                            ">IIIII", payload, x0 + 4
+                        )
+                        trex[tid] = {
+                            "duration": ddur, "size": dsize, "flags": dflags
+                        }
+                continue
             if ctype != b"trak":
                 continue
             n_tracks += 1
@@ -789,7 +956,17 @@ def mp4_samples(
                                     elif st == b"stss":
                                         stss = (s0, s1)
             if stsz is None or stsc is None or stco is None or stts is None:
-                continue  # hint-only or empty track (no sample tables)
+                # hint-only or fragmented track (sample data in moof
+                # fragments) — register the metadata so the moof walk
+                # can resolve handler/codec/timescale by track_id
+                tracks[track_id] = {
+                    "handler": handler,
+                    "codec": codec,
+                    "timescale": timescale,
+                    "n_samples": 0,
+                    "stsd_body": stsd_body,
+                }
+                continue
 
             def _entries(extent, fmt, width, cap, skip=4):
                 s0, s1 = extent
@@ -847,9 +1024,10 @@ def mp4_samples(
                 chunk_offs = [v for (v,) in _entries((s0, s1), ">I", 4, max_samples)]
             else:
                 chunk_offs = [v for (v,) in _entries((s0, s1), ">Q", 8, max_samples)]
-            # samples-per-chunk runs
+            # samples-per-chunk runs (all tables legally empty when the
+            # track's samples live in moof fragments)
             runs = _entries(stsc, ">III", 12, max_samples)
-            if not runs or runs[0][0] != 1:
+            if count and (not runs or runs[0][0] != 1):
                 raise Mp4FormatError("stsc must start at chunk 1")
             for (f1, _, _), (f2, _, _) in zip(runs, runs[1:]):
                 if f2 <= f1:
@@ -902,6 +1080,151 @@ def mp4_samples(
                 "n_samples": count,
                 "stsd_body": stsd_body,
             }
+
+    # ---- fragmented layout (fMP4/CMAF): moof[mfhd, traf[tfhd, tfdt?,
+    # trun+]] + mdat per fragment. Defaults cascade trun -> tfhd ->
+    # trex; data offsets anchor at tfhd base_data_offset or (the
+    # default-base-is-moof convention) the moof box start.
+    frag_index: dict[int, int] = {}  # per-track running sample index
+    frag_dts: dict[int, int] = {}  # per-track decode-time cursor
+    for btype, b0, b1 in _walk_boxes(payload, 0, n):
+        if btype != b"moof":
+            continue
+        moof_start = b0 - 8
+        for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
+            if ctype != b"traf":
+                continue
+            tfhd = None
+            base_dts = None
+            truns = []
+            for xtype, x0, x1 in _walk_boxes(payload, c0, c1):
+                if xtype == b"tfhd":
+                    flags = int.from_bytes(payload[x0 + 1 : x0 + 4], "big")
+                    (tid,) = struct.unpack_from(">I", payload, x0 + 4)
+                    p = x0 + 8
+                    base = None
+                    if flags & 0x01:
+                        (base,) = struct.unpack_from(">Q", payload, p)
+                        p += 8
+                    if flags & 0x02:
+                        p += 4  # sample_description_index
+                    ddur = dsize = dflags = None
+                    if flags & 0x08:
+                        (ddur,) = struct.unpack_from(">I", payload, p)
+                        p += 4
+                    if flags & 0x10:
+                        (dsize,) = struct.unpack_from(">I", payload, p)
+                        p += 4
+                    if flags & 0x20:
+                        (dflags,) = struct.unpack_from(">I", payload, p)
+                        p += 4
+                    tfhd = {
+                        "tid": tid,
+                        "base": base,
+                        "base_is_moof": bool(flags & 0x20000),
+                        "duration": ddur,
+                        "size": dsize,
+                        "flags": dflags,
+                    }
+                elif xtype == b"tfdt":
+                    ver = payload[x0]
+                    base_dts = (
+                        struct.unpack_from(">Q", payload, x0 + 4)[0]
+                        if ver == 1
+                        else struct.unpack_from(">I", payload, x0 + 4)[0]
+                    )
+                elif xtype == b"trun":
+                    truns.append((x0, x1))
+            if tfhd is None:
+                raise Mp4FormatError("traf without tfhd")
+            tid = tfhd["tid"]
+            tmeta = tracks.get(tid)
+            if tmeta is None:
+                raise Mp4FormatError(f"moof references unknown track {tid}")
+            tdefaults = trex.get(tid, {})
+            ddur = tfhd["duration"] or tdefaults.get("duration") or 0
+            dsize = tfhd["size"] or tdefaults.get("size") or 0
+            dflags = (
+                tfhd["flags"]
+                if tfhd["flags"] is not None
+                else tdefaults.get("flags", 0)
+            )
+            base = tfhd["base"]
+            if base is None:
+                base = moof_start  # default-base-is-moof + the common
+                # first-traf convention coincide for this layout
+            if base_dts is not None:
+                frag_dts[tid] = base_dts
+            dts_cur = frag_dts.get(tid, 0)
+            pos = base
+            for x0, x1 in truns:
+                ver = payload[x0]
+                tflags = int.from_bytes(payload[x0 + 1 : x0 + 4], "big")
+                (cnt,) = struct.unpack_from(">I", payload, x0 + 4)
+                if cnt > max_samples:
+                    raise Mp4FormatError(f"trun declares {cnt} samples")
+                p = x0 + 8
+                if tflags & 0x01:
+                    (doff,) = struct.unpack_from(">i", payload, p)
+                    p += 4
+                    pos = base + doff
+                first_flags = None
+                if tflags & 0x04:
+                    (first_flags,) = struct.unpack_from(">I", payload, p)
+                    p += 4
+                per = (
+                    (4 if tflags & 0x100 else 0)
+                    + (4 if tflags & 0x200 else 0)
+                    + (4 if tflags & 0x400 else 0)
+                    + (4 if tflags & 0x800 else 0)
+                )
+                if p + cnt * per > x1:
+                    raise Mp4FormatError("trun truncated")
+                for i in range(cnt):
+                    dur, size, sflags, cofs = ddur, dsize, dflags, 0
+                    if tflags & 0x100:
+                        (dur,) = struct.unpack_from(">I", payload, p)
+                        p += 4
+                    if tflags & 0x200:
+                        (size,) = struct.unpack_from(">I", payload, p)
+                        p += 4
+                    if tflags & 0x400:
+                        (sflags,) = struct.unpack_from(">I", payload, p)
+                        p += 4
+                    if tflags & 0x800:
+                        (cofs,) = (
+                            struct.unpack_from(">i", payload, p)
+                            if ver
+                            else struct.unpack_from(">I", payload, p)
+                        )
+                        p += 4
+                    if i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if pos + size > n:
+                        raise Mp4FormatError("fragment sample beyond file end")
+                    idx = frag_index.get(tid, tmeta["n_samples"])
+                    rec = {
+                        "track_id": tid,
+                        "handler": tmeta["handler"],
+                        "codec": tmeta["codec"],
+                        "index": idx,
+                        "dts": dts_cur,
+                        "pts": dts_cur + cofs,
+                        "timescale": tmeta["timescale"],
+                        "size": size,
+                        "offset": pos,
+                        # ISO 14496-12: flag bit 0x10000 marks NON-sync
+                        "sync": not (sflags & 0x10000),
+                    }
+                    if with_data:
+                        rec["data"] = payload[pos : pos + size]
+                    out.append(rec)
+                    frag_index[tid] = idx + 1
+                    pos += size
+                    dts_cur += dur
+            frag_dts[tid] = dts_cur
+    for tid, extra in frag_index.items():
+        tracks[tid]["n_samples"] = extra
     return {"n_tracks": n_tracks, "samples": out, "tracks": tracks}
 
 

@@ -5276,3 +5276,162 @@ def q_multimodal_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression int, y_ac_qi int, alpha_sum long"
         ),
     )
+
+
+@query(
+    "q_multimodal_mp4_fragmented",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS did, 2 + doc_id % 2 AS nf
+      FROM documents WHERE doc_id < 140),
+    vs AS (  -- video samples: fragment f, local sample i
+      SELECT did, nf, f.f AS f, i.i AS i,
+             8 + (did + f.f * 5 + i.i * 3) % 24   AS size,
+             40 + (did + f.f + i.i) % 20          AS dur,
+             ((i.i + f.f) % 3) * 5                AS cof
+      FROM p
+      JOIN range(3) f(f) ON f.f < nf
+      JOIN range(3) i(i) ON i.i < 1 + (did + f.f) % 3),
+    vb AS (
+      SELECT did, f, i, SUM((did * 17 + f * 29 + i * 11 + j.j * 7) % 251) AS bsum
+      FROM vs JOIN range(32) j(j) ON j.j < size GROUP BY did, f, i),
+    vd AS (  -- dts = sum of durations of lexicographically earlier samples
+      SELECT a.did, a.f, a.i, COALESCE(SUM(b.dur), 0) AS dts
+      FROM vs a LEFT JOIN vs b
+        ON b.did = a.did AND (b.f < a.f OR (b.f = a.f AND b.i < a.i))
+      GROUP BY a.did, a.f, a.i),
+    video AS (
+      SELECT v.did AS doc_id, 'vide' AS handler,
+             CAST(COUNT(*) AS BIGINT)                AS n_samples,
+             CAST(SUM(v.size) AS BIGINT)             AS total_bytes,
+             CAST(SUM(vb.bsum) AS BIGINT)            AS payload_sum,
+             CAST(SUM(vd.dts) AS BIGINT)             AS dts_sum,
+             CAST(SUM(vd.dts + v.cof) AS BIGINT)     AS pts_sum,
+             CAST(SUM(CASE WHEN v.i = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                     AS n_sync
+      FROM vs v
+      JOIN vb ON vb.did = v.did AND vb.f = v.f AND vb.i = v.i
+      JOIN vd ON vd.did = v.did AND vd.f = v.f AND vd.i = v.i
+      GROUP BY v.did),
+    asamp AS (
+      SELECT did, nf, f.f AS f, i.i AS i,
+             20 + (did + f.f * 3 + i.i * 7) % 30 AS size
+      FROM p JOIN range(3) f(f) ON f.f < nf
+      JOIN range(2) i(i) ON true),
+    ab AS (
+      SELECT did, f, i, SUM((did * 13 + f * 19 + i * 23 + j.j * 5) % 251) AS bsum
+      FROM asamp JOIN range(50) j(j) ON j.j < size GROUP BY did, f, i),
+    audio AS (
+      SELECT a.did AS doc_id, 'soun' AS handler,
+             CAST(COUNT(*) AS BIGINT)        AS n_samples,
+             CAST(SUM(a.size) AS BIGINT)     AS total_bytes,
+             CAST(SUM(ab.bsum) AS BIGINT)    AS payload_sum,
+             CAST(SUM((a.f * 2 + a.i) * 1024) AS BIGINT) AS dts_sum,
+             CAST(SUM((a.f * 2 + a.i) * 1024) AS BIGINT) AS pts_sum,
+             CAST(COUNT(*) AS BIGINT)        AS n_sync
+      FROM asamp a
+      JOIN ab ON ab.did = a.did AND ab.f = a.f AND ab.i = a.i
+      GROUP BY a.did)
+    SELECT * FROM video UNION ALL SELECT * FROM audio
+    """,
+)
+def q_multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented MP4 (fMP4/CMAF — the DASH/HLS streaming layout)
+    under the driver's hash gate: per document, a two-track fragmented
+    container (moov carries only metadata + mvex/trex defaults; every
+    sample lives in moof[tfhd/tfdt/trun]+mdat fragments with
+    moof-relative data offsets, per-sample durations/sizes/flags,
+    signed ctts offsets, first-of-fragment sync marking), re-extracted
+    through the same mp4_samples walk the progressive layout uses.
+    Per-track aggregates (counts, byte totals, payload sums, DTS/PTS
+    sums from tfdt+trun accumulation, sync counts) recomputed
+    analytically by the oracle. Scale shape: map-only per document."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 140)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.mediaprobe import (
+            mp4_build_fragmented,
+            mp4_samples,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 2
+                vfrags = []
+                afrags = []
+                for f in range(nf):
+                    ns = 1 + (did + f) % 3
+                    vfrags.append(
+                        {
+                            "samples": [
+                                bytes(
+                                    (did * 17 + f * 29 + i * 11 + j * 7) % 251
+                                    for j in range(8 + (did + f * 5 + i * 3) % 24)
+                                )
+                                for i in range(ns)
+                            ],
+                            "durations": [
+                                40 + (did + f + i) % 20 for i in range(ns)
+                            ],
+                            "ctts": [((i + f) % 3) * 5 for i in range(ns)],
+                            "sync": {1},
+                        }
+                    )
+                    afrags.append(
+                        {
+                            "samples": [
+                                bytes(
+                                    (did * 13 + f * 19 + i * 23 + j * 5) % 251
+                                    for j in range(20 + (did + f * 3 + i * 7) % 30)
+                                )
+                                for i in range(2)
+                            ],
+                            "durations": [1024, 1024],
+                        }
+                    )
+                payload = mp4_build_fragmented(
+                    [
+                        {
+                            "handler": "vide", "codec": "avc1",
+                            "timescale": 600, "width": 32, "height": 24,
+                            "fragments": vfrags,
+                        },
+                        {
+                            "handler": "soun", "codec": "ulaw",
+                            "timescale": 16000, "channels": 1,
+                            "fragments": afrags,
+                        },
+                    ]
+                )
+                agg: dict[str, list] = {}
+                for s in mp4_samples(payload)["samples"]:
+                    a = agg.setdefault(s["handler"], [0, 0, 0, 0, 0, 0])
+                    a[0] += 1
+                    a[1] += s["size"]
+                    a[2] += sum(s["data"])
+                    a[3] += s["dts"]
+                    a[4] += s["pts"]
+                    a[5] += 1 if s["sync"] else 0
+                for handler, a in agg.items():
+                    rows.append((did, handler, *a))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "handler", "n_samples", "total_bytes",
+                    "payload_sum", "dts_sum", "pts_sum", "n_sync",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, handler string, n_samples long, "
+            "total_bytes long, payload_sum long, dts_sum long, "
+            "pts_sum long, n_sync long"
+        ),
+    )
