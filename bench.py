@@ -86,6 +86,8 @@ LLM_SUITE = [
     "q_multimodal_mp4_samples",
     "q_multimodal_mp4_mjpeg_frames",
     "q_multimodal_vp8_quality",
+    "q_multimodal_mp4_fragmented",
+    "q_multimodal_webm_probe",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

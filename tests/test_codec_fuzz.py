@@ -386,3 +386,21 @@ def test_fuzz_mp4_fragmented():
         ]
     )
     _check(mp.mp4_samples, _mutations(payload), (mp.Mp4FormatError,))
+
+
+def test_fuzz_webm():
+    from xetl_spark.operators.vp8 import vp8_header_build
+    from xetl_spark.operators.webm import WebmFormatError, webm_build, webm_probe
+
+    payload = webm_build(
+        [
+            {"number": 1, "type": "video", "codec": "V_VP8",
+             "width": 16, "height": 12},
+            {"number": 2, "type": "audio", "codec": "A_OPUS",
+             "sample_rate": 16000.0, "channels": 1},
+        ],
+        [(1, 0, True, vp8_header_build(16, 12)), (2, 0, True, b"au"),
+         (1, 40, False, bytes(range(20)))],
+        duration_ms=80.0,
+    )
+    _check(webm_probe, _mutations(payload), (WebmFormatError,))

@@ -702,6 +702,28 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
                     "mp4", p["width"], p["height"], None, None,
                     p["duration_ms"], None, p["n_tracks"],
                 )
+            if payload[:4] == b"\x1aE\xdf\xa3":  # EBML (WebM/MKV)
+                from xetl_spark.operators import webm as webmmod
+
+                p = webmmod.webm_probe(payload)  # element headers only
+                vid = next(
+                    (t for t in p["tracks"].values() if t["type"] == "video"),
+                    None,
+                )
+                aud = next(
+                    (t for t in p["tracks"].values() if t["type"] == "audio"),
+                    None,
+                )
+                return (
+                    p["container"],
+                    vid["width"] if vid else None,
+                    vid["height"] if vid else None,
+                    int(aud["sample_rate"]) if aud and aud["sample_rate"] else None,
+                    aud["channels"] if aud else None,
+                    p["duration_ms"],
+                    None,
+                    p["n_blocks"] or None,
+                )
             if payload[:4] == b"DKIF":
                 p = mediaprobe.ivf_probe(payload)  # frame headers only
                 return (

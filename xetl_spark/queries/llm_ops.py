@@ -5435,3 +5435,98 @@ def q_multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pts_sum long, n_sync long"
         ),
     )
+
+
+@query(
+    "q_multimodal_webm_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(160 + doc_id % 32 AS INT)       AS width,
+           CAST(120 + (doc_id * 3) % 24 AS INT) AS height,
+           CAST((doc_id * 11) % 128 AS INT)     AS y_ac_qi,
+           CAST(48000 AS INT)                   AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT)          AS channels,
+           CAST((3 + doc_id % 4) * 40 AS BIGINT) AS duration_ms,
+           CAST(2 * (3 + doc_id % 4) AS BIGINT) AS n_blocks,
+           CAST((3 + doc_id % 4 + 1) // 2 AS BIGINT) AS n_clusters,
+           CAST(3 + doc_id % 4 AS BIGINT)       AS video_frames
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def q_multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska triage under the driver's hash gate: per document
+    a two-track WebM (V_VP8 video whose first keyframe is a real
+    boolean-coded VP8 header, A_OPUS audio) with interleaved
+    SimpleBlocks across clusters, parsed back through the EBML walk —
+    doctype, duration from TimecodeScale×Duration, track params,
+    cluster/block/frame counts, and the VP8 quantizer surfaced from
+    the first keyframe. One wrong vint length or element ID anywhere
+    breaks the hash. Scale shape: map-only per document, O(structure)
+    per payload."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 150)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.vp8 import vp8_header_build
+        from xetl_spark.operators.webm import webm_build, webm_probe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 160 + did % 32, 120 + (did * 3) % 24
+                nv = 3 + did % 4
+                key = vp8_header_build(w, h, y_ac_qi=(did * 11) % 128)
+                blocks = []
+                for i in range(nv):
+                    blocks.append(
+                        (1, i * 40, i == 0,
+                         key if i == 0 else bytes([i]) * (5 + i))
+                    )
+                    blocks.append((2, i * 40, True, bytes([i * 3]) * 4))
+                payload = webm_build(
+                    [
+                        {"number": 1, "type": "video", "codec": "V_VP8",
+                         "width": w, "height": h},
+                        {"number": 2, "type": "audio", "codec": "A_OPUS",
+                         "sample_rate": 48000.0, "channels": 1 + did % 2},
+                    ],
+                    blocks,
+                    duration_ms=float(nv * 40),
+                )
+                p = webm_probe(payload)
+                vid = p["tracks"][1]
+                aud = p["tracks"][2]
+                rows.append(
+                    (
+                        did,
+                        vid["width"],
+                        vid["height"],
+                        p["vp8_header"]["quant"]["y_ac_qi"],
+                        int(aud["sample_rate"]),
+                        aud["channels"],
+                        p["duration_ms"],
+                        p["n_blocks"],
+                        p["n_clusters"],
+                        p["frames_per_track"][1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "y_ac_qi", "sample_rate",
+                    "channels", "duration_ms", "n_blocks", "n_clusters",
+                    "video_frames",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width int, height int, y_ac_qi int, "
+            "sample_rate int, channels int, duration_ms long, "
+            "n_blocks long, n_clusters long, video_frames long"
+        ),
+    )
