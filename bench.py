@@ -88,6 +88,7 @@ LLM_SUITE = [
     "q_multimodal_vp8_quality",
     "q_multimodal_mp4_fragmented",
     "q_multimodal_webm_probe",
+    "q_multimodal_vp9_quality",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

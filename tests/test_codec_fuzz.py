@@ -404,3 +404,14 @@ def test_fuzz_webm():
         duration_ms=80.0,
     )
     _check(webm_probe, _mutations(payload), (WebmFormatError,))
+
+
+def test_fuzz_vp9_header():
+    from xetl_spark.operators.vp9 import vp9_header_build, vp9_header_probe
+
+    payload = vp9_header_build(
+        320, 180, profile=2, bit_depth=10, base_q_idx=99,
+        quant_deltas={"delta_q_uv_dc": 5}, filter_level=20,
+        render_size=(160, 90), tail=bytes(range(40)),
+    )
+    _check(vp9_header_probe, _mutations(payload), (im.UnsupportedImageError,))

@@ -1779,4 +1779,12 @@ def ivf_probe(payload: bytes, max_frames: int = 1_000_000) -> dict:
             out["vp8_header"] = vp8_header_probe(payload[off : off + size])
         except Vp8FormatError:
             out["vp8_header"] = None  # interframe-first or damaged stream
+    elif codec == "VP90" and frames:
+        from xetl_spark.operators.vp9 import Vp9FormatError, vp9_header_probe
+
+        off, size, _t = frames[0]
+        try:
+            out["vp9_header"] = vp9_header_probe(payload[off : off + size])
+        except Vp9FormatError:
+            out["vp9_header"] = None
     return out

@@ -131,6 +131,7 @@ def webm_probe(payload: bytes, max_blocks: int = 1_000_000) -> dict:
         "n_blocks": 0,
         "frames_per_track": {},
         "vp8_header": None,
+        "vp9_header": None,
     }
     duration_ticks = None
     video_track_no = None
@@ -198,12 +199,16 @@ def webm_probe(payload: bytes, max_blocks: int = 1_000_000) -> dict:
                 lacing = (flags >> 1) & 3
                 fpt = out["frames_per_track"]
                 fpt[tno] = fpt.get(tno, 0) + 1
+                vcodec = (
+                    out["tracks"].get(tno, {}).get("codec")
+                    if tno == video_track_no
+                    else None
+                )
                 if (
                     out["vp8_header"] is None
                     and keyframe
                     and lacing == 0
-                    and tno == video_track_no
-                    and out["tracks"].get(tno, {}).get("codec") == "V_VP8"
+                    and vcodec == "V_VP8"
                 ):
                     from xetl_spark.operators.vp8 import (
                         Vp8FormatError,
@@ -216,6 +221,23 @@ def webm_probe(payload: bytes, max_blocks: int = 1_000_000) -> dict:
                         )
                     except Vp8FormatError:
                         pass  # damaged first keyframe; keep walking
+                elif (
+                    out["vp9_header"] is None
+                    and keyframe
+                    and lacing == 0
+                    and vcodec == "V_VP9"
+                ):
+                    from xetl_spark.operators.vp9 import (
+                        Vp9FormatError,
+                        vp9_header_probe,
+                    )
+
+                    try:
+                        out["vp9_header"] = vp9_header_probe(
+                            payload[p + 3 : c1]
+                        )
+                    except Vp9FormatError:
+                        pass
     if duration_ticks is not None:
         out["duration_ms"] = int(
             duration_ticks * out["timecode_scale_ns"] / 1_000_000

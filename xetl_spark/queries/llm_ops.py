@@ -5530,3 +5530,90 @@ def q_multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_blocks long, n_clusters long, video_frames long"
         ),
     )
+
+
+@query(
+    "q_multimodal_vp9_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 4 AS INT)                        AS profile,
+           CAST(CASE WHEN doc_id % 4 >= 2
+                     THEN 10 + 2 * (doc_id % 2) ELSE 8 END AS INT) AS bit_depth,
+           CAST(320 + doc_id % 64 AS INT)                 AS width,
+           CAST(180 + (doc_id * 3) % 48 AS INT)           AS height,
+           CAST((doc_id * 13) % 256 AS INT)               AS base_q_idx,
+           CAST(round(100 - ((doc_id * 13) % 256) * 100.0 / 255) AS INT)
+                                                          AS quality,
+           CAST((doc_id * 7) % 64 AS INT)                 AS filter_level,
+           (doc_id * 13) % 256 = 0                        AS lossless
+    FROM documents WHERE doc_id < 170
+    """,
+)
+def q_multimodal_vp9_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP9 quality triage under the driver's hash gate: per document a
+    key-frame uncompressed header (profile 0-3 with 10/12-bit color
+    configs, quantizer, loop filter) wrapped in an IVF container,
+    probed back through ivf_probe -> vp9_header_probe — the bit-exact
+    §6.2 walk that gives VP9 corpora (IVF/WebM) the same quantizer ->
+    quality curation signal as VP8/JPEG. base_q_idx lives in plain
+    bits, so this needs no entropy decode at all. Scale: map-only,
+    O(header bits) per stream."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 170)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.mediaprobe import ivf_build, ivf_probe
+        from xetl_spark.operators.vp9 import (
+            vp9_header_build,
+            vp9_quality_estimate,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                profile = did % 4
+                depth = (10 + 2 * (did % 2)) if profile >= 2 else 8
+                w, h = 320 + did % 64, 180 + (did * 3) % 48
+                key = vp9_header_build(
+                    w, h,
+                    profile=profile,
+                    bit_depth=depth,
+                    base_q_idx=(did * 13) % 256,
+                    filter_level=(did * 7) % 64,
+                    color_space="bt709",
+                    tail=bytes((did + j) % 251 for j in range(did % 30)),
+                )
+                p = ivf_probe(ivf_build([key], "VP90", w, h))["vp9_header"]
+                rows.append(
+                    (
+                        did,
+                        p["profile"],
+                        p["bit_depth"],
+                        p["width"],
+                        p["height"],
+                        p["quant"]["base_q_idx"],
+                        vp9_quality_estimate(p),
+                        p["loop_filter"]["level"],
+                        p["lossless"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "profile", "bit_depth", "width", "height",
+                    "base_q_idx", "quality", "filter_level",
+                    "lossless",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, profile int, bit_depth int, width int, "
+            "height int, base_q_idx int, quality int, filter_level int, "
+            "lossless boolean"
+        ),
+    )
