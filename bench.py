@@ -89,6 +89,7 @@ LLM_SUITE = [
     "q_multimodal_mp4_fragmented",
     "q_multimodal_webm_probe",
     "q_multimodal_vp9_quality",
+    "q_media_quality",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

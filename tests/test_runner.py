@@ -1473,3 +1473,50 @@ def test_perplexity_filter_auto_fit_fraction(spark, monkeypatch):
     rf = {r.doc_id: round(r.ppl_avg_nll, 6) if r.ppl_avg_nll is not None else None
           for r in out_full}
     assert ra == rf
+
+
+def test_media_quality_task(spark):
+    """media_quality builtin: one 0-100 quality column across mixed
+    containers; MIN_QUALITY filters (dropping unrecognized rows);
+    blank MIN_QUALITY annotates only."""
+    import numpy as np
+    import pandas as pd
+
+    from xetl_spark.operators import jpeg
+    from xetl_spark.operators.vp8 import vp8_header_build
+    from xetl_spark.operators.webp import webp_encode, webp_wrap_vp8
+    from xetl_spark.plans.registry import BUILTINS
+
+    _spec, fn = BUILTINS.get("media_quality")
+    img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    rows = {
+        1: jpeg.jpeg_encode(img, 90),
+        2: jpeg.jpeg_encode(img, 30),
+        3: webp_encode(img),  # lossless -> 100
+        4: webp_wrap_vp8(vp8_header_build(16, 12, y_ac_qi=120)),  # ~6
+        5: b"not media",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(rows), "media": list(rows.values())})
+    )
+
+    def ctx(**env):
+        base = {"MEDIA_COL": "media", "ID_COL": "doc_id", "MIN_QUALITY": ""}
+        base.update(env)
+
+        class _Ctx:
+            def input_df(self):
+                return df
+
+        c = _Ctx()
+        c.env = base
+        return c
+
+    out = {r.doc_id: r for r in fn(ctx()).collect()}
+    assert len(out) == 5  # annotate-only keeps everything
+    assert out[1].quality == 90 and out[2].quality == 30
+    assert out[3].quality == 100 and out[3].lossless
+    assert out[4].quality == round(100 - 120 * 100 / 127)
+    assert out[5].quality is None and out[5].err
+    kept = sorted(r.doc_id for r in fn(ctx(MIN_QUALITY="50")).collect())
+    assert kept == [1, 3]  # 30-quality jpeg, low-q webp, junk all dropped

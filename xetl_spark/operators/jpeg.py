@@ -2171,3 +2171,52 @@ def jpeg_encode_hierarchical_lossless(
         refs = targets  # modulo-2^16 addition reconstructs exactly
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_quality_estimate(payload: bytes) -> tuple[int, bool]:
+    """Estimate the libjpeg quality setting (1-100) from the stream's
+    luma quantization table -> (quality, exact).
+
+    Inverts ``_quality_scale``: the DQT luma table is compared against
+    the Annex-K standard table scaled at every quality; an exact match
+    (how libjpeg-family encoders write tables) returns (q, True),
+    otherwise the minimum-L1 quality returns (q, False) — custom or
+    optimized tables still land on the perceptually nearest setting.
+    Higher quality wins ties (scaling is flat near the extremes).
+    This is the curation-grade compression-quality signal for JPEG
+    corpora, the analogue of VP8/VP9's quantizer index — O(header
+    bytes), no entropy decode."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedImageError("jpeg: no SOI")
+    qtables: dict[int, np.ndarray] = {}
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: tables are all declared
+            break
+        ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if marker == 0xDB:
+            _parse_dqt(payload[i + 4 : i + 2 + ln], qtables)
+        i += 2 + ln
+    if 0 not in qtables:
+        raise UnsupportedImageError("jpeg: no luma quantization table")
+    luma = qtables[0].reshape(-1).astype(np.int64)
+    ref = _Q_LUMA.reshape(-1).astype(np.int64)
+    # 12-bit streams scale the whole table 4x (this encoder's
+    # convention); normalize by the best small power-of-two factor
+    best_q, best_err = 100, None
+    for q in range(100, 0, -1):
+        scaled = _quality_scale(ref, q)
+        err = int(np.abs(scaled - luma).sum())
+        if err == 0:
+            return q, True
+        if best_err is None or err < best_err:
+            best_q, best_err = q, err
+    return best_q, False

@@ -872,3 +872,171 @@ def extract_document_text(
     return df.select(id_col, media_col).mapInPandas(
         run, schema=_id_typed(df, id_col, DOCTEXT_SCHEMA)
     )
+
+
+MEDIA_QUALITY_SCHEMA = (
+    "id long, container string, codec string, width int, height int, "
+    "quality int, lossless boolean, err string"
+)
+
+
+def media_quality(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """ONE compression-quality column across every supported media
+    container — the ranking/thresholding signal a crawl-scale
+    curation pass filters on before any pixel work.
+
+    Dispatch by magic bytes, all O(header) probes:
+      JPEG          libjpeg quality inverted from the DQT luma table
+                    (jpeg.jpeg_quality_estimate)
+      WebP VP8L     lossless -> 100
+      WebP VP8      quantizer index -> vp8_quality_estimate
+      PNG/GIF/BMP/TIFF  lossless codings -> 100
+      IVF VP80/VP90 first key frame's quantizer (vp8/vp9 estimate)
+      WebM V_VP8/V_VP9  same, from the first SimpleBlock keyframe
+      MP4 MJPEG     first video sample's DQT (jpeg estimate)
+    Unknown containers or streams whose first frame is undecodable get
+    quality NULL with a per-row ``err`` — triage degrades, never
+    fails the stage. Arrow-batched mapInPandas, executor-side."""
+
+    def _jpeg_dims(payload: bytes):
+        import struct as _st
+
+        i = 2
+        while i < len(payload) - 9:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            m = payload[i + 1]
+            if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+                h, w = _st.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h
+            if m == 0xFF or m == 0x01 or 0xD0 <= m <= 0xD9:
+                i += 1 if m == 0xFF else 2
+                continue
+            i += 2 + _st.unpack(">H", payload[i + 2 : i + 4])[0]
+        return None, None
+
+    def one(payload: bytes):
+        from xetl_spark.operators import jpeg, mediaprobe, webm, webp
+
+        if payload[:2] == b"\xff\xd8":
+            q, _exact = jpeg.jpeg_quality_estimate(payload)
+            return ("jpeg", "jpeg", *_jpeg_dims(payload), q, False)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            p = webp.webp_probe(payload)
+            if p["variant"] == "vp8l":
+                return ("webp", "vp8l", p["width"], p["height"], 100, True)
+            if p["variant"] == "vp8":
+                from xetl_spark.operators.vp8 import vp8_quality_estimate
+
+                h = webp.webp_lossy_header(payload)
+                return (
+                    "webp", "vp8", p["width"], p["height"],
+                    vp8_quality_estimate(h), False,
+                )
+            return ("webp", p["variant"], p["width"], p["height"], None, None)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            import struct as _st
+
+            w, hgt = _st.unpack(">LL", payload[16:24])
+            return ("png", "png", w, hgt, 100, True)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from xetl_spark.operators import gif
+
+            p = gif.gif_probe(payload)
+            return ("gif", "lzw", p["width"], p["height"], 100, True)
+        if payload[:2] == b"BM":
+            import struct as _st
+
+            w, hgt = _st.unpack_from("<ii", payload, 18)
+            return ("bmp", "dib", w, abs(hgt), 100, True)
+        if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            from xetl_spark.operators import tiff
+
+            p = tiff.tiff_probe(payload)
+            return ("tiff", "tiff", p["width"], p["height"], 100, True)
+        if payload[:4] == b"DKIF":
+            p = mediaprobe.ivf_probe(payload)
+            if p.get("vp8_header"):
+                from xetl_spark.operators.vp8 import vp8_quality_estimate
+
+                return ("ivf", "vp8", p["width"], p["height"],
+                        vp8_quality_estimate(p["vp8_header"]), False)
+            if p.get("vp9_header"):
+                from xetl_spark.operators.vp9 import vp9_quality_estimate
+
+                return ("ivf", "vp9", p["width"], p["height"],
+                        vp9_quality_estimate(p["vp9_header"]), False)
+            return ("ivf", p["codec"].lower(), p["width"], p["height"],
+                    None, None)
+        if payload[:4] == b"\x1aE\xdf\xa3":
+            p = webm.webm_probe(payload)
+            vid = next(
+                (t for t in p["tracks"].values() if t["type"] == "video"),
+                None,
+            )
+            w = vid["width"] if vid else None
+            hgt = vid["height"] if vid else None
+            codec = (vid["codec"] or "").lower() if vid else None
+            if p["vp8_header"]:
+                from xetl_spark.operators.vp8 import vp8_quality_estimate
+
+                return (p["container"], "vp8", w, hgt,
+                        vp8_quality_estimate(p["vp8_header"]), False)
+            if p["vp9_header"]:
+                from xetl_spark.operators.vp9 import vp9_quality_estimate
+
+                return (p["container"], "vp9", w, hgt,
+                        vp9_quality_estimate(p["vp9_header"]), False)
+            return (p["container"], codec, w, hgt, None, None)
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            info = mediaprobe.mp4_samples(payload)
+            vid = next(
+                (
+                    (tid, t)
+                    for tid, t in info["tracks"].items()
+                    if t["handler"] == "vide"
+                ),
+                None,
+            )
+            if vid and vid[1]["codec"] in ("jpeg", "mjpa"):
+                tid = vid[0]
+                first = min(
+                    (s for s in info["samples"] if s["track_id"] == tid),
+                    key=lambda s: s["index"],
+                    default=None,
+                )
+                if first is not None:
+                    q, _ = jpeg.jpeg_quality_estimate(first["data"])
+                    w, hgt = _jpeg_dims(first["data"])
+                    return ("mp4", "mjpeg", w, hgt, q, False)
+            p = mediaprobe.mp4_probe(payload)
+            return ("mp4", vid[1]["codec"] if vid else None,
+                    p["width"], p["height"], None, None)
+        raise ValueError("unrecognized media container")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    c, codec, w, h, q, lossless = one(bytes(row[media_col]))
+                    rows.append((row[id_col], c, codec, w, h, q, lossless, None))
+                except Exception as e:  # noqa: BLE001 — per-row triage
+                    rows.append(
+                        (row[id_col], None, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "container", "codec", "width", "height",
+                    "quality", "lossless", "err",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=_id_typed(df, id_col, MEDIA_QUALITY_SCHEMA)
+    )

@@ -1849,3 +1849,36 @@ def ivm_refresh(ctx: StageContext):
             "full_outer",
         )
     return out
+
+
+@task(
+    "media_quality",
+    "Score every media payload's compression quality on one 0-100 "
+    "scale (JPEG DQT inversion, VP8/VP9 quantizer, lossless=100 for "
+    "PNG/GIF/BMP/TIFF/VP8L) and optionally keep only rows at or above "
+    "MIN_QUALITY. Adds container/codec/width/height/quality/lossless/"
+    "err columns; unrecognized payloads get NULL quality + err and are "
+    "dropped by a MIN_QUALITY filter",
+    env={
+        "MEDIA_COL": {"description": "media payload column", "type": "string", "default": "media"},
+        "ID_COL": {"description": "unique id column", "type": "string", "default": "doc_id"},
+        "MIN_QUALITY": {
+            "description": "keep rows with quality >= this (blank = annotate only)",
+            "type": "string",
+            "default": "",
+        },
+        "INPUT": {"description": "upstream stage name", "type": "string", "required": False},
+    },
+)
+def media_quality_task(ctx: StageContext):
+    from xetl_spark.operators.multimodal import media_quality
+
+    df = ctx.input_df()
+    media_col = str(ctx.env["MEDIA_COL"])
+    id_col = str(ctx.env["ID_COL"])
+    scored = media_quality(df, media_col, id_col).withColumnRenamed("id", id_col)
+    out = df.join(scored, id_col)
+    min_q = str(ctx.env.get("MIN_QUALITY", "")).strip()
+    if min_q:
+        out = out.filter(F.col("quality") >= int(min_q))
+    return out

@@ -5617,3 +5617,96 @@ def q_multimodal_vp9_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lossless boolean"
         ),
     )
+
+
+@query(
+    "q_media_quality",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 6 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'webp'
+                WHEN 2 THEN 'webp' WHEN 3 THEN 'ivf'
+                WHEN 4 THEN 'webm' ELSE 'mp4' END          AS container,
+           CASE doc_id % 6 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'vp8l'
+                WHEN 2 THEN 'vp8' WHEN 3 THEN 'vp9'
+                WHEN 4 THEN 'vp8' ELSE 'mjpeg' END         AS codec,
+           CAST(CASE doc_id % 6 WHEN 2 THEN 32 WHEN 3 THEN 64
+                WHEN 4 THEN 24 ELSE 8 END AS INT)          AS width,
+           CAST(CASE doc_id % 6 WHEN 2 THEN 24 WHEN 3 THEN 36
+                WHEN 4 THEN 16 ELSE 8 END AS INT)          AS height,
+           CAST(CASE doc_id % 6
+                WHEN 0 THEN 20 + (doc_id * 7) % 80
+                WHEN 1 THEN 100
+                WHEN 2 THEN round(100 - (doc_id % 128) * 100.0 / 127)
+                WHEN 3 THEN round(100 - ((doc_id * 3) % 256) * 100.0 / 255)
+                WHEN 4 THEN round(100 - ((doc_id * 5) % 128) * 100.0 / 127)
+                ELSE 30 + doc_id % 60 END AS INT)          AS quality,
+           doc_id % 6 = 1                                  AS lossless
+    FROM documents WHERE doc_id < 180
+    """,
+)
+def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified compression-quality signal under the driver's hash
+    gate: a mixed-media corpus (JPEG, lossless + lossy WebP, VP9-in-
+    IVF, VP8-in-WebM, MJPEG-in-MP4) scored by ONE operator
+    (multimodal.media_quality) that inverts each format's quality dial
+    — libjpeg DQT scaling, VP8/VP9 quantizer indices — into a common
+    0-100 column a curation pass can rank and threshold across
+    formats. All O(header) probes; Arrow-batched; map-only."""
+    from collections.abc import Iterator as _It
+
+    from xetl_spark.operators.multimodal import media_quality
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 180)
+
+    def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators import jpeg
+        from xetl_spark.operators.mediaprobe import ivf_build, mp4_build_tracks
+        from xetl_spark.operators.vp8 import vp8_header_build
+        from xetl_spark.operators.vp9 import vp9_header_build
+        from xetl_spark.operators.webm import webm_build
+        from xetl_spark.operators.webp import webp_encode, webp_wrap_vp8
+
+        img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 6
+                if kind == 0:
+                    m = jpeg.jpeg_encode(img, 20 + (did * 7) % 80)
+                elif kind == 1:
+                    m = webp_encode(img)
+                elif kind == 2:
+                    m = webp_wrap_vp8(
+                        vp8_header_build(32, 24, y_ac_qi=did % 128)
+                    )
+                elif kind == 3:
+                    m = ivf_build(
+                        [vp9_header_build(64, 36, base_q_idx=(did * 3) % 256)],
+                        "VP90", 64, 36,
+                    )
+                elif kind == 4:
+                    m = webm_build(
+                        [{"number": 1, "type": "video", "codec": "V_VP8",
+                          "width": 24, "height": 16}],
+                        [(1, 0, True,
+                          vp8_header_build(24, 16, y_ac_qi=(did * 5) % 128))],
+                    )
+                else:
+                    m = mp4_build_tracks(
+                        [{"handler": "vide", "codec": "jpeg",
+                          "timescale": 600,
+                          "samples": [jpeg.jpeg_encode(img, 30 + did % 60)],
+                          "deltas": [60], "width": 8, "height": 8}]
+                    )
+                rows.append((did, m))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    return media_quality(media).select(
+        F.col("id").alias("doc_id"),
+        "container", "codec", "width", "height", "quality", "lossless",
+    )
