@@ -415,3 +415,13 @@ def test_fuzz_vp9_header():
         render_size=(160, 90), tail=bytes(range(40)),
     )
     _check(vp9_header_probe, _mutations(payload), (im.UnsupportedImageError,))
+
+
+def test_fuzz_av1():
+    from xetl_spark.operators.av1 import av1_sequence_build, av1_sequence_probe
+
+    payload = av1_sequence_build(
+        320, 180, profile=1, level=10, still_picture=True, reduced=True,
+        extra_obus=[(6, bytes(range(30)))],
+    )
+    _check(av1_sequence_probe, _mutations(payload), (im.UnsupportedImageError,))

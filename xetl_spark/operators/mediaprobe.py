@@ -1787,4 +1787,12 @@ def ivf_probe(payload: bytes, max_frames: int = 1_000_000) -> dict:
             out["vp9_header"] = vp9_header_probe(payload[off : off + size])
         except Vp9FormatError:
             out["vp9_header"] = None
+    elif codec == "AV01" and frames:
+        from xetl_spark.operators.av1 import Av1FormatError, av1_sequence_probe
+
+        off, size, _t = frames[0]
+        try:
+            out["av1_header"] = av1_sequence_probe(payload[off : off + size])
+        except Av1FormatError:
+            out["av1_header"] = None
     return out

@@ -132,6 +132,7 @@ def webm_probe(payload: bytes, max_blocks: int = 1_000_000) -> dict:
         "frames_per_track": {},
         "vp8_header": None,
         "vp9_header": None,
+        "av1_header": None,
     }
     duration_ticks = None
     video_track_no = None
@@ -237,6 +238,23 @@ def webm_probe(payload: bytes, max_blocks: int = 1_000_000) -> dict:
                             payload[p + 3 : c1]
                         )
                     except Vp9FormatError:
+                        pass
+                elif (
+                    out.get("av1_header") is None
+                    and keyframe
+                    and lacing == 0
+                    and vcodec == "V_AV1"
+                ):
+                    from xetl_spark.operators.av1 import (
+                        Av1FormatError,
+                        av1_sequence_probe,
+                    )
+
+                    try:
+                        out["av1_header"] = av1_sequence_probe(
+                            payload[p + 3 : c1]
+                        )
+                    except Av1FormatError:
                         pass
     if duration_ticks is not None:
         out["duration_ms"] = int(

@@ -5710,3 +5710,84 @@ def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "container", "codec", "width", "height", "quality", "lossless",
     )
+
+
+@query(
+    "q_multimodal_av1_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 3 AS INT)                 AS profile,
+           CAST(4 + doc_id % 16 AS INT)            AS level,
+           doc_id % 2 = 0                          AS still_picture,
+           doc_id % 4 = 0                          AS reduced_header,
+           CAST(320 + doc_id % 256 AS INT)         AS width,
+           CAST(180 + (doc_id * 3) % 256 AS INT)   AS height,
+           CAST(1 + doc_id % 4 AS BIGINT)          AS n_frame_obus
+    FROM documents WHERE doc_id < 160
+    """,
+)
+def q_multimodal_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 stream triage under the driver's hash gate: per document an
+    OBU stream (temporal delimiter + sequence header — reduced
+    still-picture and general layouts — + N frame OBUs) wrapped in
+    IVF, probed back through the leb128 OBU walk and the sequence
+    header's leading fields. The honest parse boundary (no timing-info
+    profiles, nothing past the dimension fields) is documented in
+    operators/av1.py. Scale: map-only, O(OBU headers) per stream."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 160)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.av1 import av1_sequence_build
+        from xetl_spark.operators.mediaprobe import ivf_build, ivf_probe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nfr = 1 + did % 4
+                s = av1_sequence_build(
+                    320 + did % 256,
+                    180 + (did * 3) % 256,
+                    profile=did % 3,
+                    level=4 + did % 16,
+                    still_picture=did % 2 == 0,
+                    reduced=did % 4 == 0,
+                    extra_obus=[
+                        (6, bytes((did + j) % 251 for j in range(10 + f)))
+                        for f in range(nfr)
+                    ],
+                )
+                p = ivf_probe(
+                    ivf_build([s], "AV01", 320 + did % 256, 180 + (did * 3) % 256)
+                )["av1_header"]
+                rows.append(
+                    (
+                        did,
+                        p["profile"],
+                        p["level"],
+                        p["still_picture"],
+                        p["reduced_still_picture_header"],
+                        p["width"],
+                        p["height"],
+                        p["obu_counts"].get("frame", 0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "profile", "level", "still_picture",
+                    "reduced_header", "width", "height", "n_frame_obus",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, profile int, level int, still_picture boolean, "
+            "reduced_header boolean, width int, height int, "
+            "n_frame_obus long"
+        ),
+    )
