@@ -91,6 +91,7 @@ LLM_SUITE = [
     "q_multimodal_vp9_quality",
     "q_media_quality",
     "q_multimodal_av1_probe",
+    "q_multimodal_avif_probe",
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

@@ -80,3 +80,40 @@ def test_ivf_and_webm_surface_av1():
     )
     assert w["av1_header"]["width"] == 640
     assert w["vp8_header"] is None and w["vp9_header"] is None
+
+
+def test_avif_item_layout():
+    """AVIF/HEIF: meta-box item walk (pitm/iinf v2-3 infe/iloc width
+    nibbles + multi-extent reassembly/ispe), the primary av01 item fed
+    through the sequence probe; hostile bytes typed."""
+    from xetl_spark.operators.av1 import avif_build, avif_probe
+
+    p = avif_probe(avif_build(800, 600, profile=1, level=12))
+    assert p["container"] == "avif" and (p["width"], p["height"]) == (800, 600)
+    assert p["av1"]["profile"] == 1 and p["av1"]["level"] == 12
+    assert p["av1"]["still_picture"] and p["av1"]["reduced_still_picture_header"]
+    p2 = avif_probe(
+        avif_build(64, 48, split_extents=True,
+                   extra_items=[("Exif", b"\x00" * 20)])
+    )
+    assert (p2["av1"]["width"], p2["av1"]["height"]) == (64, 48)
+    assert p2["item_types"] == {1: "av01", 2: "Exif"}
+    base = avif_build(32, 24)
+    for bad in (b"", base[:20], base[:-5], b"\x00" * 40):
+        with pytest.raises(Av1FormatError):
+            avif_probe(bad)
+
+
+def test_probe_media_and_quality_avif(spark):
+    import pandas as pd
+
+    from xetl_spark.operators.av1 import avif_build
+    from xetl_spark.operators.multimodal import media_quality, probe_media
+
+    payload = avif_build(320, 240, profile=0, level=8)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [payload]}))
+    row = probe_media(df).collect()[0]
+    assert row.container == "avif" and (row.width, row.height) == (320, 240)
+    q = media_quality(df).collect()[0]
+    assert q.container == "avif" and q.codec == "av1"
+    assert q.quality is None  # quantizer past the documented boundary

@@ -425,3 +425,13 @@ def test_fuzz_av1():
         extra_obus=[(6, bytes(range(30)))],
     )
     _check(av1_sequence_probe, _mutations(payload), (im.UnsupportedImageError,))
+
+
+def test_fuzz_avif():
+    from xetl_spark.operators.av1 import avif_build, avif_probe
+
+    payload = avif_build(
+        96, 64, profile=1, level=10, split_extents=True,
+        extra_items=[("Exif", bytes(range(24)))],
+    )
+    _check(avif_probe, _mutations(payload), (im.UnsupportedImageError,))

@@ -224,3 +224,216 @@ def av1_sequence_build(
     for otype, body in extra_obus or []:
         out += obu(otype, body)
     return out
+
+
+# ------------------------------------------------------------- AVIF
+#
+# AVIF = AV1 still images in the HEIF/ISO-BMFF ITEM layout (not the
+# track layout mp4_samples walks): meta[hdlr('pict'), pitm, iinf[infe],
+# iloc, iprp[ipco[ispe,...] + ipma]] + mdat. The primary item's iloc
+# extents point at the AV1 OBU payload; ispe carries the declared
+# dimensions. Parsing is the same box arithmetic as the MP4 sample
+# tables — ISO 14496-12 §8.11 — and fully verifiable against our own
+# writer.
+
+
+def avif_probe(payload: bytes) -> dict:
+    """Parse an AVIF/HEIF image: brand, primary item id, item table
+    (type, iloc extents), ispe dimensions, and the primary av01
+    item's sequence-header fields via av1_sequence_probe."""
+    from xetl_spark.operators.mediaprobe import Mp4FormatError, _walk_boxes
+
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        raise Av1FormatError("avif: no ftyp box")
+    brand = payload[8:12].decode("ascii", "replace")
+    meta = None
+    try:
+        for btype, b0, b1 in _walk_boxes(payload, 0, n):
+            if btype == b"meta":
+                meta = (b0 + 4, b1)  # FullBox: skip version/flags
+                break
+    except Mp4FormatError as e:
+        raise Av1FormatError(f"avif: {e}") from None
+    if meta is None:
+        raise Av1FormatError("avif: no meta box")
+    primary = None
+    items: dict[int, dict] = {}
+    width = height = None
+    try:
+        for btype, b0, b1 in _walk_boxes(payload, *meta):
+            if btype == b"pitm":
+                ver = payload[b0]
+                primary = (
+                    int.from_bytes(payload[b0 + 4 : b0 + 8], "big")
+                    if ver
+                    else int.from_bytes(payload[b0 + 4 : b0 + 6], "big")
+                )
+            elif btype == b"iinf":
+                # FullBox + entry_count (16-bit for version 0)
+                ver = payload[b0]
+                ec_w = 4 if ver else 2
+                for ctype, c0, c1 in _walk_boxes(payload, b0 + 4 + ec_w, b1):
+                    if ctype != b"infe":
+                        continue
+                    iver = payload[c0]
+                    if iver < 2:
+                        raise Av1FormatError("avif: infe version < 2")
+                    item_id = (
+                        int.from_bytes(payload[c0 + 4 : c0 + 8], "big")
+                        if iver == 3
+                        else int.from_bytes(payload[c0 + 4 : c0 + 6], "big")
+                    )
+                    off = c0 + (8 if iver == 3 else 6) + 2  # + protection
+                    items.setdefault(item_id, {})["type"] = payload[
+                        off : off + 4
+                    ].decode("ascii", "replace")
+            elif btype == b"iloc":
+                ver = payload[b0]
+                sizes = payload[b0 + 4]
+                offset_size, length_size = sizes >> 4, sizes & 0xF
+                base_size = payload[b0 + 5] >> 4
+                p = b0 + 6
+                if ver in (1, 2):
+                    p += 0  # index_size shares the reserved nibble
+                if ver < 2:
+                    count = int.from_bytes(payload[p : p + 2], "big")
+                    p += 2
+                else:
+                    count = int.from_bytes(payload[p : p + 4], "big")
+                    p += 4
+                if count > 10_000:
+                    raise Av1FormatError("avif: iloc declares too many items")
+                for _ in range(count):
+                    if ver < 2:
+                        item_id = int.from_bytes(payload[p : p + 2], "big")
+                        p += 2
+                    else:
+                        item_id = int.from_bytes(payload[p : p + 4], "big")
+                        p += 4
+                    if ver in (1, 2):
+                        p += 2  # construction_method
+                    p += 2  # data_reference_index
+                    base = int.from_bytes(payload[p : p + base_size], "big")
+                    p += base_size
+                    ext_count = int.from_bytes(payload[p : p + 2], "big")
+                    p += 2
+                    extents = []
+                    for _e in range(ext_count):
+                        off = int.from_bytes(payload[p : p + offset_size], "big")
+                        p += offset_size
+                        ln = int.from_bytes(payload[p : p + length_size], "big")
+                        p += length_size
+                        extents.append((base + off, ln))
+                    items.setdefault(item_id, {})["extents"] = extents
+            elif btype == b"iprp":
+                for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
+                    if ctype != b"ipco":
+                        continue
+                    for ptype, p0, p1 in _walk_boxes(payload, c0, c1):
+                        if ptype == b"ispe" and p1 - p0 >= 12:
+                            width = int.from_bytes(payload[p0 + 4 : p0 + 8], "big")
+                            height = int.from_bytes(payload[p0 + 8 : p0 + 12], "big")
+    except Mp4FormatError as e:
+        raise Av1FormatError(f"avif: {e}") from None
+    if primary is None or primary not in items:
+        raise Av1FormatError("avif: no primary item")
+    item = items[primary]
+    if "extents" not in item or not item["extents"]:
+        raise Av1FormatError("avif: primary item has no iloc extents")
+    data = bytearray()
+    for off, ln in item["extents"]:
+        if off + ln > n:
+            raise Av1FormatError("avif: iloc extent beyond file end")
+        data += payload[off : off + ln]
+    out = {
+        "container": "avif",
+        "brand": brand,
+        "primary_item": primary,
+        "item_types": {k: v.get("type") for k, v in items.items()},
+        "width": width,
+        "height": height,
+        "av1": None,
+    }
+    if item.get("type") == "av01":
+        out["av1"] = av1_sequence_probe(bytes(data))
+    return out
+
+
+def avif_build(
+    width: int,
+    height: int,
+    *,
+    profile: int = 0,
+    level: int = 8,
+    extra_items: list[tuple[str, bytes]] | None = None,
+    split_extents: bool = False,
+) -> bytes:
+    """Minimal spec-shaped AVIF writer: ftyp(avif) + meta[hdlr pict,
+    pitm, iinf/infe, iloc, iprp[ipco[ispe]+ipma]] + mdat holding the
+    primary av01 item (a reduced-still-picture sequence header from
+    av1_sequence_build) and any ``extra_items``. ``split_extents``
+    stores the primary payload as two iloc extents (exercising extent
+    reassembly)."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        import struct as _st
+
+        return _st.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(btype, bytes([version, 0, 0, 0]) + body)
+
+    av1_payload = av1_sequence_build(
+        width, height, profile=profile, level=level,
+        still_picture=True, reduced=True,
+    )
+    payloads = [("av01", av1_payload)] + list(extra_items or [])
+    ftyp = box(b"ftyp", b"avif" + b"\x00\x00\x00\x00" + b"avifmif1miaf")
+    hdlr = full(
+        b"hdlr", b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"xetl\x00"
+    )
+    pitm = full(b"pitm", (1).to_bytes(2, "big"))
+    infes = b""
+    for i, (itype, _data) in enumerate(payloads, start=1):
+        infes += full(
+            b"infe",
+            (i).to_bytes(2, "big") + b"\x00\x00" + itype.encode("ascii")
+            + b"item\x00",
+            version=2,
+        )
+    iinf = full(b"iinf", len(payloads).to_bytes(2, "big") + infes)
+    ispe = full(
+        b"ispe", width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    )
+    ipma = full(
+        b"ipma",
+        (1).to_bytes(4, "big") + (1).to_bytes(2, "big") + bytes([1, 0x81]),
+    )
+    iprp = box(b"iprp", box(b"ipco", ispe) + ipma)
+
+    # iloc offsets are absolute: lay out mdat after computing sizes
+    # (iloc size depends only on item/extent counts — build twice)
+    mdat_body = b"".join(d for _t, d in payloads)
+    mdat_base = 0  # placeholder; pass 2 rewrites with the real base
+    for _pass in range(2):
+        iloc_body = bytes([0x44, 0x00])  # 4-byte offsets/lengths, base 0
+        iloc_body += len(payloads).to_bytes(2, "big")
+        pos_in_mdat = 0
+        for i, (_t, data) in enumerate(payloads, start=1):
+            iloc_body += (i).to_bytes(2, "big")
+            iloc_body += (0).to_bytes(2, "big")  # data_reference_index
+            if split_extents and i == 1 and len(data) > 4:
+                cut = len(data) // 2
+                exts = [(pos_in_mdat, cut), (pos_in_mdat + cut, len(data) - cut)]
+            else:
+                exts = [(pos_in_mdat, len(data))]
+            iloc_body += len(exts).to_bytes(2, "big")
+            for off, ln in exts:
+                iloc_body += (mdat_base + off).to_bytes(4, "big")  # noqa: F821
+                iloc_body += ln.to_bytes(4, "big")
+            pos_in_mdat += len(data)
+        iloc = full(b"iloc", iloc_body)
+        meta = full(b"meta", hdlr + pitm + iinf + iloc + iprp)
+        mdat_base = len(ftyp) + len(meta) + 8
+    return ftyp + meta + box(b"mdat", mdat_body)

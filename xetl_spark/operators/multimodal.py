@@ -697,6 +697,14 @@ def probe_media(df: DataFrame, media_col: str = "media", id_col: str = "doc_id")
                 p = tiff.tiff_probe(payload)  # IFD tags only, no strips
                 return ("tiff", p["width"], p["height"], None, None, None, None, None)
             if payload[4:8] == b"ftyp":
+                if payload[8:12] in (b"avif", b"avis", b"mif1", b"heic"):
+                    from xetl_spark.operators.av1 import avif_probe
+
+                    pa = avif_probe(payload)  # item/box headers only
+                    return (
+                        "avif", pa["width"], pa["height"], None, None,
+                        None, None, len(pa["item_types"]),
+                    )
                 p = mediaprobe.mp4_probe(payload)  # box headers only
                 return (
                     "mp4", p["width"], p["height"], None, None,
@@ -992,6 +1000,14 @@ def media_quality(
                         vp9_quality_estimate(p["vp9_header"]), False)
             return (p["container"], codec, w, hgt, None, None)
         if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            if payload[8:12] in (b"avif", b"avis", b"mif1", b"heic"):
+                from xetl_spark.operators.av1 import avif_probe
+
+                pa = avif_probe(payload)
+                # AV1's quantizer lives in the frame-header OBU, past
+                # the documented parse boundary — dims/codec only
+                return ("avif", "av1" if pa["av1"] else None,
+                        pa["width"], pa["height"], None, None)
             info = mediaprobe.mp4_samples(payload)
             vid = next(
                 (

@@ -5791,3 +5791,78 @@ def q_multimodal_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frame_obus long"
         ),
     )
+
+
+@query(
+    "q_multimodal_avif_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(128 + doc_id % 512 AS INT)        AS width,
+           CAST(96 + (doc_id * 5) % 512 AS INT)   AS height,
+           CAST(doc_id % 3 AS INT)                AS profile,
+           CAST(doc_id % 24 AS INT)               AS level,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                                                  AS n_items,
+           doc_id % 4 = 0                         AS split_extents
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def q_multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF (AV1-in-HEIF) triage under the driver's hash gate: per
+    document an item-layout container (meta[hdlr/pitm/iinf/iloc/
+    iprp[ispe]] + mdat, optionally multi-extent iloc and an extra Exif
+    item), re-parsed through avif_probe's box walk + the AV1
+    sequence-header fields of the primary av01 item. One wrong iloc
+    width-nibble or infe version branch anywhere breaks the hash.
+    Scale: map-only, O(item tables) per image."""
+    from collections.abc import Iterator as _It
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 150)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from xetl_spark.operators.av1 import avif_build, avif_probe
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payload = avif_build(
+                    128 + did % 512,
+                    96 + (did * 5) % 512,
+                    profile=did % 3,
+                    level=did % 24,
+                    extra_items=(
+                        [("Exif", bytes((did + j) % 251 for j in range(16)))]
+                        if did % 2 == 0
+                        else None
+                    ),
+                    split_extents=did % 4 == 0,
+                )
+                p = avif_probe(payload)
+                rows.append(
+                    (
+                        did,
+                        p["av1"]["width"],
+                        p["av1"]["height"],
+                        p["av1"]["profile"],
+                        p["av1"]["level"],
+                        len(p["item_types"]),
+                        did % 4 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "profile", "level",
+                    "n_items", "split_extents",
+                ],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width int, height int, profile int, "
+            "level int, n_items long, split_extents boolean"
+        ),
+    )
