@@ -133,6 +133,55 @@ def main() -> int:
     ocf = encode_container(schema, recs, codec="null")
     bench("Avro generic", "decode", len(ocf), lambda: parse_container(ocf))
 
+    # --- round-12 container/probe walks (throughput against CONTAINER
+    # bytes — these never touch sample payload content beyond slicing)
+    from xetl_spark.operators import mediaprobe
+    from xetl_spark.operators.av1 import av1_sequence_build, avif_build, avif_probe
+    from xetl_spark.operators.vp8 import vp8_header_build, vp8_header_probe
+    from xetl_spark.operators.vp9 import vp9_header_build, vp9_header_probe
+    from xetl_spark.operators.webm import webm_build, webm_probe
+    from xetl_spark.operators.webp import alph_decode, alph_encode
+
+    mp4_samps = [bytes(rng.integers(0, 256, 4096, dtype=np.uint8)) for _ in range(64)]
+    mp4 = mediaprobe.mp4_build_tracks(
+        [{"handler": "vide", "codec": "mp4v", "timescale": 600,
+          "samples": mp4_samps, "deltas": [40] * 64, "width": 64, "height": 48},
+         {"handler": "soun", "codec": "mp4a", "timescale": 16000,
+          "samples": mp4_samps[:32], "deltas": [1024] * 32}]
+    )
+    bench("MP4 stbl demux", "probe", len(mp4),
+          lambda: mediaprobe.mp4_samples(mp4, with_data=False))
+    fmp4 = mediaprobe.mp4_build_fragmented(
+        [{"handler": "vide", "codec": "avc1", "timescale": 600,
+          "width": 64, "height": 48,
+          "fragments": [{"samples": mp4_samps[i : i + 8],
+                         "durations": [40] * 8, "sync": {1}}
+                        for i in range(0, 64, 8)]}]
+    )
+    bench("fMP4 moof demux", "probe", len(fmp4),
+          lambda: mediaprobe.mp4_samples(fmp4, with_data=False))
+    vp8k = vp8_header_build(640, 360, y_ac_qi=60, segments=[1, 2, 3, 4])
+    bench("VP8 header", "probe", len(vp8k), lambda: vp8_header_probe(vp8k))
+    vp9k = vp9_header_build(640, 360, base_q_idx=99)
+    bench("VP9 header", "probe", len(vp9k), lambda: vp9_header_probe(vp9k))
+    wmb = webm_build(
+        [{"number": 1, "type": "video", "codec": "V_VP8",
+          "width": 64, "height": 48}],
+        [(1, i * 40, i % 8 == 0, mp4_samps[i % 64][:512]) for i in range(128)],
+    )
+    bench("WebM EBML walk", "probe", len(wmb), lambda: webm_probe(wmb))
+    ivf = mediaprobe.ivf_build([vp8k] + [s[:1024] for s in mp4_samps], "VP80", 640, 360)
+    bench("IVF frame walk", "probe", len(ivf), lambda: mediaprobe.ivf_probe(ivf))
+    avf = avif_build(512, 512, extra_items=[("Exif", b"\x00" * 64)])
+    bench("AVIF item walk", "probe", len(avf), lambda: avif_probe(avf))
+    alpha = rng.integers(0, 256, (256, 384), dtype=np.uint8)
+    ab = alph_encode(alpha, method=3, compression=1)
+    bench("WebP ALPH (VP8L+gradient)", "decode", alpha.nbytes,
+          lambda: alph_decode(ab, 384, 256))
+    jq = jpeg.jpeg_encode(img, 85)
+    bench("JPEG quality estimate", "probe", len(jq),
+          lambda: jpeg.jpeg_quality_estimate(jq))
+
     # --- document formats (throughput against extracted TEXT bytes)
     from xetl_spark.operators import docx as docmod
     from xetl_spark.operators import pdfdoc
@@ -185,6 +234,24 @@ def main() -> int:
         "reader (the round-7 JPEG lesson applied from the start);",
         "the remaining cost is the per-pixel Python literal loop,",
         "same class as the JPEG rows. Lossy VP8 is probe-only.",
+        "",
+        "Round-12 note: lossy VP8 (operators/vp8.py) now has the RFC",
+        "6386 boolean entropy coder (encoder+decoder pair, carry-",
+        "exact, hypothesis-fuzzed) and the COMPLETE frame-header",
+        "parse — every field decodable without the codec's default",
+        "probability model — yielding the curation signal (qindex ->",
+        "quality, per-segment deltas) at O(header bytes) per image;",
+        "VP9 (operators/vp9.py) and AV1 (operators/av1.py) get the",
+        "same header-level treatment, and the container walks (MP4",
+        "stbl + fMP4 moof, WebM EBML, IVF, AVIF items) are measured",
+        "below against container bytes. Pixel decode for VP8/VP9/AV1",
+        "stays a typed boundary ON PURPOSE: macroblock reconstruction",
+        "needs each spec's default probability/dequant tables (~2,000",
+        "constants for VP8 alone), which can only be transcribed",
+        "verbatim — not recalled — because a decoder with",
+        "mis-transcribed tables would roundtrip its own fixtures",
+        "while silently mis-decoding real files. The swap-in point is",
+        "the header probe -> a table-driven MB loop.",
         "",
         "Document formats (PDF/DOCX/EPUB, round 7) are measured",
         "against EXTRACTED TEXT bytes — the unit a corpus pipeline",
