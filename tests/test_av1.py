@@ -117,3 +117,25 @@ def test_probe_media_and_quality_avif(spark):
     q = media_quality(df).collect()[0]
     assert q.container == "avif" and q.codec == "av1"
     assert q.quality is None  # quantizer past the documented boundary
+
+
+def test_avif_iloc_v1_v2_index_size():
+    """iloc versions 1/2 repurpose the low nibble of the base_size
+    byte as index_size: each extent then carries an extent_index field
+    before offset/length (r13 advice fix — previously the reads
+    shifted and extents misparsed)."""
+    from xetl_spark.operators.av1 import avif_build, avif_probe
+
+    for ver, idx_sz in ((1, 4), (2, 4), (1, 8), (2, 0)):
+        p = avif_probe(
+            avif_build(
+                128, 96, split_extents=True,
+                extra_items=[("Exif", b"\x01" * 16)],
+                iloc_version=ver, index_size=idx_sz,
+            )
+        )
+        assert p["container"] == "avif", (ver, idx_sz)
+        assert (p["width"], p["height"]) == (128, 96), (ver, idx_sz)
+        assert p["av1"] is not None, (ver, idx_sz)
+        assert (p["av1"]["width"], p["av1"]["height"]) == (128, 96)
+        assert p["item_types"] == {1: "av01", 2: "Exif"}

@@ -574,3 +574,88 @@ def test_mp4_fragmented_layout():
     _st.pack_into(">I", bad, i + 8, 99)
     with pytest.raises(mp.Mp4FormatError, match="unknown track"):
         mp.mp4_samples(bytes(bad))
+
+
+def test_mp4_fragmented_largesize_moof():
+    """A moof written with a 64-bit largesize (16-byte) header must
+    anchor default-base-is-moof data offsets at the box's first byte,
+    not 8 bytes past it (r13 advice fix)."""
+    tracks = [
+        {
+            "handler": "vide", "codec": "avc1", "timescale": 600,
+            "width": 64, "height": 48,
+            "fragments": [
+                {"samples": [b"AAAA", b"BBBBB"],
+                 "durations": [100, 100], "sync": {1}},
+                {"samples": [b"CC"], "durations": [120], "sync": {1}},
+            ],
+        }
+    ]
+    small = mp.mp4_samples(mp.mp4_build_fragmented(tracks))
+    big_payload = mp.mp4_build_fragmented(tracks, largesize_moof=True)
+    assert b"\x00\x00\x00\x01moof" in big_payload  # really largesize
+    big = mp.mp4_samples(big_payload)
+    assert [s["data"] for s in big["samples"]] == [b"AAAA", b"BBBBB", b"CC"]
+    assert [s["dts"] for s in big["samples"]] == [
+        s["dts"] for s in small["samples"]
+    ]
+
+
+def test_mp4_tfhd_default_cascade_zero_and_trex():
+    """The tfhd->trex default cascade: an explicitly signaled tfhd
+    default_sample_duration of 0 wins over a nonzero trex default
+    (r13 advice fix — `or` treated signaled-0 as absent); a silent
+    tfhd falls through to the trex default for duration AND size."""
+    # explicit tfhd default_duration=0 beats trex's 100
+    info = mp.mp4_samples(
+        mp.mp4_build_fragmented([
+            {
+                "handler": "soun", "codec": "ulaw", "timescale": 8000,
+                "channels": 1, "trex_duration": 100,
+                "fragments": [
+                    {"samples": [b"aa", b"bb", b"cc"],
+                     "durations": [0, 0, 0], "default_duration": 0},
+                ],
+            }
+        ])
+    )
+    assert [s["dts"] for s in info["samples"]] == [0, 0, 0]
+    assert [s["data"] for s in info["samples"]] == [b"aa", b"bb", b"cc"]
+    # silent tfhd -> trex defaults used (duration 100, size 2)
+    info2 = mp.mp4_samples(
+        mp.mp4_build_fragmented([
+            {
+                "handler": "soun", "codec": "ulaw", "timescale": 8000,
+                "channels": 1, "trex_duration": 100, "trex_size": 2,
+                "fragments": [
+                    {"samples": [b"aa", b"bb"], "durations": [100, 100],
+                     "default_duration": None, "default_size": None},
+                ],
+            }
+        ])
+    )
+    assert [s["dts"] for s in info2["samples"]] == [0, 100]
+    assert [s["data"] for s in info2["samples"]] == [b"aa", b"bb"]
+
+
+def test_media_quality_mjpeg_mp4_headers_only(spark):
+    """media_quality's MJPEG-in-MP4 branch slices only the first video
+    sample's bytes via with_data=False offsets (r13 advice fix: no
+    whole-mdat materialization); the quality estimate matches the
+    encoder's quality factor."""
+    import pandas as pd
+
+    from xetl_spark.operators import jpeg
+    from xetl_spark.operators.multimodal import media_quality
+
+    imgs = [np.full((8, 8, 3), 40 * (i + 1), np.uint8) for i in range(3)]
+    m = mp.mp4_build_tracks(
+        [{"handler": "vide", "codec": "jpeg", "timescale": 1000,
+          "samples": [jpeg.jpeg_encode(im, 75) for im in imgs],
+          "deltas": [400] * 3, "width": 8, "height": 8}]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [m]}))
+    row = media_quality(df).collect()[0]
+    assert (row.container, row.codec) == ("mp4", "mjpeg")
+    assert (row.width, row.height) == (8, 8)
+    assert row.quality == 75 and row.lossless is False and row.err is None

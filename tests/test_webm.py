@@ -134,3 +134,39 @@ def test_probe_media_webm(spark):
     assert (row.width, row.height) == (96, 54)
     assert (row.sample_rate, row.channels) == (24000, 1)
     assert row.duration_ms == 80 and row.n_frames == 3
+
+
+def test_webm_single_byte_track_127():
+    """The legal single-byte vint encoding 0xFF for block track number
+    127 decodes as the value 127, not the unknown-size sentinel (r13
+    advice fix: all-ones means 'unknown' only for element sizes)."""
+    import struct as _st
+
+    from xetl_spark.operators import webm as W
+
+    vp8_key = vp8_header_build(160, 120, y_ac_qi=30, filter_level=5)
+    ebml = W._elem(
+        W.EBML_HEADER, W._elem(W.DOCTYPE, b"webm")
+    )
+    tr = W._uint_elem(W.TRACK_NUMBER, 127)
+    tr += W._uint_elem(W.TRACK_TYPE, 1)
+    tr += W._elem(W.CODEC_ID, b"V_VP8")
+    tr += W._elem(
+        W.VIDEO,
+        W._uint_elem(W.PIXEL_WIDTH, 160) + W._uint_elem(W.PIXEL_HEIGHT, 120),
+    )
+    tracks_el = W._elem(W.TRACKS, W._elem(W.TRACK_ENTRY, tr))
+    info = W._elem(W.INFO, W._uint_elem(W.TIMECODE_SCALE, 1_000_000))
+    # hand-built SimpleBlock: single-byte 0xFF track vint (= 127)
+    blk = b"\xff" + _st.pack(">h", 0) + bytes([0x80]) + vp8_key
+    cluster = W._elem(
+        W.CLUSTER,
+        W._uint_elem(W.CLUSTER_TIMECODE, 0) + W._elem(W.SIMPLE_BLOCK, blk),
+    )
+    payload = ebml + W._elem(W.SEGMENT, info + tracks_el + cluster)
+    p = webm_probe(payload)
+    assert p["frames_per_track"] == {127: 1}
+    assert -1 not in p["frames_per_track"]
+    # the keyframe was attributed to the video track: VP8 header probed
+    assert p["vp8_header"] is not None
+    assert (p["vp8_header"]["width"], p["vp8_header"]["height"]) == (160, 120)

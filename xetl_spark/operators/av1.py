@@ -293,9 +293,10 @@ def avif_probe(payload: bytes) -> dict:
                 sizes = payload[b0 + 4]
                 offset_size, length_size = sizes >> 4, sizes & 0xF
                 base_size = payload[b0 + 5] >> 4
+                # versions 1/2 repurpose the low nibble as index_size:
+                # each extent then carries an extent_index field
+                index_size = (payload[b0 + 5] & 0xF) if ver in (1, 2) else 0
                 p = b0 + 6
-                if ver in (1, 2):
-                    p += 0  # index_size shares the reserved nibble
                 if ver < 2:
                     count = int.from_bytes(payload[p : p + 2], "big")
                     p += 2
@@ -320,6 +321,7 @@ def avif_probe(payload: bytes) -> dict:
                     p += 2
                     extents = []
                     for _e in range(ext_count):
+                        p += index_size  # extent_index (v1/2) — unused
                         off = int.from_bytes(payload[p : p + offset_size], "big")
                         p += offset_size
                         ln = int.from_bytes(payload[p : p + length_size], "big")
@@ -368,13 +370,18 @@ def avif_build(
     level: int = 8,
     extra_items: list[tuple[str, bytes]] | None = None,
     split_extents: bool = False,
+    iloc_version: int = 0,
+    index_size: int = 0,
 ) -> bytes:
     """Minimal spec-shaped AVIF writer: ftyp(avif) + meta[hdlr pict,
     pitm, iinf/infe, iloc, iprp[ipco[ispe]+ipma]] + mdat holding the
     primary av01 item (a reduced-still-picture sequence header from
     av1_sequence_build) and any ``extra_items``. ``split_extents``
     stores the primary payload as two iloc extents (exercising extent
-    reassembly)."""
+    reassembly). ``iloc_version`` 1/2 adds construction_method and
+    (when ``index_size`` > 0) a per-extent extent_index field."""
+    if index_size and iloc_version not in (1, 2):
+        raise ValueError("index_size requires iloc version 1 or 2")
 
     def box(btype: bytes, body: bytes) -> bytes:
         import struct as _st
@@ -416,12 +423,17 @@ def avif_build(
     # (iloc size depends only on item/extent counts — build twice)
     mdat_body = b"".join(d for _t, d in payloads)
     mdat_base = 0  # placeholder; pass 2 rewrites with the real base
+    id_w = 4 if iloc_version == 2 else 2
     for _pass in range(2):
-        iloc_body = bytes([0x44, 0x00])  # 4-byte offsets/lengths, base 0
-        iloc_body += len(payloads).to_bytes(2, "big")
+        # 4-byte offsets/lengths, base_size 0, index_size per arg
+        iloc_body = bytes([0x44, index_size & 0xF])
+        iloc_body += len(payloads).to_bytes(2 if iloc_version < 2 else 4,
+                                            "big")
         pos_in_mdat = 0
         for i, (_t, data) in enumerate(payloads, start=1):
-            iloc_body += (i).to_bytes(2, "big")
+            iloc_body += (i).to_bytes(id_w, "big")
+            if iloc_version in (1, 2):
+                iloc_body += (0).to_bytes(2, "big")  # construction_method
             iloc_body += (0).to_bytes(2, "big")  # data_reference_index
             if split_extents and i == 1 and len(data) > 4:
                 cut = len(data) // 2
@@ -429,11 +441,13 @@ def avif_build(
             else:
                 exts = [(pos_in_mdat, len(data))]
             iloc_body += len(exts).to_bytes(2, "big")
-            for off, ln in exts:
+            for ei, (off, ln) in enumerate(exts, start=1):
+                if index_size:
+                    iloc_body += ei.to_bytes(index_size, "big")
                 iloc_body += (mdat_base + off).to_bytes(4, "big")  # noqa: F821
                 iloc_body += ln.to_bytes(4, "big")
             pos_in_mdat += len(data)
-        iloc = full(b"iloc", iloc_body)
+        iloc = full(b"iloc", iloc_body, version=iloc_version)
         meta = full(b"meta", hdlr + pitm + iinf + iloc + iprp)
         mdat_base = len(ftyp) + len(meta) + 8
     return ftyp + meta + box(b"mdat", mdat_body)

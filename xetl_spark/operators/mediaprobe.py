@@ -703,18 +703,27 @@ def mp4_build_tracks(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
     return ftyp + mdat + moov
 
 
-def mp4_build_fragmented(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
+def mp4_build_fragmented(
+    tracks: list[dict],
+    movie_timescale: int = 1000,
+    largesize_moof: bool = False,
+) -> bytes:
     """Fragmented ISO-BMFF (fMP4/CMAF — the DASH/HLS streaming layout)
     writer: moov carries only track metadata plus mvex/trex defaults;
     samples live in moof[mfhd, traf[tfhd(default-base-is-moof), tfdt,
     trun]] + mdat fragments, all tracks interleaved per fragment.
 
     Track dict: ``handler``, ``codec``, ``timescale``, optional
-    ``width``/``height``/``channels``/``codec_config``, and
+    ``width``/``height``/``channels``/``codec_config``,
+    ``trex_duration``/``trex_size`` (movie-level sample defaults), and
     ``fragments`` — a list of {samples: [bytes], durations: [int],
     optional ctts: [int], optional sync: {1-based local sample numbers}
-    (absent = all sync)}. Every track must declare the same number of
-    fragments (pad with empty ones)."""
+    (absent = all sync), optional default_duration/default_size
+    (explicit tfhd defaults — the trun then omits the per-sample
+    field)}. Every track must declare the same number of fragments
+    (pad with empty ones). ``largesize_moof`` writes each moof with a
+    64-bit largesize (16-byte) header to exercise default-base-is-moof
+    anchoring at the box's first byte."""
     ftyp = _box(
         b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5iso6cmfc"
     )
@@ -779,7 +788,13 @@ def mp4_build_fragmented(tracks: list[dict], movie_timescale: int = 1000) -> byt
         traks += _box(b"trak", tkhd + mdia)
         # default sample flags 0 = sync (audio-style); video fragments
         # carry explicit per-sample/first-sample flags in their truns
-        mvex += _full(b"trex", struct.pack(">IIIII", tid, 1, 0, 0, 0))
+        mvex += _full(
+            b"trex",
+            struct.pack(
+                ">IIIII", tid, 1,
+                t.get("trex_duration", 0), t.get("trex_size", 0), 0,
+            ),
+        )
     mvhd = _box(
         b"mvhd",
         b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
@@ -795,15 +810,21 @@ def mp4_build_fragmented(tracks: list[dict], movie_timescale: int = 1000) -> byt
         durs = frag["durations"]
         ctts = frag.get("ctts")
         sync = frag.get("sync")
-        flags = 0x01 | 0x100 | 0x200  # data-offset + duration + size
+        flags = 0x01  # data-offset
+        if "default_duration" not in frag:
+            flags |= 0x100  # per-sample duration
+        if "default_size" not in frag:
+            flags |= 0x200  # per-sample size
         if ctts is not None:
             flags |= 0x800
         if sync is not None:
             flags |= 0x400
         body = struct.pack(">I", len(samples)) + struct.pack(">i", data_offset)
         for i, s in enumerate(samples):
-            body += struct.pack(">I", durs[i])
-            body += struct.pack(">I", len(s))
+            if flags & 0x100:
+                body += struct.pack(">I", durs[i])
+            if flags & 0x200:
+                body += struct.pack(">I", len(s))
             if sync is not None:
                 body += struct.pack(
                     ">I", 0 if (i + 1) in sync else 0x10000
@@ -829,14 +850,20 @@ def mp4_build_fragmented(tracks: list[dict], movie_timescale: int = 1000) -> byt
             pos_in_mdat = 0
             trafs = b""
             for ti, frag in frags:
-                tfhd = _full(
+                tf_flags = 0x20000  # default-base-is-moof
+                tf_body = struct.pack(">I", ti + 1)
+                # key present with value None = omit from tfhd too
+                # (trun omits the field, the trex default applies)
+                if frag.get("default_duration") is not None:
+                    tf_flags |= 0x08
+                    tf_body += struct.pack(">I", frag["default_duration"])
+                if frag.get("default_size") is not None:
+                    tf_flags |= 0x10
+                    tf_body += struct.pack(">I", frag["default_size"])
+                tfhd = _box(
                     b"tfhd",
-                    struct.pack(">I", ti + 1),
-                    version=0,
+                    bytes([0]) + tf_flags.to_bytes(3, "big") + tf_body,
                 )
-                # flags live in bytes 1-3 of the FullBox header: set
-                # default-base-is-moof (0x20000)
-                tfhd = tfhd[:8] + bytes([0, 2, 0]) + tfhd[11:]
                 tfdt = _box(
                     b"tfdt",
                     bytes([1, 0, 0, 0]) + struct.pack(">Q", dts_cursor[ti]),
@@ -849,6 +876,12 @@ def mp4_build_fragmented(tracks: list[dict], movie_timescale: int = 1000) -> byt
                 trafs += _box(b"traf", tfhd + tfdt + trun_box(frag, doff))
                 pos_in_mdat += sum(len(s) for s in frag["samples"])
             moof = _box(b"moof", mfhd + trafs)
+            if largesize_moof:
+                body = moof[8:]
+                moof = (
+                    struct.pack(">I", 1) + b"moof"
+                    + struct.pack(">Q", 16 + len(body)) + body
+                )
             moof_size = len(moof)
         mdat_body = b"".join(
             s for _ti, frag in frags for s in frag["samples"]
@@ -1090,7 +1123,12 @@ def mp4_samples(
     for btype, b0, b1 in _walk_boxes(payload, 0, n):
         if btype != b"moof":
             continue
-        moof_start = b0 - 8
+        # header start, not body start: a moof written with a 64-bit
+        # largesize header (16-byte header) must still anchor
+        # default-base-is-moof offsets at the box's first byte
+        moof_start = (
+            b0 - 8 if payload[b0 - 4 : b0] == b"moof" else b0 - 16
+        )
         for ctype, c0, c1 in _walk_boxes(payload, b0, b1):
             if ctype != b"traf":
                 continue
@@ -1142,8 +1180,18 @@ def mp4_samples(
             if tmeta is None:
                 raise Mp4FormatError(f"moof references unknown track {tid}")
             tdefaults = trex.get(tid, {})
-            ddur = tfhd["duration"] or tdefaults.get("duration") or 0
-            dsize = tfhd["size"] or tdefaults.get("size") or 0
+            # explicit tfhd value wins even when it is 0 — `or` would
+            # let a signaled 0 fall through to the trex default
+            ddur = tfhd["duration"]
+            if ddur is None:
+                ddur = tdefaults.get("duration")
+            if ddur is None:
+                ddur = 0
+            dsize = tfhd["size"]
+            if dsize is None:
+                dsize = tdefaults.get("size")
+            if dsize is None:
+                dsize = 0
             dflags = (
                 tfhd["flags"]
                 if tfhd["flags"] is not None

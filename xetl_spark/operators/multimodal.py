@@ -1008,7 +1008,9 @@ def media_quality(
                 # the documented parse boundary — dims/codec only
                 return ("avif", "av1" if pa["av1"] else None,
                         pa["width"], pa["height"], None, None)
-            info = mediaprobe.mp4_samples(payload)
+            # with_data=False: O(header) — only the one first-video
+            # sample's bytes are sliced below, never the whole mdat
+            info = mediaprobe.mp4_samples(payload, with_data=False)
             vid = next(
                 (
                     (tid, t)
@@ -1025,8 +1027,10 @@ def media_quality(
                     default=None,
                 )
                 if first is not None:
-                    q, _ = jpeg.jpeg_quality_estimate(first["data"])
-                    w, hgt = _jpeg_dims(first["data"])
+                    data = payload[first["offset"] : first["offset"]
+                                   + first["size"]]
+                    q, _ = jpeg.jpeg_quality_estimate(data)
+                    w, hgt = _jpeg_dims(data)
                     return ("mp4", "mjpeg", w, hgt, q, False)
             p = mediaprobe.mp4_probe(payload)
             return ("mp4", vid[1]["codec"] if vid else None,

@@ -58,10 +58,15 @@ SIMPLE_BLOCK = 0xA3
 _UNKNOWN = -1  # unknown-size element (streamed segments)
 
 
-def _vint(buf: bytes, pos: int, strip_marker: bool) -> tuple[int, int]:
+def _vint(
+    buf: bytes, pos: int, strip_marker: bool, unknown_ok: bool = True
+) -> tuple[int, int]:
     """Read an EBML variable-length integer at ``pos`` -> (value,
     next_pos). Element IDs keep the marker bit (class-ID convention);
-    sizes strip it. An all-ones size payload means 'unknown size'."""
+    sizes strip it. An all-ones size payload means 'unknown size' only
+    for element SIZES (``unknown_ok=True``); block track numbers use
+    ``unknown_ok=False`` so the single-byte encoding 0xFF legally
+    decodes as track 127 instead of the _UNKNOWN sentinel."""
     if pos >= len(buf):
         raise WebmFormatError("vint beyond buffer")
     first = buf[pos]
@@ -73,7 +78,7 @@ def _vint(buf: bytes, pos: int, strip_marker: bool) -> tuple[int, int]:
     value = first & ((1 << (8 - length)) - 1) if strip_marker else first
     for i in range(1, length):
         value = (value << 8) | buf[pos + i]
-    if strip_marker and value == (1 << (7 * length)) - 1:
+    if strip_marker and unknown_ok and value == (1 << (7 * length)) - 1:
         return _UNKNOWN, pos + length
     return value, pos + length
 
@@ -192,7 +197,9 @@ def webm_probe(payload: bytes, max_blocks: int = 1_000_000) -> dict:
                 out["n_blocks"] += 1
                 if out["n_blocks"] > max_blocks:
                     raise WebmFormatError("block count exceeds cap")
-                tno, p = _vint(payload, c0, strip_marker=True)
+                tno, p = _vint(
+                    payload, c0, strip_marker=True, unknown_ok=False
+                )
                 if p + 3 > c1:
                     raise WebmFormatError("SimpleBlock header truncated")
                 flags = payload[p + 2]
