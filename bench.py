@@ -260,6 +260,31 @@ def main() -> None:
     if aux_errors:
         out["aux_errors"] = aux_errors
     print(json.dumps(out))
+    # The driver archives only the LAST ~N bytes of output; the full
+    # line above can outgrow that window, truncating its head (the
+    # headline fields) into `parsed: null` (r12 verdict item 3). Emit a
+    # compact summary LAST — headline map included, per-suite totals,
+    # no per-suite query maps — so the tail always captures a complete,
+    # parseable record of all four legs.
+    compact = {
+        "metric": "headline_query_wall_seconds",
+        "value": out["value"],
+        "unit": "sec",
+        "complete": out["complete"],
+        "reps": REPS,
+        "queries": timings,
+        "headline_wall_seconds": out["value"],
+        "tpch_suite_wall_seconds": out["tpch_suite_wall_seconds"],
+        "llm_suite_wall_seconds": out["llm_suite_wall_seconds"],
+        "streaming_events_per_sec": stream_eps,
+        "loadavg_legs": load_legs,
+        "sf": out["sf"],
+    }
+    if errors:
+        compact["errors"] = errors
+    if aux_errors:
+        compact["aux_error_names"] = sorted(aux_errors)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,37 @@ def test_never_sampled_queries_front_loaded():
     assert all(n in sampled for n in order[first_sampled:])
 
 
+def test_never_sampled_rank_strictly_ahead_of_drift_resamples():
+    """Two-level front-load key (VERDICT r12 item 2): a query that has
+    NEVER appeared in any driver window outranks a drift-resample
+    (sampled green once, rewritten since), which outranks a verified
+    name — so a large rewrite batch cannot crowd a never-sampled query
+    out of the ~50-slot window."""
+    ever = Q._ever_sampled()
+    sampled = Q._driver_sampled()
+    assert sampled <= ever  # verified is a subset of ever-sampled
+    order = list(Q.REGISTRY)
+    keys = [(n in ever, n in sampled) for n in order]
+    assert keys == sorted(keys)
+    # synthetic check independent of repo state: drift block sits
+    # between never-sampled and verified under explicit sets
+    names = list(Q.REGISTRY)
+    try:
+        Q._interleave_registry(
+            offset=0,
+            sampled=frozenset(names[: len(names) // 2]),
+            ever=frozenset(names[: 3 * len(names) // 4]),
+        )
+        got = list(Q.REGISTRY)
+        ever_s = frozenset(names[: 3 * len(names) // 4])
+        samp_s = frozenset(names[: len(names) // 2])
+        gk = [(n in ever_s, n in samp_s) for n in got]
+        assert gk == sorted(gk)
+        assert {k for k in gk} == {(False, False), (True, False), (True, True)}
+    finally:
+        Q._interleave_registry()
+
+
 def _n_families():
     return len({q.fn.__module__ for q in Q.REGISTRY.values()})
 

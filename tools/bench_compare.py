@@ -32,16 +32,19 @@ def _load(path: str) -> dict:
     try:
         d = json.loads(text)  # whole file (driver artifact or bare line)
     except json.JSONDecodeError:
-        d = None
-        for line in reversed(text.splitlines()):  # bench.py stdout capture
+        # bench.py stdout capture: since r13 it prints the full record
+        # THEN a compact summary line (tail-truncation guard). Merge
+        # every JSON line in print order so the compact line's scalars
+        # layer over the full line without losing its per-suite maps.
+        d = {}
+        for line in text.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 try:
-                    d = json.loads(line)
-                    break
+                    d.update(json.loads(line))
                 except json.JSONDecodeError:
                     continue
-        if d is None:
+        if not d:
             raise SystemExit(f"{path}: no JSON object found") from None
     # the driver wraps bench.py's line under "parsed"
     if "queries" not in d and isinstance(d.get("parsed"), dict):

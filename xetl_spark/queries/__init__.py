@@ -395,16 +395,8 @@ def _stale_rewrites(
     return stale
 
 
-def _driver_sampled() -> frozenset[str]:
-    """Query names whose LATEST driver correctness sample was clean
-    (``CORRECTNESS_r*.json`` at the repo root — one key per sampled
-    query) AND whose implementation is unchanged since that sample
-    (per _stale_rewrites). Used to front-load the others so the
-    driver's ~50-entry window drains the unverified tail first. A
-    query whose most recent sample carries an ``err`` (e.g. a harness
-    canonicalization failure) counts as UNSAMPLED again: its green
-    status is stale-broken until a later window re-samples it clean;
-    likewise a query rewritten after its last sample."""
+def _latest_samples() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round sampled, clean?) from CORRECTNESS_r*.json."""
     import json
     import re
     from pathlib import Path
@@ -427,6 +419,32 @@ def _driver_sampled() -> frozenset[str]:
             clean = not isinstance(rec, dict) or rec.get("spark_rows") is not None
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, clean)
+    return latest
+
+
+def _ever_sampled() -> frozenset[str]:
+    """Names whose latest driver sample was clean at ANY fingerprint —
+    even if the implementation was rewritten since. Used as the first
+    key of the front-load sort: a truly-never-sampled query ranks
+    strictly ahead of a drift-resample (VERDICT r12 item 2 — 62
+    rewritten fingerprints were crowding never-sampled names out of
+    the 50-slot window)."""
+    return frozenset(
+        n for n, (_r, clean) in _latest_samples().items() if clean
+    )
+
+
+def _driver_sampled() -> frozenset[str]:
+    """Query names whose LATEST driver correctness sample was clean
+    (``CORRECTNESS_r*.json`` at the repo root — one key per sampled
+    query) AND whose implementation is unchanged since that sample
+    (per _stale_rewrites). Used to front-load the others so the
+    driver's ~50-entry window drains the unverified tail first. A
+    query whose most recent sample carries an ``err`` (e.g. a harness
+    canonicalization failure) counts as UNSAMPLED again: its green
+    status is stale-broken until a later window re-samples it clean;
+    likewise a query rewritten after its last sample."""
+    latest = _latest_samples()
     stale = _stale_rewrites(latest)
     return frozenset(
         n for n, (_r, clean) in latest.items() if clean and n not in stale
@@ -434,7 +452,9 @@ def _driver_sampled() -> frozenset[str]:
 
 
 def _interleave_registry(
-    offset: int | None = None, sampled: frozenset[str] | None = None
+    offset: int | None = None,
+    sampled: frozenset[str] | None = None,
+    ever: frozenset[str] | None = None,
 ) -> None:
     """Round-robin the registry across source modules, rotated per round.
 
@@ -459,9 +479,13 @@ def _interleave_registry(
     the front: rotation alone drains the unverified tail at ~40 fresh
     names/round, while front-loading makes the next window exactly the
     never-sampled set until it's empty (then the sort is a no-op and
-    pure rotation resumes). Stable sort preserves the family
-    interleave inside each block, so a >10-entry prefix still touches
-    every family that has unsampled queries.
+    pure rotation resumes). The sort key is two-level (r12 fix):
+    truly-never-sampled names rank strictly ahead of drift-resamples
+    (sampled green once, rewritten since), which rank ahead of
+    currently-verified names — a large rewrite batch can no longer
+    crowd a never-sampled query out of the 50-slot window. Stable sort
+    preserves the family interleave inside each block, so a >10-entry
+    prefix still touches every family that has unsampled queries.
     """
     from itertools import zip_longest
 
@@ -478,9 +502,16 @@ def _interleave_registry(
         offset = _rotation_step(len(groups)) * _round_number()
     if sampled is None:
         sampled = _driver_sampled()
+        if ever is None:
+            ever = _ever_sampled()
+    if ever is None:
+        # explicit `sampled` without `ever` (tests pinning a neutral
+        # order): collapse to the single-level key
+        ever = sampled
     rotated = [g[offset % len(g) :] + g[: offset % len(g)] for g in groups.values()]
     order = [n for tier in zip_longest(*rotated) for n in tier if n]
-    order.sort(key=lambda n: n in sampled)  # stable: never-sampled first
+    # stable two-level: never-sampled < drift-resample < verified
+    order.sort(key=lambda n: (n in ever, n in sampled))
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()
     REGISTRY.update(reordered)
