@@ -1095,6 +1095,44 @@ def test_dsir_importance_weights(spark):
     assert all(abs(w[k] - w2[k]) < 1e-9 for k in w)
 
 
+def test_dsir_target_pred_parity(spark):
+    """The single-pass target_pred fast path (r13: target is a flagged
+    subset of raw, tokenize once) is bit-identical to passing the same
+    subset as an explicit target DataFrame."""
+    import pyspark.sql.functions as F
+
+    from xetl_spark.operators.text import dsir_logweights
+
+    rows = [(i, "en" if i % 3 else "fr",
+             f"machine learning research paper {i} about models") for i in range(30)]
+    raw = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    explicit = {
+        r.doc: (r.n_features, r.logweight)
+        for r in dsir_logweights(
+            raw, raw.filter(F.col("lang") == "en"), "text", "doc_id"
+        ).collect()
+    }
+    pred = {
+        r.doc: (r.n_features, r.logweight)
+        for r in dsir_logweights(
+            raw, None, "text", "doc_id", target_pred=F.col("lang") == "en"
+        ).collect()
+    }
+    assert explicit.keys() == pred.keys()
+    for k in explicit:
+        assert explicit[k][0] == pred[k][0]
+        assert abs(explicit[k][1] - pred[k][1]) < 1e-12
+    # materialize=True (the bench path) matches too
+    m = {
+        r.doc: (r.n_features, r.logweight)
+        for r in dsir_logweights(
+            raw, None, "text", "doc_id", materialize=True,
+            target_pred=F.col("lang") == "en",
+        ).collect()
+    }
+    assert m == pred
+
+
 def test_remove_duplicate_spans_random_differential(spark):
     """Randomized differential: the distributed span dedup must agree
     exactly with an independent single-process reference on corpora

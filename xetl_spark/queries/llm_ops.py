@@ -1928,13 +1928,18 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.text import dsir_logweights
 
     (docs,) = load(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    # materialize=True is the bounded-SF opt-in: at bench scale the
-    # localCheckpoint'd bucket table is small and saves the second
-    # tokenize pass (~1.8x here); a 100 TB deployment keeps the default
-    # (recompute the map-only stage — no corpus-sized executor-local
-    # copy, no lineage break on executor loss).
-    out = dsir_logweights(docs, target, "text", "doc_id", materialize=True)
+    # target-as-predicate (r13): the English slice IS a subset of the
+    # raw corpus, so the flag rides the single tokenize pass and both
+    # histograms fold in one aggregation — no second tokenize, no
+    # union leg (12 -> 7 stages). materialize=True is the bounded-SF
+    # opt-in: at bench scale the localCheckpoint'd bucket table is
+    # small; a 100 TB deployment keeps the default (recompute the
+    # map-only stage — no corpus-sized executor-local copy, no lineage
+    # break on executor loss).
+    out = dsir_logweights(
+        docs, None, "text", "doc_id", materialize=True,
+        target_pred=F.col("lang") == "en",
+    )
     return out.select(
         F.col("doc").alias("doc_id"),
         "n_features",
