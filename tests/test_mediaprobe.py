@@ -659,3 +659,37 @@ def test_media_quality_mjpeg_mp4_headers_only(spark):
     assert (row.container, row.codec) == ("mp4", "mjpeg")
     assert (row.width, row.height) == (8, 8)
     assert row.quality == 75 and row.lossless is False and row.err is None
+
+
+def test_media_quality_audio_branches(spark):
+    """media_quality audio arm (r13): MP3 bitrate banding vs the
+    320 kbps ceiling, FLAC/PCM-WAV lossless -> 100, G.711 u-law -> 50,
+    IMA ADPCM -> 25 — integer-only arithmetic, header-only probes."""
+    import pandas as pd
+
+    from xetl_spark.operators.audio import wav_build_raw, wav_encode
+    from xetl_spark.operators.multimodal import media_quality
+
+    rows = {
+        1: mp.mp3_build(3, bitrate_kbps=320),
+        2: mp.mp3_build(3, bitrate_kbps=64),
+        3: mp.mp3_build(3, bitrate_kbps=40),  # ties at .5 -> 13 (int)
+        4: mp.flac_build(44100, 2, 500),
+        5: wav_encode(np.zeros(32, np.int16), 8000),
+        6: wav_build_raw(7, bytes(32), 8000, 1, bits=8),
+        7: wav_build_raw(6, bytes(32), 8000, 1, bits=8),
+        8: wav_build_raw(17, bytes(32), 8000, 1, bits=4, block_align=32),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(rows), "media": list(rows.values())})
+    )
+    got = {r.id: r for r in media_quality(df).collect()}
+    assert (got[1].container, got[1].codec, got[1].quality) == ("mp3", "mp3", 100)
+    assert got[2].quality == 20 and got[3].quality == 13
+    assert (got[4].codec, got[4].quality, got[4].lossless) == ("flac", 100, True)
+    assert (got[5].codec, got[5].quality, got[5].lossless) == ("pcm", 100, True)
+    assert (got[6].codec, got[6].quality, got[6].lossless) == ("mulaw", 50, False)
+    assert (got[7].codec, got[7].quality) == ("alaw", 50)
+    assert (got[8].codec, got[8].quality) == ("adpcm", 25)
+    assert all(r.width is None and r.height is None for r in got.values())
+    assert all(r.err is None for r in got.values())

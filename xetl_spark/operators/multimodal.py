@@ -904,6 +904,17 @@ def media_quality(
       IVF VP80/VP90 first key frame's quantizer (vp8/vp9 estimate)
       WebM V_VP8/V_VP9  same, from the first SimpleBlock keyframe
       MP4 MJPEG     first video sample's DQT (jpeg estimate)
+      MP3           bitrate banding vs the 320 kbps transparent
+                    ceiling: min(100, (kbps*100 + 160) // 320)
+      FLAC          lossless -> 100 (STREAMINFO header only)
+      WAV           PCM/float -> 100 lossless; companded/ADPCM
+                    codings band by effective bits vs 16:
+                    min(100, bits*100 // 16) (G.711 8-bit -> 50,
+                    IMA ADPCM 4-bit -> 25)
+    Audio rows carry NULL width/height — the point of the unified
+    column is that a curation pass thresholds image, video, and audio
+    corpora with ONE filter. Integer-only banding arithmetic so SQL
+    oracles reproduce it exactly (no float rounding ties).
     Unknown containers or streams whose first frame is undecodable get
     quality NULL with a per-row ``err`` — triage degrades, never
     fails the stage. Arrow-batched mapInPandas, executor-side."""
@@ -965,6 +976,46 @@ def media_quality(
 
             p = tiff.tiff_probe(payload)
             return ("tiff", "tiff", p["width"], p["height"], 100, True)
+        if payload[:4] == b"fLaC":
+            mediaprobe.flac_probe(payload)  # validates STREAMINFO
+            return ("flac", "flac", None, None, 100, True)
+        if payload[:3] == b"ID3" or (
+            len(payload) > 1
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            p = mediaprobe.mp3_probe(payload)
+            kbps = p["bitrate_kbps"]
+            q = (
+                min(100, (int(kbps) * 100 + 160) // 320)
+                if kbps is not None
+                else None
+            )
+            return ("mp3", "mp3", None, None, q, False)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import struct as _st
+
+            fmt_code = bits = None
+            pos = 12
+            while pos + 8 <= len(payload):  # chunk walk, no decode
+                cid = payload[pos : pos + 4]
+                (csz,) = _st.unpack_from("<I", payload, pos + 4)
+                if cid == b"fmt " and csz >= 16:
+                    fmt_code, _ch, _sr, _br, _ba, bits = _st.unpack_from(
+                        "<HHIIHH", payload, pos + 8
+                    )
+                    break
+                pos += 8 + csz + (csz & 1)
+            if fmt_code is None:
+                raise ValueError("WAV without fmt chunk")
+            codec = {1: "pcm", 3: "pcm", 6: "alaw", 7: "mulaw",
+                     17: "adpcm"}.get(fmt_code, f"fmt{fmt_code}")
+            if fmt_code in (1, 3):
+                return ("wav", codec, None, None, 100, True)
+            return (
+                "wav", codec, None, None,
+                min(100, int(bits) * 100 // 16), False,
+            )
         if payload[:4] == b"DKIF":
             p = mediaprobe.ivf_probe(payload)
             if p.get("vp8_header"):

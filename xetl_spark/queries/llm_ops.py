@@ -5718,6 +5718,82 @@ def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_quality_audio",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
+                ELSE 'wav' END                              AS container,
+           CASE doc_id % 5 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
+                WHEN 2 THEN 'pcm' WHEN 3 THEN 'mulaw'
+                ELSE 'adpcm' END                            AS codec,
+           CAST(NULL AS INT)                                AS width,
+           CAST(NULL AS INT)                                AS height,
+           CAST(CASE doc_id % 5
+                WHEN 0 THEN least(100,
+                    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                     [(doc_id // 5) % 14 + 1] * 100 + 160) // 320)
+                WHEN 1 THEN 100 WHEN 2 THEN 100
+                WHEN 3 THEN 50 ELSE 25 END AS INT)          AS quality,
+           doc_id % 5 IN (1, 2)                             AS lossless
+    FROM documents WHERE doc_id < 180
+    """,
+)
+def q_media_quality_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_quality's audio arm (r13, per the r12 verdict: make the
+    one-column curation story container-complete): MP3 CBR streams
+    across the full MPEG1 Layer III bitrate ladder (banded against the
+    320 kbps transparent ceiling with integer-only arithmetic), FLAC
+    STREAMINFO (lossless -> 100), and WAV in PCM (lossless), G.711
+    u-law (8-bit companded -> 50), and IMA ADPCM (4-bit -> 25)
+    codings — all scored by the SAME operator and schema as the
+    image/video corpus, so one MIN_QUALITY threshold spans every
+    modality. All O(header) probes; the WAV branch walks RIFF chunks
+    without touching sample data."""
+    from collections.abc import Iterator as _It
+
+    from xetl_spark.operators.multimodal import media_quality
+
+    (docs,) = load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id").where(F.col("doc_id") < 180)
+    brs = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+    def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from xetl_spark.operators.audio import wav_build_raw, wav_encode
+        from xetl_spark.operators.mediaprobe import flac_build, mp3_build
+
+        pcm = wav_encode(
+            (np.arange(64, dtype=np.int16) * 100), 8000
+        )
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 5
+                if kind == 0:
+                    m = mp3_build(3, bitrate_kbps=brs[(did // 5) % 14])
+                elif kind == 1:
+                    m = flac_build(44100, 2, 1000)
+                elif kind == 2:
+                    m = pcm
+                elif kind == 3:
+                    m = wav_build_raw(7, bytes(range(64)), 8000, 1, bits=8)
+                else:
+                    m = wav_build_raw(
+                        17, bytes(64), 8000, 1, bits=4, block_align=32
+                    )
+                rows.append((did, m))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = ids.mapInPandas(build, schema="doc_id long, media binary")
+    return media_quality(media).select(
+        F.col("id").alias("doc_id"),
+        "container", "codec", "width", "height", "quality", "lossless",
+    )
+
+
+@query(
     "q_multimodal_av1_probe",
     oracle="""
     SELECT doc_id,
