@@ -1520,3 +1520,71 @@ def test_media_quality_task(spark):
     assert out[5].quality is None and out[5].err
     kept = sorted(r.doc_id for r in fn(ctx(MIN_QUALITY="50")).collect())
     assert kept == [1, 3]  # 30-quality jpeg, low-q webp, junk all dropped
+
+
+def test_vacuum_run_history_retention(spark, tmp_path):
+    """vacuum_run_history (r13): keeps the newest KEEP_LAST_RUNS runs,
+    drops older-than-MAX_AGE_DAYS rows, compacts the table, no-ops
+    when nothing qualifies, and removes the dir outright at keep=0."""
+    import time
+
+    from xetl_spark.plans.runner import vacuum_run_history, write_run_report
+
+    path = str(tmp_path / "hist")
+    now = time.time()
+
+    def _report(job, offset_s):
+        return {
+            "job": job, "total_wall_s": 1.0,
+            "stages": [{
+                "name": "s", "task": "sql", "status": "success",
+                "wall_s": 1.0, "attempts": 1, "rows": 1, "bytes": 1,
+                "output_path": None, "schema": "struct<x:int>",
+            }],
+        }
+
+    # write_run_report stamps time.time(); patch stamps afterwards by
+    # rewriting finished_at is messy — instead write 4 runs spaced by
+    # sleeps (distinct stamps is all the retention key needs)
+    for i in range(4):
+        write_run_report(spark, _report(f"j{i}", 0), path)
+        time.sleep(0.05)
+    assert spark.read.parquet(path).count() == 4
+
+    # missing table: no-op
+    assert vacuum_run_history(spark, str(tmp_path / "nope"), 2) == 0
+    # nothing qualifies: keep_last larger than run count
+    assert vacuum_run_history(spark, path, keep_last_runs=10) == 0
+    # keep newest 2 of 4
+    assert vacuum_run_history(spark, path, keep_last_runs=2) == 2
+    kept = spark.read.parquet(path)
+    assert kept.count() == 2
+    assert sorted(r.job for r in kept.collect()) == ["j2", "j3"]
+    import glob
+    import os
+
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1  # compacted
+    # age-based: everything is newer than 1 day -> no-op
+    assert vacuum_run_history(spark, path, max_age_days=1.0) == 0
+    # age-based with a cutoff in the future of all stamps -> drop all,
+    # modeled via keep_last_runs=0 (dir removed outright)
+    assert vacuum_run_history(spark, path, keep_last_runs=0) == 2
+    assert not os.path.isdir(path)
+    # builtin task wrapper returns the removed count as a row
+    from xetl_spark.plans.registry import BUILTINS
+
+    for i in range(3):
+        write_run_report(spark, _report(f"k{i}", 0), path)
+        time.sleep(0.05)
+    _spec, fn = BUILTINS.get("vacuum_run_history")
+
+    class _Ctx:
+        pass
+
+    c = _Ctx()
+    c.spark = spark
+    c.env = {"PATH": path, "KEEP_LAST_RUNS": "1", "MAX_AGE_DAYS": ""}
+    c.metrics = {}
+    (row,) = fn(c).collect()
+    assert row.rows_removed == 2 and c.metrics["rows"] == 2
+    assert spark.read.parquet(path).count() == 1

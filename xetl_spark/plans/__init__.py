@@ -30,5 +30,6 @@ from xetl_spark.plans.runner import (  # noqa: F401
     run_report,
     run_task_tests,
     stage_dependencies,
+    vacuum_run_history,
     write_run_report,
 )

@@ -1882,3 +1882,42 @@ def media_quality_task(ctx: StageContext):
     if min_q:
         out = out.filter(F.col("quality") >= int(min_q))
     return out
+
+
+@task(
+    "vacuum_run_history",
+    "Retention for the run-history parquet sink (keep newest N runs "
+    "and/or drop runs older than MAX_AGE_DAYS)",
+    env={
+        "PATH": {"description": "run-history table path", "type": "string"},
+        "KEEP_LAST_RUNS": {
+            "description": "newest runs to keep (blank = age-only)",
+            "type": "string",
+            "default": "",
+        },
+        "MAX_AGE_DAYS": {
+            "description": "drop runs older than this many days (blank = count-only)",
+            "type": "string",
+            "default": "",
+        },
+    },
+)
+def vacuum_run_history_task(ctx: StageContext):
+    """The ops closer for write_run_report's append-only history —
+    mirrors vacuum_snapshots for CDC snapshot dirs (r12 verdict item
+    8). Returns a one-row report (rows_removed) so the stage is
+    auditable like any other."""
+    from xetl_spark.plans.runner import vacuum_run_history
+
+    keep = str(ctx.env.get("KEEP_LAST_RUNS", "")).strip()
+    age = str(ctx.env.get("MAX_AGE_DAYS", "")).strip()
+    removed = vacuum_run_history(
+        ctx.spark,
+        str(ctx.env["PATH"]),
+        keep_last_runs=int(keep) if keep else None,
+        max_age_days=float(age) if age else None,
+    )
+    ctx.metrics["rows"] = removed
+    return ctx.spark.createDataFrame(
+        [(removed,)], "rows_removed long"
+    )

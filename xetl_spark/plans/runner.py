@@ -599,6 +599,53 @@ def write_run_report(
     return spark.read.parquet(path)
 
 
+def vacuum_run_history(
+    spark: SparkSession,
+    path: str,
+    keep_last_runs: int | None = None,
+    max_age_days: float | None = None,
+) -> int:
+    """Retention for the append-only run-history sink — the VACUUM
+    mirror of ``cdc.vacuum_snapshots`` (r13, per the r12 verdict:
+    write_run_report grows unboundedly without one). A "run" is one
+    distinct ``finished_at`` stamp; keeps the newest ``keep_last_runs``
+    runs and/or drops runs older than ``max_age_days``, whichever
+    removes more. Rewrites the table compacted (the history is
+    driver-side stage counts — a few rows per run — so a single-file
+    rewrite is the right shape at any cluster scale). Returns the
+    number of rows removed; a missing table is a 0-row no-op."""
+    import os
+    import shutil
+    import time
+
+    if not os.path.isdir(path):
+        return 0
+    df = spark.read.parquet(path)
+    stamps = sorted(
+        (r[0] for r in df.select("finished_at").distinct().collect()),
+        reverse=True,
+    )
+    cutoff = float("-inf")
+    if keep_last_runs is not None and keep_last_runs < len(stamps):
+        cutoff = stamps[keep_last_runs - 1] if keep_last_runs > 0 else float("inf")
+    if max_age_days is not None:
+        cutoff = max(cutoff, time.time() - max_age_days * 86400.0)
+    if cutoff == float("-inf"):
+        return 0
+    kept_df = df.filter(df.finished_at >= cutoff)
+    n_kept = kept_df.count()
+    removed = df.count() - n_kept
+    if removed <= 0:
+        return 0
+    tmp = path.rstrip("/") + ".__vacuum_tmp"
+    if n_kept:  # the write materializes BEFORE the source dir is removed
+        kept_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    if n_kept:
+        os.rename(tmp, path)
+    return removed
+
+
 def run_task_tests(
     spark: SparkSession,
     registry: TaskRegistry | None = None,
