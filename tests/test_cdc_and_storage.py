@@ -706,3 +706,65 @@ def test_ivm_minmax_per_side_overflow_thresholds(spark):
 
     row = minmax_read(minmax_repair(state, live, ["k"], ["v"], k=2), ["v"]).collect()[0]
     assert (row.min_v, row.max_v, row.dirty_v) == (5, 30, False)
+
+
+def test_ivm_minmax_large_delta_recompute_path(spark):
+    """r13 (found by the sf1 scaling leg): a group whose batch exceeds
+    recompute_threshold skips the O(|batch-group|^2) array fold —
+    counts still apply, the group goes DIRTY (NULL extremes) without
+    base, and the same-call base repair rebuilds it exactly; small
+    groups in the same batch keep the incremental path."""
+    from xetl_spark.operators.ivm import (
+        minmax_apply,
+        minmax_read,
+        minmax_snapshot,
+    )
+
+    base_rows = [(1, v) for v in range(20, 30)] + [(2, v) for v in (5, 6, 7)]
+    base = spark.createDataFrame(base_rows, "k long, v long")
+    state = minmax_snapshot(base, ["k"], ["v"], k=2)
+    # group 1: 12-row delta (> threshold 4) — inserts 0..9, retracts 20+21
+    big = [(1, v, 1) for v in range(10)] + [(1, 20, -1), (1, 21, -1)]
+    # group 2: 1-row delta — stays on the fold path
+    batch = spark.createDataFrame(big + [(2, 1, 1)], "k long, v long, w int")
+    live_rows = (
+        [(1, v) for v in range(10)] + [(1, v) for v in range(22, 30)]
+        + [(2, v) for v in (1, 5, 6, 7)]
+    )
+    live = spark.createDataFrame(live_rows, "k long, v long")
+
+    # without base: big group dirty, counts exact, small group folded
+    st = minmax_apply(
+        state, batch, ["k"], ["v"], weight_col="w", k=2,
+        recompute_threshold=4,
+    )
+    got = {r.k: r for r in minmax_read(st, ["v"]).collect()}
+    assert (got[1].n, got[1].min_v, got[1].max_v, got[1].dirty_v) == (
+        18, None, None, True,
+    )
+    assert (got[2].n, got[2].min_v, got[2].max_v, got[2].dirty_v) == (
+        4, 1, 7, False,
+    )
+    # with base: the in-call pruned repair rebuilds the big group exactly
+    st2 = minmax_apply(
+        state, batch, ["k"], ["v"], weight_col="w", k=2,
+        recompute_threshold=4, base=live,
+    )
+    got2 = {r.k: r for r in minmax_read(st2, ["v"]).collect()}
+    assert (got2[1].n, got2[1].min_v, got2[1].max_v, got2[1].dirty_v) == (
+        18, 0, 29, False,
+    )
+    assert (got2[2].n, got2[2].min_v, got2[2].max_v) == (4, 1, 7)
+    # a NEW group arriving as a big all-insert delta also repairs exactly
+    batch3 = spark.createDataFrame(
+        [(9, v, 1) for v in range(50, 60)], "k long, v long, w int"
+    )
+    live3 = spark.createDataFrame([(9, v) for v in range(50, 60)], "k long, v long")
+    st3 = minmax_apply(
+        state, batch3, ["k"], ["v"], weight_col="w", k=2,
+        recompute_threshold=4, base=live3,
+    )
+    got3 = {r.k: r for r in minmax_read(st3, ["v"]).collect()}
+    assert (got3[9].n, got3[9].min_v, got3[9].max_v, got3[9].dirty_v) == (
+        10, 50, 59, False,
+    )

@@ -198,6 +198,7 @@ def minmax_apply(
     weight_col: str | None = None,
     k: int = 16,
     base: DataFrame | None = None,
+    recompute_threshold: int | None = None,
 ) -> DataFrame:
     """Fold a change batch into min/max state (insert weight +1,
     retract -1, as in ivm_apply).
@@ -213,23 +214,51 @@ def minmax_apply(
     table) to repair in the same call via a semi-join-pruned rescan of
     just the dirty groups — O(dirty-group rows), never a full rescan.
 
+    LARGE deltas take the recompute path, not the fold (r13 — the sf1
+    scaling leg caught the old always-fold at a 125k-row group delta:
+    the per-retraction array peel is O(|batch-group|²) interpreted
+    HOF work, ~10 min on one task). A group whose batch exceeds
+    ``recompute_threshold`` rows (default ``max(64, 8*k)``) skips
+    array folding entirely — its count delta still applies, its
+    arrays empty, and it is marked DIRTY so the same-call ``base``
+    repair (or a later ``minmax_repair``) rebuilds it exactly; until
+    then it reads as NULL extremes, the documented dirty contract.
+    This is the textbook IVM trade: incremental folding only pays
+    when |delta| is small relative to the group, and a delta this
+    large costs the same as the pruned rescan anyway.
+
     Per-batch cost: one keyed shuffle of ~|batch| rows + the state
     merge join; all array surgery is per-row Catalyst higher-order
-    expressions over arrays bounded by k + batch-group size."""
+    expressions over arrays bounded by k + recompute_threshold."""
+    if recompute_threshold is None:
+        recompute_threshold = max(64, 8 * k)
     w = F.col(weight_col) if weight_col else F.lit(1)
     dtypes = dict(batch.dtypes)
-    aggs = [F.sum(w).alias("__dn")]
+    # pass 1: per-group counts + scalar extremes (cheap aggs, no
+    # arrays) — decides which groups fold vs recompute, and supplies a
+    # typed non-null threshold seed for brand-new big groups
+    cnt_aggs = [F.sum(w).alias("__dn"), F.count(F.lit(1)).alias("__bn")]
+    for c in cols:
+        cnt_aggs.append(F.min(c).alias(f"__bmn_{c}"))
+        cnt_aggs.append(F.max(c).alias(f"__bmx_{c}"))
+    dn = batch.groupBy(*keys).agg(*cnt_aggs)
+    big_keys = dn.filter(F.col("__bn") > recompute_threshold).select(*keys)
+    small = batch.join(F.broadcast(big_keys), list(keys), "left_anti")
+    aggs = []
     for c in cols:
         aggs.append(
             F.array_sort(F.collect_list(F.when(w > 0, F.col(c)))).alias(f"__i_{c}")
         )
         aggs.append(F.collect_list(F.when(w < 0, F.col(c))).alias(f"__r_{c}"))
-    delta = batch.groupBy(*keys).agg(*aggs)
+    delta = dn.join(small.groupBy(*keys).agg(*aggs), list(keys), "left")
     merged = state.join(delta, list(keys), "full_outer")
     n_new = (
         F.coalesce(F.col("__n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
     ).alias("__n")
     out_cols = [*keys, n_new]
+    big = F.coalesce(
+        F.col("__bn") > recompute_threshold, F.lit(False)
+    )
     for c in cols:
         empty = _typed_empty(dtypes[c])
         ins = F.coalesce(F.col(f"__i_{c}"), empty)
@@ -249,21 +278,44 @@ def minmax_apply(
         # smallest value evicted off the min array / largest off the max
         mn_evict = F.get(mn_after, F.lit(k))
         mx_evict = F.get(mx_after, F.size(mx_after) - k - 1)
-        out_cols.append(F.slice(mn_after, 1, k).alias(f"mn_{c}"))
-        out_cols.append(
-            F.slice(
-                mx_after,
-                F.greatest(F.size(mx_after) - k + 1, F.lit(1)).cast("int"),
-                F.lit(k),
-            ).alias(f"mx_{c}")
+        # recompute-path groups: arrays drop, a non-null threshold
+        # (existing, else first tracked value, else the batch extreme)
+        # marks the side dirty; all-null groups keep a null threshold
+        # and correctly read as NULL-extreme without being dirty
+        big_mnthr = F.coalesce(
+            F.col(f"mnthr_{c}"), F.get(f"mn_{c}", F.lit(0)),
+            F.col(f"__bmn_{c}"),
+        )
+        big_mxthr = F.coalesce(
+            F.col(f"mxthr_{c}"),
+            F.get(f"mx_{c}", F.size(f"mx_{c}") - 1),
+            F.col(f"__bmx_{c}"),
         )
         out_cols.append(
-            F.when(mn_overflow, F.least(F.coalesce(F.col(f"mnthr_{c}"), mn_evict), mn_evict))
+            F.when(big, empty)
+            .otherwise(F.slice(mn_after, 1, k))
+            .alias(f"mn_{c}")
+        )
+        out_cols.append(
+            F.when(big, empty)
+            .otherwise(
+                F.slice(
+                    mx_after,
+                    F.greatest(F.size(mx_after) - k + 1, F.lit(1)).cast("int"),
+                    F.lit(k),
+                )
+            )
+            .alias(f"mx_{c}")
+        )
+        out_cols.append(
+            F.when(big, big_mnthr)
+            .when(mn_overflow, F.least(F.coalesce(F.col(f"mnthr_{c}"), mn_evict), mn_evict))
             .otherwise(F.col(f"mnthr_{c}"))
             .alias(f"mnthr_{c}")
         )
         out_cols.append(
-            F.when(mx_overflow, F.greatest(F.coalesce(F.col(f"mxthr_{c}"), mx_evict), mx_evict))
+            F.when(big, big_mxthr)
+            .when(mx_overflow, F.greatest(F.coalesce(F.col(f"mxthr_{c}"), mx_evict), mx_evict))
             .otherwise(F.col(f"mxthr_{c}"))
             .alias(f"mxthr_{c}")
         )
