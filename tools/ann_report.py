@@ -182,7 +182,16 @@ def main() -> None:
         "The sf1 table (r13, 10x vectors with per-copy jitter) shows the",
         "dial holds as the corpus grows: the exact methods' wall grows",
         "with the scan while the bucketed methods' candidate sets stay",
-        "pruned.",
+        "pruned. Two sf1 caveats: (1) recall reads near 1.0 for every",
+        "method there because gen_sf's jittered copies make each query's",
+        "true top-10 its own near-copies — trivially findable, so the",
+        "sf0.1 table is the honest recall dial; (2) the PQ/OPQ walls at",
+        "sf1 are dominated by the codebook FIT, which hits its 20k-row",
+        "bounded sample ceiling exactly at this corpus (pq.py",
+        "_MAX_FIT_SAMPLE) — constant beyond it, and amortized in",
+        "production where codebooks are fitted once and reused (the",
+        "persisted-index pattern ivf_build_index demonstrates), not",
+        "refit per query batch.",
     ]
     for d in corpora:
         n, results = bench_corpus(spark, d)
