@@ -66,7 +66,13 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # step is a separate O(|batch|) job against a PERSISTED state table —
 # the per-plan exchange count here is the demo composition, not the
 # steady-state cost; every exchange carries one row per group or per
-# batch row.
+# batch row. r13 (+9 textual): the large-delta recompute guard adds a
+# scalar per-group pre-aggregation + broadcast anti-join whose batch
+# subtree the static text repeats under the delta agg and the repair
+# consumer — measured movement is unchanged (SHUFFLE.md: 0.00 MB
+# write at sf0.1, 0.02 MB at sf1, 20 executed stages), and the guard
+# is what keeps the fold off the O(|batch-group|^2) path the sf1 leg
+# caught.
 # q_text_bigram_logprob — round-8 de-skew rewrite: the corpus counts
 # C(w1,w2) and C(w1.) are groupBy aggregations JOINED BACK instead of
 # windows (windows do no partial aggregation and AQE cannot skew-split
@@ -117,7 +123,7 @@ EXCHANGE_ALLOWANCE = {
     "q_graph_triangles": 21,
     "q_fuzzy_name_join": 10,
     "q_join_effective_dated": 7,
-    "q_ivm_rollup_maintenance": 24,
+    "q_ivm_rollup_maintenance": 34,
     "q_text_perplexity_buckets": 24,
     "q_text_kn_sampled_fit": 11,
     "q_dedup_incremental_semantic": 19,
