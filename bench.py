@@ -90,6 +90,7 @@ LLM_SUITE = [
     "q_multimodal_webm_probe",
     "q_multimodal_vp9_quality",
     "q_media_quality",
+    "q_media_quality_audio",  # r13: the audio arm of the unified column
     "q_multimodal_av1_probe",
     "q_multimodal_avif_probe",
 ]
