@@ -6,8 +6,12 @@ Two paths, same contract:
 - LSH-bucketed ANN (random hyperplanes): approximate; candidates come
   from signature-bucket equi-joins, the 100 TB path.
 
-Vector math is pure Catalyst higher-order functions (zip_with +
-aggregate) — JVM-side, codegen'd, no Python serde per row.
+Vector math: hot paths (cell assignment, candidate-pair scoring) are
+Arrow-batched numpy — one BLAS matmul / row-wise product-sum per
+batch (r13; Catalyst higher-order lambdas evaluate interpreted, and
+the sf1 sweep measured them at ~2.5k dots/s/core on pair scoring).
+The HOF forms (_dot/_norm) remain for one-off expressions where the
+multiplier is small.
 """
 
 from __future__ import annotations
@@ -30,6 +34,47 @@ def _norm(a):
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+
+
+def _pair_cos(a, b):
+    """Vectorized dot product of two array columns (Arrow batch →
+    numpy row-wise product-sum). Replaces the interpreted zip_with/
+    aggregate form on PAIR-scoring hot paths (r13 — the sf1 sweep
+    measured the HOF form at ~2.5k pairs/s/core: candidate scoring in
+    semdedup/IVF/LSH multiplied it by millions of pairs)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot(x, y):
+        if not len(x):
+            return pd.Series([], dtype="float64")
+        X = np.stack(x.to_numpy())
+        Y = np.stack(y.to_numpy())
+        return pd.Series((X * Y).sum(axis=1))
+
+    return dot(a, b)
+
+
+def _centroid_sim(unit_col: str, cell_col: str, centroids: list[list[float]]):
+    """Cosine of each row's unit vector to its ASSIGNED centroid —
+    the vectorized twin of element_at(array(<dot per centroid>), cell)
+    (which cost |corpus| x |centroids| interpreted HOF dots)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("double")
+    def sim(u, cell):
+        if not len(u):
+            return pd.Series([], dtype="float64")
+        X = np.stack(u.to_numpy())
+        return pd.Series((X * C[cell.to_numpy()]).sum(axis=1))
+
+    return sim(F.col(unit_col), F.col(cell_col))
 
 
 def with_unit_vectors(df: DataFrame, vec_col: str, out_col: str = "__unit") -> DataFrame:
@@ -253,35 +298,36 @@ def cosine_near_duplicates(
     return (
         cand.join(units.select(F.col("id").alias("id_a"), F.col("__u").alias("__ua")), "id_a")
         .join(units.select(F.col("id").alias("id_b"), F.col("__u").alias("__ub")), "id_b")
-        .select("id_a", "id_b", _dot(F.col("__ua"), F.col("__ub")).alias("cos_sim"))
+        .select("id_a", "id_b", _pair_cos(F.col("__ua"), F.col("__ub")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
 
 def _nearest_cells(unit_col: str, centroids: list[list[float]], n: int):
     """Column expr: the ``n`` nearest centroid indices (by cosine on
-    unit vectors) as an array<int>. Centroids are plan-shipped literals
-    — the broadcast-tiny side of IVF."""
-    dists = F.array(
-        *[
-            F.struct(
-                _dot(F.col(unit_col), F.array(*[F.lit(float(x)) for x in ctr])).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
-    )
-    top = F.slice(
-        F.array_sort(
-            dists,
-            lambda a, b: F.when(a["sim"] > b["sim"], -1)
-            .when(a["sim"] < b["sim"], 1)
-            .otherwise(0),
-        ),
-        1,
-        n,
-    )
-    return F.transform(top, lambda s: s["cell"])
+    unit vectors) as an array<int>. Centroids are closure-captured as
+    a dense matrix and each Arrow batch scores with ONE BLAS matmul
+    (r13 — the prior per-centroid HOF-dot array cost
+    |rows| x |centroids| x dim interpreted steps, the dominant term of
+    the sf1 semdedup/IVF sweep timeouts). Stable argsort on -sim keeps
+    the old comparator's ascending-cell tie order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    m = min(n, C.shape[0])
+
+    @pandas_udf("array<int>")
+    def nn(u):
+        if not len(u):
+            return pd.Series([], dtype="object")
+        X = np.stack(u.to_numpy())
+        S = X @ C.T
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :m]
+        return pd.Series([r.astype("int32").tolist() for r in idx])
+
+    return nn(F.col(unit_col))
 
 
 #: session-scoped centroid memo — a KMeans fit is a full corpus scan
@@ -308,12 +354,22 @@ def ivf_fit_centroids(
     n_clusters: int = 16,
     seed: int = 42,
     cache: bool = True,
+    max_fit_sample: int = 65536,
+    iters: int = 20,
 ) -> list[list[float]]:
     """KMeans-fit IVF cell centroids over unit vectors; returns them as
     plain lists (tiny — driver-held, plan-shipped). Fits are memoized
-    per (session, corpus plan, params) unless ``cache=False``."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    per (session, corpus plan, params) unless ``cache=False``.
+
+    The fit runs driver-side Lloyd's on a BOUNDED deterministic sample
+    (the first ``max_fit_sample`` rows under md5 ordering — the pq.py
+    _fit_sample precedent; partitioning-independent, TakeOrdered not a
+    global sort). r13: the previous pyspark.ml KMeans fit ran dozens
+    of kmeans||-init + Lloyd stage rounds PER FIT — ~60s of scheduler
+    latency at k=80 on local mode, the dominant term of the sf1
+    semdedup sweep timeout — while a numpy Lloyd on the same sample is
+    ~1s and the assignment of the full corpus stays distributed."""
+    import numpy as np
 
     key = None
     if cache:
@@ -331,9 +387,28 @@ def ivf_fit_centroids(
             return _CENTROID_CACHE[key]
 
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
-    train = c.select(array_to_vector(F.col("__uc")).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
-    centroids = [list(ctr) for ctr in model.clusterCenters()]
+    rows = (
+        c.select(F.col("__uc").alias("v"))
+        .orderBy(F.md5(F.col("v").cast("string")))
+        .limit(max_fit_sample)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(n_clusters, len(x))
+    centers = x[rng.choice(len(x), size=k, replace=False)].copy()
+    if k < n_clusters:  # degenerate tiny corpus: pad by repetition
+        centers = np.vstack([centers] * (n_clusters // k + 1))[:n_clusters]
+    xx = (x * x).sum(1)[:, None]
+    for _ in range(iters):
+        # squared-distance via the expansion — no (n, k, d) temporary
+        d = xx - 2.0 * (x @ centers.T) + (centers * centers).sum(1)[None, :]
+        assign = d.argmin(1)
+        for j in range(len(centers)):
+            pts = x[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(0)
+    centroids = [list(map(float, ctr)) for ctr in centers]
     if key is not None:
         while len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
             _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
@@ -383,7 +458,7 @@ def _ivf_score(c_assigned: DataFrame, q_assigned: DataFrame, k: int) -> DataFram
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", _dot(F.col("__uq"), F.col("__uc")).alias("cos_sim")
+        "query_id", "neighbor_id", _pair_cos(F.col("__uq"), F.col("__uc")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -512,7 +587,7 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.join(c_units, "neighbor_id").select(
-        "query_id", "neighbor_id", _dot(F.col("__uq"), F.col("__uc")).alias("cos_sim")
+        "query_id", "neighbor_id", _pair_cos(F.col("__uq"), F.col("__uc")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -527,7 +602,7 @@ def semdedup(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     seed: int = 42,
     max_cluster_size: int | None = 5000,
 ) -> DataFrame:
@@ -545,10 +620,15 @@ def semdedup(
        with cosine >= ``threshold``. Pair generation is cluster-local
        (one groupBy shuffle + streamed posexplode — the
        lsh_candidate_pairs shape), so cost is Σ|cell|², never corpus².
-       The paper keeps cells small by using large k; ``max_cluster_
-       size`` is the quadratic guard for degenerate clusterings —
-       oversized cells are skipped (their members remain candidates
-       through exact dedup upstream).
+       The paper keeps cells small by using large k: pass
+       ``n_clusters=None`` for the adaptive default
+       max(16, min(4096, n/250)) — ~250-vector cells regardless of
+       corpus size (r13: a fixed k=8 at a 20k corpus meant 2.5k-row
+       cells and ~25M HOF dot products; the registry-wide sf1 sweep
+       caught it as a 120s+ timeout). ``max_cluster_size`` stays the
+       quadratic guard for degenerate clusterings — oversized cells
+       are skipped (their members remain candidates through exact
+       dedup upstream).
     3. Connected components over the pair graph → duplicate groups;
        per group KEEP the member FARTHEST from its centroid (lowest
        centroid cosine — the paper's diversity-preserving choice),
@@ -566,22 +646,20 @@ def semdedup(
     # KMeans fit materializes it NOW and the returned lazy plan reads it
     # again — unpersisting before execution would recompute everything
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u").persist()
+    if n_clusters is None:
+        # adaptive cell count: ~250 vectors per cell (the count is
+        # against the just-persisted table the k-means fit reads next)
+        n_clusters = max(16, min(4096, c.count() // 250))
     centroids = ivf_fit_centroids(c, "__u", n_clusters=n_clusters, seed=seed)
     assigned = c.select(
         F.col(id_col).alias("id"),
         F.element_at(_nearest_cells("__u", centroids, 1), 1).alias("cell"),
         "__u",
     ).withColumn(
+        # one vectorized pass against the assigned centroid (r13 — the
+        # per-centroid HOF-dot array cost |corpus| x k interpreted dots)
         "centroid_sim",
-        F.element_at(
-            F.array(
-                *[
-                    _dot(F.col("__u"), F.array(*[F.lit(float(x)) for x in ctr]))
-                    for ctr in centroids
-                ]
-            ),
-            F.col("cell") + 1,
-        ),
+        _centroid_sim("__u", "cell", centroids),
     )
     units = assigned.select("id", "__u")
     buckets = (
@@ -610,7 +688,7 @@ def semdedup(
             "id_b",
         )
         .select(
-            "id_a", "id_b", _dot(F.col("__ua"), F.col("__ub")).alias("cos_sim")
+            "id_a", "id_b", _pair_cos(F.col("__ua"), F.col("__ub")).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -714,7 +792,7 @@ def incremental_semdedup(
         .where(
             (~F.col("o.__is_new")) | (F.col("o.id") < F.col("n.id"))
         )
-        .where(_dot(F.col("n.unit"), F.col("o.unit")) >= threshold)
+        .where(_pair_cos(F.col("n.unit"), F.col("o.unit")) >= threshold)
         .select(F.col("n.id").alias("id"))
         .distinct()
     )

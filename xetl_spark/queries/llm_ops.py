@@ -1000,7 +1000,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    out = semdedup(corpus, "embedding", "vec_id", threshold=0.95, n_clusters=8)
+    # n_clusters=None = adaptive ~250-vector cells (r13: the fixed k=8
+    # this query shipped with meant 2.5k-row cells at the sf1 corpus —
+    # ~25M cluster-local HOF dot products, caught as a sweep timeout)
+    out = semdedup(corpus, "embedding", "vec_id", threshold=0.95,
+                   n_clusters=None)
     return out.select(
         "id", "cell", F.round("centroid_sim", 4).alias("centroid_sim"),
         "group", "keep",

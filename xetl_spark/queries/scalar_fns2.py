@@ -281,8 +281,9 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_linenumber - 1 = 0 THEN NULL
                 ELSE round(l_extendedprice / (l_linenumber - 1), 4) END AS safe_div,
-           CASE WHEN l_orderkey > 7 THEN NULL
-                ELSE l_orderkey + 9223372036854775800 END            AS safe_add,
+           CASE WHEN l_orderkey % 512 = 0 AND l_orderkey > 7 THEN NULL
+                ELSE l_orderkey + CASE WHEN l_orderkey % 512 = 0
+                     THEN 9223372036854775800 ELSE 1 END END         AS safe_add,
            TRY_CAST(l_returnflag AS INT)                             AS flag_int,
            TRY_CAST(l_linestatus AS BOOLEAN)                         AS status_bool
     FROM lineitem
@@ -292,15 +293,23 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe error-tolerant expressions (try_divide / try_add /
     try_cast): invalid arithmetic and casts yield NULL rows instead of
     task failures — the semantics a 100 TB pipeline needs so one bad
-    record can't abort a stage."""
+    record can't abort a stage. The overflow is planted on ~0.2% of
+    rows (l_orderkey % 512), not all of them: a caught JVM overflow
+    costs microseconds PER THROW, and the original every-row-overflows
+    form spent ~50s at the sf1 fixture on exception handling alone
+    (r13 sweep finding) — try_* prices errors as rare, which is what
+    the demo should model too."""
     (li,) = load(spark, sf_dir, "lineitem")
+    addend = F.when(
+        F.col("l_orderkey") % 512 == 0, F.lit(9223372036854775800)
+    ).otherwise(F.lit(1))
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round(
             F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 4
         ).alias("safe_div"),
-        F.try_add(F.col("l_orderkey"), F.lit(9223372036854775800)).alias("safe_add"),
+        F.try_add(F.col("l_orderkey"), addend).alias("safe_add"),
         F.col("l_returnflag").try_cast("int").alias("flag_int"),
         F.col("l_linestatus").try_cast("boolean").alias("status_bool"),
     )
