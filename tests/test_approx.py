@@ -135,6 +135,49 @@ def test_ivf_centroid_cache(spark, sf_dir):
     assert ivf_fit_centroids(emb, "embedding", n_clusters=4) is not first
 
 
+def test_ivf_fit_empty_and_blocked_assignment(spark, sf_dir):
+    """r14 advisor: an empty corpus raises a clear error (was a
+    ZeroDivisionError in the tiny-corpus pad), and the row-blocked
+    Lloyd's assignment (driver-memory bound at large k) is exactly
+    equal to the unblocked expansion."""
+    import numpy as np
+    import pytest
+
+    from xetl_spark.operators.similarity import (
+        clear_centroid_cache,
+        ivf_fit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    empty = emb.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="no non-null"):
+        ivf_fit_centroids(empty, "embedding", n_clusters=4, cache=False)
+    # all-null vectors also count as empty (unit-norm drops nulls)
+    from pyspark.sql import functions as F
+
+    nulls = emb.limit(5).select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        ivf_fit_centroids(nulls, "embedding", n_clusters=4, cache=False)
+    # blocked == unblocked: shrink the block bound so the assignment
+    # runs in many row blocks and assert bit-identical centroids
+    import xetl_spark.operators.similarity as sim
+
+    clear_centroid_cache()
+    small = emb.limit(64)
+    one_block = ivf_fit_centroids(small, "embedding", n_clusters=8, cache=False)
+    old = sim._ASSIGN_BLOCK_ELEMS
+    sim._ASSIGN_BLOCK_ELEMS = 8 * 7  # block of 7 rows at k=8
+    try:
+        many_blocks = ivf_fit_centroids(
+            small, "embedding", n_clusters=8, cache=False
+        )
+    finally:
+        sim._ASSIGN_BLOCK_ELEMS = old
+    assert np.array_equal(np.asarray(one_block), np.asarray(many_blocks))
+
+
 def test_hll_union_equals_direct_sketch(spark):
     """Sketch mergeability: union of split sketches estimates the same
     as one sketch over the union (deterministic, no RNG)."""

@@ -768,3 +768,59 @@ def test_ivm_minmax_large_delta_recompute_path(spark):
     assert (got3[9].n, got3[9].min_v, got3[9].max_v, got3[9].dirty_v) == (
         10, 50, 59, False,
     )
+
+
+def test_ivm_minmax_big_delta_lowers_threshold(spark):
+    """r14 (advisor-found): the recompute-path threshold seed must
+    LOWER (resp. raise) the old threshold to bound the big batch's own
+    extremes — coalesce kept the OLD threshold when the big batch
+    inserted values below it, so a later small insert inside the stale
+    bound read the group CLEAN with a wrong min while a smaller value
+    was live (and repair, which only rescans dirty groups, never fixed
+    it). Max side symmetric."""
+    from xetl_spark.operators.ivm import (
+        minmax_apply,
+        minmax_read,
+        minmax_repair,
+        minmax_snapshot,
+    )
+
+    base = spark.createDataFrame([(1, 20), (1, 21)], "k long, v long")
+    state = minmax_snapshot(base, ["k"], ["v"], k=2)
+    # overflow the kept arrays so mnthr/mxthr become non-null (=21 / =20)
+    state = minmax_apply(
+        state,
+        spark.createDataFrame(
+            [(1, 19, 1), (1, 22, 1), (1, 18, 1), (1, 23, 1)],
+            "k long, v long, w int",
+        ),
+        ["k"], ["v"], weight_col="w", k=2,
+    )
+    # big all-insert delta with values OUTSIDE the old thresholds on
+    # both sides (0..9 below mnthr, 100..109 above mxthr), no base
+    big = [(1, v, 1) for v in list(range(10)) + list(range(100, 110))]
+    state = minmax_apply(
+        state,
+        spark.createDataFrame(big, "k long, v long, w int"),
+        ["k"], ["v"], weight_col="w", k=2, recompute_threshold=4,
+    )
+    # small follow-up insert BETWEEN the old and the true extremes: with
+    # the stale threshold the group read clean with min=5/max=50
+    state = minmax_apply(
+        state,
+        spark.createDataFrame([(1, 5, 1), (1, 50, 1)], "k long, v long, w int"),
+        ["k"], ["v"], weight_col="w", k=2,
+    )
+    row = minmax_read(state, ["v"]).collect()[0]
+    # 0 and 109 are live and untracked: the group MUST stay dirty
+    assert row.dirty_v, row
+    assert row.min_v is None and row.max_v is None
+    live = spark.createDataFrame(
+        [(1, v) for v in (18, 19, 20, 21, 22, 23, 5, 50)]
+        + [(1, v) for v in list(range(10)) + list(range(100, 110))],
+        "k long, v long",
+    )
+    row = minmax_read(
+        minmax_repair(state, live, ["k"], ["v"], k=2), ["v"]
+    ).collect()[0]
+    assert (row.min_v, row.max_v, row.dirty_v) == (0, 109, False)

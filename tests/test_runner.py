@@ -1588,3 +1588,12 @@ def test_vacuum_run_history_retention(spark, tmp_path):
     (row,) = fn(c).collect()
     assert row.rows_removed == 2 and c.metrics["rows"] == 2
     assert spark.read.parquet(path).count() == 1
+    # non-local URIs error loudly instead of silently no-opping (r14):
+    # the rewrite is os/shutil-based and cannot reach remote stores
+    import pytest
+
+    for uri in ("hdfs://nn/warehouse/runs", "s3a://bucket/runs"):
+        with pytest.raises(ValueError, match="local paths"):
+            vacuum_run_history(spark, uri, keep_last_runs=1)
+    # file:// is local: stripped and handled
+    assert vacuum_run_history(spark, "file://" + path, keep_last_runs=1) == 0

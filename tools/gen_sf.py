@@ -14,8 +14,11 @@ Perturbations that keep scale queries honest:
   docs (deterministic by (doc_id + i) % 2), so the corpus has BOTH
   exact duplicates and near-duplicates at scale instead of being 10
   identical shards (which would make dedup measurements vacuous).
-- embeddings: copies i>0 jitter one coordinate by i * 1e-3 so vectors
-  are near- but not exact-duplicates.
+- embeddings: copies i>0 shift EVERY coordinate by i * 1e-3 (a
+  whole-vector translation, so the cosine drift is larger than a
+  single-coordinate jitter would give) — vectors are near- but not
+  exact-duplicates, and each vector's true neighbors are its own
+  copies (the ANN.md sf1 recall caveat relies on exactly this).
 - events keep their time window (10x density, same span) so
   watermark/window semantics and date-filter selectivities carry over.
 

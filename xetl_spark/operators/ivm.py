@@ -278,15 +278,21 @@ def minmax_apply(
         # smallest value evicted off the min array / largest off the max
         mn_evict = F.get(mn_after, F.lit(k))
         mx_evict = F.get(mx_after, F.size(mx_after) - k - 1)
-        # recompute-path groups: arrays drop, a non-null threshold
-        # (existing, else first tracked value, else the batch extreme)
-        # marks the side dirty; all-null groups keep a null threshold
-        # and correctly read as NULL-extreme without being dirty
-        big_mnthr = F.coalesce(
+        # recompute-path groups: arrays drop, and the threshold must
+        # bound EVERY newly-untracked value — the old threshold (old
+        # untracked), the formerly-tracked extreme (mn[0] / mx[-1]),
+        # AND the batch extreme. coalesce here (first non-null) kept
+        # the OLD threshold when the big batch inserted values beyond
+        # it, so a later small insert inside the stale bound read the
+        # group CLEAN with a wrong extreme — and repair only rescans
+        # dirty groups, making the corruption permanent.
+        # least/greatest skip nulls, so an all-null group still keeps
+        # a null threshold and correctly reads NULL-extreme, not dirty.
+        big_mnthr = F.least(
             F.col(f"mnthr_{c}"), F.get(f"mn_{c}", F.lit(0)),
             F.col(f"__bmn_{c}"),
         )
-        big_mxthr = F.coalesce(
+        big_mxthr = F.greatest(
             F.col(f"mxthr_{c}"),
             F.get(f"mx_{c}", F.size(f"mx_{c}") - 1),
             F.col(f"__bmx_{c}"),

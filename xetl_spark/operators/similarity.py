@@ -342,6 +342,12 @@ _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 #: FIFO bound: centroid lists are small (n_clusters × dim floats) but a
 #: long-lived session fitting many corpora must not grow without limit
 _CENTROID_CACHE_MAX = 32
+# Lloyd's-assignment working set bound: rows are blocked so each
+# (block, k) distance matrix stays ~64 MB of float64 regardless of k
+# (at the caps, 65536 x 4096 unblocked is ~2 GB per temporary x several
+# temporaries — a driver OOM risk). Module-level so tests can shrink it
+# and prove blocked == unblocked.
+_ASSIGN_BLOCK_ELEMS = 8_000_000
 
 
 def clear_centroid_cache() -> None:
@@ -389,21 +395,35 @@ def ivf_fit_centroids(
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__uc")
     rows = (
         c.select(F.col("__uc").alias("v"))
+        .filter(F.col("v").isNotNull())
         .orderBy(F.md5(F.col("v").cast("string")))
         .limit(max_fit_sample)
         .collect()
     )
     x = np.asarray([r.v for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError(
+            f"ivf_fit_centroids: corpus has no non-null '{vec_col}' vectors"
+        )
     rng = np.random.default_rng(seed)
     k = min(n_clusters, len(x))
     centers = x[rng.choice(len(x), size=k, replace=False)].copy()
     if k < n_clusters:  # degenerate tiny corpus: pad by repetition
         centers = np.vstack([centers] * (n_clusters // k + 1))[:n_clusters]
-    xx = (x * x).sum(1)[:, None]
+    xx = (x * x).sum(1)
+    # assignment materializes a (block, k) float64 distance matrix; at
+    # the caps (65536 sample x 4096 adaptive cells) an unblocked pass is
+    # ~2 GB PER TEMPORARY x several temporaries — block rows so the
+    # working set stays ~tens of MB regardless of k
+    block = max(1, int(_ASSIGN_BLOCK_ELEMS / max(1, len(centers))))
     for _ in range(iters):
-        # squared-distance via the expansion — no (n, k, d) temporary
-        d = xx - 2.0 * (x @ centers.T) + (centers * centers).sum(1)[None, :]
-        assign = d.argmin(1)
+        cc = (centers * centers).sum(1)[None, :]
+        assign = np.empty(len(x), dtype=np.int64)
+        for s in range(0, len(x), block):
+            e = min(s + block, len(x))
+            # squared-distance via the expansion — no (n, k, d) temporary
+            d = xx[s:e, None] - 2.0 * (x[s:e] @ centers.T) + cc
+            assign[s:e] = d.argmin(1)
         for j in range(len(centers)):
             pts = x[assign == j]
             if len(pts):

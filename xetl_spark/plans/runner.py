@@ -615,9 +615,20 @@ def vacuum_run_history(
     rewrite is the right shape at any cluster scale). Returns the
     number of rows removed; a missing table is a 0-row no-op."""
     import os
+    import re
     import shutil
     import time
 
+    # local-path-only: the compaction rewrite below uses os/shutil, so a
+    # hdfs:// or s3a:// table (which write_run_report happily appends to
+    # via Spark) must error rather than silently no-op (r14 advisor).
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path)
+    if m and not path.startswith("file://"):
+        raise ValueError(
+            f"vacuum_run_history only supports local paths; got {path!r}. "
+            "For a remote table, read/filter/overwrite it with Spark."
+        )
+    path = re.sub(r"^file://", "", path)
     if not os.path.isdir(path):
         return 0
     df = spark.read.parquet(path)
