@@ -396,7 +396,12 @@ def ivf_fit_centroids(
     rows = (
         c.select(F.col("__uc").alias("v"))
         .filter(F.col("v").isNotNull())
-        .orderBy(F.md5(F.col("v").cast("string")))
+        # materialize the sort key as a COLUMN: sorting by the md5
+        # expression directly makes Spark's top-K comparator re-cast +
+        # re-hash the array per COMPARISON (interpreted, O(n log n)
+        # evaluations — measured 16s vs 1s on a 20k x 64-dim corpus)
+        .withColumn("__h", F.md5(F.col("v").cast("string")))
+        .orderBy("__h")
         .limit(max_fit_sample)
         .collect()
     )
