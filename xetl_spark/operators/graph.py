@@ -38,6 +38,24 @@ def connected_components(
     )
     sym = sym.localCheckpoint()
 
+    # convergence signal: labels only ever DECREASE (every update is a
+    # least(...)), so for NUMERIC ids sum(comp) strictly decreases iff
+    # any label moved — one scan of the just-checkpointed labels
+    # instead of a join-per-round changed-count job (decimal sum:
+    # immune to int64 overflow at any node-id scale). Non-numeric ids
+    # (string doc keys via dedup_clusters) keep the exact join check.
+    # integral only: the decimal(38,0) cast truncates fractions, which
+    # would blind the check to sub-integer label moves on float ids
+    numeric_ids = labels.schema["comp"].dataType.typeName() in (
+        "byte", "short", "integer", "long",
+    )
+
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = None
     for _ in range(max_iter):
         # each node's candidate label: min over its own and neighbors'
         nbr_min = (
@@ -65,19 +83,97 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()  # cut lineage each round
+            # lazy checkpoint: the convergence scan right below is the
+            # action that materializes it, so each round runs ONE job
+            # (eager=True would run a materialize job AND the scan job)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if numeric_ids:
+            labels = new_labels
+            s = _label_sum(labels)
+            if prev_sum is not None and s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     return labels.select("node", "comp")
+
+
+def partitioned_components(
+    pairs: DataFrame,
+    part_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact connected components for a pair graph whose every edge is
+    KNOWN to lie within one ``part_col`` group (semdedup: candidate
+    pairs are generated cluster-locally, so no component ever spans
+    two cells). One shuffle on ``part_col`` + a per-group union-find
+    (Arrow-batched, O(|edges| α)) replaces the iterative global
+    min-label rounds — at sf1 that is 1 stage instead of 3-4 rounds x
+    (groupBy + 2 joins + checkpoint + convergence job), the dominant
+    scheduler-latency term of the r13 semdedup sweep.
+
+    Labels are identical to connected_components: comp = min node id
+    reachable. Memory per task is bounded by the group's edge count —
+    callers cap it upstream (semdedup's max_cluster_size caps a cell
+    at C docs → ≤ C(C-1)/2 pairs post-threshold; the default C=5000
+    worst-case is ~12.5M pairs = ~200 MB Arrow, and real thresholded
+    cells are sparse). NOT for graphs whose edges can cross groups —
+    use connected_components.
+    """
+    import pandas as pd
+
+    id_type = pairs.schema[src].dataType.simpleString()
+    out_schema = f"node {id_type}, comp {id_type}"
+
+    def _cc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pd.unique(
+            pd.concat([pdf[src], pdf[dst]], ignore_index=True)
+        )
+        idx = {v: i for i, v in enumerate(ids)}
+        parent = np.arange(len(ids))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]  # path halving
+                i = parent[i]
+            return i
+
+        for a, b in zip(pdf[src], pdf[dst]):
+            ra, rb = find(idx[a]), find(idx[b])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter(
+            (find(i) for i in range(len(ids))), dtype=np.int64, count=len(ids)
+        )
+        # comp = MIN id per root (root index order is insertion order,
+        # not id order, so reduce explicitly)
+        comp_min: dict = {}
+        for v, r in zip(ids, roots):
+            cur = comp_min.get(r)
+            if cur is None or v < cur:
+                comp_min[r] = v
+        return pd.DataFrame(
+            {"node": ids, "comp": [comp_min[r] for r in roots]}
+        )
+
+    return (
+        pairs.select(part_col, src, dst)
+        .groupBy(part_col)
+        .applyInPandas(_cc, out_schema)
+    )
 
 
 def dedup_clusters(

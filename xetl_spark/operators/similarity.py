@@ -665,7 +665,7 @@ def semdedup(
     cosine_near_duplicates), bounded CC rounds on the pair graph only
     (pairs ≪ corpus), centroids plan-shipped.
     """
-    from xetl_spark.operators.graph import connected_components
+    from xetl_spark.operators.graph import partitioned_components
 
     # persisted with no unpersist, matching cosine_near_duplicates: the
     # KMeans fit materializes it NOW and the returned lazy plan reads it
@@ -695,8 +695,11 @@ def semdedup(
     if max_cluster_size is not None:
         buckets = buckets.filter(F.size("ds") <= max_cluster_size)
     cand = (
-        buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "id_a"))
+        buckets.select(
+            "cell", F.col("ds"), F.posexplode("ds").alias("__i", "id_a")
+        )
         .select(
+            "cell",
             "id_a",
             F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias(
                 "id_b"
@@ -713,11 +716,18 @@ def semdedup(
             "id_b",
         )
         .select(
-            "id_a", "id_b", _pair_cos(F.col("__ua"), F.col("__ub")).alias("cos_sim")
+            "cell",
+            "id_a",
+            "id_b",
+            _pair_cos(F.col("__ua"), F.col("__ub")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    comp = connected_components(pairs, "id_a", "id_b")
+    # pairs are cell-local by construction (candidates never cross
+    # cells), so components are too: one-shuffle union-find per cell
+    # instead of iterative global min-label rounds (r14 — CC round
+    # scheduler latency was semdedup's remaining sf1 wall)
+    comp = partitioned_components(pairs, "cell", "id_a", "id_b")
     meta = assigned.select("id", "cell", "centroid_sim")
     grouped = meta.join(comp, meta.id == comp.node, "left").select(
         "id", "cell", "centroid_sim", F.coalesce("comp", "id").alias("group")
