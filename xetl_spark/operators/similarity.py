@@ -630,6 +630,7 @@ def semdedup(
     n_clusters: int | None = 16,
     seed: int = 42,
     max_cluster_size: int | None = 5000,
+    max_fit_sample: int = 65536,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): drop documents whose
@@ -647,13 +648,18 @@ def semdedup(
        lsh_candidate_pairs shape), so cost is Σ|cell|², never corpus².
        The paper keeps cells small by using large k: pass
        ``n_clusters=None`` for the adaptive default
-       max(16, min(4096, n/250)) — ~250-vector cells regardless of
-       corpus size (r13: a fixed k=8 at a 20k corpus meant 2.5k-row
+       max(16, min(max_fit_sample//16, n/250)) — ~250-vector cells up
+       to ~1M vectors (r13: a fixed k=8 at a 20k corpus meant 2.5k-row
        cells and ~25M HOF dot products; the registry-wide sf1 sweep
-       caught it as a 120s+ timeout). ``max_cluster_size`` stays the
-       quadratic guard for degenerate clusterings — oversized cells
-       are skipped (their members remain candidates through exact
-       dedup upstream).
+       caught it as a 120s+ timeout). The k ceiling derives from the
+       fit sample (≥16 sample points per centroid), so raising
+       ``max_fit_sample`` raises it in lockstep — see the inline note.
+       ``max_cluster_size`` stays the quadratic guard for degenerate
+       clusterings — oversized cells are SKIPPED, i.e. their members
+       are exempt from semantic dedup entirely (every one comes back
+       keep=True as its own singleton group; they remain candidates
+       through exact dedup upstream). The exemption is pinned by a
+       planted test (tests/test_llm_ops.py).
     3. Connected components over the pair graph → duplicate groups;
        per group KEEP the member FARTHEST from its centroid (lowest
        centroid cosine — the paper's diversity-preserving choice),
@@ -673,9 +679,22 @@ def semdedup(
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u").persist()
     if n_clusters is None:
         # adaptive cell count: ~250 vectors per cell (the count is
-        # against the just-persisted table the k-means fit reads next)
-        n_clusters = max(16, min(4096, c.count() // 250))
-    centroids = ivf_fit_centroids(c, "__u", n_clusters=n_clusters, seed=seed)
+        # against the just-persisted table the k-means fit reads next).
+        # The ceiling is NOT arbitrary: it derives from the bounded fit
+        # sample — below ~16 sample points per centroid the Lloyd's fit
+        # is noise (empty/singleton cells), so cap k at max_fit_sample
+        # // 16 (= 4096 at the 65536 default). Centroid memory is never
+        # the binding constraint (4096 x 64-dim x 8 B ≈ 2 MB,
+        # plan-shipped). Beyond ~1M vectors cells grow linearly with n
+        # again; to keep ~250-vector cells, raise max_fit_sample in
+        # lockstep (driver cost: sample x dim x 8 B collect + the
+        # row-blocked assignment — 1M x 64 ≈ 512 MB, the documented
+        # driver-memory trade).
+        n_clusters = max(16, min(max_fit_sample // 16, c.count() // 250))
+    centroids = ivf_fit_centroids(
+        c, "__u", n_clusters=n_clusters, seed=seed,
+        max_fit_sample=max_fit_sample,
+    )
     assigned = c.select(
         F.col(id_col).alias("id"),
         F.element_at(_nearest_cells("__u", centroids, 1), 1).alias("cell"),
