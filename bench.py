@@ -96,6 +96,9 @@ LLM_SUITE = [
 ]
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+# same soft load gate as tools/bench_compare.py: a leg that STARTS
+# above it re-runs once (see run_leg); keep the two constants in sync
+LOAD_SOFT = 4.0
 
 
 def _best_of(run, reps: int = REPS) -> float:
@@ -163,51 +166,72 @@ def main() -> None:
     # suite leg records the load it actually ran under — bench_compare
     # gates on the max across legs, not just the pre-warmup snapshot
     load_legs: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    load_legs["headline"] = round(os.getloadavg()[0], 2)
-    for name in HEADLINE:
-        q = Q.REGISTRY[name]
-        try:
-            # force full materialization of every row without driver
-            # transfer; best-of-REPS so one noisy sample can't masquerade
-            # as a regression
-            timings[name] = _best_of(lambda: _materialize(q.fn(spark, sf_dir)))
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-            continue
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    leg_retries: list[str] = []
+
+    def run_leg(
+        leg: str,
+        names: list[str],
+        errs: dict[str, str],
+        loud: bool = True,
+    ) -> dict[str, float]:
+        """One suite leg with the load-retry rule (r13 verdict item 8):
+        the leg records the 1-min loadavg it STARTED under; if that
+        exceeded LOAD_SOFT (the same gate bench_compare widens on),
+        the whole leg re-runs once after a settle pause and each query
+        keeps its cross-pass best — ambient contention during one pass
+        then can't masquerade as a per-query regression (q_ingest_pdf_
+        text oscillated 3x across r10-r13 on load alone). At most one
+        retry; if load never drops the leg is marked in leg_retries so
+        the artifact says 'measured hot' instead of lying quietly."""
+        out: dict[str, float] = {}
+
+        def one_pass(acc: dict[str, float]) -> None:
+            for name in names:
+                q = Q.REGISTRY[name]
+                try:
+                    t = _best_of(lambda: _materialize(q.fn(spark, sf_dir)))
+                except Exception as e:  # noqa: BLE001
+                    errs[name] = f"{type(e).__name__}: {e}"[:300]
+                    print(f"# {name}: FAILED {errs[name]}", file=sys.stderr)
+                    continue
+                acc[name] = min(t, acc.get(name, t))
+                if loud:
+                    print(f"# {name}: {acc[name]}s", file=sys.stderr)
+
+        start_load = round(os.getloadavg()[0], 2)
+        load_legs[leg] = start_load
+        one_pass(out)
+        if start_load > LOAD_SOFT:
+            # settle: 1-min load decays with ~60s tau; 45s drops our own
+            # contribution enough to see whether the contention was real
+            time.sleep(45)
+            retry_load = round(os.getloadavg()[0], 2)
+            leg_retries.append(f"{leg}@{start_load}->retry@{retry_load}")
+            print(
+                f"# leg {leg} started at loadavg {start_load} > "
+                f"{LOAD_SOFT}: re-running once (now {retry_load})",
+                file=sys.stderr,
+            )
+            one_pass(out)
+            load_legs[leg] = min(start_load, retry_load)
+        return out
+
+    # force full materialization of every row without driver transfer;
+    # best-of-REPS so one noisy sample can't masquerade as a regression
+    timings = run_leg("headline", HEADLINE, errors)
 
     # auxiliary suite: all 22 classic TPC-H plan shapes (pricing summary
     # is the Q1 shape). Reported under its own key so the headline
     # `value` stays comparable across rounds; failures here are also
     # recorded but don't null the headline total.
     aux_errors: dict[str, str] = {}
-    tpch_timings: dict[str, float] = {}
-    load_legs["tpch"] = round(os.getloadavg()[0], 2)
-    for name in tpch:
-        q = Q.REGISTRY[name]
-        try:
-            tpch_timings[name] = _best_of(lambda: _materialize(q.fn(spark, sf_dir)))
-        except Exception as e:  # noqa: BLE001
-            aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
+    tpch_timings = run_leg("tpch", tpch, aux_errors, loud=False)
 
     # auxiliary suite: the LLM-data-pipeline operator battery (dedup
     # variants beyond the headline LSH, similarity search, text
     # analysis, training-data assembly, multimodal featurize) — its own
     # key for the same comparability reason as the TPC-H suite.
-    llm_timings: dict[str, float] = {}
-    load_legs["llm"] = round(os.getloadavg()[0], 2)
-    for name in LLM_SUITE:
-        q = Q.REGISTRY[name]
-        try:
-            llm_timings[name] = _best_of(lambda: _materialize(q.fn(spark, sf_dir)))
-        except Exception as e:  # noqa: BLE001
-            aux_errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"# {name}: FAILED {aux_errors[name]}", file=sys.stderr)
-            continue
-        print(f"# {name}: {llm_timings[name]}s", file=sys.stderr)
+    llm_timings = run_leg("llm", LLM_SUITE, aux_errors)
 
     # streaming throughput: drive the tumbling-window aggregation as a
     # REAL Structured Streaming query over the events table and report
@@ -215,7 +239,8 @@ def main() -> None:
     # Best-of-REPS wall → max eps. Reported under its own key; failures
     # recorded without nulling the headline total.
     stream_eps = None
-    load_legs["streaming"] = round(os.getloadavg()[0], 2)
+    stream_start_load = round(os.getloadavg()[0], 2)
+    load_legs["streaming"] = stream_start_load
     try:
         import duckdb
 
@@ -225,6 +250,19 @@ def main() -> None:
         stream_wall = _best_of(
             lambda: Q.REGISTRY["q_stream_tumbling"].fn(spark, sf_dir).count()
         )
+        if stream_start_load > LOAD_SOFT:  # same leg-retry rule
+            time.sleep(45)
+            retry_load = round(os.getloadavg()[0], 2)
+            leg_retries.append(
+                f"streaming@{stream_start_load}->retry@{retry_load}"
+            )
+            stream_wall = min(
+                stream_wall,
+                _best_of(
+                    lambda: Q.REGISTRY["q_stream_tumbling"].fn(spark, sf_dir).count()
+                ),
+            )
+            load_legs["streaming"] = min(stream_start_load, retry_load)
         stream_eps = round(n_events / stream_wall)
     except Exception as e:  # noqa: BLE001
         # kept out of `errors`: a streaming hiccup must not null the
@@ -254,6 +292,9 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "loadavg_legs": load_legs,
+        # legs that started above LOAD_SOFT and re-ran (cross-pass
+        # per-query best kept); empty = every leg ran under the gate
+        "leg_retries": leg_retries,
         "action": "noop_write", "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -263,10 +304,35 @@ def main() -> None:
     print(json.dumps(out))
     # The driver archives only the LAST ~N bytes of output; the full
     # line above can outgrow that window, truncating its head (the
-    # headline fields) into `parsed: null` (r12 verdict item 3). Emit a
-    # compact summary LAST — headline map included, per-suite totals,
-    # no per-suite query maps — so the tail always captures a complete,
-    # parseable record of all four legs.
+    # headline fields) into `parsed: null` (r12 verdict item 3). Two
+    # tail-proof lines follow. First a gzip+base64-packed line carrying
+    # exactly what the compact summary below LACKS (the per-suite query
+    # maps + load provenance) — tools/bench_compare.py unpacks and
+    # merges it for cross-round per-query diffs (r13's compact line
+    # alone lost the suite maps, r13 verdict item 5). Packing only the
+    # complement keeps packed+compact ≈ 1.8 KB, under the driver's
+    # measured 2000-char tail window (the FULL record packed was 1.4 KB
+    # and overflowed it together with the summary):
+    import base64
+    import gzip
+
+    complement = {
+        k: out[k]
+        for k in (
+            "tpch_queries", "llm_queries", "action",
+            "loadavg_start", "loadavg_end", "leg_retries",
+        )
+        if k in out
+    }
+    packed = base64.b64encode(
+        gzip.compress(json.dumps(complement).encode(), mtime=0)
+    ).decode()
+    print(json.dumps({"packed": packed}))
+    # ...then a compact human-readable summary LAST — headline map
+    # included, per-suite totals, no per-suite query maps — so even a
+    # window too small for the packed line captures a complete,
+    # parseable record of all four legs (and the driver's last-line
+    # parse keeps its documented contract fields).
     compact = {
         "metric": "headline_query_wall_seconds",
         "value": out["value"],
@@ -279,6 +345,7 @@ def main() -> None:
         "llm_suite_wall_seconds": out["llm_suite_wall_seconds"],
         "streaming_events_per_sec": stream_eps,
         "loadavg_legs": load_legs,
+        "leg_retries": leg_retries,
         "sf": out["sf"],
     }
     if errors:
