@@ -849,6 +849,30 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     b2 = pq_fit(emb.repartition(16), "embedding")
     assert b1 == b2
 
+    # prefit (r14, the amortized production pattern): passing codebooks
+    # fitted with pq_topk's own parameters (m=8, k_codes=32) yields
+    # bit-identical results to fit-per-call
+    books32 = pq_fit(emb, "embedding", 8, 32)
+    got_prefit = pq_topk(
+        emb, queries, "embedding", k=10, prefit=(None, books32)
+    ).collect()
+    assert sorted(map(tuple, got_prefit)) == sorted(map(tuple, got))
+
+
+def test_ivfpq_prefit_matches_fit_per_call(spark, sf_dir):
+    """ivfpq_fit + prefit reproduces ivfpq_topk's inline build
+    exactly (same sample, same seeds)."""
+    from xetl_spark.operators.pq import ivfpq_fit, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = ivfpq_topk(emb, queries, "embedding", k=5, shortlist=50).collect()
+    pre = ivfpq_fit(emb, "embedding")
+    b = ivfpq_topk(
+        emb, queries, "embedding", k=5, shortlist=50, prefit=pre
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
 
 def test_opq_rotation_beats_plain_pq_on_correlated_dims(spark):
     """OPQ (round 11, Ge et al. 2013): on vectors whose variance is

@@ -31,6 +31,10 @@ SKIP = {
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sfdata/sf1"
     timeout_s = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+    # optional explicit query list (the sf10 spot-run of the worst
+    # slope10 rows, r14): each named query runs TWICE and the
+    # steady-state (second) wall is reported, matching scaling.py
+    only = sys.argv[3:] or None
 
     import xetl_spark.queries as Q
     from xetl_spark.session import get_session
@@ -41,7 +45,10 @@ def main() -> int:
 
     results: list[tuple[float, str, str]] = []
     for name, q in Q.REGISTRY.items():
-        if name in SKIP or any(name.startswith(p) for p in SKIP_PREFIXES):
+        if only is not None:
+            if name not in only:
+                continue
+        elif name in SKIP or any(name.startswith(p) for p in SKIP_PREFIXES):
             continue
         group = f"sweep_{name}"
         outcome = {"status": "ok", "err": None}
@@ -57,15 +64,20 @@ def main() -> int:
             # no clearJobGroup in PySpark; the next iteration's
             # setJobGroup overwrites this thread-local anyway
 
-        t0 = time.time()
-        th = threading.Thread(target=run, daemon=True)
-        th.start()
-        th.join(timeout_s)
-        if th.is_alive():
-            sc.cancelJobGroup(group)
-            th.join(30)
-            outcome["status"] = "timeout"
-        dt = time.time() - t0
+        passes = 2 if only is not None else 1  # steady-state in only-mode
+        dt = 0.0
+        for _p in range(passes):
+            t0 = time.time()
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(timeout_s)
+            if th.is_alive():
+                sc.cancelJobGroup(group)
+                th.join(30)
+                outcome["status"] = "timeout"
+            dt = time.time() - t0
+            if outcome["status"] != "ok":
+                break
         results.append((dt, name, outcome["status"]))
         tag = "" if outcome["status"] == "ok" else f"  [{outcome['status']}]"
         if outcome["status"] == "error":

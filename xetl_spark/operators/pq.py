@@ -199,6 +199,7 @@ def pq_topk(
     seed: int = 42,
     max_queries: int = 65536,
     opq_iters: int = 0,
+    prefit: tuple | None = None,
 ) -> DataFrame:
     """ADC shortlist + exact rerank: (query_id, corpus_id, dist, rank).
 
@@ -212,10 +213,17 @@ def pq_topk(
     the exact rerank stays on ORIGINAL vectors — rotation preserves
     L2, so only the shortlist quality (recall) changes, never the
     reported distances.
+
+    ``prefit=(rotation, codebooks)`` — from a prior pq_fit/opq_fit —
+    skips the codebook fit entirely: the production pattern (codebooks
+    fitted once, reused per query batch; r14, priced separately in
+    ANN.md's amortized column). rotation is None for plain PQ.
     """
     from pyspark.sql import Window
 
-    if opq_iters > 0:
+    if prefit is not None:
+        rotation, codebooks = prefit
+    elif opq_iters > 0:
         rotation, codebooks = opq_fit(
             corpus, vec_col, m, k_codes, seed, iters=opq_iters
         )
@@ -296,40 +304,18 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def ivfpq_fit(
     corpus: DataFrame,
-    queries: DataFrame,
     vec_col: str,
     n_cells: int = 16,
-    n_probe: int = 4,
     m: int = 8,
     k_codes: int = 32,
-    k: int = 10,
-    shortlist: int = 100,
-    id_col: str = "vec_id",
-    q_id_col: str = "vec_id",
     seed: int = 42,
-    max_queries: int = 65536,
-) -> DataFrame:
-    """IVF-PQ: coarse cells prune the scan, residual PQ compresses it —
-    the FAISS IVFPQ architecture as a DataFrame pipeline.
-
-    Build: full-dim k-means (bounded driver sample) gives n_cells
-    coarse centroids; each vector stores (cell, PQ codes of its
-    RESIDUAL v − centroid). Residual encoding is what makes the
-    codebooks sharp: residual magnitudes are a fraction of vector
-    magnitudes, so the same k_codes quantize far finer.
-
-    Search: each query probes its n_probe nearest cells; rows outside
-    probed cells are skipped BEFORE any distance math (with the code
-    table persisted partitionBy(cell), that's partition pruning — the
-    scan touches n_probe/n_cells of the data). Probed rows score via
-    per-(query, cell) ADC tables (residualized query against the
-    shared codebooks), then the shortlist reranks exactly.
-    """
-    from pyspark.sql import Window
-
-    # ---- build ----
+) -> tuple["np.ndarray", list]:
+    """(cells, books) for ivfpq_topk's ``prefit``: full-dim coarse
+    k-means on the bounded content-hash-ordered sample, then residual
+    codebooks per subspace — exactly the inline build ivfpq_topk runs
+    when not prefit (extracted r14 so production refits once)."""
     sample = (
         corpus.select(F.col(vec_col).alias("v"))
         .withColumn("__h", F.md5(F.col("v").cast("string")))
@@ -350,6 +336,57 @@ def ivfpq_topk(
         _kmeans_np(resid[:, i * dsub : (i + 1) * dsub], k_codes, seed + 1 + i)
         for i in range(m)
     ]
+    return cells, books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 32,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    q_id_col: str = "vec_id",
+    seed: int = 42,
+    max_queries: int = 65536,
+    prefit: tuple | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the scan, residual PQ compresses it —
+    the FAISS IVFPQ architecture as a DataFrame pipeline.
+
+    ``prefit=(cells, books)`` (numpy arrays from a prior build) skips
+    the coarse + residual fits — the amortized production pattern.
+
+    Build: full-dim k-means (bounded driver sample) gives n_cells
+    coarse centroids; each vector stores (cell, PQ codes of its
+    RESIDUAL v − centroid). Residual encoding is what makes the
+    codebooks sharp: residual magnitudes are a fraction of vector
+    magnitudes, so the same k_codes quantize far finer.
+
+    Search: each query probes its n_probe nearest cells; rows outside
+    probed cells are skipped BEFORE any distance math (with the code
+    table persisted partitionBy(cell), that's partition pruning — the
+    scan touches n_probe/n_cells of the data). Probed rows score via
+    per-(query, cell) ADC tables (residualized query against the
+    shared codebooks), then the shortlist reranks exactly.
+    """
+    from pyspark.sql import Window
+
+    # ---- build ----
+    if prefit is not None:
+        cells, books = prefit
+        cells = np.asarray(cells)
+        books = [np.asarray(b) for b in books]
+    else:
+        cells, books = ivfpq_fit(corpus, vec_col, n_cells, m, k_codes, seed)
+    d = cells.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
 
     id_type = corpus.schema[id_col].dataType.simpleString()
 
