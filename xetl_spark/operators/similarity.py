@@ -666,10 +666,12 @@ def semdedup(
        ties broken by min id.
 
     Returns (id, cell, centroid_sim, group, keep) — one row per input
-    doc; singletons keep themselves. 100 TB shape: ids-only banding
-    (vectors re-attached by id-keyed joins, as in
-    cosine_near_duplicates), bounded CC rounds on the pair graph only
-    (pairs ≪ corpus), centroids plan-shipped.
+    doc; singletons keep themselves. 100 TB shape: every vector
+    shuffles exactly ONCE (into its cell, inside the bucket rows — no
+    id-keyed re-attach joins over the candidate set, which dwarfs the
+    corpus when duplicates are dense); pair scoring is Arrow-batched
+    in place; CC is one cell-partitioned shuffle (pairs never cross
+    cells); centroids plan-shipped.
     """
     from xetl_spark.operators.graph import partitioned_components
 
@@ -705,40 +707,40 @@ def semdedup(
         "centroid_sim",
         _centroid_sim("__u", "cell", centroids),
     )
-    units = assigned.select("id", "__u")
+    # vectors travel WITH their cell group (struct array, ~250 x dim
+    # per row at the adaptive cell size; the max_cluster_size cap
+    # bounds the degenerate case at cap x dim x 8 B ≈ 2.5 MB/row), so
+    # candidate pairs are generated with BOTH vectors in place — no
+    # id-keyed re-attach joins. r14: the two joins shuffled the
+    # candidate set twice (at sf10 that is 2 x 29M rows); this shape
+    # shuffles each vector exactly once, into its cell.
     buckets = (
         assigned.groupBy("cell")
-        .agg(F.array_sort(F.collect_list("id")).alias("ds"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id", "__u"))).alias("ds")
+        )
         .filter(F.size("ds") > 1)
     )
     if max_cluster_size is not None:
         buckets = buckets.filter(F.size("ds") <= max_cluster_size)
     cand = (
         buckets.select(
-            "cell", F.col("ds"), F.posexplode("ds").alias("__i", "id_a")
+            "cell", F.col("ds"), F.posexplode("ds").alias("__i", "a")
         )
         .select(
             "cell",
-            "id_a",
+            "a",
             F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias(
-                "id_b"
+                "b"
             ),
         )
     )
     pairs = (
-        cand.join(
-            units.select(F.col("id").alias("id_a"), F.col("__u").alias("__ua")),
-            "id_a",
-        )
-        .join(
-            units.select(F.col("id").alias("id_b"), F.col("__u").alias("__ub")),
-            "id_b",
-        )
-        .select(
+        cand.select(
             "cell",
-            "id_a",
-            "id_b",
-            _pair_cos(F.col("__ua"), F.col("__ub")).alias("cos_sim"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _pair_cos(F.col("a.__u"), F.col("b.__u")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
