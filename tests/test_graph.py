@@ -40,6 +40,55 @@ def test_connected_components_long_chain(spark):
     assert set(got.values()) == {0}
 
 
+def test_connected_components_string_ids(spark):
+    """Non-integral ids take the exact join-based convergence check
+    (the decimal-sum monotone scan is integral-only, r14); labels are
+    still the min reachable id under string ordering."""
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_partitioned_components_matches_global_cc(spark):
+    """partitioned_components (r14): when edges are known partition-
+    local, the one-shuffle per-group union-find must produce labels
+    IDENTICAL to the iterative global algorithm."""
+    import random
+
+    from xetl_spark.operators.graph import partitioned_components
+
+    rnd = random.Random(41)
+    edges = []
+    for cell in range(6):
+        base = cell * 1000
+        members = [base + i for i in range(rnd.randrange(2, 30))]
+        for _ in range(len(members) * 2):  # random intra-cell edges
+            a, b = rnd.sample(members, 2)
+            edges.append((cell, a, b))
+    df = spark.createDataFrame(edges, "cell int, src long, dst long")
+    got = {
+        r.node: r.comp
+        for r in partitioned_components(df, "cell").collect()
+    }
+    want = {
+        r.node: r.comp
+        for r in connected_components(df.select("src", "dst")).collect()
+    }
+    assert got == want
+    # chain inside one cell: min label crosses the whole path locally
+    chain = [(99, 5000 + i, 5000 + i + 1) for i in range(25)]
+    cdf = spark.createDataFrame(chain, "cell int, src long, dst long")
+    gotc = {r.node: r.comp for r in partitioned_components(cdf, "cell").collect()}
+    assert set(gotc.values()) == {5000}
+    # string ids pass through with their own type
+    sdf = spark.createDataFrame(
+        [(1, "b", "a"), (1, "b", "c")], "cell int, src string, dst string"
+    )
+    gots = {r.node: r.comp for r in partitioned_components(sdf, "cell").collect()}
+    assert gots == {"a": "a", "b": "a", "c": "a"}
+
+
 def test_dedup_clusters_end_to_end(spark, sf_dir):
     """MinHash pairs → cluster decision: every doc labeled, exactly one
     representative per cluster, representatives are cluster minima."""
