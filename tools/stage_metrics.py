@@ -51,6 +51,11 @@ HEADLINE = [
     # track the 10% fit-model size, not the corpus (contrast with the
     # self-fit q_text_perplexity_buckets row above)
     "q_text_kn_sampled_fit",
+    # round 14: semdedup's movement profile changed twice this round —
+    # cell-local union-find CC (no iterative label shuffles) and
+    # in-place pair generation (vectors shuffle once into their cell,
+    # no candidate-set re-attach joins) — measure what actually moves
+    "q_dedup_semantic",
 ]
 
 

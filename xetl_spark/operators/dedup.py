@@ -318,12 +318,20 @@ def pair_jaccard_hashed(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     pathological multi-million-shingle docs, use the explode-join
     pair_jaccard path instead of shipping giant arrays.
     """
+    # shuffle_hash, never broadcast: ``sets`` is one row PER DOC but each
+    # row carries the hset array, so its size scales with the corpus.
+    # AQE sizes broadcast candidates by compressed shuffle bytes, which
+    # under-measures array payloads' JVM row footprint ~4-8x — at the
+    # sf10 fixture it converted this side to a ~270 MB in-heap broadcast
+    # and died ("Not enough memory to build and broadcast", r14). The
+    # hint pins a key-partitioned hash join (uniform doc ids, no sort)
+    # that holds at any corpus size.
     sa = sets.select(
         F.col("doc").alias("doc_a"), F.col("hset").alias("__ha"), F.col("sz").alias("sz_a")
-    )
+    ).hint("shuffle_hash")
     sb = sets.select(
         F.col("doc").alias("doc_b"), F.col("hset").alias("__hb"), F.col("sz").alias("sz_b")
-    )
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
     return (
         pairs.join(sa, "doc_a")

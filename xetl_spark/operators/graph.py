@@ -30,13 +30,17 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # checkpoint BEFORE deriving labels: binding labels to the
+        # pre-checkpoint plan recomputes the caller's whole upstream
+        # pipeline (e.g. the minhash verify joins) a second time for
+        # the node-distinct (r14 sf10 finding)
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    sym = sym.localCheckpoint()
 
     # convergence signal: labels only ever DECREASE (every update is a
     # least(...)), so for NUMERIC ids sum(comp) strictly decreases iff

@@ -240,8 +240,8 @@ def cosine_near_duplicates(
     vec_col: str,
     id_col: str,
     threshold: float = 0.9,
-    num_planes: int = 8,
-    num_tables: int = 6,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
     dim: int = 64,
     seed: int = 42,
     max_bucket_size: int | None = 5000,
@@ -251,9 +251,30 @@ def cosine_near_duplicates(
     cosine verification ≥ threshold.
 
     The dedup twin of LSH ANN: at cos ≥ 0.9 (θ ≤ 26°) a plane agrees
-    with p ≈ 0.86, so an 8-plane bucket collides with p ≈ 0.29 and six
-    tables give ~87% pair recall — while random pairs (θ≈90°) collide
-    at 0.5^8 ≈ 0.4% per table, keeping candidates near-linear.
+    with p ≈ 0.86, so an 8-plane bucket collides with p ≈ 0.29 per
+    table — while random pairs (θ≈90°) collide at 0.5^planes per
+    table, which is what keeps candidates near-linear.
+
+    CORPUS-SCALED PARAMETERS (r14): the signature space must grow
+    with the corpus — with a fixed 8 planes (256 signatures), 200k
+    near-random vectors pile ~780 per bucket and pair generation
+    emits ~470M candidates (the sf10 sweep death: hours of verify
+    then a driver result-size abort). Defaults of ``None`` derive
+    both knobs from the data:
+
+    - ``num_planes`` = max(8, ceil(log2(n / 32))) — expected random
+      bucket load ≤ ~32, so per-bucket pair cost stays bounded as the
+      corpus grows (one count() job on the persisted unit table).
+    - ``num_tables`` from the standard LSH recall relation: the
+      smallest t with 1 - (1 - p_θ^planes)^t ≥ 0.87 at ``threshold``
+      (p_θ = 1 - θ/π), clamped to [4, 24]. In the near-copy regime
+      this operator targets (threshold ≥ 0.9) the clamp is inactive
+      up to ~10M vectors; at permissive thresholds on huge corpora
+      the 24-table cap trades recall (~0.7 at cos 0.8, 200k vectors)
+      for bounded candidates — the ρ = ln p₁/ln p₂ LSH curse, which
+      no parameter choice escapes (candidates grow ~n^(1+ρ)).
+      Exact copies and scaled copies (cos = 1) hash identically in
+      every table, so their recall is 1.0 at any setting.
 
     ``max_bucket_size`` is the quadratic-blowup guard, identical to
     lsh_candidate_pairs: a degenerate corpus (e.g. many zero/identical
@@ -269,6 +290,21 @@ def cosine_near_duplicates(
     # candidate set by two id-keyed joins against the one-row-per-doc
     # units table.
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u").persist()
+    if num_planes is None or num_tables is None:
+        import math
+
+        n = c.count()  # materializes the persisted unit table it reuses
+        if num_planes is None:
+            num_planes = max(8, math.ceil(math.log2(max(n, 2) / 32)))
+        if num_tables is None:
+            p_theta = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+            miss = 1.0 - p_theta**num_planes
+            if miss <= 1e-9:
+                num_tables = 4
+            else:
+                num_tables = min(
+                    24, max(4, math.ceil(math.log(0.13) / math.log(miss)))
+                )
     units = c.select(F.col(id_col).alias("id"), "__u")
     banded = c.select(
         F.col(id_col).alias("id"),
@@ -295,9 +331,26 @@ def cosine_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # shuffle_hash on the vector side: ``units`` is one row per doc but
+    # carries the unit vector, so it scales with the corpus; AQE's
+    # compressed-shuffle-bytes estimate under-measures the JVM footprint
+    # of array rows and converted this re-attach to a driver-collected
+    # broadcast at the sf10 fixture ("Total size of serialized results
+    # ... bigger than maxResultSize", r14). The hint keeps the join
+    # id-partitioned (uniform keys, sort-free) at any scale.
     return (
-        cand.join(units.select(F.col("id").alias("id_a"), F.col("__u").alias("__ua")), "id_a")
-        .join(units.select(F.col("id").alias("id_b"), F.col("__u").alias("__ub")), "id_b")
+        cand.join(
+            units.select(F.col("id").alias("id_a"), F.col("__u").alias("__ua")).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            units.select(F.col("id").alias("id_b"), F.col("__u").alias("__ub")).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", _pair_cos(F.col("__ua"), F.col("__ub")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -611,7 +664,10 @@ def lsh_ann_topk(
         .select("query_id", "neighbor_id", "__uq")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.join(c_units, "neighbor_id").select(
+    # shuffle_hash: c_units carries corpus vectors (one row per doc) —
+    # same AQE wire-vs-JVM sizing trap as cosine_near_duplicates'
+    # re-attach; never let it become a broadcast side (r14 sf10).
+    scored = cand.join(c_units.hint("shuffle_hash"), "neighbor_id").select(
         "query_id", "neighbor_id", _pair_cos(F.col("__uq"), F.col("__uc")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -842,9 +898,14 @@ def incremental_semdedup(
             .select("cell")
         )
         all_side = all_side.join(ok, "cell")
+    # shuffle_hash: both sides carry unit vectors and scale with the
+    # corpus/store — AQE must not broadcast either (the compressed-wire
+    # size estimate hides array rows' JVM footprint; see
+    # cosine_near_duplicates, r14 sf10). Cell-partitioned hash join:
+    # the per-partition build is bounded by max_bucket_size vectors.
     dup_ids = (
         new_a.alias("n")
-        .join(all_side.alias("o"), "cell")
+        .join(all_side.alias("o").hint("shuffle_hash"), "cell")
         .where(
             (~F.col("o.__is_new")) | (F.col("o.id") < F.col("n.id"))
         )
