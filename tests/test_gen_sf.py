@@ -128,3 +128,50 @@ def test_schemas_identical(sf3):
         a = con.sql(f"DESCRIBE SELECT * FROM '{sf3}/{t}.parquet'").fetchall()
         b = con.sql(f"DESCRIBE SELECT * FROM '{BASE}/{t}.parquet'").fetchall()
         assert a == b, t
+
+
+def test_embedding_jitter_bounded_at_high_copy_counts(tmp_path):
+    """r14 regression: at N=100 the old whole-vector +i*1e-3 shift
+    summed to ~0.8 of vector magnitude across 64 coordinates, pulling
+    every high-i copy toward the all-ones direction — cross-group
+    cosines climbed above the 0.8 near-dup threshold and the true
+    pair set went quadratic (the sf10 embedding-query disk blowups).
+    The single-coordinate jitter must keep (a) copies near-identical
+    to their source and (b) unrelated vectors no more similar than
+    their sources are, at ANY copy count."""
+    from gen_sf import generate
+
+    out = str(tmp_path / "x100")
+    generate(100, BASE, out)
+    con = duckdb.connect()
+    stride = con.sql(
+        f"SELECT max(vec_id) + 1 FROM '{BASE}/embeddings.parquet'"
+    ).fetchone()[0]
+    cos = """
+        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> p[1] * p[2]))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> x * x))))
+    """
+    # (a) every copy stays a near-duplicate of its source
+    min_self = con.sql(
+        f"""
+        SELECT min({cos}) FROM '{out}/embeddings.parquet' a
+        JOIN '{BASE}/embeddings.parquet' b
+          ON a.vec_id % {stride} = b.vec_id
+        WHERE a.vec_id >= {stride}
+        """
+    ).fetchone()[0]
+    assert min_self > 0.99
+    # (b) the highest-i copies of two DIFFERENT sources are no more
+    # similar than random: sample cross pairs from the last copy band
+    max_cross = con.sql(
+        f"""
+        SELECT max({cos}) FROM '{out}/embeddings.parquet' a
+        JOIN '{out}/embeddings.parquet' b
+          ON a.vec_id % {stride} != b.vec_id % {stride}
+         AND b.vec_id - a.vec_id = 1
+        WHERE a.vec_id >= 99 * {stride} AND a.vec_id < 99 * {stride} + 200
+        """
+    ).fetchone()[0]
+    assert max_cross < 0.8

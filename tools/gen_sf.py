@@ -14,11 +14,15 @@ Perturbations that keep scale queries honest:
   docs (deterministic by (doc_id + i) % 2), so the corpus has BOTH
   exact duplicates and near-duplicates at scale instead of being 10
   identical shards (which would make dedup measurements vacuous).
-- embeddings: copies i>0 shift EVERY coordinate by i * 1e-3 (a
-  whole-vector translation, so the cosine drift is larger than a
-  single-coordinate jitter would give) — vectors are near- but not
-  exact-duplicates, and each vector's true neighbors are its own
-  copies (the ANN.md sf1 recall caveat relies on exactly this).
+- embeddings: copies i>0 jitter ONE coordinate (index = (vec_id +
+  i) % dim) by i * 1e-3 — vectors are near- but not exact-
+  duplicates, each vector's true neighbors are its own copies (the
+  ANN.md recall caveat relies on exactly this), and the drift stays
+  bounded at ANY copy count. (A whole-vector translation was tried
+  first and degenerates at N=100: +0.099 on all 64 coordinates
+  aligns high-i copies across groups into one mutually-cos>=0.8
+  mega-cluster, making every embedding query's true output
+  quadratic in the corpus.)
 - events keep their time window (10x density, same span) so
   watermark/window semantics and date-filter selectivities carry over.
 
@@ -111,9 +115,20 @@ def generate(n_copies: int, base: str, out: str) -> None:
                     "ELSE n_chars END AS n_chars"
                 )
             elif t == "embeddings" and c == "embedding":
+                # jitter exactly ONE coordinate (index keyed to the
+                # copy+vector, magnitude i*1e-3): copies stay near-
+                # exact duplicates of their source at ANY copy count.
+                # The previous whole-vector translation degenerated at
+                # N=100 (r14 sf10): shifts up to 0.099 on all 64
+                # coordinates align every high-i copy with the all-
+                # ones direction, making ~half the corpus mutually
+                # cos>=0.8 — a quadratic true near-dup set that no
+                # operator can avoid emitting.
                 sel.append(
                     "CASE WHEN i.range > 0 THEN list_transform("
-                    "embedding, x -> x + (i.range * 0.001)::FLOAT) "
+                    "embedding, (x, j) -> CASE WHEN j = 1 + "
+                    "(vec_id + i.range) % len(embedding) THEN "
+                    "(x + i.range * 0.001)::FLOAT ELSE x END) "
                     "ELSE embedding END AS embedding"
                 )
             else:

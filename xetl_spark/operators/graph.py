@@ -26,14 +26,17 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component) where component
     is the minimum node id reachable from node."""
+    # Materialize the caller's edge plan EXACTLY ONCE before anything
+    # references it twice: the symmetrizing union reads `edges` two
+    # times, and labels once more — with an expensive upstream (the
+    # minhash shingle→band→verify pipeline) those re-computations
+    # dominated the job and tripled its scratch footprint at the sf10
+    # fixture (r14 finding: the "CC" wall was really 2-3 redundant
+    # dedup-pipeline passes inside one stage graph).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        # checkpoint BEFORE deriving labels: binding labels to the
-        # pre-checkpoint plan recomputes the caller's whole upstream
-        # pipeline (e.g. the minhash verify joins) a second time for
-        # the node-distinct (r14 sf10 finding)
         .localCheckpoint()
     )
     labels = (
@@ -220,7 +223,14 @@ def pagerank(
     convergence (L1 delta < tol) is checked with a single tiny
     aggregate. The rank/degree tables are O(nodes) — never collected.
     """
-    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst")).distinct()
+    # single-materialization discipline (see connected_components):
+    # nodes reads e twice and e_deg a third time — checkpoint so an
+    # expensive caller plan (e.g. a link-extraction pipeline) runs once
+    e = (
+        edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("esrc").alias("node"))
         .union(e.select(F.col("edst").alias("node")))
@@ -353,9 +363,12 @@ def label_propagation(
     Synchronous updates can oscillate on bipartite structures, so the
     loop is capped at ``max_iter`` and also stops at a fixed point.
     """
+    # single-materialization discipline (see connected_components): the
+    # union reads `edges` twice — checkpoint the projection first so an
+    # expensive caller plan computes once
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
