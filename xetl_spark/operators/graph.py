@@ -32,13 +32,20 @@ def connected_components(
     # minhash shingle→band→verify pipeline) those re-computations
     # dominated the job and tripled its scratch footprint at the sf10
     # fixture (r14 finding: the "CC" wall was really 2-3 redundant
-    # dedup-pipeline passes inside one stage graph).
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # dedup-pipeline passes inside one stage graph). persist() + eager
+    # count, NOT localCheckpoint: DataFrame caching stores compressed
+    # columnar batches and spills cleanly, while localCheckpoint
+    # stores deserialized row objects — several x the data in heap,
+    # an executor OOM at sf10 edge-list sizes (r14, pagerank).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    e.count()
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
+    sym.count()
+    e.unpersist()  # sym supersedes it for every later consumer
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -224,13 +231,16 @@ def pagerank(
     aggregate. The rank/degree tables are O(nodes) — never collected.
     """
     # single-materialization discipline (see connected_components):
-    # nodes reads e twice and e_deg a third time — checkpoint so an
-    # expensive caller plan (e.g. a link-extraction pipeline) runs once
+    # nodes reads e twice and e_deg a third time — persist (columnar,
+    # spillable; localCheckpoint's deserialized rows OOM'd a 16 GB
+    # heap on the sf10 60M-edge string-keyed graph) and materialize
+    # eagerly so an expensive caller plan runs once
     e = (
         edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
+    e.count()
     nodes = (
         e.select(F.col("esrc").alias("node"))
         .union(e.select(F.col("edst").alias("node")))
@@ -241,8 +251,15 @@ def pagerank(
     if n == 0:
         # empty edge list → empty ranking, not a ZeroDivisionError
         return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
-    out_deg = e.groupBy("esrc").agg(F.count("*").alias("deg"))
-    e_deg = e.join(out_deg, "esrc").localCheckpoint()
+    # out_deg feeds the per-round dangling-mass anti-join — persist it
+    # (node-sized) so unpersisting e doesn't resurrect the caller plan
+    out_deg = e.groupBy("esrc").agg(F.count("*").alias("deg")).persist()
+    out_deg.count()
+    # persist, not localCheckpoint: e_deg is edge-sized and feeds every
+    # round — deserialized checkpoint rows are the sf10 OOM (see e)
+    e_deg = e.join(out_deg, "esrc").persist()
+    e_deg.count()
+    e.unpersist()  # e_deg/out_deg supersede it; nodes is checkpointed
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
@@ -364,14 +381,18 @@ def label_propagation(
     loop is capped at ``max_iter`` and also stops at a fixed point.
     """
     # single-materialization discipline (see connected_components): the
-    # union reads `edges` twice — checkpoint the projection first so an
-    # expensive caller plan computes once
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # union reads `edges` twice — persist the projection (columnar,
+    # spillable) and materialize eagerly so an expensive caller plan
+    # computes once
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    e.count()
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
+    sym.count()
+    e.unpersist()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -283,12 +283,6 @@ def cosine_near_duplicates(
     members are near-identical and are caught by exact dedup.
     Returns (id_a, id_b, cos_sim).
     """
-    # Banding carries IDS ONLY: shipping the unit vector through the
-    # (tbl, sig) self-join and the pair-dedup shuffle would inflate
-    # shuffle payload by num_tables × |vector| (at 100 TB the dominant
-    # cost). Vectors are re-attached to the (much smaller) deduped
-    # candidate set by two id-keyed joins against the one-row-per-doc
-    # units table.
     c = with_unit_vectors(ensure_parallelism(corpus), vec_col, "__u").persist()
     if num_planes is None or num_tables is None:
         import math
@@ -305,55 +299,53 @@ def cosine_near_duplicates(
                 num_tables = min(
                     24, max(4, math.ceil(math.log(0.13) / math.log(miss)))
                 )
-    units = c.select(F.col(id_col).alias("id"), "__u")
+    # Verify INSIDE the bucket (r14): both vectors of every candidate
+    # pair already sit in the same (tbl, sig) group, so each bucket
+    # scores itself with ONE BLAS gram matrix and emits only the pairs
+    # that pass the threshold. The previous shape — ids-only candidate
+    # pairs, then re-attaching vectors by two id-keyed joins — moved a
+    # |vector|-sized payload per CANDIDATE pair through the exchange
+    # between the joins: at the sf10 fixture that was 105M candidates
+    # × 512 B ≈ 55 GB of scratch for one stage (measured), while
+    # banding-with-vectors is tables × corpus × |vector| ≈ 2.5 GB and
+    # scales linearly with the corpus. Cross-table rediscovery of the
+    # same pair is deduped AFTER verification, when only output-sized
+    # true near-dups remain; max() is the deterministic canonical
+    # reduction (the same pair scored in different-sized buckets can
+    # differ in the last ulp under BLAS blocking). Per-task memory is
+    # bounded by the bucket cap (cap × dim doubles).
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    thr = float(threshold)
+    cap = max_bucket_size
+
+    def _bucket_verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2 or (cap is not None and m > cap):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(pdf["__u"].to_numpy()[order])
+        G = X @ X.T
+        iu, ju = np.triu_indices(m, k=1)
+        sims = G[iu, ju]
+        keep = sims >= thr
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos_sim": sims[keep]}
+        )
+
     banded = c.select(
         F.col(id_col).alias("id"),
+        F.col("__u"),
         F.posexplode(
             lsh_signatures_all(vec_col, num_planes, num_tables, dim, seed)
         ).alias("tbl", "sig"),
     )
-    # bucket-local pair generation (one groupBy shuffle + streamed
-    # posexplode, same shape as lsh_candidate_pairs) rather than a
-    # (tbl, sig) self-join: one exchange instead of two sort-merge
-    # sides, and the bucket cap applies before any pair exists
-    buckets = (
-        banded.groupBy("tbl", "sig")
-        .agg(F.array_sort(F.collect_list("id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
-    cand = (
-        buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "id_a"))
-        .select(
-            "id_a",
-            F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # shuffle_hash on the vector side: ``units`` is one row per doc but
-    # carries the unit vector, so it scales with the corpus; AQE's
-    # compressed-shuffle-bytes estimate under-measures the JVM footprint
-    # of array rows and converted this re-attach to a driver-collected
-    # broadcast at the sf10 fixture ("Total size of serialized results
-    # ... bigger than maxResultSize", r14). The hint keeps the join
-    # id-partitioned (uniform keys, sort-free) at any scale.
-    return (
-        cand.join(
-            units.select(F.col("id").alias("id_a"), F.col("__u").alias("__ua")).hint(
-                "shuffle_hash"
-            ),
-            "id_a",
-        )
-        .join(
-            units.select(F.col("id").alias("id_b"), F.col("__u").alias("__ub")).hint(
-                "shuffle_hash"
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", _pair_cos(F.col("__ua"), F.col("__ub")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    pairs = banded.groupBy("tbl", "sig").applyInPandas(_bucket_verify, out_schema)
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 
 def _nearest_cells(unit_col: str, centroids: list[list[float]], n: int):
