@@ -115,7 +115,12 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # cell equi-join (2 sides), dup-id distinct (1), anti-joins (2) —
 # all over per-doc (id, cell, unit) rows, never pairwise tables; in
 # production each increment is a separate job against the persisted
-# store.
+# store. r14: the cell equi-join carries a shuffle_hash hint (the
+# vector-laden store side must never become an AQE broadcast — the
+# wire-size estimate hides array rows' JVM footprint, the sf10 OOM
+# class), which pins BOTH sides as exchanges in the static text and
+# repeats the unioned old+new store subtree under each — 19 -> 30
+# textual exchanges for the same per-doc data movement.
 EXCHANGE_ALLOWANCE = {
     "q_text_bigram_logprob": 9,
     "q_text_kn_bigram_logprob": 11,
@@ -126,7 +131,7 @@ EXCHANGE_ALLOWANCE = {
     "q_ivm_rollup_maintenance": 34,
     "q_text_perplexity_buckets": 24,
     "q_text_kn_sampled_fit": 11,
-    "q_dedup_incremental_semantic": 19,
+    "q_dedup_incremental_semantic": 30,
 }
 
 
