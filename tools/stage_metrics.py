@@ -197,11 +197,15 @@ def main() -> None:
             "  by broadcast-threshold noise, not by a real shuffle;",
             "  1.8 MB absolute at sf1 is still ~0.01% of a linear-scaled",
             "  join's volume). `n/a` rows are the same base effect.",
-            "- `q_dedup_minhash_lsh` ~15x: gen_sf PLANTS ~10 near-dup",
-            "  copies per base doc, so LSH bucket membership is 10x and",
-            "  candidate pairs per bucket grow ~|bucket|^2 by design —",
-            "  duplicate-density-driven candidate growth (the giant-",
-            "  bucket guard caps the worst case), not plan amplification.",
+            "- `q_dedup_minhash_lsh` ~28x (r14; was ~15x): two named",
+            "  terms. (1) gen_sf PLANTS ~10 near-dup copies per base doc,",
+            "  so candidate pairs per bucket grow ~|bucket|^2 by design —",
+            "  duplicate-density-driven, giant-bucket guard caps the worst",
+            "  case. (2) r14's shuffle_hash verify joins move the per-doc",
+            "  hset table through both exchanges — corpus-linear bytes",
+            "  (~70 MB/side at sf1) that previously rode an in-heap",
+            "  broadcast, which is exactly what OOM'd at sf10; bounded-",
+            "  memory shuffle traded deliberately for broadcast heap.",
             "- `q_text_unigram_logprob` / `q_basket_frequent_pairs` /",
             "  `q_text_perplexity_buckets` at 10.7-12.4x: within ~25% of",
             "  linear — the suffix-perturbed document copies add new",
