@@ -76,11 +76,26 @@ def unique_token_ratio(text: Column | str) -> Column:
     return F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1))
 
 
+def _stopword_hits(text: Column | str, lang: str) -> Column:
+    """Count (with multiplicity) of tokens equal to any of ``lang``'s
+    stopwords. regexp_count of a whole-token alternation over the
+    space-joined token string, NOT a ``filter`` lambda over the token
+    array: lambda HOFs evaluate interpreted (outside whole-stage
+    codegen) and defeat common-subexpression elimination, so the
+    11-language vote re-tokenized the document once PER LANGUAGE —
+    measured 3.4x slower at sf0.1 (r14 optimization round, guide §4.1
+    "prefer built-ins"). Tokens and the seed stopwords are pure
+    [a-z0-9], so ``\\b`` boundaries in the joined string match exactly
+    whole tokens and the count is identical to the filter version
+    (pinned against the DuckDB list_filter oracles)."""
+    joined = F.concat_ws(" ", tokens(text))
+    pat = r"\b(?:" + "|".join(_LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(joined, F.lit(pat))
+
+
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     t = tokens(text)
-    sw = F.array(*[F.lit(w) for w in _LANG_STOPWORDS[lang]])
-    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-    return hits / F.greatest(F.size(t), F.lit(1))
+    return _stopword_hits(text, lang) / F.greatest(F.size(t), F.lit(1))
 
 
 def _quality_from_stopword_ratio(text: Column | str, swr: Column) -> Column:
@@ -122,11 +137,16 @@ def quality_score_multilang(
     expression-only: one CASE over the ~10 seed languages, each
     branch a filtered-token count — still zero-shuffle map work."""
     lang_col = language_id(text) if lang is None else lang
-    swr = stopword_ratio(text, "en")  # fallback, incl. 'und'
+    # flat CaseWhen for the same conditional-CSE reason as
+    # flesch_multilang (r14): the repeated lang_col vote evaluates
+    # once per row instead of once per tested branch
+    w = None
     for code in _LANG_STOPWORDS:
         if code == "en":
             continue
-        swr = F.when(lang_col == code, stopword_ratio(text, code)).otherwise(swr)
+        br = (lang_col == code, stopword_ratio(text, code))
+        w = F.when(*br) if w is None else w.when(*br)
+    swr = w.otherwise(stopword_ratio(text, "en"))  # fallback, incl. 'und'
     return _quality_from_stopword_ratio(text, swr)
 
 
@@ -220,12 +240,21 @@ def flesch_multilang(
     routing shape applied to readability."""
     c = F.col(text) if isinstance(text, str) else text
     lang_col = language_id(text) if lang is None else lang
-    score = _flesch_expr(c, *_LANG_FLESCH["en"])  # fallback, incl. 'und'
+    # ONE flat CaseWhen (chained .when), not nested otherwise()s: a
+    # nested chain is a tower of two-branch CaseWhen nodes, and
+    # Catalyst's conditional common-subexpression elimination only
+    # recognizes expressions shared across the branches of a SINGLE
+    # CaseWhen — flat, the repeated lang_col (a full stopword vote)
+    # evaluates once per row instead of once per tested branch
+    # (measured 23% on q_text_flesch_multilang, r14; identical rows).
+    w = None
     for code, rule in _LANG_FLESCH.items():
         if code == "en":
             continue
-        score = F.when(lang_col == code, _flesch_expr(c, *rule)).otherwise(score)
-    return score
+        br = (lang_col == code, _flesch_expr(c, *rule))
+        w = F.when(*br) if w is None else w.when(*br)
+    # fallback (incl. 'und') = English row
+    return w.otherwise(_flesch_expr(c, *_LANG_FLESCH["en"]))
 
 
 def char_entropy(df, text_col: str, id_col: str):
@@ -303,13 +332,15 @@ def language_id(text: Column | str) -> Column:
     model via pandas_udf; the engine contract (deterministic column in,
     label out) is identical.
     """
-    t = tokens(text)
     scores = []
-    for lang, words in _LANG_STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in words])
+    # per-language counts via _stopword_hits (regexp_count in codegen,
+    # CSE folds the 11 copies of the joined-token string into one
+    # evaluation): 3.3s -> 1.0s for q_text_langid at sf0.1 (r14 —
+    # the interpreted filter-lambda version re-tokenized per language)
+    for lang in _LANG_STOPWORDS:
         scores.append(
             F.struct(
-                F.size(F.filter(t, lambda x: F.array_contains(sw, x))).alias("hits"),
+                _stopword_hits(text, lang).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
         )
@@ -1684,7 +1715,26 @@ def kn_bigram_logprob(
         fit_bf = _doc_bigram_counts(df.filter(keep), text_col, id_col)
     else:
         fit_bf = _doc_bigram_counts(df, text_col, id_col)
+    if self_fit:
+        # Materialize the shared subtrees ONCE (r14 optimization round,
+        # guide §1.2/§2.4): in the self-fit shape fit_bf is referenced
+        # by the model chain AND as the scored side, and g12 by four
+        # consumers (heads/tails/totals/scoring join) — as plain lazy
+        # plans Catalyst duplicates the whole tokenize→explode→shuffle
+        # pipeline per reference (measured: FOUR full corpus scans in
+        # the physical plan; no exchange reuse fires because the
+        # partial-aggregate heads differ). Lazy localCheckpoint (NOT
+        # persist: a CacheManager entry is matched by canonicalized
+        # logical plan, so a later identical invocation would silently
+        # read this one's cache — cross-invocation memoization the
+        # bench contract forbids; an RDD checkpoint is private to this
+        # plan and freed by the ContextCleaner when unreferenced)
+        # computes each exactly once. Measured at sf0.1 (best-of-3,
+        # noop sink): 2.65s → 1.45s with the model fold below.
+        fit_bf = fit_bf.localCheckpoint(eager=False)
     g12 = fit_bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    if self_fit:
+        g12 = g12.localCheckpoint(eager=False)
     heads = g12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1p_head")
     )
@@ -1724,19 +1774,34 @@ def kn_bigram_logprob(
         scored = fit_bf
         n = F.sum("bf")
         nll_sum = F.sum(F.col("bf") * -F.log(p))
+        # Fold heads/tails INTO the (w1,w2)-keyed model before the
+        # corpus-side join (r14; the same move bigram_logprob already
+        # makes for c1): every scored bigram exists in g12 by
+        # construction here, so attaching heads on w1 and tails on w2
+        # at the VOCABULARY-sized model costs two small joins while the
+        # corpus-sized scored table shuffles ONCE on (w1,w2) instead of
+        # three times ((w1,w2), then skewed w1, then w2) — two full
+        # corpus exchanges removed at any scale. NOT valid for the
+        # sampled/fit_df path: a scored bigram absent from g12 can
+        # still match heads (its w1 seen with another tail) or tails,
+        # which a (w1,w2)-keyed fold would miss.
+        model = g12.join(heads, "w1").join(tails, "w2")
+        scored = scored.join(model, ["w1", "w2"], "left")
     else:
         # map-only scoring pass (the 100 TB shape): raw bigram
         # instances broadcast-join the fit-sized model tables with NO
         # corpus-keyed exchange — the only shuffle left is the per-doc
         # partial aggregation (one row per doc per partition)
-        scored = _doc_bigram_pairs(df, text_col, id_col)
+        scored = (
+            _doc_bigram_pairs(df, text_col, id_col)
+            .join(g12, ["w1", "w2"], "left")
+            .join(heads, "w1", "left")
+            .join(tails, "w2", "left")
+        )
         n = F.count(F.lit(1))
         nll_sum = F.sum(-F.log(p))
     return (
-        scored.join(g12, ["w1", "w2"], "left")
-        .join(heads, "w1", "left")
-        .join(tails, "w2", "left")
-        .crossJoin(F.broadcast(totals))
+        scored.crossJoin(F.broadcast(totals))
         .groupBy("doc")
         .agg(
             n.alias("n_bigrams"),
