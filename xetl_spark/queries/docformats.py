@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xetl_spark.operators.util import ensure_parallelism
 from xetl_spark.queries import load, query
 
 _PDF_FILTERS = ("flate", "lzw", "ahx", "a85", "rle")
@@ -47,12 +48,35 @@ def _pdf_pages(text: str) -> list[str]:
 
 
 def _doc_fixture_df(
-    spark: SparkSession, sf_dir: str, lo: int, hi: int, kind: str
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    kind: str,
+    extractor=None,
+    extractor_schema: str | None = None,
 ) -> DataFrame:
-    """(doc_id, payload) with payload = built container bytes."""
+    """(doc_id, payload) with payload = built container bytes.
+
+    ``extractor``: optional ``payload bytes -> value`` applied to each
+    built container INSIDE the same Arrow stage (output schema
+    ``extractor_schema``, one ``value`` column plus doc_id). Chaining a
+    second ``mapInPandas`` for the extract instead costs a second
+    JVM→Python→JVM boundary crossing PER TASK in the same stage —
+    measured 1.3-2.5s vs 0.43s for the 200-doc PDF battery at sf0.1
+    (r14 optimization round, guide §4.1: the per-row codec work here is
+    ~0.1ms, so the round-trip dominates). The build→bytes→parse
+    round-trip is unchanged: the extractor sees exactly the serialized
+    container bytes."""
     (docs,) = load(spark, sf_dir, "documents")
-    src = docs.select("doc_id", "text").where(
-        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    # a small local parquet arrives as ONE partition, which would run
+    # the whole container-build + parse battery on a single core while
+    # 31 idle (r14: q_ingest_pdf_text 1.66 -> ~0.3s); on a real cluster
+    # the scan is already split and this is a no-op
+    src = ensure_parallelism(
+        docs.select("doc_id", "text").where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,9 +135,15 @@ def _doc_fixture_df(
                                 )
                             ]
                         )
-                rows.append((did, payload))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+                if extractor is not None:
+                    rows.append((did, extractor(payload)))
+                else:
+                    rows.append((did, payload))
+            cols = ["doc_id", "value" if extractor is not None else "payload"]
+            yield pd.DataFrame(rows, columns=cols)
 
+    if extractor is not None:
+        return src.mapInPandas(gen, schema=extractor_schema)
     return src.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
@@ -131,21 +161,15 @@ def q_ingest_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-spec parser (operators/pdfdoc.py), normalize page/line breaks
     back to spaces. Hash-match against the untouched source text pins
     every byte of both the writer and the reader."""
-    fixtures = _doc_fixture_df(spark, sf_dir, 0, 200, "pdf")
+    from xetl_spark.operators import pdfdoc
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from xetl_spark.operators import pdfdoc
-
-        for pdf in batches:
-            rows = [
-                (int(r["doc_id"]), pdfdoc.pdf_text(bytes(r["payload"])))
-                for _, r in pdf.iterrows()
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "raw"])
-
-    texts = fixtures.mapInPandas(extract, schema="doc_id long, raw string")
+    texts = _doc_fixture_df(
+        spark, sf_dir, 0, 200, "pdf",
+        extractor=pdfdoc.pdf_text,
+        extractor_schema="doc_id long, value string",
+    )
     return texts.select(
-        "doc_id", F.translate("raw", "\f\n", "  ").alias("extracted")
+        "doc_id", F.translate("value", "\f\n", "  ").alias("extracted")
     )
 
 
@@ -159,21 +183,15 @@ def q_ingest_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ingest_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOCX round-trip: WordprocessingML built and re-extracted
     (operators/docx.py), paragraph breaks normalized back to spaces."""
-    fixtures = _doc_fixture_df(spark, sf_dir, 200, 400, "docx")
+    from xetl_spark.operators import docx as docmod
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from xetl_spark.operators import docx as docmod
-
-        for pdf in batches:
-            rows = [
-                (int(r["doc_id"]), docmod.docx_text(bytes(r["payload"])))
-                for _, r in pdf.iterrows()
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "raw"])
-
-    texts = fixtures.mapInPandas(extract, schema="doc_id long, raw string")
+    texts = _doc_fixture_df(
+        spark, sf_dir, 200, 400, "docx",
+        extractor=docmod.docx_text,
+        extractor_schema="doc_id long, value string",
+    )
     return texts.select(
-        "doc_id", F.translate("raw", "\n", " ").alias("extracted")
+        "doc_id", F.translate("value", "\n", " ").alias("extracted")
     )
 
 
@@ -188,21 +206,15 @@ def q_ingest_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPUB round-trip: OCF container + OPF spine + XHTML chapters
     built and re-extracted via the deterministic tag-stripper; chapter
     and line breaks normalized back to spaces."""
-    fixtures = _doc_fixture_df(spark, sf_dir, 250, 450, "epub")
+    from xetl_spark.operators import docx as docmod
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from xetl_spark.operators import docx as docmod
-
-        for pdf in batches:
-            rows = [
-                (int(r["doc_id"]), docmod.epub_text(bytes(r["payload"])))
-                for _, r in pdf.iterrows()
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "raw"])
-
-    texts = fixtures.mapInPandas(extract, schema="doc_id long, raw string")
+    texts = _doc_fixture_df(
+        spark, sf_dir, 250, 450, "epub",
+        extractor=docmod.epub_text,
+        extractor_schema="doc_id long, value string",
+    )
     return texts.select(
-        "doc_id", F.translate("raw", "\f\n", "  ").alias("extracted")
+        "doc_id", F.translate("value", "\f\n", "  ").alias("extracted")
     )
 
 
@@ -340,7 +352,9 @@ def q_ingest_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one row per cell. The oracle recomputes the whole grid in SQL
     from the untouched source text."""
     (docs,) = load(spark, sf_dir, "documents")
-    src = docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+    src = ensure_parallelism(
+        docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+    )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xetl_spark.operators import docx as docmod
@@ -394,7 +408,9 @@ def q_multimodal_pdf_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form (sum over x,y of id-term + coordinate term =
     256*term + 1920)."""
     (docs,) = load(spark, sf_dir, "documents")
-    src = docs.select("doc_id", "text").where(F.col("doc_id") < 160)
+    src = ensure_parallelism(
+        docs.select("doc_id", "text").where(F.col("doc_id") < 160)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -22,6 +22,7 @@ from xetl_spark.operators import (
     multimodal,
     text,
 )
+from xetl_spark.operators.util import ensure_parallelism
 from xetl_spark.queries import load, query
 
 # DuckDB token expression mirroring operators.text.tokens()
@@ -1189,7 +1190,7 @@ def _synth_images(spark: SparkSession, sf_dir: str, limit: int = 256) -> DataFra
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1359,7 +1360,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 256)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256))
 
     def gen_and_stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1434,7 +1435,7 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 256)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256))
 
     def gen_and_stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1505,7 +1506,7 @@ def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 256)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1574,7 +1575,7 @@ def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1635,7 +1636,7 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.text import remove_duplicate_spans
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
     own = F.concat_ws(
         " ",
         F.transform(
@@ -1693,7 +1694,7 @@ def q_text_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.text import remove_duplicate_spans_exact
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
     own = F.transform(
         F.sequence(F.lit(0), F.lit(23)),
         lambda j: F.concat(F.lit("t"), F.col("doc_id"), F.lit("x"), j),
@@ -1758,7 +1759,7 @@ def q_text_exact_span_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     from xetl_spark.operators.text import remove_duplicate_spans_exact
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
     own = F.transform(
         F.sequence(F.lit(0), F.lit(23)),
         lambda j: F.concat(F.lit("t"), F.col("doc_id"), F.lit("x"), j),
@@ -1861,7 +1862,7 @@ def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.text import natural_boundary_dedup
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
     corpus = ids.select(
         "doc_id",
         F.concat(
@@ -2023,7 +2024,7 @@ def q_multimodal_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 240)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 240))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2116,7 +2117,7 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
     variants = ("plain", "subtract_green", "palette", "predictor",
                 "color_transform")
 
@@ -2212,7 +2213,7 @@ def q_multimodal_av_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators import mediaprobe
@@ -2269,7 +2270,7 @@ def q_multimodal_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2481,7 +2482,7 @@ def _synth_wavs(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2512,7 +2513,7 @@ def _synth_neardup_images(
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2586,7 +2587,7 @@ def _synth_y4ms(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < limit)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2702,7 +2703,7 @@ def q_multimodal_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
 
     def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2808,7 +2809,7 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2896,7 +2897,7 @@ def q_multimodal_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
     variants = ("dib", "png", "multi")
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -2982,7 +2983,7 @@ def q_multimodal_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3075,7 +3076,7 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.audio import resample_linear
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3132,7 +3133,7 @@ def q_ingest_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.subtitles import extract_subtitles
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -3208,7 +3209,7 @@ def q_text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.html import extract_main_content
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -3297,7 +3298,7 @@ def q_multimodal_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 128)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3807,7 +3808,7 @@ def q_multimodal_jpeg_hier_lossless(spark: SparkSession, sf_dir: str) -> DataFra
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3884,7 +3885,7 @@ def q_multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFram
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3938,7 +3939,7 @@ def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3986,7 +3987,7 @@ def q_multimodal_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -4052,7 +4053,7 @@ def q_multimodal_jpeg_arith_progressive(
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -4120,7 +4121,7 @@ def q_multimodal_flac_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 300)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators import mediaprobe
@@ -4859,7 +4860,7 @@ def q_multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 160)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.mediaprobe import (
@@ -4966,7 +4967,7 @@ def q_multimodal_vp8_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 200)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.vp8 import (
@@ -5059,7 +5060,7 @@ def q_multimodal_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame
     from xetl_spark.operators.multimodal import sample_frames
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 120)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 120))
 
     def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5158,7 +5159,7 @@ def q_multimodal_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 120)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 120))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5233,7 +5234,7 @@ def q_multimodal_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 160)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5358,7 +5359,7 @@ def q_multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 140)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 140))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.mediaprobe import (
@@ -5475,7 +5476,7 @@ def q_multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 150)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 150))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.vp8 import vp8_header_build
@@ -5570,7 +5571,7 @@ def q_multimodal_vp9_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 170)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 170))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.mediaprobe import ivf_build, ivf_probe
@@ -5666,7 +5667,7 @@ def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.multimodal import media_quality
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 180)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 180))
 
     def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5758,7 +5759,7 @@ def q_media_quality_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.multimodal import media_quality
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 180)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 180))
     brs = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 
     def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -5822,7 +5823,7 @@ def q_multimodal_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 160)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.av1 import av1_sequence_build
@@ -5903,7 +5904,7 @@ def q_multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = docs.select("doc_id").where(F.col("doc_id") < 150)
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 150))
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.av1 import avif_build, avif_probe
