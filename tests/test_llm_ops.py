@@ -598,6 +598,52 @@ def test_repetition_signals_matches_python_reference(spark):
             assert got[i][k] == v, (i, k, got[i][k], v)
 
 
+def test_repetition_signals_engine_parity(spark):
+    """The Arrow engine (r14 default) and the Catalyst expression
+    engine must agree row-for-row on every signal, including the edge
+    semantics: NULL text, empty text, tab-bearing lines (F.trim strips
+    spaces only), multi-byte characters (line byte lengths vs gram
+    code-point lengths), and planted duplicate lines/grams."""
+    from xetl_spark.operators.text import repetition_signals
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(10)] + ["the", "and", "héé", "日本"]
+    docs = [
+        (100, None),
+        (101, ""),
+        (102, "a\tb\nc  d\n\n  "),
+        (103, "x " * 30),
+    ]
+    for i in range(30):
+        lines = []
+        for _ in range(rng.randrange(0, 7)):
+            line = " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(1, 10))
+            )
+            lines.append(line)
+            if rng.random() < 0.4:
+                lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(
+            df, "text", "doc_id", engine="arrow"
+        ).collect()
+    }
+    c = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(
+            df, "text", "doc_id", engine="catalyst"
+        ).collect()
+    }
+    assert set(a) == set(c)
+    for i in a:
+        assert a[i] == c[i], (i, a[i], c[i])
+
+
 def test_c4_line_filter_rules(spark):
     """Each C4 rule in isolation: terminal punctuation, min words,
     javascript, lorem ipsum, brace, min sentences."""
