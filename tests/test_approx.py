@@ -135,6 +135,26 @@ def test_ivf_centroid_cache(spark, sf_dir):
     assert ivf_fit_centroids(emb, "embedding", n_clusters=4) is not first
 
 
+def test_load_clears_centroid_memo(spark, sf_dir):
+    """The bench/oracle honesty boundary (r14): the registry's load()
+    clears the centroid-fit memo the way it clears the Spark cache, so
+    a re-invoked kmeans/IVF/semdedup query re-fits from the parquet
+    inputs instead of reusing the previous invocation's result."""
+    import xetl_spark.operators.similarity as sim
+    from xetl_spark.queries import load
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sim.clear_centroid_cache()
+    first = sim.ivf_fit_centroids(emb, "embedding", n_clusters=4)
+    assert len(sim._CENTROID_CACHE) == 1
+    # within-invocation reuse still applies (same plan, same params)
+    assert sim.ivf_fit_centroids(emb, "embedding", n_clusters=4) is first
+    load(spark, sf_dir, "embeddings")  # next query construction
+    assert len(sim._CENTROID_CACHE) == 0
+    refit = sim.ivf_fit_centroids(emb, "embedding", n_clusters=4)
+    assert refit is not first and refit == first  # deterministic refit
+
+
 def test_ivf_fit_empty_and_blocked_assignment(spark, sf_dir):
     """r14 advisor: an empty corpus raises a clear error (was a
     ZeroDivisionError in the tiny-corpus pad), and the row-blocked

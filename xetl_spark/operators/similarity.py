@@ -375,14 +375,16 @@ def _nearest_cells(unit_col: str, centroids: list[list[float]], n: int):
     return nn(F.col(unit_col))
 
 
-#: session-scoped centroid memo — a KMeans fit is a full corpus scan
-#: (several, with iterations), so repeated index builds / ANN calls over
-#: the same corpus in one driver session should pay it once. Keyed by
-#: (application id, the corpus plan's semantic hash, params): the
-#: semantic hash pins the exact logical plan incl. source paths, and the
-#: app id scopes entries to one session. Mutating files UNDER an
-#: unchanged path between calls is the one case the key can't see —
-#: clear_centroid_cache() for that.
+#: centroid memo — a KMeans fit is a full corpus scan (several, with
+#: iterations), so an index BUILD and its PROBES inside one pipeline
+#: invocation should pay it once. Keyed by (application id, the corpus
+#: plan's semantic hash, params). Scope (r14): the registry's load()
+#: clears this memo at every query construction — the same boundary as
+#: spark.catalog.clearCache() — so bench reps and repeated oracle runs
+#: re-fit from the parquet inputs every time (cross-invocation reuse of
+#: computed results is the memoization the bench contract forbids).
+#: Mutating files UNDER an unchanged path between calls is the one case
+#: the key can't see — clear_centroid_cache() for that.
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
 #: FIFO bound: centroid lists are small (n_clusters × dim floats) but a
 #: long-lived session fitting many corpora must not grow without limit

@@ -83,6 +83,16 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     # intermediates a previous query left behind (dedup pipelines cache
     # shared subtrees) so a long battery can't accumulate executor memory
     spark.catalog.clearCache()
+    # same boundary for PYTHON-side memos (r14): the centroid-fit memo
+    # in operators/similarity.py is keyed by (app, corpus plan) and
+    # survives clearCache, so a re-invoked kmeans/IVF/semdedup query
+    # would silently skip its fit (measured: q_embed_kmeans rep2
+    # 3.7 -> 1.3s) — bench reps and repeated oracle runs must compute
+    # from the parquet inputs every time. Within ONE query invocation
+    # (index build + probe sharing a fit) the memo still applies.
+    from xetl_spark.operators.similarity import clear_centroid_cache
+
+    clear_centroid_cache()
     # timestamp→string rendering is session-TZ dependent; pin UTC so
     # results match the (UTC-naive) DuckDB oracle on any host
     spark.conf.set("spark.sql.session.timeZone", "UTC")
