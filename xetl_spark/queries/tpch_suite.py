@@ -616,9 +616,19 @@ def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineitem⋈orders distinct twice
         .persist()
     )
-    per_order = ret.groupBy("orderkey").agg(
-        F.countDistinct("suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("returned"), F.col("suppkey"))).alias("n_ret"),
+    # two-level aggregation instead of the twin countDistinct (r14,
+    # guide §2.3 "aggregate before you shuffle"): the multi-distinct
+    # rewrite EXPANDS ret 2× before its shuffle, while (orderkey,
+    # suppkey) → orderkey collapses map-side first. Identical values:
+    # per_supp is distinct by construction, so count(*) is the
+    # distinct supplier count and max(returned) marks suppliers with
+    # any returned item — sum of those is countDistinct(when(...)).
+    per_supp = ret.groupBy("orderkey", "suppkey").agg(
+        F.max("returned").alias("ret_any")
+    )
+    per_order = per_supp.groupBy("orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("ret_any").cast("int")).alias("n_ret"),
     )
     return (
         ret.filter(F.col("returned"))
