@@ -212,9 +212,17 @@ def main() -> None:
             "  vocabulary types (the groupBy key space grows a little",
             "  faster than rows), and zero spill everywhere.",
         ]
-    # preserve the measured-skew section maintained by skew_evidence.py
+    # preserve sections other tools/runs maintain (the SCALING.md
+    # lesson — a regen must not silently drop evidence blocks): the
+    # sf1 growth section when this run has no sf1 fixture to re-measure
+    # it, and the measured-skew section from skew_evidence.py
     try:
         old = open("/root/repo/SHUFFLE.md").read()
+        if not sf1_rows:
+            i = old.find("## sf1 shuffle growth")
+            if i >= 0:
+                j = old.find("## Skew evidence", i)
+                lines += ["", old[i : j if j >= 0 else None].rstrip()]
         i = old.find("## Skew evidence")
         if i >= 0:
             lines += ["", old[i:].rstrip()]
