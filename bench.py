@@ -168,6 +168,25 @@ def main() -> None:
     load_legs: dict[str, float] = {}
     leg_retries: list[str] = []
 
+    def crossing_probe() -> float:
+        """Host-regime telemetry the loadavg gate cannot see (r14): the
+        wall of a fixed 32-task identity mapInPandas round-trip. The
+        JVM↔Python crossing latency on this shared host is bimodal —
+        the same codec-battery query has measured 0.75s and 2.2s in one
+        day at loadavg < 4 both times, tracking this probe — so record
+        the regime with the run (telemetry only; no gating)."""
+        probe = spark.range(0, 256).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            probe.count()
+            best = min(best or 9e9, time.time() - t0)
+        return round(best * 1000)
+
+    crossing_ms = crossing_probe()
+
     def run_leg(
         leg: str,
         names: list[str],
@@ -295,6 +314,10 @@ def main() -> None:
         # legs that started above LOAD_SOFT and re-ran (cross-pass
         # per-query best kept); empty = every leg ran under the gate
         "leg_retries": leg_retries,
+        # JVM↔Python crossing regime at run start (ms; see
+        # crossing_probe) — interpret codec-battery / mapInPandas
+        # query movement against this, not just loadavg
+        "python_crossing_ms": crossing_ms,
         "action": "noop_write", "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -346,6 +369,7 @@ def main() -> None:
         "streaming_events_per_sec": stream_eps,
         "loadavg_legs": load_legs,
         "leg_retries": leg_retries,
+        "python_crossing_ms": crossing_ms,
         "sf": out["sf"],
     }
     if errors:
