@@ -522,6 +522,27 @@ def test_repetition_signals_hand_computed(spark):
     assert d4["top_2gram_chars"] == 12  # "unique words"
 
 
+def test_ensure_parallelism_max_partitions_cap(spark):
+    """r14 crossing-cost cap: a 1-partition constant-size fixture input
+    spreads to min(defaultParallelism, max_partitions) tasks; an
+    already-parallel input stays untouched (the 100 TB no-op guard is
+    unchanged by the cap)."""
+    from xetl_spark.operators.util import ensure_parallelism
+
+    one = spark.range(100).coalesce(1)
+    capped = ensure_parallelism(one, max_partitions=16)
+    dp = spark.sparkContext.defaultParallelism
+    assert capped.rdd.getNumPartitions() == min(dp, 16)
+    # rows are only redistributed, never changed
+    assert sorted(r.id for r in capped.collect()) == list(range(100))
+    # already-parallel input: the guard wins, no repartition happens
+    wide = spark.range(1000).repartition(max(dp, 2))
+    assert (
+        ensure_parallelism(wide, max_partitions=16).rdd.getNumPartitions()
+        == wide.rdd.getNumPartitions()
+    )
+
+
 def test_repetition_signals_shuffle_free(spark):
     """The 100 TB contract: the whole operator is one map stage — the
     executed plan must contain NO exchange. (ensure_parallelism's

@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_fraction: float = 0.5,
+    max_partitions: int | None = None,
+) -> DataFrame:
     """Round-robin repartition an under-partitioned DataFrame up to the
     cluster's default parallelism.
 
@@ -15,11 +19,24 @@ def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     this is a no-op there (guarded: only fires when the current
     partition count is below ``min_fraction`` of default parallelism) —
     it never adds a shuffle to an already-parallel 100 TB scan.
+
+    ``max_partitions`` caps the repartition target below the default
+    parallelism. Use it for CONSTANT-SIZE inputs feeding Python stages
+    (the codec fixture batteries: 120-440 rows): the per-stage
+    JVM↔Python round-trip cost is flat up to ~16 tasks but grows with
+    task count beyond that (identity mapInPandas, 32 cores: ~420 ms at
+    1-16 tasks vs 661 ms at 32 / 1067 ms at 64 in this host's slow
+    crossing regime — OPTIMIZATION_r14.md), while a few hundred rows of
+    codec CPU saturate at ~16-way just as well as 32-way. Corpus-scaling
+    inputs must NOT pass it — their stage cost is data-bound, not
+    crossing-bound.
     """
     try:
         # classic mode: probe actual partitioning via the RDD handle
         sc = df.sparkSession.sparkContext
         target = sc.defaultParallelism
+        if max_partitions is not None:
+            target = min(target, max_partitions)
         parts = df.rdd.getNumPartitions()
     except Exception:
         # Spark Connect exposes neither sparkContext nor df.rdd; there

@@ -76,7 +76,8 @@ def _doc_fixture_df(
     src = ensure_parallelism(
         docs.select("doc_id", "text").where(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        )
+        ),
+        max_partitions=16,
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -353,7 +354,8 @@ def q_ingest_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the untouched source text."""
     (docs,) = load(spark, sf_dir, "documents")
     src = ensure_parallelism(
-        docs.select("doc_id", "text").where(F.col("doc_id") < 150)
+        docs.select("doc_id", "text").where(F.col("doc_id") < 150),
+        max_partitions=16,
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -409,7 +411,8 @@ def q_multimodal_pdf_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     256*term + 1920)."""
     (docs,) = load(spark, sf_dir, "documents")
     src = ensure_parallelism(
-        docs.select("doc_id", "text").where(F.col("doc_id") < 160)
+        docs.select("doc_id", "text").where(F.col("doc_id") < 160),
+        max_partitions=16,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

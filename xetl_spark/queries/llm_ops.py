@@ -25,6 +25,15 @@ from xetl_spark.operators import (
 from xetl_spark.operators.util import ensure_parallelism
 from xetl_spark.queries import load, query
 
+# Task cap for the CONSTANT-SIZE codec fixture batteries (120-440 rows
+# feeding 2-3 chained Python stages each): the per-stage JVM↔Python
+# round-trip cost is flat up to ~16 tasks and grows past it (measured
+# ~420 ms at 1-16 tasks vs 661 ms at 32 on this host's slow crossing
+# regime — OPTIMIZATION_r14.md), while the batteries' 0.1-0.6 s of
+# codec CPU saturates at 16-way. Corpus-scaling inputs (text/dedup
+# pipelines) deliberately do NOT use this cap.
+_FIXTURE_TASKS = 16
+
 # DuckDB token expression mirroring operators.text.tokens()
 _DD_TOKENS = (
     "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+')"
@@ -1190,7 +1199,7 @@ def _synth_images(spark: SparkSession, sf_dir: str, limit: int = 256) -> DataFra
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1360,7 +1369,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256), max_partitions=_FIXTURE_TASKS)
 
     def gen_and_stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1435,7 +1444,7 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256), max_partitions=_FIXTURE_TASKS)
 
     def gen_and_stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1506,7 +1515,7 @@ def q_multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 256), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1575,7 +1584,7 @@ def q_multimodal_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -1636,7 +1645,7 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.text import remove_duplicate_spans
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
     own = F.concat_ws(
         " ",
         F.transform(
@@ -1694,7 +1703,7 @@ def q_text_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.text import remove_duplicate_spans_exact
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
     own = F.transform(
         F.sequence(F.lit(0), F.lit(23)),
         lambda j: F.concat(F.lit("t"), F.col("doc_id"), F.lit("x"), j),
@@ -1759,7 +1768,7 @@ def q_text_exact_span_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     from xetl_spark.operators.text import remove_duplicate_spans_exact
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
     own = F.transform(
         F.sequence(F.lit(0), F.lit(23)),
         lambda j: F.concat(F.lit("t"), F.col("doc_id"), F.lit("x"), j),
@@ -1862,7 +1871,7 @@ def q_text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.text import natural_boundary_dedup
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300), max_partitions=_FIXTURE_TASKS)
     corpus = ids.select(
         "doc_id",
         F.concat(
@@ -2024,7 +2033,7 @@ def q_multimodal_decode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 240))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 240), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2117,7 +2126,7 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
     variants = ("plain", "subtract_green", "palette", "predictor",
                 "color_transform")
 
@@ -2213,7 +2222,7 @@ def q_multimodal_av_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators import mediaprobe
@@ -2270,7 +2279,7 @@ def q_multimodal_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2482,7 +2491,7 @@ def _synth_wavs(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2513,7 +2522,7 @@ def _synth_neardup_images(
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2587,7 +2596,7 @@ def _synth_y4ms(spark: SparkSession, sf_dir: str, limit: int = 128) -> DataFrame
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < limit), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2703,7 +2712,7 @@ def q_multimodal_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128), max_partitions=_FIXTURE_TASKS)
 
     def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2809,7 +2818,7 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -2897,7 +2906,7 @@ def q_multimodal_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
     variants = ("dib", "png", "multi")
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -2983,7 +2992,7 @@ def q_multimodal_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3076,7 +3085,7 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.audio import resample_linear
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3133,7 +3142,7 @@ def q_ingest_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.subtitles import extract_subtitles
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -3209,7 +3218,7 @@ def q_text_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.html import extract_main_content
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def synth(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -3298,7 +3307,7 @@ def q_multimodal_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 128), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3808,7 +3817,7 @@ def q_multimodal_jpeg_hier_lossless(spark: SparkSession, sf_dir: str) -> DataFra
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3885,7 +3894,7 @@ def q_multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFram
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3939,7 +3948,7 @@ def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -3987,7 +3996,7 @@ def q_multimodal_jpeg_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -4053,7 +4062,7 @@ def q_multimodal_jpeg_arith_progressive(
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def gen_and_check(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -4121,7 +4130,7 @@ def q_multimodal_flac_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 300), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators import mediaprobe
@@ -4860,7 +4869,7 @@ def q_multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.mediaprobe import (
@@ -4967,7 +4976,7 @@ def q_multimodal_vp8_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 200), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.vp8 import (
@@ -5060,7 +5069,7 @@ def q_multimodal_mp4_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame
     from xetl_spark.operators.multimodal import sample_frames
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 120))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 120), max_partitions=_FIXTURE_TASKS)
 
     def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5159,7 +5168,7 @@ def q_multimodal_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 120))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 120), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5234,7 +5243,7 @@ def q_multimodal_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5359,7 +5368,7 @@ def q_multimodal_mp4_fragmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 140))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 140), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.mediaprobe import (
@@ -5476,7 +5485,7 @@ def q_multimodal_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 150))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 150), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.vp8 import vp8_header_build
@@ -5571,7 +5580,7 @@ def q_multimodal_vp9_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 170))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 170), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.mediaprobe import ivf_build, ivf_probe
@@ -5667,7 +5676,7 @@ def q_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.multimodal import media_quality
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 180))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 180), max_partitions=_FIXTURE_TASKS)
 
     def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import numpy as np
@@ -5759,7 +5768,7 @@ def q_media_quality_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xetl_spark.operators.multimodal import media_quality
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 180))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 180), max_partitions=_FIXTURE_TASKS)
     brs = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 
     def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -5823,7 +5832,7 @@ def q_multimodal_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 160), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.av1 import av1_sequence_build
@@ -5904,7 +5913,7 @@ def q_multimodal_avif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator as _It
 
     (docs,) = load(spark, sf_dir, "documents")
-    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 150))
+    ids = ensure_parallelism(docs.select("doc_id").where(F.col("doc_id") < 150), max_partitions=_FIXTURE_TASKS)
 
     def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from xetl_spark.operators.av1 import avif_build, avif_probe
