@@ -99,6 +99,34 @@ def test_packed_line_beats_regex_recovery(tmp_path):
     assert rc == 0, out
 
 
+def test_tail_pair_fallback_front_truncated_suite(tmp_path):
+    """The REAL BENCH_r13 shape: the full record's llm_queries dict is
+    cut at the FRONT (its open brace truncated away), so whole-dict
+    recovery can't match — but every surviving '"q_x": 1.23' pair must
+    still produce a real ratio via the pair fallback instead of a
+    'missing in one run' row."""
+    compact = {k: FULL[k] for k in (
+        "metric", "value", "unit", "queries",
+        "tpch_suite_wall_seconds", "llm_suite_wall_seconds",
+        "streaming_events_per_sec", "loadavg_legs", "sf",
+    )}
+    full_line = json.dumps(FULL)
+    # cut at the llm_queries dict's first key: the pair survives whole
+    # but the dict's opening brace (and everything before) is gone
+    cut = full_line.index('"q_dedup_exact"')
+    tail = full_line[cut:] + "\n" + json.dumps(compact)
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"n": 1, "rc": 0, "tail": tail, "parsed": compact}))
+    new = tmp_path / "new.json"
+    new.write_text(json.dumps(FULL))
+    rc, out = _run(old, new)
+    assert "pair fallback" in out
+    llm = out.split("-- llm_queries --")[1].split("-- throughput --")[0]
+    assert "q_dedup_exact" in llm and "1.00x" in llm
+    assert "missing in one run" not in llm, out
+    assert rc == 0, out
+
+
 def test_packed_stdout_capture(tmp_path):
     """A raw bench.py stdout capture whose full line was lost but whose
     packed line survived parses to the full record."""

@@ -73,6 +73,20 @@ def _recover_tail(tail: str) -> dict:
                 out[key] = json.loads(m.group(1))
             except json.JSONDecodeError:
                 pass
+    # Last resort for per-query values whose enclosing dict was CUT AT
+    # THE FRONT (the BENCH_r13 shape: the full record's llm_queries
+    # open brace is truncated away, so the whole-dict regex above can
+    # never match, yet every surviving `"q_x": 1.23` pair is intact).
+    # Collect the pairs individually; the suite join uses them only as
+    # a per-name fallback, so section membership still comes from real
+    # suite dicts. First occurrence wins (the full record prints before
+    # the compact summary, and their values agree by construction).
+    pairs = re.findall(r'"(q_[a-zA-Z0-9_]+)":\s*(-?[\d.]+)', tail)
+    if pairs:
+        tp: dict[str, float] = {}
+        for k, v in pairs:
+            tp.setdefault(k, float(v))
+        out["_tail_pairs"] = tp
     return out
 
 
@@ -118,7 +132,13 @@ def _load(path: str) -> dict:
             rec = _unpack(json.loads(m.group(0))) or {}
         if not rec and tail:
             rec = _recover_tail(tail)
-        merged_from_tail = sorted(k for k in rec if k not in parsed)
+        merged_from_tail = sorted(
+            k for k in rec if k not in parsed and k != "_tail_pairs"
+        )
+        if "_tail_pairs" in rec:
+            merged_from_tail.append(
+                f"{len(rec['_tail_pairs'])} per-query values (pair fallback)"
+            )
         if not parsed:
             print(
                 f"NOTE: {path} has parsed:null (tail-truncated artifact) — "
@@ -195,6 +215,8 @@ def main() -> int:
     rows = []
     # every per-query dict the bench emits gets its own diff section:
     # headline battery, TPC-H suite, LLM-ops suite (round 5+)
+    ofb = old.get("_tail_pairs") or {}
+    nfb = new.get("_tail_pairs") or {}
     for suite in ("queries", "tpch_queries", "llm_queries"):
         oq, nq = old.get(suite) or {}, new.get(suite) or {}
         if not oq and not nq:
@@ -202,6 +224,11 @@ def main() -> int:
         rows.append((f"-- {suite} --", None, None, None, ""))
         for name in sorted(set(oq) | set(nq)):
             a, b = oq.get(name), nq.get(name)
+            # value-level fallback to tail-recovered pairs: fills rows a
+            # front-truncated artifact would otherwise diff as missing
+            # (section membership above still comes from real suite dicts)
+            a = ofb.get(name) if a is None else a
+            b = nfb.get(name) if b is None else b
             if a is None or b is None:
                 rows.append((name, a, b, None, "missing in one run"))
                 continue
@@ -236,8 +263,11 @@ def main() -> int:
         if old.get(total) is not None or new.get(total) is not None:
             print(f"{total}: {old.get(total)} -> {new.get(total)}")
     regressed = [r for r in rows if r[4] == "REGRESSED"]
-    if regressed:
-        print(f"{len(regressed)} queries >= {ratio}x slower")
+    wall_regressed = [r for r in regressed if r[0] != "streaming_events_per_sec"]
+    if wall_regressed:
+        print(f"{len(wall_regressed)} queries >= {ratio}x slower")
+    if len(wall_regressed) != len(regressed):
+        print("streaming throughput regressed >= 1.15x (fixed noise gate)")
     # ov == 0 (errored/empty baseline artifact): treat like the
     # per-query path — any nonzero new value is an infinite ratio
     headline_bad = (
