@@ -127,6 +127,61 @@ def test_tail_pair_fallback_front_truncated_suite(tmp_path):
     assert rc == 0, out
 
 
+def test_tail_pair_fallback_is_suite_scoped(tmp_path):
+    """A query name reused across suites with DIFFERENT values (the
+    real BENCH_r14 shape: q_tpch_q7_like 0.552 headline vs 0.521 tpch)
+    must never cross-fill: when truncation eats one suite's dict while
+    a same-named pair survives from another suite, the row reads
+    'missing in one run' — not a wrong-suite ratio (r15 ADVICE)."""
+    full = dict(FULL)
+    full["queries"] = {"q_shared": 0.552, "q_b": 2.0}
+    full["tpch_queries"] = {"q_shared": 0.521}
+    compact = {k: full[k] for k in (
+        "metric", "value", "unit",
+        "tpch_suite_wall_seconds", "llm_suite_wall_seconds",
+        "streaming_events_per_sec", "loadavg_legs", "sf",
+    )}
+    full_line = json.dumps(full)
+    # cut INSIDE the headline queries dict so its pairs are orphaned but
+    # attributable (the next scalar key after the dict close names the
+    # suite); the tpch dict survives whole
+    cut = full_line.index('"q_shared"')
+    tail = full_line[cut:] + "\n" + json.dumps(compact)
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"n": 1, "rc": 0, "tail": tail, "parsed": compact}))
+    new = tmp_path / "new.json"
+    new.write_text(json.dumps(full))
+    rc, out = _run(old, new)
+    # orphan head pairs attributed to the HEADLINE suite (next key is
+    # tpch_suite_wall_seconds) -> real ratios there...
+    head = out.split("-- queries --")[1].split("-- tpch_queries --")[0]
+    assert "q_shared" in head and "1.00x" in head, out
+    # ...and the tpch row must use the TPCH value 0.521, never 0.552
+    tp = out.split("-- tpch_queries --")[1].split("-- llm_queries --")[0]
+    assert "0.521" in tp and "0.552" not in tp, out
+    assert rc == 0, out
+
+
+def test_tail_pair_exponent_values(tmp_path):
+    """Scientific-notation values (json.dumps emits 1e-05 for tiny
+    floats) are recovered whole, never truncated to the mantissa
+    (r15 ADVICE: '1e-05' must not become 1.0)."""
+    full = dict(FULL)
+    full["llm_queries"] = {"q_dedup_exact": 1e-05}
+    full_line = json.dumps(full)
+    compact = {k: full[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    cut = full_line.index('"q_dedup_exact"')
+    tail = full_line[cut:] + "\n" + json.dumps(compact)
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"n": 1, "rc": 0, "tail": tail, "parsed": compact}))
+    new = tmp_path / "new.json"
+    new.write_text(json.dumps(full))
+    rc, out = _run(old, new)
+    llm = out.split("-- llm_queries --")[1].split("-- throughput --")[0]
+    assert "1e-05" in llm and "1.00x" in llm, out
+    assert rc == 0, out
+
+
 def test_packed_stdout_capture(tmp_path):
     """A raw bench.py stdout capture whose full line was lost but whose
     packed line survived parses to the full record."""

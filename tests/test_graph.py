@@ -89,6 +89,47 @@ def test_partitioned_components_matches_global_cc(spark):
     assert gots == {"a": "a", "b": "a", "c": "a"}
 
 
+def test_connected_components_deep_chain_round_count(spark):
+    """r15 double pointer-jump: a planted 256-node deep chain must
+    converge in about HALF the single-jump algorithm's rounds (the
+    per-round scheduler barrier is the deep-graph cost). Single-jump
+    measured 9 rounds on this graph (incl. the convergence-detection
+    round); the double-jump bound is 5-6. Labels stay exact."""
+    from xetl_spark.operators import graph as G
+
+    edges = [(i, i + 1) for i in range(255)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert set(got.values()) == {0} and len(got) == 256
+    assert G._LAST_ROUNDS <= 6, G._LAST_ROUNDS
+
+
+def test_partitioned_components_validate_cross_partition_edge(spark):
+    """r15 precondition assertion: a node appearing under two part_col
+    groups (a component spanning groups) must FAIL LOUDLY under
+    validate=True instead of returning plausible wrong components."""
+    import pytest
+
+    from xetl_spark.operators.graph import partitioned_components
+
+    # node 2 sits in cell 0 (edge 1-2) AND cell 1 (edge 2-3): the true
+    # component {1,2,3} spans cells
+    bad = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 3)], "cell int, src long, dst long"
+    )
+    with pytest.raises(ValueError, match="precondition violated"):
+        partitioned_components(bad, "cell", validate=True)
+    # a group-local graph passes validation and labels exactly
+    ok = spark.createDataFrame(
+        [(0, 1, 2), (1, 10, 11), (1, 11, 12)], "cell int, src long, dst long"
+    )
+    got = {
+        r.node: r.comp
+        for r in partitioned_components(ok, "cell", validate=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_dedup_clusters_end_to_end(spark, sf_dir):
     """MinHash pairs → cluster decision: every doc labeled, exactly one
     representative per cluster, representatives are cluster minima."""

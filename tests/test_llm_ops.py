@@ -524,9 +524,10 @@ def test_repetition_signals_hand_computed(spark):
 
 def test_ensure_parallelism_max_partitions_cap(spark):
     """r14 crossing-cost cap: a 1-partition constant-size fixture input
-    spreads to min(defaultParallelism, max_partitions) tasks; an
-    already-parallel input stays untouched (the 100 TB no-op guard is
-    unchanged by the cap)."""
+    spreads to min(defaultParallelism, max_partitions) tasks; an input
+    arriving with MORE partitions than the cap is coalesced down to it
+    shuffle-free (r15 ADVICE fix); an uncapped already-parallel input
+    stays untouched (the 100 TB no-op guard is unchanged)."""
     from xetl_spark.operators.util import ensure_parallelism
 
     one = spark.range(100).coalesce(1)
@@ -535,11 +536,20 @@ def test_ensure_parallelism_max_partitions_cap(spark):
     assert capped.rdd.getNumPartitions() == min(dp, 16)
     # rows are only redistributed, never changed
     assert sorted(r.id for r in capped.collect()) == list(range(100))
-    # already-parallel input: the guard wins, no repartition happens
-    wide = spark.range(1000).repartition(max(dp, 2))
+    # over-partitioned capped input: coalesced down to the cap with NO
+    # added exchange (the crossing-cost bound now applies both ways)
+    wide = spark.range(1000).repartition(max(dp, 32))
+    down = ensure_parallelism(wide, max_partitions=16)
+    assert down.rdd.getNumPartitions() == 16
+    plan = down._jdf.queryExecution().executedPlan().toString()
+    # exactly the upstream repartition's exchange — coalesce adds none
+    assert plan.count("Exchange") == wide._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert sorted(r.id for r in down.collect()) == list(range(1000))
+    # uncapped already-parallel input: the guard wins, untouched
+    wide2 = spark.range(1000).repartition(max(dp, 2))
     assert (
-        ensure_parallelism(wide, max_partitions=16).rdd.getNumPartitions()
-        == wide.rdd.getNumPartitions()
+        ensure_parallelism(wide2).rdd.getNumPartitions()
+        == wide2.rdd.getNumPartitions()
     )
 
 

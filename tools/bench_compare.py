@@ -77,16 +77,65 @@ def _recover_tail(tail: str) -> dict:
     # THE FRONT (the BENCH_r13 shape: the full record's llm_queries
     # open brace is truncated away, so the whole-dict regex above can
     # never match, yet every surviving `"q_x": 1.23` pair is intact).
-    # Collect the pairs individually; the suite join uses them only as
-    # a per-name fallback, so section membership still comes from real
-    # suite dicts. First occurrence wins (the full record prints before
-    # the compact summary, and their values agree by construction).
-    pairs = re.findall(r'"(q_[a-zA-Z0-9_]+)":\s*(-?[\d.]+)', tail)
-    if pairs:
-        tp: dict[str, float] = {}
-        for k, v in pairs:
-            tp.setdefault(k, float(v))
-        out["_tail_pairs"] = tp
+    # Pairs are attributed to the SUITE whose dict they sit in — a
+    # query name can legitimately appear in several suites with
+    # DIFFERENT values (q_tpch_q7_like: 0.552 headline vs 0.521 tpch
+    # in BENCH_r14), so a flat first-occurrence map could fill a row
+    # with the wrong-suite value (r15 ADVICE). Region attribution:
+    # pairs inside a visible `"<suite>": {` span belong to that suite;
+    # pairs BEFORE the first unmatched `}` (the front-cut dict's close)
+    # belong to the suite identified by the scalar key bench.py prints
+    # right after that dict (fixed print order we control).
+    sp = _tail_suite_pairs(tail)
+    if sp:
+        out["_tail_suite_pairs"] = sp
+    return out
+
+
+_ORPHAN_SUITE_BY_NEXT_KEY = (
+    # scalar printed immediately after each suite dict in bench.py
+    ('"tpch_suite_wall_seconds"', "queries"),
+    ('"llm_suite_wall_seconds"', "tpch_queries"),
+    ('"streaming_events_per_sec"', "llm_queries"),
+)
+
+# JSON numbers incl. exponent form (json.dumps emits 1e-05 for tiny
+# floats); the lookahead rejects partial matches so a value the regex
+# can't represent whole is SKIPPED, never silently mis-parsed (ADVICE)
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_PAIR_RE = re.compile(rf'"(q_[a-zA-Z0-9_]+)":\s*({_NUM})(?=\s*[,}}])')
+
+
+def _tail_suite_pairs(tail: str) -> dict[str, dict[str, float]]:
+    """Suite-scoped `"q_x": 1.23` pair recovery from a truncated tail
+    (see the comment at the call site). Returns {suite: {name: value}}
+    with only non-empty suites; pairs whose suite cannot be determined
+    are dropped (an honest 'missing' row beats a wrong-suite value)."""
+    regions: list[tuple[int, int, str]] = []
+    for m in re.finditer(r'"(queries|tpch_queries|llm_queries)":\s*\{', tail):
+        end = tail.find("}", m.end())
+        regions.append((m.end(), end if end != -1 else len(tail), m.group(1)))
+    first_region = min((s for s, _, _ in regions), default=len(tail))
+    orphan_end = tail.find("}")
+    orphan_suite = None
+    if orphan_end != -1 and orphan_end < first_region:
+        after = tail[orphan_end : orphan_end + 80]
+        for key, suite in _ORPHAN_SUITE_BY_NEXT_KEY:
+            if key in after:
+                orphan_suite = suite
+                break
+    out: dict[str, dict[str, float]] = {}
+    for m in _PAIR_RE.finditer(tail):
+        pos = m.start()
+        suite = next(
+            (name for s, e, name in regions if s <= pos < e), None
+        )
+        if suite is None and orphan_suite is not None and pos < orphan_end:
+            suite = orphan_suite
+        if suite is not None:
+            # first occurrence wins within a suite (full record prints
+            # before the compact summary; within one suite they agree)
+            out.setdefault(suite, {}).setdefault(m.group(1), float(m.group(2)))
     return out
 
 
@@ -133,11 +182,12 @@ def _load(path: str) -> dict:
         if not rec and tail:
             rec = _recover_tail(tail)
         merged_from_tail = sorted(
-            k for k in rec if k not in parsed and k != "_tail_pairs"
+            k for k in rec if k not in parsed and k != "_tail_suite_pairs"
         )
-        if "_tail_pairs" in rec:
+        if "_tail_suite_pairs" in rec:
+            n_pairs = sum(len(v) for v in rec["_tail_suite_pairs"].values())
             merged_from_tail.append(
-                f"{len(rec['_tail_pairs'])} per-query values (pair fallback)"
+                f"{n_pairs} per-query values (suite-scoped pair fallback)"
             )
         if not parsed:
             print(
@@ -215,18 +265,20 @@ def main() -> int:
     rows = []
     # every per-query dict the bench emits gets its own diff section:
     # headline battery, TPC-H suite, LLM-ops suite (round 5+)
-    ofb = old.get("_tail_pairs") or {}
-    nfb = new.get("_tail_pairs") or {}
+    osp = old.get("_tail_suite_pairs") or {}
+    nsp = new.get("_tail_suite_pairs") or {}
     for suite in ("queries", "tpch_queries", "llm_queries"):
         oq, nq = old.get(suite) or {}, new.get(suite) or {}
-        if not oq and not nq:
+        ofb, nfb = osp.get(suite) or {}, nsp.get(suite) or {}
+        if not (oq or nq or ofb or nfb):
             continue
         rows.append((f"-- {suite} --", None, None, None, ""))
         for name in sorted(set(oq) | set(nq)):
             a, b = oq.get(name), nq.get(name)
-            # value-level fallback to tail-recovered pairs: fills rows a
-            # front-truncated artifact would otherwise diff as missing
-            # (section membership above still comes from real suite dicts)
+            # value-level fallback to SUITE-SCOPED tail-recovered pairs:
+            # fills rows a front-truncated artifact would otherwise diff
+            # as missing, and can never cross-fill from another suite's
+            # same-named entry (r15 ADVICE)
             a = ofb.get(name) if a is None else a
             b = nfb.get(name) if b is None else b
             if a is None or b is None:

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# round-count telemetry of the LAST connected_components call (each
+# round is one scheduler job at scale — the cost the r15 double-jump
+# halves); read by tests and profiling, never by product code
+_LAST_ROUNDS = 0
+
 
 def connected_components(
     edges: DataFrame,
@@ -69,8 +74,26 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
 
+    def _jump(lbl: DataFrame) -> DataFrame:
+        # pointer jumping (path compression): comp ← comp[comp], which
+        # collapses label chains exponentially. comp is always the id
+        # of a node in the same component (every update is a min over
+        # reachable labels), so the composition stays in-component and
+        # labels only decrease — the fixed point is min-reachable,
+        # identical to the single-jump algorithm's.
+        j = lbl.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
+        return lbl.join(j, lbl.comp == j.jnode, "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
+            ).alias("comp"),
+        )
+
+    global _LAST_ROUNDS
+    _LAST_ROUNDS = 0
     prev_sum = None
     for _ in range(max_iter):
+        _LAST_ROUNDS += 1
         # each node's candidate label: min over its own and neighbors'
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
@@ -83,25 +106,17 @@ def connected_components(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
         )
-        # pointer jumping (path compression): comp ← comp[comp], which
-        # collapses label chains exponentially — O(log diameter) rounds
-        # instead of O(diameter) for long paths
-        jump = propagated.select(
-            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
-        )
-        new_labels = (
-            propagated.join(jump, propagated.comp == jump.jnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            # lazy checkpoint: the convergence scan right below is the
-            # action that materializes it, so each round runs ONE job
-            # (eager=True would run a materialize job AND the scan job)
-            .localCheckpoint(eager=False)
-        )
+        # TWO jumps per round (r15): each round is a full scheduler
+        # barrier (checkpoint + convergence job), and that fixed cost —
+        # not the per-round data volume — dominates deep graphs. A
+        # second node-table self-join composes the label map twice, so
+        # label reach grows ~4-5x per round instead of ~2x: the planted
+        # deep-chain test converges in about half the rounds for one
+        # extra node-sized (not edge-sized) join per round.
+        new_labels = _jump(_jump(propagated)).localCheckpoint(eager=False)
+        # lazy checkpoint: the convergence scan right below is the
+        # action that materializes it, so each round runs ONE job
+        # (eager=True would run a materialize job AND the scan job)
         if numeric_ids:
             labels = new_labels
             s = _label_sum(labels)
@@ -127,6 +142,7 @@ def partitioned_components(
     part_col: str,
     src: str = "src",
     dst: str = "dst",
+    validate: bool = False,
 ) -> DataFrame:
     """Exact connected components for a pair graph whose every edge is
     KNOWN to lie within one ``part_col`` group (semdedup: candidate
@@ -144,8 +160,40 @@ def partitioned_components(
     worst-case is ~12.5M pairs = ~200 MB Arrow, and real thresholded
     cells are sparse). NOT for graphs whose edges can cross groups —
     use connected_components.
+
+    ``validate=True`` (r15, verdict item) checks the precondition
+    instead of trusting it: a node appearing under two ``part_col``
+    groups means some component spans groups, and the per-group
+    union-find would return PLAUSIBLE WRONG labels silently. The check
+    is one extra aggregation job over the (2x) pair rows, so it is
+    off by default in production paths whose generators guarantee
+    group-locality by construction (semdedup's cell-local pairs);
+    turn it on when the pair source is not so guaranteed.
     """
     import pandas as pd
+
+    if validate:
+        nodes = pairs.select(
+            F.col(part_col).alias("__p"), F.col(src).alias("__n")
+        ).unionByName(
+            pairs.select(F.col(part_col).alias("__p"), F.col(dst).alias("__n"))
+        )
+        bad = (
+            nodes.groupBy("__n")
+            .agg(F.countDistinct("__p").alias("__np"))
+            .filter(F.col("__np") > 1)
+            .limit(5)
+            .collect()
+        )
+        if bad:
+            offenders = ", ".join(str(r["__n"]) for r in bad)
+            raise ValueError(
+                "partitioned_components: precondition violated — node(s) "
+                f"[{offenders}] appear in more than one '{part_col}' group, "
+                "so a component spans groups and per-group union-find "
+                "would return wrong labels. Use connected_components for "
+                "graphs whose edges can cross groups."
+            )
 
     id_type = pairs.schema[src].dataType.simpleString()
     out_schema = f"node {id_type}, comp {id_type}"

@@ -29,7 +29,11 @@ def ensure_parallelism(
     crossing regime — OPTIMIZATION_r14.md), while a few hundred rows of
     codec CPU saturate at ~16-way just as well as 32-way. Corpus-scaling
     inputs must NOT pass it — their stage cost is data-bound, not
-    crossing-bound.
+    crossing-bound. An input that already arrives with MORE than
+    ``max_partitions`` partitions (a fixture read pre-split by an
+    upstream shuffle) is coalesced down to the cap — coalesce is
+    shuffle-free, so the 100 TB "never adds a shuffle" contract holds
+    on that path too (r15, ADVICE).
     """
     try:
         # classic mode: probe actual partitioning via the RDD handle
@@ -46,6 +50,10 @@ def ensure_parallelism(
         return df
     if parts < max(1, int(target * min_fraction)):
         return df.repartition(target)
+    if max_partitions is not None and parts > max_partitions:
+        # capped path only: bound the per-stage crossing cost even when
+        # the constant-size input arrives over-partitioned (shuffle-free)
+        return df.coalesce(max_partitions)
     return df
 
 
