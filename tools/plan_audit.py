@@ -120,7 +120,11 @@ CROSS_OK = {"q_join_cross", "q_join_theta", "q_fn_array_explode", "q_sub_scalar"
 # wire-size estimate hides array rows' JVM footprint, the sf10 OOM
 # class), which pins BOTH sides as exchanges in the static text and
 # repeats the unioned old+new store subtree under each — 19 -> 30
-# textual exchanges for the same per-doc data movement.
+# textual exchanges for the same per-doc data movement. r15: the
+# movement itself is now GATED in MB, not counted in nodes —
+# tools/movement_gate.py measured 2.46 MB shuffle write at sf0.1 for
+# this query (bound 5 MB) and bounds every allowance-listed query the
+# same way, so this list can no longer creep silently.
 EXCHANGE_ALLOWANCE = {
     "q_text_bigram_logprob": 9,
     "q_text_kn_bigram_logprob": 11,
