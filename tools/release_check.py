@@ -56,6 +56,9 @@ LEGS: list[tuple[str, list[str]]] = [
 ]
 if not FAST:
     LEGS += [
+        # shuffle-movement gate for the exchange-allowance queries
+        # (r15): deterministic MB bounds, load/regime-immune
+        ("movement-gate", [sys.executable, "tools/movement_gate.py"]),
         ("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]),
         ("bench", [sys.executable, "bench.py"]),
     ]
