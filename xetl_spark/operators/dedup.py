@@ -251,14 +251,23 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ds") <= max_bucket_size)
-    return (
-        buckets.select(F.col("ds"), F.posexplode("ds").alias("__i", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias("doc_b"),
-        )
-        .distinct()  # a pair may collide in several bands
+    raw_pairs = buckets.select(
+        F.col("ds"), F.posexplode("ds").alias("__i", "doc_a")
+    ).select(
+        "doc_a",
+        F.explode(F.slice("ds", F.col("__i") + 2, F.size("ds"))).alias("doc_b"),
     )
+    # a pair may collide in several bands — dedup before verification.
+    # The dedup shuffle is KEYED BY doc_a (HashPartitioning(doc_a)
+    # satisfies the (doc_a, doc_b) clustering the aggregate needs), so
+    # the doc_a-keyed verify join downstream reuses this exchange
+    # instead of re-shuffling the deduped pair table a second time
+    # (guide §2.4: operations keyed the same way share one exchange —
+    # the pair table now crosses 2 exchanges end to end, not 3). Cost:
+    # duplicates from other partitions are no longer collapsed by a
+    # map-side partial before this shuffle, bounded by the band count
+    # (a pair occurs at most ``bands`` times).
+    return raw_pairs.repartition("doc_a").distinct()
 
 
 def pair_jaccard(
@@ -731,6 +740,9 @@ def incremental_minhash_dedup(
             ],
         )
         .select(F.col("n.doc").alias("doc_a"), F.col("a.doc").alias("doc_b"))
+        # dedup keyed by doc_a so the doc_a-keyed verify join reuses
+        # this exchange (guide §2.4; see lsh_candidate_pairs)
+        .repartition("doc_a")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     verified = pair_jaccard_hashed(cand, combined).filter(
@@ -884,6 +896,9 @@ def fuzzy_decontaminate(
             ],
         )
         .select(F.col("c.doc").alias("doc_a"), F.col("e.doc").alias("doc_b"))
+        # keyed by doc_a: the corpus-signature verify join below is
+        # doc_a-keyed, so the dedup exchange does double duty (§2.4)
+        .repartition("doc_a")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     se = F.broadcast(

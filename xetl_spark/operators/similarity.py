@@ -656,6 +656,11 @@ def lsh_ann_topk(
         cs.join(F.broadcast(qs), on=["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__uq")
+        # dedup keyed by neighbor_id: the vector re-attach join below
+        # is neighbor_id-keyed, so the dedup exchange does double duty
+        # (guide §2.4; skew bounded — per-neighbor candidates are
+        # capped by the broadcast-small query side)
+        .repartition("neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     # shuffle_hash: c_units carries corpus vectors (one row per doc) —

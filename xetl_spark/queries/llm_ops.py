@@ -818,6 +818,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, (F2.col("shingle") == F2.col("s2")) & (F2.col("doc_a") < F2.col("doc_b")))
         .select("doc_a", "doc_b")
+        # dedup keyed by doc_a so pair_jaccard's doc_a-keyed
+        # intersection join reuses this exchange (guide §2.4; same
+        # move as lsh_candidate_pairs, r15)
+        .repartition("doc_a")
         .distinct()
     )
     return (
