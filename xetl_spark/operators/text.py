@@ -76,6 +76,18 @@ def unique_token_ratio(text: Column | str) -> Column:
     return F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1))
 
 
+def _stopword_hits_on(joined: Column, lang: str) -> Column:
+    """``_stopword_hits`` over a PRE-BUILT space-joined token column.
+    Multi-language voters build the joined-token subtree once and call
+    this per language: Column construction is driver-side Py4J work
+    (~7 ms per tokens() subtree), so an 11-language loop that rebuilds
+    it per branch pays ~10x that before the query even runs (r15 —
+    measured 206 ms/call for language_id, ~30 ms hoisted). Runtime CSE
+    already folded the copies; this folds the CONSTRUCTION."""
+    pat = r"\b(?:" + "|".join(_LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(joined, F.lit(pat))
+
+
 def _stopword_hits(text: Column | str, lang: str) -> Column:
     """Count (with multiplicity) of tokens equal to any of ``lang``'s
     stopwords. regexp_count of a whole-token alternation over the
@@ -88,9 +100,7 @@ def _stopword_hits(text: Column | str, lang: str) -> Column:
     [a-z0-9], so ``\\b`` boundaries in the joined string match exactly
     whole tokens and the count is identical to the filter version
     (pinned against the DuckDB list_filter oracles)."""
-    joined = F.concat_ws(" ", tokens(text))
-    pat = r"\b(?:" + "|".join(_LANG_STOPWORDS[lang]) + r")\b"
-    return F.regexp_count(joined, F.lit(pat))
+    return _stopword_hits_on(F.concat_ws(" ", tokens(text)), lang)
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
@@ -139,14 +149,20 @@ def quality_score_multilang(
     lang_col = language_id(text) if lang is None else lang
     # flat CaseWhen for the same conditional-CSE reason as
     # flesch_multilang (r14): the repeated lang_col vote evaluates
-    # once per row instead of once per tested branch
+    # once per row instead of once per tested branch. The shared
+    # joined-token and token-count subtrees are BUILT once and reused
+    # across branches (r15): identical expression values, ~10x less
+    # driver-side Py4J construction (see _stopword_hits_on).
+    joined = F.concat_ws(" ", tokens(text))
+    nt = F.greatest(F.size(tokens(text)), F.lit(1))
     w = None
     for code in _LANG_STOPWORDS:
         if code == "en":
             continue
-        br = (lang_col == code, stopword_ratio(text, code))
+        br = (lang_col == code, _stopword_hits_on(joined, code) / nt)
         w = F.when(*br) if w is None else w.when(*br)
-    swr = w.otherwise(stopword_ratio(text, "en"))  # fallback, incl. 'und'
+    # fallback, incl. 'und'
+    swr = w.otherwise(_stopword_hits_on(joined, "en") / nt)
     return _quality_from_stopword_ratio(text, swr)
 
 
@@ -198,10 +214,28 @@ _LANG_FLESCH = {
 }
 
 
-def _flesch_expr(c: Column, vowels: str, a: float, b: float, cc: float) -> Column:
-    words = F.greatest(token_count(c), F.lit(1))
-    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
-    syllables = F.regexp_count(F.lower(c), F.lit(vowels + "+"))
+def _flesch_expr(
+    c: Column,
+    vowels: str,
+    a: float,
+    b: float,
+    cc: float,
+    words: Column | None = None,
+    sentences: Column | None = None,
+    lowered: Column | None = None,
+) -> Column:
+    # words/sentences/lowered are shared by every language branch of
+    # flesch_multilang — callers pass them pre-built so the 7-branch
+    # CASE doesn't rebuild the same subtrees per branch (r15: Column
+    # construction is driver-side Py4J work; runtime CSE already
+    # deduplicated the copies, this deduplicates the CONSTRUCTION)
+    if words is None:
+        words = F.greatest(token_count(c), F.lit(1))
+    if sentences is None:
+        sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(
+        F.lower(c) if lowered is None else lowered, F.lit(vowels + "+")
+    )
     return (
         F.lit(a)
         - F.lit(b) * (words.cast("double") / sentences)
@@ -247,14 +281,19 @@ def flesch_multilang(
     # CaseWhen — flat, the repeated lang_col (a full stopword vote)
     # evaluates once per row instead of once per tested branch
     # (measured 23% on q_text_flesch_multilang, r14; identical rows).
+    words = F.greatest(token_count(c), F.lit(1))
+    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    lowered = F.lower(c)
     w = None
     for code, rule in _LANG_FLESCH.items():
         if code == "en":
             continue
-        br = (lang_col == code, _flesch_expr(c, *rule))
+        br = (lang_col == code, _flesch_expr(c, *rule, words, sentences, lowered))
         w = F.when(*br) if w is None else w.when(*br)
     # fallback (incl. 'und') = English row
-    return w.otherwise(_flesch_expr(c, *_LANG_FLESCH["en"]))
+    return w.otherwise(
+        _flesch_expr(c, *_LANG_FLESCH["en"], words, sentences, lowered)
+    )
 
 
 def char_entropy(df, text_col: str, id_col: str):
@@ -333,14 +372,17 @@ def language_id(text: Column | str) -> Column:
     label out) is identical.
     """
     scores = []
-    # per-language counts via _stopword_hits (regexp_count in codegen,
-    # CSE folds the 11 copies of the joined-token string into one
-    # evaluation): 3.3s -> 1.0s for q_text_langid at sf0.1 (r14 —
-    # the interpreted filter-lambda version re-tokenized per language)
+    # per-language counts via _stopword_hits_on (regexp_count in
+    # codegen, CSE folds the 11 copies of the joined-token string into
+    # one evaluation): 3.3s -> 1.0s for q_text_langid at sf0.1 (r14 —
+    # the interpreted filter-lambda version re-tokenized per language).
+    # The joined-token subtree is built ONCE (r15): same expression,
+    # ~7x less driver-side construction (206 -> ~30 ms per call).
+    joined = F.concat_ws(" ", tokens(text))
     for lang in _LANG_STOPWORDS:
         scores.append(
             F.struct(
-                _stopword_hits(text, lang).alias("hits"),
+                _stopword_hits_on(joined, lang).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
         )
