@@ -105,6 +105,37 @@ def _ngram_array(toks, n: int, short_doc_fallback: bool = True):
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
 
 
+def _tokens_sql(text_col: str) -> str:
+    """SQL-string twin of ``_tokens`` — same functions, same pattern,
+    parsed server-side in one call instead of built through per-node
+    Py4J round trips (~30 ms/build measured; see
+    minhash_signatures_rowwise for why that matters)."""
+    return f"filter(split(lower(`{text_col}`), '[^a-z0-9]+'), x -> x != '')"
+
+
+def _ngram_array_sql(toks_sql: str, n: int, short_doc_fallback: bool = True) -> str:
+    """SQL-string twin of ``_ngram_array`` (same zip_with chain over
+    shifted views, same short-doc fallback). The token expression is
+    repeated textually; after parsing the tree is expression-equal to
+    the Python-built one and runtime CSE evaluates the tokenizer once
+    per document exactly as before."""
+    g = toks_sql
+    for j in range(1, n):
+        shifted = f"slice({toks_sql}, {j + 1}, 2000000)"
+        g = (
+            f"zip_with({g}, {shifted}, (a, b) -> "
+            "CASE WHEN a IS NOT NULL AND b IS NOT NULL "
+            "THEN concat(a, ' ', b) END)"
+        )
+    grams = f"filter({g}, x -> x IS NOT NULL)"
+    if not short_doc_fallback:
+        return grams
+    return (
+        f"CASE WHEN size({toks_sql}) < {n} "
+        f"THEN array(concat_ws(' ', {toks_sql})) ELSE {grams} END"
+    )
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Explode each document into its distinct word n-gram shingles.
 
@@ -179,26 +210,36 @@ def minhash_signatures_rowwise(
     in its own projection so the fold references a computed column;
     CollapseProject declines to inline a non-cheap alias referenced
     more than once, so the tokenizer runs once per document.
+
+    Expressions are built as SQL strings parsed server-side (r15):
+    assembling this tree through the Python Column API costs ~300 ms
+    of driver-side Py4J round trips PER CALL (measured — ~40% of the
+    whole q_dedup_minhash_lsh wall at sf0.1), while ``F.expr`` ships
+    one string. Bit-identical values: the SQL names the exact same
+    functions (pinned by the rowwise-vs-explode parity test).
     """
-    hset = F.array_distinct(
-        F.transform(_ngram_array(_tokens(text_col), n), lambda g: F.xxhash64(g))
+    hset_sql = (
+        "array_distinct(transform("
+        + _ngram_array_sql(_tokens_sql(text_col), n)
+        + ", g -> xxhash64(g)))"
     )
     base = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), hset.alias("hset")
+        F.col(id_col).alias("doc"), F.expr(hset_sql).alias("hset")
     )
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    mins_arr = F.aggregate(
-        "hset",
-        F.array_repeat(F.lit(2**63 - 1), num_hashes),
-        lambda acc, h: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))),
+    mins_sql = (
+        f"aggregate(hset, array_repeat({2**63 - 1}, {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        "(a, i) -> least(a, xxhash64(h, i))))"
     )
-    folded = base.select("doc", mins_arr.alias("mins"), "hset", F.size("hset").alias("sz"))
+    folded = base.select(
+        "doc", F.expr(mins_sql).alias("mins"), "hset", F.size("hset").alias("sz")
+    )
     # mh_i columns extracted from the materialized fold — cheap
     # attribute+element_at projections, for band-key construction and
     # API parity with minhash_signatures
-    return folded.select(
+    return folded.selectExpr(
         "doc",
-        *[F.element_at("mins", i + 1).alias(f"mh_{i}") for i in range(num_hashes)],
+        *[f"element_at(mins, {i + 1}) AS mh_{i}" for i in range(num_hashes)],
         "hset",
         "sz",
     )
@@ -227,22 +268,9 @@ def lsh_candidate_pairs(
     dropped — their members are near-identical and are caught by exact
     dedup / remain candidates through their other (rarer) bands.
     """
-    r = num_hashes // bands
     banded = sig.select(
         "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * r + j}") for j in range(r)]
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
+        F.explode(F.expr(_band_array_sql(num_hashes, bands))).alias("bh"),
     ).select("doc", "bh.band", "bh.bkey")
     buckets = (
         banded.groupBy("band", "bkey")
@@ -532,42 +560,35 @@ def simhash_rowwise(
     its own projection so the fold walks it once per document
     (CollapseProject declines to inline a non-cheap alias; see
     minhash_signatures_rowwise for the measured rationale).
+
+    Expressions are SQL strings parsed server-side (r15): the Python
+    Column build of the 64-wide fold + weight array measured ~660 ms
+    of driver-side Py4J work PER CALL — most of the q_dedup_simhash
+    wall at sf0.1. Values bit-identical (explode-form parity test).
     """
-    hs = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+    hs_sql = f"transform({_tokens_sql(text_col)}, t -> xxhash64(t))"
     base = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("doc"), hs.alias("__hs"))
+        .select(F.col(id_col).alias("doc"), F.expr(hs_sql).alias("__hs"))
         .filter(F.size("__hs") > 0)
     )
-    seeds = F.sequence(F.lit(0), F.lit(bits - 1))
-    sums = F.aggregate(
-        "__hs",
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            seeds,
-            # getbit(h, i) == (h >> i) & 1 (two's-complement), and unlike
-            # shiftright it takes the bit position as a COLUMN
-            lambda a, i: a + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
-        ),
+    # getbit(h, i) == (h >> i) & 1 (two's-complement), and unlike
+    # shiftright it takes the bit position as a COLUMN
+    sums_sql = (
+        f"aggregate(__hs, array_repeat(CAST(0 AS BIGINT), {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        "(a, i) -> a + CASE WHEN getbit(h, i) = 1 THEN 1 ELSE -1 END))"
     )
-    weights = F.array(
-        *[
-            F.lit(2**i if i < 63 else -(2**63)).cast("long")
-            for i in range(bits)
-        ]
+    weights_sql = "array(" + ", ".join(
+        f"CAST({2**i if i < 63 else -(2**63)} AS BIGINT)" for i in range(bits)
+    ) + ")"
+    folded = base.select("doc", F.expr(sums_sql).alias("__sums"))
+    fp_sql = (
+        f"aggregate(zip_with(__sums, {weights_sql}, "
+        "(s, w) -> CASE WHEN s > 0 THEN w ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    folded = base.select("doc", sums.alias("__sums"))
-    fp = F.aggregate(
-        F.zip_with(
-            "__sums",
-            weights,
-            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return folded.select("doc", fp.alias("simhash"))
+    return folded.select("doc", F.expr(fp_sql).alias("simhash"))
 
 
 def hamming_near_pairs(
@@ -598,22 +619,17 @@ def hamming_near_pairs(
     exact dedup runs upstream to catch those clusters.
     """
     width = 64 // chunks
+    # SQL-string block array (server-side parse — see
+    # minhash_signatures_rowwise): same shiftrightunsigned/AND values
+    blocks_sql = "array(" + ", ".join(
+        f"struct({c} AS blk, "
+        f"shiftrightunsigned(`{fp_col}`, {c * width}) & {(1 << width) - 1} AS bval)"
+        for c in range(chunks)
+    ) + ")"
     blocked = fps.select(
         F.col(id_col).alias("doc"),
         F.col(fp_col).alias("__fp"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("blk"),
-                        F.shiftrightunsigned(F.col(fp_col), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bval"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("bc"),
+        F.explode(F.expr(blocks_sql)).alias("bc"),
     ).select("doc", "__fp", "bc.blk", "bc.bval")
     buckets = (
         blocked.groupBy("blk", "bval")
@@ -664,25 +680,25 @@ def simhash_near_duplicates(
     )
 
 
+def _band_array_sql(num_hashes: int, bands: int) -> str:
+    """SQL string for the per-doc band-struct array (one xxhash64 of
+    each band's r signature mins) — server-side parse, see
+    minhash_signatures_rowwise."""
+    r = num_hashes // bands
+    structs = ", ".join(
+        f"struct({b} AS band, "
+        f"xxhash64({', '.join(f'mh_{b * r + j}' for j in range(r))}) AS bkey)"
+        for b in range(bands)
+    )
+    return f"array({structs})"
+
+
 def _band_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc, band, bkey) banding projection of a signature table —
     the same keys lsh_candidate_pairs buckets on."""
-    r = num_hashes // bands
     return sig.select(
         "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * r + j}") for j in range(r)]
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
+        F.explode(F.expr(_band_array_sql(num_hashes, bands))).alias("bh"),
     ).select("doc", "bh.band", "bh.bkey")
 
 
