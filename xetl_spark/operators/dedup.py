@@ -140,13 +140,16 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     """Explode each document into its distinct word n-gram shingles.
 
     Tokenize → n-gram (zip_with chain, see _ngram_array) → distinct →
-    explode. All higher-order array functions inside whole-stage codegen.
+    explode. All higher-order array functions inside whole-stage
+    codegen; the expression is a server-side-parsed SQL string (one
+    Py4J call instead of ~90 ms of per-node construction, r15 — see
+    minhash_signatures_rowwise).
     """
     return ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(_ngram_array(_tokens(text_col), n))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.expr(f"array_distinct({_ngram_array_sql(_tokens_sql(text_col), n)})")
+        ).alias("shingle"),
     )
 
 

@@ -1387,7 +1387,7 @@ def natural_boundary_dedup(
     )
 
 
-def _merged_keep_intervals(sorted_cuts, n, k_tokens: int):
+def _merged_keep_intervals_sql(sorted_cuts_sql: str, n_sql: str, k_tokens: int) -> str:
     """Complement of the union of ``[s, s+k_tokens)`` over the sorted
     cut starts, as an array of (s, l) kept token intervals — ONE
     O(cuts) ``aggregate`` pass carrying (pos, intervals) state.
@@ -1396,41 +1396,23 @@ def _merged_keep_intervals(sorted_cuts, n, k_tokens: int):
     per document — quadratic for a pathological highly-self-duplicated
     long doc): the fold walks the cut list once, and the caller
     gathers kept tokens with one O(tokens) slice-and-flatten.
+
+    Emitted as a SQL string parsed server-side (r15): the Python
+    Column build of this fold measured ~90 ms of driver-side Py4J
+    work per call (same expression either way; the span-dedup oracles
+    state the expected output closed-form and stay hash-green).
     """
-
-    def _st(pos, ivs):
-        return F.struct(pos.alias("pos"), ivs.alias("ivs"))
-
-    empty = F.array().cast("array<struct<s:int,l:int>>")
-    return F.aggregate(
-        sorted_cuts,
-        _st(F.lit(0), empty),
-        lambda st, s: F.when(
-            s > st["pos"],
-            _st(
-                s + F.lit(k_tokens),
-                F.concat(
-                    st["ivs"],
-                    F.array(
-                        F.struct(
-                            st["pos"].alias("s"),
-                            (s - st["pos"]).alias("l"),
-                        )
-                    ),
-                ),
-            ),
-        ).otherwise(_st(F.greatest(st["pos"], s + F.lit(k_tokens)), st["ivs"])),
-        lambda st: F.when(
-            n > st["pos"],
-            F.concat(
-                st["ivs"],
-                F.array(
-                    F.struct(
-                        st["pos"].alias("s"), (n - st["pos"]).alias("l")
-                    )
-                ),
-            ),
-        ).otherwise(st["ivs"]),
+    k = int(k_tokens)
+    mk_iv = "array(struct(st.pos AS s, ({cur} - st.pos) AS l))"
+    return (
+        f"aggregate({sorted_cuts_sql}, "
+        "struct(0 AS pos, CAST(array() AS array<struct<s:int,l:int>>) AS ivs), "
+        "(st, s) -> CASE WHEN s > st.pos "
+        f"THEN struct(s + {k} AS pos, "
+        f"concat(st.ivs, {mk_iv.format(cur='s')}) AS ivs) "
+        f"ELSE struct(greatest(st.pos, s + {k}) AS pos, st.ivs AS ivs) END, "
+        f"st -> CASE WHEN {n_sql} > st.pos "
+        f"THEN concat(st.ivs, {mk_iv.format(cur=n_sql)}) ELSE st.ivs END)"
     )
 
 
@@ -1439,23 +1421,19 @@ def _rebuild_from_cuts(base, cuts, id_col: str, k_tokens: int):
     each document from its kept intervals. Shared by the stride and
     exact-extent span dedup passes. O(tokens + cuts) per document."""
     n = F.size("__toks")
+    ivs_sql = _merged_keep_intervals_sql(
+        "array_sort(__cuts)", "size(__toks)", k_tokens
+    )
     return (
         base.join(cuts, "__doc", "left")
         .withColumn("__cuts", F.coalesce("__cuts", F.array()))
-        .withColumn(
-            "__ivs",
-            _merged_keep_intervals(F.array_sort("__cuts"), n, k_tokens),
-        )
+        .withColumn("__ivs", F.expr(ivs_sql))
         .select(
             F.col("__doc").alias(id_col),
             n.alias("n_tokens"),
-            F.flatten(
-                F.transform(
-                    "__ivs",
-                    lambda iv: F.slice(
-                        F.col("__toks"), iv["s"] + 1, iv["l"]
-                    ),
-                )
+            F.expr(
+                "flatten(transform(__ivs, iv -> "
+                "slice(__toks, iv.s + 1, iv.l)))"
             ).alias("__kept"),
         )
         .select(
