@@ -889,22 +889,26 @@ def c4_line_filter(df, text_col: str, id_col: str, min_sentences: int = 5):
     one map stage at scan speed.
     """
     raw = F.col(text_col)
-    lines = F.filter(
-        F.transform(F.split(raw, "\n"), lambda s: F.trim(s)),
-        lambda s: s != F.lit(""),
+    # SQL-string construction (one server-side parse — see
+    # minhash_signatures_rowwise): the two lambda filters cost ~150 ms
+    # of driver-side Py4J build per call through the Column API (r15);
+    # values identical, pinned by the q_text_c4_rules oracle hash
+    lines_sql = (
+        f"filter(transform(split(`{text_col}`, '\\n'), s -> trim(s)), "
+        "s -> s != '')"
     )
-    kept = F.filter(
-        lines,
-        lambda s: s.rlike('[.!?"’”\']$')
-        & (F.size(F.split(s, r"\s+")) >= 3)
-        & ~F.lower(s).contains("javascript"),
+    kept_sql = (
+        f"filter({lines_sql}, s -> "
+        "s rlike '[.!?\"’”'']$' "
+        "AND size(split(s, '\\\\s+')) >= 3 "
+        "AND NOT contains(lower(s), 'javascript'))"
     )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.lower(raw).contains("lorem ipsum").alias("has_lorem"),
         raw.contains("{").alias("has_brace"),
-        lines.alias("__lines"),
-        kept.alias("__kept"),
+        F.expr(lines_sql).alias("__lines"),
+        F.expr(kept_sql).alias("__kept"),
     )
     clean = F.concat_ws("\n", "__kept")
     staged = base.select(
